@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`).
+  *
+  * Baseline: brute-force top-k — broadcast the (small) query set against
+  * the full corpus; one map-side pass, a single shuffle for the per-query
+  * top-k. Scale path: random-hyperplane LSH bucketing — candidate
+  * generation becomes an equi-join on bucket id, turning O(n·q) into
+  * O(collisions); at 100 TB bucket ids are computed map-side and the
+  * corpus shuffles once by bucket.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. The fold order is
+    * fixed (element 1..d), so the result is bit-reproducible across
+    * engines (matches a left-associated explicit sum in SQL).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k most similar
+    * corpus vectors (excluding itself). Query side is broadcast.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val c = corpus.select(col(idCol).as("match_id"), col(embCol).as("c_emb"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("match_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("match_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  // ---- Random-hyperplane LSH -------------------------------------------
+  // Deterministic integer hyperplanes: plane p, dim d has weight
+  // ((p*73 + d*31) % 19) - 9 in [-9, 9]. Bit p of the bucket id = sign of
+  // <plane_p, v>. Integer weights => exact, engine-portable.
+
+  def planeWeight(p: Int, d: Int): Int = ((p * 73 + d * 31) % 19) - 9
+
+  def lshBucket(emb: Column, nPlanes: Int = 12, dim: Int = 64): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val s = (0 until dim).map { d =>
+        element_at(emb, d + 1).cast("double") * lit(planeWeight(p, d).toDouble)
+      }.reduce(_ + _)
+      when(s > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: candidates share a bucket; exact cosine re-rank
+    * inside the bucket. Recall is tunable via nPlanes (fewer planes =
+    * bigger buckets = higher recall, more work).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("match_id"), col(embCol).as("c_emb"),
+      lshBucket(col(embCol), nPlanes, dim).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+      lshBucket(col(embCol), nPlanes, dim).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("match_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("match_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+}

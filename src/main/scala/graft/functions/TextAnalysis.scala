@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, language id, quality scoring, fingerprinting. All are
+  * pure Column expressions (codegen'd, no UDFs) over a `text` column —
+  * at 100 TB these run map-side with zero shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (after trim). */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def wsTokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish token proxy: word pieces OR single non-word-non-space chars —
+    * the standard pre-tokenizer shape (`\w+|[^\w\s]`), written with an
+    * explicit class so Java and RE2 regex dialects agree.
+    */
+  val BpeTokenRe = "[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenRe), lit(0)))
+
+  /** Normalization for fingerprinting: lowercase, collapse whitespace. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Exact-dup fingerprint = md5 of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately minimal and deterministic.
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "des"),
+    "es" -> Seq("el", "los", "las", "y", "una")
+  )
+
+  /** Count of tokens that are in `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(wsTokens(text), t => array_contains(arr, t)))
+  }
+
+  /** Language-ID: argmax of per-language stopword hits; ties and zero hits
+    * resolve to "und" (undetermined). Deterministic: languages compared in
+    * sorted order, strictly-greater wins.
+    */
+  def langId(text: Column): Column = {
+    val langs = Stopwords.keys.toSeq.sorted
+    val hits = langs.map(l => l -> stopwordHits(text, Stopwords(l)))
+    val best = hits.foldLeft((lit("und"), lit(0))) { case ((bl, bh), (l, h)) =>
+      (when(h > bh, lit(l)).otherwise(bl), when(h > bh, h).otherwise(bh))
+    }
+    best._1
+  }
+
+  /** Quality score in [0,1]: blend of length band, alpha ratio, stopword
+    * ratio, and mean word length band — the shape of a classic heuristic
+    * document-quality filter (Gopher/C4-style rules), deterministic and
+    * SQL-expressible.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = wsTokenCount(text).cast("double")
+    val chars = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val sw = stopwordHits(text, Stopwords("en")).cast("double")
+    val meanWordLen = chars / greatest(n, lit(1.0))
+    val lenOk = when(n >= 5 && n <= 10000, lit(1.0)).otherwise(lit(0.0))
+    val alphaRatio = alpha / greatest(chars, lit(1.0))
+    val swRatio = least(sw / greatest(n, lit(1.0)) * 10.0, lit(1.0))
+    val wordLenOk = when(meanWordLen >= 2.0 && meanWordLen <= 12.0, lit(1.0)).otherwise(lit(0.0))
+    round((lenOk + alphaRatio + swRatio + wordLenOk) / 4.0, 6)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.ops
+
+import graft.core.Flags
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Geospatial scalar functions (reference §2.6: SeaVox region lookup
+  * `src/main.py:527-533`, Natural Earth land test `src/main.py:577-592`,
+  * bathymetry lookup `src/main.py:561-571`, geodesic distance
+  * `tests/test_qc.py:38-40`).
+  *
+  * Spark-first: everything is a pure Column expression (codegen'd math),
+  * no geometry objects, no UDFs. Polygon/region sets and elevation grids
+  * are small reference data: they become literal expressions or broadcast
+  * joins — the 100 TB observation side never shuffles for a lookup.
+  */
+object Geo {
+
+  val EarthRadiusM = 6371000.8 // mean Earth radius
+
+  /** Haversine great-circle distance in meters, as a Column expression.
+    * The reference uses geopy geodesic (WGS-84); haversine differs by
+    * ≤0.3% which the reference's own tolerances absorb (SURVEY §2.6 G6).
+    */
+  def haversineM(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2 * EarthRadiusM) * asin(sqrt(a))
+  }
+
+  /** Same formula as SQL text (for DuckDB oracles). */
+  def haversineSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"""(2 * $EarthRadiusM * asin(sqrt(
+       |  pow(sin(radians(($lat2) - ($lat1)) / 2), 2)
+       |  + cos(radians($lat1)) * cos(radians($lat2))
+       |    * pow(sin(radians(($lon2) - ($lon1)) / 2), 2))))""".stripMargin
+
+  /** A named region as an axis-aligned box (the SQL-expressible
+    * instantiation used by the oracle queries; general polygons go through
+    * [[pointInPolygon]]).
+    */
+  final case class BoxRegion(name: String, subRegion: String,
+                             latMin: Double, latMax: Double,
+                             lonMin: Double, lonMax: Double)
+
+  /** Point-in-region classification against a literal region set; first
+    * match wins (regions listed most-specific first, mirroring the
+    * reference's "lowest level found" SeaVox semantics). Null when no
+    * region contains the point.
+    */
+  def classifyRegion(lat: Column, lon: Column, regions: Seq[BoxRegion]): Column =
+    regions.foldRight(lit(null).cast("string")) { (r, acc) =>
+      when(lat >= r.latMin && lat < r.latMax && lon >= r.lonMin && lon < r.lonMax,
+        lit(r.name)).otherwise(acc)
+    }
+
+  def classifySubRegion(lat: Column, lon: Column, regions: Seq[BoxRegion]): Column =
+    regions.foldRight(lit(null).cast("string")) { (r, acc) =>
+      when(lat >= r.latMin && lat < r.latMax && lon >= r.lonMin && lon < r.lonMax,
+        lit(r.subRegion)).otherwise(acc)
+    }
+
+  /** Ray-casting point-in-polygon as a pure Column expression over a
+    * *literal* polygon (broadcast by value into codegen). Crossing test
+    * per edge, XOR-folded. For polygon tables, prefilter with a bounding
+    * box then apply this per candidate polygon.
+    */
+  def pointInPolygon(lat: Column, lon: Column, poly: Seq[(Double, Double)]): Column = {
+    // poly = (lat_i, lon_i) vertices, closed implicitly
+    val n = poly.length
+    val crossings: Seq[Column] = (0 until n).map { i =>
+      val (yi, xi) = poly(i)
+      val (yj, xj) = poly((i + 1) % n)
+      // does the horizontal ray from (lon, lat) cross edge i-j?
+      ((lit(yi) > lat) =!= (lit(yj) > lat)) &&
+        (lon < (lit(xj - xi) * (lat - lit(yi)) / lit(yj - yi) + lit(xi)))
+    }
+    crossings.reduce((a, b) => a =!= b) // odd number of crossings => inside
+  }
+
+  /** Region-is-null check (reference `get_bool_null_region`,
+    * `src/main.py:535-542`): no region found => PROBABLY_GOOD benefit of
+    * the doubt (the depth check refines it later).
+    */
+  def nullRegionCheck(region: Column, onTrue: Byte = Flags.ProbablyGood): QcCheck =
+    QcCheck("null_region", region.isNull, onTrue)
+
+  /** Mainland check (reference `get_bool_land_region`, `src/main.py:548-555`,
+    * pinned `tests/test_qc.py:62-68`): region containing "MAINLAND" => BAD.
+    */
+  def mainlandCheck(region: Column): QcCheck =
+    QcCheck("mainland", upper(coalesce(region, lit(""))).contains("MAINLAND"), Flags.Bad)
+
+  /** Deterministic synthetic bathymetry grid + bilinear interpolation
+    * (reference `get_bool_depth_above_treshold`, `src/main.py:561-571`:
+    * bilinear lookup in an elevation NetCDF; here the grid is a pure
+    * function of cell indices so the oracle can reproduce it — a real
+    * deployment broadcasts the NetCDF float grid and keeps this exact
+    * interpolation expression).
+    *
+    * Grid: elev(i, j) = ((i * 7 + j * 13) % 100) - 80  (meters, mostly sea)
+    * over lat in [50,53) step 0.05, lon in [2,5) step 0.05.
+    */
+  def gridElevation(lat: Column, lon: Column): Column = {
+    val latIdx = floor((lat - 50.0) / 0.05).cast("long")
+    val lonIdx = floor((lon - 2.0) / 0.05).cast("long")
+    val fy = (lat - 50.0) / 0.05 - latIdx.cast("double")
+    val fx = (lon - 2.0) / 0.05 - lonIdx.cast("double")
+    def elev(i: Column, j: Column): Column =
+      ((i * 7 + j * 13) % 100).cast("double") - 80.0
+    val e00 = elev(latIdx, lonIdx)
+    val e01 = elev(latIdx, lonIdx + 1)
+    val e10 = elev(latIdx + 1, lonIdx)
+    val e11 = elev(latIdx + 1, lonIdx + 1)
+    e00 * (lit(1.0) - fy) * (lit(1.0) - fx) + e01 * (lit(1.0) - fy) * fx +
+      e10 * fy * (lit(1.0) - fx) + e11 * fy * fx
+  }
+
+  /** Same grid as SQL text. */
+  def gridElevationSql(lat: String, lon: String): String = {
+    val li = s"floor((($lat) - 50.0) / 0.05)"
+    val lj = s"floor((($lon) - 2.0) / 0.05)"
+    val fy = s"((($lat) - 50.0) / 0.05 - $li)"
+    val fx = s"((($lon) - 2.0) / 0.05 - $lj)"
+    def elev(i: String, j: String) = s"((CAST(($i) * 7 + ($j) * 13 AS BIGINT) % 100) - 80.0)"
+    s"""(${elev(li, lj)} * (1 - $fy) * (1 - $fx)
+       | + ${elev(li, s"$lj + 1")} * (1 - $fy) * $fx
+       | + ${elev(s"$li + 1", lj)} * $fy * (1 - $fx)
+       | + ${elev(s"$li + 1", s"$lj + 1")} * $fy * $fx)""".stripMargin
+  }
+
+  /** Depth-above-threshold check (reference `src/main.py:561-571,595-608`):
+    * elevation above `threshold` (0.0 = sea level) => BAD; optional mask
+    * restricts the check to already-land-flagged rows; null elevation =>
+    * `onNan` (reference `flag_on_nan=NQC`).
+    */
+  def depthCheck(elevation: Column, threshold: Double = 0.0,
+                 mask: Option[Column] = None): QcCheck = {
+    val base = elevation > threshold
+    val v = mask.map(m => when(m, base)).getOrElse(base)
+    QcCheck("depth_above_threshold", v, Flags.Bad, onNan = Some(Flags.NoQc))
+  }
+}

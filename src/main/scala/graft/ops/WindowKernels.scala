@@ -1,0 +1,110 @@
+package graft.ops
+
+import graft.core.Obs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Per-datastream, time-ordered window computations — the heart of the
+  * reference tool (SURVEY §2.5). All are expressed with built-in window
+  * functions over `Window.partitionBy(datastream_id).orderBy(time)`:
+  * one shuffle by stream key, then every kernel below runs inside the
+  * same sort — Catalyst collapses consecutive window operators over the
+  * same spec into a single Window physical node, and at 100 TB the
+  * per-stream partitioning is the natural parallel axis (salt or
+  * range-repartition by (stream, time) if a single stream grows hot).
+  */
+object WindowKernels {
+
+  def streamWindow(partCols: Seq[String] = Seq(Obs.DatastreamId),
+                   timeCol: String = Obs.Time): WindowSpec =
+    Window.partitionBy(partCols.map(col): _*).orderBy(col(timeCol))
+
+  /** W1 — np.gradient parity (reference `calc_gradient_results`, call
+    * `src/main.py:518`, pinned `tests/test_qc.py:446-510`): second-order
+    * central differences with non-uniform spacing in the interior,
+    * one-sided differences at the partition edges. d(result)/d(time),
+    * time in seconds. Pure lag/lead arithmetic — no UDF.
+    *
+    * Interior (np.gradient non-uniform formula):
+    *   hs = t0 - t_prev, hd = t_next - t0
+    *   f' = (hs²·f_next + (hd² − hs²)·f0 − hd²·f_prev) / (hs·hd·(hs + hd))
+    */
+  def gradient(value: Column, timeSec: Column, w: WindowSpec): Column = {
+    val fPrev = lag(value, 1).over(w)
+    val fNext = lead(value, 1).over(w)
+    val tPrev = lag(timeSec, 1).over(w)
+    val tNext = lead(timeSec, 1).over(w)
+    val hs = timeSec - tPrev
+    val hd = tNext - timeSec
+    val central = (hs * hs * fNext + (hd * hd - hs * hs) * value - hd * hd * fPrev) /
+      (hs * hd * (hs + hd))
+    val forwardEdge = (fNext - value) / hd   // first row of a stream
+    val backwardEdge = (value - fPrev) / hs  // last row of a stream
+    when(fPrev.isNull && fNext.isNull, lit(null).cast("double"))
+      .when(fPrev.isNull, forwardEdge)
+      .when(fNext.isNull, backwardEdge)
+      .otherwise(central)
+  }
+
+  /** Same gradient as SQL text over a window clause `wOver` (e.g.
+    * `"PARTITION BY user_id ORDER BY ts"`), for DuckDB oracles.
+    */
+  def gradientSql(value: String, tsec: String, wOver: String): String = {
+    val fp = s"lag($value) OVER ($wOver)"
+    val fn = s"lead($value) OVER ($wOver)"
+    val tp = s"lag($tsec) OVER ($wOver)"
+    val tn = s"lead($tsec) OVER ($wOver)"
+    s"""(CASE
+       |  WHEN $fp IS NULL AND $fn IS NULL THEN NULL
+       |  WHEN $fp IS NULL THEN (($fn) - ($value)) / (($tn) - ($tsec))
+       |  WHEN $fn IS NULL THEN (($value) - ($fp)) / (($tsec) - ($tp))
+       |  ELSE ((($tsec) - ($tp)) * (($tsec) - ($tp)) * ($fn)
+       |        + ((($tn) - ($tsec)) * (($tn) - ($tsec)) - (($tsec) - ($tp)) * (($tsec) - ($tp))) * ($value)
+       |        - (($tn) - ($tsec)) * (($tn) - ($tsec)) * ($fp))
+       |       / ((($tsec) - ($tp)) * (($tn) - ($tsec)) * ((($tn) - ($tsec)) + (($tsec) - ($tp))))
+       | END)""".stripMargin
+  }
+
+  /** W2 — rolling z-score over a *trailing time window* (reference
+    * `calc_zscore_results`, `src/main.py:750`, pinned
+    * `tests/test_qc.py:671-679`; pandas `rolling("60min")` is trailing).
+    * Frame in exact integer microseconds so the window set matches a
+    * DuckDB `RANGE BETWEEN INTERVAL ... PRECEDING AND CURRENT ROW`.
+    */
+  def zscore(value: Column, epochUs: Column, windowSec: Long,
+             partCols: Seq[String] = Seq(Obs.DatastreamId)): Column = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(epochUs)
+      .rangeBetween(-windowSec * 1000000L, 0)
+    (value - avg(value).over(w)) / stddev_samp(value).over(w)
+  }
+
+  /** W3 — dt / velocity / acceleration from a time-sorted track (reference
+    * `get_dt_velocity_and_acceleration_series`, `src/main.py:654-660`,
+    * `README.adoc:220-229`): dt to the previous point, velocity =
+    * distance/dt, acceleration = Δvelocity/dt. Adds columns
+    * `dt_sec`, `velocity_ms`, `acceleration_ms2`.
+    */
+  def velocityAcceleration(df: DataFrame, w: WindowSpec,
+                           lat: Column, lon: Column, timeSec: Column): DataFrame = {
+    val dt = timeSec - lag(timeSec, 1).over(w)
+    val dist = Geo.haversineM(lag(lat, 1).over(w), lag(lon, 1).over(w), lat, lon)
+    val withV = df
+      .withColumn("dt_sec", dt)
+      .withColumn("velocity_ms", dist / dt)
+    withV.withColumn("acceleration_ms2",
+      (col("velocity_ms") - lag(col("velocity_ms"), 1).over(w)) / col("dt_sec"))
+  }
+
+  /** W6 — time rounding + nearness (reference `src/aums_data_request.py:91-94`,
+    * pinned `tests/test_other.py:108-115`): round to the nearest `stepSec`
+    * bucket (half-up), and |time − rounded| as the candidate-ordering key.
+    */
+  def timeRound(ts: Column, stepSec: Long = 1L): Column =
+    timestamp_micros(
+      (floor((unix_micros(ts.cast("timestamp")) + stepSec * 500000L).cast("double")
+        / (stepSec * 1000000L)).cast("long")) * stepSec * 1000000L)
+
+  def dtToRound(ts: Column, rounded: Column): Column =
+    abs(unix_micros(ts.cast("timestamp")) - unix_micros(rounded)).cast("double") / 1e6
+}
