@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every declared operator from SURVEY §2 appears as a `queries` entry;
+  * entries with DuckDB-expressible semantics also declare `oracleSql`
+  * (the driver's t2 correctness gate at sf0.01). Column names and types
+  * match between the two sides by construction.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  val all: Seq[QDef] =
+    QueriesTpch.defs ++ QueriesQcEvents.defs ++ QueriesText.defs ++ QueriesEmb.defs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full QC chain (config join → range → gradient → z-score,
+    * worst-wins merged) collapsed to a per-stream flag histogram.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    QueriesQcEvents.qcPipeline(spark, "/root/testdata/sf0.001")
+      .groupBy(col("datastream_id"), col("flag"))
+      .agg(count(lit(1)).as("n"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.query).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for ops whose semantics aren't
+    * SQL-expressible (LSH candidate sets, stubbed decode) → rows-only.
+    */
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -55,10 +55,19 @@ object Obs {
     */
   def eventsAsObservations(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    // The events table carries TIMESTAMP(NANOS) — Spark reads it as a raw
+    // ns count only under spark.sql.legacy.parquet.nanosAsLong (set by
+    // graft.core.Sessions). Truncate ns→µs (integer floor division), which
+    // matches how µs-native engines (and DuckDB) read the same file.
+    val tsCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts DIV 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
     ev.select(
       col("event_id").as(IotId),
       col("value").as(Result),
-      col("ts").cast("timestamp").as(Time),
+      tsCol.as(Time),
       lit(Flags.NoQc).cast("tinyint").as(QcFlag),
       col("user_id").as(DatastreamId),
       col("event_type").as(ObservationType),

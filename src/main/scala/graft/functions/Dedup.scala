@@ -13,12 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct 3-word shingles per document (1-based positions). */
+  /** Distinct 3-word shingles per document (1-based positions). Docs with
+    * fewer than k words yield an empty set (guard: Spark `sequence(1, 0)`
+    * would count *down*).
+    */
   def shingles(text: Column, k: Int = 3): Column = {
     val words = TextAnalysis.wsTokens(TextAnalysis.normalized(text))
-    array_distinct(
-      transform(sequence(lit(1), greatest(size(words) - (k - 1), lit(0))),
-        i => concat_ws(" ", (0 until k).map(j => element_at(words, i + j)): _*)))
+    when(size(words) < k, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), size(words) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(j => element_at(words, i + j)): _*))))
   }
 
   /** Exact dedup: group by fingerprint, canonical = min id. Returns

@@ -43,10 +43,15 @@ object AsofJoin {
 
     // unique row tag so duplicate left rows survive the candidate dedup
     val lTagged = left.withColumn("__lid", monotonically_increasing_id())
-    val lBucketed = lTagged.withColumn("__bucket",
-      explode(array(lit(-1L), lit(0L), lit(1L)) ) +
-        floor(col(leftTimeUs) / toleranceUs).cast("long"))
-    val rRenamed = rightCols.foldLeft(right) { (d, c) =>
+    val lBucketed = lTagged
+      .withColumn("__boff", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__bucket",
+        col("__boff") + floor(col(leftTimeUs) / toleranceUs).cast("long"))
+      .drop("__boff")
+    // the right time column is always carried (bucketing + tiebreak need
+    // it), even when the caller doesn't ask for it in rightCols
+    val carried = (rightCols :+ rightTimeUs).distinct
+    val rRenamed = carried.foldLeft(right) { (d, c) =>
       d.withColumnRenamed(c, s"$rightPrefix$c")
     }.withColumn("__bucket", floor(col(s"$rightPrefix$rightTimeUs") / toleranceUs).cast("long"))
 
@@ -77,7 +82,7 @@ object AsofJoin {
     * Pinned: `tests/test_qc.py:683-702` (1-day shift ⇒ no match ⇒ BAD),
     * `732-779`, `838-879`.
     */
-  def propagateFlag(matched: DataFrame, depFlag: Column, indepFlag: Column,
+  def propagateFlag(depFlag: Column, indepFlag: Column,
                     flagWhenMissing: Option[Byte] = Some(Flags.Bad)): Column = {
     val propagated = when(col("asof_matched") &&
         indepFlag > lit(Flags.Good), // rank order: NQC(0) < GOOD(1) < ...

@@ -30,8 +30,19 @@ object SpatialOutlier {
     val base = if (partCols.isEmpty) Window.orderBy(epochUs)
     else Window.partitionBy(partCols.map(col): _*).orderBy(epochUs)
     val w = base.rangeBetween(-half, half)
+    // Exact rolling median: Spark's `median`/`percentile` aggregates refuse
+    // explicit window frames, so collect the frame and take the middle —
+    // interpolating even counts exactly like pandas / DuckDB `median`.
+    // Frame sizes are bounded (minutes of data), so the per-row list is
+    // small; `exact=false` switches to percentile_approx at scale.
     def med(c: Column): Column =
-      if (exact) median(c).over(w) else percentile_approx(c, lit(0.5), lit(10000)).over(w)
+      if (exact) {
+        val sorted = array_sort(collect_list(c).over(w))
+        val n = size(sorted)
+        val lo = element_at(sorted, ((n + 1) / 2).cast("int"))
+        val hi = element_at(sorted, (n / 2 + 1).cast("int"))
+        (lo + hi) / 2.0
+      } else percentile_approx(c, lit(0.5), lit(10000)).over(w)
     val maxDistM = maxDxDt * windowSec
     df.withColumn("median_lat", med(lat))
       .withColumn("median_lon", med(lon))

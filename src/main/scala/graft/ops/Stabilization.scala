@@ -44,9 +44,11 @@ object Stabilization {
       .withColumn("cum_sec", coalesce(sum(col("dt_sec")).over(wRun), lit(0.0)))
 
     // time since last in-limits row: cum - ffill(cum where within); null
-    // while no in-limits row has been seen yet (down since data start)
+    // while no in-limits row has been seen yet (down since data start).
+    // ffill of a monotonically-nondecreasing series == running max — written
+    // as `max(when(...))` so the exact same formula is plain ANSI SQL.
     val d2 = d1.withColumn("last_up_cum",
-        last(when(col("within_limits"), col("cum_sec")), ignoreNulls = true).over(wRun))
+        max(when(col("within_limits"), col("cum_sec"))).over(wRun))
       .withColumn("time_down_sec", col("cum_sec") - col("last_up_cum"))
 
     // long-outage markers; the first row of each stream is one by fiat
@@ -54,7 +56,7 @@ object Stabilization {
         col("time_down_sec") > maxAllowedDowntimeSec ||
           col("time_down_sec").isNull || lag(timeSec, 1).over(w).isNull)
       .withColumn("last_outage_cum",
-        last(when(col("outage_marker"), col("cum_sec")), ignoreNulls = true).over(wRun))
+        max(when(col("outage_marker"), col("cum_sec"))).over(wRun))
       .withColumn("time_up_since_sec", col("cum_sec") - col("last_outage_cum"))
 
     // consecutive-run ids (reference `block_id = (WITHIN != lag(WITHIN)).cumsum()`)

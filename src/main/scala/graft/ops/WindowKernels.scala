@@ -84,10 +84,14 @@ object WindowKernels {
     * `README.adoc:220-229`): dt to the previous point, velocity =
     * distance/dt, acceleration = Δvelocity/dt. Adds columns
     * `dt_sec`, `velocity_ms`, `acceleration_ms2`.
+    *
+    * `timeUs` must be INTEGER epoch µs: dt is computed as an exact integer
+    * difference *then* divided — subtracting two ~1.7e9-second doubles
+    * first would lose ~6 significant digits to cancellation.
     */
   def velocityAcceleration(df: DataFrame, w: WindowSpec,
-                           lat: Column, lon: Column, timeSec: Column): DataFrame = {
-    val dt = timeSec - lag(timeSec, 1).over(w)
+                           lat: Column, lon: Column, timeUs: Column): DataFrame = {
+    val dt = (timeUs - lag(timeUs, 1).over(w)).cast("double") / 1e6
     val dist = Geo.haversineM(lag(lat, 1).over(w), lag(lon, 1).over(w), lat, lon)
     val withV = df
       .withColumn("dt_sec", dt)

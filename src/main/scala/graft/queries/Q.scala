@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared query: the Spark implementation plus (optionally) the
+  * equivalent DuckDB SQL used by the driver's correctness oracle.
+  * Column names MUST match between the two (the compare sorts columns by
+  * name and hashes values).
+  */
+final case class QDef(name: String,
+                      query: (SparkSession, String) => DataFrame,
+                      oracle: Option[String])
+
+object Q {
+  /** Read a testdata table. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Shared SQL fragment: the events table adapted to the observations
+    * shape (mirrors [[graft.core.Obs.eventsAsObservations]] exactly —
+    * integer-rational coordinate synthesis, epoch µs time).
+    */
+  val ObsCte: String =
+    """obs AS (
+      |  SELECT event_id AS iot_id,
+      |         value AS result,
+      |         epoch_us(ts) AS t_us,
+      |         user_id AS datastream_id,
+      |         event_type AS observation_type,
+      |         ((event_id * 37) % 1000 - 500) / 1000.0 * 0.5 + 51.2 AS lat,
+      |         ((event_id * 53) % 1000 - 500) / 1000.0 * 0.5 + 2.9 AS lon
+      |  FROM events)""".stripMargin
+
+  /** Shared SQL fragment: the per-stream QC bounds config (literal
+    * integer bounds per datastream; streams ≡ 4 (mod 5) get null bounds
+    * to exercise the flag_on_nan path). Mirrors `confDf` in QueriesQc.
+    */
+  val ConfCte: String =
+    """conf AS (
+      |  SELECT DISTINCT user_id AS datastream_id,
+      |         CASE WHEN user_id % 5 = 4 THEN NULL
+      |              ELSE CAST(20 + 2 * user_id AS DOUBLE) END AS qc_range_min,
+      |         CASE WHEN user_id % 5 = 4 THEN NULL
+      |              ELSE CAST(150 + user_id AS DOUBLE) END AS qc_range_max
+      |  FROM events)""".stripMargin
+}

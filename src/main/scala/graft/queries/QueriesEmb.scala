@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.functions.{Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries over `embeddings` (64-dim float vectors) and
+  * multimodal plumbing over `documents`-as-media.
+  *
+  * Dot products are emitted as a fixed-order left-associated 64-term sum
+  * in both engines (Spark's sequential `aggregate` fold == SQL's
+  * left-associative `+` chain), so doubles match bit-for-bit.
+  */
+object QueriesEmb {
+
+  private val Dim = 64
+
+  /** a·b as an explicit left-assoc sum over array columns (1-based). */
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))")
+      .mkString("(", " + ", ")")
+
+  val defs: Seq[QDef] = Seq(
+
+    // brute-force cosine top-k (every 50th vector queries the corpus)
+    QDef("sim_cosine_topk",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      },
+      Some {
+        val dqq = dotSql("q.e", "q.e")
+        val dcc = dotSql("c.e", "c.e")
+        val dqc = dotSql("q.e", "c.e")
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS e FROM embeddings
+           |           WHERE vec_id % 50 = 0),
+           |c AS (SELECT vec_id AS match_id, embedding AS e FROM embeddings),
+           |s AS (
+           |  SELECT query_id, match_id,
+           |    $dqc / (sqrt($dqq) * sqrt($dcc)) AS sim
+           |  FROM c, q WHERE query_id <> match_id)
+           |SELECT query_id, match_id, rank, round(sim, 6) AS sim FROM (
+           |  SELECT query_id, match_id, sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, match_id ASC) AS INT) AS rank
+           |  FROM s) r
+           |WHERE rank <= 10""".stripMargin
+      }),
+
+    // random-hyperplane LSH bucket assignment (the ANN scale path)
+    QDef("sim_lsh_buckets",
+      (s, dir) => Q.table(s, dir, "embeddings").select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), nPlanes = 12, dim = Dim).as("bucket")),
+      Some {
+        val bits = (0 until 12).map { p =>
+          val terms = (0 until Dim).map { d =>
+            s"(CAST(embedding[${d + 1}] AS DOUBLE) * ${Similarity.planeWeight(p, d).toDouble})"
+          }.mkString("(", " + ", ")")
+          s"(CASE WHEN $terms > 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""SELECT vec_id, CAST($bits AS BIGINT) AS bucket FROM embeddings""".stripMargin
+      }),
+
+    // LSH-bucketed top-k (approximate; rows-only — its candidate set is
+    // the operator's own semantics, pinned instead by ScalaTest recall
+    // tests against the brute-force baseline)
+    QDef("sim_lsh_topk",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 10)
+      },
+      None),
+
+    // multimodal metadata pass (no decode; payload = utf-8 bytes of text)
+    QDef("mm_metadata",
+      (s, dir) => Multimodal.metadata(Multimodal.documentsAsMedia(s, dir)),
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |       WHEN doc_id % 3 = 1 THEN 'audio'
+             |       ELSE 'video' END AS kind,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  md5(text) AS checksum
+             |FROM documents""".stripMargin)),
+
+    // stubbed decode + featurize (schema/partitioning real, codec faked;
+    // rows-only — no SQL equivalent of the per-partition decode)
+    QDef("mm_features",
+      (s, dir) => Multimodal.decodeAndFeaturize(Multimodal.documentsAsMedia(s, dir))
+        .toDF().select(col("media_id"), col("kind"), col("n_bytes"),
+          col("checksum"), col("width"), col("height")),
+      None)
+  )
+}

@@ -1,0 +1,522 @@
+package graft.queries
+
+import graft.core.{Flags, Obs, QcConfig}
+import graft.ops._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's QC operator surface (SURVEY §2) instantiated over the
+  * driver's `events` table (events ≡ observations: event_id→iot_id,
+  * user_id→datastream_id, value→result, ts→phenomenonTime,
+  * event_type→observation_type; coordinates synthesized with exact
+  * integer arithmetic so the DuckDB oracle reproduces them bit-for-bit).
+  */
+object QueriesQcEvents {
+
+  /** Observations frame with exact epoch-µs time key. */
+  private def obs(s: SparkSession, dir: String): DataFrame =
+    Obs.eventsAsObservations(s, dir)
+      .withColumn("t_us", unix_micros(col(Obs.Time)))
+      .withColumn("lon", col(Obs.Long_))
+
+  /** Per-stream literal QC bounds; streams ≡4 (mod 5) get null bounds
+    * (exercises the flag_on_nan path). Mirrors Q.ConfCte.
+    */
+  private def conf(s: SparkSession, dir: String): DataFrame =
+    Q.table(s, dir, "events").select(col("user_id").as(Obs.DatastreamId)).distinct()
+      .withColumn("qc_range_min",
+        when(col(Obs.DatastreamId) % 5 === 4, lit(null).cast("double"))
+          .otherwise((lit(20) + lit(2) * col(Obs.DatastreamId)).cast("double")))
+      .withColumn("qc_range_max",
+        when(col(Obs.DatastreamId) % 5 === 4, lit(null).cast("double"))
+          .otherwise((lit(150) + col(Obs.DatastreamId)).cast("double")))
+
+  private def rangeFlag(result: Column, lo: Column, hi: Column): Column =
+    QcCheck("range", QcCheck.outOfRange(result, lo, hi),
+      Flags.Bad, onFalse = Some(Flags.Good), onNan = Some(Flags.NoQc)).flagCol
+
+  /** Time-ordered per-stream window with deterministic tiebreak. */
+  private val wStream = Window.partitionBy(col(Obs.DatastreamId))
+    .orderBy(col("t_us"), col(Obs.IotId))
+
+  // The canonical QC chain (reference §3.1 steps 7: range → gradient →
+  // z-score-on-still-good-rows; the z-score input filter is semantic,
+  // SURVEY §7.4.6). Shared by qc_pipeline_flags and SparkEntry.entry.
+  def qcPipeline(s: SparkSession, dir: String): DataFrame = {
+    val o = QcConfigJoin.joined(s, dir)
+    val withRange = o.withColumn("flag_range",
+      rangeFlag(col(Obs.Result), col("qc_range_min"), col("qc_range_max")))
+    val withGrad = withRange
+      .withColumn("gradient",
+        WindowKernels.gradient(col(Obs.Result), col("t_us").cast("double") / 1e6, wStream))
+      .withColumn("flag_gradient",
+        QcCheck("gradient", QcCheck.outOfRange(col("gradient"), lit(-0.04), lit(0.04)),
+          Flags.ProbablyBad, onFalse = Some(Flags.Good), onNan = Some(Flags.NoQc)).flagCol)
+      .withColumn("flag12", Flags.worstWins(col("flag_range"), col("flag_gradient")))
+    // z-score only over rows still <= PROBABLY_GOOD (reference src/main.py:750)
+    val good = withGrad.filter(col("flag12") <= Flags.ProbablyGood)
+      .withColumn("zscore",
+        WindowKernels.zscore(col(Obs.Result), col("t_us"), 21600L))
+      .withColumn("flag_z",
+        QcCheck("zscore", QcCheck.outOfRange(col("zscore"), lit(-2.5), lit(2.5)),
+          Flags.ProbablyBad, onFalse = Some(Flags.Good), onNan = Some(Flags.NoQc)).flagCol)
+      .select(col(Obs.IotId), col("flag_z"))
+    withGrad.join(good, Seq(Obs.IotId), "left")
+      .withColumn("flag", Flags.worstWins(col("flag12"), col("flag_z")))
+  }
+
+  private object QcConfigJoin {
+    def joined(s: SparkSession, dir: String): DataFrame =
+      QcConfig.joinOnto(obs(s, dir), conf(s, dir))
+  }
+
+  private val zScoreSqlCte =
+    """grad AS (
+      |  SELECT o.*, c.qc_range_min, c.qc_range_max,
+      |    CASE WHEN c.qc_range_min IS NULL THEN 0
+      |         WHEN o.result < c.qc_range_min OR o.result > c.qc_range_max THEN 4
+      |         ELSE 1 END AS flag_range,
+      |    GRADIENT_EXPR AS gradient
+      |  FROM obs o LEFT JOIN conf c USING (datastream_id)),
+      |flagged AS (
+      |  SELECT *, greatest(flag_range,
+      |    CASE WHEN gradient IS NULL THEN 0
+      |         WHEN gradient < -0.04 OR gradient > 0.04 THEN 3
+      |         ELSE 1 END) AS flag12
+      |  FROM grad),
+      |z AS (
+      |  SELECT iot_id,
+      |    (result - avg(result) OVER wz) / stddev_samp(result) OVER wz AS zscore
+      |  FROM flagged WHERE flag12 <= 2
+      |  WINDOW wz AS (PARTITION BY datastream_id ORDER BY t_us
+      |                RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)),
+      |final AS (
+      |  SELECT f.*, greatest(f.flag12,
+      |    CASE WHEN z.iot_id IS NULL THEN 0
+      |         WHEN z.zscore IS NULL THEN 0
+      |         WHEN z.zscore < -2.5 OR z.zscore > 2.5 THEN 3
+      |         ELSE 1 END) AS flag
+      |  FROM flagged f LEFT JOIN z ON f.iot_id = z.iot_id)""".stripMargin
+      .replace("GRADIENT_EXPR",
+        WindowKernels.gradientSql("result", "(t_us / 1000000.0)",
+          "PARTITION BY datastream_id ORDER BY t_us, iot_id"))
+
+  val defs: Seq[QDef] = Seq(
+
+    // P1 — config time-range + datastream-id filter (pushed to the scan)
+    QDef("p1_time_filter",
+      (s, dir) => obs(s, dir)
+        .filter(col(Obs.Time) > lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col(Obs.Time) < lit("2024-02-20 00:00:00").cast("timestamp") &&
+          col(Obs.DatastreamId).isin(1, 3, 5, 7))
+        .select(col(Obs.IotId), col("t_us"), col(Obs.DatastreamId), col(Obs.Result)),
+      Some(s"""WITH ${Q.ObsCte}
+              |SELECT iot_id, t_us, datastream_id, result FROM obs
+              |WHERE t_us > epoch_us(TIMESTAMP '2024-01-10 00:00:00')
+              |  AND t_us < epoch_us(TIMESTAMP '2024-02-20 00:00:00')
+              |  AND datastream_id IN (1, 3, 5, 7)""".stripMargin)),
+
+    // P5 — deterministic top-n
+    QDef("p5_topn",
+      (s, dir) => obs(s, dir)
+        .orderBy(col(Obs.Result).desc, col(Obs.IotId).asc)
+        .limit(100)
+        .select(col(Obs.IotId), col(Obs.Result)),
+      Some(s"""WITH ${Q.ObsCte}
+              |SELECT iot_id, result FROM obs
+              |ORDER BY result DESC, iot_id ASC LIMIT 100""".stripMargin)),
+
+    // S3 — JSON flattening of the props payload
+    QDef("s3_flatten_json",
+      (s, dir) => Q.table(s, dir, "events")
+        .select(col("event_id").as("iot_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k")),
+      Some("""SELECT event_id AS iot_id,
+             |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+             |FROM events""".stripMargin)),
+
+    // W6 — half-up time rounding to 1 s + nearness key (exact µs ints)
+    QDef("w6_time_round",
+      (s, dir) => {
+        val roundUs =
+          floor(((col("t_us") + 500000L).cast("double")) / 1000000.0).cast("long") * 1000000L
+        obs(s, dir).select(col(Obs.IotId), roundUs.as("round_us"),
+          abs(roundUs - col("t_us")).as("dt_us"))
+      },
+      Some(s"""WITH ${Q.ObsCte}
+              |SELECT iot_id,
+              |  CAST(floor((t_us + 500000) / 1000000.0) AS BIGINT) * 1000000 AS round_us,
+              |  abs(CAST(floor((t_us + 500000) / 1000000.0) AS BIGINT) * 1000000 - t_us) AS dt_us
+              |FROM obs""".stripMargin)),
+
+    // J1 — broadcast config join, row count preserved (asserted in tests)
+    QDef("j1_config_join",
+      (s, dir) => QcConfigJoin.joined(s, dir)
+        .groupBy(col(Obs.DatastreamId), col("qc_range_min"), col("qc_range_max"))
+        .agg(count(lit(1)).as("n")),
+      Some(s"""WITH ${Q.ObsCte}, ${Q.ConfCte}
+              |SELECT datastream_id, qc_range_min, qc_range_max, count(*) AS n
+              |FROM obs LEFT JOIN conf USING (datastream_id)
+              |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // F1/F4/A2 — range check + flag histogram
+    QDef("f4_range_flags",
+      (s, dir) => QcConfigJoin.joined(s, dir)
+        .withColumn("flag",
+          rangeFlag(col(Obs.Result), col("qc_range_min"), col("qc_range_max")))
+        .groupBy(col(Obs.DatastreamId), col("flag"))
+        .agg(count(lit(1)).as("n")),
+      Some(s"""WITH ${Q.ObsCte}, ${Q.ConfCte}
+              |SELECT datastream_id,
+              |  CAST(CASE WHEN qc_range_min IS NULL THEN 0
+              |       WHEN result < qc_range_min OR result > qc_range_max THEN 4
+              |       ELSE 1 END AS TINYINT) AS flag,
+              |  count(*) AS n
+              |FROM obs LEFT JOIN conf USING (datastream_id)
+              |GROUP BY 1, 2""".stripMargin)),
+
+    // W1 — np.gradient parity per stream
+    QDef("w1_gradient",
+      (s, dir) => obs(s, dir).select(col(Obs.IotId),
+        round(WindowKernels.gradient(col(Obs.Result),
+          col("t_us").cast("double") / 1e6, wStream), 6).as("gradient")),
+      Some(s"""WITH ${Q.ObsCte}
+              |SELECT iot_id, round(${WindowKernels.gradientSql("result", "(t_us / 1000000.0)",
+                "PARTITION BY datastream_id ORDER BY t_us, iot_id")}, 6) AS gradient
+              |FROM obs""".stripMargin)),
+
+    // W2 — rolling z-score over a trailing 6 h time window
+    QDef("w2_zscore",
+      (s, dir) => obs(s, dir).select(col(Obs.IotId),
+        round(WindowKernels.zscore(col(Obs.Result), col("t_us"), 21600L), 6).as("zscore")),
+      Some(s"""WITH ${Q.ObsCte}
+              |SELECT iot_id,
+              |  round((result - avg(result) OVER wz) / stddev_samp(result) OVER wz, 6) AS zscore
+              |FROM obs
+              |WINDOW wz AS (PARTITION BY datastream_id ORDER BY t_us
+              |              RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // F2 flagship — the full range→gradient→zscore worst-wins chain
+    QDef("qc_pipeline_flags",
+      (s, dir) => qcPipeline(s, dir)
+        .groupBy(col(Obs.DatastreamId), col("flag"))
+        .agg(count(lit(1)).as("n")),
+      Some(s"""WITH ${Q.ObsCte}, ${Q.ConfCte}, $zScoreSqlCte
+              |SELECT datastream_id, CAST(flag AS TINYINT) AS flag, count(*) AS n
+              |FROM final GROUP BY 1, 2""".stripMargin)),
+
+    // W5 — stabilization state machine (gaps-and-islands, exact µs ints)
+    QDef("w5_stabilization",
+      (s, dir) => {
+        val o = QcConfigJoin.joined(s, dir)
+          .filter(col(Obs.DatastreamId) % 5 =!= 4) // only streams with bounds
+        val st = Stabilization(o,
+          col(Obs.Result), col("t_us").cast("double"),
+          col("qc_range_min"), col("qc_range_max"),
+          maxAllowedDowntimeSec = lit(4.0 * 3600 * 1000000), // µs
+          dtStabilizationSec = lit(8.0 * 3600 * 1000000),
+          partCols = Seq(Obs.DatastreamId), timeCol = "t_us")
+        st.select(col(Obs.IotId), col("within_limits"),
+          col("dt_sec").cast("long").as("dt_us"),
+          col("cum_sec").cast("long").as("cum_us"),
+          col("time_down_sec").cast("long").as("time_down_us"),
+          col("time_up_since_sec").cast("long").as("time_up_since_us"),
+          col("block_id"), col("stab_flag"))
+      },
+      Some(s"""WITH ${Q.ObsCte}, ${Q.ConfCte},
+              |d1 AS (
+              |  SELECT o.iot_id, o.datastream_id, o.t_us,
+              |    o.result > c.qc_range_min AND o.result < c.qc_range_max AS within_limits,
+              |    o.t_us - lag(o.t_us) OVER w AS dt_us,
+              |    lag(o.t_us) OVER w IS NULL AS is_first
+              |  FROM obs o LEFT JOIN conf c USING (datastream_id)
+              |  WHERE o.datastream_id % 5 <> 4
+              |  WINDOW w AS (PARTITION BY o.datastream_id ORDER BY o.t_us, o.iot_id)),
+              |d2 AS (
+              |  SELECT *, CAST(coalesce(sum(dt_us) OVER wr, 0) AS BIGINT) AS cum_us
+              |  FROM d1
+              |  WINDOW wr AS (PARTITION BY datastream_id ORDER BY t_us, iot_id
+              |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |d3 AS (
+              |  SELECT *, cum_us - max(CASE WHEN within_limits THEN cum_us END) OVER wr
+              |            AS time_down_us
+              |  FROM d2
+              |  WINDOW wr AS (PARTITION BY datastream_id ORDER BY t_us, iot_id
+              |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |d3b AS (
+              |  SELECT *,
+              |    coalesce(CAST(within_limits <> lag(within_limits) OVER w AS INT), 1) AS chg
+              |  FROM d3
+              |  WINDOW w AS (PARTITION BY datastream_id ORDER BY t_us, iot_id)),
+              |d4 AS (
+              |  SELECT *,
+              |    cum_us - max(CASE WHEN time_down_us > 14400000000 OR time_down_us IS NULL
+              |                        OR is_first THEN cum_us END) OVER wr
+              |      AS time_up_since_us,
+              |    CAST(sum(chg) OVER wr AS BIGINT) AS block_id
+              |  FROM d3b
+              |  WINDOW wr AS (PARTITION BY datastream_id ORDER BY t_us, iot_id
+              |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |SELECT iot_id, within_limits, dt_us, cum_us, time_down_us,
+              |  time_up_since_us, block_id,
+              |  CAST(CASE WHEN time_up_since_us < 28800000000 THEN 4 ELSE 0 END AS TINYINT)
+              |    AS stab_flag
+              |FROM d4""".stripMargin)),
+
+    // J2 — tolerance-bounded nearest as-of join (purchases ↔ clicks, 30 min)
+    QDef("j2_asof_nearest",
+      (s, dir) => {
+        val o = obs(s, dir)
+        val p = o.filter(col(Obs.ObservationType) === "purchase")
+          .select(col(Obs.IotId), col(Obs.DatastreamId), col("t_us"))
+        val c = o.filter(col(Obs.ObservationType) === "click")
+          .select(col(Obs.IotId), col(Obs.DatastreamId), col("t_us"))
+        AsofJoin.nearest(p, c, Seq(Obs.DatastreamId), "t_us", "t_us",
+            toleranceUs = 1800000000L, rightCols = Seq(Obs.IotId, "t_us"),
+            rightIdCol = Some(Obs.IotId))
+          .select(col(Obs.IotId),
+            col(s"r_${Obs.IotId}").as("match_id"),
+            when(col("asof_matched"), abs(col("t_us") - col("r_t_us"))).as("dt_us"))
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |p AS (SELECT iot_id, datastream_id, t_us FROM obs WHERE observation_type = 'purchase'),
+              |c AS (SELECT iot_id, datastream_id, t_us FROM obs WHERE observation_type = 'click')
+              |SELECT p.iot_id AS iot_id, c.iot_id AS match_id,
+              |  CASE WHEN c.iot_id IS NOT NULL THEN abs(p.t_us - c.t_us) END AS dt_us
+              |FROM p LEFT JOIN c ON p.datastream_id = c.datastream_id
+              |  AND abs(p.t_us - c.t_us) <= 1800000000
+              |QUALIFY row_number() OVER (PARTITION BY p.iot_id
+              |  ORDER BY abs(p.t_us - c.t_us) ASC NULLS LAST,
+              |           c.t_us ASC NULLS LAST, c.iot_id ASC NULLS LAST) = 1""".stripMargin)),
+
+    // J2+J3 — dependent-quantity flag propagation + secondary value check
+    QDef("j3_dependent_flags",
+      (s, dir) => {
+        val o = obs(s, dir)
+        val p = o.filter(col(Obs.ObservationType) === "purchase")
+          .select(col(Obs.IotId), col(Obs.DatastreamId), col("t_us"))
+        val c = o.filter(col(Obs.ObservationType) === "click")
+          .select(col(Obs.IotId), col(Obs.DatastreamId), col("t_us"), col(Obs.Result))
+        val m = AsofJoin.nearest(p, c, Seq(Obs.DatastreamId), "t_us", "t_us",
+          toleranceUs = 1800000000L, rightCols = Seq(Obs.IotId, "t_us", Obs.Result),
+          rightIdCol = Some(Obs.IotId))
+        val indepFlag = when(col(s"r_${Obs.Result}") < 30 || col(s"r_${Obs.Result}") > 170,
+          lit(Flags.Bad)).otherwise(lit(Flags.Good)).cast("tinyint")
+        val base = AsofJoin.propagateFlag(lit(Flags.NoQc).cast("tinyint"), indepFlag)
+        m.withColumn("flag",
+            AsofJoin.secondaryValueCheck(base, col(s"r_${Obs.Result}"), 10, 190))
+          .select(col(Obs.IotId), col("flag"))
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |p AS (SELECT iot_id, datastream_id, t_us FROM obs WHERE observation_type = 'purchase'),
+              |c AS (SELECT iot_id, datastream_id, t_us, result FROM obs WHERE observation_type = 'click'),
+              |m AS (
+              |  SELECT p.iot_id AS iot_id, c.iot_id AS match_id, c.result AS c_result
+              |  FROM p LEFT JOIN c ON p.datastream_id = c.datastream_id
+              |    AND abs(p.t_us - c.t_us) <= 1800000000
+              |  QUALIFY row_number() OVER (PARTITION BY p.iot_id
+              |    ORDER BY abs(p.t_us - c.t_us) ASC NULLS LAST,
+              |             c.t_us ASC NULLS LAST, c.iot_id ASC NULLS LAST) = 1)
+              |SELECT iot_id,
+              |  CAST(greatest(
+              |    CASE WHEN match_id IS NULL THEN 4
+              |         WHEN c_result < 30 OR c_result > 170 THEN 4
+              |         ELSE 0 END,
+              |    CASE WHEN match_id IS NOT NULL AND (c_result < 10 OR c_result > 190)
+              |         THEN 4 ELSE 0 END) AS TINYINT) AS flag
+              |FROM m""".stripMargin)),
+
+    // W3 — velocity / acceleration along the synthesized track
+    QDef("w3_velocity",
+      (s, dir) => {
+        val o = obs(s, dir)
+        val v = WindowKernels.velocityAcceleration(o, wStream,
+          col(Obs.Lat), col("lon"), col("t_us"))
+        // acceleration from the ROUNDED velocity: v − lag(v) cancels
+        // catastrophically, amplifying last-ulp libm differences between
+        // engines; quantizing v first makes the subtraction bit-exact.
+        v.withColumn("velocity_r", round(col("velocity_ms"), 6))
+          .select(col(Obs.IotId),
+            (col("t_us") - lag(col("t_us"), 1).over(wStream)).as("dt_us"),
+            col("velocity_r").as("velocity_ms"),
+            round((col("velocity_r") - lag(col("velocity_r"), 1).over(wStream)) /
+              col("dt_sec"), 6).as("acceleration_ms2"))
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |v AS (
+              |  SELECT iot_id, datastream_id, t_us,
+              |    t_us - lag(t_us) OVER w AS dt_raw_us,
+              |    (t_us - lag(t_us) OVER w) / 1000000.0 AS dt_sec,
+              |    ${Geo.haversineSql("lag(lat) OVER w", "lag(lon) OVER w", "lat", "lon")}
+              |      / ((t_us - lag(t_us) OVER w) / 1000000.0) AS velocity_ms
+              |  FROM obs
+              |  WINDOW w AS (PARTITION BY datastream_id ORDER BY t_us, iot_id))
+              |SELECT iot_id, dt_raw_us AS dt_us,
+              |  round(velocity_ms, 6) AS velocity_ms,
+              |  round((round(velocity_ms, 6) - lag(round(velocity_ms, 6)) OVER w) / dt_sec, 6)
+              |    AS acceleration_ms2
+              |FROM v
+              |WINDOW w AS (PARTITION BY datastream_id ORDER BY t_us, iot_id)""".stripMargin)),
+
+    // W4 — spatial outlier vs rolling median position (centered ±30 min)
+    QDef("w4_spatial_outlier",
+      (s, dir) => {
+        val o = obs(s, dir)
+        SpatialOutlier(o, col(Obs.Lat), col("lon"), col("t_us"),
+            windowSec = 3600L, maxDxDt = 30000.0 / 3600.0,
+            partCols = Seq(Obs.DatastreamId))
+          .select(col(Obs.IotId),
+            round(col("median_lat"), 6).as("median_lat"),
+            round(col("median_lon"), 6).as("median_lon"),
+            col("is_spatial_outlier"))
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |m AS (
+              |  SELECT iot_id, lat, lon,
+              |    median(lat) OVER wm AS median_lat,
+              |    median(lon) OVER wm AS median_lon
+              |  FROM obs
+              |  WINDOW wm AS (PARTITION BY datastream_id ORDER BY t_us
+              |                RANGE BETWEEN 1800000000 PRECEDING AND 1800000000 FOLLOWING))
+              |SELECT iot_id, round(median_lat, 6) AS median_lat,
+              |  round(median_lon, 6) AS median_lon,
+              |  ${Geo.haversineSql("lat", "lon", "median_lat", "median_lon")} > 30000.0
+              |    AS is_spatial_outlier
+              |FROM m""".stripMargin)),
+
+    // G1-G5/J6 — region classification, mainland/null-region/depth checks
+    QDef("g_region_flags",
+      (s, dir) => {
+        val regions = Seq(
+          Geo.BoxRegion("MAINLAND EUROPE", "FLANDERS", 50.95, 51.1, 2.9, 3.2),
+          Geo.BoxRegion("NORTH SEA", "SOUTHERN BIGHT", 51.1, 51.5, 2.65, 3.0),
+          Geo.BoxRegion("CHANNEL", "DOVER STRAIT", 51.1, 51.5, 3.0, 3.2))
+        val o = obs(s, dir)
+          .withColumn("region", Geo.classifyRegion(col(Obs.Lat), col("lon"), regions))
+          .withColumn("sub_region", Geo.classifySubRegion(col(Obs.Lat), col("lon"), regions))
+          .withColumn("elev", Geo.gridElevation(col(Obs.Lat), col("lon")))
+        val checks = Seq(
+          Geo.nullRegionCheck(col("region")),
+          Geo.mainlandCheck(col("region")),
+          Geo.depthCheck(col("elev")))
+        val flagged = checks.foldLeft(o.withColumn("flag", lit(Flags.NoQc).cast("tinyint"))) {
+          (d, c) => d.withColumn("flag", c.mergedInto(col("flag")))
+        }
+        flagged.select(col(Obs.IotId), col("region"), col("sub_region"),
+          round(col("elev"), 6).as("elev"), col("flag"))
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |r AS (
+              |  SELECT iot_id, lat, lon,
+              |    CASE
+              |      WHEN lat >= 50.95 AND lat < 51.1 AND lon >= 2.9 AND lon < 3.2
+              |        THEN 'MAINLAND EUROPE'
+              |      WHEN lat >= 51.1 AND lat < 51.5 AND lon >= 2.65 AND lon < 3.0
+              |        THEN 'NORTH SEA'
+              |      WHEN lat >= 51.1 AND lat < 51.5 AND lon >= 3.0 AND lon < 3.2
+              |        THEN 'CHANNEL'
+              |    END AS region,
+              |    CASE
+              |      WHEN lat >= 50.95 AND lat < 51.1 AND lon >= 2.9 AND lon < 3.2
+              |        THEN 'FLANDERS'
+              |      WHEN lat >= 51.1 AND lat < 51.5 AND lon >= 2.65 AND lon < 3.0
+              |        THEN 'SOUTHERN BIGHT'
+              |      WHEN lat >= 51.1 AND lat < 51.5 AND lon >= 3.0 AND lon < 3.2
+              |        THEN 'DOVER STRAIT'
+              |    END AS sub_region,
+              |    ${Geo.gridElevationSql("lat", "lon")} AS elev
+              |  FROM obs)
+              |SELECT iot_id, region, sub_region, round(elev, 6) AS elev,
+              |  CAST(greatest(
+              |    CASE WHEN region IS NULL THEN 2 ELSE 0 END,
+              |    CASE WHEN upper(coalesce(region, '')) LIKE '%MAINLAND%' THEN 4 ELSE 0 END,
+              |    CASE WHEN elev > 0.0 THEN 4 ELSE 0 END) AS TINYINT) AS flag
+              |FROM r""".stripMargin)),
+
+    // A4/O3 — 10-min bucket downsample, first row per (stream, bucket)
+    QDef("a4_downsample",
+      (s, dir) => {
+        val o = obs(s, dir)
+          .withColumn("bucket_us", expr("t_us DIV 600000000") * 600000000L)
+        PivotExport.bestRowPerGroup(o, Seq(Obs.DatastreamId, "bucket_us"),
+            Seq(col("t_us").asc, col(Obs.IotId).asc))
+          .select(col("bucket_us"), col(Obs.DatastreamId), col(Obs.IotId), col(Obs.Result))
+      },
+      Some(s"""WITH ${Q.ObsCte}
+              |SELECT (t_us // 600000000) * 600000000 AS bucket_us,
+              |  datastream_id, iot_id, result
+              |FROM obs
+              |QUALIFY row_number() OVER (
+              |  PARTITION BY datastream_id, (t_us // 600000000)
+              |  ORDER BY t_us, iot_id) = 1""".stripMargin)),
+
+    // R1 — long→wide pivot (hourly bucket × observation type)
+    QDef("r1_pivot_hourly",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val o = obs(s, dir)
+          .withColumn("bucket_us", expr("t_us DIV 3600000000") * 3600000000L)
+        val p = o.groupBy("bucket_us")
+          .pivot(Obs.ObservationType, types)
+          .agg(sum(col(Obs.Result).cast("decimal(25,6)")).as("sum"),
+            count(lit(1)).as("n"))
+        types.foldLeft(p)((d, t) =>
+          d.withColumn(s"${t}_n", coalesce(col(s"${t}_n"), lit(0L)))
+            .withColumn(s"${t}_sum", col(s"${t}_sum").cast("decimal(25,6)")))
+      },
+      Some {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val cols = types.map { t =>
+          s"""  CAST(sum(CASE WHEN observation_type = '$t'
+             |      THEN CAST(result AS DECIMAL(25,6)) END) AS DECIMAL(25,6)) AS ${t}_sum,
+             |  count(CASE WHEN observation_type = '$t' THEN 1 END) AS ${t}_n""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${Q.ObsCte}
+           |SELECT (t_us // 3600000000) * 3600000000 AS bucket_us,
+           |$cols
+           |FROM obs GROUP BY 1""".stripMargin
+      }),
+
+    // A3 — distinct stream/type pairs
+    QDef("a3_distinct",
+      (s, dir) => obs(s, dir).select(col(Obs.DatastreamId), col(Obs.ObservationType)).distinct(),
+      Some(s"""WITH ${Q.ObsCte}
+              |SELECT DISTINCT datastream_id, observation_type FROM obs""".stripMargin)),
+
+    // A5/A6/A7 — per-stream profile (count, distinct, min/max, exact sum, max-abs)
+    QDef("a5_group_profile",
+      (s, dir) => obs(s, dir).groupBy(col(Obs.DatastreamId)).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col(Obs.ObservationType)).as("n_types"),
+        min(col("t_us")).as("min_t_us"),
+        max(col("t_us")).as("max_t_us"),
+        sum(col(Obs.Result).cast("decimal(25,6)")).cast("decimal(25,6)").as("sum_result"),
+        max(abs(col(Obs.Result))).as("max_abs_result")),
+      Some(s"""WITH ${Q.ObsCte}
+              |SELECT datastream_id, count(*) AS n,
+              |  count(DISTINCT observation_type) AS n_types,
+              |  min(t_us) AS min_t_us, max(t_us) AS max_t_us,
+              |  CAST(sum(CAST(result AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_result,
+              |  max(abs(result)) AS max_abs_result
+              |FROM obs GROUP BY 1""".stripMargin)),
+
+    // R4 — union of two overlapping time slices, deduplicated
+    QDef("r4_union_slices",
+      (s, dir) => {
+        val full = obs(s, dir)
+        val a = full.filter(col("t_us") < 1705276800000000L) // 2024-01-15
+          .select(col(Obs.IotId), col(Obs.DatastreamId), col(Obs.Result))
+        val b = full.filter(col("t_us") >= 1704844800000000L && // 2024-01-10
+            col("t_us") < 1706140800000000L) // 2024-01-25
+          .select(col(Obs.IotId), col(Obs.DatastreamId), col(Obs.Result))
+        a.unionByName(b).distinct()
+      },
+      Some(s"""WITH ${Q.ObsCte}
+              |SELECT DISTINCT iot_id, datastream_id, result FROM (
+              |  SELECT iot_id, datastream_id, result FROM obs WHERE t_us < 1705276800000000
+              |  UNION ALL
+              |  SELECT iot_id, datastream_id, result FROM obs
+              |  WHERE t_us >= 1704844800000000 AND t_us < 1706140800000000) u""".stripMargin))
+  )
+}

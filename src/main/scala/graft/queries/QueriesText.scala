@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.functions.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication queries over the `documents` table.
+  * The oracle SQL mirrors each Spark expression exactly (same regexes,
+  * same integer hash arithmetic, same fold order), so results hash-match.
+  */
+object QueriesText {
+
+  // SQL building blocks mirroring TextAnalysis/Dedup ----------------------
+
+  /** normalized text (lower, trim, collapse whitespace) — NOTE the 'g'
+    * flag: DuckDB regexp_replace is first-match-only by default, Spark's
+    * is global.
+    */
+  private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  private val wordsSql = s"regexp_split_to_array($normSql, '\\s+')"
+  private val rawTokensSql = """regexp_split_to_array(trim(text), '\s+')"""
+
+  /** distinct 3-shingles CTE over documents (mirrors Dedup.shingles). */
+  private val shinglesCte =
+    s"""w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+       |        i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS shingle
+       |    FROM w) t)""".stripMargin
+
+  /** 32-bit portable base hash (mirrors Dedup.baseHash). */
+  private def baseHashSql(c: String): String =
+    s"CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)"
+
+  val defs: Seq[QDef] = Seq(
+
+    // token counting + char metrics
+    QDef("t_text_metrics",
+      (s, dir) => Q.table(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"),
+        length(col("text")).as("n_chars"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("alpha_chars"),
+        round(length(col("text")).cast("double") /
+          greatest(TextAnalysis.wsTokenCount(col("text")), lit(1)).cast("double"), 6)
+          .as("mean_word_len")),
+      Some(s"""SELECT doc_id,
+              |  len($rawTokensSql) AS ws_tokens,
+              |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n]')) AS bpe_tokens,
+              |  length(text) AS n_chars,
+              |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+              |  round(CAST(length(text) AS DOUBLE)
+              |        / CAST(greatest(len($rawTokensSql), 1) AS DOUBLE), 6) AS mean_word_len
+              |FROM documents""".stripMargin)),
+
+    // language id + quality score
+    QDef("t_langid_quality",
+      (s, dir) => Q.table(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      Some {
+        val langs = TextAnalysis.Stopwords.keys.toSeq.sorted
+        def hits(l: String): String = {
+          val lst = TextAnalysis.Stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter($rawTokensSql, x -> list_contains($lst, x)))"
+        }
+        val hitCols = langs.map(l => s"  ${hits(l)} AS h_$l").mkString(",\n")
+        // fold: start ('und', 0); langs in sorted order; strictly-greater wins
+        val (bestExpr, _) = langs.foldLeft(("'und'", "0")) { case ((bl, bh), l) =>
+          (s"(CASE WHEN h_$l > $bh THEN '$l' ELSE $bl END)",
+            s"greatest(h_$l, $bh)")
+        }
+        val enHits = hits("en")
+        s"""WITH h AS (
+           |  SELECT doc_id, text,
+           |$hitCols
+           |  FROM documents)
+           |SELECT doc_id, $bestExpr AS lang_id,
+           |  round((
+           |    (CASE WHEN len($rawTokensSql) >= 5 AND len($rawTokensSql) <= 10000
+           |          THEN 1.0 ELSE 0.0 END)
+           |    + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           |      / greatest(CAST(length(text) AS DOUBLE), 1.0)
+           |    + least(CAST($enHits AS DOUBLE)
+           |        / greatest(CAST(len($rawTokensSql) AS DOUBLE), 1.0) * 10.0, 1.0)
+           |    + (CASE WHEN CAST(length(text) AS DOUBLE)
+           |              / greatest(CAST(len($rawTokensSql) AS DOUBLE), 1.0) >= 2.0
+           |             AND CAST(length(text) AS DOUBLE)
+           |              / greatest(CAST(len($rawTokensSql) AS DOUBLE), 1.0) <= 12.0
+           |            THEN 1.0 ELSE 0.0 END)
+           |  ) / 4.0, 6) AS quality
+           |FROM h""".stripMargin
+      }),
+
+    // exact dedup by normalized-text fingerprint
+    QDef("dd_exact",
+      (s, dir) => Dedup.exact(Q.table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("fingerprint"), col("canonical_id"),
+          col("group_size"), col("is_duplicate")),
+      Some(s"""SELECT doc_id, md5($normSql) AS fingerprint,
+              |  min(doc_id) OVER (PARTITION BY md5($normSql)) AS canonical_id,
+              |  count(*) OVER (PARTITION BY md5($normSql)) AS group_size,
+              |  doc_id <> min(doc_id) OVER (PARTITION BY md5($normSql)) AS is_duplicate
+              |FROM documents""".stripMargin)),
+
+    // exact n-gram-Jaccard near-dup pairs via inverted shingle index
+    QDef("dd_ngram_pairs",
+      (s, dir) => Dedup.ngramJaccardPairs(Q.table(s, dir, "documents"),
+        "doc_id", "text", tau = 0.5),
+      Some(s"""WITH $shinglesCte,
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |co AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT id_a, id_b,
+              |  round(CAST(co AS DOUBLE) / CAST(sa.n + sb.n - co AS DOUBLE), 6) AS jaccard
+              |FROM co
+              |JOIN sizes sa ON sa.doc_id = id_a
+              |JOIN sizes sb ON sb.doc_id = id_b
+              |WHERE CAST(co AS DOUBLE) / CAST(sa.n + sb.n - co AS DOUBLE) >= 0.5""".stripMargin)),
+
+    // MinHash LSH band buckets (the 100 TB-scale dedup path)
+    QDef("dd_minhash_bands",
+      (s, dir) => Dedup.minhashBands(Q.table(s, dir, "documents"), "doc_id", "text"),
+      Some {
+        val k = Dedup.MinhashK
+        val bands = 4
+        val r = k / bands
+        val h = baseHashSql("shingle")
+        val minCols = (0 until k).map { i =>
+          s"  min(($h * ${Dedup.hashCoeffA(i)} + ${Dedup.hashCoeffB(i)}) % ${Dedup.MinhashP}) AS m$i"
+        }.mkString(",\n")
+        val bandSelects = (0 until bands).map { b =>
+          val parts = (0 until r).map(i => s"m${b * r + i}").mkString(", ")
+          s"SELECT id, $b AS band_idx, md5(concat_ws('_', $parts)) AS band_key FROM sig"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $shinglesCte,
+           |sig AS (
+           |  SELECT doc_id AS id,
+           |$minCols
+           |  FROM sh GROUP BY doc_id)
+           |$bandSelects""".stripMargin
+      }),
+
+    // MinHash candidate pairs verified with exact Jaccard (rows-only check:
+    // the LSH candidate set is the operator's own semantics)
+    QDef("dd_minhash_pairs",
+      (s, dir) => Dedup.minhashNearDupPairs(Q.table(s, dir, "documents"),
+        "doc_id", "text", tau = 0.5),
+      None),
+
+    // 32-bit SimHash per document
+    QDef("dd_simhash",
+      (s, dir) => Q.table(s, dir, "documents").select(col("doc_id"),
+        Dedup.simhash32(col("text")).as("simhash")),
+      Some {
+        val h = baseHashSql("shingle")
+        val sumCols = (0 until 32).map { i =>
+          s"  sum((($h >> $i) & 1) * 2 - 1) AS s$i"
+        }.mkString(",\n")
+        val valueExpr = (0 until 32).map { i =>
+          s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH $shinglesCte,
+           |v AS (
+           |  SELECT doc_id,
+           |$sumCols
+           |  FROM sh GROUP BY doc_id)
+           |SELECT doc_id, CAST($valueExpr AS BIGINT) AS simhash FROM v""".stripMargin
+      })
+  )
+}

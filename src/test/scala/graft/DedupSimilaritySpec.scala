@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Training-data operators: dedup family + similarity search. */
+class DedupSimilaritySpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The quick  brown fox jumps over the lazy dog"), // exact dup after normalize
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup (1 word)
+    (4L, "completely different text about spark engines and scala"),
+    (5L, "hi")).toDF("doc_id", "text")
+
+  test("normalize + fingerprint: case/whitespace-insensitive md5") {
+    val fp = docs.select(TextAnalysis.fingerprint($"text").as("f")).collect().map(_.getString(0))
+    assert(fp(0) == fp(1) && fp(0) != fp(2))
+  }
+
+  test("exact dedup: groups, canonical id, duplicate marking") {
+    val out = Dedup.exact(docs, "doc_id", "text").orderBy($"doc_id")
+      .select($"doc_id", $"canonical_id", $"group_size", $"is_duplicate").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq((1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 3L, 1L, false),
+        (4L, 4L, 1L, false), (5L, 5L, 1L, false)))
+  }
+
+  test("shingles: distinct 3-word windows; short docs => empty") {
+    val sh = docs.select($"doc_id", Dedup.shingles($"text").as("sh")).orderBy($"doc_id").collect()
+    assert(sh(0).getSeq[String](1).head == "the quick brown")
+    assert(sh(0).getSeq[String](1).length == 7)
+    assert(sh(4).getSeq[String](1).isEmpty) // "hi" has < 3 words
+  }
+
+  test("ngram jaccard pairs: dup and near-dup pairs found, unrelated not") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", tau = 0.3)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical => J=1
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // 4/10 shared
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash bands: exact dups share all bands; near-dups some; unrelated none") {
+    val bands = Dedup.minhashBands(docs, "doc_id", "text")
+    val byDoc = bands.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+    assert(byDoc(1L) == byDoc(2L)) // identical signature
+    assert((byDoc(1L) intersect byDoc(4L)).isEmpty)
+  }
+
+  test("minhash near-dup pairs: candidates verified with exact jaccard") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", tau = 0.9)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // only the exact dup survives tau=0.9
+  }
+
+  test("simhash: identical texts equal; near-dups hamming-close; unrelated far") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val h = docs.select($"doc_id", Dedup.simhash32($"text").as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
+  }
+
+  test("cosine brute-force top-k: orthogonal/parallel toy vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 1L)
+    val top = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 2)
+      .orderBy($"rank").select($"match_id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(2L, 3L))
+  }
+
+  test("lsh bucketed top-k: decent recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .select($"query_id", $"match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, q, "vec_id", "embedding", 10, nPlanes = 2)
+      .select($"query_id", $"match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    recall should be >= 0.2 // 2 planes / 4 buckets on 500 vecs
+    assert(approx.subsetOf(exact) == false || approx == exact) // sanity: approximate
+  }
+
+  test("text metrics: token counts and langid are deterministic") {
+    val m = docs.select(TextAnalysis.wsTokenCount($"text").as("n"),
+      TextAnalysis.langId($"text").as("l")).orderBy($"n".desc).collect()
+    assert(m(0).getInt(0) == 9 && m(0).getString(1) == "en")
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.core.Obs
+import graft.ops.WindowKernels
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** W1 gradient — np.gradient parity (reference `calc_gradient_results`,
+  * pinned `tests/test_qc.py:446-510`: constant ⇒ 0, linear ⇒ slope,
+  * non-uniform dt matches `np.gradient(result, t)`). Expected vectors
+  * generated with NumPy 1.x `np.gradient`.
+  */
+class WindowKernelsSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private val w = Window.partitionBy($"ds").orderBy($"t")
+
+  private def gradOf(t: Seq[Double], f: Seq[Double]): Seq[Double] = {
+    val df = t.zip(f).map { case (ti, fi) => (1L, ti, fi) }.toDF("ds", "t", "f")
+    df.withColumn("g", WindowKernels.gradient($"f", $"t", w))
+      .orderBy($"t").select($"g").collect().map(_.getDouble(0)).toSeq
+  }
+
+  test("gradient: constant series => 0 (tests/test_qc.py:446-460)") {
+    gradOf(Seq(0, 1, 2, 3, 4).map(_.toDouble), Seq.fill(5)(7.0))
+      .foreach(g => g shouldBe 0.0 +- 1e-12)
+  }
+
+  test("gradient: linear series => slope everywhere") {
+    gradOf(Seq(0, 1, 2, 3, 4).map(_.toDouble), Seq(1, 3, 5, 7, 9).map(_.toDouble))
+      .foreach(g => g shouldBe 2.0 +- 1e-12)
+  }
+
+  test("gradient: non-uniform spacing matches np.gradient(f, t)") {
+    val got = gradOf(Seq(0.0, 1.0, 3.0, 4.5, 9.0, 10.0),
+      Seq(2.0, 3.5, 1.0, -2.0, 0.5, 4.0))
+    val expected = Seq(1.5, 0.58333333333333337, -1.6785714285714286,
+      -1.3611111111111112, 2.9646464646464645, 3.5)
+    got.zip(expected).foreach { case (g, e) => g shouldBe e +- 1e-9 }
+  }
+
+  test("gradient: single-row stream => null") {
+    val df = Seq((1L, 0.0, 5.0)).toDF("ds", "t", "f")
+      .withColumn("g", WindowKernels.gradient($"f", $"t", w))
+    assert(df.collect()(0).isNullAt(3))
+  }
+
+  test("zscore: trailing time window, sample stddev (tests/test_qc.py:671)") {
+    // 4 points 10 min apart, 30-min trailing window => full prefix windows
+    val tUs = Seq(0L, 600000000L, 1200000000L, 1800000000L)
+    val v = Seq(10.0, 12.0, 14.0, 100.0)
+    val df = tUs.zip(v).map { case (t, x) => (1L, t, x) }
+      .toDF(Obs.DatastreamId, "t_us", "x")
+    val got = df.select(WindowKernels.zscore($"x", $"t_us", 1800L).as("z"))
+      .collect().map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    // row0: single row => stddev null => NaN/null
+    assert(got(0).isNaN)
+    // row1: mean 11, sd sqrt(2) => (12-11)/1.414..
+    got(1) shouldBe ((12.0 - 11.0) / math.sqrt(2.0)) +- 1e-9
+    // row3: window covers all 4
+    val m = v.sum / 4
+    val sd = math.sqrt(v.map(x => (x - m) * (x - m)).sum / 3)
+    got(3) shouldBe ((100.0 - m) / sd) +- 1e-9
+  }
+
+  test("timeRound: half-up to 1 s + |dt| (tests/test_other.py:108-115)") {
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC
+    val df = Seq(
+      ("2024-01-01 00:00:00.4999", base),
+      ("2024-01-01 00:00:00.5000", base + 1), // half rounds up
+      ("2024-01-01 00:00:01.2000", base + 1))
+      .toDF("s", "expect_sec")
+      .withColumn("ts", to_timestamp($"s"))
+      .withColumn("r", WindowKernels.timeRound($"ts", 1L))
+      .withColumn("dt", WindowKernels.dtToRound($"ts", $"r"))
+    val rows = df.select(unix_micros($"r"), $"expect_sec", $"dt").collect()
+    rows.foreach { r => assert(r.getLong(0) == r.getLong(1) * 1000000L) }
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(0.4999, 0.5, 0.2))
+  }
+
+  test("velocity/acceleration: equator track at constant speed") {
+    // 0.001 deg of longitude at the equator ~= 111.19 m (haversine, R=6371000.8)
+    val df = (0 to 3).map(i => (1L, i * 1000000L, 0.0, i * 0.001)).toDF("ds", "t", "lat", "lon")
+    val v = WindowKernels.velocityAcceleration(df, w, $"lat", $"lon", $"t")
+      .orderBy($"t").select($"velocity_ms", $"acceleration_ms2").collect()
+    assert(v(0).isNullAt(0))
+    val expected = 6371000.8 * math.toRadians(0.001)
+    v(1).getDouble(0) shouldBe expected +- 0.01
+    v(2).getDouble(0) shouldBe expected +- 0.01
+    v(2).getDouble(1) shouldBe 0.0 +- 1e-6 // constant speed
+  }
+}
