@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -13,16 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct 3-word shingles per document (1-based positions). Docs with
-    * fewer than k words yield an empty set (guard: Spark `sequence(1, 0)`
-    * would count *down*).
+  /** Distinct k-word shingles per document. Docs with fewer than k words
+    * yield an empty set.
+    *
+    * Built from k aligned `slice`s zipped together rather than
+    * `transform(sequence(...), i => element_at(words, i+j))` — an
+    * expression referenced *inside* a lambda is re-evaluated per element
+    * in interpreted eval, which re-ran the normalize+tokenize regexes
+    * O(k·shingles) times per document (measured 144 regex splits/doc).
+    * The slice/zip form evaluates `words` a constant ~k+2 times.
     */
   def shingles(text: Column, k: Int = 3): Column = {
     val words = TextAnalysis.wsTokens(TextAnalysis.normalized(text))
-    when(size(words) < k, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(sequence(lit(1), size(words) - (k - 1)),
-          i => concat_ws(" ", (0 until k).map(j => element_at(words, i + j)): _*))))
+    val m = size(words) - (k - 1)
+    val zipped = (1 until k).foldLeft(slice(words, lit(1), m)) { (acc, j) =>
+      zip_with(acc, slice(words, lit(j + 1), m), (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(words) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(zipped))
   }
 
   /** Exact dedup: group by fingerprint, canonical = min id. Returns
@@ -49,19 +58,40 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         tau: Double, k: Int = 3,
                         maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("shingle"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val filtered =
-      if (maxShingleDf == Long.MaxValue) sh
-      else {
-        val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf)
-        sh.join(dfreq.select("shingle"), Seq("shingle"))
-      }
-    val a = filtered.withColumnRenamed("id", "id_a")
-    val b = filtered.withColumnRenamed("id", "id_b")
-    val co = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+    // exploded distinct shingles — the inverted index. Cached: it feeds
+    // the df-count, the prefix index, and the verification arrays.
+    val sh0 = df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("shingle"))
+    val sh = (if (maxShingleDf == Long.MaxValue) sh0
+    else {
+      val dfreq = sh0.groupBy("shingle").agg(count(lit(1)).as("dfc"))
+        .filter(col("dfc") <= maxShingleDf)
+      sh0.join(dfreq.select("shingle"), Seq("shingle"))
+    }).cache()
+
+    // PPJoin-style prefix filter (exact): order each doc's shingles by the
+    // global (df, shingle) order; any pair with J >= tau must share one of
+    // the first n - ceil(tau*n) + 1 shingles (pigeonhole on the overlap
+    // bound o >= ceil(tau*n)). The self-join runs over prefixes only —
+    // at corpus scale this is the difference between Σdf² over all
+    // shingles and over rare prefix shingles.
+    val dfreqAll = sh.groupBy("shingle").agg(count(lit(1)).as("dfc"))
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("dfc").asc, col("shingle").asc)
+    val wN = Window.partitionBy(col("id"))
+    val prefix = sh.join(dfreqAll, Seq("shingle"))
+      .withColumn("rk", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(wN))
+      .filter(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .select(col("id"), col("shingle"))
+    val cand = prefix.as("x").join(prefix.as("y"), Seq("shingle"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+
+    // exact verification on the candidate pairs via the inverted index:
+    // equi-join on (doc, shingle) so only co-occurring shingles survive
+    val co = cand.join(sh.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("co"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
     co.join(broadcast(sizes).withColumnRenamed("id", "id_a")
         .withColumnRenamed("n_shingles", "na"), Seq("id_a"))
       .join(broadcast(sizes).withColumnRenamed("id", "id_b")
@@ -99,27 +129,38 @@ object Dedup {
     * sharing any (band_idx, band_key) are near-dup candidates — the
     * bucket-join is an equi-join, the scale path for 100 TB dedup.
     * Returns (id, band_idx, band_key).
+    *
+    * Computed relationally (explode shingles once, hash each shingle
+    * once, K min-aggregates) rather than via nested array transforms —
+    * the array form duplicates the md5 expression tree K times per row
+    * and blows up codegen; the explode form is one shuffle by doc id
+    * with map-side partial mins.
     */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    k: Int = MinhashK, bands: Int = 4): DataFrame = {
     val r = k / bands
-    val sig = df.select(col(idCol).as("id"), minhashSignature(col(textCol), k).as("sig"))
-    val bandRows = (0 until bands).map { b =>
-      sig.select(col("id"), lit(b).as("band_idx"),
-        md5(concat_ws("_", (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*))
-          .as("band_key"))
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("shingle"))
+      .withColumn("h", baseHash(col("shingle")))
+    val minAggs = (0 until k).map { i =>
+      min(pmod(col("h") * hashCoeffA(i) + hashCoeffB(i), lit(MinhashP))).as(s"m$i")
     }
-    bandRows.reduce(_ unionByName _)
+    val sig = sh.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+    // one pass: posexplode the band-key array (a union of 4 selects would
+    // recompute the whole signature aggregation per arm)
+    val bandKeys = array((0 until bands).map { b =>
+      md5(concat_ws("_", (0 until r).map(i => col(s"m${b * r + i}")): _*))
+    }: _*)
+    sig.select(col("id"), posexplode(bandKeys).as(Seq("band_idx", "band_key")))
   }
 
   /** Candidate pairs from shared LSH buckets, verified with exact Jaccard. */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           tau: Double, k: Int = MinhashK, bands: Int = 4): DataFrame = {
-    val b = minhashBands(df, idCol, textCol, k, bands)
+    val b = minhashBands(df, idCol, textCol, k, bands).cache()
     val cand = b.as("x").join(b.as("y"), Seq("band_idx", "band_key"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh")).cache()
     cand.join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -134,14 +175,22 @@ object Dedup {
   /** 32-bit SimHash over shingle base-hashes: bit i of the result is set
     * when Σ_shingles (2·bit_i(h) − 1) > 0. Hamming-close simhashes ≈
     * near-dup texts.
+    *
+    * Single pass: one `aggregate` folds every shingle into a 32-long
+    * vote vector (32 separate aggregates would rebuild the md5'd shingle
+    * array once per bit). Bit i of h is floor(h / 2^i) mod 2 — exact for
+    * h < 2^32 in doubles — because `shiftright` only takes literal shift
+    * amounts, not the lambda's index column.
     */
   def simhash32(text: Column): Column = {
     val hs = transform(shingles(text), s => baseHash(s))
-    val bits = (0 until 32).map { i =>
-      val vote = aggregate(hs, lit(0L),
-        (acc, h) => acc + (shiftright(h, i) % 2) * 2 - 1)
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    def bitOf(h: Column, i: Column): Column =
+      pmod(floor(h.cast("double") / pow(lit(2.0), i.cast("double"))).cast("long"), lit(2L))
+    val votes = aggregate(hs, array_repeat(lit(0L), 32),
+      (acc, h) => transform(acc, (v, i) => v + bitOf(h, i) * 2 - 1))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(31)),
+        (v, i) => when(v > 0, pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 }

@@ -51,6 +51,6 @@ object SpatialOutlier {
       .withColumn("is_spatial_outlier", col("dist_to_median_m") > maxDistM)
   }
 
-  def asCheck(df: DataFrame): QcCheck =
+  def asCheck(): QcCheck =
     QcCheck("spatial_outlier", col("is_spatial_outlier"), Flags.Bad)
 }

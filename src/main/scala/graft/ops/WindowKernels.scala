@@ -41,10 +41,12 @@ object WindowKernels {
       (hs * hd * (hs + hd))
     val forwardEdge = (fNext - value) / hd   // first row of a stream
     val backwardEdge = (value - fPrev) / hs  // last row of a stream
+    // degenerate zero spacing (duplicate timestamps) => null, not an ANSI
+    // divide error (the reference fixtures include 1 ns dt cases)
     when(fPrev.isNull && fNext.isNull, lit(null).cast("double"))
-      .when(fPrev.isNull, forwardEdge)
-      .when(fNext.isNull, backwardEdge)
-      .otherwise(central)
+      .when(fPrev.isNull, when(hd =!= 0.0, forwardEdge))
+      .when(fNext.isNull, when(hs =!= 0.0, backwardEdge))
+      .otherwise(when(hs =!= 0.0 && hd =!= 0.0, central))
   }
 
   /** Same gradient as SQL text over a window clause `wOver` (e.g.
@@ -76,7 +78,10 @@ object WindowKernels {
              partCols: Seq[String] = Seq(Obs.DatastreamId)): Column = {
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(epochUs)
       .rangeBetween(-windowSec * 1000000L, 0)
-    (value - avg(value).over(w)) / stddev_samp(value).over(w)
+    val sd = stddev_samp(value).over(w)
+    // zero-variance window => no opinion (null), and keeps ANSI mode from
+    // raising DIVIDE_BY_ZERO on constant series
+    when(sd =!= 0.0, (value - avg(value).over(w)) / sd)
   }
 
   /** W3 — dt / velocity / acceleration from a time-sorted track (reference
@@ -95,9 +100,10 @@ object WindowKernels {
     val dist = Geo.haversineM(lag(lat, 1).over(w), lag(lon, 1).over(w), lat, lon)
     val withV = df
       .withColumn("dt_sec", dt)
-      .withColumn("velocity_ms", dist / dt)
+      .withColumn("velocity_ms", when(dt =!= 0.0, dist / dt))
     withV.withColumn("acceleration_ms2",
-      (col("velocity_ms") - lag(col("velocity_ms"), 1).over(w)) / col("dt_sec"))
+      when(col("dt_sec") =!= 0.0,
+        (col("velocity_ms") - lag(col("velocity_ms"), 1).over(w)) / col("dt_sec")))
   }
 
   /** W6 — time rounding + nearness (reference `src/aums_data_request.py:91-94`,

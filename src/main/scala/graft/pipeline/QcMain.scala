@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import graft.core.{Flags, Obs, QcConfig}
+import graft.ops._
+import graft.sources.{PatchSink, StaJson}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The full QC pipeline lifecycle (reference `src/main.py` §3.1):
+  * fetch/flatten → stabilization → geo pass → kinematics → value pass
+  * (range/gradient/z-score) → dependent pass → patch sink; with the
+  * reference's six phase wall-times logged (`src/main.py:862-868`:
+  * df-construction, region, ranges, total QC, patch, total).
+  *
+  * Spark shape: one DataFrame lineage, actions only at the sink and the
+  * audit counts; independent checks merge worst-wins (associative, so
+  * Catalyst may reorder them), while the semantic orderings —
+  * z-score over still-good rows, velocity over outlier-free rows —
+  * are preserved by explicit filters (SURVEY §7.4.6).
+  */
+object QcMain {
+
+  final case class PhaseTimes(dfConstructionSec: Double, regionSec: Double,
+                              rangesSec: Double, totalQcSec: Double,
+                              patchSec: Double, totalSec: Double)
+
+  final case class Config(
+      rangeBounds: Map[Long, (Double, Double)] = Map.empty,
+      gradientBounds: (Double, Double) = (-1.0, 1.0),
+      zscoreBounds: (Double, Double) = (-3.0, 3.0),
+      zscoreWindowSec: Long = 3600L,
+      outlierWindowSec: Long = 600L, // reference location.time_window: 10min
+      outlierMaxDxDt: Double = 6.89, // reference conf max_dx_dt
+      regions: Seq[Geo.BoxRegion] = Seq.empty,
+      depthThreshold: Double = 0.0)
+
+  /** Run the pipeline on a captured STA response; returns the flagged
+    * frame and the phase timing line.
+    */
+  def run(spark: SparkSession, staJsonPath: String, cfg: Config,
+          patchOut: Option[String] = None): (DataFrame, PhaseTimes) = {
+    val t0 = System.nanoTime()
+    def secsSince(t: Long): Double = (System.nanoTime() - t) / 1e9
+
+    // 1. fetch + flatten (df-construction phase)
+    val obs = StaJson.readResponse(spark, staJsonPath)
+      .withColumn("t_us", unix_micros(col(Obs.Time)))
+      .cache()
+    obs.count() // materialize: the reference times df-construction as a phase
+    val tDf = secsSince(t0)
+
+    val w = Window.partitionBy(col(Obs.DatastreamId)).orderBy(col("t_us"), col(Obs.IotId))
+
+    // 2. geo pass: region classify + null-region/mainland/depth + outlier
+    val tRegion0 = System.nanoTime()
+    val withRegion = obs
+      .withColumn("region", Geo.classifyRegion(col(Obs.Lat), col(Obs.Long_), cfg.regions))
+      .withColumn("elev", Geo.gridElevation(col(Obs.Lat), col(Obs.Long_)))
+    val geoChecks = Seq(
+      Geo.nullRegionCheck(col("region")),
+      Geo.mainlandCheck(col("region")),
+      Geo.depthCheck(col("elev"), cfg.depthThreshold))
+    val geoFlagged = QcCheck.applyAll(
+      withRegion.withColumn("flag", col(Obs.QcFlag)), "flag", geoChecks)
+    val withOutlier = SpatialOutlier(geoFlagged, col(Obs.Lat), col(Obs.Long_),
+      col("t_us"), cfg.outlierWindowSec, cfg.outlierMaxDxDt,
+      partCols = Seq(Obs.DatastreamId))
+      .withColumn("flag", SpatialOutlier.asCheck().mergedInto(col("flag")))
+    val regionSec = secsSince(tRegion0)
+
+    // 3. kinematics on outlier-free rows (reference src/main.py:654-660)
+    val clean = withOutlier.filter(!coalesce(col("is_spatial_outlier"), lit(false)))
+    val kinematics = WindowKernels.velocityAcceleration(clean, w,
+      col(Obs.Lat), col(Obs.Long_), col("t_us"))
+
+    // 4. value pass: range → gradient → z-score on still-good rows
+    val tRanges0 = System.nanoTime()
+    val confDf = {
+      import spark.implicits._
+      cfg.rangeBounds.toSeq.map { case (ds, (lo, hi)) => (ds, lo, hi) }
+        .toDF(Obs.DatastreamId, "qc_range_min", "qc_range_max")
+    }
+    val withConf = QcConfig.joinOnto(kinematics, confDf)
+    val ranged = withConf.withColumn("flag",
+      QcCheck("range",
+        QcCheck.outOfRange(col(Obs.Result), col("qc_range_min"), col("qc_range_max")),
+        Flags.Bad, onFalse = Some(Flags.Good), onNan = Some(Flags.NoQc))
+        .mergedInto(col("flag")))
+    val graded = ranged
+      .withColumn("gradient",
+        WindowKernels.gradient(col(Obs.Result), col("t_us").cast("double") / 1e6, w))
+      .withColumn("flag",
+        QcCheck("gradient",
+          QcCheck.outOfRange(col("gradient"),
+            lit(cfg.gradientBounds._1), lit(cfg.gradientBounds._2)),
+          Flags.ProbablyBad, onFalse = Some(Flags.Good), onNan = Some(Flags.NoQc))
+          .mergedInto(col("flag")))
+    val zInput = graded.filter(col("flag") <= Flags.ProbablyGood)
+      .withColumn("zscore",
+        WindowKernels.zscore(col(Obs.Result), col("t_us"), cfg.zscoreWindowSec))
+      .withColumn("flag_z",
+        QcCheck("zscore",
+          QcCheck.outOfRange(col("zscore"),
+            lit(cfg.zscoreBounds._1), lit(cfg.zscoreBounds._2)),
+          Flags.ProbablyBad, onFalse = Some(Flags.Good), onNan = Some(Flags.NoQc)).flagCol)
+      .select(col(Obs.IotId), col("flag_z"))
+    val flagged = graded.join(zInput, Seq(Obs.IotId), "left")
+      .withColumn("flag", Flags.worstWins(col("flag"), col("flag_z")))
+      .cache()
+    flagged.count()
+    val rangesSec = secsSince(tRanges0)
+    val totalQcSec = secsSince(tRegion0)
+
+    // 5. sink
+    val tPatch0 = System.nanoTime()
+    patchOut.foreach(out => PatchSink.writePatchFile(
+      flagged.withColumn(Obs.QcFlag, col("flag")), out))
+    val patchSec = secsSince(tPatch0)
+
+    (flagged, PhaseTimes(tDf, regionSec, rangesSec, totalQcSec, patchSec, secsSince(t0)))
+  }
+}

@@ -87,7 +87,9 @@ object QueriesQcEvents {
       |  FROM grad),
       |z AS (
       |  SELECT iot_id,
-      |    (result - avg(result) OVER wz) / stddev_samp(result) OVER wz AS zscore
+      |    CASE WHEN stddev_samp(result) OVER wz = 0 THEN NULL
+      |         ELSE (result - avg(result) OVER wz) / stddev_samp(result) OVER wz
+      |    END AS zscore
       |  FROM flagged WHERE flag12 <= 2
       |  WINDOW wz AS (PARTITION BY datastream_id ORDER BY t_us
       |                RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)),
@@ -192,7 +194,9 @@ object QueriesQcEvents {
         round(WindowKernels.zscore(col(Obs.Result), col("t_us"), 21600L), 6).as("zscore")),
       Some(s"""WITH ${Q.ObsCte}
               |SELECT iot_id,
-              |  round((result - avg(result) OVER wz) / stddev_samp(result) OVER wz, 6) AS zscore
+              |  round(CASE WHEN stddev_samp(result) OVER wz = 0 THEN NULL
+              |        ELSE (result - avg(result) OVER wz) / stddev_samp(result) OVER wz
+              |        END, 6) AS zscore
               |FROM obs
               |WINDOW wz AS (PARTITION BY datastream_id ORDER BY t_us
               |              RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)""".stripMargin)),

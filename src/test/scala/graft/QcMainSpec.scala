@@ -1,0 +1,35 @@
+package graft
+
+import graft.core.Flags
+import graft.ops.Geo
+import graft.pipeline.QcMain
+import org.apache.spark.sql.functions._
+
+/** §3.1 lifecycle end-to-end on the reference's own captured STA JSON
+  * fixture, with the six phase timings (reference `src/main.py:862-868`).
+  */
+class QcMainSpec extends SparkSpec {
+
+  private val fixture = "/root/reference/tests/resources/aums_data_request_response.json"
+
+  test("full pipeline on the reference fixture: flags, phases, patch file") {
+    assume(new java.io.File(fixture).exists())
+    val cfg = QcMain.Config(
+      rangeBounds = Map(7751L -> (0.0, 20.0), 7770L -> (5.0, 30.0)),
+      regions = Seq(Geo.BoxRegion("NORTH SEA", "SOUTHERN BIGHT", 51.0, 52.0, 2.5, 3.5)))
+    val out = java.nio.file.Files.createTempDirectory("qc_patch").toString
+    val (flagged, phases) = QcMain.run(spark, fixture, cfg, patchOut = Some(out))
+
+    val hist = flagged.groupBy(col("flag")).count().collect()
+      .map(r => r.getByte(0) -> r.getLong(1)).toMap
+    assert(hist.values.sum > 8000) // every observation flagged-or-passed
+    assert(hist.keys.exists(_ >= Flags.Good)) // at least some opinions
+    // phase timing line is complete and ordered sanely
+    assert(phases.totalSec >= phases.totalQcSec && phases.totalQcSec > 0)
+    assert(phases.dfConstructionSec > 0 && phases.patchSec > 0)
+    // patch file written with wire codes
+    val patch = spark.read.json(out)
+    assert(patch.count() == hist.values.sum)
+    assert(patch.columns.toSet == Set("id", "resultQuality"))
+  }
+}
