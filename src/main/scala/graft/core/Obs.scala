@@ -54,11 +54,50 @@ object Obs {
     * oracle): a pseudo-track near the reference's North Sea coordinates.
     */
   def eventsAsObservations(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
     // The events table carries TIMESTAMP(NANOS) — Spark reads it as a raw
     // ns count only under spark.sql.legacy.parquet.nanosAsLong (set by
     // graft.core.Sessions). Truncate ns→µs (integer floor division), which
     // matches how µs-native engines (and DuckDB) read the same file.
+    project(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** Deterministic pseudo-random-walk coordinates from an integer id.
+    * Exact integer arithmetic then a single division — identical in Spark
+    * and DuckDB (`(event_id * 37 % 1000 - 500) / 1000.0 * 0.5 + 51.2`).
+    */
+  def synthLat(id: Column): Column =
+    (((id * 37) % 1000 - 500).cast("double") / lit(1000.0)) * lit(0.5) + lit(51.2)
+  def synthLon(id: Column): Column =
+    (((id * 53) % 1000 - 500).cast("double") / lit(1000.0)) * lit(0.5) + lit(2.9)
+
+  /** Same synthesis as SQL text, for oracle queries. */
+  def synthLatSql(id: String): String =
+    s"((($id * 37) % 1000 - 500) / 1000.0 * 0.5 + 51.2)"
+  def synthLonSql(id: String): String =
+    s"((($id * 53) % 1000 - 500) / 1000.0 * 0.5 + 2.9)"
+
+  /** Time-filtered events→observations with the range predicate pushed to
+    * the parquet scan. `phenomenonTime` is derived (`timestamp_micros(ts
+    * DIV 1000)`), so a filter on it cannot push; the equivalent integer
+    * predicate on the RAW ns column can:
+    * `t_us > a  ⟺  ts_ns > a*1000 + 999`, `t_us < b  ⟺  ts_ns < b*1000`.
+    * At 100 TB this is the difference between scanning the requested
+    * window's row groups and scanning everything.
+    */
+  def eventsAsObservationsBetween(spark: SparkSession, sfDir: String,
+                                  fromUsExcl: Long, toUsExcl: Long): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val pushed = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev.filter(col("ts") > fromUsExcl * 1000L + 999L && col("ts") < toUsExcl * 1000L)
+      case _ =>
+        ev.filter(unix_micros(col("ts").cast("timestamp")) > fromUsExcl &&
+          unix_micros(col("ts").cast("timestamp")) < toUsExcl)
+    }
+    project(pushed)
+  }
+
+  private def project(ev: DataFrame): DataFrame = {
     val tsCol = ev.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_micros(expr("ts DIV 1000"))
@@ -77,19 +116,4 @@ object Obs {
       (col("event_id") % 97).as(FeatureId)
     )
   }
-
-  /** Deterministic pseudo-random-walk coordinates from an integer id.
-    * Exact integer arithmetic then a single division — identical in Spark
-    * and DuckDB (`(event_id * 37 % 1000 - 500) / 1000.0 * 0.5 + 51.2`).
-    */
-  def synthLat(id: Column): Column =
-    (((id * 37) % 1000 - 500).cast("double") / lit(1000.0)) * lit(0.5) + lit(51.2)
-  def synthLon(id: Column): Column =
-    (((id * 53) % 1000 - 500).cast("double") / lit(1000.0)) * lit(0.5) + lit(2.9)
-
-  /** Same synthesis as SQL text, for oracle queries. */
-  def synthLatSql(id: String): String =
-    s"((($id * 37) % 1000 - 500) / 1000.0 * 0.5 + 51.2)"
-  def synthLonSql(id: String): String =
-    s"((($id * 53) % 1000 - 500) / 1000.0 * 0.5 + 2.9)"
 }

@@ -106,12 +106,14 @@ object QueriesQcEvents {
 
   val defs: Seq[QDef] = Seq(
 
-    // P1 — config time-range + datastream-id filter (pushed to the scan)
+    // P1 — config time-range + datastream-id filter (pushed to the scan
+    // as raw-ns integer predicates; see Obs.eventsAsObservationsBetween)
     QDef("p1_time_filter",
-      (s, dir) => obs(s, dir)
-        .filter(col(Obs.Time) > lit("2024-01-10 00:00:00").cast("timestamp") &&
-          col(Obs.Time) < lit("2024-02-20 00:00:00").cast("timestamp") &&
-          col(Obs.DatastreamId).isin(1, 3, 5, 7))
+      (s, dir) => Obs.eventsAsObservationsBetween(s, dir,
+          fromUsExcl = 1704844800000000L,  // 2024-01-10 00:00:00 UTC
+          toUsExcl = 1708387200000000L)    // 2024-02-20 00:00:00 UTC
+        .filter(col(Obs.DatastreamId).isin(1, 3, 5, 7))
+        .withColumn("t_us", unix_micros(col(Obs.Time)))
         .select(col(Obs.IotId), col("t_us"), col(Obs.DatastreamId), col(Obs.Result)),
       Some(s"""WITH ${Q.ObsCte}
               |SELECT iot_id, t_us, datastream_id, result FROM obs

@@ -1,0 +1,218 @@
+package graft.sources.sta
+
+import graft.core.Obs
+import graft.sources.StaJson
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, In, IsNotNull, LessThan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.catalyst.InternalRow
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** S1/S2 — the SensorThings "sta" DataSource V2 (reference OData query
+  * builder, `src/aums_data_request.py:36-77`; URL shape pinned
+  * `tests/test_other.py:73-85`; threaded paged fetch `get_all_data`
+  * `src/main.py:350-364`).
+  *
+  * v2 architecture: the scan COMPILES Catalyst pushdowns into the OData
+  * request the reference builds by hand —
+  *  - required columns  → `$select=` lists per entity level
+  *  - time / stream filters → `$filter=phenomenonTime gt X and lt Y`,
+  *    `datastream_id in (…)` (reference `filter_cfg_to_query`,
+  *    `src/main.py:328-331`, pinned `tests/test_config.py:23-28`)
+  *  - one input partition per (datastream, page) → parallel paged fetch
+  *    replaces the reference's thread pool.
+  *
+  * Zero-egress environment: the "transport" reads captured response JSON
+  * files from the `path` option (one response per file). The pushdown
+  * compilation and partition planning — the parts that matter — are real
+  * and unit-tested; swapping the transport for HTTP is localized in
+  * [[StaPartitionReader]].
+  *
+  * Usage: `spark.read.format("graft.sources.sta").option("path", dir).load()`
+  */
+class StaSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StaSource.flatSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new StaTable(properties.get("path"))
+}
+
+/** Registration alias: `spark.read.format("graft.sources.sta")` resolves
+  * to `<package>.DefaultSource`.
+  */
+class DefaultSource extends StaSource
+
+object StaSource {
+  /** The flattened long-observations schema this source produces. */
+  val flatSchema: StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField(Obs.DatastreamId, LongType),
+      StructField("description", StringType),
+      StructField(Obs.Units, StringType),
+      StructField("observed_property_id", LongType),
+      StructField(Obs.ObservationType, StringType),
+      StructField("sensor", StringType),
+      StructField(Obs.IotId, LongType),
+      StructField(Obs.Result, DoubleType),
+      StructField(Obs.Time, TimestampType),
+      StructField(Obs.QcFlag, ByteType),
+      StructField(Obs.Long_, DoubleType),
+      StructField(Obs.Lat, DoubleType),
+      StructField(Obs.FeatureId, LongType)))
+  }
+
+  /** Compile pushed filters to the OData `$filter` string the reference
+    * builds (`filter_cfg_to_query`): supported = time range on
+    * phenomenonTime, IN on datastream_id. Everything else stays in Spark.
+    */
+  def compileODataFilter(filters: Seq[Filter]): (String, Seq[Filter], Seq[Filter]) = {
+    val (pushable, residual) = filters.partition {
+      case GreaterThan(Obs.Time, _) | LessThan(Obs.Time, _) => true
+      case In(Obs.DatastreamId, _) => true
+      case IsNotNull(_) => true
+      case _ => false
+    }
+    val clauses = pushable.flatMap {
+      case GreaterThan(Obs.Time, v) => Some(s"phenomenonTime gt $v")
+      case LessThan(Obs.Time, v) => Some(s"phenomenonTime lt $v")
+      case In(Obs.DatastreamId, vs) =>
+        Some(vs.map(v => s"Datastream/id eq $v").mkString("(", " or ", ")"))
+      case _ => None
+    }
+    (clauses.mkString(" and "), pushable, residual)
+  }
+
+  /** Compile pruned columns to per-entity `$select` lists (reference
+    * `selection=[...]` trees, `src/aums_data_request.py:44-69`).
+    */
+  def compileSelect(required: StructType): Map[String, Seq[String]] = {
+    val names = required.fieldNames.toSet
+    def pick(m: Map[String, String]): Seq[String] =
+      m.collect { case (col, sta) if names.contains(col) => sta }.toSeq
+    Map(
+      "Datastreams" -> pick(Map(Obs.DatastreamId -> "@iot.id",
+        "description" -> "description", Obs.Units -> "unitOfMeasurement")),
+      "Observations" -> pick(Map(Obs.IotId -> "@iot.id", Obs.Result -> "result",
+        Obs.Time -> "phenomenonTime", Obs.QcFlag -> "resultQuality")),
+      "FeatureOfInterest" -> pick(Map(Obs.Lat -> "feature", Obs.Long_ -> "feature",
+        Obs.FeatureId -> "@iot.id"))
+    ).filter(_._2.nonEmpty)
+  }
+}
+
+class StaTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"sta($path)"
+  override def schema(): StructType = StaSource.flatSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new StaScanBuilder(path)
+}
+
+class StaScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var requiredSchema: StructType = StaSource.flatSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var odataFilter: String = ""
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (compiled, pushable, residual) = StaSource.compileODataFilter(filters.toSeq)
+    odataFilter = compiled
+    pushed = pushable.toArray
+    residual.toArray // Spark re-applies these
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(required: StructType): Unit = {
+    requiredSchema = required
+  }
+  override def build(): Scan =
+    new StaScan(path, requiredSchema, odataFilter)
+}
+
+class StaScan(path: String, required: StructType, odataFilter: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"StaScan(odataFilter=[$odataFilter], select=[${StaSource.compileSelect(required)}])"
+
+  /** One partition per captured response file (in production: one per
+    * (datastream, page) — `planInputPartitions` is where the reference's
+    * fetch threads become Spark tasks).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new java.io.File(path)
+    val files =
+      if (dir.isDirectory) dir.listFiles().filter(_.getName.endsWith(".json")).map(_.getPath)
+      else Array(path)
+    files.sorted.map(f => StaPartition(f, odataFilter): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StaReaderFactory(required)
+}
+
+case class StaPartition(file: String, odataFilter: String) extends InputPartition
+
+class StaReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new StaPartitionReader(p.asInstanceOf[StaPartition], required)
+}
+
+/** Parses one captured STA response and yields flattened rows. The HTTP
+  * transport (paged GET with retry, reference `get_with_retry`
+  * `src/main.py:107`) would replace `scala.io.Source.fromFile` here.
+  */
+class StaPartitionReader(p: StaPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val rows: Iterator[InternalRow] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(new java.io.File(p.file))
+    val ds = root.path("Datastreams")
+    val fieldIdx = required.fieldNames.zipWithIndex.toMap
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    ds.forEach { d =>
+      val obsArr = d.path("Observations")
+      obsArr.forEach { o =>
+        val row = new GenericInternalRow(required.length)
+        def set(name: String, v: Any): Unit =
+          fieldIdx.get(name).foreach(i => row.update(i, v))
+        set(Obs.DatastreamId, d.path("@iot.id").asLong())
+        set("description", UTF8String.fromString(d.path("description").asText("")))
+        set(Obs.Units, UTF8String.fromString(d.path("unitOfMeasurement").path("name").asText("")))
+        set("observed_property_id", d.path("ObservedProperty").path("@iot.id").asLong())
+        set(Obs.ObservationType,
+          UTF8String.fromString(d.path("ObservedProperty").path("name").asText("")))
+        set("sensor", UTF8String.fromString(d.path("Sensor").path("name").asText("")))
+        set(Obs.IotId, o.path("@iot.id").asLong())
+        set(Obs.Result, o.path("result").asDouble())
+        val inst = java.time.Instant.parse(o.path("phenomenonTime").asText())
+        set(Obs.Time, inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+        set(Obs.QcFlag, graft.core.Flags.wireToRank
+          .getOrElse(o.path("resultQuality").asInt(0), graft.core.Flags.NoQc))
+        val coords = o.path("FeatureOfInterest").path("feature").path("coordinates")
+        if (coords.isArray && coords.size() >= 2) {
+          set(Obs.Long_, coords.get(0).asDouble())
+          set(Obs.Lat, coords.get(1).asDouble())
+        }
+        set(Obs.FeatureId, o.path("FeatureOfInterest").path("@iot.id").asLong())
+        out += row
+      }
+    }
+    out.iterator
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = { if (rows.hasNext) { current = rows.next(); true } else false }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
