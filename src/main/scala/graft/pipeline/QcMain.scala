@@ -33,7 +33,11 @@ object QcMain {
       outlierWindowSec: Long = 600L, // reference location.time_window: 10min
       outlierMaxDxDt: Double = 6.89, // reference conf max_dx_dt
       regions: Seq[Geo.BoxRegion] = Seq.empty,
-      depthThreshold: Double = 0.0)
+      depthThreshold: Double = 0.0,
+      /** §3.1 step 4 — per-independent-stream stabilization configs */
+      stabilization: Seq[graft.core.StabilizationConf] = Seq.empty,
+      /** §3.1 step 8 — dependent-quantity propagation configs */
+      dependents: Seq[graft.core.DependentConf] = Seq.empty)
 
   /** Run the pipeline on a captured STA response; returns the flagged
     * frame and the phase timing line.
@@ -52,9 +56,29 @@ object QcMain {
 
     val w = Window.partitionBy(col(Obs.DatastreamId)).orderBy(col("t_us"), col(Obs.IotId))
 
+    // 1b. stabilization pass (§3.1 step 4): per configured independent
+    // stream, BAD during warm-up after long outages; worst-wins re-merged
+    // onto the full frame by observation id (reference src/main.py:409-494)
+    val afterStab = if (cfg.stabilization.isEmpty) obs else {
+      val stabConf = {
+        import spark.implicits._
+        cfg.stabilization.map(s => (s.datastreamId, s.rangeMin, s.rangeMax,
+          s.maxAllowedDowntimeSec.toDouble * 1e6, s.dtStabilizationSec.toDouble * 1e6))
+          .toDF(Obs.DatastreamId, "st_min", "st_max", "st_down_us", "st_stab_us")
+      }
+      val sub = obs.join(broadcast(stabConf), Seq(Obs.DatastreamId))
+      val flaggedSub = Stabilization(sub, col(Obs.Result), col("t_us").cast("double"),
+        col("st_min"), col("st_max"), col("st_down_us"), col("st_stab_us"),
+        partCols = Seq(Obs.DatastreamId), timeCol = "t_us")
+        .select(col(Obs.IotId), col("stab_flag"))
+      obs.join(flaggedSub, Seq(Obs.IotId), "left")
+        .withColumn(Obs.QcFlag, Flags.worstWins(col(Obs.QcFlag), col("stab_flag")))
+        .drop("stab_flag")
+    }
+
     // 2. geo pass: region classify + null-region/mainland/depth + outlier
     val tRegion0 = System.nanoTime()
-    val withRegion = obs
+    val withRegion = afterStab
       .withColumn("region", Geo.classifyRegion(col(Obs.Lat), col(Obs.Long_), cfg.regions))
       .withColumn("elev", Geo.gridElevation(col(Obs.Lat), col(Obs.Long_)))
     val geoChecks = Seq(
@@ -105,9 +129,32 @@ object QcMain {
             lit(cfg.zscoreBounds._1), lit(cfg.zscoreBounds._2)),
           Flags.ProbablyBad, onFalse = Some(Flags.Good), onNan = Some(Flags.NoQc)).flagCol)
       .select(col(Obs.IotId), col("flag_z"))
-    val flagged = graded.join(zInput, Seq(Obs.IotId), "left")
+    val valueFlagged = graded.join(zInput, Seq(Obs.IotId), "left")
       .withColumn("flag", Flags.worstWins(col("flag"), col("flag_z")))
-      .cache()
+
+    // 5. dependent pass (§3.1 step 8): per config entry, as-of propagate
+    // the independent's flag and run the secondary value check
+    // (reference src/main.py:771-805)
+    val flagged = cfg.dependents.foldLeft(valueFlagged) { (d, dep) =>
+      val indep = d.filter(col(Obs.DatastreamId) === dep.independentId)
+        .select(col(Obs.IotId).as("i_id"), col("t_us").as("i_t_us"),
+          col(Obs.Result).as("i_result"), col("flag").as("i_flag"))
+      val depRows = d.filter(col(Obs.DatastreamId) === dep.dependentId)
+      val matched = AsofJoin.nearest(depRows, indep, Seq.empty,
+        leftTimeUs = "t_us", rightTimeUs = "i_t_us", toleranceUs = dep.dtToleranceUs,
+        rightCols = Seq("i_id", "i_t_us", "i_result", "i_flag"), rightIdCol = Some("i_id"))
+      val base = AsofJoin.propagateFlag(col("flag"), col("r_i_flag"), dep.flagWhenMissing)
+      val withSecondary = dep.secondaryRange match {
+        case Some((lo, hi)) =>
+          matched.withColumn("flag",
+            AsofJoin.secondaryValueCheck(base, col("r_i_result"), lo, hi))
+        case None => matched.withColumn("flag", base)
+      }
+      val newDepFlags = withSecondary.select(col(Obs.IotId), col("flag").as("dep_flag"))
+      d.join(newDepFlags, Seq(Obs.IotId), "left")
+        .withColumn("flag", coalesce(col("dep_flag"), col("flag")))
+        .drop("dep_flag")
+    }.cache()
     flagged.count()
     val rangesSec = secsSince(tRanges0)
     val totalQcSec = secsSince(tRegion0)

@@ -13,7 +13,12 @@ object RunQcMain {
     val spark = graft.core.Sessions.local()
     val cfg = QcMain.Config(
       rangeBounds = Map(7751L -> (0.0, 20.0), 7770L -> (5.0, 30.0)),
-      regions = Seq(Geo.BoxRegion("NORTH SEA", "SOUTHERN BIGHT", 51.0, 52.0, 2.5, 3.5)))
+      regions = Seq(Geo.BoxRegion("NORTH SEA", "SOUTHERN BIGHT", 51.0, 52.0, 2.5, 3.5)),
+      stabilization = Seq(graft.core.StabilizationConf(7751L, 0.0, 20.0,
+        dtStabilizationSec = 1200L, maxAllowedDowntimeSec = 900L)),
+      dependents = Seq(graft.core.DependentConf(independentId = 7751L,
+        dependentId = 7770L, dtToleranceUs = 500000L,
+        secondaryRange = Some((0.0, 25.0)))))
     val (flagged, phases) = QcMain.run(spark, args(0), cfg,
       patchOut = args.lift(1))
     println("FLAG HISTOGRAM " + flagged.groupBy(col("flag")).count()

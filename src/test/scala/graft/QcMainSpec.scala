@@ -16,7 +16,12 @@ class QcMainSpec extends SparkSpec {
     assume(new java.io.File(fixture).exists())
     val cfg = QcMain.Config(
       rangeBounds = Map(7751L -> (0.0, 20.0), 7770L -> (5.0, 30.0)),
-      regions = Seq(Geo.BoxRegion("NORTH SEA", "SOUTHERN BIGHT", 51.0, 52.0, 2.5, 3.5)))
+      regions = Seq(Geo.BoxRegion("NORTH SEA", "SOUTHERN BIGHT", 51.0, 52.0, 2.5, 3.5)),
+      stabilization = Seq(graft.core.StabilizationConf(7751L, 0.0, 20.0,
+        dtStabilizationSec = 1200L, maxAllowedDowntimeSec = 900L)),
+      dependents = Seq(graft.core.DependentConf(independentId = 7751L,
+        dependentId = 7770L, dtToleranceUs = 500000L,
+        secondaryRange = Some((0.0, 25.0)))))
     val out = java.nio.file.Files.createTempDirectory("qc_patch").toString
     val (flagged, phases) = QcMain.run(spark, fixture, cfg, patchOut = Some(out))
 
