@@ -108,12 +108,21 @@ object WindowKernels {
 
   /** W6 — time rounding + nearness (reference `src/aums_data_request.py:91-94`,
     * pinned `tests/test_other.py:108-115`): round to the nearest `stepSec`
-    * bucket (half-up), and |time − rounded| as the candidate-ordering key.
+    * bucket with **half-to-even** ties (pandas `Timestamp.round` is
+    * banker's rounding — the golden aggregate contains an exact
+    * `11:49:34.500Z` that must land on 34, not 35), and |time − rounded|
+    * as the candidate-ordering key. Exact integer µs arithmetic.
     */
-  def timeRound(ts: Column, stepSec: Long = 1L): Column =
-    timestamp_micros(
-      (floor((unix_micros(ts.cast("timestamp")) + stepSec * 500000L).cast("double")
-        / (stepSec * 1000000L)).cast("long")) * stepSec * 1000000L)
+  def timeRound(ts: Column, stepSec: Long = 1L): Column = {
+    val step = stepSec * 1000000L
+    val us = unix_micros(ts.cast("timestamp"))
+    val q = floor(us.cast("double") / step).cast("long")
+    val rem = us - q * step
+    val bump = when(rem > step / 2, 1L)
+      .when(rem < step / 2, 0L)
+      .otherwise(pmod(q, lit(2L))) // exactly half: round to the even bucket
+    timestamp_micros((q + bump) * step)
+  }
 
   def dtToRound(ts: Column, rounded: Column): Column =
     abs(unix_micros(ts.cast("timestamp")) - unix_micros(rounded)).cast("double") / 1e6

@@ -140,19 +140,28 @@ object QueriesQcEvents {
              |  CAST(json_extract_string(props, '$.k') AS INT) AS k
              |FROM events""".stripMargin)),
 
-    // W6 — half-up time rounding to 1 s + nearness key (exact µs ints)
+    // W6 — half-to-even time rounding to 1 s + nearness key (exact µs
+    // ints; pandas Timestamp.round parity — see WindowKernels.timeRound)
     QDef("w6_time_round",
       (s, dir) => {
-        val roundUs =
-          floor(((col("t_us") + 500000L).cast("double")) / 1000000.0).cast("long") * 1000000L
+        val roundUs = unix_micros(WindowKernels.timeRound(col(Obs.Time), 1L))
         obs(s, dir).select(col(Obs.IotId), roundUs.as("round_us"),
           abs(roundUs - col("t_us")).as("dt_us"))
       },
-      Some(s"""WITH ${Q.ObsCte}
+      Some(s"""WITH ${Q.ObsCte},
+              |r AS (
+              |  SELECT iot_id, t_us,
+              |    CAST(floor(t_us / 1000000.0) AS BIGINT) AS q,
+              |    t_us - CAST(floor(t_us / 1000000.0) AS BIGINT) * 1000000 AS rem
+              |  FROM obs)
               |SELECT iot_id,
-              |  CAST(floor((t_us + 500000) / 1000000.0) AS BIGINT) * 1000000 AS round_us,
-              |  abs(CAST(floor((t_us + 500000) / 1000000.0) AS BIGINT) * 1000000 - t_us) AS dt_us
-              |FROM obs""".stripMargin)),
+              |  (q + CASE WHEN rem > 500000 THEN 1
+              |            WHEN rem < 500000 THEN 0
+              |            ELSE q % 2 END) * 1000000 AS round_us,
+              |  abs((q + CASE WHEN rem > 500000 THEN 1
+              |            WHEN rem < 500000 THEN 0
+              |            ELSE q % 2 END) * 1000000 - t_us) AS dt_us
+              |FROM r""".stripMargin)),
 
     // J1 — broadcast config join, row count preserved (asserted in tests)
     QDef("j1_config_join",

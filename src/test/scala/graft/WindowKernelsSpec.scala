@@ -64,11 +64,12 @@ class WindowKernelsSpec extends SparkSpec with Matchers {
     got(3) shouldBe ((100.0 - m) / sd) +- 1e-9
   }
 
-  test("timeRound: half-up to 1 s + |dt| (tests/test_other.py:108-115)") {
-    val base = 1704067200L // 2024-01-01 00:00:00 UTC
+  test("timeRound: half-to-even to 1 s + |dt| (tests/test_other.py:108-115)") {
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC (even epoch second)
     val df = Seq(
       ("2024-01-01 00:00:00.4999", base),
-      ("2024-01-01 00:00:00.5000", base + 1), // half rounds up
+      ("2024-01-01 00:00:00.5000", base),     // tie -> even bucket (down)
+      ("2024-01-01 00:00:01.5000", base + 2), // tie from odd second -> up
       ("2024-01-01 00:00:01.2000", base + 1))
       .toDF("s", "expect_sec")
       .withColumn("ts", to_timestamp($"s"))
@@ -76,7 +77,7 @@ class WindowKernelsSpec extends SparkSpec with Matchers {
       .withColumn("dt", WindowKernels.dtToRound($"ts", $"r"))
     val rows = df.select(unix_micros($"r"), $"expect_sec", $"dt").collect()
     rows.foreach { r => assert(r.getLong(0) == r.getLong(1) * 1000000L) }
-    assert(rows.map(_.getDouble(2)).toSeq == Seq(0.4999, 0.5, 0.2))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(0.4999, 0.5, 0.5, 0.2))
   }
 
   test("velocity/acceleration: equator track at constant speed") {
