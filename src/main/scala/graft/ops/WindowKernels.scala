@@ -74,10 +74,20 @@ object WindowKernels {
     * Frame in exact integer microseconds so the window set matches a
     * DuckDB `RANGE BETWEEN INTERVAL ... PRECEDING AND CURRENT ROW`.
     */
+  /** @param includeCurrent true = pandas `rolling('60min')` default
+    *   (window includes the row being scored); false = exclude the
+    *   current row (`closed='left'`), so a spike cannot inflate its own
+    *   window's σ and mask itself. The reference's library behavior on
+    *   the 6,000-row outlier fixture is only reproducible with
+    *   exclusion (see ZscoreFixtureSpec); its exact artifact handling
+    *   at stream starts is [unpinned] — SURVEY §7.4.5.
+    */
   def zscore(value: Column, epochUs: Column, windowSec: Long,
-             partCols: Seq[String] = Seq(Obs.DatastreamId)): Column = {
+             partCols: Seq[String] = Seq(Obs.DatastreamId),
+             includeCurrent: Boolean = true): Column = {
+    val hi = if (includeCurrent) 0L else -1L
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(epochUs)
-      .rangeBetween(-windowSec * 1000000L, 0)
+      .rangeBetween(-windowSec * 1000000L, hi)
     val sd = stddev_samp(value).over(w)
     // zero-variance window => no opinion (null), and keeps ANSI mode from
     // raising DIVIDE_BY_ZERO on constant series
