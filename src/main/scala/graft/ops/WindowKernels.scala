@@ -116,6 +116,18 @@ object WindowKernels {
         (col("velocity_ms") - lag(col("velocity_ms"), 1).over(w)) / col("dt_sec")))
   }
 
+  /** Kinematics threshold checks (reference `get_bool_exceed_max_velocity`
+    * / `_acceleration`, `src/main.py:663-710`, pinned
+    * `tests/test_qc.py:395-435`): a segment exceeding the limit flags
+    * BOTH its endpoints (the reference sets `bool_ref.loc[[i-1, i]]`).
+    * With backward-attached per-row metrics, that is `metric > max` on
+    * the later endpoint OR `lead(metric) > max` on the earlier one.
+    * Degenerate dt (1 ns) drives the metric huge => flags naturally.
+    */
+  def exceedsOnEitherEndpoint(metric: Column, maxAbs: Double, w: WindowSpec): Column =
+    coalesce(abs(metric) > maxAbs, lit(false)) ||
+      coalesce(abs(lead(metric, 1).over(w)) > maxAbs, lit(false))
+
   /** W6 — time rounding + nearness (reference `src/aums_data_request.py:91-94`,
     * pinned `tests/test_other.py:108-115`): round to the nearest `stepSec`
     * bucket with **half-to-even** ties (pandas `Timestamp.round` is

@@ -34,6 +34,11 @@ object QcMain {
       outlierMaxDxDt: Double = 6.89, // reference conf max_dx_dt
       regions: Seq[Geo.BoxRegion] = Seq.empty,
       depthThreshold: Double = 0.0,
+      /** §3.1 step 6 — kinematic limits (reference conf max_dx_dt /
+        * max_ddx_dtdt, src/main.py:663-710); None = check off
+        */
+      maxVelocityMs: Option[Double] = Some(6.89),
+      maxAccelerationMs2: Option[Double] = Some(0.15),
       /** §3.1 step 4 — per-independent-stream stabilization configs */
       stabilization: Seq[graft.core.StabilizationConf] = Seq.empty,
       /** §3.1 step 8 — dependent-quantity propagation configs */
@@ -93,10 +98,20 @@ object QcMain {
       .withColumn("flag", SpatialOutlier.asCheck().mergedInto(col("flag")))
     val regionSec = secsSince(tRegion0)
 
-    // 3. kinematics on outlier-free rows (reference src/main.py:654-660)
+    // 3. kinematics on outlier-free rows (reference src/main.py:654-660):
+    // velocity/acceleration limits flag BOTH endpoints of an offending
+    // segment (pinned tests/test_qc.py:395-435)
     val clean = withOutlier.filter(!coalesce(col("is_spatial_outlier"), lit(false)))
-    val kinematics = WindowKernels.velocityAcceleration(clean, w,
+    val kin0 = WindowKernels.velocityAcceleration(clean, w,
       col(Obs.Lat), col(Obs.Long_), col("t_us"))
+    val kinChecks =
+      cfg.maxVelocityMs.map(m => QcCheck("max_velocity",
+        WindowKernels.exceedsOnEitherEndpoint(col("velocity_ms"), m, w), Flags.Bad)).toSeq ++
+      cfg.maxAccelerationMs2.map(m => QcCheck("max_acceleration",
+        WindowKernels.exceedsOnEitherEndpoint(col("acceleration_ms2"), m, w), Flags.Bad)).toSeq
+    val kinematics = kinChecks.foldLeft(kin0) { (d, c) =>
+      d.withColumn("flag", c.mergedInto(col("flag")))
+    }
 
     // 4. value pass: range → gradient → z-score on still-good rows
     val tRanges0 = System.nanoTime()
