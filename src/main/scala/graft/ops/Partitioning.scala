@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Partitioning / skew utilities for the 100 TB deployment shape.
+  *
+  * The observation table's natural keys are (datastream_id, time). At
+  * production scale (~60 streams ÷ 1000 executors) a plain
+  * `partitionBy(datastream_id)` leaves most executors idle and any hot
+  * stream unsplittable — these helpers encode the two standard fixes:
+  *
+  *  - **range co-partitioning** on (stream, time): window kernels only
+  *    need *time-local* order per stream, so time-range chunks with an
+  *    overlap margin parallelize a single stream arbitrarily;
+  *  - **salted aggregation**: two-phase groupBy for skewed keys.
+  *
+  * AQE (`spark.sql.adaptive.enabled`, on in [[graft.core.Sessions]])
+  * already splits skewed *join* partitions at runtime; these helpers
+  * cover aggregation and window skew, which AQE does not re-balance.
+  */
+object Partitioning {
+
+  /** Two-phase (salted) aggregation: `df.groupBy(keys).agg(sums)` where
+    * one key dominates. Phase 1 aggregates (key, salt) partial groups;
+    * phase 2 merges per key. Only algebraic aggregates (sum/count/min/
+    * max) compose this way — which is exactly the flag-histogram /
+    * count-profile shape the QC pipeline aggregates at scale.
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+                     saltBuckets: Int = 32): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id(), lit(saltBuckets)))
+    val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum")).as(s"sum_$valueCol"),
+        sum(col("__pcnt")).as("n"))
+  }
+
+  /** Chunked time-windows for parallelizing per-stream *window* kernels
+    * over a hot stream: assign each row to a time chunk, and replicate
+    * rows within `overlapUs` of a chunk boundary into the neighbor chunk
+    * as context (marked `is_context = true`, to be dropped from results
+    * after the kernel runs). Exactly the reference's overlapping-window
+    * backfill trick (`qc_historical.sh`), applied inside one job.
+    */
+  def chunkWithOverlap(df: DataFrame, timeUs: Column, chunkUs: Long,
+                       overlapUs: Long): DataFrame = {
+    require(overlapUs >= 0 && overlapUs < chunkUs, "overlap must be < chunk")
+    val chunk = floor(timeUs / chunkUs).cast("long")
+    val posInChunk = timeUs - chunk * chunkUs
+    // rows near the start of a chunk also serve as context for the
+    // previous chunk's tail; rows near the end for the next chunk's head
+    val own = df.withColumn("__chunk", chunk).withColumn("is_context", lit(false))
+    val headCtx = df.filter(posInChunk < overlapUs)
+      .withColumn("__chunk", chunk - 1).withColumn("is_context", lit(true))
+    val tailCtx = df.filter(posInChunk >= chunkUs - overlapUs)
+      .withColumn("__chunk", chunk + 1).withColumn("is_context", lit(true))
+    own.unionByName(headCtx).unionByName(tailCtx)
+  }
+}
