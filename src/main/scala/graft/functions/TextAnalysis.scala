@@ -30,6 +30,33 @@ object TextAnalysis {
   /** Exact-dup fingerprint = md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    * hash every k-char gram of the normalized text, then keep the
+    * minimum hash of each sliding window of `w` grams — the classic
+    * rolling-hash fingerprint set whose overlap estimates local
+    * similarity. Hashes use the same engine-portable 32-bit md5-prefix
+    * as Dedup.baseHash, so an oracle can reproduce them exactly.
+    * Returns a sorted distinct array<long>.
+    */
+  def winnowingFingerprints(normText: Column, k: Int = 8, w: Int = 16): Column = {
+    // NOTE: pass a *materialized column* of normalized text (e.g.
+    // `.withColumn("norm", TextAnalysis.normalized($"text"))`), not the
+    // normalization expression itself — expressions referenced inside the
+    // lambdas below re-evaluate per element (the shingle lesson: that
+    // would re-run the regex O(chars) times per document).
+    val n = length(normText)
+    val grams = transform(sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => conv(substring(md5(normText.substr(i, lit(k))), 1, 8), 16, 10).cast("long"))
+    // bind the evaluated gram array as a lambda variable (g) so the
+    // sliding-min pass doesn't re-evaluate the md5 chain per window
+    val mins = element_at(
+      transform(array(grams), g =>
+        transform(sequence(lit(1), greatest(size(g) - (w - 1), lit(1))),
+          i => array_min(slice(g, i, lit(w))))),
+      1)
+    array_sort(array_distinct(mins))
+  }
+
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deliberately minimal and deterministic.
     */

@@ -95,6 +95,31 @@ object QueriesText {
            |FROM h""".stripMargin
       }),
 
+    // winnowing rolling-hash fingerprints (Schleimer et al.) — k=8 char
+    // grams, window 16, portable 32-bit hash
+    QDef("t_winnow_fingerprints",
+      (s, dir) => Q.table(s, dir, "documents")
+        .withColumn("norm", TextAnalysis.normalized(col("text")))
+        .withColumn("wf", TextAnalysis.winnowingFingerprints(col("norm")))
+        .select(col("doc_id"),
+          size(col("wf")).as("n_fp"),
+          element_at(col("wf"), 1).as("min_fp"),
+          element_at(col("wf"), -1).as("max_fp"),
+          md5(concat_ws(",", col("wf"))).as("fp_checksum")),
+      Some(s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+              |g AS (SELECT doc_id,
+              |  list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+              |    i -> CAST(('0x' || substr(md5(substr(norm, i, 8)), 1, 8)) AS BIGINT)) AS grams
+              |  FROM n),
+              |m AS (SELECT doc_id,
+              |  list_sort(list_distinct(
+              |    list_transform(range(1, greatest(len(grams) - 15, 1) + 1),
+              |      i -> list_min(list_slice(grams, i, i + 15))))) AS wf
+              |  FROM g)
+              |SELECT doc_id, len(wf) AS n_fp, wf[1] AS min_fp, wf[-1] AS max_fp,
+              |  md5(array_to_string(wf, ',')) AS fp_checksum
+              |FROM m""".stripMargin)),
+
     // exact dedup by normalized-text fingerprint
     QDef("dd_exact",
       (s, dir) => Dedup.exact(Q.table(s, dir, "documents"), "doc_id", "text")

@@ -89,6 +89,17 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
     assert(approx.subsetOf(exact) == false || approx == exact) // sanity: approximate
   }
 
+  test("winnowing fingerprints: identical texts equal, near-dups overlap heavily") {
+    val wf = docs.withColumn("norm", TextAnalysis.normalized($"text"))
+      .select($"doc_id", TextAnalysis.winnowingFingerprints($"norm").as("wf"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(wf(1L) == wf(2L)) // normalization-invariant
+    val overlap13 = (wf(1L) intersect wf(3L)).size.toDouble / (wf(1L) union wf(3L)).size
+    val overlap14 = (wf(1L) intersect wf(4L)).size.toDouble / (wf(1L) union wf(4L)).size
+    assert(overlap13 > overlap14) // near-dup shares more fingerprints than unrelated
+    assert(wf(5L).nonEmpty) // short doc still fingerprints
+  }
+
   test("text metrics: token counts and langid are deterministic") {
     val m = docs.select(TextAnalysis.wsTokenCount($"text").as("n"),
       TextAnalysis.langId($"text").as("l")).orderBy($"n".desc).collect()
