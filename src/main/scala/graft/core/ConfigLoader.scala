@@ -46,6 +46,33 @@ object ConfigLoader {
 
   def parseDurationSec(s: String): Long = math.round(parseDurationUs(s) / 1e6)
 
+  /** O5 — config-template generation from a thing's datastream catalog
+    * (reference `src/main.py:77-143`): derive a starting config document
+    * from the observed data — per-stream range bounds widened from the
+    * observed min/max, global z-score defaults — ready for hand-tuning.
+    */
+  def generateTemplate(obs: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.functions._
+    val stats = obs.groupBy(col(Obs.DatastreamId))
+      .agg(min(col(Obs.Result)).as("lo"), max(col(Obs.Result)).as("hi"))
+      .orderBy(col(Obs.DatastreamId))
+      .collect()
+    val entries = stats.map { r =>
+      val ds = r.getLong(0)
+      val lo = math.floor(r.getDouble(1))
+      val hi = math.ceil(r.getDouble(2))
+      s"""    "$ds": {"range": {"min": $lo, "max": $hi}}"""
+    }.mkString(",\n")
+    s"""{
+       |  "QC": {
+       |$entries
+       |  },
+       |  "QC_global": {"zscore": {"min": -3, "max": 3, "time_window": "60min"}},
+       |  "QC_dependent": [],
+       |  "QC_stabilization": []
+       |}""".stripMargin
+  }
+
   def load(json: String, overrides: Map[String, String] = Map.empty): Either[Seq[ValidationError], Loaded] = {
     val mapper = new ObjectMapper()
     val root = mapper.readTree(json)

@@ -81,7 +81,11 @@ object QcMain {
         .drop("stab_flag")
     }
 
-    // 2. geo pass: region classify + null-region/mainland/depth + outlier
+    // 2. geo pass: region classify + null-region/mainland/depth + outlier.
+    // Geospatial checks flag the FEATURE (the shared geometry entity), and
+    // the per-feature flag is then folded into every observation at that
+    // feature (reference src/main.py:587-592,625-630 — two flag columns);
+    // a window over feature_id expresses the fold with no extra join.
     val tRegion0 = System.nanoTime()
     val withRegion = afterStab
       .withColumn("region", Geo.classifyRegion(col(Obs.Lat), col(Obs.Long_), cfg.regions))
@@ -90,8 +94,11 @@ object QcMain {
       Geo.nullRegionCheck(col("region")),
       Geo.mainlandCheck(col("region")),
       Geo.depthCheck(col("elev"), cfg.depthThreshold))
-    val geoFlagged = QcCheck.applyAll(
-      withRegion.withColumn("flag", col(Obs.QcFlag)), "flag", geoChecks)
+    val perRowGeoFlag = geoChecks.map(_.flagCol).reduce(Flags.worstWins(_, _))
+    val wFeature = Window.partitionBy(col(Obs.FeatureId))
+    val geoFlagged = withRegion
+      .withColumn(Obs.QcFlagFeature, max(perRowGeoFlag).over(wFeature))
+      .withColumn("flag", Flags.worstWins(col(Obs.QcFlag), col(Obs.QcFlagFeature)))
     val withOutlier = SpatialOutlier(geoFlagged, col(Obs.Lat), col(Obs.Long_),
       col("t_us"), cfg.outlierWindowSec, cfg.outlierMaxDxDt,
       partCols = Seq(Obs.DatastreamId))
@@ -146,6 +153,8 @@ object QcMain {
       .select(col(Obs.IotId), col("flag_z"))
     val valueFlagged = graded.join(zInput, Seq(Obs.IotId), "left")
       .withColumn("flag", Flags.worstWins(col("flag"), col("flag_z")))
+    valueFlagged.cache().count() // close the "ranges" phase before dependents
+    val rangesSecMeasured = secsSince(tRanges0)
 
     // 5. dependent pass (§3.1 step 8): per config entry, as-of propagate
     // the independent's flag and run the secondary value check
@@ -171,7 +180,7 @@ object QcMain {
         .drop("dep_flag")
     }.cache()
     flagged.count()
-    val rangesSec = secsSince(tRanges0)
+    val rangesSec = rangesSecMeasured
     val totalQcSec = secsSince(tRegion0)
 
     // 5. sink

@@ -58,6 +58,15 @@ class ConfigUtilSpec extends SparkSpec {
     intercept[IllegalArgumentException](ConfigLoader.parseDurationSec("abc"))
   }
 
+  test("config template generation round-trips through the loader (O5, src/main.py:77-143)") {
+    val obs = Seq((1L, 5.5), (1L, 19.2), (2L, -3.0), (2L, 7.7))
+      .toDF(graft.core.Obs.DatastreamId, graft.core.Obs.Result)
+    val tpl = ConfigLoader.generateTemplate(obs)
+    val Right(cfg) = ConfigLoader.load(tpl): @unchecked
+    assert(cfg.streams.map(s => s.datastreamId -> (s.rangeMin.get, s.rangeMax.get)).toMap ==
+      Map(1L -> (5.0, 20.0), 2L -> (-3.0, 8.0)))
+  }
+
   test("combine_dicts adds overlapping numeric/string values (test_qc.py:973-978)") {
     val merged = Util.combineDicts(
       Map("a" -> 1L, "b" -> "x", "c" -> 2.5),
