@@ -5,7 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
-  * n-gram-Jaccard, MinHash+LSH banding, and SimHash.
+  * n-gram-Jaccard (PPJoin-style prefix/position filtering — Xiao,
+  * Wang, Lin & Yuan 2008), MinHash+LSH banding (Broder 1997; banding
+  * per Leskovec/Rajaraman/Ullman MMDS ch.3), and SimHash
+  * (Charikar 2002).
   *
   * Scale design: every variant reduces near-dup discovery to *equi-joins
   * on derived keys* (fingerprint, shingle, band bucket) — shuffle-by-key
