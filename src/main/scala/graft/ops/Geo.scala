@@ -37,6 +37,84 @@ object Geo {
        |  + cos(radians($lat1)) * cos(radians($lat2))
        |    * pow(sin(radians(($lon2) - ($lon1)) / 2), 2))))""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Bit-portable distance (oracle-facing): libm sin/asin differ in the
+  // last ulp between the JVM and glibc, which flips round()/floor() at
+  // representation boundaries (round-1 hash failures on w3_velocity).
+  // The fix: haversine with sin/cos/asin replaced by fixed-coefficient
+  // Horner polynomials — only + - * / sqrt remain, all IEEE-754
+  // exact-rounded, so Spark and DuckDB produce bit-identical doubles as
+  // long as the operation ORDER matches. The Column tree and the SQL text
+  // below are written in strict lockstep (same parenthesization), and
+  // PortableDistSpec asserts bitwise equality of the two renderings.
+  // Accuracy vs true haversine: |err| < 1e-11 relative for central
+  // angles < 0.1 rad (~600 km) — far inside every QC tolerance. NOT for
+  // antipodal use. True-haversine [[haversineM]] stays for non-oracle use.
+  // ---------------------------------------------------------------------
+
+  val DegToRad = 0.017453292519943295 // nearest double to pi/180
+
+  // Taylor coefficients: sin x = x(1 + x²(s1 + x²(s2 + x²(s3 + x²·s4))))
+  private val SinC = Array(-0.16666666666666666, 8.333333333333333e-3,
+    -1.984126984126984e-4, 2.755731922398589e-6)
+  // asin x = x(1 + x²(a1 + x²(a2 + x²(a3 + x²·a4)))), |x| small
+  private val AsinC = Array(0.16666666666666666, 0.075,
+    0.044642857142857144, 0.030381944444444444)
+
+  /** A double literal that DuckDB parses back to the identical bits
+    * (e-notation forces DOUBLE — a bare `0.5` would parse as DECIMAL).
+    */
+  def dlit(x: Double): String = f"$x%.17e"
+
+  private def sinPoly(x: Column): Column = {
+    val x2 = x * x
+    x * (lit(1.0) + x2 * (lit(SinC(0)) + x2 * (lit(SinC(1)) + x2 * (lit(SinC(2)) + x2 * lit(SinC(3))))))
+  }
+  private def sinPolySql(x: String): String = {
+    val x2 = s"(($x) * ($x))"
+    s"(($x) * (1.0e0 + $x2 * (${dlit(SinC(0))} + $x2 * (${dlit(SinC(1))} + $x2 * (${dlit(SinC(2))} + $x2 * ${dlit(SinC(3))})))))"
+  }
+
+  private def asinPoly(x: Column): Column = {
+    val x2 = x * x
+    x * (lit(1.0) + x2 * (lit(AsinC(0)) + x2 * (lit(AsinC(1)) + x2 * (lit(AsinC(2)) + x2 * lit(AsinC(3))))))
+  }
+  private def asinPolySql(x: String): String = {
+    val x2 = s"(($x) * ($x))"
+    s"(($x) * (1.0e0 + $x2 * (${dlit(AsinC(0))} + $x2 * (${dlit(AsinC(1))} + $x2 * (${dlit(AsinC(2))} + $x2 * ${dlit(AsinC(3))})))))"
+  }
+
+  // cos x = 1 − 2·sin²(x/2); x is a latitude in radians (< 1.6)
+  private def cosPoly(x: Column): Column = {
+    val s = sinPoly(x * lit(0.5))
+    lit(1.0) - (lit(2.0) * (s * s))
+  }
+  private def cosPolySql(x: String): String = {
+    val s = sinPolySql(s"(($x) * 5.0e-1)")
+    s"(1.0e0 - (2.0e0 * ($s * $s)))"
+  }
+
+  /** Bit-portable great-circle distance in meters (see block comment). */
+  def portableDistM(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLatH = ((lat2 - lat1) * lit(DegToRad)) * lit(0.5)
+    val dLonH = ((lon2 - lon1) * lit(DegToRad)) * lit(0.5)
+    val sLat = sinPoly(dLatH)
+    val sLon = sinPoly(dLonH)
+    val a = (sLat * sLat) +
+      ((cosPoly(lat1 * lit(DegToRad)) * cosPoly(lat2 * lit(DegToRad))) * (sLon * sLon))
+    lit(2 * EarthRadiusM) * asinPoly(sqrt(a))
+  }
+
+  /** Same expression as DuckDB SQL text — identical operation order. */
+  def portableDistSql(lat1: String, lon1: String, lat2: String, lon2: String): String = {
+    val dLatH = s"(((($lat2) - ($lat1)) * ${dlit(DegToRad)}) * 5.0e-1)"
+    val dLonH = s"(((($lon2) - ($lon1)) * ${dlit(DegToRad)}) * 5.0e-1)"
+    val sLat = sinPolySql(dLatH)
+    val sLon = sinPolySql(dLonH)
+    val a = s"(($sLat * $sLat) + ((${cosPolySql(s"(($lat1) * ${dlit(DegToRad)})")} * ${cosPolySql(s"(($lat2) * ${dlit(DegToRad)})")}) * ($sLon * $sLon)))"
+    s"(${dlit(2 * EarthRadiusM)} * ${asinPolySql(s"sqrt($a)")})"
+  }
+
   /** A named region as an axis-aligned box (the SQL-expressible
     * instantiation used by the oracle queries; general polygons go through
     * [[pointInPolygon]]).

@@ -105,9 +105,11 @@ object WindowKernels {
     * first would lose ~6 significant digits to cancellation.
     */
   def velocityAcceleration(df: DataFrame, w: WindowSpec,
-                           lat: Column, lon: Column, timeUs: Column): DataFrame = {
+                           lat: Column, lon: Column, timeUs: Column,
+                           distM: (Column, Column, Column, Column) => Column =
+                             Geo.haversineM): DataFrame = {
     val dt = (timeUs - lag(timeUs, 1).over(w)).cast("double") / 1e6
-    val dist = Geo.haversineM(lag(lat, 1).over(w), lag(lon, 1).over(w), lat, lon)
+    val dist = distM(lag(lat, 1).over(w), lag(lon, 1).over(w), lat, lon)
     val withV = df
       .withColumn("dt_sec", dt)
       .withColumn("velocity_ms", when(dt =!= 0.0, dist / dt))

@@ -342,12 +342,15 @@ object QueriesQcEvents {
               |         THEN 4 ELSE 0 END) AS TINYINT) AS flag
               |FROM m""".stripMargin)),
 
-    // W3 — velocity / acceleration along the synthesized track
+    // W3 — velocity / acceleration along the synthesized track. Uses the
+    // bit-portable polynomial distance (Geo.portableDistM): libm sin/asin
+    // last-ulp divergence between the JVM and the oracle machine's glibc
+    // flipped round(...,6) at representation boundaries in round 1.
     QDef("w3_velocity",
       (s, dir) => {
         val o = obs(s, dir)
         val v = WindowKernels.velocityAcceleration(o, wStream,
-          col(Obs.Lat), col("lon"), col("t_us"))
+          col(Obs.Lat), col("lon"), col("t_us"), distM = Geo.portableDistM)
         // acceleration from the ROUNDED velocity: v − lag(v) cancels
         // catastrophically, amplifying last-ulp libm differences between
         // engines; quantizing v first makes the subtraction bit-exact.
@@ -363,13 +366,13 @@ object QueriesQcEvents {
               |  SELECT iot_id, datastream_id, t_us,
               |    t_us - lag(t_us) OVER w AS dt_raw_us,
               |    (t_us - lag(t_us) OVER w) / 1000000.0 AS dt_sec,
-              |    ${Geo.haversineSql("lag(lat) OVER w", "lag(lon) OVER w", "lat", "lon")}
+              |    ${Geo.portableDistSql("lag(lat) OVER w", "lag(lon) OVER w", "lat", "lon")}
               |      / ((t_us - lag(t_us) OVER w) / 1000000.0) AS velocity_ms
               |  FROM obs
               |  WINDOW w AS (PARTITION BY datastream_id ORDER BY t_us, iot_id))
               |SELECT iot_id, dt_raw_us AS dt_us,
-              |  round(velocity_ms, 6) AS velocity_ms,
-              |  round((round(velocity_ms, 6) - lag(round(velocity_ms, 6)) OVER w) / dt_sec, 6)
+              |  round(velocity_ms, 6) + 0.0e0 AS velocity_ms,
+              |  round((round(velocity_ms, 6) - lag(round(velocity_ms, 6)) OVER w) / dt_sec, 6) + 0.0e0
               |    AS acceleration_ms2
               |FROM v
               |WINDOW w AS (PARTITION BY datastream_id ORDER BY t_us, iot_id)""".stripMargin)),
@@ -474,17 +477,21 @@ object QueriesQcEvents {
           .withColumn("bucket_us", expr("t_us DIV 3600000000") * 3600000000L)
         val p = o.groupBy("bucket_us")
           .pivot(Obs.ObservationType, types)
-          .agg(sum(col(Obs.Result).cast("decimal(25,6)")).as("sum"),
+          // micro-unit BIGINT sums (DECIMAL columns hash-mismatch across
+          // engines); coalesce to 0 so empty cells stay integer-typed
+          .agg(sum((col(Obs.Result).cast("decimal(25,6)") * lit(1000000)).cast("long"))
+            .as("sum_micro"),
             count(lit(1)).as("n"))
         types.foldLeft(p)((d, t) =>
           d.withColumn(s"${t}_n", coalesce(col(s"${t}_n"), lit(0L)))
-            .withColumn(s"${t}_sum", col(s"${t}_sum").cast("decimal(25,6)")))
+            .withColumn(s"${t}_sum_micro", coalesce(col(s"${t}_sum_micro"), lit(0L))))
       },
       Some {
         val types = Seq("click", "error", "purchase", "signup", "view")
         val cols = types.map { t =>
-          s"""  CAST(sum(CASE WHEN observation_type = '$t'
-             |      THEN CAST(result AS DECIMAL(25,6)) END) AS DECIMAL(25,6)) AS ${t}_sum,
+          s"""  coalesce(CAST(sum(CASE WHEN observation_type = '$t'
+             |      THEN CAST(CAST(result AS DECIMAL(25,6)) * 1000000 AS BIGINT) END) AS BIGINT), 0)
+             |    AS ${t}_sum_micro,
              |  count(CASE WHEN observation_type = '$t' THEN 1 END) AS ${t}_n""".stripMargin
         }.mkString(",\n")
         s"""WITH ${Q.ObsCte}
@@ -506,13 +513,17 @@ object QueriesQcEvents {
         countDistinct(col(Obs.ObservationType)).as("n_types"),
         min(col("t_us")).as("min_t_us"),
         max(col("t_us")).as("max_t_us"),
-        sum(col(Obs.Result).cast("decimal(25,6)")).cast("decimal(25,6)").as("sum_result"),
+        // micro-unit BIGINT sum: DECIMAL output columns hash-mismatch
+        // between engines even at equal values (round-1 driver gate)
+        sum((col(Obs.Result).cast("decimal(25,6)") * lit(1000000)).cast("long"))
+          .as("sum_result_micro"),
         max(abs(col(Obs.Result))).as("max_abs_result")),
       Some(s"""WITH ${Q.ObsCte}
               |SELECT datastream_id, count(*) AS n,
               |  count(DISTINCT observation_type) AS n_types,
               |  min(t_us) AS min_t_us, max(t_us) AS max_t_us,
-              |  CAST(sum(CAST(result AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_result,
+              |  CAST(sum(CAST(CAST(result AS DECIMAL(25,6)) * 1000000 AS BIGINT)) AS BIGINT)
+              |    AS sum_result_micro,
               |  max(abs(result)) AS max_abs_result
               |FROM obs GROUP BY 1""".stripMargin)),
 

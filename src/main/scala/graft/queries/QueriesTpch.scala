@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Headline analytical queries over the TPC-H-ish tables — generic
@@ -7,14 +8,26 @@ import org.apache.spark.sql.functions._
   * joins/aggregations are all subsumed by these shapes) and the BENCH
   * workhorses.
   *
-  * Numeric discipline for oracle parity: measures are cast to DECIMAL
-  * before SUM (exact, associative — immune to partial-aggregation order),
-  * products of doubles are rounded *then* cast, and averages divide the
-  * exact decimal sum as a final double op.
+  * Numeric discipline for oracle parity: measures are quantized to
+  * **micro-unit BIGINT** per row (cast to DECIMAL(25,6) — exact for the
+  * 2-decimal inputs — then ×1e6 to a long) and summed in integer space:
+  * exact, associative (immune to partial-aggregation order), and
+  * hash-portable — round 1 showed DECIMAL output columns serialize
+  * differently between Spark parquet and the DuckDB oracle even when the
+  * values are equal. Averages are exact integer floor-divisions of the
+  * micro sums. DuckDB side: integer SUMs widen to HUGEINT → CAST back.
   */
 object QueriesTpch {
 
   private val dec = "decimal(25,6)"
+
+  /** Per-row micro-unit quantization: exact decimal, then integral long. */
+  private def micro(c: Column): Column =
+    (c.cast(dec) * lit(1000000)).cast("long") // int literal: decimal(36,6), no precision loss
+
+  /** Same quantization as DuckDB SQL text. */
+  private def microSql(e: String): String =
+    s"CAST(CAST($e AS DECIMAL(25,6)) * 1000000 AS BIGINT)"
 
   val defs: Seq[QDef] = Seq(
 
@@ -23,23 +36,25 @@ object QueriesTpch {
         val l = Q.table(s, dir, "lineitem")
           .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         l.groupBy("l_returnflag", "l_linestatus").agg(
-          sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).cast(dec).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
-            .cast(dec).as("sum_disc_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast(dec))
-            .cast(dec).as("sum_charge"),
-          round(sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)), 6).as("avg_qty"),
-          round(sum(col("l_discount").cast(dec)).cast("double") / count(lit(1)), 6).as("avg_disc"),
+          sum(micro(col("l_quantity"))).as("sum_qty_micro"),
+          sum(micro(col("l_extendedprice"))).as("sum_base_price_micro"),
+          sum(micro(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("sum_disc_price_micro"),
+          sum(micro(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))))
+            .as("sum_charge_micro"),
+          expr("sum(CAST(CAST(l_quantity AS decimal(25,6)) * 1000000 AS BIGINT)) DIV count(1)")
+            .as("avg_qty_micro"),
+          expr("sum(CAST(CAST(l_discount AS decimal(25,6)) * 1000000 AS BIGINT)) DIV count(1)")
+            .as("avg_disc_micro"),
           count(lit(1)).as("count_order"))
       },
-      Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_qty,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_base_price,
-             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_disc_price,
-             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_charge,
-             |  round(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
-             |  round(CAST(sum(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(${microSql("l_quantity")}) AS BIGINT) AS sum_qty_micro,
+             |  CAST(sum(${microSql("l_extendedprice")}) AS BIGINT) AS sum_base_price_micro,
+             |  CAST(sum(${microSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS sum_disc_price_micro,
+             |  CAST(sum(${microSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}) AS BIGINT) AS sum_charge_micro,
+             |  CAST(sum(${microSql("l_quantity")}) // count(*) AS BIGINT) AS avg_qty_micro,
+             |  CAST(sum(${microSql("l_discount")}) // count(*) AS BIGINT) AS avg_disc_micro,
              |  count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -55,13 +70,13 @@ object QueriesTpch {
         l.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderpriority"))
-          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
-            .cast(dec).as("revenue"))
-          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .agg(sum(micro(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_micro"))
+          .orderBy(col("revenue_micro").desc, col("l_orderkey").asc)
           .limit(10)
       },
-      Some("""SELECT l_orderkey, o_orderpriority,
-             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS revenue
+      Some(s"""SELECT l_orderkey, o_orderpriority,
+             |  CAST(sum(${microSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS revenue_micro
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -69,7 +84,7 @@ object QueriesTpch {
              |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
              |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
              |GROUP BY l_orderkey, o_orderpriority
-             |ORDER BY revenue DESC, l_orderkey ASC
+             |ORDER BY revenue_micro DESC, l_orderkey ASC
              |LIMIT 10""".stripMargin)),
 
     QDef("q5_nation_revenue",
@@ -87,12 +102,12 @@ object QueriesTpch {
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
-            .cast(dec).as("revenue"),
+          .agg(sum(micro(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_micro"),
             count(lit(1)).as("n_lines"))
       },
-      Some("""SELECT r_name, n_name,
-             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS revenue,
+      Some(s"""SELECT r_name, n_name,
+             |  CAST(sum(${microSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS revenue_micro,
              |  count(*) AS n_lines
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey

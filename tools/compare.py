@@ -7,8 +7,9 @@ Usage: python3 tools/compare.py <sfDir> <outDir>
   - runs each oracle_sql.json query, compares against the Spark parquet
     (columns sorted by name, rows sorted, NaN==NaN, exact values)
 """
-import json, sys, math
+import json, sys, math, struct, decimal
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -20,28 +21,37 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                         na_position="last").reset_index(drop=True)
     return df
 
-def cells_equal(a, b) -> bool:
-    if a is None and b is None:
-        return True
+def ser(v) -> str:
+    """Canonical type-prefixed serialization of one cell. STRICT on purpose:
+    the driver's gate hashes exact serialized values, so the local gate must
+    too — round 1's tolerant compare (float()==, Decimal(str())) passed six
+    queries the driver then hash-failed. Floats compare by IEEE-754 bits,
+    Decimals by exact string (scale included), and a type mismatch (int vs
+    float vs Decimal) is a mismatch even at equal numeric value."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return "[" + ",".join(ser(x) for x in v) + "]"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "f:NaN" if math.isnan(f) else "f:" + struct.pack("<d", f).hex()
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
+    if isinstance(v, bytes):
+        return "x:" + v.hex()
     try:
-        if pd.isna(a) and pd.isna(b):
-            return True
-        if pd.isna(a) != pd.isna(b):
-            return False
+        if pd.isna(v):
+            return "NULL"
     except (TypeError, ValueError):
         pass
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            return float(a) == float(b) or (math.isnan(float(a)) and math.isnan(float(b)))
-        except (TypeError, ValueError):
-            return False
-    try:
-        import decimal
-        if isinstance(a, decimal.Decimal) or isinstance(b, decimal.Decimal):
-            return decimal.Decimal(str(a)) == decimal.Decimal(str(b))
-    except Exception:
-        pass
-    return a == b or str(a) == str(b)
+    return f"s:{v}"
+
+def cells_equal(a, b) -> bool:
+    return ser(a) == ser(b)
 
 def compare(name, spark_df, oracle_df):
     if sorted(spark_df.columns) != sorted(oracle_df.columns):
