@@ -107,17 +107,29 @@ object QcMain {
 
     // 3. kinematics on outlier-free rows (reference src/main.py:654-660):
     // velocity/acceleration limits flag BOTH endpoints of an offending
-    // segment (pinned tests/test_qc.py:395-435)
-    val clean = withOutlier.filter(!coalesce(col("is_spatial_outlier"), lit(false)))
-    val kin0 = WindowKernels.velocityAcceleration(clean, w,
-      col(Obs.Lat), col(Obs.Long_), col("t_us"))
+    // segment (pinned tests/test_qc.py:395-435). Only the kinematic
+    // *inputs* exclude spatial outliers — the outlier rows themselves stay
+    // in the frame, already flagged BAD above, and reach the sink
+    // (reference keeps them in df_all and patches them,
+    // src/main.py:611-660,854-859): the flags computed on the clean
+    // subset are re-joined onto the full frame by observation id.
     val kinChecks =
       cfg.maxVelocityMs.map(m => QcCheck("max_velocity",
         WindowKernels.exceedsOnEitherEndpoint(col("velocity_ms"), m, w), Flags.Bad)).toSeq ++
       cfg.maxAccelerationMs2.map(m => QcCheck("max_acceleration",
         WindowKernels.exceedsOnEitherEndpoint(col("acceleration_ms2"), m, w), Flags.Bad)).toSeq
-    val kinematics = kinChecks.foldLeft(kin0) { (d, c) =>
-      d.withColumn("flag", c.mergedInto(col("flag")))
+    val kinematics = if (kinChecks.isEmpty) withOutlier else {
+      val isOut = coalesce(col("is_spatial_outlier"), lit(false))
+      val clean = withOutlier.filter(!isOut)
+      val kin0 = WindowKernels.velocityAcceleration(clean, w,
+        col(Obs.Lat), col(Obs.Long_), col("t_us"))
+      val kinFlagged = kinChecks.foldLeft(kin0) { (d, c) =>
+        d.withColumn("flag", c.mergedInto(col("flag")))
+      }.drop("dt_sec", "velocity_ms", "acceleration_ms2")
+      // union (not a join back on iot_id): both branches are narrow maps
+      // over the cached frame, and the next window pass re-shuffles by
+      // stream anyway — no extra shuffle for re-attaching outlier rows
+      kinFlagged.unionByName(withOutlier.filter(isOut))
     }
 
     // 4. value pass: range → gradient → z-score on still-good rows

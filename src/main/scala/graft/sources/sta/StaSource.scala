@@ -133,10 +133,11 @@ class StaScanBuilder(path: String)
     requiredSchema = required
   }
   override def build(): Scan =
-    new StaScan(path, requiredSchema, odataFilter)
+    new StaScan(path, requiredSchema, odataFilter, pushed.toSeq)
 }
 
-class StaScan(path: String, required: StructType, odataFilter: String)
+class StaScan(path: String, required: StructType, odataFilter: String,
+              pushedFilters: Seq[Filter] = Seq.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -152,13 +153,14 @@ class StaScan(path: String, required: StructType, odataFilter: String)
     val files =
       if (dir.isDirectory) dir.listFiles().filter(_.getName.endsWith(".json")).map(_.getPath)
       else Array(path)
-    files.sorted.map(f => StaPartition(f, odataFilter): InputPartition)
+    files.sorted.map(f => StaPartition(f, odataFilter, pushedFilters): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new StaReaderFactory(required)
 }
 
-case class StaPartition(file: String, odataFilter: String) extends InputPartition
+case class StaPartition(file: String, odataFilter: String,
+                        pushed: Seq[Filter] = Seq.empty) extends InputPartition
 
 class StaReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -173,6 +175,34 @@ class StaPartitionReader(p: StaPartition, required: StructType)
     extends PartitionReader[InternalRow] {
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   import org.apache.spark.unsafe.types.UTF8String
+
+  /** Epoch µs of a Filter value for the phenomenonTime column (Spark hands
+    * java.sql.Timestamp, or java.time.Instant under the Java-8 API flag).
+    */
+  private def filterTimeUs(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    case i: java.time.Instant  => i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case l: java.lang.Long     => l
+    case s => java.time.Instant.parse(s.toString).toEpochMilli * 1000L
+  }
+
+  /** Enforce the pushed (non-residual) predicates on a parsed row: Spark
+    * does NOT re-apply non-residual DSv2 filters, so a pushed filter the
+    * transport ignores silently returns unfiltered data. In production
+    * the server enforces the compiled `$filter`; the file transport
+    * enforces the same semantics here, row by row.
+    */
+  private def keep(dsId: Long, timeUs: Long, row: InternalRow,
+                   fieldIdx: Map[String, Int]): Boolean =
+    p.pushed.forall {
+      case GreaterThan(Obs.Time, v) => timeUs > filterTimeUs(v)
+      case LessThan(Obs.Time, v)    => timeUs < filterTimeUs(v)
+      case In(Obs.DatastreamId, vs) =>
+        vs.exists(x => x.asInstanceOf[Number].longValue == dsId)
+      case IsNotNull(name) =>
+        fieldIdx.get(name).forall(i => !row.isNullAt(i))
+      case _ => true // unknown pushed shape: keep (never claimed pushable)
+    }
 
   private val rows: Iterator[InternalRow] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -196,7 +226,8 @@ class StaPartitionReader(p: StaPartition, required: StructType)
         set(Obs.IotId, o.path("@iot.id").asLong())
         set(Obs.Result, o.path("result").asDouble())
         val inst = java.time.Instant.parse(o.path("phenomenonTime").asText())
-        set(Obs.Time, inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+        val timeUs = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        set(Obs.Time, timeUs)
         set(Obs.QcFlag, graft.core.Flags.wireToRank
           .getOrElse(o.path("resultQuality").asInt(0), graft.core.Flags.NoQc))
         val coords = o.path("FeatureOfInterest").path("feature").path("coordinates")
@@ -205,7 +236,7 @@ class StaPartitionReader(p: StaPartition, required: StructType)
           set(Obs.Lat, coords.get(1).asDouble())
         }
         set(Obs.FeatureId, o.path("FeatureOfInterest").path("@iot.id").asLong())
-        out += row
+        if (keep(d.path("@iot.id").asLong(), timeUs, row, fieldIdx)) out += row
       }
     }
     out.iterator

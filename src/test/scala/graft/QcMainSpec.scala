@@ -28,6 +28,11 @@ class QcMainSpec extends SparkSpec {
     val hist = flagged.groupBy(col("flag")).count().collect()
       .map(r => r.getByte(0) -> r.getLong(1)).toMap
     assert(hist.values.sum > 8000) // every observation flagged-or-passed
+    // count-preserving: spatial-outlier rows must stay in the output
+    // (flagged BAD), not be dropped by the kinematics input filter
+    val inputRows = graft.sources.StaJson.readResponse(spark, fixture).count()
+    assert(hist.values.sum == inputRows,
+      s"pipeline dropped rows: in=$inputRows out=${hist.values.sum}")
     assert(hist.keys.exists(_ >= Flags.Good)) // at least some opinions
     // phase timing line is complete and ordered sanely
     assert(phases.totalSec >= phases.totalQcSec && phases.totalQcSec > 0)

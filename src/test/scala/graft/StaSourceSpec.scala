@@ -40,6 +40,28 @@ class StaSourceSpec extends SparkSpec {
     assert(pruned.count() > 8000)
   }
 
+  test("pushed (non-residual) filters are enforced by the reader") {
+    assume(fixtureExists)
+    val v2 = spark.read.format("graft.sources.sta").option("path", fixture).load()
+    val all = v2.count()
+    // datastream IN — pushed as $filter, must actually drop rows
+    val oneStream = v2.filter(col(Obs.DatastreamId).isin(7751L)).count()
+    val expectStream = StaJson.readResponse(spark, fixture)
+      .filter(col(Obs.DatastreamId) === 7751L).count()
+    assert(oneStream == expectStream && oneStream < all,
+      s"pushed IN filter not enforced: got $oneStream expect $expectStream of $all")
+    // phenomenonTime range — pushed as $filter gt/lt
+    val cutoff = StaJson.readResponse(spark, fixture)
+      .select(percentile_approx(col(Obs.Time).cast("double"), lit(0.5), lit(1000)))
+      .collect()(0).getDouble(0)
+    val cutTs = new java.sql.Timestamp((cutoff * 1000).toLong)
+    val timeFiltered = v2.filter(col(Obs.Time) > lit(cutTs)).count()
+    val expectTime = StaJson.readResponse(spark, fixture)
+      .filter(col(Obs.Time) > lit(cutTs)).count()
+    assert(timeFiltered == expectTime && timeFiltered < all,
+      s"pushed time filter not enforced: got $timeFiltered expect $expectTime of $all")
+  }
+
   test("OData filter compilation (filter_cfg_to_query parity, test_config.py:23-28)") {
     val (s, pushed, residual) = StaSource.compileODataFilter(Seq(
       GreaterThan(Obs.Time, "2023-01-01T00:00:00Z"),
