@@ -12,16 +12,23 @@ object Bench {
       // noop sink: forces FULL materialization of every output column —
       // .count() would let Catalyst prune the computed columns and time
       // only the scan/shuffle skeleton
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // operators cache internal frames; drop between queries
-      name -> dt
+      (name, dt, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // a failed query reports -1 (NOT its wall time: a fast exception path
+    // would silently flatter the total) and lands in the "errors" map
+    val qs = results.map { case (k, v, e) => s"\"" + k + "\":" + (if (e.isEmpty) v else -1) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,16 +28,21 @@ object ConfigLoader {
 
   final case class ValidationError(path: String, message: String)
 
-  /** µs precision — the reference's `dt_tolerance: 0.5s` is sub-second. */
+  /** µs precision — the reference's `dt_tolerance: 0.5s` is sub-second.
+    * Units are an explicit anchored list, longest-first: the old
+    * `(s|sec|min|m|h|hour)s?` form parsed "10ms" as 10 *minutes* (unit
+    * 'm' + optional trailing 's'), silently mis-scaling by 60,000×.
+    */
   def parseDurationUs(s: String): Long = {
     // reference durations: "0.5s", "10min", "20min", "1h" (yaml_schema regex)
-    val m = raw"^([0-9]+(?:\.[0-9]+)?)\s*(s|sec|min|m|h|hour)s?$$".r
+    val m = raw"^([0-9]+(?:\.[0-9]+)?)\s*(hours|hour|mins|min|secs|sec|ms|h|m|s)$$".r
     s.trim match {
       case m(n, u) =>
         val mult = u match {
-          case "s" | "sec" => 1e6
-          case "min" | "m" => 60e6
-          case "h" | "hour" => 3600e6
+          case "ms" => 1e3
+          case "s" | "sec" | "secs" => 1e6
+          case "min" | "mins" | "m" => 60e6
+          case "h" | "hour" | "hours" => 3600e6
         }
         (n.toDouble * mult).round
       case other => throw new IllegalArgumentException(s"bad duration: '$other'")

@@ -186,8 +186,36 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** 32-bit SimHash over shingle base-hashes: bit i of the result is set
-    * when Σ_shingles (2·bit_i(h) − 1) > 0. Hamming-close simhashes ≈
+  /** Relational 32-bit SimHash (Charikar 2002): explode shingles, hash
+    * each once, fold the 32 bit-votes as plain long-sum aggregates in one
+    * groupBy — one shuffle by doc id with map-side partial aggregation,
+    * fully codegen'd. This is the scale path: the Column variant
+    * [[simhash32]] re-walks a 32-long vote array per shingle in
+    * interpreted lambda eval (round-1 bench: 23 s vs this form's shape,
+    * which matches minhashBands at ~2.5 s).
+    *
+    * Docs with fewer than k words have no shingles and are absent from
+    * the output (same semantics as [[minhashBands]]).
+    * Returns (id, simhash).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("shingle"))
+      .withColumn("h", baseHash(col("shingle")))
+    val voteAggs = (0 until 32).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i")
+    }
+    val votes = sh.groupBy(col("id")).agg(voteAggs.head, voteAggs.tail: _*)
+    val value = (0 until 32)
+      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("id"), value.cast("long").as("simhash"))
+  }
+
+  /** 32-bit SimHash over shingle base-hashes, as a single Column
+    * expression (composable in a select; prefer the relational
+    * [[simhash]] for corpus-scale runs — lambda folds evaluate
+    * interpreted, outside whole-stage codegen): bit i of the result is
+    * set when Σ_shingles (2·bit_i(h) − 1) > 0. Hamming-close simhashes ≈
     * near-dup texts.
     *
     * Single pass: one `aggregate` folds every shingle into a 32-long

@@ -45,18 +45,33 @@ object Similarity {
   // ---- Random-hyperplane LSH -------------------------------------------
   // Deterministic integer hyperplanes: plane p, dim d has weight
   // ((p*73 + d*31) % 19) - 9 in [-9, 9]. Bit p of the bucket id = sign of
-  // <plane_p, v>. Integer weights => exact, engine-portable.
+  // <plane_p, quantize(v)> where quantize(x) = floor(x·2^20) — all-integer
+  // dot products: exact, associative, engine-portable.
 
   def planeWeight(p: Int, d: Int): Int = ((p * 73 + d * 31) % 19) - 9
 
-  def lshBucket(emb: Column, nPlanes: Int = 12, dim: Int = 64): Column = {
+  /** LSH bucket id via the native [[LshBucketExpr]] — compact codegen'd
+    * loop, map-side, no shuffle. (The Column-algebra form inlined
+    * nPlanes×dim element_at terms and blew up codegen — round-1 bench
+    * spent ~4 s compiling the 768-term tree per query.)
+    */
+  def lshBucket(emb: Column, nPlanes: Int = 12, dim: Int = 64): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      LshBucketExpr(org.apache.spark.sql.GraftExpressionBridge.expression(emb),
+        nPlanes, dim))
+
+  /** The bucket computation as oracle SQL text (same quantized-integer
+    * arithmetic as [[LshBucketExpr]], any summation order — integer adds
+    * are associative).
+    */
+  def lshBucketSql(emb: String, nPlanes: Int = 12, dim: Int = 64): String = {
     val bits = (0 until nPlanes).map { p =>
-      val s = (0 until dim).map { d =>
-        element_at(emb, d + 1).cast("double") * lit(planeWeight(p, d).toDouble)
-      }.reduce(_ + _)
-      when(s > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+      val terms = (0 until dim).map { d =>
+        s"(CAST(floor(CAST($emb[${d + 1}] AS DOUBLE) * 1048576.0) AS BIGINT) * ${planeWeight(p, d)})"
+      }.mkString("(", " + ", ")")
+      s"(CASE WHEN $terms > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"CAST($bits AS BIGINT)"
   }
 
   /** LSH-bucketed ANN: candidates share a bucket; exact cosine re-rank

@@ -30,12 +30,23 @@ object TextAnalysis {
   /** Exact-dup fingerprint = md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
-  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
-    * hash every k-char gram of the normalized text, then keep the
-    * minimum hash of each sliding window of `w` grams — the classic
-    * rolling-hash fingerprint set whose overlap estimates local
-    * similarity. Hashes use the same engine-portable 32-bit md5-prefix
-    * as Dedup.baseHash, so an oracle can reproduce them exactly.
+  /** Karp-Rabin polynomial base/modulus for the winnowing gram hash.
+    * B > any code point in play, P a 30-bit prime: h < P keeps every
+    * Horner step (h*B + c) far inside int64, and `%` on non-negative
+    * operands is identical in Spark and DuckDB — pure integer
+    * arithmetic both engines evaluate bit-identically, unlike the
+    * round-1 md5-per-gram version (one md5 per character position was
+    * the single worst BENCH line).
+    */
+  val WinnowB = 257L
+  val WinnowP = 1000000007L
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03): hash every k-char gram of the normalized text with a
+    * polynomial (Karp-Rabin) hash, then keep the minimum hash of each
+    * sliding window of `w` grams — the classic fingerprint set whose
+    * overlap estimates local similarity. Texts shorter than k are
+    * right-padded with spaces to yield exactly one gram.
     * Returns a sorted distinct array<long>.
     */
   def winnowingFingerprints(normText: Column, k: Int = 8, w: Int = 16): Column = {
@@ -44,15 +55,24 @@ object TextAnalysis {
     // normalization expression itself — expressions referenced inside the
     // lambdas below re-evaluate per element (the shingle lesson: that
     // would re-run the regex O(chars) times per document).
-    val n = length(normText)
-    val grams = transform(sequence(lit(1), greatest(n - (k - 1), lit(1))),
-      i => conv(substring(md5(normText.substr(i, lit(k))), 1, 8), 16, 10).cast("long"))
-    // bind the evaluated gram array as a lambda variable (g) so the
-    // sliding-min pass doesn't re-evaluate the md5 chain per window
+    val padded = call_function("rpad", normText,
+      greatest(length(normText), lit(k)), lit(" "))
+    // one O(n) pass to code points; every later access is O(1) element_at
+    // (substr-per-gram would re-scan the string from the start each time)
+    val codes = transform(filter(split(padded, ""), c => c =!= ""),
+      c => ascii(c).cast("long"))
     val mins = element_at(
-      transform(array(grams), g =>
-        transform(sequence(lit(1), greatest(size(g) - (w - 1), lit(1))),
-          i => array_min(slice(g, i, lit(w))))),
+      // bind evaluated arrays as lambda vars (cs, g): HOF argument
+      // expressions evaluate once, lambda-body references re-evaluate
+      transform(array(codes), cs => {
+        val grams = transform(sequence(lit(1), size(cs) - (k - 1)),
+          i => (0 until k).foldLeft(lit(0L)) { (h, j) =>
+            (h * lit(WinnowB) + element_at(cs, i + lit(j))) % lit(WinnowP)
+          })
+        element_at(transform(array(grams), g =>
+          transform(sequence(lit(1), greatest(size(g) - (w - 1), lit(1))),
+            i => array_min(slice(g, i, lit(w))))), 1)
+      }),
       1)
     array_sort(array_distinct(mins))
   }

@@ -34,15 +34,33 @@ object AsofJoin {
     * @param rightTimeUs right event-time column name on `right` (epoch µs)
     * @param toleranceUs max |Δt| in µs
     * @param rightCols  right columns to carry (renamed with `rightPrefix`)
+    * @param leftIdCol  a UNIQUE left row-id column, used as the candidate
+    *   dedup key. When absent, a deterministic tag is derived from all
+    *   left columns (an extra all-columns window pass — pass the id when
+    *   you have one). monotonically_increasing_id is NOT used: it changes
+    *   across stage retries, which can duplicate or drop rows mid-failure.
     */
   def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
               leftTimeUs: String, rightTimeUs: String, toleranceUs: Long,
               rightCols: Seq[String], rightPrefix: String = "r_",
-              rightIdCol: Option[String] = None): DataFrame = {
+              rightIdCol: Option[String] = None,
+              leftIdCol: Option[String] = None): DataFrame = {
     require(toleranceUs > 0, "tolerance must be positive")
 
-    // unique row tag so duplicate left rows survive the candidate dedup
-    val lTagged = left.withColumn("__lid", monotonically_increasing_id())
+    // unique, DETERMINISTIC row tag so duplicate left rows survive the
+    // candidate dedup (and stage retries reproduce identical tags)
+    val lTagged = leftIdCol match {
+      case Some(id) => left.withColumn("__lid", col(id))
+      case None =>
+        // no natural id: tag = all columns + an index among exact
+        // duplicates (identical rows are interchangeable, so the
+        // duplicate numbering being permutation-unstable is harmless)
+        val allCols = left.columns.map(col)
+        left.withColumn("__dup_rn",
+          row_number().over(Window.partitionBy(allCols: _*).orderBy(lit(1))))
+          .withColumn("__lid", struct(allCols :+ col("__dup_rn"): _*))
+          .drop("__dup_rn")
+    }
     val lBucketed = lTagged
       .withColumn("__boff", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("__bucket",

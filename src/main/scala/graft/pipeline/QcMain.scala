@@ -154,17 +154,20 @@ object QcMain {
             lit(cfg.gradientBounds._1), lit(cfg.gradientBounds._2)),
           Flags.ProbablyBad, onFalse = Some(Flags.Good), onNan = Some(Flags.NoQc))
           .mergedInto(col("flag")))
-    val zInput = graded.filter(col("flag") <= Flags.ProbablyGood)
-      .withColumn("zscore",
-        WindowKernels.zscore(col(Obs.Result), col("t_us"), cfg.zscoreWindowSec))
+    // z-score over still-good rows via a conditional window (avg/stddev
+    // ignore nulls): same good-rows-only statistics as a filter + join
+    // back on iot_id, with zero extra shuffle
+    val valueFlagged = graded
+      .withColumn("zscore", WindowKernels.zscore(
+        when(col("flag") <= Flags.ProbablyGood, col(Obs.Result)),
+        col("t_us"), cfg.zscoreWindowSec))
       .withColumn("flag_z",
         QcCheck("zscore",
           QcCheck.outOfRange(col("zscore"),
             lit(cfg.zscoreBounds._1), lit(cfg.zscoreBounds._2)),
           Flags.ProbablyBad, onFalse = Some(Flags.Good), onNan = Some(Flags.NoQc)).flagCol)
-      .select(col(Obs.IotId), col("flag_z"))
-    val valueFlagged = graded.join(zInput, Seq(Obs.IotId), "left")
       .withColumn("flag", Flags.worstWins(col("flag"), col("flag_z")))
+      .drop("flag_z")
     valueFlagged.cache().count() // close the "ranges" phase before dependents
     val rangesSecMeasured = secsSince(tRanges0)
 
@@ -178,7 +181,8 @@ object QcMain {
       val depRows = d.filter(col(Obs.DatastreamId) === dep.dependentId)
       val matched = AsofJoin.nearest(depRows, indep, Seq.empty,
         leftTimeUs = "t_us", rightTimeUs = "i_t_us", toleranceUs = dep.dtToleranceUs,
-        rightCols = Seq("i_id", "i_t_us", "i_result", "i_flag"), rightIdCol = Some("i_id"))
+        rightCols = Seq("i_id", "i_t_us", "i_result", "i_flag"),
+        rightIdCol = Some("i_id"), leftIdCol = Some(Obs.IotId))
       val base = AsofJoin.propagateFlag(col("flag"), col("r_i_flag"), dep.flagWhenMissing)
       val withSecondary = dep.secondaryRange match {
         case Some((lo, hi)) =>

@@ -47,19 +47,13 @@ object QueriesEmb {
            |WHERE rank <= 10""".stripMargin
       }),
 
-    // random-hyperplane LSH bucket assignment (the ANN scale path)
+    // random-hyperplane LSH bucket assignment (the ANN scale path) —
+    // native codegen'd expression; quantized-integer hyperplane dots
     QDef("sim_lsh_buckets",
       (s, dir) => Q.table(s, dir, "embeddings").select(col("vec_id"),
         Similarity.lshBucket(col("embedding"), nPlanes = 12, dim = Dim).as("bucket")),
-      Some {
-        val bits = (0 until 12).map { p =>
-          val terms = (0 until Dim).map { d =>
-            s"(CAST(embedding[${d + 1}] AS DOUBLE) * ${Similarity.planeWeight(p, d).toDouble})"
-          }.mkString("(", " + ", ")")
-          s"(CASE WHEN $terms > 0 THEN ${1L << p} ELSE 0 END)"
-        }.mkString(" + ")
-        s"""SELECT vec_id, CAST($bits AS BIGINT) AS bucket FROM embeddings""".stripMargin
-      }),
+      Some(s"""SELECT vec_id, ${Similarity.lshBucketSql("embedding", 12, Dim)} AS bucket
+              |FROM embeddings""".stripMargin)),
 
     // LSH-bucketed top-k (approximate; rows-only — its candidate set is
     // the operator's own semantics, pinned instead by ScalaTest recall

@@ -54,15 +54,21 @@ object QueriesQcEvents {
         QcCheck("gradient", QcCheck.outOfRange(col("gradient"), lit(-0.04), lit(0.04)),
           Flags.ProbablyBad, onFalse = Some(Flags.Good), onNan = Some(Flags.NoQc)).flagCol)
       .withColumn("flag12", Flags.worstWins(col("flag_range"), col("flag_gradient")))
-    // z-score only over rows still <= PROBABLY_GOOD (reference src/main.py:750)
-    val good = withGrad.filter(col("flag12") <= Flags.ProbablyGood)
-      .withColumn("zscore",
-        WindowKernels.zscore(col(Obs.Result), col("t_us"), 21600L))
+    // z-score only over rows still <= PROBABLY_GOOD (reference
+    // src/main.py:750). Expressed as a conditional window — avg/stddev
+    // ignore nulls, so aggregating when(flag12 <= 2, result) inside the
+    // ORIGINAL stream window computes the identical good-rows-only
+    // statistics with ZERO extra shuffle. (Round 1 filtered to a subset
+    // and joined flag_z back on iot_id: a full shuffle join keyed on the
+    // highest-cardinality column.) Bad rows get a null z-input → null
+    // zscore → onNan = NoQc, contributing nothing to worst-wins.
+    withGrad
+      .withColumn("zscore", WindowKernels.zscore(
+        when(col("flag12") <= Flags.ProbablyGood, col(Obs.Result)),
+        col("t_us"), 21600L))
       .withColumn("flag_z",
         QcCheck("zscore", QcCheck.outOfRange(col("zscore"), lit(-2.5), lit(2.5)),
           Flags.ProbablyBad, onFalse = Some(Flags.Good), onNan = Some(Flags.NoQc)).flagCol)
-      .select(col(Obs.IotId), col("flag_z"))
-    withGrad.join(good, Seq(Obs.IotId), "left")
       .withColumn("flag", Flags.worstWins(col("flag12"), col("flag_z")))
   }
 
@@ -86,20 +92,19 @@ object QueriesQcEvents {
       |         ELSE 1 END) AS flag12
       |  FROM grad),
       |z AS (
-      |  SELECT iot_id,
-      |    CASE WHEN stddev_samp(result) OVER wz = 0 THEN NULL
-      |         ELSE (result - avg(result) OVER wz) / stddev_samp(result) OVER wz
+      |  SELECT *,
+      |    CASE WHEN stddev_samp(zres) OVER wz = 0 THEN NULL
+      |         ELSE (zres - avg(zres) OVER wz) / stddev_samp(zres) OVER wz
       |    END AS zscore
-      |  FROM flagged WHERE flag12 <= 2
+      |  FROM (SELECT *, CASE WHEN flag12 <= 2 THEN result END AS zres FROM flagged)
       |  WINDOW wz AS (PARTITION BY datastream_id ORDER BY t_us
       |                RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)),
       |final AS (
-      |  SELECT f.*, greatest(f.flag12,
-      |    CASE WHEN z.iot_id IS NULL THEN 0
-      |         WHEN z.zscore IS NULL THEN 0
-      |         WHEN z.zscore < -2.5 OR z.zscore > 2.5 THEN 3
+      |  SELECT *, greatest(flag12,
+      |    CASE WHEN zscore IS NULL THEN 0
+      |         WHEN zscore < -2.5 OR zscore > 2.5 THEN 3
       |         ELSE 1 END) AS flag
-      |  FROM flagged f LEFT JOIN z ON f.iot_id = z.iot_id)""".stripMargin
+      |  FROM z)""".stripMargin
       .replace("GRADIENT_EXPR",
         WindowKernels.gradientSql("result", "(t_us / 1000000.0)",
           "PARTITION BY datastream_id ORDER BY t_us, iot_id"))
@@ -289,7 +294,7 @@ object QueriesQcEvents {
           .select(col(Obs.IotId), col(Obs.DatastreamId), col("t_us"))
         AsofJoin.nearest(p, c, Seq(Obs.DatastreamId), "t_us", "t_us",
             toleranceUs = 1800000000L, rightCols = Seq(Obs.IotId, "t_us"),
-            rightIdCol = Some(Obs.IotId))
+            rightIdCol = Some(Obs.IotId), leftIdCol = Some(Obs.IotId))
           .select(col(Obs.IotId),
             col(s"r_${Obs.IotId}").as("match_id"),
             when(col("asof_matched"), abs(col("t_us") - col("r_t_us"))).as("dt_us"))
@@ -315,7 +320,7 @@ object QueriesQcEvents {
           .select(col(Obs.IotId), col(Obs.DatastreamId), col("t_us"), col(Obs.Result))
         val m = AsofJoin.nearest(p, c, Seq(Obs.DatastreamId), "t_us", "t_us",
           toleranceUs = 1800000000L, rightCols = Seq(Obs.IotId, "t_us", Obs.Result),
-          rightIdCol = Some(Obs.IotId))
+          rightIdCol = Some(Obs.IotId), leftIdCol = Some(Obs.IotId))
         val indepFlag = when(col(s"r_${Obs.Result}") < 30 || col(s"r_${Obs.Result}") > 170,
           lit(Flags.Bad)).otherwise(lit(Flags.Good)).cast("tinyint")
         val base = AsofJoin.propagateFlag(lit(Flags.NoQc).cast("tinyint"), indepFlag)

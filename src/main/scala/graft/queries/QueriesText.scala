@@ -95,8 +95,10 @@ object QueriesText {
            |FROM h""".stripMargin
       }),
 
-    // winnowing rolling-hash fingerprints (Schleimer et al.) — k=8 char
-    // grams, window 16, portable 32-bit hash
+    // winnowing fingerprints (Schleimer et al.) — k=8 char grams, window
+    // 16, Karp-Rabin polynomial gram hash (pure integer arithmetic both
+    // engines evaluate identically; md5-per-gram was the round-1
+    // worst-bench line)
     QDef("t_winnow_fingerprints",
       (s, dir) => Q.table(s, dir, "documents")
         .withColumn("norm", TextAnalysis.normalized(col("text")))
@@ -106,19 +108,33 @@ object QueriesText {
           element_at(col("wf"), 1).as("min_fp"),
           element_at(col("wf"), -1).as("max_fp"),
           md5(concat_ws(",", col("wf"))).as("fp_checksum")),
-      Some(s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
-              |g AS (SELECT doc_id,
-              |  list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
-              |    i -> CAST(('0x' || substr(md5(substr(norm, i, 8)), 1, 8)) AS BIGINT)) AS grams
-              |  FROM n),
-              |m AS (SELECT doc_id,
-              |  list_sort(list_distinct(
-              |    list_transform(range(1, greatest(len(grams) - 15, 1) + 1),
-              |      i -> list_min(list_slice(grams, i, i + 15))))) AS wf
-              |  FROM g)
-              |SELECT doc_id, len(wf) AS n_fp, wf[1] AS min_fp, wf[-1] AS max_fp,
-              |  md5(array_to_string(wf, ',')) AS fp_checksum
-              |FROM m""".stripMargin)),
+      Some {
+        val B = TextAnalysis.WinnowB
+        val P = TextAnalysis.WinnowP
+        // identical Horner fold: (((c0*B + c1) % P)*B + c2) % P ...
+        val horner = (0 until 8).foldLeft("CAST(0 AS BIGINT)") { (h, j) =>
+          s"(($h * $B + codes[i + $j]) % $P)"
+        }
+        s"""WITH n AS (SELECT doc_id,
+           |    rpad($normSql, CAST(greatest(length($normSql), 8) AS INTEGER), ' ') AS norm
+           |  FROM documents),
+           |c AS (SELECT doc_id,
+           |  list_transform(range(1, length(norm) + 1),
+           |    i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT)) AS codes
+           |  FROM n),
+           |g AS (SELECT doc_id,
+           |  list_transform(range(1, len(codes) - 7 + 1),
+           |    i -> $horner) AS grams
+           |  FROM c),
+           |m AS (SELECT doc_id,
+           |  list_sort(list_distinct(
+           |    list_transform(range(1, greatest(len(grams) - 15, 1) + 1),
+           |      i -> list_min(list_slice(grams, i, i + 15))))) AS wf
+           |  FROM g)
+           |SELECT doc_id, len(wf) AS n_fp, wf[1] AS min_fp, wf[-1] AS max_fp,
+           |  md5(array_to_string(wf, ',')) AS fp_checksum
+           |FROM m""".stripMargin
+      }),
 
     // exact dedup by normalized-text fingerprint
     QDef("dd_exact",
@@ -178,10 +194,11 @@ object QueriesText {
         "doc_id", "text", tau = 0.5),
       None),
 
-    // 32-bit SimHash per document
+    // 32-bit SimHash per document (relational vote-sum form — one
+    // codegen'd shuffle; the Column-expression form is interpreted)
     QDef("dd_simhash",
-      (s, dir) => Q.table(s, dir, "documents").select(col("doc_id"),
-        Dedup.simhash32(col("text")).as("simhash")),
+      (s, dir) => Dedup.simhash(Q.table(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("simhash")),
       Some {
         val h = baseHashSql("shingle")
         val sumCols = (0 until 32).map { i =>

@@ -56,6 +56,11 @@ class ConfigUtilSpec extends SparkSpec {
     assert(ConfigLoader.parseDurationSec("10min") == 600L)
     assert(ConfigLoader.parseDurationSec("2h") == 7200L)
     intercept[IllegalArgumentException](ConfigLoader.parseDurationSec("abc"))
+    // "10ms" must be 10 milliseconds, not 10 minutes (the old
+    // `(s|sec|min|m|h|hour)s?` regex parsed unit 'm' + trailing 's')
+    assert(ConfigLoader.parseDurationUs("10ms") == 10000L)
+    assert(ConfigLoader.parseDurationUs("10m") == 600000000L)
+    assert(ConfigLoader.parseDurationUs("10mins") == 600000000L)
   }
 
   test("config template generation round-trips through the loader (O5, src/main.py:77-143)") {
