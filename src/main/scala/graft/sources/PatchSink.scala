@@ -34,4 +34,24 @@ object PatchSink {
     patchBodies(flagged).foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       rows.map(r => (r.getLong(0), r.getInt(1))).grouped(batchSize).foreach(g => send(g.toSeq))
     }
+
+  /** One OData JSON-batch body (FROST `$batch` shape): `batchSize` PATCH
+    * sub-requests keyed Observations(id).
+    */
+  def batchBody(batch: Seq[(Long, Int)]): String =
+    batch.zipWithIndex.map { case ((id, wire), i) =>
+      s"""{"id":"$i","method":"patch","url":"Observations($id)","body":{"resultQuality":"$wire"}}"""
+    }.mkString("""{"requests":[""", ",", "]}")
+
+  /** S4 — live HTTP write-back (reference `patch_qc_flags`
+    * `src/main.py:854-859`): per partition, flag upserts are grouped into
+    * `$batch` POSTs — idempotent last-writer-wins keyed on observation id,
+    * which is what makes the overlapping-window backfill (§3.3) safe to
+    * re-run. Runs on executors; retry/backoff via [[graft.sources.sta.StaHttp]].
+    */
+  def httpBatchSink(flagged: DataFrame, batchUrl: String, batchSize: Int = 100): Unit =
+    foreachBatchSink(flagged, batchSize) { batch =>
+      graft.sources.sta.StaHttp.postJson(batchUrl, batchBody(batch))
+      ()
+    }
 }

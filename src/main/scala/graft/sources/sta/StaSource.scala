@@ -40,7 +40,9 @@ class StaSource extends TableProvider {
     StaSource.flatSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new StaTable(properties.get("path"))
+    new StaTable(properties.get("path"),
+      Option(properties.get("transport")).getOrElse("file"),
+      Option(properties.get("datastreams")))
 }
 
 /** Registration alias: `spark.read.format("graft.sources.sta")` resolves
@@ -107,16 +109,27 @@ object StaSource {
   }
 }
 
-class StaTable(path: String) extends Table with SupportsRead {
+/** @param transport "file" (captured response JSON, the test/sandbox
+  *   path) or "http" (live paged GET against a SensorThings service —
+  *   `path` is the collection URL, standard `@iot.nextLink` paging,
+  *   bounded retries).
+  * @param datastreams with http transport: comma-separated datastream ids
+  *   — one input partition per id (the Spark-task replacement for the
+  *   reference's fetch thread pool); absent = one partition for the
+  *   whole collection.
+  */
+class StaTable(path: String, transport: String = "file",
+               datastreams: Option[String] = None) extends Table with SupportsRead {
   override def name(): String = s"sta($path)"
   override def schema(): StructType = StaSource.flatSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new StaScanBuilder(path)
+    new StaScanBuilder(path, transport, datastreams)
 }
 
-class StaScanBuilder(path: String)
+class StaScanBuilder(path: String, transport: String = "file",
+                     datastreams: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var requiredSchema: StructType = StaSource.flatSchema
   private var pushed: Array[Filter] = Array.empty
@@ -133,34 +146,49 @@ class StaScanBuilder(path: String)
     requiredSchema = required
   }
   override def build(): Scan =
-    new StaScan(path, requiredSchema, odataFilter, pushed.toSeq)
+    new StaScan(path, requiredSchema, odataFilter, pushed.toSeq, transport, datastreams)
 }
 
 class StaScan(path: String, required: StructType, odataFilter: String,
-              pushedFilters: Seq[Filter] = Seq.empty)
+              pushedFilters: Seq[Filter] = Seq.empty,
+              transport: String = "file",
+              datastreams: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"StaScan(odataFilter=[$odataFilter], select=[${StaSource.compileSelect(required)}])"
+    s"StaScan(transport=$transport, odataFilter=[$odataFilter], " +
+      s"select=[${StaSource.compileSelect(required)}])"
 
-  /** One partition per captured response file (in production: one per
-    * (datastream, page) — `planInputPartitions` is where the reference's
-    * fetch threads become Spark tasks).
+  /** File transport: one partition per captured response file. HTTP
+    * transport: one partition per datastream id (each task runs its own
+    * paged fetch — the reference's per-datastream threads become Spark
+    * tasks), or a single whole-collection partition when no ids given.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
-    val files =
-      if (dir.isDirectory) dir.listFiles().filter(_.getName.endsWith(".json")).map(_.getPath)
-      else Array(path)
-    files.sorted.map(f => StaPartition(f, odataFilter, pushedFilters): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    if (transport == "http") {
+      val ids = datastreams.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      if (ids.isEmpty)
+        Array(StaPartition(path, odataFilter, pushedFilters, http = true))
+      else ids.map { id =>
+        val idClause = s"Datastream/id eq $id"
+        val f = if (odataFilter.isEmpty) idClause else s"$odataFilter and $idClause"
+        StaPartition(path, f, pushedFilters, http = true): InputPartition
+      }.toArray
+    } else {
+      val dir = new java.io.File(path)
+      val files =
+        if (dir.isDirectory) dir.listFiles().filter(_.getName.endsWith(".json")).map(_.getPath)
+        else Array(path)
+      files.sorted.map(f => StaPartition(f, odataFilter, pushedFilters): InputPartition)
+    }
   override def createReaderFactory(): PartitionReaderFactory =
     new StaReaderFactory(required)
 }
 
 case class StaPartition(file: String, odataFilter: String,
-                        pushed: Seq[Filter] = Seq.empty) extends InputPartition
+                        pushed: Seq[Filter] = Seq.empty,
+                        http: Boolean = false) extends InputPartition
 
 class StaReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -204,11 +232,12 @@ class StaPartitionReader(p: StaPartition, required: StructType)
       case _ => true // unknown pushed shape: keep (never claimed pushable)
     }
 
-  private val rows: Iterator[InternalRow] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(new java.io.File(p.file))
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val fieldIdx = required.fieldNames.zipWithIndex.toMap
+
+  /** Flatten one response document (either transport) to rows. */
+  private def parse(root: com.fasterxml.jackson.databind.JsonNode): Iterator[InternalRow] = {
     val ds = root.path("Datastreams")
-    val fieldIdx = required.fieldNames.zipWithIndex.toMap
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     ds.forEach { d =>
       val obsArr = d.path("Observations")
@@ -241,6 +270,33 @@ class StaPartitionReader(p: StaPartition, required: StructType)
     }
     out.iterator
   }
+
+  /** Standard SensorThings paging: follow `@iot.nextLink` until absent
+    * (reference pages with $top/$skip, `get_all_data` src/main.py:350-364;
+    * nextLink is the STA-spec equivalent and server-agnostic). Fetched
+    * lazily — a `limit(n)` query stops paging once satisfied.
+    */
+  private def httpPages(startUrl: String): Iterator[com.fasterxml.jackson.databind.JsonNode] =
+    new Iterator[com.fasterxml.jackson.databind.JsonNode] {
+      private var pending: Option[String] = Some(startUrl)
+      override def hasNext: Boolean = pending.isDefined
+      override def next(): com.fasterxml.jackson.databind.JsonNode = {
+        val root = mapper.readTree(StaHttp.get(pending.get))
+        val nl = root.path("@iot.nextLink")
+        pending = if (nl.isMissingNode || nl.isNull || nl.asText().isEmpty) None
+                  else Some(nl.asText())
+        root
+      }
+    }
+
+  private val rows: Iterator[InternalRow] =
+    if (p.http) {
+      val sep = if (p.file.contains("?")) "&" else "?"
+      val url =
+        if (p.odataFilter.isEmpty) p.file
+        else s"${p.file}$sep%24filter=${StaHttp.enc(p.odataFilter)}"
+      httpPages(url).flatMap(parse)
+    } else parse(mapper.readTree(new java.io.File(p.file)))
 
   private var current: InternalRow = _
   override def next(): Boolean = { if (rows.hasNext) { current = rows.next(); true } else false }
