@@ -78,6 +78,55 @@ object ConfigLoader {
        |}""".stripMargin
   }
 
+  /** Hydra/omegaconf-style env resolvers (reference `conf/config.yaml:24-25`
+    * uses `${oc.env:VAR}`): `${oc.env:NAME}` (required) and
+    * `${oc.env:NAME,default}`. Applied textually before parsing, like
+    * omegaconf's string interpolation.
+    */
+  def interpolateEnv(doc: String, env: Map[String, String] = sys.env): String = {
+    val re = raw"\$$\{oc\.env:([A-Za-z_][A-Za-z0-9_]*)(?:,([^}]*))?\}".r
+    re.replaceAllIn(doc, m => {
+      val v = env.get(m.group(1)).orElse(Option(m.group(2))).getOrElse(
+        throw new IllegalArgumentException(
+          s"env var '${m.group(1)}' not set and no default given"))
+      scala.util.matching.Regex.quoteReplacement(v)
+    })
+  }
+
+  /** Multi-document composition, hydra-style: later documents override
+    * earlier ones — objects deep-merge key-wise, scalars and arrays
+    * replace wholesale (an override list REPLACES the base list, the
+    * hydra default).
+    */
+  def compose(docs: Seq[String]): String = {
+    require(docs.nonEmpty, "no config documents")
+    val mapper = new ObjectMapper()
+    mapper.writeValueAsString(docs.map(mapper.readTree).reduceLeft(deepMerge))
+  }
+
+  private def deepMerge(base: JsonNode, over: JsonNode): JsonNode =
+    if (base.isObject && over.isObject) {
+      val out = base.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+      over.properties().asScala.foreach { e =>
+        if (out.has(e.getKey))
+          out.set[JsonNode](e.getKey, deepMerge(out.get(e.getKey), e.getValue))
+        else out.set[JsonNode](e.getKey, e.getValue)
+      }
+      out: JsonNode
+    } else over
+
+  /** Full composition pipeline: read files in order, interpolate env
+    * resolvers, deep-merge, then parse/validate with CLI overrides last.
+    */
+  def loadFiles(paths: Seq[String], overrides: Map[String, String] = Map.empty,
+                env: Map[String, String] = sys.env): Either[Seq[ValidationError], Loaded] = {
+    val docs = paths.map { p =>
+      interpolateEnv(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"), env)
+    }
+    load(compose(docs), overrides)
+  }
+
   def load(json: String, overrides: Map[String, String] = Map.empty): Either[Seq[ValidationError], Loaded] = {
     val mapper = new ObjectMapper()
     val root = mapper.readTree(json)

@@ -220,4 +220,70 @@ object Geo {
     val v = mask.map(m => when(m, base)).getOrElse(base)
     QcCheck("depth_above_threshold", v, Flags.Bad, onNan = Some(Flags.NoQc))
   }
+
+  // ---------------------------------------------------------------------
+  // Real reference-data paths (round-2: loaders behind the same engine
+  // pieces — see graft.sources.geo.{ShapefileReader, PolygonTable,
+  // GridLoader}). Polygons/grids are small reference data: they ride as
+  // literals, plan references, or one broadcast join — the observation
+  // side never shuffles for a lookup.
+  // ---------------------------------------------------------------------
+
+  import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
+
+  /** Native ray-casting PIP over a ring COLUMN (array<double>, interleaved
+    * lat/lon — what [[graft.sources.geo.PolygonTable]] produces). Compact
+    * codegen'd loop; same math as the literal [[pointInPolygon]].
+    */
+  def pointInPolygonCol(lat: Column, lon: Column, ring: Column): Column =
+    exprCol(PointInPolygonExpr(colExpr(lat), colExpr(lon), colExpr(ring)))
+
+  /** Bilinear elevation from a loaded [[Grid]] (NetCDF-shaped reference
+    * data → `GridLoader`); null outside the grid (flag_on_nan path).
+    */
+  def gridElevationFrom(grid: Grid, lat: Column, lon: Column): Column =
+    exprCol(GridElevationExpr(colExpr(lat), colExpr(lon), grid))
+
+  /** First-match-wins classification against a driver-side polygon list
+    * (bbox guard, then native PIP on the literal ring). Right-sized for
+    * moderate polygon sets (the SeaVox regional table); for thousands of
+    * polygons use [[classifyByPolygonTable]].
+    */
+  def classifyPolyRegions(lat: Column, lon: Column,
+                          regions: Seq[(String, Array[Double])]): Column =
+    regions.foldRight(lit(null).cast("string")) { case ((name, ring), acc) =>
+      var latMin = Double.MaxValue; var latMax = Double.MinValue
+      var lonMin = Double.MaxValue; var lonMax = Double.MinValue
+      var i = 0
+      while (i < ring.length) {
+        latMin = math.min(latMin, ring(i)); latMax = math.max(latMax, ring(i))
+        lonMin = math.min(lonMin, ring(i + 1)); lonMax = math.max(lonMax, ring(i + 1))
+        i += 2
+      }
+      when(lat >= latMin && lat <= latMax && lon >= lonMin && lon <= lonMax &&
+        pointInPolygonCol(lat, lon, typedLit(ring.toSeq)), lit(name)).otherwise(acc)
+    }
+
+  /** Classification against a polys frame (any size): broadcast the
+    * polygons, bbox-prefilter the nested-loop join, native PIP on the
+    * candidates, lowest `priority` wins per point ("lowest level found",
+    * reference src/main.py:527-533). Adds `region` / `sub_region` to the
+    * points frame. One shuffle by `idCol` to reduce multi-polygon
+    * matches; everything before it is map-side against the broadcast.
+    */
+  def classifyByPolygonTable(points: DataFrame, polys: DataFrame,
+                             idCol: String, lat: Column, lon: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = points.join(
+      broadcast(polys),
+      lat >= col("lat_min") && lat <= col("lat_max") &&
+        lon >= col("lon_min") && lon <= col("lon_max") &&
+        pointInPolygonCol(lat, lon, col("ring")),
+      "left")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("priority").asc_nulls_last)
+    cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(points.columns.map(col) :+
+        col("name").as("region") :+ col("sub_region"): _*)
+  }
 }

@@ -63,6 +63,29 @@ class ConfigUtilSpec extends SparkSpec {
     assert(ConfigLoader.parseDurationUs("10mins") == 600000000L)
   }
 
+  test("env interpolation + multi-file composition (hydra resolver parity)") {
+    // ${oc.env:VAR} and ${oc.env:VAR,default} (reference config.yaml:24-25)
+    val doc = """{"a": "${oc.env:GRAFT_A}", "b": "${oc.env:GRAFT_MISSING,fallback}"}"""
+    val out = ConfigLoader.interpolateEnv(doc, Map("GRAFT_A" -> "hello"))
+    assert(out == """{"a": "hello", "b": "fallback"}""")
+    intercept[IllegalArgumentException](
+      ConfigLoader.interpolateEnv("""{"x": "${oc.env:GRAFT_MISSING}"}""", Map.empty))
+
+    // deep-merge: objects merge key-wise, scalars/arrays replace
+    val base = """{"QC": {"1": {"range": {"min": 0, "max": 10}}},
+                  |"QC_global": {"zscore": {"min": -3, "max": 3}},
+                  |"QC_dependent": [{"independent": 1, "dependent": 2}]}""".stripMargin
+    val overlay = """{"QC": {"2": {"range": {"min": 5, "max": 6}}},
+                    |"QC_global": {"zscore": {"max": 4}},
+                    |"QC_dependent": []}""".stripMargin
+    val merged = ConfigLoader.compose(Seq(base, overlay))
+    val loaded = ConfigLoader.load(merged).toOption.get
+    assert(loaded.streams.map(_.datastreamId).toSet == Set(1L, 2L)) // objects merged
+    assert(loaded.global.zscoreMax.contains(4.0)) // overlay wins
+    assert(loaded.global.zscoreMin.contains(-3.0)) // base survives
+    assert(loaded.dependents.isEmpty) // arrays replace wholesale
+  }
+
   test("config template generation round-trips through the loader (O5, src/main.py:77-143)") {
     val obs = Seq((1L, 5.5), (1L, 19.2), (2L, -3.0), (2L, 7.7))
       .toDF(graft.core.Obs.DatastreamId, graft.core.Obs.Result)

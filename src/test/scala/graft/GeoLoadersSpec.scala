@@ -1,0 +1,146 @@
+package graft
+
+import graft.ops.Geo
+import graft.sources.geo.{GridLoader, PolygonTable, ShapefileReader}
+import org.apache.spark.sql.functions._
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.Files
+
+/** S8/S9 loaders: ESRI shapefile + dbf binary parse, WKT polygon-table
+  * (the JDBC/PostGIS SeaVox shape), f32 grid load, and the native
+  * PIP/bilinear expressions over loaded data — closing the round-1 gap
+  * "engine pieces real, only synthetic instantiations".
+  */
+class GeoLoadersSpec extends SparkSpec {
+
+  // ---- in-test binary fixtures ------------------------------------------
+
+  /** One-polygon .shp (type 5) with the given ring ((lon,lat) pairs). */
+  private def writeShp(rings: Seq[Array[(Double, Double)]]): String = {
+    val recs = rings.map { pts =>
+      val contentBytes = 4 + 32 + 4 + 4 + 4 + 16 * pts.length
+      val b = ByteBuffer.allocate(8 + contentBytes)
+      b.order(ByteOrder.BIG_ENDIAN)
+      b.putInt(1).putInt(contentBytes / 2)
+      b.order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(5) // Polygon
+      val xs = pts.map(_._1); val ys = pts.map(_._2)
+      b.putDouble(xs.min).putDouble(ys.min).putDouble(xs.max).putDouble(ys.max)
+      b.putInt(1).putInt(pts.length).putInt(0)
+      pts.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
+      b.array()
+    }
+    val total = 100 + recs.map(_.length).sum
+    val buf = ByteBuffer.allocate(total)
+    buf.order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(9994); buf.position(24); buf.putInt(total / 2)
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(1000).putInt(5)
+    buf.position(100)
+    recs.foreach(buf.put)
+    val f = Files.createTempFile("graft_test", ".shp")
+    Files.write(f, buf.array())
+    f.toString
+  }
+
+  /** Companion .dbf with a single 10-char NAME column. */
+  private def writeDbf(names: Seq[String]): String = {
+    val headerSize = 32 + 32 + 1
+    val recordSize = 1 + 10
+    val buf = ByteBuffer.allocate(headerSize + names.length * recordSize + 1)
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(0x03.toByte); buf.position(4); buf.putInt(names.length)
+    buf.putShort(8, headerSize.toShort); buf.putShort(10, recordSize.toShort)
+    buf.position(32)
+    val nameBytes = "NAME".getBytes("US-ASCII") ++ Array.fill(7)(0.toByte)
+    buf.put(nameBytes); buf.put('C'.toByte)
+    buf.position(32 + 16); buf.put(10.toByte)
+    buf.position(32 + 32); buf.put(0x0d.toByte)
+    names.foreach { n =>
+      buf.put(' '.toByte)
+      buf.put(n.padTo(10, ' ').take(10).getBytes("US-ASCII"))
+    }
+    buf.put(0x1a.toByte)
+    val f = Files.createTempFile("graft_test", ".dbf")
+    Files.write(f, buf.array())
+    f.toString
+  }
+
+  // a square and a triangle in the Belgian bight
+  private val square = Array((2.0, 51.0), (3.0, 51.0), (3.0, 52.0), (2.0, 52.0), (2.0, 51.0))
+  private val triangle = Array((3.5, 51.0), (4.5, 51.0), (4.0, 52.0), (3.5, 51.0))
+
+  test("shapefile + dbf: binary parse round-trips rings and names") {
+    val shp = writeShp(Seq(square, triangle))
+    val dbf = writeDbf(Seq("SQUARE", "TRIANGLE"))
+    val shapes = ShapefileReader.readShp(shp)
+    val names = ShapefileReader.readDbfStrings(dbf, "NAME")
+    assert(shapes.length == 2 && names == Seq("SQUARE", "TRIANGLE"))
+    // interleaved lat,lon: first vertex of the square is (lat 51, lon 2)
+    assert(shapes.head.outerRing.take(2).toSeq == Seq(51.0, 2.0))
+    assert(shapes.head.outerRing.length == 2 * square.length)
+  }
+
+  test("polygon table from shapefile classifies points (broadcast join path)") {
+    val shp = writeShp(Seq(square, triangle))
+    val dbf = writeDbf(Seq("SQUARE", "TRIANGLE"))
+    val polys = PolygonTable.fromShapefile(spark, shp, dbf, "NAME")
+    assert(polys.count() == 2)
+    import spark.implicits._
+    val pts = Seq((1L, 51.5, 2.5), (2L, 51.2, 4.0), (3L, 55.0, 9.9))
+      .toDF("id", "lat", "lon")
+    val got = Geo.classifyByPolygonTable(pts, polys, "id", col("lat"), col("lon"))
+      .select("id", "region").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "SQUARE" && got(2L) == "TRIANGLE" && got(3L) == null)
+  }
+
+  test("WKT polygon table (the ST_AsText/JDBC shape) matches the literal PIP") {
+    import spark.implicits._
+    val wkt = Seq(("BIGHT", "SOUTH", "POLYGON ((2 51, 3 51, 3 52, 2 52, 2 51))"))
+      .toDF("name", "sub", "wkt")
+    val polys = PolygonTable.fromWkt(wkt, "name", "sub", "wkt")
+    val ring = PolygonTable.parseWktPolygonRing("POLYGON ((2 51, 3 51, 3 52, 2 52, 2 51))")
+    assert(ring.take(4).toSeq == Seq(51.0, 2.0, 51.0, 3.0))
+    val pts = Seq((1L, 51.5, 2.5), (2L, 50.0, 2.5)).toDF("id", "lat", "lon")
+    val byTable = Geo.classifyByPolygonTable(pts, polys, "id", col("lat"), col("lon"))
+      .select("id", "region").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byTable(1L) == "BIGHT" && byTable(2L) == null)
+    // native ring-column PIP == literal Column-algebra PIP on a point grid
+    val grid = for { la <- 50 to 53; lo <- 1 to 4 } yield (la + 0.5, lo + 0.5)
+    val gridDf = grid.toDF("lat", "lon")
+    val both = gridDf.select(
+      Geo.pointInPolygonCol(col("lat"), col("lon"), typedLit(ring.toSeq)).as("native"),
+      Geo.pointInPolygon(col("lat"), col("lon"),
+        Seq((51.0, 2.0), (51.0, 3.0), (52.0, 3.0), (52.0, 2.0))).as("literal"))
+      .collect()
+    both.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+  }
+
+  test("f32 grid loader + native bilinear matches the synthetic grid expression") {
+    // dump the synthetic grid formula to raw f32, reload, compare lookups
+    val nLat = 61; val nLon = 61
+    val values = new Array[Float](nLat * nLon)
+    for (i <- 0 until nLat; j <- 0 until nLon)
+      values(i * nLon + j) = (((i * 7 + j * 13) % 100) - 80).toFloat
+    val buf = ByteBuffer.allocate(values.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    values.foreach(buf.putFloat)
+    val f = Files.createTempFile("graft_grid", ".f32")
+    Files.write(f, buf.array())
+    val grid = GridLoader.fromF32(f.toString, 50.0, 0.05, nLat, 2.0, 0.05, nLon)
+
+    import spark.implicits._
+    val pts = Seq((51.234, 2.789), (50.001, 2.001), (52.9, 4.9)).toDF("lat", "lon")
+    val rows = pts.select(
+      Geo.gridElevationFrom(grid, col("lat"), col("lon")).as("loaded"),
+      Geo.gridElevation(col("lat"), col("lon")).as("synthetic")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+        s"bilinear mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+    // outside the grid => null (flag_on_nan path)
+    val out = Seq((10.0, 10.0)).toDF("lat", "lon")
+      .select(Geo.gridElevationFrom(grid, col("lat"), col("lon"))).collect()
+    assert(out(0).isNullAt(0))
+  }
+}
