@@ -93,3 +93,76 @@ case class LshBucketExpr(child: Expression, nPlanes: Int, dim: Int)
   override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
     copy(child = newChild)
 }
+
+/** Native winnowing fingerprint kernel (Schleimer/Wilkerson/Aiken,
+  * SIGMOD'03): Karp-Rabin polynomial hash per k-char gram, minimum per
+  * sliding window of `w` grams, sorted distinct mins. Value-identical to
+  * `TextAnalysis.winnowingFingerprints`'s Column-algebra form (same
+  * Horner fold mod the same prime over the same space-padded code
+  * points) — but one compiled pass instead of interpreted
+  * transform/slice/array_min lambdas over O(n·w) elements.
+  */
+case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints requires string, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowFingerprintsExpr.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString, k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowFingerprintsExpr.compute($c.toString(), $k, $w);")
+
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintsExpr =
+    copy(child = newChild)
+}
+
+object WinnowFingerprintsExpr {
+  import graft.functions.{TextAnalysis => TA}
+
+  /** Static entry shared by eval and codegen (loop logic stays compiled
+    * Scala; the generated code is one call).
+    */
+  def compute(text: String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // code points, space-padded to at least k (same as rpad(…, k, ' '))
+    val raw = text.codePoints().toArray
+    val codes = if (raw.length >= k) raw else raw ++ Array.fill(k - raw.length)(' '.toInt)
+    val n = codes.length
+    val nGrams = n - k + 1
+    val grams = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * TA.WinnowB + codes(i + j)) % TA.WinnowP; j += 1 }
+      grams(i) = h
+      i += 1
+    }
+    // min per sliding window of w grams (w is small; direct scan)
+    val nWin = math.max(nGrams - w + 1, 1)
+    val mins = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i < nWin) {
+      var m = grams(i)
+      var j = i + 1
+      val end = math.min(i + w, nGrams)
+      while (j < end) { if (grams(j) < m) m = grams(j); j += 1 }
+      mins.add(m)
+      i += 1
+    }
+    val out = new Array[Long](mins.size())
+    val it = mins.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

@@ -74,6 +74,24 @@ object Similarity {
     s"CAST($bits AS BIGINT)"
   }
 
+  /** Embedding-cosine near-duplicate pairs (the dedup-family member over
+    * vectors): candidate pairs share an LSH bucket — an equi-join, never
+    * O(n²) — then exact cosine verifies ≥ tau. Fewer planes = bigger
+    * buckets = higher recall at more verification work. Returns
+    * (id_a, id_b, cos) with id_a < id_b.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                         tau: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      lshBucket(col(embCol), nPlanes, dim).as("bucket"))
+    b.as("x").join(b.as("y"), Seq("bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .withColumn("cos", cosine(col("x.emb"), col("y.emb")))
+      .filter(col("cos") >= tau)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** LSH-bucketed ANN: candidates share a bucket; exact cosine re-rank
     * inside the bucket. Recall is tunable via nPlanes (fewer planes =
     * bigger buckets = higher recall, more work).

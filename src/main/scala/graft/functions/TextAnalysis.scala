@@ -49,33 +49,10 @@ object TextAnalysis {
     * right-padded with spaces to yield exactly one gram.
     * Returns a sorted distinct array<long>.
     */
-  def winnowingFingerprints(normText: Column, k: Int = 8, w: Int = 16): Column = {
-    // NOTE: pass a *materialized column* of normalized text (e.g.
-    // `.withColumn("norm", TextAnalysis.normalized($"text"))`), not the
-    // normalization expression itself — expressions referenced inside the
-    // lambdas below re-evaluate per element (the shingle lesson: that
-    // would re-run the regex O(chars) times per document).
-    val padded = call_function("rpad", normText,
-      greatest(length(normText), lit(k)), lit(" "))
-    // one O(n) pass to code points; every later access is O(1) element_at
-    // (substr-per-gram would re-scan the string from the start each time)
-    val codes = transform(filter(split(padded, ""), c => c =!= ""),
-      c => ascii(c).cast("long"))
-    val mins = element_at(
-      // bind evaluated arrays as lambda vars (cs, g): HOF argument
-      // expressions evaluate once, lambda-body references re-evaluate
-      transform(array(codes), cs => {
-        val grams = transform(sequence(lit(1), size(cs) - (k - 1)),
-          i => (0 until k).foldLeft(lit(0L)) { (h, j) =>
-            (h * lit(WinnowB) + element_at(cs, i + lit(j))) % lit(WinnowP)
-          })
-        element_at(transform(array(grams), g =>
-          transform(sequence(lit(1), greatest(size(g) - (w - 1), lit(1))),
-            i => array_min(slice(g, i, lit(w))))), 1)
-      }),
-      1)
-    array_sort(array_distinct(mins))
-  }
+  def winnowingFingerprints(normText: Column, k: Int = 8, w: Int = 16): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      WinnowFingerprintsExpr(
+        org.apache.spark.sql.GraftExpressionBridge.expression(normText), k, w))
 
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deliberately minimal and deterministic.

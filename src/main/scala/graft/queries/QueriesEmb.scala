@@ -55,6 +55,24 @@ object QueriesEmb {
       Some(s"""SELECT vec_id, ${Similarity.lshBucketSql("embedding", 12, Dim)} AS bucket
               |FROM embeddings""".stripMargin)),
 
+    // embedding-cosine near-dup pairs: LSH-bucket candidates (equi-join),
+    // exact cosine verify — the dedup-family member over vectors; fully
+    // oracle-checked (quantized-integer buckets + fixed-fold cosine)
+    QDef("dd_embed_cosine",
+      (s, dir) => Similarity.cosineNearDupPairs(Q.table(s, dir, "embeddings"),
+        "vec_id", "embedding", tau = 0.3, nPlanes = 6, dim = Dim),
+      Some {
+        val dxy = dotSql("x.e", "y.e")
+        val dxx = dotSql("x.e", "x.e")
+        val dyy = dotSql("y.e", "y.e")
+        s"""WITH b AS (SELECT vec_id AS id, embedding AS e,
+           |  ${Similarity.lshBucketSql("embedding", 6, Dim)} AS bucket FROM embeddings)
+           |SELECT x.id AS id_a, y.id AS id_b,
+           |  round($dxy / (sqrt($dxx) * sqrt($dyy)), 6) AS cos
+           |FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+           |WHERE $dxy / (sqrt($dxx) * sqrt($dyy)) >= 0.3""".stripMargin
+      }),
+
     // LSH-bucketed top-k (approximate; rows-only — its candidate set is
     // the operator's own semantics, pinned instead by ScalaTest recall
     // tests against the brute-force baseline)
