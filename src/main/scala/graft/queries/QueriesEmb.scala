@@ -73,16 +73,34 @@ object QueriesEmb {
            |WHERE $dxy / (sqrt($dxx) * sqrt($dyy)) >= 0.3""".stripMargin
       }),
 
-    // LSH-bucketed top-k (approximate; rows-only — its candidate set is
-    // the operator's own semantics, pinned instead by ScalaTest recall
-    // tests against the brute-force baseline)
+    // LSH-bucketed top-k. Round 2: fully oracle-checked — the quantized-
+    // integer buckets are engine-portable, so the candidate set (and
+    // therefore the approximate top-k itself) is deterministic SQL.
+    // Recall vs brute force stays pinned by ScalaTest.
     QDef("sim_lsh_topk",
       (s, dir) => {
         val emb = Q.table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 50 === 0)
         Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 10)
       },
-      None),
+      Some {
+        val dqq = dotSql("q.e", "q.e")
+        val dcc = dotSql("c.e", "c.e")
+        val dqc = dotSql("q.e", "c.e")
+        s"""WITH b AS (SELECT vec_id, embedding AS e,
+           |  ${Similarity.lshBucketSql("embedding", 12, Dim)} AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, e, bucket FROM b WHERE vec_id % 50 = 0),
+           |s AS (
+           |  SELECT q.query_id, c.vec_id AS match_id,
+           |    $dqc / (sqrt($dqq) * sqrt($dcc)) AS sim
+           |  FROM b c JOIN q ON c.bucket = q.bucket AND q.query_id <> c.vec_id)
+           |SELECT query_id, match_id, rank, round(sim, 6) AS sim FROM (
+           |  SELECT query_id, match_id, sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, match_id ASC) AS INT) AS rank
+           |  FROM s) r
+           |WHERE rank <= 10""".stripMargin
+      }),
 
     // multimodal metadata pass (no decode; payload = utf-8 bytes of text)
     QDef("mm_metadata",

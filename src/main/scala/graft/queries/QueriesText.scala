@@ -33,6 +33,31 @@ object QueriesText {
   private def baseHashSql(c: String): String =
     s"CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)"
 
+  /** MinHash signature + banding CTEs over `sh` (mirrors
+    * Dedup.minhashBands: 16 affine permutations mod P, 4 bands of 4,
+    * band key = md5 of the joined band mins). Yields CTE `bands`
+    * (id, band_idx, band_key).
+    */
+  private val minhashBandsCte: String = {
+    val k = Dedup.MinhashK
+    val bands = 4
+    val r = k / bands
+    val h = baseHashSql("shingle")
+    val minCols = (0 until k).map { i =>
+      s"  min(($h * ${Dedup.hashCoeffA(i)} + ${Dedup.hashCoeffB(i)}) % ${Dedup.MinhashP}) AS m$i"
+    }.mkString(",\n")
+    val bandSelects = (0 until bands).map { b =>
+      val parts = (0 until r).map(i => s"m${b * r + i}").mkString(", ")
+      s"  SELECT id, $b AS band_idx, md5(concat_ws('_', $parts)) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""sig AS (
+       |  SELECT doc_id AS id,
+       |$minCols
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects)""".stripMargin
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // token counting + char metrics
@@ -167,32 +192,35 @@ object QueriesText {
     // MinHash LSH band buckets (the 100 TB-scale dedup path)
     QDef("dd_minhash_bands",
       (s, dir) => Dedup.minhashBands(Q.table(s, dir, "documents"), "doc_id", "text"),
-      Some {
-        val k = Dedup.MinhashK
-        val bands = 4
-        val r = k / bands
-        val h = baseHashSql("shingle")
-        val minCols = (0 until k).map { i =>
-          s"  min(($h * ${Dedup.hashCoeffA(i)} + ${Dedup.hashCoeffB(i)}) % ${Dedup.MinhashP}) AS m$i"
-        }.mkString(",\n")
-        val bandSelects = (0 until bands).map { b =>
-          val parts = (0 until r).map(i => s"m${b * r + i}").mkString(", ")
-          s"SELECT id, $b AS band_idx, md5(concat_ws('_', $parts)) AS band_key FROM sig"
-        }.mkString("\nUNION ALL\n")
-        s"""WITH $shinglesCte,
-           |sig AS (
-           |  SELECT doc_id AS id,
-           |$minCols
-           |  FROM sh GROUP BY doc_id)
-           |$bandSelects""".stripMargin
-      }),
+      Some(s"""WITH $shinglesCte,
+              |$minhashBandsCte
+              |SELECT id, band_idx, band_key FROM bands""".stripMargin)),
 
-    // MinHash candidate pairs verified with exact Jaccard (rows-only check:
-    // the LSH candidate set is the operator's own semantics)
+    // MinHash candidate pairs verified with exact Jaccard. Round 2: fully
+    // oracle-checked — band keys are deterministic portable integers, so
+    // the candidate set (bands self-join) and the exact-Jaccard verify
+    // are plain SQL (jaccard over distinct shingle sets = co/(na+nb−co)).
     QDef("dd_minhash_pairs",
       (s, dir) => Dedup.minhashNearDupPairs(Q.table(s, dir, "documents"),
         "doc_id", "text", tau = 0.5),
-      None),
+      Some(s"""WITH $shinglesCte,
+              |$minhashBandsCte,
+              |cand AS (
+              |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+              |  FROM bands x JOIN bands y
+              |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.id < y.id),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |co AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT c.id_a, c.id_b,
+              |  round(CAST(co.co AS DOUBLE) / CAST(sa.n + sb.n - co.co AS DOUBLE), 6) AS jaccard
+              |FROM cand c
+              |JOIN co ON co.id_a = c.id_a AND co.id_b = c.id_b
+              |JOIN sizes sa ON sa.doc_id = c.id_a
+              |JOIN sizes sb ON sb.doc_id = c.id_b
+              |WHERE CAST(co.co AS DOUBLE) / CAST(sa.n + sb.n - co.co AS DOUBLE) >= 0.5""".stripMargin)),
 
     // 32-bit SimHash per document (relational vote-sum form — one
     // codegen'd shuffle; the Column-expression form is interpreted)
