@@ -126,6 +126,94 @@ case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment for IVF-style ANN: index (0-based) of the
+  * centroid with the highest cosine similarity to the input embedding —
+  * the coarse-quantizer step, map-side over a plan-reference centroid
+  * table (no shuffle; the corpus never moves to find its list).
+  *
+  * Bit-parity contract: the dot/norm folds run in sequential element
+  * order (== a left-associated SQL `+` chain) and the scan keeps the
+  * FIRST strictly-greatest cosine — identical to
+  * `row_number() OVER (ORDER BY cos DESC, centroid_id ASC) = 1` when
+  * `cents` is ordered by centroid id.
+  *
+  * @param cents flattened centroid matrix [c0d0, c0d1, …, c1d0, …],
+  *              doubles, ordered by centroid id
+  */
+case class NearestCentroidExpr(child: Expression, cents: Array[Double], dim: Int)
+    extends UnaryExpression {
+
+  require(cents.length % dim == 0, "centroid matrix shape mismatch")
+  private val nCent = cents.length / dim
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid requires array<float|double>, got ${other.sql}")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val centNorms: Array[Double] = {
+    val out = new Array[Double](nCent)
+    var c = 0
+    while (c < nCent) {
+      var s = 0.0; var d = 0
+      while (d < dim) { val v = cents(c * dim + d); s += v * v; d += 1 }
+      out(c) = math.sqrt(s)
+      c += 1
+    }
+    out
+  }
+
+  /** Shared by eval and codegen (via plan reference). */
+  def nearest(arr: ArrayData): Int = {
+    val isF = elemIsFloat
+    val n = math.min(dim, arr.numElements())
+    var nx = 0.0
+    var d = 0
+    while (d < n) {
+      val x = if (isF) arr.getFloat(d).toDouble else arr.getDouble(d)
+      nx += x * x; d += 1
+    }
+    val normX = math.sqrt(nx)
+    var best = -1
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < nCent) {
+      var dot = 0.0
+      d = 0
+      while (d < n) {
+        val x = if (isF) arr.getFloat(d).toDouble else arr.getDouble(d)
+        dot += x * cents(c * dim + d)
+        d += 1
+      }
+      val cos = dot / (normX * centNorms(c))
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    nearest(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("graftNearestCentroid", this,
+      classOf[NearestCentroidExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.nearest($c);")
+  }
+
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
+    copy(child = newChild)
+}
+
 object WinnowFingerprintsExpr {
   import graft.functions.{TextAnalysis => TA}
 

@@ -92,6 +92,57 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  // ---- IVF (inverted-file) ANN -----------------------------------------
+
+  /** IVF-style ANN, the other classic scale path next to LSH: a coarse
+    * quantizer assigns every corpus vector to its nearest centroid
+    * (map-side native expression over a plan-reference centroid matrix —
+    * the 100 TB corpus never shuffles to find its list); each query
+    * probes only its `nProbe` nearest centroid lists, then exact cosine
+    * re-ranks the candidates.
+    *
+    * Centroid choice is deterministic (every `centroidEvery`-th vector,
+    * ordered by id) so results are oracle-reproducible; a deployment
+    * would swap in k-means centroids behind the same quantizer.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int, centroidEvery: Long = 100,
+              nProbe: Int = 2, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
+    val centDf = corpus.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"))
+    val centRows = centDf.orderBy(col("cent_id")).collect()
+    val centIds: Seq[Long] = centRows.map(_.getLong(0)).toSeq
+    val cents: Array[Double] = centRows.flatMap(
+      _.getSeq[Any](1).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+        case x => x.asInstanceOf[Number].doubleValue
+      }).toArray
+
+    // map-side coarse assignment: centroid INDEX -> centroid id
+    val nearestIdx = exprCol(NearestCentroidExpr(colExpr(col(embCol)), cents, dim))
+    val assigned = corpus.select(col(idCol).as("match_id"), col(embCol).as("c_emb"),
+      element_at(typedLit(centIds), nearestIdx + 1).as("cent_id"))
+
+    // query probes: tiny (queries × centroids), broadcast both ways
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("p_cos").desc, col("cent_id").asc)
+    val probes = q.join(broadcast(centDf), lit(true))
+      .withColumn("p_cos", cosine(col("q_emb"), col("cent_emb")))
+      .withColumn("p_rn", row_number().over(wProbe))
+      .filter(col("p_rn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cent_id"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id").asc)
+    assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("match_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("match_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   /** LSH-bucketed ANN: candidates share a bucket; exact cosine re-rank
     * inside the bucket. Recall is tunable via nPlanes (fewer planes =
     * bigger buckets = higher recall, more work).

@@ -102,6 +102,46 @@ object QueriesEmb {
            |WHERE rank <= 10""".stripMargin
       }),
 
+    // IVF-style ANN: map-side nearest-centroid assignment (native
+    // expression, corpus never shuffles to find its list), queries probe
+    // nProbe nearest lists, exact cosine re-rank — fully oracle-checked
+    // (deterministic centroids = every 100th vector; fixed-fold cosines)
+    QDef("sim_ivf_topk",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 10,
+          centroidEvery = 100L, nProbe = 2, dim = Dim)
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"(${dotSql(s"$a", s"$b")} / (sqrt(${dotSql(s"$a", s"$a")}) * sqrt(${dotSql(s"$b", s"$b")})))"
+        s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+           |             WHERE vec_id % 100 = 0),
+           |a AS (
+           |  SELECT e.vec_id AS match_id, e.embedding AS me, c.cent_id,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id ASC) AS rn
+           |  FROM embeddings e, cent c),
+           |assign AS (SELECT match_id, me, cent_id FROM a WHERE rn = 1),
+           |qp AS (
+           |  SELECT q.vec_id AS query_id, q.embedding AS qe, c.cent_id,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${cos("q.embedding", "c.ce")} DESC, c.cent_id ASC) AS rn
+           |  FROM embeddings q, cent c WHERE q.vec_id % 50 = 0),
+           |probes AS (SELECT query_id, qe, cent_id FROM qp WHERE rn <= 2),
+           |s AS (
+           |  SELECT p.query_id, a.match_id, ${cos("p.qe", "a.me")} AS sim
+           |  FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+           |  WHERE p.query_id <> a.match_id)
+           |SELECT query_id, match_id, rank, round(sim, 6) AS sim FROM (
+           |  SELECT query_id, match_id, sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, match_id ASC) AS INT) AS rank
+           |  FROM s) r
+           |WHERE rank <= 10""".stripMargin
+      }),
+
     // multimodal metadata pass (no decode; payload = utf-8 bytes of text)
     QDef("mm_metadata",
       (s, dir) => Multimodal.metadata(Multimodal.documentsAsMedia(s, dir)),

@@ -89,6 +89,23 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
     assert(approx.subsetOf(exact) == false || approx == exact) // sanity: approximate
   }
 
+  test("ivf top-k: probing more centroid lists improves recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .select($"query_id", $"match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10,
+        centroidEvery = 50L, nProbe = nProbe)
+        .select($"query_id", $"match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1)
+    val rAll = recallAt(100) // probe every list => brute force => full recall
+    assert(rAll == 1.0, s"full-probe recall $rAll should be exact")
+    assert(r1 > 0.0 && r1 <= rAll, s"recall@1=$r1 should be within (0, $rAll]")
+  }
+
   test("winnowing fingerprints: identical texts equal, near-dups overlap heavily") {
     val wf = docs.withColumn("norm", TextAnalysis.normalized($"text"))
       .select($"doc_id", TextAnalysis.winnowingFingerprints($"norm").as("wf"))
