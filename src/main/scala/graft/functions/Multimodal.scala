@@ -59,4 +59,57 @@ object Multimodal {
     media.select(col("media_id"), col("kind"),
       octet_length(col("payload")).cast("long").as("n_bytes"),
       md5(col("payload")).as("checksum"))
+
+  final case class ResizedMedia(media_id: Long, kind: String,
+                                width: Int, height: Int, payload: Array[Byte])
+
+  /** STUB resize: a real deployment decodes, resamples to
+    * (targetW, targetH), re-encodes — per partition so codec init
+    * amortizes. The fake is deterministic (payload cyclically resampled
+    * to the target pixel budget) and pins the real contracts: output
+    * schema, one-row-in-one-row-out, size proportional to target dims,
+    * map-side only (payloads never shuffle).
+    */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition "codec init" happens once here in a real pipeline
+      rows.map { r =>
+        val srcLen = math.max(r.payload.length, 1)
+        val outLen = math.max(targetW * targetH / 64, 1)
+        val out = Array.tabulate(outLen)(i =>
+          if (r.payload.isEmpty) 0.toByte else r.payload(i % srcLen))
+        ResizedMedia(r.media_id, r.kind, targetW, targetH, out)
+      }
+    }
+  }
+
+  final case class MediaFrame(media_id: Long, frame_idx: Int, t_ms: Long,
+                              frame: Array[Byte])
+
+  /** STUB frame sampling: a real deployment demuxes the container and
+    * decodes every `everyNth` frame up to `maxFrames` — the one-to-many
+    * explode shape, frame indexing, timestamping, and output bound are
+    * the real contracts pinned here. The fake treats the payload as
+    * fixed-size 256-byte "frames".
+    */
+  def sampleFrames(media: DataFrame, everyNth: Int = 10, maxFrames: Int = 8,
+                   fps: Double = 25.0): Dataset[MediaFrame] = {
+    require(everyNth >= 1 && maxFrames >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video").as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frameSize = 256
+        val total = math.max(r.payload.length / frameSize, 1)
+        (0 until total by everyNth).take(maxFrames).map { idx =>
+          val from = math.min(idx * frameSize, math.max(r.payload.length - 1, 0))
+          val until = math.min(from + frameSize, r.payload.length)
+          MediaFrame(r.media_id, idx, math.round(idx / fps * 1000),
+            java.util.Arrays.copyOfRange(r.payload, from, math.max(until, from)))
+        }
+      }
+    }
+  }
 }

@@ -159,6 +159,27 @@ object QueriesEmb {
       (s, dir) => Multimodal.decodeAndFeaturize(Multimodal.documentsAsMedia(s, dir))
         .toDF().select(col("media_id"), col("kind"), col("n_bytes"),
           col("checksum"), col("width"), col("height")),
-      None)
+      None),
+
+    // frame sampling: the one-to-many explode contract (stride, bound,
+    // timestamps, frame sizes) is deterministic plumbing — oracle-checked
+    // even though the codec is stubbed
+    QDef("mm_frames",
+      (s, dir) => Multimodal.sampleFrames(Multimodal.documentsAsMedia(s, dir),
+          everyNth = 2, maxFrames = 3, fps = 25.0)
+        .toDF().select(col("media_id"), col("frame_idx"), col("t_ms"),
+          octet_length(col("frame")).as("n_frame_bytes")),
+      Some("""WITH m AS (
+             |  SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |f AS (
+             |  SELECT media_id, len,
+             |    unnest(range(0, greatest(len // 256, 1), 2)) AS frame_idx
+             |  FROM m)
+             |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+             |  CAST(round(frame_idx / 25.0 * 1000) AS BIGINT) AS t_ms,
+             |  CAST(CASE WHEN len >= 256 THEN 256 ELSE len END AS INT) AS n_frame_bytes
+             |FROM f
+             |QUALIFY row_number() OVER (PARTITION BY media_id ORDER BY frame_idx) <= 3""".stripMargin))
   )
 }
