@@ -108,14 +108,23 @@ object WindowKernels {
                            lat: Column, lon: Column, timeUs: Column,
                            distM: (Column, Column, Column, Column) => Column =
                              Geo.haversineM): DataFrame = {
-    val dt = (timeUs - lag(timeUs, 1).over(w)).cast("double") / 1e6
-    val dist = distM(lag(lat, 1).over(w), lag(lon, 1).over(w), lat, lon)
-    val withV = df
+    // materialize the lags ONCE: Spark does not dedupe repeated identical
+    // window expressions, so a distance formula that references
+    // lag(lat)/lag(lon) many times (the polynomial portable distance
+    // expands each ~15×) would compute that many window columns per row
+    val withPrev = df
+      .withColumn("__prev_lat", lag(lat, 1).over(w))
+      .withColumn("__prev_lon", lag(lon, 1).over(w))
+      .withColumn("__prev_t_us", lag(timeUs, 1).over(w))
+    val dt = (timeUs - col("__prev_t_us")).cast("double") / 1e6
+    val dist = distM(col("__prev_lat"), col("__prev_lon"), lat, lon)
+    val withV = withPrev
       .withColumn("dt_sec", dt)
       .withColumn("velocity_ms", when(dt =!= 0.0, dist / dt))
     withV.withColumn("acceleration_ms2",
       when(col("dt_sec") =!= 0.0,
         (col("velocity_ms") - lag(col("velocity_ms"), 1).over(w)) / col("dt_sec")))
+      .drop("__prev_lat", "__prev_lon", "__prev_t_us")
   }
 
   /** Kinematics threshold checks (reference `get_bool_exceed_max_velocity`
