@@ -24,8 +24,16 @@ object Bench {
     // would silently flatter the total) and lands in the "errors" map
     val qs = results.map { case (k, v, e) => s"\"" + k + "\":" + (if (e.isEmpty) v else -1) }
       .mkString("{", ",", "}")
+    // full JSON string escaping (AnalysisException messages span lines —
+    // a raw \n would break the one-line metric contract)
+    def jstr(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errs = results.collect { case (k, _, Some(e)) =>
-      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      s"\"" + k + "\":\"" + jstr(e) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

@@ -196,7 +196,11 @@ case class NearestCentroidExpr(child: Expression, cents: Array[Double], dim: Int
       if (cos > bestCos) { bestCos = cos; best = c }
       c += 1
     }
-    best
+    // all-NaN cosines (zero-norm input): fall back to centroid 0 — the
+    // same choice the oracle's ORDER BY cos DESC, cent_id ASC makes
+    // (DuckDB sorts NaN above everything), and it keeps element_at(ids,
+    // best+1) in bounds instead of erroring the whole query
+    if (best < 0) 0 else best
   }
 
   override protected def nullSafeEval(input: Any): Any =

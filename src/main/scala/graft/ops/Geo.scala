@@ -238,6 +238,22 @@ object Geo {
   def pointInPolygonCol(lat: Column, lon: Column, ring: Column): Column =
     exprCol(PointInPolygonExpr(colExpr(lat), colExpr(lon), colExpr(ring)))
 
+  /** Bounding box of an interleaved [lat, lon, ...] ring — the single
+    * definition of the ring layout's bbox (loaders and classifiers share
+    * it).
+    */
+  def ringBbox(ring: Array[Double]): (Double, Double, Double, Double) = {
+    var latMin = Double.MaxValue; var latMax = Double.MinValue
+    var lonMin = Double.MaxValue; var lonMax = Double.MinValue
+    var i = 0
+    while (i < ring.length) {
+      latMin = math.min(latMin, ring(i)); latMax = math.max(latMax, ring(i))
+      lonMin = math.min(lonMin, ring(i + 1)); lonMax = math.max(lonMax, ring(i + 1))
+      i += 2
+    }
+    (latMin, latMax, lonMin, lonMax)
+  }
+
   /** Bilinear elevation from a loaded [[Grid]] (NetCDF-shaped reference
     * data → `GridLoader`); null outside the grid (flag_on_nan path).
     */
@@ -252,14 +268,7 @@ object Geo {
   def classifyPolyRegions(lat: Column, lon: Column,
                           regions: Seq[(String, Array[Double])]): Column =
     regions.foldRight(lit(null).cast("string")) { case ((name, ring), acc) =>
-      var latMin = Double.MaxValue; var latMax = Double.MinValue
-      var lonMin = Double.MaxValue; var lonMax = Double.MinValue
-      var i = 0
-      while (i < ring.length) {
-        latMin = math.min(latMin, ring(i)); latMax = math.max(latMax, ring(i))
-        lonMin = math.min(lonMin, ring(i + 1)); lonMax = math.max(lonMax, ring(i + 1))
-        i += 2
-      }
+      val (latMin, latMax, lonMin, lonMax) = ringBbox(ring)
       when(lat >= latMin && lat <= latMax && lon >= lonMin && lon <= lonMax &&
         pointInPolygonCol(lat, lon, typedLit(ring.toSeq)), lit(name)).otherwise(acc)
     }

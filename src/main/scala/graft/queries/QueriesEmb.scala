@@ -39,7 +39,7 @@ object QueriesEmb {
            |  SELECT query_id, match_id,
            |    $dqc / (sqrt($dqq) * sqrt($dcc)) AS sim
            |  FROM c, q WHERE query_id <> match_id)
-           |SELECT query_id, match_id, rank, round(sim, 6) AS sim FROM (
+           |SELECT query_id, match_id, rank, round(sim, 6) + 0.0e0 AS sim FROM (
            |  SELECT query_id, match_id, sim,
            |    CAST(row_number() OVER (PARTITION BY query_id
            |      ORDER BY sim DESC, match_id ASC) AS INT) AS rank
@@ -94,7 +94,7 @@ object QueriesEmb {
            |  SELECT q.query_id, c.vec_id AS match_id,
            |    $dqc / (sqrt($dqq) * sqrt($dcc)) AS sim
            |  FROM b c JOIN q ON c.bucket = q.bucket AND q.query_id <> c.vec_id)
-           |SELECT query_id, match_id, rank, round(sim, 6) AS sim FROM (
+           |SELECT query_id, match_id, rank, round(sim, 6) + 0.0e0 AS sim FROM (
            |  SELECT query_id, match_id, sim,
            |    CAST(row_number() OVER (PARTITION BY query_id
            |      ORDER BY sim DESC, match_id ASC) AS INT) AS rank
@@ -134,7 +134,7 @@ object QueriesEmb {
            |  SELECT p.query_id, a.match_id, ${cos("p.qe", "a.me")} AS sim
            |  FROM probes p JOIN assign a ON p.cent_id = a.cent_id
            |  WHERE p.query_id <> a.match_id)
-           |SELECT query_id, match_id, rank, round(sim, 6) AS sim FROM (
+           |SELECT query_id, match_id, rank, round(sim, 6) + 0.0e0 AS sim FROM (
            |  SELECT query_id, match_id, sim,
            |    CAST(row_number() OVER (PARTITION BY query_id
            |      ORDER BY sim DESC, match_id ASC) AS INT) AS rank

@@ -40,7 +40,10 @@ object PatchSink {
     */
   def batchBody(batch: Seq[(Long, Int)]): String =
     batch.zipWithIndex.map { case ((id, wire), i) =>
-      s"""{"id":"$i","method":"patch","url":"Observations($id)","body":{"resultQuality":"$wire"}}"""
+      // resultQuality is a NUMERIC wire code, matching the file sink's
+      // JSON shape — both transports must serialize identically for the
+      // last-writer-wins idempotence story to hold across them
+      s"""{"id":"$i","method":"patch","url":"Observations($id)","body":{"resultQuality":$wire}}"""
     }.mkString("""{"requests":[""", ",", "]}")
 
   /** S4 — live HTTP write-back (reference `patch_qc_flags`

@@ -44,23 +44,11 @@ object PolygonTable {
     }
   }
 
-  private def bbox(ring: Array[Double]): (Double, Double, Double, Double) = {
-    var latMin = Double.MaxValue; var latMax = Double.MinValue
-    var lonMin = Double.MaxValue; var lonMax = Double.MinValue
-    var i = 0
-    while (i < ring.length) {
-      latMin = math.min(latMin, ring(i)); latMax = math.max(latMax, ring(i))
-      lonMin = math.min(lonMin, ring(i + 1)); lonMax = math.max(lonMax, ring(i + 1))
-      i += 2
-    }
-    (latMin, latMax, lonMin, lonMax)
-  }
-
   /** Build the polys frame from (name, subRegion, outer ring) triples. */
   def fromRings(spark: SparkSession,
                 polys: Seq[(String, String, Array[Double])]): DataFrame = {
     val rows = polys.zipWithIndex.map { case ((name, sub, ring), i) =>
-      val (latMin, latMax, lonMin, lonMax) = bbox(ring)
+      val (latMin, latMax, lonMin, lonMax) = graft.ops.Geo.ringBbox(ring)
       Row(i, name, sub, latMin, latMax, lonMin, lonMax, ring.toSeq)
     }
     spark.createDataFrame(

@@ -5,7 +5,7 @@ import graft.sources.StaJson
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{Filter, GreaterThan, In, IsNotNull, LessThan}
+import org.apache.spark.sql.sources.{Filter, GreaterThan, In, LessThan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.catalyst.InternalRow
@@ -70,20 +70,34 @@ object StaSource {
       StructField(Obs.FeatureId, LongType)))
   }
 
+  /** Format a time filter value as the ISO-8601 literal OData expects
+    * (Spark hands java.sql.Timestamp, or Instant under the Java-8 API
+    * flag; a raw toString would emit '2024-01-01 00:15:00.0', which a
+    * spec-compliant STA server rejects).
+    */
+  private def odataTime(v: Any): String = v match {
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case i: java.time.Instant  => i.toString
+    case s => s.toString
+  }
+
   /** Compile pushed filters to the OData `$filter` string the reference
     * builds (`filter_cfg_to_query`): supported = time range on
     * phenomenonTime, IN on datastream_id. Everything else stays in Spark.
     */
   def compileODataFilter(filters: Seq[Filter]): (String, Seq[Filter], Seq[Filter]) = {
+    // NOTE: IsNotNull is deliberately residual — it adds nothing to the
+    // OData $filter, and a pushed (non-residual) filter must be fully
+    // enforced by the reader, which cannot evaluate IsNotNull on a
+    // column Spark pruned out of the required schema.
     val (pushable, residual) = filters.partition {
       case GreaterThan(Obs.Time, _) | LessThan(Obs.Time, _) => true
       case In(Obs.DatastreamId, _) => true
-      case IsNotNull(_) => true
       case _ => false
     }
     val clauses = pushable.flatMap {
-      case GreaterThan(Obs.Time, v) => Some(s"phenomenonTime gt $v")
-      case LessThan(Obs.Time, v) => Some(s"phenomenonTime lt $v")
+      case GreaterThan(Obs.Time, v) => Some(s"phenomenonTime gt ${odataTime(v)}")
+      case LessThan(Obs.Time, v) => Some(s"phenomenonTime lt ${odataTime(v)}")
       case In(Obs.DatastreamId, vs) =>
         Some(vs.map(v => s"Datastream/id eq $v").mkString("(", " or ", ")"))
       case _ => None
@@ -211,7 +225,9 @@ class StaPartitionReader(p: StaPartition, required: StructType)
     case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
     case i: java.time.Instant  => i.getEpochSecond * 1000000L + i.getNano / 1000L
     case l: java.lang.Long     => l
-    case s => java.time.Instant.parse(s.toString).toEpochMilli * 1000L
+    case s =>
+      val i = java.time.Instant.parse(s.toString)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L // full µs, not ms-truncated
   }
 
   /** Enforce the pushed (non-residual) predicates on a parsed row: Spark
@@ -220,15 +236,12 @@ class StaPartitionReader(p: StaPartition, required: StructType)
     * the server enforces the compiled `$filter`; the file transport
     * enforces the same semantics here, row by row.
     */
-  private def keep(dsId: Long, timeUs: Long, row: InternalRow,
-                   fieldIdx: Map[String, Int]): Boolean =
+  private def keep(dsId: Long, timeUs: Long): Boolean =
     p.pushed.forall {
       case GreaterThan(Obs.Time, v) => timeUs > filterTimeUs(v)
       case LessThan(Obs.Time, v)    => timeUs < filterTimeUs(v)
       case In(Obs.DatastreamId, vs) =>
         vs.exists(x => x.asInstanceOf[Number].longValue == dsId)
-      case IsNotNull(name) =>
-        fieldIdx.get(name).forall(i => !row.isNullAt(i))
       case _ => true // unknown pushed shape: keep (never claimed pushable)
     }
 
@@ -265,7 +278,7 @@ class StaPartitionReader(p: StaPartition, required: StructType)
           set(Obs.Lat, coords.get(1).asDouble())
         }
         set(Obs.FeatureId, o.path("FeatureOfInterest").path("@iot.id").asLong())
-        if (keep(d.path("@iot.id").asLong(), timeUs, row, fieldIdx)) out += row
+        if (keep(d.path("@iot.id").asLong(), timeUs)) out += row
       }
     }
     out.iterator

@@ -52,7 +52,13 @@ object StatefulStabilization {
         val stabUs = c.dtStabilizationSec * 1000000L
         var st = state.getOption.getOrElse(
           StabState(anyRow = false, 0L, 0L, hasUp = false, 0L, 0L))
-        val out = rows.toArray.sortBy(r => (r.tUs, r.iotId)).map { r =>
+        // rows sort within the batch; a row older than already-processed
+        // state would drive the cumsum BACKWARDS and silently corrupt all
+        // later downtime accounting — drop it, exactly what a watermark
+        // would do (the lookback-overlap runner is the late-data path)
+        val out = rows.toArray.sortBy(r => (r.tUs, r.iotId))
+          .filter(r => !st.anyRow || r.tUs >= st.lastTUs)
+          .map { r =>
           val within = r.result > c.rangeMin && r.result < c.rangeMax
           val isFirst = !st.anyRow
           val cum = if (isFirst) 0L else st.cumUs + (r.tUs - st.lastTUs)

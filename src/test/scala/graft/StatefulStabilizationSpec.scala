@@ -71,6 +71,26 @@ class StatefulStabilizationSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("late rows older than processed state are dropped, not applied backwards") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StabEvent]
+    val out = StatefulStabilization(mem.toDS(), conf)
+    val query = out.writeStream.format("memory").queryName("stab_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(events.filter(_.datastreamId == 7L).take(4))
+      query.processAllAvailable()
+      // a late row BEFORE the already-processed 2.5 h mark must not
+      // regress the cumsum (it would corrupt all later accounting)
+      mem.addData(Seq(StabEvent(7L, 99L, hours(1.5), 10.0)) ++
+        events.filter(_.datastreamId == 7L).drop(4))
+      query.processAllAvailable()
+      val got = spark.table("stab_late").select("iotId").collect().map(_.getLong(0)).toSet
+      assert(!got.contains(99L), "late row should be dropped")
+      assert(got.contains(7L), "in-order rows after the late one still process")
+    } finally query.stop()
+  }
+
   test("warm-up flags: stream start and post-outage rows BAD, stabilized rows NQC") {
     val f = batchFlags
     assert(f(1L) == graft.core.Flags.Bad)  // stream-start warm-up
