@@ -201,7 +201,7 @@ object QueriesQcEvents {
           col("t_us").cast("double") / 1e6, wStream), 6).as("gradient")),
       Some(s"""WITH ${Q.ObsCte}
               |SELECT iot_id, round(${WindowKernels.gradientSql("result", "(t_us / 1000000.0)",
-                "PARTITION BY datastream_id ORDER BY t_us, iot_id")}, 6) AS gradient
+                "PARTITION BY datastream_id ORDER BY t_us, iot_id")}, 6) + 0.0e0 AS gradient
               |FROM obs""".stripMargin)),
 
     // W2 — rolling z-score over a trailing 6 h time window
@@ -212,7 +212,7 @@ object QueriesQcEvents {
               |SELECT iot_id,
               |  round(CASE WHEN stddev_samp(result) OVER wz = 0 THEN NULL
               |        ELSE (result - avg(result) OVER wz) / stddev_samp(result) OVER wz
-              |        END, 6) AS zscore
+              |        END, 6) + 0.0e0 AS zscore
               |FROM obs
               |WINDOW wz AS (PARTITION BY datastream_id ORDER BY t_us
               |              RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
@@ -450,7 +450,7 @@ object QueriesQcEvents {
               |    END AS sub_region,
               |    ${Geo.gridElevationSql("lat", "lon")} AS elev
               |  FROM obs)
-              |SELECT iot_id, region, sub_region, round(elev, 6) AS elev,
+              |SELECT iot_id, region, sub_region, round(elev, 6) + 0.0e0 AS elev,
               |  CAST(greatest(
               |    CASE WHEN region IS NULL THEN 2 ELSE 0 END,
               |    CASE WHEN upper(coalesce(region, '')) LIKE '%MAINLAND%' THEN 4 ELSE 0 END,
