@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.Similarity
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+
+/** The SQL-function surface must agree with the Column API — same native
+  * expressions behind both.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions match the Column API results") {
+    GraftFunctions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_v")
+
+    val viaSql = spark.sql("SELECT vec_id, lsh_bucket(embedding) AS b FROM emb_v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = spark.table("emb_v")
+      .select($"vec_id", Similarity.lshBucket($"embedding").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+
+    val wf = spark.sql(
+      "SELECT winnow_fingerprints('the quick brown fox jumps over the lazy dog') AS f")
+      .collect()(0).getSeq[Long](0)
+    assert(wf.nonEmpty && wf == wf.sorted)
+
+    val pip = spark.sql(
+      """SELECT point_in_polygon(51.5D, 2.5D,
+        |  array(51.0D, 2.0D, 51.0D, 3.0D, 52.0D, 3.0D, 52.0D, 2.0D)) AS inside,
+        |point_in_polygon(50.0D, 2.5D,
+        |  array(51.0D, 2.0D, 51.0D, 3.0D, 52.0D, 3.0D, 52.0D, 2.0D)) AS outside
+        |""".stripMargin).collect()(0)
+    assert(pip.getBoolean(0) && !pip.getBoolean(1))
+  }
+
+  test("extensions class wires the same builders into a session-extensions hook") {
+    // the spark.sql.extensions entry point applies cleanly
+    new GraftExtensions().apply(new SparkSessionExtensions)
+    // arity validation is enforced at the SQL layer
+    GraftFunctions.register(spark)
+    val err = intercept[Exception](spark.sql("SELECT lsh_bucket()").collect())
+    assert(err.getMessage.contains("lsh_bucket"))
+  }
+}
