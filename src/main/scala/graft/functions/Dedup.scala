@@ -99,17 +99,21 @@ object Dedup {
         ceil(lit(tau / (1 + tau)) * (col("x.n") + col("y.n"))))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
 
-    // exact verification through the inverted index over the pruned
-    // candidate set: equi-join on (doc, shingle) so only co-occurring
-    // shingles survive, then count
-    val co = cand.join(sh.withColumnRenamed("id", "id_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("co"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    co.join(broadcast(sizes).withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n_shingles", "na"), Seq("id_a"))
-      .join(broadcast(sizes).withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n_shingles", "nb"), Seq("id_b"))
+    // exact verification on per-doc distinct-shingle ARRAYS: two joins
+    // attach the arrays to each candidate pair, then the intersection
+    // count is a map-side array op — replaces the round-1 shape (two
+    // inverted-index joins + a groupBy re-aggregation per pair, three
+    // shuffle stages for a result that is tiny after the PPJoin filters).
+    // The per-doc array frame is |docs| rows (small next to the exploded
+    // index); AQE broadcasts it when it fits, shuffle-joins otherwise.
+    val shArr = sh.groupBy("id")
+      .agg(collect_list(col("shingle")).as("sh_arr"), count(lit(1)).as("n"))
+    cand
+      .join(shArr.select(col("id").as("id_a"), col("sh_arr").as("sa"),
+        col("n").as("na")), Seq("id_a"))
+      .join(shArr.select(col("id").as("id_b"), col("sh_arr").as("sb"),
+        col("n").as("nb")), Seq("id_b"))
+      .withColumn("co", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("co").cast("double") /
         (col("na") + col("nb") - col("co")).cast("double"))
       .filter(col("jaccard") >= tau)

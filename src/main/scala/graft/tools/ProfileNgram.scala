@@ -31,10 +31,13 @@ object ProfileNgram {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct().cache()
     t("candidates")(cand.count())
-    val co = cand.join(sh.withColumnRenamed("id", "id_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("co"))
-    t("verify co")(co.count())
+    val shArr = sh.groupBy("id")
+      .agg(collect_list(col("shingle")).as("sh_arr"), count(lit(1)).as("n"))
+    val co = cand
+      .join(shArr.select(col("id").as("id_a"), col("sh_arr").as("sa")), Seq("id_a"))
+      .join(shArr.select(col("id").as("id_b"), col("sh_arr").as("sb")), Seq("id_b"))
+      .select(size(array_intersect(col("sa"), col("sb"))).as("co"))
+    t("verify co (array)")(co.count())
     t("full op")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5).count())
     spark.stop()
   }
