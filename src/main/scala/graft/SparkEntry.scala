@@ -30,8 +30,10 @@ object SparkEntry {
     all.map(q => q.name -> q.query).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for ops whose semantics aren't
-    * SQL-expressible (LSH candidate sets, stubbed decode) → rows-only.
+    * the same parquet tables. Omitted only for ops whose semantics aren't
+    * SQL-expressible (the stubbed media decode) → rows-only. Round 2 made
+    * the LSH/IVF candidate sets oracle-checkable by switching the bucket
+    * and quantizer arithmetic to portable integers.
     */
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
