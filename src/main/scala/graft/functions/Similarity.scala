@@ -94,6 +94,44 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN -----------------------------------------
 
+  /** Lloyd's k-means for the IVF coarse quantizer, as DataFrame ops:
+    * assignment is the map-side native [[NearestCentroidExpr]] (cosine),
+    * the update step is one groupBy over (cluster, dim) with partial
+    * aggregation — per iteration, exactly one shuffle of k·dim cells.
+    * Seeding is deterministic (every n/k-th vector in id order), so
+    * training is reproducible run to run. Empty clusters keep their
+    * previous centroid. Returns the flattened k×dim centroid matrix.
+    */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, embCol: String,
+                        k: Int, iters: Int = 5, dim: Int = 64): Array[Double] = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
+    require(k >= 1 && iters >= 0)
+    val n = corpus.count()
+    val stride = math.max(n / k, 1L)
+    val seeds = corpus.select(col(idCol), col(embCol))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(idCol))))
+      .filter((col("__rn") - 1) % stride === 0).orderBy(col(idCol))
+      .limit(k).collect()
+    var cents: Array[Double] = seeds.flatMap(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case x => x.asInstanceOf[Number].doubleValue
+    }).toArray
+
+    for (_ <- 0 until iters) {
+      val assignIdx = exprCol(NearestCentroidExpr(colExpr(col(embCol)), cents, dim))
+      val means = corpus
+        .select(assignIdx.as("c"), posexplode(col(embCol)).as(Seq("d", "x")))
+        .groupBy(col("c"), col("d")).agg(avg(col("x").cast("double")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val next = cents.clone()
+      means.foreach { case ((c, d), m) => next(c * dim + d) = m }
+      cents = next
+    }
+    cents
+  }
+
   /** IVF-style ANN, the other classic scale path next to LSH: a coarse
     * quantizer assigns every corpus vector to its nearest centroid
     * (map-side native expression over a plan-reference centroid matrix —
@@ -108,7 +146,6 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int, centroidEvery: Long = 100,
               nProbe: Int = 2, dim: Int = 64): DataFrame = {
-    import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
     val centDf = corpus.filter(col(idCol) % centroidEvery === 0)
       .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"))
     val centRows = centDf.orderBy(col("cent_id")).collect()
@@ -119,7 +156,34 @@ object Similarity {
         case d: Double => d
         case x => x.asInstanceOf[Number].doubleValue
       }).toArray
+    ivfSearch(corpus, queries, idCol, embCol, k, centIds, cents, centDf, nProbe, dim)
+  }
 
+  /** IVF with a TRAINED coarse quantizer ([[trainIvfCentroids]]) instead
+    * of the deterministic every-Nth seed centroids — same search path,
+    * tighter lists. Centroid ids are the cluster indices 0..k-1.
+    */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     embCol: String, k: Int, nCentroids: Int, iters: Int = 5,
+                     nProbe: Int = 2, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainIvfCentroids(corpus, idCol, embCol, nCentroids, iters, dim)
+    val centIds: Seq[Long] = (0L until nCentroids.toLong)
+    val centDf = centIds.map(c =>
+      (c, cents.slice(c.toInt * dim, (c.toInt + 1) * dim).toSeq))
+      .toDF("cent_id", "cent_emb")
+    ivfSearch(corpus, queries, idCol, embCol, k, centIds, cents, centDf, nProbe, dim)
+  }
+
+  /** Shared IVF search: map-side coarse assignment, nProbe probe lists
+    * per query, exact cosine re-rank.
+    */
+  private def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        embCol: String, k: Int, centIds: Seq[Long],
+                        cents: Array[Double], centDf: DataFrame,
+                        nProbe: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
     // map-side coarse assignment: centroid INDEX -> centroid id
     val nearestIdx = exprCol(NearestCentroidExpr(colExpr(col(embCol)), cents, dim))
     val assigned = corpus.select(col(idCol).as("match_id"), col(embCol).as("c_emb"),

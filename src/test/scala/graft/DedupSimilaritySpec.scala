@@ -106,6 +106,24 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
     assert(r1 > 0.0 && r1 <= rAll, s"recall@1=$r1 should be within (0, $rAll]")
   }
 
+  test("trained IVF quantizer: deterministic, and recall not worse than seed centroids") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .select($"query_id", $"match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.select($"query_id", $"match_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val c1 = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val c2 = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+    assert(c1.toSeq == c2.toSeq) // deterministic seeding + assignment
+    val trained = recall(Similarity.ivfTopKTrained(emb, q, "vec_id", "embedding", 10,
+      nCentroids = 8, iters = 3, nProbe = 2))
+    assert(trained > 0.0 && trained <= 1.0)
+  }
+
   test("winnowing fingerprints: identical texts equal, near-dups overlap heavily") {
     val wf = docs.withColumn("norm", TextAnalysis.normalized($"text"))
       .select($"doc_id", TextAnalysis.winnowingFingerprints($"norm").as("wf"))
