@@ -83,6 +83,40 @@ object TextAnalysis {
     best._1
   }
 
+  /** Tiny per-language character-trigram profiles for the n-gram
+    * language-ID heuristic (the classic Cavnar-Trenkle shape, minimal
+    * deterministic instantiation).
+    */
+  val TrigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "ing", "and", "ion", "ent"),
+    "de" -> Seq("der", "sch", "ein", "ich", "und"),
+    "fr" -> Seq("les", "ent", "des", "que", "ait"),
+    "es" -> Seq("que", "los", "ado", "nte", "con")
+  )
+
+  /** Occurrence count of a literal substring: (len − len(text without
+    * g)) / |g| — exact, engine-portable integer arithmetic (replace is
+    * replace-all in both Spark and DuckDB).
+    */
+  def substrCount(text: Column, g: String): Column =
+    (length(text) - length(replace(text, lit(g), lit("")))) / g.length
+
+  /** Language-ID via character-trigram profile hits (n-gram heuristic):
+    * argmax of Σ trigram occurrences over the normalized text; ties and
+    * zero hits resolve to "und". Deterministic: languages compared in
+    * sorted order, strictly-greater wins — same fold as [[langId]].
+    */
+  def langIdNgram(text: Column): Column = {
+    val norm = normalized(text)
+    val langs = TrigramProfiles.keys.toSeq.sorted
+    val hits = langs.map(l =>
+      l -> TrigramProfiles(l).map(g => substrCount(norm, g)).reduce(_ + _))
+    val best = hits.foldLeft((lit("und"), lit(0))) { case ((bl, bh), (l, h)) =>
+      (when(h > bh, lit(l)).otherwise(bl), when(h > bh, h).otherwise(bh))
+    }
+    best._1
+  }
+
   /** Quality score in [0,1]: blend of length band, alpha ratio, stopword
     * ratio, and mean word length band — the shape of a classic heuristic
     * document-quality filter (Gopher/C4-style rules), deterministic and

@@ -80,11 +80,12 @@ object QueriesText {
               |        / CAST(greatest(len($rawTokensSql), 1) AS DOUBLE), 6) AS mean_word_len
               |FROM documents""".stripMargin)),
 
-    // language id + quality score
+    // language id (stopword + char-trigram heuristics) + quality score
     QDef("t_langid_quality",
       (s, dir) => Q.table(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_id"),
+        TextAnalysis.langIdNgram(col("text")).as("lang_id_ngram"),
         TextAnalysis.qualityScore(col("text")).as("quality")),
       Some {
         val langs = TextAnalysis.Stopwords.keys.toSeq.sorted
@@ -98,12 +99,26 @@ object QueriesText {
           (s"(CASE WHEN h_$l > $bh THEN '$l' ELSE $bl END)",
             s"greatest(h_$l, $bh)")
         }
+        // trigram variant: occurrence counts via the replace-length trick
+        // (replace is replace-all in both engines), same fold discipline
+        val triLangs = TextAnalysis.TrigramProfiles.keys.toSeq.sorted
+        def triHits(l: String): String =
+          TextAnalysis.TrigramProfiles(l)
+            .map(g => s"((length($normSql) - length(replace($normSql, '$g', ''))) // 3)")
+            .mkString("(", " + ", ")")
+        val triCols = triLangs.map(l => s"  ${triHits(l)} AS t_$l").mkString(",\n")
+        val (triBest, _) = triLangs.foldLeft(("'und'", "0")) { case ((bl, bh), l) =>
+          (s"(CASE WHEN t_$l > $bh THEN '$l' ELSE $bl END)",
+            s"greatest(t_$l, $bh)")
+        }
         val enHits = hits("en")
         s"""WITH h AS (
            |  SELECT doc_id, text,
-           |$hitCols
+           |$hitCols,
+           |$triCols
            |  FROM documents)
            |SELECT doc_id, $bestExpr AS lang_id,
+           |  $triBest AS lang_id_ngram,
            |  round((
            |    (CASE WHEN len($rawTokensSql) >= 5 AND len($rawTokensSql) <= 10000
            |          THEN 1.0 ELSE 0.0 END)
