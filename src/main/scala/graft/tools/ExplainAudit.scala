@@ -10,7 +10,8 @@ object ExplainAudit {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSet
     else Set("p1_time_filter", "q3_top_orders", "j1_config_join", "j2_asof_nearest",
-      "qc_pipeline_flags", "sim_cosine_topk")
+      "qc_pipeline_flags", "sim_cosine_topk", "sim_lsh_buckets", "sim_ivf_topk",
+      "dd_ngram_pairs", "t_winnow_fingerprints")
     graft.SparkEntry.all.filter(q => names(q.name)).foreach { q =>
       println(s"\n===================== ${q.name} =====================")
       q.query(spark, dir).explain("formatted")
