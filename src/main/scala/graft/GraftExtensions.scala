@@ -4,7 +4,8 @@ import graft.functions.{LshBucketExpr, WinnowFingerprintsExpr}
 import graft.ops.PointInPolygonExpr
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** SQL-function surface for graft's native Catalyst expressions, so the
   * operators are reachable from pure `spark.sql(...)` text as well as the
@@ -21,11 +22,20 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 object GraftFunctions {
 
-  private def intLit(e: Expression, name: String): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$name must be an integer literal, got $other")
-  }
+  /** Evaluate a constant integer argument: builders run at resolution
+    * time, before constant folding, so accept any foldable expression
+    * (`2*8`, `CAST(12 AS BIGINT)`), not only pre-folded Int literals.
+    */
+  private def intLit(e: Expression, name: String): Int =
+    if (e.foldable) e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name must be an integer constant, got $other")
+    } else throw new IllegalArgumentException(
+      s"$name must be a constant, got $e")
 
   val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "lsh_bucket" -> { args: Seq[Expression] =>
@@ -46,7 +56,12 @@ object GraftFunctions {
     },
     "point_in_polygon" -> { args: Seq[Expression] =>
       args match {
-        case Seq(lat, lon, ring) => PointInPolygonExpr(lat, lon, ring)
+        // implicit input casts: SQL users write point_in_polygon(51.5, …)
+        // and Spark parses 51.5 as DECIMAL(3,1); the expression itself
+        // requires doubles (Catalyst removes redundant casts)
+        case Seq(lat, lon, ring) => PointInPolygonExpr(
+          Cast(lat, DoubleType), Cast(lon, DoubleType),
+          Cast(ring, ArrayType(DoubleType)))
         case _ => throw new IllegalArgumentException(
           "usage: point_in_polygon(lat, lon, ring)")
       }

@@ -106,13 +106,15 @@ object Similarity {
                         k: Int, iters: Int = 5, dim: Int = 64): Array[Double] = {
     import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
     require(k >= 1 && iters >= 0)
-    val n = corpus.count()
-    val stride = math.max(n / k, 1L)
+    // seeds: mod-stride filter (map-side) + bounded TakeOrdered — NOT a
+    // global unpartitioned window sort; stride from the id range, one
+    // cheap min/max scan
+    val bounds = corpus.agg(min(col(idCol)), max(col(idCol))).collect()(0)
+    val stride = math.max((bounds.getLong(1) - bounds.getLong(0) + 1) / k, 1L)
     val seeds = corpus.select(col(idCol), col(embCol))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(idCol))))
-      .filter((col("__rn") - 1) % stride === 0).orderBy(col(idCol))
-      .limit(k).collect()
+      .filter((col(idCol) - bounds.getLong(0)) % stride === 0)
+      .orderBy(col(idCol)).limit(k).collect()
+    require(seeds.nonEmpty, "no seed centroids found")
     var cents: Array[Double] = seeds.flatMap(_.getSeq[Any](1).map {
       case f: Float => f.toDouble
       case d: Double => d
@@ -120,11 +122,21 @@ object Similarity {
     }).toArray
 
     for (_ <- 0 until iters) {
-      val assignIdx = exprCol(NearestCentroidExpr(colExpr(col(embCol)), cents, dim))
+      val assignIdx = exprCol(NearestCentroidExpr(colExpr(col(embCol)),
+        cents, dim))
+      // update step: quantized-integer sums (floor(x*2^20)) — exact and
+      // ASSOCIATIVE, so the partial-aggregate merge order cannot perturb
+      // the mean: training is bit-reproducible on any cluster (a plain
+      // avg() over doubles merges in shuffle-arrival order)
       val means = corpus
         .select(assignIdx.as("c"), posexplode(col(embCol)).as(Seq("d", "x")))
-        .groupBy(col("c"), col("d")).agg(avg(col("x").cast("double")).as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+        .filter(col("d") < dim) // wider embeddings: train only the leading dims
+        .groupBy(col("c"), col("d"))
+        .agg(sum(floor(col("x").cast("double") * 1048576.0).cast("long")).as("s"),
+          count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getLong(2).toDouble / r.getLong(3) / 1048576.0)).toMap
       val next = cents.clone()
       means.foreach { case ((c, d), m) => next(c * dim + d) = m }
       cents = next
@@ -169,7 +181,8 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = trainIvfCentroids(corpus, idCol, embCol, nCentroids, iters, dim)
-    val centIds: Seq[Long] = (0L until nCentroids.toLong)
+    // sparse id spaces can seed fewer than nCentroids clusters
+    val centIds: Seq[Long] = (0L until (cents.length / dim).toLong)
     val centDf = centIds.map(c =>
       (c, cents.slice(c.toInt * dim, (c.toInt + 1) * dim).toSeq))
       .toDF("cent_id", "cent_emb")

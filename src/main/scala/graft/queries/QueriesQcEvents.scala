@@ -402,8 +402,8 @@ object QueriesQcEvents {
               |  FROM obs
               |  WINDOW wm AS (PARTITION BY datastream_id ORDER BY t_us
               |                RANGE BETWEEN 1800000000 PRECEDING AND 1800000000 FOLLOWING))
-              |SELECT iot_id, round(median_lat, 6) AS median_lat,
-              |  round(median_lon, 6) AS median_lon,
+              |SELECT iot_id, round(median_lat, 6) + 0.0e0 AS median_lat,
+              |  round(median_lon, 6) + 0.0e0 AS median_lon,
               |  ${Geo.haversineSql("lat", "lon", "median_lat", "median_lon")} > 30000.0
               |    AS is_spatial_outlier
               |FROM m""".stripMargin)),

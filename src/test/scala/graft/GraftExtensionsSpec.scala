@@ -27,13 +27,21 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0)
     assert(wf.nonEmpty && wf == wf.sorted)
 
+    // natural SQL spelling: bare decimal literals (DECIMAL in Spark's
+    // parser) must implicitly cast — no D suffix required
     val pip = spark.sql(
-      """SELECT point_in_polygon(51.5D, 2.5D,
-        |  array(51.0D, 2.0D, 51.0D, 3.0D, 52.0D, 3.0D, 52.0D, 2.0D)) AS inside,
-        |point_in_polygon(50.0D, 2.5D,
-        |  array(51.0D, 2.0D, 51.0D, 3.0D, 52.0D, 3.0D, 52.0D, 2.0D)) AS outside
+      """SELECT point_in_polygon(51.5, 2.5,
+        |  array(51.0, 2.0, 51.0, 3.0, 52.0, 3.0, 52.0, 2.0)) AS inside,
+        |point_in_polygon(50.0, 2.5,
+        |  array(51.0, 2.0, 51.0, 3.0, 52.0, 3.0, 52.0, 2.0)) AS outside
         |""".stripMargin).collect()(0)
     assert(pip.getBoolean(0) && !pip.getBoolean(1))
+
+    // constant-but-unfolded int args work (builders run pre-folding)
+    val wf2 = spark.sql(
+      "SELECT winnow_fingerprints('abcdefghij klmnopqrs tuvwxyz abcdefghij', 2*4, 16) AS f")
+      .collect()(0).getSeq[Long](0)
+    assert(wf2.nonEmpty)
   }
 
   test("extensions class wires the same builders into a session-extensions hook") {
