@@ -17,25 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct k-word shingles per document. Docs with fewer than k words
-    * yield an empty set.
-    *
-    * Built from k aligned `slice`s zipped together rather than
-    * `transform(sequence(...), i => element_at(words, i+j))` — an
-    * expression referenced *inside* a lambda is re-evaluated per element
-    * in interpreted eval, which re-ran the normalize+tokenize regexes
-    * O(k·shingles) times per document (measured 144 regex splits/doc).
-    * The slice/zip form evaluates `words` a constant ~k+2 times.
+  /** Distinct k-word shingles per document (normalize → tokenize →
+    * sliding join → first-occurrence dedup), via the compiled
+    * [[ShinglesExpr]] kernel — this feeds every dedup operator, so its
+    * constant factor multiplies. (History: round 1 first hit the
+    * lambda-re-evaluation trap — expressions referenced inside a HOF
+    * lambda re-run per element, 144 regex splits/doc — then fixed it
+    * with k aligned slice/zip_with passes, which still evaluate their
+    * lambdas interpreted; the native kernel is one compiled pass.)
+    * Docs with fewer than k words yield an empty set.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val words = TextAnalysis.wsTokens(TextAnalysis.normalized(text))
-    val m = size(words) - (k - 1)
-    val zipped = (1 until k).foldLeft(slice(words, lit(1), m)) { (acc, j) =>
-      zip_with(acc, slice(words, lit(j + 1), m), (a, b) => concat(a, lit(" "), b))
-    }
-    when(size(words) < k, array().cast("array<string>"))
-      .otherwise(array_distinct(zipped))
-  }
+  def shingles(text: Column, k: Int = 3): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      ShinglesExpr(org.apache.spark.sql.GraftExpressionBridge.expression(
+        TextAnalysis.normalized(text)), k))
 
   /** Exact dedup: group by fingerprint, canonical = min id. Returns
     * (id, fingerprint, canonical_id, group_size, is_duplicate).

@@ -218,6 +218,62 @@ case class NearestCentroidExpr(child: Expression, cents: Array[Double], dim: Int
     copy(child = newChild)
 }
 
+/** Distinct k-word shingles of a whitespace-normalized text, as one
+  * compiled pass (split → sliding join → first-occurrence dedup). The
+  * Column-algebra form (k aligned slices zip_with-concatenated, then
+  * array_distinct) evaluates its lambdas interpreted per element; this
+  * kernel feeds every dedup operator so the constant factor multiplies.
+  * Semantics identical to the SQL mirror: tokens = split on whitespace
+  * runs, shingle = k tokens joined by single spaces, docs with fewer
+  * than k tokens yield an empty array.
+  */
+case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingles requires string, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShinglesExpr.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShinglesExpr.compute($c.toString(), $k);")
+
+  override def prettyName: String = "shingles"
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+object ShinglesExpr {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def compute(text: String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+    val out = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + k <= words.length) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+      out.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[AnyRef](out.size())
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
 object WinnowFingerprintsExpr {
   import graft.functions.{TextAnalysis => TA}
 
