@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -216,6 +216,65 @@ case class NearestCentroidExpr(child: Expression, cents: Array[Double], dim: Int
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
     copy(child = newChild)
+}
+
+/** Cosine similarity of two embeddings in ONE compiled loop (dot and
+  * both norms accumulate together). Bit-compatible with the
+  * Column-algebra form it replaces and with the SQL oracle: every
+  * accumulator's additions run in sequential element order — the same
+  * sum sequence as three separate left-associated folds — and the final
+  * combination is dot / (sqrt(na) * sqrt(nb)). The Column form
+  * evaluated three interpreted 64-element lambda folds per PAIR, which
+  * multiplies across the O(n·q) brute-force scorer and every
+  * candidate re-rank.
+  */
+case class CosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def okType(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine requires array<float|double> args, got (${left.dataType.sql}, ${right.dataType.sql})")
+
+  private def isFloat(t: DataType): Boolean =
+    t.asInstanceOf[ArrayType].elementType == FloatType
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val aF = isFloat(left.dataType)
+    val bF = isFloat(right.dataType)
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("graftCosine", this, classOf[CosineExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.compute($a, $b);")
+  }
+
+  override def prettyName: String = "cosine_sim"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Distinct k-word shingles of a whitespace-normalized text, as one
