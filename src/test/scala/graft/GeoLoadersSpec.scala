@@ -117,6 +117,21 @@ class GeoLoadersSpec extends SparkSpec {
     both.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
   }
 
+  test("csv grid loader: sparse cells load, missing cells are NaN => null lookups") {
+    val dir = Files.createTempDirectory("graft_grid_csv")
+    val f = dir.resolve("grid.csv")
+    Files.write(f, ("i,j,value\n0,0,-10.5\n0,1,-9.5\n1,0,-8.5\n1,1,-7.5\n").getBytes)
+    val grid = GridLoader.fromCsv(spark, f.toString, 50.0, 0.1, 3, 2.0, 0.1, 3)
+    // center of the loaded 2x2 block: plain bilinear average
+    assert(math.abs(grid.bilinear(50.05, 2.05) - (-10.5 - 9.5 - 8.5 - 7.5) / 4.0) < 1e-9)
+    // any cell of the interpolation square missing => NaN => null elevation
+    assert(grid.bilinear(50.15, 2.15).isNaN)
+    import spark.implicits._
+    val out = Seq((50.15, 2.15)).toDF("lat", "lon")
+      .select(Geo.gridElevationFrom(grid, col("lat"), col("lon"))).collect()
+    assert(out(0).isNullAt(0))
+  }
+
   test("f32 grid loader + native bilinear matches the synthetic grid expression") {
     // dump the synthetic grid formula to raw f32, reload, compare lookups
     val nLat = 61; val nLon = 61
