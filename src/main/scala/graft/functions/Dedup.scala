@@ -108,7 +108,10 @@ object Dedup {
         col("n").as("na")), Seq("id_a"))
       .join(shArr.select(col("id").as("id_b"), col("sh_arr").as("sb"),
         col("n").as("nb")), Seq("id_b"))
-      .withColumn("co", size(array_intersect(col("sa"), col("sb"))))
+      // EvalOnce pins the intersection in its projection — without it the
+      // tau-filter's substituted form becomes a post-join condition and
+      // the intersection runs a second time for every surviving pair
+      .withColumn("co", EvalOnce(size(array_intersect(col("sa"), col("sb")))))
       .withColumn("jaccard", col("co").cast("double") /
         (col("na") + col("nb") - col("co")).cast("double"))
       .filter(col("jaccard") >= tau)

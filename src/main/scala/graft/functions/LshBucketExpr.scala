@@ -25,6 +25,12 @@ import org.apache.spark.sql.types._
   * scaling, floor is IEEE-exact; DuckDB reproduces it verbatim).
   * Plane weights are the deterministic grid
   * `((p·73 + d·31) % 19) − 9 ∈ [−9, 9]` — no weight table to ship.
+  *
+  * Null elements (parquet list elements are `optional`, so Spark reads
+  * `containsNull = true` even for never-null data): a null element makes
+  * every plane's SQL sum NULL, `NULL > 0` is false, every bit falls to
+  * 0 — so the expression returns bucket 0, matching the oracle instead
+  * of reading garbage from the null slot.
   */
 case class LshBucketExpr(child: Expression, nPlanes: Int, dim: Int)
     extends UnaryExpression {
@@ -47,6 +53,8 @@ case class LshBucketExpr(child: Expression, nPlanes: Int, dim: Int)
     val arr = input.asInstanceOf[ArrayData]
     val isF = elemIsFloat
     val n = math.min(dim, arr.numElements())
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return 0L; i += 1 }
     var bucket = 0L
     var p = 0
     while (p < nPlanes) {
@@ -73,16 +81,24 @@ case class LshBucketExpr(child: Expression, nPlanes: Int, dim: Int)
       val d = ctx.freshName("lshD")
       val qx = ctx.freshName("lshQx")
       val getX = if (elemIsFloat) s"(double) $arr.getFloat($d)" else s"$arr.getDouble($d)"
+      val hasNull = ctx.freshName("lshHasNull")
+      val ni = ctx.freshName("lshNi")
       s"""
          |long $bk = 0L;
          |int $nn = java.lang.Math.min($dim, $arr.numElements());
-         |for (int $pp = 0; $pp < $nPlanes; $pp++) {
-         |  long $ss = 0L;
-         |  for (int $d = 0; $d < $nn; $d++) {
-         |    long $qx = (long) java.lang.Math.floor(($getX) * 1048576.0D);
-         |    $ss += $qx * (long) ((($pp * 73 + $d * 31) % 19) - 9);
+         |boolean $hasNull = false;
+         |for (int $ni = 0; $ni < $nn; $ni++) {
+         |  if ($arr.isNullAt($ni)) { $hasNull = true; break; }
+         |}
+         |if (!$hasNull) {
+         |  for (int $pp = 0; $pp < $nPlanes; $pp++) {
+         |    long $ss = 0L;
+         |    for (int $d = 0; $d < $nn; $d++) {
+         |      long $qx = (long) java.lang.Math.floor(($getX) * 1048576.0D);
+         |      $ss += $qx * (long) ((($pp * 73 + $d * 31) % 19) - 9);
+         |    }
+         |    if ($ss > 0) $bk |= (1L << $pp);
          |  }
-         |  if ($ss > 0) $bk |= (1L << $pp);
          |}
          |${ev.value} = $bk;
          |""".stripMargin
@@ -170,10 +186,16 @@ case class NearestCentroidExpr(child: Expression, cents: Array[Double], dim: Int
     out
   }
 
-  /** Shared by eval and codegen (via plan reference). */
+  /** Shared by eval and codegen (via plan reference). Null elements
+    * (nullable parquet list slots): every cosine's SQL sum goes NULL,
+    * NULLS sort last under `ORDER BY cos DESC`, tie falls to
+    * `cent_id ASC` — centroid 0, same as the all-NaN fallback below.
+    */
   def nearest(arr: ArrayData): Int = {
     val isF = elemIsFloat
     val n = math.min(dim, arr.numElements())
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return 0; i += 1 }
     var nx = 0.0
     var d = 0
     while (d < n) {
@@ -233,6 +255,10 @@ case class CosineExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // a null ELEMENT (nullable parquet list slot) nulls the whole result,
+  // exactly like the oracle's explicit `a[i] * b[i]` sum would
+  override def nullable: Boolean = true
+
   private def okType(t: DataType): Boolean = t match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
     case _ => false
@@ -247,27 +273,45 @@ case class CosineExpr(left: Expression, right: Expression)
   private def isFloat(t: DataType): Boolean =
     t.asInstanceOf[ArrayType].elementType == FloatType
 
-  def compute(a: ArrayData, b: ArrayData): Double = {
+  /** Boxed so a null array ELEMENT can surface as SQL NULL (the oracle's
+    * explicit term sum goes NULL the same way). Null-free inputs take the
+    * identical single-loop fold as before.
+    */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val aF = isFloat(left.dataType)
     val bF = isFloat(right.dataType)
     val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    i = 0
     while (i < n) {
       val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val r = compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("graftCosine", this, classOf[CosineExpr].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.compute($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("cosRes")
+      s"""
+         |java.lang.Double $r = $self.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+         |""".stripMargin
+    })
   }
 
   override def prettyName: String = "cosine_sim"

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata; decode / feature-extraction runs
-  * per-partition in batches. The decode itself is STUBBED (no media libs
-  * in this environment) behind a deterministic fake — the Spark-side
-  * plumbing (schema, partitioning, batch shape) is real and tested.
+  * per-partition in batches behind the pluggable [[MediaCodec]]
+  * boundary. The sandbox ships only the deterministic [[StubMediaCodec]]
+  * (no media libraries in this environment); a deployment drops in a
+  * JavaCV/FFmpeg-backed codec without touching the operators.
   *
   * Scale design: payloads never shuffle — metadata extraction and
   * featurization are map-side (`mapPartitions`), and downstream analytics
@@ -17,9 +18,74 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  final case class Decoded(width: Int, height: Int, checksum: String,
+                           feature: Array[Float])
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                                  checksum: String, width: Int, height: Int,
                                  feature: Array[Float])
+
+  /** The codec boundary: everything a media operator needs from the
+    * underlying decode library, per payload. Implementations MUST be
+    * serializable (shipped to executors) and thread-agnostic; per-task
+    * state (native decoder handles, scratch buffers) belongs in
+    * [[MediaCodec.init]], which each partition calls exactly once before
+    * its first payload.
+    */
+  trait MediaCodec extends Serializable {
+    /** Per-partition initialization (load native libs, allocate decoder
+      * state). Called once per partition before any decode.
+      */
+    def init(): Unit = ()
+    /** Decode one payload → dimensions, checksum, feature vector. */
+    def decode(kind: String, payload: Array[Byte]): Decoded
+    /** Decode + resample to (targetW, targetH) + re-encode. */
+    def resize(kind: String, payload: Array[Byte],
+               targetW: Int, targetH: Int): Array[Byte]
+    /** Number of decodable frames in a video payload (>= 1). */
+    def frameCount(payload: Array[Byte]): Int
+    /** Decoded bytes of frame `idx` (0-based, < frameCount). */
+    def frameAt(payload: Array[Byte], idx: Int): Array[Byte]
+  }
+
+  /** Deterministic stand-in codec — the only implementation available in
+    * this sandbox. Every output is pure integer arithmetic over the
+    * payload bytes, which keeps the operators oracle-checkable end to
+    * end (see `mm_features`' SQL mirror): n = byte count, s = unsigned
+    * byte sum, width = n % 640, height = s % 480, checksum = %08x of s,
+    * feature[i] = ((s + 31i) % 997) / 997. Frames are fixed 256-byte
+    * slices.
+    */
+  object StubMediaCodec extends MediaCodec {
+    private def byteSum(payload: Array[Byte]): Long =
+      payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+
+    override def decode(kind: String, payload: Array[Byte]): Decoded = {
+      val n = payload.length.toLong
+      val sum = byteSum(payload)
+      Decoded(width = (n % 640).toInt, height = (sum % 480).toInt,
+        checksum = f"$sum%08x",
+        feature = Array.tabulate(8)(i => ((sum + i * 31) % 997).toFloat / 997f))
+    }
+
+    override def resize(kind: String, payload: Array[Byte],
+                        targetW: Int, targetH: Int): Array[Byte] = {
+      val srcLen = math.max(payload.length, 1)
+      val outLen = math.max(targetW * targetH / 64, 1)
+      Array.tabulate(outLen)(i =>
+        if (payload.isEmpty) 0.toByte else payload(i % srcLen))
+    }
+
+    private val FrameSize = 256
+
+    override def frameCount(payload: Array[Byte]): Int =
+      math.max(payload.length / FrameSize, 1)
+
+    override def frameAt(payload: Array[Byte], idx: Int): Array[Byte] = {
+      val from = math.min(idx * FrameSize, math.max(payload.length - 1, 0))
+      val until = math.min(from + FrameSize, payload.length)
+      java.util.Arrays.copyOfRange(payload, from, math.max(until, from))
+    }
+  }
 
   /** Wrap a text table as fake media payloads (utf-8 bytes) — the
     * stand-in corpus for plumbing tests at any SF.
@@ -32,22 +98,19 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"))
   }
 
-  /** STUB decode: a real deployment calls the codec here (per-partition,
-    * so codec init cost amortizes over the batch). The fake is
-    * deterministic: "dimensions" and an 8-dim "feature" derived from the
-    * bytes — enough to pin schema, nullability, and batch behavior.
+  /** Decode + featurize each payload through the codec — per-partition,
+    * so codec init cost amortizes over the batch.
     */
-  def decodeAndFeaturize(media: DataFrame): Dataset[MediaFeatures] = {
+  def decodeAndFeaturize(media: DataFrame,
+                         codec: MediaCodec = StubMediaCodec): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition "codec init" happens once here in a real pipeline
+      codec.init()
       rows.map { r =>
-        val n = r.payload.length.toLong
-        val sum = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
-        val feature = Array.tabulate(8)(i => ((sum + i * 31) % 997).toFloat / 997f)
-        MediaFeatures(r.media_id, r.kind, n, f"$sum%08x",
-          width = (n % 640).toInt, height = (sum % 480).toInt, feature)
+        val d = codec.decode(r.kind, r.payload)
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+          d.checksum, d.width, d.height, d.feature)
       }
     }
   }
@@ -63,24 +126,18 @@ object Multimodal {
   final case class ResizedMedia(media_id: Long, kind: String,
                                 width: Int, height: Int, payload: Array[Byte])
 
-  /** STUB resize: a real deployment decodes, resamples to
-    * (targetW, targetH), re-encodes — per partition so codec init
-    * amortizes. The fake is deterministic (payload cyclically resampled
-    * to the target pixel budget) and pins the real contracts: output
-    * schema, one-row-in-one-row-out, size proportional to target dims,
-    * map-side only (payloads never shuffle).
+  /** Resample every payload to (targetW, targetH) through the codec —
+    * one row in, one row out, map-side only (payloads never shuffle).
     */
-  def resize(media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+  def resize(media: DataFrame, targetW: Int, targetH: Int,
+             codec: MediaCodec = StubMediaCodec): Dataset[ResizedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition "codec init" happens once here in a real pipeline
+      codec.init()
       rows.map { r =>
-        val srcLen = math.max(r.payload.length, 1)
-        val outLen = math.max(targetW * targetH / 64, 1)
-        val out = Array.tabulate(outLen)(i =>
-          if (r.payload.isEmpty) 0.toByte else r.payload(i % srcLen))
-        ResizedMedia(r.media_id, r.kind, targetW, targetH, out)
+        ResizedMedia(r.media_id, r.kind, targetW, targetH,
+          codec.resize(r.kind, r.payload, targetW, targetH))
       }
     }
   }
@@ -88,26 +145,24 @@ object Multimodal {
   final case class MediaFrame(media_id: Long, frame_idx: Int, t_ms: Long,
                               frame: Array[Byte])
 
-  /** STUB frame sampling: a real deployment demuxes the container and
-    * decodes every `everyNth` frame up to `maxFrames` — the one-to-many
-    * explode shape, frame indexing, timestamping, and output bound are
-    * the real contracts pinned here. The fake treats the payload as
-    * fixed-size 256-byte "frames".
+  /** Sample every `everyNth` frame up to `maxFrames` from each video —
+    * the one-to-many explode shape, frame indexing, timestamping, and
+    * output bound live in the operator; the demux/decode lives in the
+    * codec.
     */
   def sampleFrames(media: DataFrame, everyNth: Int = 10, maxFrames: Int = 8,
-                   fps: Double = 25.0): Dataset[MediaFrame] = {
+                   fps: Double = 25.0,
+                   codec: MediaCodec = StubMediaCodec): Dataset[MediaFrame] = {
     require(everyNth >= 1 && maxFrames >= 1)
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("kind") === "video").as[MediaRow].mapPartitions { rows =>
+      codec.init()
       rows.flatMap { r =>
-        val frameSize = 256
-        val total = math.max(r.payload.length / frameSize, 1)
+        val total = codec.frameCount(r.payload)
         (0 until total by everyNth).take(maxFrames).map { idx =>
-          val from = math.min(idx * frameSize, math.max(r.payload.length - 1, 0))
-          val until = math.min(from + frameSize, r.payload.length)
           MediaFrame(r.media_id, idx, math.round(idx / fps * 1000),
-            java.util.Arrays.copyOfRange(r.payload, from, math.max(until, from)))
+            codec.frameAt(r.payload, idx))
         }
       }
     }

@@ -162,12 +162,22 @@ object Similarity {
     * Centroid choice is deterministic (every `centroidEvery`-th vector,
     * ordered by id) so results are oracle-reproducible; a deployment
     * would swap in k-means centroids behind the same quantizer.
+    *
+    * SCALE NOTE: the centroid count grows O(corpus / centroidEvery) and
+    * the matrix is collected to the driver — this variant is the exact
+    * reference quantizer for bounded centroid sets, guarded below.
+    * [[ivfTopKTrained]] (fixed `nCentroids`) is the production path: its
+    * driver state is k·dim doubles regardless of corpus size.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int, centroidEvery: Long = 100,
               nProbe: Int = 2, dim: Int = 64): DataFrame = {
     val centDf = corpus.filter(col(idCol) % centroidEvery === 0)
       .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"))
+    val nCent = centDf.count()
+    require(nCent <= 65536,
+      s"ivfTopK would collect $nCent centroids (> 65536) to the driver; " +
+        "raise centroidEvery or use ivfTopKTrained (fixed k) at this scale")
     val centRows = centDf.orderBy(col("cent_id")).collect()
     val centIds: Seq[Long] = centRows.map(_.getLong(0)).toSeq
     val cents: Array[Double] = centRows.flatMap(

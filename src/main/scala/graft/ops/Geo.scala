@@ -283,16 +283,20 @@ object Geo {
   def classifyByPolygonTable(points: DataFrame, polys: DataFrame,
                              idCol: String, lat: Column, lon: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // prefix the poly columns before the join: a points frame that also
+    // has `name`/`priority`/`lat_min`/… would otherwise hit an
+    // ambiguous-reference AnalysisException (or silently mis-resolve)
+    val g = polys.select(polys.columns.map(c => col(c).as(s"__g_$c")): _*)
     val cand = points.join(
-      broadcast(polys),
-      lat >= col("lat_min") && lat <= col("lat_max") &&
-        lon >= col("lon_min") && lon <= col("lon_max") &&
-        pointInPolygonCol(lat, lon, col("ring")),
+      broadcast(g),
+      lat >= col("__g_lat_min") && lat <= col("__g_lat_max") &&
+        lon >= col("__g_lon_min") && lon <= col("__g_lon_max") &&
+        pointInPolygonCol(lat, lon, col("__g_ring")),
       "left")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("priority").asc_nulls_last)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__g_priority").asc_nulls_last)
     cand.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(points.columns.map(col) :+
-        col("name").as("region") :+ col("sub_region"): _*)
+        col("__g_name").as("region") :+ col("__g_sub_region").as("sub_region"): _*)
   }
 }

@@ -19,6 +19,58 @@ object QueriesEmb {
     (1 to Dim).map(i => s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))")
       .mkString("(", " + ", ")")
 
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** Deterministic Lloyd's k-means as chained SQL CTEs — the oracle
+    * mirror of `Similarity.trainIvfCentroids`, ending in CTE
+    * `cent$iters (c, ce)`. Parity hinges on three invariants shared
+    * with the Spark side: mod-stride seeding over the id range (same
+    * floor division), assignment by the identical left-assoc cosine fold
+    * with first-best tie-breaks (`ORDER BY cos DESC, c ASC`), and the
+    * quantized-integer update — per-cell sums of floor(x·2^20) are
+    * integers, so DuckDB's aggregation order cannot perturb the mean,
+    * and `(CAST(s AS DOUBLE) / cnt) / 2^20` is the same IEEE-exact op
+    * sequence as the Scala `s.toDouble / cnt / 1048576.0`.
+    */
+  private def kmeansCentsCte(k: Int, iters: Int): String = {
+    val seed =
+      s"""dims AS (SELECT CAST(unnest(range(0, $Dim)) AS INT) AS d),
+         |bnd AS (SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM embeddings),
+         |seedrows AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY e.vec_id) - 1 AS INT) AS c,
+         |    e.embedding AS se
+         |  FROM embeddings e, bnd
+         |  WHERE (e.vec_id - bnd.mn) % greatest((bnd.mx - bnd.mn + 1) // $k, 1) = 0
+         |  ORDER BY e.vec_id LIMIT $k),
+         |cent0 AS MATERIALIZED (SELECT c,
+         |  list_transform(range(1, ${Dim + 1}), i -> CAST(se[i] AS DOUBLE)) AS ce
+         |  FROM seedrows)""".stripMargin
+    val iterCtes = (1 to iters).map { it =>
+      val prev = s"cent${it - 1}"
+      s"""a$it AS (
+         |  SELECT e.vec_id, e.embedding, s.c,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "s.ce")} DESC, s.c ASC) AS rn
+         |  FROM embeddings e, $prev s),
+         |asg$it AS MATERIALIZED (SELECT vec_id, embedding, c FROM a$it WHERE rn = 1),
+         |m$it AS (
+         |  SELECT g.c, dims.d,
+         |    CAST(SUM(CAST(floor(CAST(g.embedding[dims.d + 1] AS DOUBLE)
+         |      * 1048576.0) AS BIGINT)) AS BIGINT) AS s,
+         |    COUNT(*) AS cnt
+         |  FROM asg$it g, dims GROUP BY g.c, dims.d),
+         |cc$it AS (
+         |  SELECT p.c, dims.d,
+         |    COALESCE((CAST(m.s AS DOUBLE) / CAST(m.cnt AS DOUBLE)) / 1048576.0,
+         |             p.ce[dims.d + 1]) AS v
+         |  FROM $prev p CROSS JOIN dims
+         |  LEFT JOIN m$it m ON m.c = p.c AND m.d = dims.d),
+         |cent$it AS MATERIALIZED (SELECT c, list(v ORDER BY d) AS ce FROM cc$it GROUP BY c)""".stripMargin
+    }
+    (seed +: iterCtes).mkString(",\n")
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // brute-force cosine top-k (every 50th vector queries the corpus)
@@ -102,36 +154,36 @@ object QueriesEmb {
            |WHERE rank <= 10""".stripMargin
       }),
 
-    // IVF-style ANN: map-side nearest-centroid assignment (native
-    // expression, corpus never shuffles to find its list), queries probe
-    // nProbe nearest lists, exact cosine re-rank — fully oracle-checked
-    // (deterministic centroids = every 100th vector; fixed-fold cosines)
+    // IVF-style ANN over a TRAINED fixed-k coarse quantizer: driver
+    // state is k·dim doubles regardless of corpus size (the round-2
+    // every-Nth variant collected O(n) centroids — the one driver-side
+    // scale-killer left). Training is deterministic Lloyd's k-means with
+    // quantized-integer updates, so the full train-then-search pipeline
+    // is oracle-reproducible end to end.
     QDef("sim_ivf_topk",
       (s, dir) => {
         val emb = Q.table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 50 === 0)
-        Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 10,
-          centroidEvery = 100L, nProbe = 2, dim = Dim)
+        Similarity.ivfTopKTrained(emb, queries, "vec_id", "embedding", k = 10,
+          nCentroids = 16, iters = 3, nProbe = 2, dim = Dim)
       },
       Some {
-        def cos(a: String, b: String) =
-          s"(${dotSql(s"$a", s"$b")} / (sqrt(${dotSql(s"$a", s"$a")}) * sqrt(${dotSql(s"$b", s"$b")})))"
-        s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-           |             WHERE vec_id % 100 = 0),
+        s"""WITH ${kmeansCentsCte(k = 16, iters = 3)},
+           |cent AS MATERIALIZED (SELECT CAST(c AS BIGINT) AS cent_id, ce FROM cent3),
            |a AS (
            |  SELECT e.vec_id AS match_id, e.embedding AS me, c.cent_id,
            |    row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id ASC) AS rn
+           |      ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cent_id ASC) AS rn
            |  FROM embeddings e, cent c),
            |assign AS (SELECT match_id, me, cent_id FROM a WHERE rn = 1),
            |qp AS (
            |  SELECT q.vec_id AS query_id, q.embedding AS qe, c.cent_id,
            |    row_number() OVER (PARTITION BY q.vec_id
-           |      ORDER BY ${cos("q.embedding", "c.ce")} DESC, c.cent_id ASC) AS rn
+           |      ORDER BY ${cosSql("q.embedding", "c.ce")} DESC, c.cent_id ASC) AS rn
            |  FROM embeddings q, cent c WHERE q.vec_id % 50 = 0),
            |probes AS (SELECT query_id, qe, cent_id FROM qp WHERE rn <= 2),
            |s AS (
-           |  SELECT p.query_id, a.match_id, ${cos("p.qe", "a.me")} AS sim
+           |  SELECT p.query_id, a.match_id, ${cosSql("p.qe", "a.me")} AS sim
            |  FROM probes p JOIN assign a ON p.cent_id = a.cent_id
            |  WHERE p.query_id <> a.match_id)
            |SELECT query_id, match_id, rank, round(sim, 6) + 0.0e0 AS sim FROM (
@@ -153,13 +205,33 @@ object QueriesEmb {
              |  md5(text) AS checksum
              |FROM documents""".stripMargin)),
 
-    // stubbed decode + featurize (schema/partitioning real, codec faked;
-    // rows-only — no SQL equivalent of the per-partition decode)
+    // decode + featurize through the pluggable codec. The sandbox codec
+    // (StubMediaCodec) is pure integer arithmetic over the payload
+    // bytes, so the whole per-partition decode pipeline is
+    // oracle-checkable: byte sum via hex-pair parsing, dims/checksum
+    // from (n, s) exactly as the stub computes them.
     QDef("mm_features",
       (s, dir) => Multimodal.decodeAndFeaturize(Multimodal.documentsAsMedia(s, dir))
         .toDF().select(col("media_id"), col("kind"), col("n_bytes"),
           col("checksum"), col("width"), col("height")),
-      None),
+      Some("""WITH m AS (
+             |  SELECT doc_id AS media_id,
+             |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |         WHEN doc_id % 3 = 1 THEN 'audio'
+             |         ELSE 'video' END AS kind,
+             |    encode(text) AS payload
+             |  FROM documents),
+             |b AS (
+             |  SELECT media_id, kind, octet_length(payload) AS n,
+             |    CAST(COALESCE(list_sum(list_transform(
+             |      range(1, octet_length(payload) + 1),
+             |      i -> CAST(('0x' || substr(hex(payload), 2 * i - 1, 2)) AS BIGINT))),
+             |      0) AS BIGINT) AS s
+             |  FROM m)
+             |SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
+             |  printf('%08x', s) AS checksum,
+             |  CAST(n % 640 AS INT) AS width, CAST(s % 480 AS INT) AS height
+             |FROM b""".stripMargin)),
 
     // frame sampling: the one-to-many explode contract (stride, bound,
     // timestamps, frame sizes) is deterministic plumbing — oracle-checked

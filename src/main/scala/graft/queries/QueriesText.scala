@@ -19,15 +19,28 @@ object QueriesText {
   private val wordsSql = s"regexp_split_to_array($normSql, '\\s+')"
   private val rawTokensSql = """regexp_split_to_array(trim(text), '\s+')"""
 
-  /** distinct 3-shingles CTE over documents (mirrors Dedup.shingles). */
-  private val shinglesCte =
+  /** distinct 3-shingles body (mirrors Dedup.shingles). */
+  private val shinglesBody =
     s"""w AS (SELECT doc_id, $wordsSql AS words FROM documents),
-       |sh AS (
+       |%s AS (
        |  SELECT DISTINCT doc_id, shingle FROM (
        |    SELECT doc_id,
        |      unnest(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
        |        i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS shingle
        |    FROM w) t)""".stripMargin
+
+  /** distinct 3-shingles CTE over documents, named `sh`. */
+  private val shinglesCte = shinglesBody.format("sh")
+
+  /** df-capped variant (mirrors Dedup.ngramJaccardPairs' maxShingleDf):
+    * shingles appearing in more than `cap` docs are dropped from the
+    * inverted index BEFORE sizes/co — the skew guard against boilerplate
+    * shingles whose df² blows up the self-join at corpus scale.
+    */
+  private def cappedShinglesCte(cap: Long) =
+    s"""${shinglesBody.format("sh0")},
+       |shq AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $cap),
+       |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN shq USING (shingle))""".stripMargin
 
   /** 32-bit portable base hash (mirrors Dedup.baseHash). */
   private def baseHashSql(c: String): String =
@@ -187,11 +200,16 @@ object QueriesText {
               |  doc_id <> min(doc_id) OVER (PARTITION BY md5($normSql)) AS is_duplicate
               |FROM documents""".stripMargin)),
 
-    // exact n-gram-Jaccard near-dup pairs via inverted shingle index
+    // exact n-gram-Jaccard near-dup pairs via inverted shingle index.
+    // The flagship dedup query runs WITH the document-frequency skew cap
+    // on (df <= 20 ≈ 3× the p99.9 shingle df at sf0.1): at corpus scale
+    // one boilerplate shingle makes the prefix self-join quadratic in
+    // its df — the cap is the production configuration, and the oracle
+    // mirrors it exactly (jaccard is over the capped shingle sets).
     QDef("dd_ngram_pairs",
       (s, dir) => Dedup.ngramJaccardPairs(Q.table(s, dir, "documents"),
-        "doc_id", "text", tau = 0.5),
-      Some(s"""WITH $shinglesCte,
+        "doc_id", "text", tau = 0.5, maxShingleDf = 20L),
+      Some(s"""WITH ${cappedShinglesCte(20L)},
               |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
               |co AS (
               |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co

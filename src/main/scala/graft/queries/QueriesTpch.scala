@@ -25,7 +25,16 @@ object QueriesTpch {
   private def micro(c: Column): Column =
     (c.cast(dec) * lit(1000000)).cast("long") // int literal: decimal(36,6), no precision loss
 
-  /** Same quantization as DuckDB SQL text. */
+  /** Same quantization as DuckDB SQL text.
+    *
+    * PRECONDITION for the paired `sum(micro) DIV count` / `sum // count`
+    * average recipe: the summed measure must be NON-NEGATIVE. Spark's
+    * integer `DIV` truncates toward zero while DuckDB's `//` floors, so
+    * a negative micro sum diverges by one micro-unit between engines.
+    * TPC-H measures (quantity, price, discount) are all >= 0; for signed
+    * measures use `floor()` on both sides instead:
+    * Spark `floor(sum(micro) / count)` == DuckDB `sum // count`.
+    */
   private def microSql(e: String): String =
     s"CAST(CAST($e AS DECIMAL(25,6)) * 1000000 AS BIGINT)"
 

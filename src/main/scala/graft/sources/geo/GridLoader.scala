@@ -28,6 +28,10 @@ object GridLoader {
       .select("i", "j", "value").collect().foreach { r =>
       val i = r.getString(0).trim.toInt
       val j = r.getString(1).trim.toInt
+      // out-of-range j would silently alias into the next grid row via
+      // the flat index; fail with the offending cell instead
+      require(i >= 0 && i < nLat && j >= 0 && j < nLon,
+        s"grid cell ($i,$j) outside ${nLat}x$nLon grid in $path")
       values(i * nLon + j) = r.getString(2).trim.toFloat
     }
     new Grid(lat0, dLat, nLat, lon0, dLon, nLon, values)

@@ -49,6 +49,13 @@ object StaHttp {
           val in = conn.getInputStream
           try return new String(in.readAllBytes(), "UTF-8") finally in.close()
         }
+        // drain + close the error body: an unread stream pins the pooled
+        // keep-alive socket, leaking one per executor-side retry loop
+        val err = conn.getErrorStream
+        if (err != null) {
+          try { err.readAllBytes(); () } catch { case _: java.io.IOException => }
+          finally err.close()
+        }
         conn.disconnect()
         lastErr = s"HTTP $code"
         if (code < 500 && code != 429) // client errors don't heal

@@ -43,6 +43,31 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngram df cap: boilerplate-driven pairs removed, genuine near-dups kept") {
+    // every doc carries the same boilerplate tail — the skew shape that
+    // makes the shingle self-join quadratic at corpus scale. Because the
+    // boilerplate is in BOTH docs of every pair, dropping it can only
+    // LOWER jaccard ((co-1)/(u-1) <= co/u), so capped pairs are a subset
+    // of uncapped pairs here.
+    val boiler = "please subscribe to our newsletter for updates today"
+    val base = (1 to 24).map(i =>
+      (i.toLong, s"unique document number $i talks about topic ${i * 7} extensively " + boiler))
+    val corpus = (base
+      :+ (100L, "the quick brown fox jumps over the lazy dog " + boiler)
+      :+ (101L, "the quick brown fox jumps over the sleepy dog " + boiler))
+      .toDF("doc_id", "text")
+    def pairs(cap: Long): Set[(Long, Long)] =
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", tau = 0.2, maxShingleDf = cap)
+        .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Long.MaxValue)
+    val capped = pairs(10L)
+    assert(capped.subsetOf(uncapped))
+    assert(capped.contains((100L, 101L))) // real near-dup survives the cap
+    // uncapped drowns in boilerplate-only pairs (every base-doc pair
+    // shares the tail); the cap removes exactly those
+    assert(uncapped.size > 100 && capped == Set((100L, 101L)))
+  }
+
   test("minhash bands: exact dups share all bands; near-dups some; unrelated none") {
     val bands = Dedup.minhashBands(docs, "doc_id", "text")
     val byDoc = bands.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))

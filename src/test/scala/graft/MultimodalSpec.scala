@@ -26,6 +26,39 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"resize should be map-side:\n$plan")
   }
 
+  test("codec is pluggable: operators run against any MediaCodec impl") {
+    // a fixed-output codec standing in for a real JavaCV/FFmpeg-backed
+    // one — the operators must take it as a parameter, not hard-wire
+    // the stub
+    object FixedCodec extends Multimodal.MediaCodec {
+      @transient @volatile var inited = false
+      override def init(): Unit = { inited = true }
+      override def decode(kind: String, payload: Array[Byte]) =
+        Multimodal.Decoded(1920, 1080, "fixed", Array.fill(8)(0.5f))
+      override def resize(kind: String, payload: Array[Byte], w: Int, h: Int) =
+        Array.fill(4)(7.toByte)
+      override def frameCount(payload: Array[Byte]) = 2
+      override def frameAt(payload: Array[Byte], idx: Int) = Array(idx.toByte)
+    }
+    val feats = Multimodal.decodeAndFeaturize(media, FixedCodec).collect()
+    assert(feats.forall(f => f.width == 1920 && f.height == 1080 && f.checksum == "fixed"))
+    val rz = Multimodal.resize(media, 8, 8, FixedCodec).limit(1).collect()(0)
+    assert(rz.payload.toSeq == Seq(7, 7, 7, 7).map(_.toByte))
+    val fr = Multimodal.sampleFrames(media, everyNth = 1, maxFrames = 8,
+      codec = FixedCodec).collect()
+    assert(fr.nonEmpty && fr.forall(f => f.frame_idx < 2))
+  }
+
+  test("stub codec decode: dims and checksum are the documented byte arithmetic") {
+    val one = Multimodal.decodeAndFeaturize(media).orderBy("media_id").limit(1).collect()(0)
+    val payload = media.orderBy("media_id").limit(1).collect()(0)
+      .getAs[Array[Byte]]("payload")
+    val s = payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+    assert(one.n_bytes == payload.length.toLong)
+    assert(one.width == (payload.length % 640) && one.height == (s % 480).toInt)
+    assert(one.checksum == f"$s%08x")
+  }
+
   test("frame sampling: videos only, every-Nth bounded by maxFrames, timestamps from fps") {
     val frames = Multimodal.sampleFrames(media, everyNth = 2, maxFrames = 3, fps = 25.0).cache()
     val videos = media.filter(col("kind") === "video").count()
