@@ -37,6 +37,17 @@ object GridLoader {
     new Grid(lat0, dLat, nLat, lon0, dLon, nLon, values)
   }
 
+  /** Classic NetCDF (CDF-1/CDF-2) bathymetry variable with its 1-D
+    * coordinate axes — the reference's native grid format
+    * (`get_elev_netcdf`, `/root/reference/src/main.py:560`). Pure-JVM
+    * header parser ([[NetcdfReader]]); applies scale/offset/fill the
+    * way xarray decodes ETOPO-style grids. NetCDF-4 (HDF5) files need a
+    * one-line `nccopy -k classic` conversion first.
+    */
+  def fromNetcdf(path: String, varName: String,
+                 latVar: String = "lat", lonVar: String = "lon"): Grid =
+    NetcdfReader.grid(path, varName, latVar, lonVar)
+
   /** Raw little-endian float32 dump, row-major [iLat][iLon] — e.g.
     * `xarray.DataArray.values.astype('<f4').tofile(...)`.
     */

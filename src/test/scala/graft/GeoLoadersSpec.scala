@@ -132,6 +132,44 @@ class GeoLoadersSpec extends SparkSpec {
     assert(out(0).isNullAt(0))
   }
 
+  test("netcdf classic grid loader: CDF-1 short + scale/offset/fill decodes like xarray") {
+    // fixture written by tools/make_netcdf_fixture.py — an independent
+    // encoder of the public classic-format spec (4x5 grid, raw cell
+    // 10i+j, scale 0.5, offset -100, one fill hole at (2,3))
+    val path = getClass.getResource("/bathy_fixture.nc").getPath
+    val grid = GridLoader.fromNetcdf(path, "elevation")
+    assert(grid.lat0 == 50.0 && grid.dLat == 0.5 && grid.nLat == 4)
+    assert(grid.lon0 == 3.0 && grid.dLon == 0.25 && grid.nLon == 5)
+    assert(grid.valueAt(0, 0) == -100.0) // 0*0.5 - 100
+    assert(grid.valueAt(1, 2) == -94.0)  // 12*0.5 - 100
+    assert(grid.valueAt(2, 3).isNaN)     // _FillValue => NaN => null lookups
+    // bilinear midpoint between 4 decoded cells
+    val mid = grid.bilinear(50.25, 3.125)
+    val expect = (-100.0 + -99.5 + -95.0 + -94.5) / 4
+    assert(math.abs(mid - expect) < 1e-9, s"$mid vs $expect")
+  }
+
+  test("netcdf CDF-2 float variant loads the same decoded values") {
+    val p1 = getClass.getResource("/bathy_fixture.nc").getPath
+    val p2 = getClass.getResource("/bathy_fixture2.nc").getPath
+    val g1 = GridLoader.fromNetcdf(p1, "elevation")
+    val g2 = GridLoader.fromNetcdf(p2, "elevation")
+    assert(g1.nLat == g2.nLat && g1.nLon == g2.nLon)
+    for (i <- 0 until g1.nLat; j <- 0 until g1.nLon) {
+      val (a, b) = (g1.valueAt(i, j), g2.valueAt(i, j))
+      assert((a.isNaN && b.isNaN) || a == b, s"($i,$j): $a vs $b")
+    }
+  }
+
+  test("netcdf loader fails loudly on wrong variable and non-classic files") {
+    val path = getClass.getResource("/bathy_fixture.nc").getPath
+    val e = intercept[IllegalArgumentException](GridLoader.fromNetcdf(path, "nope"))
+    assert(e.getMessage.contains("no variable"))
+    val junk = Files.createTempFile("graft_junk", ".nc")
+    Files.write(junk, "HDF5-ish".getBytes)
+    intercept[IllegalArgumentException](GridLoader.fromNetcdf(junk.toString, "elevation"))
+  }
+
   test("f32 grid loader + native bilinear matches the synthetic grid expression") {
     // dump the synthetic grid formula to raw f32, reload, compare lookups
     val nLat = 61; val nLon = 61
