@@ -217,6 +217,41 @@ object QueriesQcEvents {
               |WINDOW wz AS (PARTITION BY datastream_id ORDER BY t_us
               |              RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
+    // W2 at 100 TB — skew hardening demo: all even streams fused into ONE
+    // hot stream (~50% of rows: the unsplittable-partition shape AQE
+    // cannot fix for windows), then the SAME trailing z-score computed
+    // per (stream, 12 h time-chunk) with a 6 h overlap
+    // (Partitioning.chunkWithOverlap): any single stream parallelizes
+    // into bounded chunks. The oracle is the PLAIN unchunked per-stream
+    // window — hash equality proves chunked == unchunked exactly.
+    QDef("w8_chunked_zscore",
+      (s, dir) => {
+        val o = obs(s, dir).withColumn("skew_id",
+          when(col(Obs.DatastreamId) % 2 === 0, lit(-1L))
+            .otherwise(col(Obs.DatastreamId)))
+        // overlap == the 6 h window lookback: every row's trailing range
+        // frame is fully contained in its chunk's own+context rows
+        val chunked = Partitioning.chunkWithOverlap(o, col("t_us"),
+          chunkUs = 43200000000L, overlapUs = 21600000000L)
+        chunked
+          .withColumn("zscore",
+            round(WindowKernels.zscore(col(Obs.Result), col("t_us"), 21600L,
+              partCols = Seq("skew_id", "__chunk")), 6))
+          .filter(!col("is_context"))
+          .select(col(Obs.IotId), col("zscore"))
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |sk AS (SELECT iot_id, result, t_us,
+              |  CASE WHEN datastream_id % 2 = 0 THEN -1
+              |       ELSE datastream_id END AS skew_id FROM obs)
+              |SELECT iot_id,
+              |  round(CASE WHEN stddev_samp(result) OVER wz = 0 THEN NULL
+              |        ELSE (result - avg(result) OVER wz) / stddev_samp(result) OVER wz
+              |        END, 6) + 0.0e0 AS zscore
+              |FROM sk
+              |WINDOW wz AS (PARTITION BY skew_id ORDER BY t_us
+              |              RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // F2 flagship — the full range→gradient→zscore worst-wins chain
     QDef("qc_pipeline_flags",
       (s, dir) => qcPipeline(s, dir)

@@ -45,4 +45,36 @@ class PartitioningSpec extends SparkSpec {
       assert(math.abs(got(id) - e) < 1e-12, s"row $id: $e vs ${got(id)}")
     }
   }
+
+  test("chunked zscore on a fused hot stream: bounded groups, exact equality (w8 shape)") {
+    // the w8_chunked_zscore declared query's shape on real data: fuse
+    // the even streams of sf0.001 events into one hot stream holding
+    // ~half the rows, chunk 12 h with the 6 h window as overlap
+    val o = Obs.eventsAsObservations(spark, "/root/testdata/sf0.001")
+      .withColumn("t_us", unix_micros(col(Obs.Time)))
+      .withColumn("skew_id",
+        when(col(Obs.DatastreamId) % 2 === 0, lit(-1L)).otherwise(col(Obs.DatastreamId)))
+    val plain = o.withColumn("z",
+      WindowKernels.zscore(col(Obs.Result), $"t_us", 21600L, partCols = Seq("skew_id")))
+      .select(col(Obs.IotId), $"z").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val chunked = Partitioning.chunkWithOverlap(o, $"t_us", 43200000000L, 21600000000L)
+    val got = chunked.withColumn("z",
+      WindowKernels.zscore(col(Obs.Result), $"t_us", 21600L,
+        partCols = Seq("skew_id", "__chunk")))
+      .filter(!$"is_context").select(col(Obs.IotId), $"z").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got.size == plain.size)
+    plain.foreach { case (id, e) => assert(got(id) == e, s"row $id: $e vs ${got(id)}") }
+
+    // the point of the exercise: the hot stream's window partition is no
+    // longer one unsplittable group — it fans out across time chunks,
+    // each bounded by the chunk row budget
+    val hotGroups = chunked.filter($"skew_id" === -1L && !$"is_context")
+      .groupBy($"__chunk").count().collect().map(_.getLong(1))
+    val hotTotal = hotGroups.sum
+    assert(hotGroups.length > 10, s"expected many chunks, got ${hotGroups.length}")
+    assert(hotGroups.max < hotTotal / 5,
+      s"largest chunk ${hotGroups.max} should be far below the unsplit $hotTotal")
+  }
 }
