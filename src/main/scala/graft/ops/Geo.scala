@@ -18,9 +18,115 @@ object Geo {
 
   val EarthRadiusM = 6371000.8 // mean Earth radius
 
+  // WGS-84 ellipsoid (the reference's geodesic model via geopy,
+  // tests/test_qc.py:38-40)
+  val Wgs84A = 6378137.0
+  val Wgs84F = 1.0 / 298.257223563
+
+  /** WGS-84 geodesic distance (inverse problem) in meters — Vincenty's
+    * iterative formula, agreeing with geopy/Karney to sub-millimeter for
+    * non-antipodal pairs. Converges in a handful of iterations for QC
+    * track geometries; the pathological near-antipodal case (where
+    * Vincenty famously stalls) falls back to spherical haversine — a
+    * 100,000 km "track segment" is garbage data the kinematics checks
+    * flag anyway. Scalar form shared by the native [[GeodesicDistExpr]]
+    * and driver-side tooling.
+    */
+  def vincentyM(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val a = Wgs84A; val f = Wgs84F; val b = a * (1 - f)
+    val L = math.toRadians(lon2 - lon1)
+    val u1 = math.atan((1 - f) * math.tan(math.toRadians(lat1)))
+    val u2 = math.atan((1 - f) * math.tan(math.toRadians(lat2)))
+    val sinU1 = math.sin(u1); val cosU1 = math.cos(u1)
+    val sinU2 = math.sin(u2); val cosU2 = math.cos(u2)
+    var lam = L
+    var sinSigma = 0.0; var cosSigma = 0.0; var sigma = 0.0
+    var cosSqAlpha = 0.0; var cos2Sm = 0.0
+    var iter = 0
+    var done = false
+    while (iter < 100 && !done) {
+      val sinL = math.sin(lam); val cosL = math.cos(lam)
+      val t1 = cosU2 * sinL
+      val t2 = cosU1 * sinU2 - sinU1 * cosU2 * cosL
+      sinSigma = math.sqrt(t1 * t1 + t2 * t2)
+      if (sinSigma == 0.0) return 0.0 // coincident points
+      cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosL
+      sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cosU1 * cosU2 * sinL / sinSigma
+      cosSqAlpha = 1 - sinAlpha * sinAlpha
+      cos2Sm = if (cosSqAlpha == 0.0) 0.0 // equatorial line
+        else cosSigma - 2 * sinU1 * sinU2 / cosSqAlpha
+      val c = f / 16 * cosSqAlpha * (4 + f * (4 - 3 * cosSqAlpha))
+      val prev = lam
+      lam = L + (1 - c) * f * sinAlpha * (sigma + c * sinSigma *
+        (cos2Sm + c * cosSigma * (-1 + 2 * cos2Sm * cos2Sm)))
+      if (math.abs(lam - prev) < 1e-13) done = true
+      iter += 1
+    }
+    if (!done) { // near-antipodal: spherical fallback (documented above)
+      val dLat = math.toRadians(lat2 - lat1); val dLon = math.toRadians(lon2 - lon1)
+      val h = math.pow(math.sin(dLat / 2), 2) + math.cos(math.toRadians(lat1)) *
+        math.cos(math.toRadians(lat2)) * math.pow(math.sin(dLon / 2), 2)
+      return 2 * EarthRadiusM * math.asin(math.sqrt(h))
+    }
+    val uSq = cosSqAlpha * (a * a - b * b) / (b * b)
+    val bigA = 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq)))
+    val bigB = uSq / 1024 * (256 + uSq * (-128 + uSq * (74 - 47 * uSq)))
+    val dSigma = bigB * sinSigma * (cos2Sm + bigB / 4 * (cosSigma *
+      (-1 + 2 * cos2Sm * cos2Sm) - bigB / 6 * cos2Sm *
+      (-3 + 4 * sinSigma * sinSigma) * (-3 + 4 * cos2Sm * cos2Sm)))
+    b * bigA * (sigma - dSigma)
+  }
+
+  /** WGS-84 geodesic *direct* problem (Vincenty): destination point from
+    * (lat, lon) + distance + initial bearing. Driver-side utility — the
+    * mirror of geopy's `destination` used to reconstruct the reference's
+    * kinematics fixture track (tests/test_qc.py:33-47).
+    */
+  def geodesicDestination(lat: Double, lon: Double, distM: Double,
+                          bearingDeg: Double): (Double, Double) = {
+    val a = Wgs84A; val f = Wgs84F; val b = a * (1 - f)
+    val alpha1 = math.toRadians(bearingDeg)
+    val sinA1 = math.sin(alpha1); val cosA1 = math.cos(alpha1)
+    val tanU1 = (1 - f) * math.tan(math.toRadians(lat))
+    val cosU1 = 1 / math.sqrt(1 + tanU1 * tanU1)
+    val sinU1 = tanU1 * cosU1
+    val sigma1 = math.atan2(tanU1, cosA1)
+    val sinAlpha = cosU1 * sinA1
+    val cosSqAlpha = 1 - sinAlpha * sinAlpha
+    val uSq = cosSqAlpha * (a * a - b * b) / (b * b)
+    val bigA = 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq)))
+    val bigB = uSq / 1024 * (256 + uSq * (-128 + uSq * (74 - 47 * uSq)))
+    var sigma = distM / (b * bigA)
+    var sigmaP = Double.MaxValue
+    var cos2Sm = 0.0; var sinSigma = 0.0; var cosSigma = 0.0
+    var iter = 0
+    while (math.abs(sigma - sigmaP) > 1e-13 && iter < 100) {
+      cos2Sm = math.cos(2 * sigma1 + sigma)
+      sinSigma = math.sin(sigma); cosSigma = math.cos(sigma)
+      val dSigma = bigB * sinSigma * (cos2Sm + bigB / 4 * (cosSigma *
+        (-1 + 2 * cos2Sm * cos2Sm) - bigB / 6 * cos2Sm *
+        (-3 + 4 * sinSigma * sinSigma) * (-3 + 4 * cos2Sm * cos2Sm)))
+      sigmaP = sigma
+      sigma = distM / (b * bigA) + dSigma
+      iter += 1
+    }
+    cos2Sm = math.cos(2 * sigma1 + sigma)
+    sinSigma = math.sin(sigma); cosSigma = math.cos(sigma)
+    val tmp = sinU1 * sinSigma - cosU1 * cosSigma * cosA1
+    val lat2 = math.atan2(sinU1 * cosSigma + cosU1 * sinSigma * cosA1,
+      (1 - f) * math.sqrt(sinAlpha * sinAlpha + tmp * tmp))
+    val lam = math.atan2(sinSigma * sinA1, cosU1 * cosSigma - sinU1 * sinSigma * cosA1)
+    val c = f / 16 * cosSqAlpha * (4 + f * (4 - 3 * cosSqAlpha))
+    val bigL = lam - (1 - c) * f * sinAlpha * (sigma + c * sinSigma *
+      (cos2Sm + c * cosSigma * (-1 + 2 * cos2Sm * cos2Sm)))
+    (math.toDegrees(lat2), lon + math.toDegrees(bigL))
+  }
+
   /** Haversine great-circle distance in meters, as a Column expression.
     * The reference uses geopy geodesic (WGS-84); haversine differs by
     * ≤0.3% which the reference's own tolerances absorb (SURVEY §2.6 G6).
+    * For the exact ellipsoidal model use [[geodesicM]].
     */
   def haversineM(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
     val dLat = radians(lat2 - lat1)
@@ -29,6 +135,18 @@ object Geo {
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
     lit(2 * EarthRadiusM) * asin(sqrt(a))
   }
+
+  /** WGS-84 ellipsoidal distance as a native expression (the compiled
+    * Vincenty loop in [[vincentyM]] — iterative, so not expressible as a
+    * Column tree). Plug into kinematics via
+    * `WindowKernels.velocityAcceleration(..., distM = Geo.geodesicM)`.
+    */
+  def geodesicM(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(GeodesicDistExpr(
+      org.apache.spark.sql.GraftExpressionBridge.expression(lat1),
+      org.apache.spark.sql.GraftExpressionBridge.expression(lon1),
+      org.apache.spark.sql.GraftExpressionBridge.expression(lat2),
+      org.apache.spark.sql.GraftExpressionBridge.expression(lon2)))
 
   /** Same formula as SQL text (for DuckDB oracles). */
   def haversineSql(lat1: String, lon1: String, lat2: String, lon2: String): String =

@@ -168,3 +168,57 @@ case class GridElevationExpr(lat: Expression, lon: Expression, grid: Grid)
       newChildren: IndexedSeq[Expression]): GridElevationExpr =
     copy(lat = newChildren(0), lon = newChildren(1))
 }
+
+/** WGS-84 geodesic distance (Vincenty inverse) — iterative, so it cannot
+  * be a Column-algebra tree; the compiled loop lives in
+  * [[Geo.vincentyM]] and both eval and codegen call it. Null if any
+  * input is null. Ellipsoidal counterpart of [[Geo.haversineM]]
+  * (reference geodesic model: geopy, tests/test_qc.py:38-40).
+  */
+case class GeodesicDistExpr(lat1: Expression, lon1: Expression,
+                            lat2: Expression, lon2: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(lat1, lon1, lat2, lon2)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == DoubleType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"geodesic_dist requires four doubles, got ${children.map(_.dataType.sql).mkString(", ")}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = lat1.eval(input); val b = lon1.eval(input)
+    val c = lat2.eval(input); val d = lon2.eval(input)
+    if (a == null || b == null || c == null || d == null) null
+    else Geo.vincentyM(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = children.map(_.genCode(ctx))
+    ev.copy(code =
+      code"""
+         |${cs(0).code}
+         |${cs(1).code}
+         |${cs(2).code}
+         |${cs(3).code}
+         |boolean ${ev.isNull} = true;
+         |double ${ev.value} = 0.0;
+         |if (!${cs(0).isNull} && !${cs(1).isNull} && !${cs(2).isNull} && !${cs(3).isNull}) {
+         |  ${ev.isNull} = false;
+         |  ${ev.value} = graft.ops.Geo.vincentyM(
+         |    ${cs(0).value}, ${cs(1).value}, ${cs(2).value}, ${cs(3).value});
+         |}
+         |""".stripMargin)
+  }
+
+  override def prettyName: String = "geodesic_dist"
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GeodesicDistExpr =
+    copy(lat1 = newChildren(0), lon1 = newChildren(1),
+      lat2 = newChildren(2), lon2 = newChildren(3))
+}

@@ -75,6 +75,46 @@ class KinematicsFixtureSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("WGS-84 geodesic kinematics: fixture velocities at rtol 1e-4 (geopy model)") {
+    // dead-reckon the track on the WGS-84 ellipsoid (Vincenty direct —
+    // the mirror of geopy's destination steps in test_qc.py:38-44), then
+    // recover the kinematics with the ellipsoidal distance. With model
+    // and data on the same ellipsoid, the tolerance drops from the
+    // spherical 3e-3 to 1e-4 (the round-trip itself is sub-millimeter).
+    var pos = (51.37115902107277, 3.1840709669760137)
+    val wgsTrack = fixture.zipWithIndex.map { case ((t, dist, heading, _, _), i) =>
+      if (i > 0) pos = Geo.geodesicDestination(pos._1, pos._2, dist, heading)
+      (i.toLong, (t * 1e6).toLong, pos._1, pos._2)
+    }
+    val k = WindowKernels.velocityAcceleration(
+      wgsTrack.toDF("id", "t_us", "lat", "lon"), w, $"lat", $"lon", $"t_us",
+      distM = Geo.geodesicM).orderBy($"id")
+    val v = k.select($"velocity_ms").collect()
+      .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    val acc = k.select($"acceleration_ms2").collect()
+      .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    fixture.dropRight(1).zipWithIndex.foreach { case ((_, _, _, vExp, _), i) =>
+      v(i + 1) shouldBe vExp +- math.max(1e-4 * vExp, 1e-7)
+    }
+    fixture.dropRight(2).zipWithIndex.foreach { case ((_, _, _, _, aExp), i) =>
+      acc(i + 2) shouldBe aExp +- math.max(1e-4 * math.abs(aExp), 1e-6)
+    }
+  }
+
+  test("vincenty inverse round-trips the direct problem to sub-millimeter") {
+    val cases = Seq((51.37, 3.18, 1234.5, 47.0), (51.37, 3.18, 89.3, 200.0),
+      (-33.9, 151.2, 50000.0, 310.0), (0.01, 0.01, 5.0, 90.0))
+    cases.foreach { case (lat, lon, d, brg) =>
+      val (lat2, lon2) = Geo.geodesicDestination(lat, lon, d, brg)
+      val back = Geo.vincentyM(lat, lon, lat2, lon2)
+      assert(math.abs(back - d) < 1e-3, s"($lat,$lon,$d,$brg): got $back")
+    }
+    // degenerate + sanity: zero distance, meridian arc near-spherical
+    assert(Geo.vincentyM(51.0, 3.0, 51.0, 3.0) == 0.0)
+    val oneDegLat = Geo.vincentyM(50.5, 3.0, 51.5, 3.0)
+    assert(oneDegLat > 110500 && oneDegLat < 111500, s"meridian deg: $oneDegLat")
+  }
+
   test("max-velocity check: 90 m/s => none, 0 => all segments (test_qc.py:395-403)") {
     val k = kinematics
     val flagged = k
