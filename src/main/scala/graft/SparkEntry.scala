@@ -30,10 +30,11 @@ object SparkEntry {
     all.map(q => q.name -> q.query).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for ops whose semantics aren't
-    * SQL-expressible (the stubbed media decode) → rows-only. Round 2 made
-    * the LSH/IVF candidate sets oracle-checkable by switching the bucket
-    * and quantizer arithmetic to portable integers.
+    * the same parquet tables. Every declared query has an oracle since
+    * round 3: round 2 made the LSH/IVF candidate sets oracle-checkable
+    * (portable-integer buckets/quantizer); round 3 closed the last gap
+    * by porting the stub media codec's byte arithmetic (mm_features) and
+    * the trained k-means quantizer (sim_ivf_topk) to SQL.
     */
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap

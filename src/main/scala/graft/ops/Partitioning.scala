@@ -49,13 +49,21 @@ object Partitioning {
     require(overlapUs >= 0 && overlapUs < chunkUs, "overlap must be < chunk")
     val chunk = floor(timeUs / chunkUs).cast("long")
     val posInChunk = timeUs - chunk * chunkUs
+    // ONE scan + a map-side explode of 1-3 chunk assignments per row
+    // (the 3-way union form scanned and decoded the source three times):
     // rows near the start of a chunk also serve as context for the
     // previous chunk's tail; rows near the end for the next chunk's head
-    val own = df.withColumn("__chunk", chunk).withColumn("is_context", lit(false))
-    val headCtx = df.filter(posInChunk < overlapUs)
-      .withColumn("__chunk", chunk - 1).withColumn("is_context", lit(true))
-    val tailCtx = df.filter(posInChunk >= chunkUs - overlapUs)
-      .withColumn("__chunk", chunk + 1).withColumn("is_context", lit(true))
-    own.unionByName(headCtx).unionByName(tailCtx)
+    val assignments = filter(
+      array(
+        struct(chunk.as("c"), lit(false).as("ctx"), lit(true).as("keep")),
+        struct((chunk - 1).as("c"), lit(true).as("ctx"),
+          (posInChunk < overlapUs).as("keep")),
+        struct((chunk + 1).as("c"), lit(true).as("ctx"),
+          (posInChunk >= chunkUs - overlapUs).as("keep"))),
+      e => e.getField("keep"))
+    df.withColumn("__assign", explode(assignments))
+      .withColumn("__chunk", col("__assign.c"))
+      .withColumn("is_context", col("__assign.ctx"))
+      .drop("__assign")
   }
 }

@@ -94,6 +94,27 @@ object WindowKernels {
     when(sd =!= 0.0, (value - avg(value).over(w)) / sd)
   }
 
+  /** [[zscore]] as a DataFrame transform that materializes each window
+    * aggregate ONCE. The Column form necessarily references the stddev
+    * expression twice (guard + divisor) and Spark does not dedupe
+    * identical window expressions, so it pays three sliding aggregates
+    * per row; with Spark's O(frame-size) recompute per row, that is the
+    * dominant cost on dense streams (the w8 hot-stream bench line).
+    * Identical arithmetic and output — only the evaluation count drops.
+    */
+  def zscoreOnto(df: DataFrame, out: String, value: Column, epochUs: Column,
+                 windowSec: Long, partCols: Seq[String] = Seq(Obs.DatastreamId),
+                 includeCurrent: Boolean = true): DataFrame = {
+    val hi = if (includeCurrent) 0L else -1L
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(epochUs)
+      .rangeBetween(-windowSec * 1000000L, hi)
+    df.withColumn("__z_sd", stddev_samp(value).over(w))
+      .withColumn("__z_m", avg(value).over(w))
+      .withColumn(out,
+        when(col("__z_sd") =!= 0.0, (value - col("__z_m")) / col("__z_sd")))
+      .drop("__z_sd", "__z_m")
+  }
+
   /** W3 — dt / velocity / acceleration from a time-sorted track (reference
     * `get_dt_velocity_and_acceleration_series`, `src/main.py:654-660`,
     * `README.adoc:220-229`): dt to the previous point, velocity =

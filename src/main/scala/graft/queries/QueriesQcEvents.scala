@@ -206,8 +206,9 @@ object QueriesQcEvents {
 
     // W2 — rolling z-score over a trailing 6 h time window
     QDef("w2_zscore",
-      (s, dir) => obs(s, dir).select(col(Obs.IotId),
-        round(WindowKernels.zscore(col(Obs.Result), col("t_us"), 21600L), 6).as("zscore")),
+      (s, dir) => WindowKernels.zscoreOnto(obs(s, dir), "__z",
+          col(Obs.Result), col("t_us"), 21600L)
+        .select(col(Obs.IotId), round(col("__z"), 6).as("zscore")),
       Some(s"""WITH ${Q.ObsCte}
               |SELECT iot_id,
               |  round(CASE WHEN stddev_samp(result) OVER wz = 0 THEN NULL
@@ -233,10 +234,9 @@ object QueriesQcEvents {
         // frame is fully contained in its chunk's own+context rows
         val chunked = Partitioning.chunkWithOverlap(o, col("t_us"),
           chunkUs = 43200000000L, overlapUs = 21600000000L)
-        chunked
-          .withColumn("zscore",
-            round(WindowKernels.zscore(col(Obs.Result), col("t_us"), 21600L,
-              partCols = Seq("skew_id", "__chunk")), 6))
+        WindowKernels.zscoreOnto(chunked, "__z", col(Obs.Result), col("t_us"),
+            21600L, partCols = Seq("skew_id", "__chunk"))
+          .withColumn("zscore", round(col("__z"), 6))
           .filter(!col("is_context"))
           .select(col(Obs.IotId), col("zscore"))
       },
