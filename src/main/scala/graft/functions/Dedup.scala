@@ -32,14 +32,17 @@ object Dedup {
       ShinglesExpr(org.apache.spark.sql.GraftExpressionBridge.expression(
         TextAnalysis.normalized(text)), k))
 
-  /** Exact dedup: group by fingerprint, canonical = min id. Returns
-    * (id, fingerprint, canonical_id, group_size, is_duplicate).
+  /** Exact dedup: canonical = min id per fingerprint group. Window
+    * aggregates over the fingerprint partition — ONE scan and ONE
+    * shuffle (the groupBy+join form planned the source subtree twice:
+    * parquet decoded and the text normalized+hashed once per join side).
+    * Returns (id, fingerprint, canonical_id, group_size, is_duplicate).
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = df.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
-    val groups = fp.groupBy("fingerprint")
-      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
-    fp.join(groups, Seq("fingerprint"))
+    val wg = Window.partitionBy(col("fingerprint"))
+    df.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("canonical_id", min(col(idCol)).over(wg))
+      .withColumn("group_size", count(lit(1)).over(wg))
       .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
   }
 

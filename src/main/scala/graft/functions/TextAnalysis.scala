@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -115,6 +115,62 @@ object TextAnalysis {
       (when(h > bh, lit(l)).otherwise(bl), when(h > bh, h).otherwise(bh))
     }
     best._1
+  }
+
+  // ---- DataFrame variants with hit counts materialized ONCE -------------
+  // The Column-form argmax folds above duplicate each per-language count
+  // subtree ~2^|langs| times (every fold step references the running best
+  // twice), and CollapseProject re-inlines any intermediate projection —
+  // so each count's regex split / HOF filter runs up to 16× per row.
+  // These variants pin the counts behind EvalOnce columns (blocking the
+  // collapse) and fold over cheap attribute references instead. Same
+  // values, same oracle SQL — only the evaluation count drops.
+
+  private def argmaxOverCols(langs: Seq[String], hitCol: String => Column): Column =
+    langs.foldLeft((lit("und"), lit(0))) { case ((bl, bh), l) =>
+      (when(hitCol(l) > bh, lit(l)).otherwise(bl),
+        when(hitCol(l) > bh, hitCol(l)).otherwise(bh))
+    }._1
+
+  /** [[langId]] with per-language stopword counts evaluated once. */
+  def langIdOnto(df: DataFrame, out: String, text: Column): DataFrame = {
+    val langs = Stopwords.keys.toSeq.sorted
+    val withHits = langs.foldLeft(df)((d, l) =>
+      d.withColumn(s"__sw_$l", EvalOnce(stopwordHits(text, Stopwords(l)))))
+    withHits.withColumn(out, argmaxOverCols(langs, l => col(s"__sw_$l")))
+      .drop(langs.map(l => s"__sw_$l"): _*)
+  }
+
+  /** [[langIdNgram]] with the normalization and per-language trigram
+    * counts evaluated once.
+    */
+  def langIdNgramOnto(df: DataFrame, out: String, text: Column): DataFrame = {
+    val langs = TrigramProfiles.keys.toSeq.sorted
+    val withNorm = df.withColumn("__lin_norm", EvalOnce(normalized(text)))
+    val withHits = langs.foldLeft(withNorm)((d, l) =>
+      d.withColumn(s"__tg_$l", EvalOnce(
+        TrigramProfiles(l).map(g => substrCount(col("__lin_norm"), g)).reduce(_ + _))))
+    withHits.withColumn(out, argmaxOverCols(langs, l => col(s"__tg_$l")))
+      .drop("__lin_norm" +: langs.map(l => s"__tg_$l"): _*)
+  }
+
+  /** [[qualityScore]] with the token count and stopword count evaluated
+    * once (the Column form pays the regex token split 3×).
+    */
+  def qualityScoreOnto(df: DataFrame, out: String, text: Column): DataFrame = {
+    val n = col("__q_n")
+    val chars = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val meanWordLen = chars / greatest(n, lit(1.0))
+    val lenOk = when(n >= 5 && n <= 10000, lit(1.0)).otherwise(lit(0.0))
+    val alphaRatio = alpha / greatest(chars, lit(1.0))
+    val swRatio = least(col("__q_sw") / greatest(n, lit(1.0)) * 10.0, lit(1.0))
+    val wordLenOk = when(meanWordLen >= 2.0 && meanWordLen <= 12.0, lit(1.0))
+      .otherwise(lit(0.0))
+    df.withColumn("__q_n", EvalOnce(wsTokenCount(text).cast("double")))
+      .withColumn("__q_sw", EvalOnce(stopwordHits(text, Stopwords("en")).cast("double")))
+      .withColumn(out, round((lenOk + alphaRatio + swRatio + wordLenOk) / 4.0, 6))
+      .drop("__q_n", "__q_sw")
   }
 
   /** Quality score in [0,1]: blend of length band, alpha ratio, stopword

@@ -95,11 +95,15 @@ object QueriesText {
 
     // language id (stopword + char-trigram heuristics) + quality score
     QDef("t_langid_quality",
-      (s, dir) => Q.table(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.langId(col("text")).as("lang_id"),
-        TextAnalysis.langIdNgram(col("text")).as("lang_id_ngram"),
-        TextAnalysis.qualityScore(col("text")).as("quality")),
+      (s, dir) => {
+        // the *Onto forms evaluate each per-language count once; the
+        // Column-fold forms re-run the splits/replaces up to 2^langs ×
+        val d0 = Q.table(s, dir, "documents")
+        val d1 = TextAnalysis.langIdOnto(d0, "lang_id", col("text"))
+        val d2 = TextAnalysis.langIdNgramOnto(d1, "lang_id_ngram", col("text"))
+        TextAnalysis.qualityScoreOnto(d2, "quality", col("text"))
+          .select(col("doc_id"), col("lang_id"), col("lang_id_ngram"), col("quality"))
+      },
       Some {
         val langs = TextAnalysis.Stopwords.keys.toSeq.sorted
         def hits(l: String): String = {
