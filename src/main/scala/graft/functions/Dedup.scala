@@ -59,26 +59,29 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         tau: Double, k: Int = 3,
                         maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    // exploded distinct shingles — the inverted index. Cached: it feeds
-    // the df-count, the prefix index, and the verification arrays.
+    // exploded distinct shingles — the inverted index — with each
+    // shingle's document frequency attached by ONE window over the
+    // shingle partition (the agg + join-back form shuffled twice and
+    // planned the shingle scan twice; the df-cap filter then rides the
+    // same pass). Cached: it feeds the prefix index and the
+    // verification arrays.
     val sh0 = df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("shingle"))
-    val sh = (if (maxShingleDf == Long.MaxValue) sh0
-    else {
-      val dfreq = sh0.groupBy("shingle").agg(count(lit(1)).as("dfc"))
-        .filter(col("dfc") <= maxShingleDf)
-      sh0.join(dfreq.select("shingle"), Seq("shingle"))
-    }).cache()
+    val sh = sh0
+      .withColumn("dfc", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("dfc") <= maxShingleDf)
+      .cache()
 
     // PPJoin-style prefix filter (exact): order each doc's shingles by the
     // global (df, shingle) order; any pair with J >= tau must share one of
     // the first n - ceil(tau*n) + 1 shingles (pigeonhole on the overlap
     // bound o >= ceil(tau*n)). The self-join runs over prefixes only —
     // at corpus scale this is the difference between Σdf² over all
-    // shingles and over rare prefix shingles.
-    val dfreqAll = sh.groupBy("shingle").agg(count(lit(1)).as("dfc"))
+    // shingles and over rare prefix shingles. (df-capped shingles keep
+    // their original counts — removal only deletes whole groups — so the
+    // dfc computed above IS the prefix-ordering key.)
     val wDoc = Window.partitionBy(col("id")).orderBy(col("dfc").asc, col("shingle").asc)
     val wN = Window.partitionBy(col("id"))
-    val prefix = sh.join(dfreqAll, Seq("shingle"))
+    val prefix = sh
       .withColumn("rk", row_number().over(wDoc))
       .withColumn("n", count(lit(1)).over(wN))
       .filter(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
@@ -187,6 +190,59 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Near-duplicate CLUSTERS from pairwise edges — the step after pair
+    * discovery in every production dedup pipeline: connected components,
+    * cluster id = min document id in the component, canonical = the
+    * member equal to its cluster id (keep it, drop the rest).
+    *
+    * Algorithm: HashMin label propagation (the standard large-graph CC
+    * shape — Kiveris et al. "Connected Components in MapReduce", SOCC'14
+    * describe the family): every node starts labeled with its own id;
+    * each round takes the min of its label and its neighbors' labels;
+    * converges in ≤ graph-diameter rounds (near-dup components are
+    * near-cliques, so 2-3 in practice). Each round is one equi-join +
+    * one groupBy — shuffle-by-key only, no driver-side graph. The
+    * driver's only job is the convergence check (one count per round);
+    * at 100 TB scale insert a checkpoint every few rounds to cut the
+    * lineage.
+    *
+    * Deterministic (exact fixpoint over integer labels), so the result
+    * is oracle-reproducible against a recursive-CTE min-reachable-id.
+    * Returns (id, cluster, is_canonical) for every id in `ids`
+    * (edge-free docs are their own singleton cluster).
+    *
+    * Each round ends in `localCheckpoint` — iterative plans NEST the
+    * previous round's plan (the round's join references it twice), so
+    * without lineage truncation the logical tree grows ~3^rounds and the
+    * plan serialization alone OOMs around round 8. Checkpointing per
+    * round keeps the plan constant-size; it is also what bounds recovery
+    * cost on a real cluster.
+    */
+  def nearDupClusters(ids: DataFrame, pairs: DataFrame,
+                      idCol: String = "id",
+                      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("nc")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nc")).as("nbc"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbc"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("id"), col("cluster").as("old")), Seq("id"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+    }
+    labels.withColumn("is_canonical", col("id") === col("cluster"))
   }
 
   // ---- SimHash ----------------------------------------------------------

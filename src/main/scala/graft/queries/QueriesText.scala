@@ -259,6 +259,46 @@ object QueriesText {
               |JOIN sizes sb ON sb.doc_id = c.id_b
               |WHERE CAST(co.co AS DOUBLE) / CAST(sa.n + sb.n - co.co AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // near-dup CLUSTERS over the MinHash pair graph — pair discovery's
+    // downstream step (connected components, min-id canonical). Spark
+    // side: HashMin label propagation (join+groupBy per round); oracle:
+    // recursive-CTE min-reachable-id — exact fixpoints on both sides,
+    // so the hash compare proves the propagation converged correctly.
+    QDef("dd_clusters",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", tau = 0.5)
+        Dedup.nearDupClusters(docs.select(col("doc_id").as("id")), pairs)
+          .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+            col("is_canonical"))
+      },
+      Some(s"""WITH RECURSIVE $shinglesCte,
+              |$minhashBandsCte,
+              |cand AS (
+              |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+              |  FROM bands x JOIN bands y
+              |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.id < y.id),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |co AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT c.id_a, c.id_b FROM cand c
+              |  JOIN co ON co.id_a = c.id_a AND co.id_b = c.id_b
+              |  JOIN sizes sa ON sa.doc_id = c.id_a
+              |  JOIN sizes sb ON sb.doc_id = c.id_b
+              |  WHERE CAST(co.co AS DOUBLE) / CAST(sa.n + sb.n - co.co AS DOUBLE) >= 0.5),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |          UNION ALL SELECT id_b, id_a FROM pairs),
+              |lab (id, cluster) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.src, l.cluster FROM edges e JOIN lab l ON l.id = e.dst)
+              |SELECT id AS doc_id, min(cluster) AS cluster_id,
+              |  id = min(cluster) AS is_canonical
+              |FROM lab GROUP BY id""".stripMargin)),
+
     // 32-bit SimHash per document (relational vote-sum form — one
     // codegen'd shuffle; the Column-expression form is interpreted)
     QDef("dd_simhash",

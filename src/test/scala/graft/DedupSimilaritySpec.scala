@@ -82,6 +82,25 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
     assert(pairs == Set((1L, 2L))) // only the exact dup survives tau=0.9
   }
 
+  test("near-dup clusters: connected components with min-id canonical") {
+    // chain 1-2, 2-3 (one component through transitivity), pair 10-11,
+    // singletons 20, 21 — exercises multi-hop propagation
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(ids, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      10L -> (10L, true), 11L -> (10L, false),
+      20L -> (20L, true), 21L -> (21L, true)))
+    // a longer path needs more propagation rounds — still exact
+    val chain = (1L to 9L).toDF("id")
+    val chainPairs = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labs = Dedup.nearDupClusters(chain, chainPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs.values.toSet == Set(1L) && labs.size == 9)
+  }
+
   test("simhash: identical texts equal; near-dups hamming-close; unrelated far") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val h = docs.select($"doc_id", Dedup.simhash32($"text").as("h")).collect()
