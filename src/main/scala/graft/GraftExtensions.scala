@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.{LshBucketExpr, WinnowFingerprintsExpr}
-import graft.ops.PointInPolygonExpr
+import graft.functions.{CosineExpr, LshBucketExpr, ShinglesExpr, WinnowFingerprintsExpr}
+import graft.ops.{GeodesicDistExpr, PointInPolygonExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
@@ -14,6 +14,9 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *  - `lsh_bucket(embedding[, nPlanes, dim])`     → BIGINT bucket id
   *  - `winnow_fingerprints(text[, k, w])`          → ARRAY<BIGINT>
   *  - `point_in_polygon(lat, lon, ring)`           → BOOLEAN
+  *  - `cosine_sim(a, b)`                           → DOUBLE
+  *  - `geodesic_dist(lat1, lon1, lat2, lon2)`      → DOUBLE (WGS-84 m)
+  *  - `shingles(text[, k])`                        → ARRAY<STRING>
   *
   * Two registration paths, same builders:
   *  - `GraftFunctions.register(spark)` on a live session;
@@ -64,6 +67,28 @@ object GraftFunctions {
           Cast(ring, ArrayType(DoubleType)))
         case _ => throw new IllegalArgumentException(
           "usage: point_in_polygon(lat, lon, ring)")
+      }
+    },
+    "cosine_sim" -> { args: Seq[Expression] =>
+      args match {
+        case Seq(a, b) => CosineExpr(a, b)
+        case _ => throw new IllegalArgumentException("usage: cosine_sim(a, b)")
+      }
+    },
+    "geodesic_dist" -> { args: Seq[Expression] =>
+      args match {
+        case Seq(lat1, lon1, lat2, lon2) => GeodesicDistExpr(
+          Cast(lat1, DoubleType), Cast(lon1, DoubleType),
+          Cast(lat2, DoubleType), Cast(lon2, DoubleType))
+        case _ => throw new IllegalArgumentException(
+          "usage: geodesic_dist(lat1, lon1, lat2, lon2)")
+      }
+    },
+    "shingles" -> { args: Seq[Expression] =>
+      args match {
+        case Seq(e) => ShinglesExpr(e, 3)
+        case Seq(e, k) => ShinglesExpr(e, intLit(k, "k"))
+        case _ => throw new IllegalArgumentException("usage: shingles(text[, k])")
       }
     })
 

@@ -42,6 +42,25 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT winnow_fingerprints('abcdefghij klmnopqrs tuvwxyz abcdefghij', 2*4, 16) AS f")
       .collect()(0).getSeq[Long](0)
     assert(wf2.nonEmpty)
+
+    // cosine_sim == the Column API's single-loop fold
+    val cosRow = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+        |                  array(CAST(0.6 AS DOUBLE), CAST(0.8 AS DOUBLE))) AS c""".stripMargin)
+      .collect()(0)
+    assert(math.abs(cosRow.getDouble(0) - 0.6) < 1e-12)
+
+    // geodesic_dist: bare decimal literals cast; one degree of meridian
+    val gd = spark.sql("SELECT geodesic_dist(50.5, 3.0, 51.5, 3.0) AS m")
+      .collect()(0).getDouble(0)
+    assert(gd > 110500 && gd < 111500, s"meridian degree: $gd")
+
+    // shingles == the compiled kernel's contract (distinct k-grams)
+    val sh = spark.sql("SELECT shingles('a b c a b c d') AS s")
+      .collect()(0).getSeq[String](0)
+    assert(sh == Seq("a b c", "b c a", "c a b", "b c d"))
+    val sh2 = spark.sql("SELECT shingles('a b c', 2) AS s").collect()(0).getSeq[String](0)
+    assert(sh2 == Seq("a b", "b c"))
   }
 
   test("extensions class wires the same builders into a session-extensions hook") {
