@@ -223,10 +223,20 @@ object Dedup {
   def nearDupClusters(ids: DataFrame, pairs: DataFrame,
                       idCol: String = "id",
                       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Materialize pair discovery ONCE before mirroring: the union puts
+    // the (expensive) pairs plan in both arms, so without this the
+    // upstream candidate+verify pipeline executes twice.
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).localCheckpoint(true)
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    // Only vertices with at least one edge can ever leave cluster==id, so
+    // the fixpoint loop runs over the edge-vertex set (∝ #near-dups, a
+    // small fraction of the corpus at any scale) — the edge-free majority
+    // never enters a propagation round and is labeled in one final
+    // left join. This is what keeps the per-round shuffles proportional
+    // to the dup graph, not the corpus.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
@@ -234,15 +244,52 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("cluster").as("nc")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("nc")).as("nbc"))
         .withColumnRenamed("src", "id")
+      // Carry the previous label through the checkpoint so convergence is
+      // a filter over the materialized round, not another join.
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nbc"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      changed = next.join(labels.select(col("id"), col("cluster").as("old")), Seq("id"))
-        .filter(col("cluster") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("cluster") =!= col("old")).count()
+      labels = next.select(col("id"), col("cluster"))
     }
-    labels.withColumn("is_canonical", col("id") === col("cluster"))
+    ids.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("cluster", "nbc"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("nbc"), col("id")).as("cluster"))
+      .withColumn("is_canonical", col("id") === col("cluster"))
+  }
+
+  /** Benchmark-contamination check — the decontamination step of a
+    * training-data pipeline: for every corpus document, how many of its
+    * distinct k-shingles also appear anywhere in an evaluation set
+    * (benchmark prompts/answers), and what fraction of the document that
+    * is. Downstream, docs above a threshold are dropped or flagged
+    * before training.
+    *
+    * Scale shape: the eval side collapses to its DISTINCT shingle set —
+    * benchmark suites are tiny next to a 100 TB corpus, so that set is
+    * explicitly `broadcast` and the probe is a map-side hash lookup over
+    * the corpus shingles; the only shuffle is the final groupBy doc id
+    * (map-side partial counts). Never a shuffle of the corpus by
+    * shingle.
+    *
+    * Returns (id, n_shingles, n_contaminated, contamination) for every
+    * corpus doc with ≥1 shingle (docs under k words have none, as in
+    * [[minhashBands]]).
+    */
+  def contaminationCheck(corpus: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val evalSh = evalSet
+      .select(explode(shingles(col(textCol), k)).as("shingle")).distinct()
+      .withColumn("hit", lit(1L))
+    corpus
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("shingle"))
+      .join(broadcast(evalSh), Seq("shingle"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_shingles").cast("double"), 6))
   }
 
   // ---- SimHash ----------------------------------------------------------

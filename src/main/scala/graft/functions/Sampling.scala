@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines:
+  * hash-bucket sampling (repeatable splits without stored state) and
+  * per-stratum rates (domain/language mixing weights).
+  *
+  * All decisions are pure functions of (salt, key) via the same
+  * 32-bit md5-prefix hash the dedup family uses — no RNG, no
+  * driver state, so a sample is reproducible across runs, engines
+  * (the DuckDB oracle reproduces it exactly) and cluster sizes, and
+  * re-running a failed stage cannot change membership. Everything is
+  * map-side: zero shuffle, the filter rides the scan's partitioning
+  * and pushes nothing more than a projection down.
+  */
+object Sampling {
+
+  /** Buckets per unit probability: rates are resolved to an integer
+    * threshold out of 1e6, i.e. rate precision is 1e-6.
+    */
+  val Buckets = 1000000L
+
+  /** Deterministic bucket in [0, 1e6) for a row key: first 8 md5 hex
+    * chars of salt||key as an integer, mod 1e6. Uniform enough for
+    * sampling (md5 avalanche); portable (same value in any engine that
+    * has md5 over strings).
+    */
+  def hashBucket(key: Column, salt: String): Column =
+    pmod(Dedup.baseHash(concat(lit(salt), key.cast("string"))), lit(Buckets))
+
+  /** Keep each row with probability `rate`, decided by [[hashBucket]]
+    * of its key — a repeatable Bernoulli sample (same salt+key ⇒ same
+    * decision, independent of partitioning or row order).
+    */
+  def hashSample(df: DataFrame, keyCol: Column, rate: Double,
+                 salt: String = "graft"): DataFrame =
+    df.filter(hashBucket(keyCol, salt) < (rate * Buckets).toLong)
+
+  /** Stratified sample: per-stratum keep rates (e.g. language or source
+    * mixing weights), defaulting to `defaultRate` for strata not in the
+    * map. The stratum column only selects the threshold — membership
+    * still hashes the row key, so changing one stratum's rate never
+    * reshuffles another stratum's sample (rate monotonicity: raising a
+    * rate only ADDs rows, it never swaps them — the property that makes
+    * hash sampling the right tool for iterating on mixture weights over
+    * a 100 TB corpus).
+    */
+  def stratifiedSample(df: DataFrame, keyCol: Column, strataCol: Column,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = "graft"): DataFrame = {
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(
+      lit((defaultRate * Buckets).toLong)) { case (acc, (s, r)) =>
+      when(strataCol === s, lit((r * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(keyCol, salt) < threshold)
+  }
+}

@@ -190,4 +190,34 @@ object TextAnalysis {
     val wordLenOk = when(meanWordLen >= 2.0 && meanWordLen <= 12.0, lit(1.0)).otherwise(lit(0.0))
     round((lenOk + alphaRatio + swRatio + wordLenOk) / 4.0, 6)
   }
+
+  /** Fixed-size token chunks with overlap — training-sequence prep:
+    * split each document's (normalized, whitespace-tokenized) token
+    * stream into windows of `chunkSize` tokens starting every
+    * `chunkSize - overlap` tokens, so consecutive chunks share `overlap`
+    * tokens of context. The trailing chunk may be shorter.
+    *
+    * Entirely map-side: tokenize → explode the start offsets
+    * (`sequence`) → `slice` per start. No shuffle, no state — at corpus
+    * scale this is a pure narrow transformation that rides whatever
+    * partitioning the scan produced, and the output is ~n_tokens/stride
+    * rows per doc regardless of document skew.
+    *
+    * Returns (id, chunk_idx, n_tokens, chunk_text); every document
+    * yields at least one chunk (the tokenizer maps empty text to a
+    * single empty token, same as the oracle's regexp_split_to_array).
+    */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize): got overlap=$overlap chunkSize=$chunkSize")
+    val stride = chunkSize - overlap
+    df.select(col(idCol).as("id"), split(normalized(col(textCol)), " ").as("words"))
+      .withColumn("s", explode(sequence(lit(0), size(col("words")) - 1, lit(stride))))
+      .withColumn("toks", slice(col("words"), col("s") + 1, lit(chunkSize)))
+      .select(col("id"),
+        (col("s") / stride).cast("int").as("chunk_idx"),
+        size(col("toks")).as("n_tokens"),
+        array_join(col("toks"), " ").as("chunk_text"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Dedup, TextAnalysis}
+import graft.functions.{Dedup, Sampling, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication queries over the `documents` table.
@@ -318,6 +318,68 @@ object QueriesText {
            |$sumCols
            |  FROM sh GROUP BY doc_id)
            |SELECT doc_id, CAST($valueExpr AS BIGINT) AS simhash FROM v""".stripMargin
-      })
+      }),
+
+    // benchmark-contamination check: per corpus doc, the count/fraction
+    // of its distinct 3-shingles that appear anywhere in the eval set
+    // (here: every 23rd doc plays the benchmark). Broadcast eval-shingle
+    // probe + one groupBy — the corpus never shuffles by shingle.
+    QDef("t_contamination",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        Dedup.contaminationCheck(
+          docs.filter(col("doc_id") % 23 =!= 0),
+          docs.filter(col("doc_id") % 23 === 0),
+          "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_shingles"),
+            col("n_contaminated"), col("contamination"))
+      },
+      Some(s"""WITH $shinglesCte,
+              |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 23 = 0),
+              |x AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 23 <> 0)
+              |SELECT x.doc_id,
+              |  count(*) AS n_shingles,
+              |  CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_contaminated,
+              |  round(CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              |        / CAST(count(*) AS DOUBLE), 6) AS contamination
+              |FROM x LEFT JOIN ev ON x.shingle = ev.shingle
+              |GROUP BY x.doc_id""".stripMargin)),
+
+    // deterministic stratified sample — language mixing weights decided
+    // by a portable hash of the doc id (same row set in any engine, on
+    // any cluster size; raising a rate only adds rows). Pure map-side
+    // filter: zero shuffle.
+    QDef("t_stratified_sample",
+      (s, dir) => Sampling.stratifiedSample(
+        Q.table(s, dir, "documents"),
+        col("doc_id"), col("lang"),
+        rates = Map("en" -> 0.3, "zh" -> 0.8), defaultRate = 0.5,
+        salt = "mix1")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+      Some("""SELECT doc_id, lang, source, n_chars
+             |FROM documents
+             |WHERE CAST(('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |        % 1000000
+             |  < (CASE WHEN lang = 'zh' THEN 800000
+             |          WHEN lang = 'en' THEN 300000
+             |          ELSE 500000 END)""".stripMargin)),
+
+    // training-sequence prep: 64-token chunks every 48 tokens (16-token
+    // overlap). Map-side explode of start offsets — no shuffle.
+    QDef("t_token_chunks",
+      (s, dir) => TextAnalysis.tokenChunks(Q.table(s, dir, "documents"),
+        "doc_id", "text", chunkSize = 64, overlap = 16)
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          col("n_tokens"), col("chunk_text")),
+      Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+              |st AS (SELECT doc_id, words,
+              |         unnest(range(0, len(words), 48)) AS s FROM w),
+              |c AS (SELECT doc_id, s, list_slice(words, s + 1, s + 64) AS toks
+              |      FROM st)
+              |SELECT doc_id, CAST(s // 48 AS INTEGER) AS chunk_idx,
+              |  len(toks) AS n_tokens,
+              |  array_to_string(toks, ' ') AS chunk_text
+              |FROM c""".stripMargin))
   )
 }

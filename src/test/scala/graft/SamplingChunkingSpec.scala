@@ -1,0 +1,108 @@
+package graft
+
+import graft.functions.{Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Training-data prep operators: deterministic sampling, token chunking,
+  * contamination check.
+  */
+class SamplingChunkingSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private val docs = (1L to 400L).map { i =>
+    val lang = Seq("en", "fr", "zh")(((i % 3)).toInt)
+    (i, lang, s"document $i body with several words about topic ${i % 17}")
+  }.toDF("doc_id", "lang", "text")
+
+  test("hash sample: deterministic, order-independent, ~rate sized") {
+    val a = Sampling.hashSample(docs, $"doc_id", 0.5, "s1")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(7), $"doc_id", 0.5, "s1")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b) // membership is a pure function of (salt, key)
+    assert(a.size > 120 && a.size < 280) // ~200 expected, md5-uniform
+    val c = Sampling.hashSample(docs, $"doc_id", 0.5, "s2")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(a != c) // a different salt draws a different sample
+  }
+
+  test("hash sample: rate monotonicity — raising the rate only adds rows") {
+    val lo = Sampling.hashSample(docs, $"doc_id", 0.2, "s1")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val hi = Sampling.hashSample(docs, $"doc_id", 0.6, "s1")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi))
+  }
+
+  test("stratified sample: per-stratum rates honored independently") {
+    val out = Sampling.stratifiedSample(docs, $"doc_id", $"lang",
+      rates = Map("en" -> 1.0, "fr" -> 0.0), defaultRate = 0.5, salt = "s1")
+    val byLang = out.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enTotal = docs.filter($"lang" === "en").count()
+    assert(byLang("en") == enTotal) // rate 1.0 keeps every row
+    assert(!byLang.contains("fr")) // rate 0.0 keeps none
+    val zh = byLang.getOrElse("zh", 0L).toDouble
+    val zhTotal = docs.filter($"lang" === "zh").count().toDouble
+    assert(zh / zhTotal > 0.3 && zh / zhTotal < 0.7) // default 0.5
+    // a stratum's membership is unchanged by other strata's rates
+    val zhAlone = Sampling.stratifiedSample(docs, $"doc_id", $"lang",
+      rates = Map.empty, defaultRate = 0.5, salt = "s1")
+      .filter($"lang" === "zh").select($"doc_id").collect().map(_.getLong(0)).toSet
+    val zhMixed = out.filter($"lang" === "zh")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(zhAlone == zhMixed)
+  }
+
+  test("token chunks: overlap contract and full coverage") {
+    val d = Seq((1L, (1 to 150).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextAnalysis.tokenChunks(d, "doc_id", "text",
+      chunkSize = 64, overlap = 16)
+      .orderBy($"chunk_idx")
+      .select($"chunk_idx", $"n_tokens", $"chunk_text").collect()
+    // starts every 48: 0, 48, 96, 144 => 4 chunks; last has 150-144=6 toks
+    assert(chunks.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    assert(chunks.map(_.getInt(1)).toSeq == Seq(64, 64, 54, 6))
+    val toks = chunks.map(_.getString(2).split(" ").toSeq)
+    assert(toks(0).takeRight(16) == toks(1).take(16)) // shared context
+    assert(toks(0).head == "w1" && toks(3).last == "w150")
+    // coverage: the union of chunk tokens is exactly the document
+    assert(toks.flatten.toSet == (1 to 150).map(i => s"w$i").toSet)
+  }
+
+  test("token chunks: doc shorter than one chunk => single short chunk") {
+    val d = Seq((1L, "only three words"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenChunks(d, "doc_id", "text", 64, 16)
+      .orderBy($"id").select($"id", $"chunk_idx", $"n_tokens").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((1L, 0, 3), (2L, 0, 1))) // empty text tokenizes to one empty token
+  }
+
+  test("contamination: overlap counted against the eval shingle set") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares a 3-run with eval
+      (2L, "totally unrelated words here now folks"),
+      (3L, "alpha beta gamma delta something else")).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Dedup.contaminationCheck(corpus, evalSet, "doc_id", "text")
+      .orderBy($"id")
+      .select($"id", $"n_shingles", $"n_contaminated", $"contamination").collect()
+    // eval shingles: {alpha beta gamma, beta gamma delta}
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 4L, 2L), (2L, 4L, 0L), (3L, 4L, 2L)))
+    assert(out(0).getDouble(3) == 0.5 && out(1).getDouble(3) == 0.0)
+  }
+
+  test("near-dup clusters: edge-free docs stay singletons (vertex-restricted loop)") {
+    val ids = (1L to 50L).toDF("id")
+    val pairs = Seq((3L, 7L), (7L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val byId = Dedup.nearDupClusters(ids.select($"id"), pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(byId(3L) == ((3L, true)) && byId(7L) == ((3L, false)) && byId(9L) == ((3L, false)))
+    assert(byId(20L) == ((20L, true)) && byId(21L) == ((20L, false)))
+    // every edge-free doc is its own canonical singleton
+    val others = (1L to 50L).toSet -- Set(3L, 7L, 9L, 20L, 21L)
+    assert(others.forall(i => byId(i) == ((i, true))))
+  }
+}
