@@ -56,4 +56,26 @@ object Sampling {
     }
     df.filter(hashBucket(keyCol, salt) < threshold)
   }
+
+  /** Exactly `k` rows per stratum (when the stratum has that many),
+    * chosen by hash order — a deterministic "uniform k per group"
+    * (rate-based sampling can't hit an exact count; this can't be
+    * rate-monotone; pipelines need both). Ties in the hash break by key,
+    * so the selection is total-order deterministic.
+    *
+    * Scale shape: `row_number <= k` over (stratum, hash) plans as
+    * WindowGroupLimit — each map task keeps only its partial top-k per
+    * stratum BEFORE the shuffle, so a stratum's traffic is
+    * k × partitions, not its full row count. Low-cardinality strata
+    * (languages, domains) would otherwise make the window shuffle a
+    * handful of hot partitions carrying everything.
+    */
+  def fixedKPerStratum(df: DataFrame, keyCol: Column, strataCol: Column,
+                       k: Int, salt: String = "graft"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(hashBucket(keyCol, salt).asc, keyCol.asc)
+    df.withColumn("__s_rk", row_number().over(w))
+      .filter(col("__s_rk") <= k)
+      .drop("__s_rk")
+  }
 }

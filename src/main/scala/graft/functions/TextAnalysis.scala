@@ -191,6 +191,47 @@ object TextAnalysis {
     round((lenOk + alphaRatio + swRatio + wordLenOk) / 4.0, 6)
   }
 
+  // PII patterns: explicit character classes only — Java (Spark) and RE2
+  // (DuckDB) disagree on some shorthand classes (`\s` includes \x0B in
+  // Java but not RE2), so the patterns avoid every shorthand except the
+  // portable `\b`.
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val PiiPhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+  val PiiIpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scrub — redact emails, phone-shaped digit runs and IPv4s with
+    * typed placeholders, and count the redactions. Pure map-side Column
+    * work (three codegen'd regex passes), the standard pre-training
+    * cleanup step. Email first: an address must not first lose digit
+    * runs to the phone pass.
+    */
+  def piiScrubOnto(df: DataFrame, textCol: Column): DataFrame = {
+    val n = (re: String) => size(regexp_extract_all(textCol, lit(re), lit(0)))
+    df.withColumn("n_pii",
+      (n(PiiEmailRe) + n(PiiPhoneRe) + n(PiiIpRe)).cast("long"))
+      .withColumn("clean_text",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(textCol, PiiEmailRe, "<EMAIL>"),
+            PiiPhoneRe, "<PHONE>"),
+          PiiIpRe, "<IP>"))
+  }
+
+  /** Corpus vocabulary: per-token total occurrences and document
+    * frequency over the normalized token stream, top `k` by
+    * (occurrences desc, token asc — deterministic ties). The groupBy
+    * gets map-side partial aggregation, so token skew (stopwords) is
+    * absorbed before the shuffle; the top-k is a global sort LIMIT,
+    * which Spark executes as per-partition partial top-k + merge.
+    */
+  def vocabTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(split(normalized(col(textCol)), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("id")).as("n_docs"))
+      .orderBy(col("n_total").desc, col("token").asc)
+      .limit(k)
+
   /** Fixed-size token chunks with overlap — training-sequence prep:
     * split each document's (normalized, whitespace-tokenized) token
     * stream into windows of `chunkSize` tokens starting every

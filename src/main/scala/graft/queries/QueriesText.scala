@@ -380,6 +380,53 @@ object QueriesText {
               |SELECT doc_id, CAST(s // 48 AS INTEGER) AS chunk_idx,
               |  len(toks) AS n_tokens,
               |  array_to_string(toks, ' ') AS chunk_text
-              |FROM c""".stripMargin))
+              |FROM c""".stripMargin)),
+
+    // PII scrub: typed-placeholder redaction + redaction count, three
+    // map-side regex passes (portable explicit character classes — no
+    // shorthand classes that Java and RE2 define differently).
+    QDef("t_pii_scrub",
+      (s, dir) => TextAnalysis.piiScrubOnto(Q.table(s, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("n_pii"), col("clean_text")),
+      Some {
+        val (e, p, i) = (TextAnalysis.PiiEmailRe, TextAnalysis.PiiPhoneRe,
+          TextAnalysis.PiiIpRe)
+        s"""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$e'))
+           |     + len(regexp_extract_all(text, '$p'))
+           |     + len(regexp_extract_all(text, '$i')) AS BIGINT) AS n_pii,
+           |  regexp_replace(regexp_replace(regexp_replace(
+           |    text, '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'),
+           |    '$i', '<IP>', 'g') AS clean_text
+           |FROM documents""".stripMargin
+      }),
+
+    // corpus vocabulary: top 100 tokens by occurrences (ties by token —
+    // deterministic), with document frequency. Map-side partial aggs
+    // absorb stopword skew; the LIMIT is partial-top-k per partition.
+    QDef("t_vocab_topk",
+      (s, dir) => TextAnalysis.vocabTopK(Q.table(s, dir, "documents"),
+        "doc_id", "text", k = 100),
+      Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+              |tok AS (SELECT doc_id, unnest(words) AS token FROM w)
+              |SELECT token, count(*) AS n_total,
+              |  count(DISTINCT doc_id) AS n_docs
+              |FROM tok GROUP BY token
+              |ORDER BY n_total DESC, token
+              |LIMIT 100""".stripMargin)),
+
+    // exactly k docs per stratum by hash order (WindowGroupLimit keeps
+    // per-map-task partial top-k ahead of the low-cardinality shuffle)
+    QDef("t_fixed_k_sample",
+      (s, dir) => Sampling.fixedKPerStratum(Q.table(s, dir, "documents"),
+        col("doc_id"), col("lang"), k = 10, salt = "fix1")
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some("""SELECT doc_id, lang, source FROM (
+             |  SELECT doc_id, lang, source,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY CAST(('0x' || substr(md5('fix1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |               % 1000000 ASC, doc_id ASC) AS rk
+             |  FROM documents) t
+             |WHERE rk <= 10""".stripMargin))
   )
 }

@@ -79,6 +79,49 @@ class SamplingChunkingSpec extends SparkSpec with Matchers {
       Seq((1L, 0, 3), (2L, 0, 1))) // empty text tokenizes to one empty token
   }
 
+  test("fixed-k per stratum: exact k, deterministic, WindowGroupLimit plan") {
+    val out = Sampling.fixedKPerStratum(docs, $"doc_id", $"lang", k = 7, salt = "s1")
+    val counts = out.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.toSet == Set(7L)) // every stratum has >7 rows here
+    val again = Sampling.fixedKPerStratum(docs.repartition(5), $"doc_id", $"lang",
+      k = 7, salt = "s1").select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select($"doc_id").collect().map(_.getLong(0)).toSet)
+    // small stratum: returns all rows when fewer than k exist
+    val small = Sampling.fixedKPerStratum(docs.filter($"doc_id" <= 2), $"doc_id",
+      $"lang", k = 7, salt = "s1").count()
+    assert(small == 2L)
+    // the rank filter plans as a group limit pushed ahead of the shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
+  test("pii scrub: emails, phones, ips redacted and counted; clean text untouched") {
+    val d = Seq(
+      (1L, "contact john.doe@example.com or +32 475 123 456 today"),
+      (2L, "server at 192.168.10.250 rebooted"),
+      (3L, "no personal data in this sentence")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrubOnto(d, $"text")
+      .orderBy($"doc_id").select($"doc_id", $"n_pii", $"clean_text").collect()
+    assert(out(0).getLong(1) == 2L)
+    assert(out(0).getString(2) == "contact <EMAIL> or <PHONE> today")
+    assert(out(1).getLong(1) == 1L)
+    assert(out(1).getString(2) == "server at <IP> rebooted")
+    assert(out(2).getLong(1) == 0L)
+    assert(out(2).getString(2) == "no personal data in this sentence")
+  }
+
+  test("vocab top-k: counts, document frequency, deterministic tie order") {
+    val d = Seq(
+      (1L, "spark spark scala data"),
+      (2L, "spark data data engine")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabTopK(d, "doc_id", "text", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // spark: 3 occurrences in 2 docs; data: 3 in 2; then engine/scala (1 in 1) — tie
+    // at the k boundary breaks by token asc => "engine"
+    assert(out.toSeq == Seq(("data", 3L, 2L), ("spark", 3L, 2L), ("engine", 1L, 1L)))
+  }
+
   test("contamination: overlap counted against the eval shingle set") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // shares a 3-run with eval
