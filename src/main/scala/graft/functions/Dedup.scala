@@ -192,6 +192,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cross-corpus near-dup pairs: documents in `dfNew` that are
+    * near-duplicates (exact Jaccard ≥ tau) of any document in `dfRef` —
+    * the "don't retrain on what the last run already used" step, and
+    * the doc-level complement of [[contaminationCheck]]'s shingle-level
+    * overlap. Same MinHash+LSH shape as [[minhashNearDupPairs]], but
+    * the band-bucket join runs ACROSS the two tables, so the candidate
+    * set scales with cross-bucket collisions only — neither corpus ever
+    * self-joins.
+    * Returns (id_new, id_ref, jaccard).
+    */
+  def crossNearDupPairs(dfNew: DataFrame, dfRef: DataFrame,
+                        idCol: String, textCol: String,
+                        tau: Double, k: Int = MinhashK, bands: Int = 4): DataFrame = {
+    val bn = minhashBands(dfNew, idCol, textCol, k, bands)
+    val br = minhashBands(dfRef, idCol, textCol, k, bands)
+    val cand = bn.as("x").join(br.as("y"), Seq("band_idx", "band_key"))
+      .select(col("x.id").as("id_new"), col("y.id").as("id_ref")).distinct()
+    val shNew = dfNew.select(col(idCol).as("id_new"), shingles(col(textCol), 3).as("sh_n"))
+    val shRef = dfRef.select(col(idCol).as("id_ref"), shingles(col(textCol), 3).as("sh_r"))
+    cand.join(shNew, Seq("id_new")).join(shRef, Seq("id_ref"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_n"), col("sh_r"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_r"))).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_new"), col("id_ref"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Near-duplicate CLUSTERS from pairwise edges — the step after pair
     * discovery in every production dedup pipeline: connected components,
     * cluster id = min document id in the component, canonical = the

@@ -299,6 +299,38 @@ object QueriesText {
               |  id = min(cluster) AS is_canonical
               |FROM lab GROUP BY id""".stripMargin)),
 
+    // cross-corpus near-dups: odd doc ids play the incoming batch, even
+    // ids the already-trained reference corpus. Band join ACROSS the two
+    // tables only — neither side self-joins.
+    QDef("dd_cross",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        Dedup.crossNearDupPairs(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", tau = 0.5)
+      },
+      Some(s"""WITH $shinglesCte,
+              |$minhashBandsCte,
+              |cand AS (
+              |  SELECT DISTINCT x.id AS id_new, y.id AS id_ref
+              |  FROM bands x JOIN bands y
+              |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              |  WHERE x.id % 2 = 1 AND y.id % 2 = 0),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |co AS (
+              |  SELECT a.doc_id AS id_new, b.doc_id AS id_ref, count(*) AS co
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+              |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+              |  GROUP BY 1, 2)
+              |SELECT c.id_new, c.id_ref,
+              |  round(CAST(co.co AS DOUBLE) / CAST(sa.n + sb.n - co.co AS DOUBLE), 6) AS jaccard
+              |FROM cand c
+              |JOIN co ON co.id_new = c.id_new AND co.id_ref = c.id_ref
+              |JOIN sizes sa ON sa.doc_id = c.id_new
+              |JOIN sizes sb ON sb.doc_id = c.id_ref
+              |WHERE CAST(co.co AS DOUBLE) / CAST(sa.n + sb.n - co.co AS DOUBLE) >= 0.5""".stripMargin)),
+
     // 32-bit SimHash per document (relational vote-sum form — one
     // codegen'd shuffle; the Column-expression form is interpreted)
     QDef("dd_simhash",

@@ -101,6 +101,24 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
     assert(labs.values.toSet == Set(1L) && labs.size == 9)
   }
 
+  test("cross-corpus near-dups: incoming vs reference only, no self-join pairs") {
+    val ref = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "unrelated reference content about spark engines today")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "The quick  brown fox jumps over the lazy dog"), // dup of ref 10
+      (3L, "the quick brown fox jumps over the lazy dog extended slightly"),
+      (5L, "totally novel text with no reference match at all")).toDF("doc_id", "text")
+    val pairs = Dedup.crossNearDupPairs(incoming, ref, "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 10L))) // exact dup shares every band
+    assert(pairs.find(p => p._1 == 1L && p._2 == 10L).get._3 == 1.0)
+    assert(!ids.exists(_._1 == 5L)) // novel doc matches nothing
+    // direction is strictly new->ref: no ref ids on the left side
+    assert(ids.forall { case (a, b) => Set(1L, 3L, 5L)(a) && Set(10L, 12L)(b) })
+  }
+
   test("simhash: identical texts equal; near-dups hamming-close; unrelated far") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val h = docs.select($"doc_id", Dedup.simhash32($"text").as("h")).collect()

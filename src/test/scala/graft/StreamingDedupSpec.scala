@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.matchers.should.Matchers
+
+case class DocEvent(docId: Long, text: String, ts: java.sql.Timestamp)
+
+/** Streaming ingest dedup: first occurrence passes, later copies are
+  * dropped — across micro-batch boundaries (state carries the seen set).
+  */
+class StreamingDedupSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def t(minutes: Int) = new java.sql.Timestamp(1700000000000L + minutes * 60000L)
+
+  test("duplicates dropped across micro-batches; first occurrence wins") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    val out = StreamingDedup(mem.toDF(), "text")
+    val query = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        DocEvent(1L, "the quick brown fox", t(0)),
+        DocEvent(2L, "The quick  BROWN fox", t(1)), // dup of 1 after normalize
+        DocEvent(3L, "something else entirely", t(2)))
+      query.processAllAvailable()
+      // batch 2: a dup of batch-1 content plus a fresh doc — the state
+      // store must remember batch 1's fingerprints
+      mem.addData(
+        DocEvent(4L, "the quick brown fox", t(3)), // dup of 1, later batch
+        DocEvent(5L, "genuinely new content here", t(4)))
+      query.processAllAvailable()
+      val got = spark.table("dedup_stream").select($"docId")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 3L, 5L))
+    } finally query.stop()
+  }
+
+  test("watermark-bounded variant dedups within the horizon") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    val out = StreamingDedup.withinWatermark(mem.toDF(), "text", "ts", "2 hours")
+    val query = out.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    try {
+      mem.addData(DocEvent(1L, "alpha beta gamma", t(0)))
+      query.processAllAvailable()
+      mem.addData(
+        DocEvent(2L, "alpha beta  GAMMA", t(30)), // dup, 30 min later
+        DocEvent(3L, "fresh document body", t(31)))
+      query.processAllAvailable()
+      val got = spark.table("dedup_wm").select($"docId")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 3L))
+    } finally query.stop()
+  }
+
+  test("stream dedup keeps exactly the batch operator's canonical rows") {
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      (1L, "one two three four"), (2L, "one  two THREE four"),
+      (3L, "five six seven"), (4L, "five six seven"),
+      (5L, "unique tail document")).map { case (i, s) => DocEvent(i, s, t(i.toInt)) }
+    val batchCanonical = graft.functions.Dedup.exact(
+      docs.toDF(), "docId", "text")
+      .filter(!$"is_duplicate").select($"docId")
+      .collect().map(_.getLong(0)).toSet
+    val mem = MemoryStream[DocEvent]
+    val query = StreamingDedup(mem.toDF(), "text")
+      .writeStream.format("memory").queryName("dedup_eq")
+      .outputMode("append").start()
+    try {
+      docs.grouped(2).foreach { g => mem.addData(g); query.processAllAvailable() }
+      val got = spark.table("dedup_eq").select($"docId").collect().map(_.getLong(0)).toSet
+      assert(got == batchCanonical) // min-id == first-arrival here (ordered feed)
+    } finally query.stop()
+  }
+}
