@@ -232,6 +232,48 @@ object TextAnalysis {
       .orderBy(col("n_total").desc, col("token").asc)
       .limit(k)
 
+  /** Within-document repetition metrics — the Gopher/C4-style repetition
+    * signals a quality filter cuts on: duplicate-token fraction, most-
+    * frequent-token fraction, duplicate-bigram fraction. High values mark
+    * boilerplate, keyword stuffing and degenerate generations.
+    *
+    * Relational shape (scales with corpus size, not document length):
+    * bigrams are a map-side `zip_with` over two shifted slices (no
+    * per-element lambda re-evaluation — the slices are materialized
+    * array columns); the counts are two codegen'd groupBys keyed by
+    * (doc, token) then doc, with map-side partials.
+    *
+    * Returns (id, n_tokens, dup_token_frac, top_token_frac,
+    * dup_bigram_frac); the bigram fraction is NULL for one-token docs.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      split(normalized(col(textCol)), " ").as("words"))
+      .withColumn("bigrams",
+        zip_with(
+          slice(col("words"), lit(1), size(col("words")) - 1),
+          slice(col("words"), lit(2), size(col("words")) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+    val tc = base.select(col("id"), explode(col("words")).as("token"))
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("c"))
+    val tstats = tc.groupBy(col("id")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("top_c"))
+    val bstats = base.select(col("id"), explode(col("bigrams")).as("bg"))
+      .groupBy(col("id")).agg(
+        count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bg")).as("nd_bigrams"))
+    tstats.join(bstats, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double")
+          / col("n_tokens").cast("double"), 6).as("dup_token_frac"),
+        round(col("top_c").cast("double")
+          / col("n_tokens").cast("double"), 6).as("top_token_frac"),
+        round(lit(1.0) - col("nd_bigrams").cast("double")
+          / col("n_bigrams").cast("double"), 6).as("dup_bigram_frac"))
+  }
+
   /** Fixed-size token chunks with overlap — training-sequence prep:
     * split each document's (normalized, whitespace-tokenized) token
     * stream into windows of `chunkSize` tokens starting every

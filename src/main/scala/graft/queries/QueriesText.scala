@@ -46,6 +46,32 @@ object QueriesText {
   private def baseHashSql(c: String): String =
     s"CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)"
 
+  /** stopword-hit count for one language (mirrors TextAnalysis.stopwordHits). */
+  private def stopwordHitsSql(lang: String): String = {
+    val lst = TextAnalysis.Stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($rawTokensSql, x -> list_contains($lst, x)))"
+  }
+
+  /** quality score (mirrors TextAnalysis.qualityScore / the t_langid_quality
+    * oracle's inline form — same four components, same fold).
+    */
+  private val qualitySql: String = {
+    val enHits = stopwordHitsSql("en")
+    s"""round((
+       |    (CASE WHEN len($rawTokensSql) >= 5 AND len($rawTokensSql) <= 10000
+       |          THEN 1.0 ELSE 0.0 END)
+       |    + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+       |      / greatest(CAST(length(text) AS DOUBLE), 1.0)
+       |    + least(CAST($enHits AS DOUBLE)
+       |        / greatest(CAST(len($rawTokensSql) AS DOUBLE), 1.0) * 10.0, 1.0)
+       |    + (CASE WHEN CAST(length(text) AS DOUBLE)
+       |              / greatest(CAST(len($rawTokensSql) AS DOUBLE), 1.0) >= 2.0
+       |             AND CAST(length(text) AS DOUBLE)
+       |              / greatest(CAST(len($rawTokensSql) AS DOUBLE), 1.0) <= 12.0
+       |            THEN 1.0 ELSE 0.0 END)
+       |  ) / 4.0, 6)""".stripMargin
+  }
+
   /** MinHash signature + banding CTEs over `sh` (mirrors
     * Dedup.minhashBands: 16 affine permutations mod P, 4 bands of 4,
     * band key = md5 of the joined band mins). Yields CTE `bands`
@@ -413,6 +439,56 @@ object QueriesText {
               |  len(toks) AS n_tokens,
               |  array_to_string(toks, ' ') AS chunk_text
               |FROM c""".stripMargin)),
+
+    // within-doc repetition signals (Gopher/C4-style quality filter
+    // inputs): duplicate-token, top-token and duplicate-bigram fractions
+    QDef("t_repetition",
+      (s, dir) => TextAnalysis.repetitionMetrics(Q.table(s, dir, "documents"),
+        "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("dup_token_frac"),
+          col("top_token_frac"), col("dup_bigram_frac")),
+      Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+              |bgl AS (SELECT doc_id, list_transform(range(1, len(words)),
+              |    i -> words[i] || ' ' || words[i + 1]) AS bigrams FROM w),
+              |tok AS (SELECT doc_id, unnest(words) AS token FROM w),
+              |tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+              |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              |         count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_c
+              |       FROM tc GROUP BY 1),
+              |bg AS (SELECT doc_id, unnest(bigrams) AS bg FROM bgl),
+              |bs AS (SELECT doc_id, count(*) AS n_bigrams,
+              |         count(DISTINCT bg) AS nd FROM bg GROUP BY 1)
+              |SELECT ts.doc_id, n_tokens,
+              |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+              |    AS dup_token_frac,
+              |  round(CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+              |    AS top_token_frac,
+              |  round(1.0 - CAST(nd AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+              |    AS dup_bigram_frac
+              |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id""".stripMargin)),
+
+    // per-source corpus rollup (the mixing dashboard): doc/token/char
+    // volume + mean quality in micro-units (integer-space average —
+    // quality >= 0 so the DIV/`//` pairing is exact)
+    QDef("t_corpus_stats",
+      (s, dir) => {
+        val d = TextAnalysis.qualityScoreOnto(Q.table(s, dir, "documents"),
+          "quality", col("text"))
+        d.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wsTokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          sum((col("quality").cast("decimal(25,6)") * lit(1000000)).cast("long"))
+            .as("sum_q"))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("sum_chars"),
+            expr("CAST(sum_q DIV n_docs AS BIGINT)").as("avg_quality_micro"))
+      },
+      Some(s"""SELECT source, count(*) AS n_docs,
+              |  CAST(sum(len($rawTokensSql)) AS BIGINT) AS n_tokens,
+              |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+              |  CAST(sum(CAST(CAST($qualitySql AS DECIMAL(25,6)) * 1000000 AS BIGINT))
+              |       // count(*) AS BIGINT) AS avg_quality_micro
+              |FROM documents GROUP BY source""".stripMargin)),
 
     // PII scrub: typed-placeholder redaction + redaction count, three
     // map-side regex passes (portable explicit character classes — no

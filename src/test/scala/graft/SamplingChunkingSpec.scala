@@ -122,6 +122,29 @@ class SamplingChunkingSpec extends SparkSpec with Matchers {
     assert(out.toSeq == Seq(("data", 3L, 2L), ("spark", 3L, 2L), ("engine", 1L, 1L)))
   }
 
+  test("repetition metrics: degenerate repetition scores high, varied text low") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam"), // one token repeated 5x
+      (2L, "every word here is completely different"),
+      (3L, "ab ab cd ab ab cd"), // repeated bigrams
+      (4L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(d, "doc_id", "text")
+      .orderBy($"id").collect()
+    // doc 1: 5 tokens, 1 distinct => dup 0.8, top 1.0; bigrams all "spam spam"
+    assert(out(0).getLong(1) == 5L)
+    assert(out(0).getDouble(2) == 0.8 && out(0).getDouble(3) == 1.0)
+    assert(out(0).getDouble(4) == 0.75) // 4 bigrams, 1 distinct
+    // doc 2: all distinct
+    assert(out(1).getDouble(2) == 0.0 && out(1).getDouble(4) == 0.0)
+    // doc 3: 6 tokens {ab:4, cd:2}; bigrams: 5 total, distinct {ab ab, ab cd, cd ab} = 3
+    assert(out(2).getDouble(3) == round6(4.0 / 6.0))
+    assert(out(2).getDouble(4) == round6(1.0 - 3.0 / 5.0))
+    // doc 4: single token => no bigrams => NULL fraction
+    assert(out(3).getLong(1) == 1L && out(3).isNullAt(4))
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
   test("contamination: overlap counted against the eval shingle set") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // shares a 3-run with eval
