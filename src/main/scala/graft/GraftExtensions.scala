@@ -4,7 +4,7 @@ import graft.functions.{CosineExpr, LshBucketExpr, ShinglesExpr, WinnowFingerpri
 import graft.ops.{GeodesicDistExpr, PointInPolygonExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Conv, Expression, ExpressionInfo, Literal, Md5, Pmod, Substring}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** SQL-function surface for graft's native Catalyst expressions, so the
@@ -89,6 +89,23 @@ object GraftFunctions {
         case Seq(e) => ShinglesExpr(e, 3)
         case Seq(e, k) => ShinglesExpr(e, intLit(k, "k"))
         case _ => throw new IllegalArgumentException("usage: shingles(text[, k])")
+      }
+    },
+    "hash_bucket" -> { args: Seq[Expression] =>
+      // same op tree as Sampling.hashBucket, spelled in Catalyst directly
+      // (a Column built from unresolved functions cannot cross the
+      // bridge mid-resolution): pmod(conv(substr(md5(salt||key),1,8),16,10), 1e6)
+      def build(key: Expression, salt: String): Expression =
+        Pmod(Cast(Conv(Substring(Md5(Concat(Seq(Literal(salt),
+          Cast(key, org.apache.spark.sql.types.StringType)))),
+          Literal(1), Literal(8)), Literal(16), Literal(10)),
+          org.apache.spark.sql.types.LongType), Literal(1000000L))
+      args match {
+        case Seq(key) => build(key, "graft")
+        case Seq(key, salt) if salt.foldable =>
+          build(key, String.valueOf(salt.eval()))
+        case _ => throw new IllegalArgumentException(
+          "usage: hash_bucket(key[, salt]) — salt must be a string constant")
       }
     })
 

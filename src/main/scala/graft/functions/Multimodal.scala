@@ -123,6 +123,22 @@ object Multimodal {
       octet_length(col("payload")).cast("long").as("n_bytes"),
       md5(col("payload")).as("checksum"))
 
+  /** Content-hash dedup of binary payloads — the first pass of any
+    * multimodal training-data pipeline (identical images/audio recur
+    * massively in web-scale corpora). Only (media_id, checksum) enters
+    * the shuffle: md5 is computed map-side and the payload bytes never
+    * leave their scan partitions. Same group semantics as
+    * [[graft.functions.Dedup.exact]]: canonical = min media_id per
+    * checksum group.
+    */
+  def dedupByContent(media: DataFrame): DataFrame = {
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("checksum"))
+    media.select(col("media_id"), md5(col("payload")).as("checksum"))
+      .withColumn("canonical_id", min(col("media_id")).over(wg))
+      .withColumn("group_size", count(lit(1)).over(wg))
+      .withColumn("is_duplicate", col("media_id") =!= col("canonical_id"))
+  }
+
   final case class ResizedMedia(media_id: Long, kind: String,
                                 width: Int, height: Int, payload: Array[Byte])
 

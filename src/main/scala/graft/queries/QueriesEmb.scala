@@ -252,6 +252,17 @@ object QueriesEmb {
              |  CAST(round(frame_idx / 25.0 * 1000) AS BIGINT) AS t_ms,
              |  CAST(CASE WHEN len >= 256 THEN 256 ELSE len END AS INT) AS n_frame_bytes
              |FROM f
-             |QUALIFY row_number() OVER (PARTITION BY media_id ORDER BY frame_idx) <= 3""".stripMargin))
+             |QUALIFY row_number() OVER (PARTITION BY media_id ORDER BY frame_idx) <= 3""".stripMargin)),
+
+    // content-hash dedup of binary payloads: md5 computed map-side, only
+    // (media_id, checksum) shuffles — payload bytes stay in their scan
+    // partitions. Canonical = min media_id per checksum group.
+    QDef("mm_dedup",
+      (s, dir) => Multimodal.dedupByContent(Multimodal.documentsAsMedia(s, dir)),
+      Some("""SELECT doc_id AS media_id, md5(text) AS checksum,
+             |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+             |  count(*) OVER (PARTITION BY md5(text)) AS group_size,
+             |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+             |FROM documents""".stripMargin))
   )
 }

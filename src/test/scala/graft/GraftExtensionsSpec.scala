@@ -61,6 +61,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sh == Seq("a b c", "b c a", "c a b", "b c d"))
     val sh2 = spark.sql("SELECT shingles('a b c', 2) AS s").collect()(0).getSeq[String](0)
     assert(sh2 == Seq("a b", "b c"))
+
+    // hash_bucket == Sampling.hashBucket (same md5-prefix bucket)
+    val hbSql = spark.sql("SELECT hash_bucket(42, 'mix1') AS b, hash_bucket(42) AS d")
+      .collect()(0)
+    val hbCol = spark.range(1).select(
+      graft.functions.Sampling.hashBucket(lit(42), "mix1").as("b"),
+      graft.functions.Sampling.hashBucket(lit(42), "graft").as("d")).collect()(0)
+    assert(hbSql.getLong(0) == hbCol.getLong(0) && hbSql.getLong(1) == hbCol.getLong(1))
+    assert(hbSql.getLong(0) >= 0 && hbSql.getLong(0) < 1000000L)
   }
 
   test("extensions class wires the same builders into a session-extensions hook") {

@@ -73,4 +73,18 @@ class MultimodalSpec extends SparkSpec {
       assert(r.t_ms == math.round(i * 2 / 25.0 * 1000))
     }
   }
+
+  test("content-hash dedup: identical payloads group, canonical = min id") {
+    import spark.implicits._
+    val m = Seq(
+      (1L, "image", "samebytes"), (2L, "image", "samebytes"),
+      (3L, "audio", "different"), (7L, "video", "samebytes"))
+      .toDF("media_id", "kind", "text")
+      .select(col("media_id"), col("kind"),
+        org.apache.spark.sql.functions.encode(col("text"), "UTF-8").as("payload"))
+    val out = Multimodal.dedupByContent(m).orderBy($"media_id")
+      .select($"media_id", $"canonical_id", $"group_size", $"is_duplicate").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq((1L, 1L, 3L, false), (2L, 1L, 3L, true), (3L, 3L, 1L, false), (7L, 1L, 3L, true)))
+  }
 }
