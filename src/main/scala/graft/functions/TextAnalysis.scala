@@ -201,20 +201,25 @@ object TextAnalysis {
 
   /** PII scrub — redact emails, phone-shaped digit runs and IPv4s with
     * typed placeholders, and count the redactions. Pure map-side Column
-    * work (three codegen'd regex passes), the standard pre-training
-    * cleanup step. Email first: an address must not first lose digit
-    * runs to the phone pass.
+    * work, the standard pre-training cleanup step. Email first: an
+    * address must not first lose digit runs to the phone pass.
+    *
+    * Each stage's count is taken on THAT stage's input (the previous
+    * stage's output), so n_pii is exactly the number of placeholder
+    * insertions in clean_text — counting all three patterns on the
+    * original text would double-count overlaps (the digit run inside an
+    * email also matches the phone pattern) and disagree with what was
+    * actually redacted.
     */
   def piiScrubOnto(df: DataFrame, textCol: Column): DataFrame = {
-    val n = (re: String) => size(regexp_extract_all(textCol, lit(re), lit(0)))
-    df.withColumn("n_pii",
-      (n(PiiEmailRe) + n(PiiPhoneRe) + n(PiiIpRe)).cast("long"))
-      .withColumn("clean_text",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(textCol, PiiEmailRe, "<EMAIL>"),
-            PiiPhoneRe, "<PHONE>"),
-          PiiIpRe, "<IP>"))
+    def n(c: Column, re: String) = size(regexp_extract_all(c, lit(re), lit(0)))
+    df.withColumn("__p_t1", EvalOnce(regexp_replace(textCol, PiiEmailRe, "<EMAIL>")))
+      .withColumn("__p_t2", EvalOnce(regexp_replace(col("__p_t1"), PiiPhoneRe, "<PHONE>")))
+      .withColumn("n_pii",
+        (n(textCol, PiiEmailRe) + n(col("__p_t1"), PiiPhoneRe)
+          + n(col("__p_t2"), PiiIpRe)).cast("long"))
+      .withColumn("clean_text", regexp_replace(col("__p_t2"), PiiIpRe, "<IP>"))
+      .drop("__p_t1", "__p_t2")
   }
 
   /** Corpus vocabulary: per-token total occurrences and document

@@ -499,14 +499,20 @@ object QueriesText {
       Some {
         val (e, p, i) = (TextAnalysis.PiiEmailRe, TextAnalysis.PiiPhoneRe,
           TextAnalysis.PiiIpRe)
-        s"""SELECT doc_id,
+        // staged counts: each pattern counted on the PREVIOUS stage's
+        // output, so n_pii == placeholders actually inserted (a digit
+        // run inside an email must not also count as a phone)
+        s"""WITH s1 AS (SELECT doc_id, text,
+           |       regexp_replace(text, '$e', '<EMAIL>', 'g') AS t1
+           |     FROM documents),
+           |s2 AS (SELECT doc_id, text, t1,
+           |       regexp_replace(t1, '$p', '<PHONE>', 'g') AS t2 FROM s1)
+           |SELECT doc_id,
            |  CAST(len(regexp_extract_all(text, '$e'))
-           |     + len(regexp_extract_all(text, '$p'))
-           |     + len(regexp_extract_all(text, '$i')) AS BIGINT) AS n_pii,
-           |  regexp_replace(regexp_replace(regexp_replace(
-           |    text, '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'),
-           |    '$i', '<IP>', 'g') AS clean_text
-           |FROM documents""".stripMargin
+           |     + len(regexp_extract_all(t1, '$p'))
+           |     + len(regexp_extract_all(t2, '$i')) AS BIGINT) AS n_pii,
+           |  regexp_replace(t2, '$i', '<IP>', 'g') AS clean_text
+           |FROM s2""".stripMargin
       }),
 
     // corpus vocabulary: top 100 tokens by occurrences (ties by token —
