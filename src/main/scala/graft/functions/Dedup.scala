@@ -192,6 +192,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** MinHash calibration: for every LSH band candidate pair, the
+    * signature-based Jaccard ESTIMATE (fraction of equal minhash
+    * components — Broder's unbiased estimator) next to the EXACT
+    * shingle Jaccard, plus the signed error. This is the query a
+    * pipeline runs before committing to (k, bands, tau) on a new
+    * corpus: it answers "how wrong is the sketch here, and in which
+    * direction" with evidence rather than the textbook S-curve.
+    *
+    * Entirely integer-valued (match count out of k; Jaccards in
+    * micro-units via integer division), so the comparison is
+    * engine-exact. One signature aggregation feeds both the band keys
+    * and the per-pair estimate; the shuffles are all equi-joins on
+    * (band key) or (doc id) — same 100 TB shape as the dedup family.
+    * Returns (id_a, id_b, est_matches, est_micro, jaccard_micro,
+    * err_micro) with id_a < id_b.
+    */
+  def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = MinhashK, bands: Int = 4): DataFrame = {
+    val r = k / bands
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("shingle"))
+      .withColumn("h", baseHash(col("shingle")))
+    val minAggs = (0 until k).map { i =>
+      min(pmod(col("h") * hashCoeffA(i) + hashCoeffB(i), lit(MinhashP))).as(s"m$i")
+    }
+    val sig = sh.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*).cache()
+
+    val bandKeys = array((0 until bands).map { b =>
+      md5(concat_ws("_", (0 until r).map(i => col(s"m${b * r + i}")): _*))
+    }: _*)
+    val bandsDf = sig.select(col("id"), posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+    val cand = bandsDf.as("x").join(bandsDf.as("y"), Seq("band_idx", "band_key"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+
+    val sigA = sig.select(col("id").as("id_a") +:
+      (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sigB = sig.select(col("id").as("id_b") +:
+      (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
+    val estMatches = (0 until k).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+
+    val shArr = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+    cand.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+      .withColumn("est_matches", estMatches)
+      .select(col("id_a"), col("id_b"), col("est_matches"))
+      .join(shArr.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shArr.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("co", EvalOnce(size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")))
+      .withColumn("un",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("co"))
+      .withColumn("est_micro", expr(s"est_matches * 1000000 DIV $k"))
+      .withColumn("jaccard_micro", expr("co * 1000000 DIV un"))
+      .withColumn("err_micro", col("est_micro") - col("jaccard_micro"))
+      .select(col("id_a"), col("id_b"), col("est_matches"), col("est_micro"),
+        col("jaccard_micro"), col("err_micro"))
+  }
+
   /** Cross-corpus near-dup pairs: documents in `dfNew` that are
     * near-duplicates (exact Jaccard ≥ tau) of any document in `dfRef` —
     * the "don't retrain on what the last run already used" step, and

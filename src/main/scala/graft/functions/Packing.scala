@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training-data preparation: lay every
+  * document's tokens end-to-end in one deterministic global order and
+  * split the stream into fixed-length training sequences
+  * ("concat-and-split" packing — the standard GPT-style pretraining
+  * layout: zero padding waste, documents may straddle sequence
+  * boundaries).
+  *
+  * The interesting part at scale is the GLOBAL PREFIX SUM: each
+  * document's start offset is the sum of all token counts before it.
+  * A single `Window.orderBy(docId)` cumulative sum would move the
+  * whole corpus through ONE partition — the classic scale-killer. This
+  * implementation is the textbook two-phase distributed scan instead:
+  *
+  *   1. bucket documents by a deterministic hash of their id; the
+  *      canonical global order is (bucket, doc_id). A per-bucket
+  *      cumulative sum is a window PARTITIONED by bucket — all heavy
+  *      work stays distributed across buckets.
+  *   2. per-bucket totals (one tiny groupBy) get their own exclusive
+  *      prefix sum — a window over only `nBuckets` rows, the one
+  *      intentionally-serial step — and broadcast back as each
+  *      bucket's base offset.
+  *
+  * Everything is integer arithmetic on BIGINT, so the layout is
+  * engine-exact and oracle-reproducible. Deterministic: same
+  * (salt, ids, counts) ⇒ same layout, independent of partitioning,
+  * row order, or cluster size — a re-run or stage retry cannot move a
+  * document to a different sequence.
+  */
+object Packing {
+
+  /** Pack documents into fixed-length sequences; returns one row per
+    * document with its place in the packed token stream:
+    * (doc_id, bucket, n_tokens, start_off, seq_first, seq_last,
+    * n_seqs) where `seq_first`/`seq_last` are the ids of the first and
+    * last training sequences the document lands in and
+    * `n_seqs = seq_last - seq_first + 1` (>1 ⇔ the document straddles
+    * a boundary). Documents with zero tokens are dropped (they
+    * contribute nothing to the stream and have no position in it).
+    *
+    * @param seqLen   training sequence length in tokens
+    * @param nBuckets width of the distributed scan; at cluster scale
+    *                 set ≈ the executor count (the serial phase-2
+    *                 window is O(nBuckets) rows)
+    */
+  def packConcatSplit(df: DataFrame, idCol: Column, nTokens: Column,
+                      seqLen: Int, nBuckets: Int = 32,
+                      salt: String = "pack"): DataFrame = {
+    require(seqLen > 0 && nBuckets > 0)
+    val base = df
+      .select(idCol.cast("long").as("doc_id"),
+        nTokens.cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bucket",
+        pmod(Sampling.hashBucket(col("doc_id"), salt), lit(nBuckets.toLong)))
+
+    // phase 1: inclusive cumulative sum WITHIN each bucket (distributed;
+    // doc_id is unique so the order — and therefore the sum — is total)
+    val wBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id").asc)
+    val local = base.withColumn("local_end", sum(col("n_tokens")).over(wBucket))
+
+    // phase 2: exclusive prefix sum over the nBuckets-row totals frame —
+    // the single-partition window is deliberate and O(nBuckets)
+    val wTotals = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("bucket_off", coalesce(sum(col("tot")).over(wTotals), lit(0L)))
+      .select(col("bucket"), col("bucket_off"))
+
+    local.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("start_off", col("bucket_off") + col("local_end") - col("n_tokens"))
+      .withColumn("seq_first", expr(s"start_off DIV $seqLen"))
+      .withColumn("seq_last", expr(s"(start_off + n_tokens - 1) DIV $seqLen"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + lit(1L))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("start_off"),
+        col("seq_first"), col("seq_last"), col("n_seqs"))
+  }
+
+  /** Packing-run summary: total tokens, number of sequences produced,
+    * how many documents straddle a boundary, and the tail waste (tokens
+    * of padding in the final partial sequence) — the numbers a pipeline
+    * dashboard reports per packing run. One tiny aggregate over
+    * [[packConcatSplit]]'s output.
+    */
+  def packStats(packed: DataFrame, seqLen: Int): DataFrame =
+    packed.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      (max(col("seq_last")) + 1).as("n_seqs"),
+      sum(when(col("n_seqs") > 1, 1L).otherwise(0L)).as("n_straddling"),
+      ((max(col("seq_last")) + 1) * seqLen - sum(col("n_tokens")))
+        .as("tail_padding"))
+}

@@ -191,6 +191,42 @@ object TextAnalysis {
     round((lenOk + alphaRatio + swRatio + wordLenOk) / 4.0, 6)
   }
 
+  /** Rule-based hard quality filter (Gopher-style — Rae et al. 2021
+    * table A1's shape): per-document boolean verdicts for each rule
+    * plus the combined keep decision. Unlike [[qualityScore]]'s soft
+    * blend, these are the hard gates a corpus pipeline applies before
+    * any scoring: word-count band, mean-word-length band, minimum
+    * stopword evidence (a proxy for "is natural language at all"),
+    * and minimum alphabetic fraction (drops markup/number dumps).
+    *
+    * Pure map-side Column arithmetic over one EvalOnce'd token count —
+    * no shuffle, rides the scan at any corpus size. Rule verdicts are
+    * emitted individually (not just the conjunction) because pipeline
+    * dashboards track WHICH rule kills documents per source.
+    */
+  def gopherFilterOnto(df: DataFrame, textCol: Column,
+                       minWords: Int = 20, maxWords: Int = 90,
+                       minMeanWordLen: Double = 3.0,
+                       maxMeanWordLen: Double = 10.0,
+                       minStopwordHits: Int = 2,
+                       minAlphaFrac: Double = 0.5): DataFrame = {
+    val n = col("__gf_n")
+    val chars = length(textCol).cast("double")
+    val meanWordLen = chars / greatest(n.cast("double"), lit(1.0))
+    val alphaFrac = length(regexp_replace(textCol, "[^A-Za-z]", ""))
+      .cast("double") / greatest(chars, lit(1.0))
+    df.withColumn("__gf_n", EvalOnce(wsTokenCount(textCol)))
+      .withColumn("r_len_ok", n >= minWords && n <= maxWords)
+      .withColumn("r_mwl_ok",
+        meanWordLen >= minMeanWordLen && meanWordLen <= maxMeanWordLen)
+      .withColumn("r_sw_ok",
+        stopwordHits(textCol, Stopwords("en")) >= minStopwordHits)
+      .withColumn("r_alpha_ok", alphaFrac >= minAlphaFrac)
+      .withColumn("keep",
+        col("r_len_ok") && col("r_mwl_ok") && col("r_sw_ok") && col("r_alpha_ok"))
+      .drop("__gf_n")
+  }
+
   // PII patterns: explicit character classes only — Java (Spark) and RE2
   // (DuckDB) disagree on some shorthand classes (`\s` includes \x0B in
   // Java but not RE2), so the patterns avoid every shorthand except the

@@ -77,7 +77,7 @@ object QueriesText {
     * band key = md5 of the joined band mins). Yields CTE `bands`
     * (id, band_idx, band_key).
     */
-  private val minhashBandsCte: String = {
+  private def minhashBandsCteGen(materializedSig: Boolean): String = {
     val k = Dedup.MinhashK
     val bands = 4
     val r = k / bands
@@ -89,13 +89,18 @@ object QueriesText {
       val parts = (0 until r).map(i => s"m${b * r + i}").mkString(", ")
       s"  SELECT id, $b AS band_idx, md5(concat_ws('_', $parts)) AS band_key FROM sig"
     }.mkString("\n  UNION ALL\n")
-    s"""sig AS (
+    // MATERIALIZED pins sig when a query references it more than the
+    // banding's 4 UNION arms — DuckDB inlines CTEs by default and the
+    // 16-min aggregation subtree multiplies per reference
+    val sigKw = if (materializedSig) "AS MATERIALIZED" else "AS"
+    s"""sig $sigKw (
        |  SELECT doc_id AS id,
        |$minCols
        |  FROM sh GROUP BY doc_id),
        |bands AS (
        |$bandSelects)""".stripMargin
   }
+  private val minhashBandsCte: String = minhashBandsCteGen(materializedSig = false)
 
   val defs: Seq[QDef] = Seq(
 
@@ -541,6 +546,108 @@ object QueriesText {
              |      ORDER BY CAST(('0x' || substr(md5('fix1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
              |               % 1000000 ASC, doc_id ASC) AS rk
              |  FROM documents) t
-             |WHERE rk <= 10""".stripMargin))
+             |WHERE rk <= 10""".stripMargin)),
+
+    // concat-and-split sequence packing via the two-phase distributed
+    // prefix sum (per-bucket cumsum + broadcast bucket offsets) — the
+    // naive single-window global cumsum is the scale-killer this
+    // operator exists to avoid. Integer layout ⇒ engine-exact.
+    QDef("t_seq_pack",
+      (s, dir) => {
+        val d = Q.table(s, dir, "documents")
+        graft.functions.Packing.packConcatSplit(
+          d, col("doc_id"), TextAnalysis.wsTokenCount(col("text")),
+          seqLen = 512, nBuckets = 32, salt = "pack")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id,
+              |    CAST(len($rawTokensSql) AS BIGINT) AS n_tokens,
+              |    (CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              |      % 1000000) % 32 AS bucket
+              |  FROM documents
+              |  WHERE len($rawTokensSql) > 0),
+              |c AS (
+              |  SELECT doc_id, bucket, n_tokens,
+              |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS local_end
+              |  FROM d),
+              |bo AS (
+              |  SELECT bucket,
+              |    CAST(coalesce(sum(tot) OVER (ORDER BY bucket
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bucket_off
+              |  FROM (SELECT bucket, sum(n_tokens) AS tot FROM d GROUP BY bucket) t)
+              |SELECT c.doc_id, c.bucket, c.n_tokens,
+              |  bucket_off + local_end - n_tokens AS start_off,
+              |  (bucket_off + local_end - n_tokens) // 512 AS seq_first,
+              |  (bucket_off + local_end - 1) // 512 AS seq_last,
+              |  ((bucket_off + local_end - 1) // 512)
+              |    - ((bucket_off + local_end - n_tokens) // 512) + 1 AS n_seqs
+              |FROM c JOIN bo USING (bucket)""".stripMargin)),
+
+    // MinHash estimator calibration: sketch-Jaccard vs exact Jaccard
+    // with signed error for every band candidate — run before picking
+    // (k, bands, tau) on a new corpus. All-integer outputs.
+    QDef("dd_minhash_est",
+      (s, dir) => Dedup.minhashEstimatePairs(Q.table(s, dir, "documents"),
+        "doc_id", "text"),
+      Some {
+        val k = Dedup.MinhashK
+        val matches = (0 until k)
+          .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+          .mkString("\n      + ")
+        s"""WITH $shinglesCte,
+           |${minhashBandsCteGen(materializedSig = true)},
+           |cand AS (
+           |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM bands x JOIN bands y
+           |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.id < y.id),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           |co AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |est AS (
+           |  SELECT c.id_a, c.id_b,
+           |    CAST($matches AS BIGINT) AS est_matches
+           |  FROM cand c JOIN sig sa ON sa.id = c.id_a JOIN sig sb ON sb.id = c.id_b)
+           |SELECT e.id_a, e.id_b, e.est_matches,
+           |  e.est_matches * 1000000 // $k AS est_micro,
+           |  coalesce(co.co, 0) * 1000000
+           |    // (sa.n + sb.n - coalesce(co.co, 0)) AS jaccard_micro,
+           |  (e.est_matches * 1000000 // $k)
+           |    - (coalesce(co.co, 0) * 1000000
+           |       // (sa.n + sb.n - coalesce(co.co, 0))) AS err_micro
+           |FROM est e
+           |LEFT JOIN co ON co.id_a = e.id_a AND co.id_b = e.id_b
+           |JOIN sizes sa ON sa.doc_id = e.id_a
+           |JOIN sizes sb ON sb.doc_id = e.id_b""".stripMargin
+      }),
+
+    // Gopher-style hard quality gates: per-rule verdicts + combined
+    // keep, map-side only (dashboards track which rule kills docs).
+    QDef("t_gopher_filter",
+      (s, dir) => TextAnalysis.gopherFilterOnto(
+        Q.table(s, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("r_len_ok"), col("r_mwl_ok"),
+          col("r_sw_ok"), col("r_alpha_ok"), col("keep")),
+      Some {
+        val enHits = stopwordHitsSql("en")
+        s"""SELECT doc_id, r_len_ok, r_mwl_ok, r_sw_ok, r_alpha_ok,
+           |  r_len_ok AND r_mwl_ok AND r_sw_ok AND r_alpha_ok AS keep
+           |FROM (
+           |  SELECT doc_id,
+           |    n >= 20 AND n <= 90 AS r_len_ok,
+           |    chars / greatest(CAST(n AS DOUBLE), 1.0) >= 3.0
+           |      AND chars / greatest(CAST(n AS DOUBLE), 1.0) <= 10.0 AS r_mwl_ok,
+           |    sw >= 2 AS r_sw_ok,
+           |    alpha / greatest(chars, 1.0) >= 0.5 AS r_alpha_ok
+           |  FROM (
+           |    SELECT doc_id,
+           |      len($rawTokensSql) AS n,
+           |      CAST(length(text) AS DOUBLE) AS chars,
+           |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           |      $enHits AS sw
+           |    FROM documents) t) f""".stripMargin
+      })
   )
 }

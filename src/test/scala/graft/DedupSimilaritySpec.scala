@@ -82,6 +82,27 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
     assert(pairs == Set((1L, 2L))) // only the exact dup survives tau=0.9
   }
 
+  test("minhash estimate calibration: exact dups estimate 1.0; est in [0,k]; " +
+    "errors bounded") {
+    val out = Dedup.minhashEstimatePairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("est_matches"), r.getAs[Long]("est_micro"),
+          r.getAs[Long]("jaccard_micro"), r.getAs[Long]("err_micro"))).toMap
+    // exact duplicate pair: identical shingle sets => identical signature
+    // AND exact jaccard 1 => zero error
+    assert(out((1L, 2L)) == ((16L, 1000000L, 1000000L, 0L)))
+    out.values.foreach { case (m, em, jm, err) =>
+      assert(m >= 0L && m <= 16L)
+      assert(em >= 0L && em <= 1000000L && jm >= 0L && jm <= 1000000L)
+      assert(err == em - jm)
+    }
+    // every verified near-dup pair appears among the calibration pairs
+    // (same band candidates, no tau cut here)
+    val verified = Dedup.minhashNearDupPairs(docs, "doc_id", "text", tau = 0.9)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(out.keySet))
+  }
+
   test("near-dup clusters: connected components with min-id canonical") {
     // chain 1-2, 2-3 (one component through transitivity), pair 10-11,
     // singletons 20, 21 — exercises multi-hop propagation

@@ -122,6 +122,33 @@ class SamplingChunkingSpec extends SparkSpec with Matchers {
     assert(out.toSeq == Seq(("data", 3L, 2L), ("spark", 3L, 2L), ("engine", 1L, 1L)))
   }
 
+  test("gopher filter: each rule trips on its own pathology, clean text keeps") {
+    val tok200 = (1 to 200).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, "the quick brown fox and a dog of the hill went to town and " +
+        "sat by the road to watch the sun go down over a quiet field"), // clean
+      (2L, "too short a text"), // word count below min
+      (3L, tok200 + " the a of and to the a of and to"), // word count above max
+      (4L, "the a of and to " + Seq.fill(20)("abcdefghijklmnopqrstuvwxyz")
+        .mkString(" ")), // mean word length above max
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"), // no stopwords
+      (6L, "the 1 a 2 of 3 and 4 to 5 " + Seq.fill(18)("1234 56789")
+        .mkString(" ")) // alphabetic fraction below min
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilterOnto(d, $"text")
+      .select($"doc_id", $"r_len_ok", $"r_mwl_ok", $"r_sw_ok", $"r_alpha_ok", $"keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5))).toMap
+    assert(out(1L) == ((true, true, true, true, true)))
+    assert(!out(2L)._1 && !out(2L)._5)
+    assert(!out(3L)._1 && !out(3L)._5)
+    assert(!out(4L)._2 && !out(4L)._5)
+    assert(!out(5L)._3 && !out(5L)._5)
+    assert(!out(6L)._4 && !out(6L)._5)
+  }
+
   test("repetition metrics: degenerate repetition scores high, varied text low") {
     val d = Seq(
       (1L, "spam spam spam spam spam"), // one token repeated 5x
