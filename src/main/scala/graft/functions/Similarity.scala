@@ -87,11 +87,30 @@ object Similarity {
     * O(n²) — then exact cosine verifies ≥ tau. Fewer planes = bigger
     * buckets = higher recall at more verification work. Returns
     * (id_a, id_b, cos) with id_a < id_b.
+    *
+    * `maxBucketSize` is the skew cap (the vector-side mirror of
+    * `Dedup.maxShingleDf`): a degenerate embedding corpus — near-constant
+    * or zero vectors from a failed encoder run — collapses into ONE
+    * bucket and the self-join goes O(n²). Buckets larger than the cap
+    * are dropped entirely BEFORE the join, bounding candidates at
+    * O(nBuckets · cap²). Recall effect: pairs whose shared bucket
+    * overflows are lost — near-constant corpora are exactly the ones
+    * where pairwise cosine is uninformative, so the lost pairs are
+    * degenerate dups best handled by exact dedup upstream. The cap
+    * count is one window over `bucket` — the same key the join shuffles
+    * on, so the Exchange is reused, not added.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
-                         tau: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+                         tau: Double, nPlanes: Int = 8, dim: Int = 64,
+                         maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val b0 = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       lshBucket(col(embCol), nPlanes, dim).as("bucket"))
+    val b =
+      if (maxBucketSize == Long.MaxValue) b0
+      else b0
+        .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+        .filter(col("__bn") <= maxBucketSize)
+        .drop("__bn")
     b.as("x").join(b.as("y"), Seq("bucket"))
       .filter(col("x.id") < col("y.id"))
       .withColumn("cos", cosine(col("x.emb"), col("y.emb")))

@@ -109,16 +109,23 @@ object QueriesEmb {
 
     // embedding-cosine near-dup pairs: LSH-bucket candidates (equi-join),
     // exact cosine verify — the dedup-family member over vectors; fully
-    // oracle-checked (quantized-integer buckets + fixed-fold cosine)
+    // oracle-checked (quantized-integer buckets + fixed-fold cosine).
+    // maxBucketSize=100 is the skew cap (mirror of Dedup.maxShingleDf):
+    // inert at sf0.001/0.01 (max bucket ~34) and LIVE at sf0.1 (top
+    // buckets >100 dropped on both engine and oracle side identically).
     QDef("dd_embed_cosine",
       (s, dir) => Similarity.cosineNearDupPairs(Q.table(s, dir, "embeddings"),
-        "vec_id", "embedding", tau = 0.3, nPlanes = 6, dim = Dim),
+        "vec_id", "embedding", tau = 0.3, nPlanes = 6, dim = Dim,
+        maxBucketSize = 100L),
       Some {
         val dxy = dotSql("x.e", "y.e")
         val dxx = dotSql("x.e", "x.e")
         val dyy = dotSql("y.e", "y.e")
-        s"""WITH b AS (SELECT vec_id AS id, embedding AS e,
-           |  ${Similarity.lshBucketSql("embedding", 6, Dim)} AS bucket FROM embeddings)
+        s"""WITH b0 AS (SELECT vec_id AS id, embedding AS e,
+           |  ${Similarity.lshBucketSql("embedding", 6, Dim)} AS bucket FROM embeddings),
+           |b AS (SELECT id, e, bucket FROM (
+           |  SELECT id, e, bucket, count(*) OVER (PARTITION BY bucket) AS bn
+           |  FROM b0) WHERE bn <= 100)
            |SELECT x.id AS id_a, y.id AS id_b,
            |  round($dxy / (sqrt($dxx) * sqrt($dyy)), 6) AS cos
            |FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id

@@ -207,6 +207,52 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
     assert(trained > 0.0 && trained <= 1.0)
   }
 
+  test("cosine near-dup pairs: maxBucketSize cap bounds a stuffed bucket") {
+    // degenerate corpus: 40 near-identical vectors (failed-encoder shape)
+    // all collapse into ONE lsh bucket + 4 genuinely distinct vectors in
+    // other buckets. Uncapped, the stuffed bucket alone yields
+    // 40*39/2 = 780 candidate pairs; the cap drops the whole bucket.
+    val stuffed = (1L to 40L).map(i =>
+      (i, Array.tabulate(8)(d => 1.0f + (i % 3) * 1e-6f + d * 0f)))
+    val distinct = Seq(
+      (100L, Array(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)),
+      (101L, Array(1f, -1f, 1f, -1f, 1f, -1f, 1f, -0.9f)), // near-dup of 100
+      (102L, Array(-1f, 1f, -1f, 1f, -1f, 1f, -1f, 1f)),
+      (103L, Array(-1f, 1f, -1f, 1f, -1f, 1f, -1f, 0.9f))) // near-dup of 102
+    val df = (stuffed ++ distinct).toDF("vec_id", "embedding")
+    def pairs(cap: Long) =
+      Similarity.cosineNearDupPairs(df, "vec_id", "embedding", tau = 0.9,
+        nPlanes = 4, dim = 8, maxBucketSize = cap)
+        .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Long.MaxValue)
+    val capped = pairs(10L)
+    assert(uncapped.size >= 780) // the stuffed bucket went quadratic
+    assert(capped.subsetOf(uncapped))
+    // cap removes exactly the stuffed bucket's pairs; real near-dups in
+    // small buckets survive
+    assert(capped.contains((100L, 101L)) && capped.contains((102L, 103L)))
+    assert(!capped.exists { case (a, b) => a <= 40L || b <= 40L })
+  }
+
+  test("native array exprs: null elements match oracle NULL semantics") {
+    // parquet list slots are nullable; a null element must behave like
+    // the oracle's explicit a[i]*b[i] sum (whole sum NULL), not read
+    // garbage from the slot: cosine => NULL, lsh bucket => 0 (every
+    // `NULL > 0` bit false), nearest centroid => 0 (NULLs sort last)
+    val rows = Seq(
+      (1L, Seq[java.lang.Float](1f, 2f, 3f, 4f)),
+      (2L, Seq[java.lang.Float](1f, null, 3f, 4f))).toDF("id", "emb")
+    val cos = rows.select(Similarity.cosine($"emb", $"emb")).collect()
+    assert(math.abs(cos(0).getDouble(0) - 1.0) < 1e-12 && cos(1).isNullAt(0))
+    val bk = rows.select(Similarity.lshBucket($"emb", nPlanes = 4, dim = 4)).collect()
+    assert(bk(1).getLong(0) == 0L && bk(0).getLong(0) != 0L)
+    import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
+    val cents = Array(0.0, 0.0, 0.0, 1.0, 1.0, 2.0, 3.0, 4.0)
+    val nc = rows.select(exprCol(graft.functions.NearestCentroidExpr(
+      colExpr($"emb"), cents, 4))).collect()
+    assert(nc(0).getInt(0) == 1 && nc(1).getInt(0) == 0)
+  }
+
   test("winnowing fingerprints: identical texts equal, near-dups overlap heavily") {
     val wf = docs.withColumn("norm", TextAnalysis.normalized($"text"))
       .select($"doc_id", TextAnalysis.winnowingFingerprints($"norm").as("wf"))
