@@ -82,6 +82,62 @@ object Packing {
         col("seq_first"), col("seq_last"), col("n_seqs"))
   }
 
+  /** The packed training artifact itself: one row per
+    * (sequence, document-slice) — explode each document over the
+    * sequences it lands in (`seq_first..seq_last`) and slice at the
+    * boundaries. Columns:
+    *
+    *   - `seq_id`   — training sequence the slice belongs to
+    *   - `doc_id`   — source document
+    *   - `tok_from` — first within-document token index (0-based, incl.)
+    *   - `tok_to`   — end within-document token index (exclusive)
+    *   - `seq_off`  — position of the slice inside the sequence
+    *
+    * The slice table is what a writer joins back to the tokenized corpus
+    * (`slice(tokens, tok_from + 1, tok_to - tok_from)` grouped by
+    * `seq_id`, ordered by `seq_off`) to emit fixed-length sequences —
+    * see [[packSequenceTokens]]. The explode is a narrow transformation
+    * (no extra shuffle beyond [[packConcatSplit]]'s two windows) and
+    * fans out only `n_tokens/seqLen + 1` rows per document. All-integer
+    * arithmetic: engine-exact, oracle-reproducible.
+    */
+  def packedSequences(df: DataFrame, idCol: Column, nTokens: Column,
+                      seqLen: Int, nBuckets: Int = 32,
+                      salt: String = "pack"): DataFrame = {
+    val L = seqLen.toLong
+    packConcatSplit(df, idCol, nTokens, seqLen, nBuckets, salt)
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .withColumn("g_from", greatest(col("start_off"), col("seq_id") * L))
+      .withColumn("g_to",
+        least(col("start_off") + col("n_tokens"), (col("seq_id") + lit(1L)) * L))
+      .select(col("seq_id"), col("doc_id"),
+        (col("g_from") - col("start_off")).as("tok_from"),
+        (col("g_to") - col("start_off")).as("tok_to"),
+        (col("g_from") - col("seq_id") * L).as("seq_off"))
+  }
+
+  /** Materialize the packed sequences as token arrays: join the slice
+    * table back to the tokenized corpus and assemble each sequence's
+    * tokens in `seq_off` order. One shuffle by `seq_id` (the output's
+    * natural key); every sequence except the tail is exactly `seqLen`
+    * tokens. `tokens` must be the SAME tokenization `nTokens` counted.
+    */
+  def packSequenceTokens(df: DataFrame, idCol: Column, tokens: Column,
+                         seqLen: Int, nBuckets: Int = 32,
+                         salt: String = "pack"): DataFrame = {
+    val toks = df.select(idCol.cast("long").as("doc_id"), tokens.as("__toks"))
+    val slices = packedSequences(df, idCol, size(tokens).cast("long"),
+      seqLen, nBuckets, salt)
+    slices.join(toks, Seq("doc_id"))
+      .select(col("seq_id"), col("seq_off"),
+        slice(col("__toks"), col("tok_from") + lit(1),
+          (col("tok_to") - col("tok_from")).cast("int")).as("part"))
+      .groupBy(col("seq_id"))
+      .agg(flatten(array_sort(collect_list(struct(col("seq_off"), col("part")))
+        .asInstanceOf[Column]).getField("part")).as("tokens"))
+  }
+
   /** Packing-run summary: total tokens, number of sequences produced,
     * how many documents straddle a boundary, and the tail waste (tokens
     * of padding in the final partial sequence) — the numbers a pipeline
