@@ -584,6 +584,50 @@ object QueriesText {
               |    - ((bucket_off + local_end - n_tokens) // 512) + 1 AS n_seqs
               |FROM c JOIN bo USING (bucket)""".stripMargin)),
 
+    // the packed training artifact: one row per (sequence, doc-slice) —
+    // each doc exploded over seq_first..seq_last and cut at the
+    // boundaries. Same integer layout CTE as t_seq_pack, plus a
+    // generate_series explode; all-BIGINT output ⇒ engine-exact.
+    QDef("t_seq_emit",
+      (s, dir) => {
+        val d = Q.table(s, dir, "documents")
+        graft.functions.Packing.packedSequences(
+          d, col("doc_id"), TextAnalysis.wsTokenCount(col("text")),
+          seqLen = 512, nBuckets = 32, salt = "pack")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id,
+              |    CAST(len($rawTokensSql) AS BIGINT) AS n_tokens,
+              |    (CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              |      % 1000000) % 32 AS bucket
+              |  FROM documents
+              |  WHERE len($rawTokensSql) > 0),
+              |c AS (
+              |  SELECT doc_id, bucket, n_tokens,
+              |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS local_end
+              |  FROM d),
+              |bo AS (
+              |  SELECT bucket,
+              |    CAST(coalesce(sum(tot) OVER (ORDER BY bucket
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bucket_off
+              |  FROM (SELECT bucket, sum(n_tokens) AS tot FROM d GROUP BY bucket) t),
+              |p AS (
+              |  SELECT c.doc_id, c.n_tokens,
+              |    bucket_off + local_end - n_tokens AS start_off,
+              |    (bucket_off + local_end - n_tokens) // 512 AS seq_first,
+              |    (bucket_off + local_end - 1) // 512 AS seq_last
+              |  FROM c JOIN bo USING (bucket)),
+              |e AS (
+              |  SELECT doc_id, n_tokens, start_off,
+              |    unnest(generate_series(seq_first, seq_last)) AS seq_id
+              |  FROM p)
+              |SELECT seq_id, doc_id,
+              |  greatest(start_off, seq_id * 512) - start_off AS tok_from,
+              |  least(start_off + n_tokens, (seq_id + 1) * 512) - start_off AS tok_to,
+              |  greatest(start_off, seq_id * 512) - seq_id * 512 AS seq_off
+              |FROM e""".stripMargin)),
+
     // MinHash estimator calibration: sketch-Jaccard vs exact Jaccard
     // with signed error for every band candidate — run before picking
     // (k, bands, tau) on a new corpus. All-integer outputs.

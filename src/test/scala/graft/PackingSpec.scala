@@ -57,6 +57,84 @@ class PackingSpec extends SparkSpec with Matchers {
     assert(out.agg(sum($"n_tokens")).head.getLong(0) == 12L)
   }
 
+  test("packedSequences: slices tile [0, n_tokens) per doc and [0, seqLen) per sequence") {
+    val L = 64L
+    val layout = Packing.packConcatSplit(docs, $"doc_id", tokens, seqLen = L.toInt)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val slices = Packing.packedSequences(docs, $"doc_id", tokens, seqLen = L.toInt)
+      .collect()
+    val maxSeq = slices.map(_.getAs[Long]("seq_id")).max
+    val totalTokens = layout.values.map(_.getAs[Long]("n_tokens")).sum
+
+    // per document: slices ordered by seq_id are contiguous and cover
+    // exactly [0, n_tokens)
+    slices.groupBy(_.getAs[Long]("doc_id")).foreach { case (docId, ss) =>
+      val sorted = ss.sortBy(_.getAs[Long]("seq_id"))
+      assert(sorted.head.getAs[Long]("tok_from") == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("tok_to") == b.getAs[Long]("tok_from"))
+          assert(b.getAs[Long]("seq_id") == a.getAs[Long]("seq_id") + 1)
+          assert(b.getAs[Long]("seq_off") == 0L) // continuation starts a sequence
+        case _ =>
+      }
+      assert(sorted.last.getAs[Long]("tok_to") == layout(docId).getAs[Long]("n_tokens"))
+      assert(sorted.map(_.getAs[Long]("seq_id")).toSeq ==
+        (layout(docId).getAs[Long]("seq_first") to layout(docId).getAs[Long]("seq_last")))
+    }
+
+    // per sequence: parts ordered by seq_off are contiguous from 0 and
+    // fill exactly seqLen tokens (the final tail sequence may stop short)
+    slices.groupBy(_.getAs[Long]("seq_id")).foreach { case (seqId, ss) =>
+      val sorted = ss.sortBy(_.getAs[Long]("seq_off"))
+      assert(sorted.head.getAs[Long]("seq_off") == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("seq_off") +
+            (a.getAs[Long]("tok_to") - a.getAs[Long]("tok_from")) ==
+            b.getAs[Long]("seq_off"))
+        case _ =>
+      }
+      val end = sorted.last.getAs[Long]("seq_off") +
+        (sorted.last.getAs[Long]("tok_to") - sorted.last.getAs[Long]("tok_from"))
+      if (seqId < maxSeq) assert(end == L)
+      else assert(end == totalTokens - maxSeq * L) // tail
+    }
+  }
+
+  test("packSequenceTokens matches a hand-computed straddle + tail corpus") {
+    // nBuckets=1 ⇒ canonical order is plain doc_id order: the packed
+    // stream is a1..a5 b1..b4 c1..c7 and seqLen=6 forces doc 2 to
+    // straddle seq 0/1, doc 3 to straddle seq 1/2, and seq 2 to be a
+    // 4-token tail.
+    val d = Seq(
+      (1L, (1 to 5).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 4).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 7).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Packing.packSequenceTokens(d, $"doc_id", split($"text", "\\s+"),
+        seqLen = 6, nBuckets = 1)
+      .collect().map(r => r.getAs[Long]("seq_id") -> r.getAs[scala.collection.Seq[String]]("tokens"))
+      .toMap
+    assert(out == Map(
+      0L -> Seq("a1", "a2", "a3", "a4", "a5", "b1"),
+      1L -> Seq("b2", "b3", "b4", "c1", "c2", "c3"),
+      2L -> Seq("c4", "c5", "c6", "c7")))
+  }
+
+  test("packSequenceTokens: every sequence is seqLen tokens except the tail; " +
+    "concatenation reproduces the canonical stream") {
+    val L = 64
+    val seqs = Packing.packSequenceTokens(docs, $"doc_id", split($"text", "\\s+"),
+        seqLen = L)
+      .collect().map(r => r.getAs[Long]("seq_id") -> r.getAs[scala.collection.Seq[String]]("tokens"))
+      .sortBy(_._1)
+    assert(seqs.map(_._1).toSeq == (0L until seqs.length.toLong))
+    seqs.init.foreach { case (_, t) => assert(t.length == L) }
+    val total = seqs.map(_._2.length).sum
+    assert(seqs.last._2.length == total - (seqs.length - 1) * L)
+  }
+
   test("packStats: totals, straddle count and tail padding are consistent") {
     val L = 64
     val packed = Packing.packConcatSplit(docs, $"doc_id", tokens, seqLen = L)
