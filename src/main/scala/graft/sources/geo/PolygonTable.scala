@@ -68,6 +68,37 @@ object PolygonTable {
     fromRings(df.sparkSession, rows)
   }
 
+  /** Standard PostgreSQL JDBC URL from the reference's connection-config
+    * fields (`/root/reference/conf/config.yaml:79-85`: database, host,
+    * port — user/passphrase travel in the connection properties).
+    */
+  def postgresUrl(host: String, port: Int, database: String): String =
+    s"jdbc:postgresql://$host:$port/$database"
+
+  /** Live JDBC transport for the SeaVox polygon source (reference reads
+    * the PostGIS `seavox_areas` table directly,
+    * `/root/reference/src/main.py:527-533`). `query` must yield one row
+    * per polygon with name / sub-region / WKT-text geometry columns —
+    * against PostGIS that is
+    * `SELECT name, sub_region, ST_AsText(geom) AS wkt FROM seavox`.
+    * Reference data is tiny (hundreds of polygons): Spark's JDBC source
+    * reads it in one partition, and [[fromWkt]] collects and re-emits it
+    * as the canonical driver-side polys frame that
+    * `Geo.classifyByPolygonTable` broadcasts — the observation side never
+    * moves.
+    */
+  def fromJdbc(spark: SparkSession, url: String, query: String,
+               nameCol: String, subCol: String, wktCol: String,
+               props: java.util.Properties = new java.util.Properties): DataFrame =
+    fromWkt(
+      spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", query)
+        .options(props.stringPropertyNames().toArray.map(_.toString)
+          .map(k => k -> props.getProperty(k)).toMap)
+        .load(),
+      nameCol, subCol, wktCol)
+
   /** From an ESRI shapefile + companion .dbf attribute file (e.g. Natural
     * Earth 10m land): one entry per polygon record, named from
     * `nameField`; `subField` optional (empty string when absent).

@@ -117,6 +117,41 @@ class GeoLoadersSpec extends SparkSpec {
     both.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
   }
 
+  test("fromJdbc over a live embedded-Derby loopback == fromWkt on the same rows") {
+    // the S9 transport leg: a real JDBC read (in-process Derby stands in
+    // for PostGIS, exactly as the loopback HTTP server stands in for the
+    // STA endpoint in StaHttpSpec) feeding the same WKT parse
+    val url = "jdbc:derby:memory:seavox_test;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE seavox (name VARCHAR(64), sub_region VARCHAR(64), wkt VARCHAR(512))")
+      st.execute("INSERT INTO seavox VALUES " +
+        "('BIGHT', 'SOUTH', 'POLYGON ((2 51, 3 51, 3 52, 2 52, 2 51))'), " +
+        "('DELTA', 'NORTH', 'POLYGON ((3.5 51, 4.5 51, 4 52, 3.5 51))')")
+      st.close()
+    } finally conn.close()
+
+    val polys = PolygonTable.fromJdbc(spark, url,
+      "SELECT name, sub_region, wkt FROM seavox", "name", "sub_region", "wkt")
+
+    import spark.implicits._
+    val sameRows = Seq(
+      ("BIGHT", "SOUTH", "POLYGON ((2 51, 3 51, 3 52, 2 52, 2 51))"),
+      ("DELTA", "NORTH", "POLYGON ((3.5 51, 4.5 51, 4 52, 3.5 51))"))
+      .toDF("name", "sub_region", "wkt")
+    val direct = PolygonTable.fromWkt(sameRows, "name", "sub_region", "wkt")
+    assert(polys.collect().toSeq.sortBy(_.getInt(0)) ==
+      direct.collect().toSeq.sortBy(_.getInt(0)))
+
+    // end-to-end: the JDBC-loaded table classifies points like any other
+    val pts = Seq((1L, 51.5, 2.5), (2L, 51.2, 4.0), (3L, 55.0, 9.9))
+      .toDF("id", "lat", "lon")
+    val got = Geo.classifyByPolygonTable(pts, polys, "id", col("lat"), col("lon"))
+      .select("id", "region").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "BIGHT" && got(2L) == "DELTA" && got(3L) == null)
+  }
+
   test("csv grid loader: sparse cells load, missing cells are NaN => null lookups") {
     val dir = Files.createTempDirectory("graft_grid_csv")
     val f = dir.resolve("grid.csv")
