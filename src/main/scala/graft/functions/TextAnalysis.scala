@@ -266,10 +266,27 @@ object TextAnalysis {
     * which Spark executes as per-partition partial top-k + merge.
     */
   def vocabTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    vocabTopK(df, idCol, textCol, k, exactDocFreq = true)
+
+  /** `exactDocFreq = false` is the 100 TB dashboard path: document
+    * frequency via `approx_count_distinct` (HyperLogLog++, ~2% default
+    * relative error). Exact `countDistinct` rewrites the plan to a
+    * two-phase Expand/aggregate whose first shuffle carries one row per
+    * DISTINCT (token, doc) pair — for stopwords that is nearly one row
+    * per document, the dominant shuffle at corpus scale. The HLL sketch
+    * aggregates map-side into a fixed-width buffer per token, so the
+    * shuffle shrinks to one sketch row per token per map task, the same
+    * shape as the plain `count`. Keep the exact form where counts feed
+    * an oracle or billing-grade report.
+    */
+  def vocabTopK(df: DataFrame, idCol: String, textCol: String, k: Int,
+                exactDocFreq: Boolean): DataFrame =
     df.select(col(idCol).as("id"),
       explode(split(normalized(col(textCol)), " ")).as("token"))
       .groupBy(col("token"))
-      .agg(count(lit(1)).as("n_total"), countDistinct(col("id")).as("n_docs"))
+      .agg(count(lit(1)).as("n_total"),
+        (if (exactDocFreq) countDistinct(col("id"))
+         else approx_count_distinct(col("id"))).as("n_docs"))
       .orderBy(col("n_total").desc, col("token").asc)
       .limit(k)
 

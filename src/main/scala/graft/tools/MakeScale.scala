@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-trajectory data generator: replicate a testdata directory k×
+  * with shifted keys, producing a larger scale factor with the SAME
+  * per-copy statistical structure — so a per-query bench at the two
+  * sizes measures how each plan's cost actually grows with data volume
+  * (`sbt 'runMain graft.tools.MakeScale /root/testdata/sf0.1 /tmp/graft_sf0.3 3'`).
+  *
+  * Shape-preserving rules:
+  *   - fact keys (orders/lineitem/events/docs/embeddings + their FKs)
+  *     shift by copy·10^9, so joins stay 1:1 per copy and never cross
+  *     copies; `nation`/`region` dimensions stay single-copy.
+  *   - `documents.text` gets a per-copy suffix on EVERY token (copy 0
+  *     unchanged): within-copy duplicate/near-dup structure is
+  *     preserved exactly while no shingle matches across copies —
+  *     without this, k identical corpora make every dedup pair query
+  *     grow O(k²·n), measuring the mutation rather than the plan.
+  *   - `embeddings.embedding` is circularly rotated by the copy index
+  *     (norm- and within-copy-cosine-preserving; cross-copy cosines
+  *     decorrelate) for the same reason.
+  */
+object MakeScale {
+
+  private val Off = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: MakeScale <srcDir> <dstDir> <k>")
+    val (src, dst, k) = (args(0), args(1), args(2).toInt)
+    require(k >= 1)
+    val spark = graft.core.Sessions.local()
+    try generate(spark, src, dst, k) finally spark.stop()
+  }
+
+  def generate(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+    def rd(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def wr(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+
+    // dimensions: single copy
+    wr(rd("region"), "region")
+    wr(rd("nation"), "nation")
+
+    /** k copies with the long key columns shifted by copy·Off. */
+    def copies(df: DataFrame, keyCols: Seq[String])
+              (mutate: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until k).map { c =>
+        val shifted = keyCols.foldLeft(df.withColumn("__copy", lit(c))) {
+          (d, kc) => d.withColumn(kc, col(kc) + lit(c * Off))
+        }
+        mutate(shifted, c).drop("__copy")
+      }.reduce(_ unionByName _)
+
+    wr(copies(rd("customer"), Seq("c_custkey"))(), "customer")
+    wr(copies(rd("supplier"), Seq("s_suppkey"))(), "supplier")
+    wr(copies(rd("part"), Seq("p_partkey"))(), "part")
+    wr(copies(rd("orders"), Seq("o_orderkey", "o_custkey"))(), "orders")
+    wr(copies(rd("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey"))(),
+      "lineitem")
+    wr(copies(rd("events"), Seq("event_id", "user_id"))(), "events")
+
+    wr(copies(rd("documents"), Seq("doc_id")) { (d, c) =>
+      if (c == 0) d
+      else d
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), "\\s+"), w => concat(w, lit(s"_$c")))))
+        .withColumn("n_chars", length(col("text")))
+    }, "documents")
+
+    wr(copies(rd("embeddings"), Seq("vec_id")) { (d, c) =>
+      if (c == 0) d
+      else d.withColumn("embedding", concat(
+        slice(col("embedding"), c + 1, 1000000),
+        slice(col("embedding"), 1, c)))
+    }, "embeddings")
+  }
+}

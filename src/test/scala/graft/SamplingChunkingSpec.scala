@@ -122,6 +122,37 @@ class SamplingChunkingSpec extends SparkSpec with Matchers {
     assert(out.toSeq == Seq(("data", 3L, 2L), ("spark", 3L, 2L), ("engine", 1L, 1L)))
   }
 
+  test("vocab top-k approx doc-frequency: same results at small cardinality, " +
+    "no Expand-based distinct in the plan") {
+    val d = (1L to 200L)
+      .map(i => (i, s"common token${i % 7} tail$i")).toDF("doc_id", "text")
+    val exact = TextAnalysis.vocabTopK(d, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val approx = TextAnalysis.vocabTopK(d, "doc_id", "text", k = 10,
+        exactDocFreq = false)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the ranking key (token, n_total) is exact in both variants; only
+    // n_docs is sketched, within HLL++'s default 5% relative error
+    assert(approx.map(t => (t._1, t._2)).toSeq == exact.map(t => (t._1, t._2)).toSeq)
+    exact.zip(approx).foreach { case ((tok, _, ed), (_, _, ad)) =>
+      assert(math.abs(ad - ed) <= math.max(2L, (ed * 0.1).toLong),
+        s"$tok: approx n_docs $ad vs exact $ed")
+    }
+    // the point of the variant: the exact plan carries one row per
+    // DISTINCT (token, id) pair into its first aggregate level — the
+    // sketch plan must aggregate by token only, with no distinct pass
+    val exactPlan = TextAnalysis.vocabTopK(d, "doc_id", "text", k = 10)
+      .queryExecution.executedPlan.toString
+    val approxPlan = TextAnalysis.vocabTopK(d, "doc_id", "text", k = 10,
+        exactDocFreq = false)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("count(distinct"))
+    assert("keys=\\[token#\\d+, id#".r.findFirstIn(exactPlan).isDefined)
+    assert(approxPlan.contains("approx_count_distinct"))
+    assert(!approxPlan.contains("count(distinct"))
+    assert("keys=\\[token#\\d+, id#".r.findFirstIn(approxPlan).isEmpty)
+  }
+
   test("gopher filter: each rule trips on its own pathology, clean text keeps") {
     val tok200 = (1 to 200).map(i => s"w$i").mkString(" ")
     val d = Seq(
