@@ -162,6 +162,14 @@ object NetcdfReader {
     */
   def open(path: String): NcFile = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    // NetCDF-4 files are HDF5 containers (magic \x89HDF\r\n\x1a\n) —
+    // current GEBCO/ETOPO grids ship in this format; name the one-line
+    // conversion instead of a generic bad-magic error
+    val isHdf5 = bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'H' && bytes(2) == 'D' && bytes(3) == 'F'
+    require(!isHdf5,
+      s"$path is NetCDF-4/HDF5; this reader handles classic CDF-1/CDF-2 only — " +
+        "convert once with `nccopy -k classic in.nc out.nc` (or export to f32/CSV)")
     require(bytes.length >= 8 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F',
       s"$path is not a classic NetCDF file (bad magic)")
     val version = bytes(3)

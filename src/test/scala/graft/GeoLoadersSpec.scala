@@ -201,8 +201,15 @@ class GeoLoadersSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](GridLoader.fromNetcdf(path, "nope"))
     assert(e.getMessage.contains("no variable"))
     val junk = Files.createTempFile("graft_junk", ".nc")
-    Files.write(junk, "HDF5-ish".getBytes)
+    Files.write(junk, "JUNKJUNK".getBytes)
     intercept[IllegalArgumentException](GridLoader.fromNetcdf(junk.toString, "elevation"))
+    // a real NetCDF-4 file is an HDF5 container: the error must name the
+    // nccopy conversion, not just "bad magic"
+    val h5 = Files.createTempFile("graft_h5", ".nc")
+    Files.write(h5, Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    val eh = intercept[IllegalArgumentException](
+      GridLoader.fromNetcdf(h5.toString, "elevation"))
+    assert(eh.getMessage.contains("nccopy -k classic"))
   }
 
   test("f32 grid loader + native bilinear matches the synthetic grid expression") {
