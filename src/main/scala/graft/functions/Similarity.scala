@@ -119,6 +119,47 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the trained coarse
+    * quantizer, then within each cluster drop every vector that has a
+    * neighbor with cosine ≥ `tau` and a smaller id (deterministic
+    * greedy keep-lowest-id — order-free, so re-runs and stage retries
+    * keep the same representatives). Returns one row per input vector:
+    * (vec_id, cluster, kept).
+    *
+    * Scale shape: clustering bounds the candidate self-join to
+    * within-cluster pairs — the k-means driver state is k·dim doubles,
+    * assignment is the map-side [[NearestCentroidExpr]], and the pair
+    * join is an equi-join on `cluster`, never O(n²) across the corpus.
+    * `maxClusterSize` mirrors `cosineNearDupPairs`' bucket cap: an
+    * overflowing cluster (degenerate encoder output) skips pair
+    * generation entirely — its members are all KEPT rather than
+    * quadratically joined, and the cap count reuses the join's
+    * Exchange key.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+                    tau: Double, nCentroids: Int, iters: Int = 3,
+                    dim: Int = 64,
+                    maxClusterSize: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
+    val cents = trainIvfCentroids(df, idCol, embCol, nCentroids, iters, dim)
+    val assigned = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      exprCol(NearestCentroidExpr(colExpr(col(embCol)), cents, dim)).as("cluster"))
+    val joinable =
+      if (maxClusterSize == Long.MaxValue) assigned
+      else assigned
+        .withColumn("__cn", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .filter(col("__cn") <= maxClusterSize)
+        .drop("__cn")
+    val dups = joinable.as("x").join(joinable.as("y"), Seq("cluster"))
+      .filter(col("x.id") < col("y.id"))
+      .filter(cosine(col("x.emb"), col("y.emb")) >= tau)
+      .select(col("y.id").as("id")).distinct()
+    assigned.join(dups.withColumn("__dup", lit(true)), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cluster"),
+        col("__dup").isNull.as("kept"))
+  }
+
   // ---- IVF (inverted-file) ANN -----------------------------------------
 
   /** Lloyd's k-means for the IVF coarse quantizer, as DataFrame ops:

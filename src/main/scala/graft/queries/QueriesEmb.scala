@@ -132,6 +132,39 @@ object QueriesEmb {
            |WHERE $dxy / (sqrt($dxx) * sqrt($dyy)) >= 0.3""".stripMargin
       }),
 
+    // SemDeDup-style semantic dedup: trained-quantizer clusters bound
+    // the candidate self-join; within a cluster, any vector with a
+    // cosine-≥-tau neighbor of smaller id is dropped (deterministic
+    // greedy keep-lowest-id). Same k-means CTE chain and cosine fold
+    // the sim_ivf_topk oracle already proved engine-exact.
+    QDef("dd_semantic",
+      (s, dir) => Similarity.semanticDedup(Q.table(s, dir, "embeddings"),
+        "vec_id", "embedding", tau = 0.3, nCentroids = 16, iters = 3,
+        dim = Dim, maxClusterSize = 500L),
+      Some {
+        val dxy = dotSql("x.e", "y.e")
+        val dxx = dotSql("x.e", "x.e")
+        val dyy = dotSql("y.e", "y.e")
+        s"""WITH ${kmeansCentsCte(k = 16, iters = 3)},
+           |cent AS MATERIALIZED (SELECT c, ce FROM cent3),
+           |a AS (
+           |  SELECT e.vec_id AS id, e.embedding AS e, s.c AS cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosSql("e.embedding", "s.ce")} DESC, s.c ASC) AS rn
+           |  FROM embeddings e, cent s),
+           |asg AS MATERIALIZED (SELECT id, e, cluster FROM a WHERE rn = 1),
+           |j AS (SELECT id, e, cluster FROM (
+           |  SELECT id, e, cluster, count(*) OVER (PARTITION BY cluster) AS cn
+           |  FROM asg) WHERE cn <= 500),
+           |dup AS (
+           |  SELECT DISTINCT y.id
+           |  FROM j x JOIN j y ON x.cluster = y.cluster AND x.id < y.id
+           |  WHERE $dxy / (sqrt($dxx) * sqrt($dyy)) >= 0.3)
+           |SELECT asg.id AS vec_id, asg.cluster,
+           |  dup.id IS NULL AS kept
+           |FROM asg LEFT JOIN dup ON dup.id = asg.id""".stripMargin
+      }),
+
     // LSH-bucketed top-k. Round 2: fully oracle-checked — the quantized-
     // integer buckets are engine-portable, so the candidate set (and
     // therefore the approximate top-k itself) is deterministic SQL.

@@ -234,6 +234,32 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
     assert(!capped.exists { case (a, b) => a <= 40L || b <= 40L })
   }
 
+  test("semantic dedup: lowest id represents each near-dup group; " +
+    "overflowing clusters skip pair generation") {
+    // two tight near-dup groups + two singletons, in opposite half-spaces
+    // so the trained quantizer separates them
+    def v(base: Array[Float], eps: Float) = base.map(_ + eps)
+    val g1 = Array(1f, 1f, 1f, 1f, 0f, 0f, 0f, 0f)
+    val g2 = Array(-1f, -1f, -1f, -1f, 0f, 0f, 0f, 0f)
+    val df = Seq(
+      (1L, v(g1, 0f)), (2L, v(g1, 1e-4f)), (3L, v(g1, 2e-4f)), // group: keep 1
+      (10L, v(g2, 0f)), (11L, v(g2, 1e-4f)),                   // group: keep 10
+      (20L, Array(0f, 0f, 0f, 0f, 1f, -1f, 1f, -1f)),          // singletons
+      (21L, Array(0f, 0f, 0f, 0f, -1f, 1f, -1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding",
+        tau = 0.99, nCentroids = 4, iters = 2, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 7)
+    assert(out.filter(_._2).keySet == Set(1L, 10L, 20L, 21L))
+
+    // a cluster over the cap contributes no pairs: everything stays kept
+    val capped = Similarity.semanticDedup(df, "vec_id", "embedding",
+        tau = 0.99, nCentroids = 1, iters = 1, dim = 8, maxClusterSize = 3L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(capped.size == 7 && capped.values.forall(identity))
+  }
+
   test("native array exprs: null elements match oracle NULL semantics") {
     // parquet list slots are nullable; a null element must behave like
     // the oracle's explicit a[i]*b[i] sum (whole sum NULL), not read
