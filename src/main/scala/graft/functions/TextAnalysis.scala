@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -289,6 +290,58 @@ object TextAnalysis {
          else approx_count_distinct(col("id"))).as("n_docs"))
       .orderBy(col("n_total").desc, col("token").asc)
       .limit(k)
+
+  /** Per-source quality selection: keep exactly
+    * `ceil(n_source · keepNum/keepDen)` documents per source, best
+    * quality first (FineWeb-style top-fraction curation with a hard
+    * per-source budget). Returns (doc_id, source, score_micro, kept).
+    *
+    * Scale shape — the naive form is `row_number() OVER (PARTITION BY
+    * source ORDER BY score)`, a full sort of each source's documents
+    * (sources are few, so partitions are huge: the classic skewed-window
+    * killer). Instead the score domain is finite (micro-quantized to
+    * [0, 10^6]), so an exact threshold comes from a HISTOGRAM:
+    * one groupBy per (source, score) — bounded at 10^6 rows per source
+    * regardless of corpus size — a tiny per-source cumulative window
+    * over that histogram, and a row_number only WITHIN each
+    * (source, score) bucket for deterministic tie-splitting at the
+    * threshold (fine-grained partitions, no skew). The doc-side join
+    * and the tie window share the (source, score) key. All-integer
+    * arithmetic: budget = `(n·keepNum + keepDen − 1) DIV keepDen`,
+    * engine-exact.
+    */
+  def qualitySelect(df: DataFrame, idCol: String, textCol: String,
+                    srcCol: String, keepNum: Long, keepDen: Long): DataFrame = {
+    require(keepNum >= 0 && keepDen > 0)
+    val scored = qualityScoreOnto(
+      df.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        col(textCol).as("text")), "__q", col("text"))
+      .select(col("doc_id"), col("source"),
+        (col("__q").cast("decimal(25,6)") * lit(1000000)).cast("long")
+          .as("score_micro"))
+    val budgets = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("budget", expr(s"(n * $keepNum + $keepDen - 1) DIV $keepDen"))
+      .select(col("source"), col("budget"))
+    // docs with STRICTLY higher score than this bucket, per source:
+    // exclusive cumulative count over the score histogram
+    val hist = scored.groupBy(col("source"), col("score_micro"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("source"))
+      .orderBy(col("score_micro").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("higher", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .select(col("source"), col("score_micro"), col("higher"))
+    val wTie = Window.partitionBy(col("source"), col("score_micro"))
+      .orderBy(col("doc_id").asc)
+    scored
+      .withColumn("rk", row_number().over(wTie).cast("long"))
+      .join(cum, Seq("source", "score_micro"))
+      .join(broadcast(budgets), Seq("source"))
+      .withColumn("kept", col("higher") + col("rk") <= col("budget"))
+      .select(col("doc_id"), col("source"), col("score_micro"), col("kept"))
+  }
 
   /** Within-document repetition metrics — the Gopher/C4-style repetition
     * signals a quality filter cuts on: duplicate-token fraction, most-

@@ -520,6 +520,42 @@ object QueriesText {
            |FROM s2""".stripMargin
       }),
 
+    // per-source quality curation with a HARD budget: keep exactly
+    // ceil(n/2) best-quality docs per source. Exact threshold from the
+    // (source, score_micro) histogram — the score domain is finite, so
+    // no per-source global sort; ties split deterministically by doc_id
+    // within the threshold bucket only. All-integer => engine-exact.
+    QDef("t_quality_select",
+      (s, dir) => TextAnalysis.qualitySelect(Q.table(s, dir, "documents"),
+        "doc_id", "text", "source", keepNum = 1L, keepDen = 2L),
+      Some(s"""WITH sc AS (
+              |  SELECT doc_id, source,
+              |    CAST(CAST($qualitySql AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+              |      AS score_micro
+              |  FROM documents),
+              |b AS (
+              |  SELECT source, (count(*) * 1 + 2 - 1) // 2 AS budget
+              |  FROM sc GROUP BY source),
+              |h AS (SELECT source, score_micro, count(*) AS c
+              |      FROM sc GROUP BY 1, 2),
+              |cum AS (
+              |  SELECT source, score_micro,
+              |    CAST(coalesce(sum(c) OVER (PARTITION BY source
+              |      ORDER BY score_micro DESC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              |      AS higher
+              |  FROM h),
+              |r AS (
+              |  SELECT doc_id, source, score_micro,
+              |    CAST(row_number() OVER (PARTITION BY source, score_micro
+              |      ORDER BY doc_id ASC) AS BIGINT) AS rk
+              |  FROM sc)
+              |SELECT r.doc_id, r.source, r.score_micro,
+              |  cum.higher + r.rk <= b.budget AS kept
+              |FROM r
+              |JOIN cum ON cum.source = r.source AND cum.score_micro = r.score_micro
+              |JOIN b ON b.source = r.source""".stripMargin)),
+
     // corpus vocabulary: top 100 tokens by occurrences (ties by token —
     // deterministic), with document frequency. Map-side partial aggs
     // absorb stopword skew; the LIMIT is partial-top-k per partition.

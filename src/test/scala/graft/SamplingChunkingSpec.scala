@@ -153,6 +153,33 @@ class SamplingChunkingSpec extends SparkSpec with Matchers {
     assert("keys=\\[token#\\d+, id#".r.findFirstIn(approxPlan).isEmpty)
   }
 
+  test("quality select: exact per-source budget, best-first, deterministic ties") {
+    // 30 docs across 2 sources; src A has 10 IDENTICAL texts (one score
+    // bucket — the tie-split stress), src B a quality gradient
+    val a = (1L to 10L).map(i => (i, "A", "the quick brown fox jumps over the lazy dog again"))
+    val b = (11L to 30L).map { i =>
+      val good = "the quick brown fox jumps over the lazy dog and runs to town"
+      val junk = Seq.fill((i - 10).toInt)("zxqj01").mkString(" ")
+      (i, "B", if (i % 2 == 0) good else junk)
+    }
+    val df = (a ++ b).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.qualitySelect(df, "doc_id", "text", "source",
+        keepNum = 1L, keepDen = 3L) // keep ceil(n/3) per source
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    // hard budget: ceil(10/3)=4 for A, ceil(20/3)=7 for B — exactly
+    assert(out.count(t => t._2 == "A" && t._4) == 4)
+    assert(out.count(t => t._2 == "B" && t._4) == 7)
+    // A is one all-tied score bucket: the 4 lowest doc_ids win
+    assert(out.filter(t => t._2 == "A" && t._4).map(_._1).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // best-first: within a source no dropped doc outscores a kept one
+    Seq("A", "B").foreach { s =>
+      val kept = out.filter(t => t._2 == s && t._4).map(_._3)
+      val dropped = out.filter(t => t._2 == s && !t._4).map(_._3)
+      if (kept.nonEmpty && dropped.nonEmpty) assert(kept.min >= dropped.max)
+    }
+  }
+
   test("gopher filter: each rule trips on its own pathology, clean text keeps") {
     val tok200 = (1 to 200).map(i => s"w$i").mkString(" ")
     val d = Seq(
