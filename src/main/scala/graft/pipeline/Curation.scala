@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import graft.functions.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation — the text-family analogue of
+  * [[QcMain]]'s QC chain: every gate's verdict stays a column (corpus
+  * dashboards track which rule kills documents, the same reason the
+  * reference keeps a per-check flag history), composed into one final
+  * `keep`.
+  *
+  * Gates, each an existing operator evaluated in ONE pass over the
+  * corpus:
+  *   1. exact dedup — only each fingerprint group's canonical (lowest
+  *      id) survives; one window shuffle ([[Dedup.exact]]);
+  *   2. Gopher hard rules — length band, mean word length, stopword
+  *      floor, alpha ratio; map-side ([[TextAnalysis.gopherFilterOnto]]);
+  *   3. quality floor — micro-quantized score ≥ `minQualityMicro`;
+  *      map-side ([[TextAnalysis.qualityScoreOnto]]);
+  *   4. PII budget — staged redaction count ≤ `maxPii`; map-side
+  *      ([[TextAnalysis.piiScrubOnto]]).
+  *
+  * Total cost at any scale: the dedup Exchange plus one map-side pass —
+  * the composition adds no shuffle beyond its most expensive member.
+  */
+object Curation {
+
+  def curate(df: DataFrame, idCol: String, textCol: String,
+             minQualityMicro: Long = 400000L, maxPii: Long = 0L): DataFrame = {
+    val text: Column = col(textCol)
+    val deduped = Dedup.exact(df, idCol, textCol)
+      .withColumn("dedup_ok", !col("is_duplicate"))
+    val gophered = TextAnalysis.gopherFilterOnto(deduped, text)
+      .withColumnRenamed("keep", "gopher_ok")
+    val scored = TextAnalysis.qualityScoreOnto(gophered, "__q", text)
+      .withColumn("quality_micro",
+        (col("__q").cast("decimal(25,6)") * lit(1000000)).cast("long"))
+      .withColumn("quality_ok", col("quality_micro") >= minQualityMicro)
+    val pii = TextAnalysis.piiScrubOnto(scored, text)
+      .withColumn("pii_ok", col("n_pii") <= maxPii)
+    pii.select(col(idCol).as("doc_id"),
+      col("dedup_ok"), col("r_len_ok"), col("r_mwl_ok"), col("r_sw_ok"),
+      col("r_alpha_ok"), col("gopher_ok"),
+      col("quality_micro"), col("quality_ok"),
+      col("n_pii"), col("pii_ok"),
+      (col("dedup_ok") && col("gopher_ok") && col("quality_ok") &&
+        col("pii_ok")).as("keep"))
+  }
+
+  /** Per-gate kill counts + survivor count — the dashboard rollup a
+    * curation run reports (one tiny aggregate).
+    */
+  def gateStats(curated: DataFrame): DataFrame =
+    curated.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(!col("dedup_ok"), 1L).otherwise(0L)).as("killed_dedup"),
+      sum(when(!col("gopher_ok"), 1L).otherwise(0L)).as("killed_gopher"),
+      sum(when(!col("quality_ok"), 1L).otherwise(0L)).as("killed_quality"),
+      sum(when(!col("pii_ok"), 1L).otherwise(0L)).as("killed_pii"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+}

@@ -520,6 +520,61 @@ object QueriesText {
            |FROM s2""".stripMargin
       }),
 
+    // end-to-end curation chain — the text-family analogue of
+    // qc_pipeline_flags: every gate verdict a column (dedup canonical,
+    // four Gopher rules, quality floor, PII budget) composed into one
+    // keep. Each gate's SQL fragment is the one its standalone oracle
+    // already proved engine-exact.
+    QDef("t_curation",
+      (s, dir) => graft.pipeline.Curation.curate(
+        Q.table(s, dir, "documents"), "doc_id", "text",
+        minQualityMicro = 800000L, maxPii = 0L),
+      Some {
+        val enHits = stopwordHitsSql("en")
+        val (e, p, i) = (TextAnalysis.PiiEmailRe, TextAnalysis.PiiPhoneRe,
+          TextAnalysis.PiiIpRe)
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    doc_id = min(doc_id) OVER (PARTITION BY md5($normSql)) AS dedup_ok
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id,
+           |    len($rawTokensSql) >= 20 AND len($rawTokensSql) <= 90 AS r_len_ok,
+           |    CAST(length(text) AS DOUBLE)
+           |      / greatest(CAST(len($rawTokensSql) AS DOUBLE), 1.0) >= 3.0
+           |    AND CAST(length(text) AS DOUBLE)
+           |      / greatest(CAST(len($rawTokensSql) AS DOUBLE), 1.0) <= 10.0 AS r_mwl_ok,
+           |    $enHits >= 2 AS r_sw_ok,
+           |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           |      / greatest(CAST(length(text) AS DOUBLE), 1.0) >= 0.5 AS r_alpha_ok
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id,
+           |    CAST(CAST($qualitySql AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+           |      AS quality_micro
+           |  FROM documents),
+           |p1 AS (SELECT doc_id, text,
+           |    regexp_replace(text, '$e', '<EMAIL>', 'g') AS t1 FROM documents),
+           |p2 AS (SELECT doc_id, text, t1,
+           |    regexp_replace(t1, '$p', '<PHONE>', 'g') AS t2 FROM p1),
+           |pp AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_extract_all(text, '$e'))
+           |       + len(regexp_extract_all(t1, '$p'))
+           |       + len(regexp_extract_all(t2, '$i')) AS BIGINT) AS n_pii
+           |  FROM p2)
+           |SELECT d.doc_id, d.dedup_ok,
+           |  g.r_len_ok, g.r_mwl_ok, g.r_sw_ok, g.r_alpha_ok,
+           |  g.r_len_ok AND g.r_mwl_ok AND g.r_sw_ok AND g.r_alpha_ok AS gopher_ok,
+           |  q.quality_micro, q.quality_micro >= 800000 AS quality_ok,
+           |  pp.n_pii, pp.n_pii <= 0 AS pii_ok,
+           |  d.dedup_ok
+           |    AND (g.r_len_ok AND g.r_mwl_ok AND g.r_sw_ok AND g.r_alpha_ok)
+           |    AND q.quality_micro >= 800000 AND pp.n_pii <= 0 AS keep
+           |FROM d JOIN g USING (doc_id) JOIN q USING (doc_id)
+           |JOIN pp USING (doc_id)""".stripMargin
+      }),
+
     // per-source quality curation with a HARD budget: keep exactly
     // ceil(n/2) best-quality docs per source. Exact threshold from the
     // (source, score_micro) histogram — the score domain is finite, so
