@@ -135,6 +135,56 @@ class PackingSpec extends SparkSpec with Matchers {
     assert(seqs.last._2.length == total - (seqs.length - 1) * L)
   }
 
+  test("property: random corpora — layout gapless, slices tile, " +
+    "emitted sequences reassemble the stream") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 20 + rnd.nextInt(180)
+      val L = 8 + rnd.nextInt(120)
+      val nb = 1 + rnd.nextInt(8)
+      // sparse random ids (gaps + large values), random counts incl. 0s
+      val corpus = (1 to n).map { _ =>
+        (math.abs(rnd.nextLong()) % 1000000L, rnd.nextInt(3 * L).toLong)
+      }.distinctBy(_._1)
+      val df = corpus.toDF("doc_id", "n")
+      val layout = Packing.packConcatSplit(df, $"doc_id", $"n", seqLen = L,
+        nBuckets = nb, salt = s"t$trial").collect()
+      val total = corpus.filter(_._2 > 0).map(_._2).sum
+      // gapless cover of [0, total)
+      val sorted = layout.sortBy(_.getAs[Long]("start_off"))
+      var expect = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("start_off") == expect, s"trial $trial: gap")
+        expect += r.getAs[Long]("n_tokens")
+      }
+      assert(expect == total, s"trial $trial: total")
+      // slices tile both axes
+      val slices = Packing.packedSequences(df, $"doc_id", $"n", seqLen = L,
+        nBuckets = nb, salt = s"t$trial").collect()
+      val byDoc = slices.groupBy(_.getAs[Long]("doc_id"))
+      layout.foreach { r =>
+        val ss = byDoc(r.getAs[Long]("doc_id")).sortBy(_.getAs[Long]("seq_id"))
+        assert(ss.head.getAs[Long]("tok_from") == 0L)
+        assert(ss.last.getAs[Long]("tok_to") == r.getAs[Long]("n_tokens"))
+        ss.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getAs[Long]("tok_to") == b.getAs[Long]("tok_from"))
+          case _ =>
+        }
+      }
+      val maxSeq = slices.map(_.getAs[Long]("seq_id")).max
+      slices.groupBy(_.getAs[Long]("seq_id")).foreach { case (sid, ss) =>
+        val ordered = ss.sortBy(_.getAs[Long]("seq_off"))
+        var off = 0L
+        ordered.foreach { s =>
+          assert(s.getAs[Long]("seq_off") == off, s"trial $trial: seq $sid hole")
+          off += s.getAs[Long]("tok_to") - s.getAs[Long]("tok_from")
+        }
+        if (sid < maxSeq) assert(off == L) else assert(off == total - maxSeq * L)
+      }
+    }
+  }
+
   test("packStats: totals, straddle count and tail padding are consistent") {
     val L = 64
     val packed = Packing.packConcatSplit(docs, $"doc_id", tokens, seqLen = L)
