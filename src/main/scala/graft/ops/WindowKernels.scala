@@ -180,4 +180,36 @@ object WindowKernels {
 
   def dtToRound(ts: Column, rounded: Column): Column =
     abs(unix_micros(ts.cast("timestamp")) - unix_micros(rounded)).cast("double") / 1e6
+
+  /** Sessionization — gaps-and-islands over an event stream: a new
+    * session starts whenever the gap to the previous event of the same
+    * key exceeds `gapUs`. Returns one row per event with its
+    * `session_idx` (0-based per key, in time order). The classic
+    * event-analytics operator; same Window skeleton as the
+    * stabilization state machine — one Exchange+Sort per key, then a
+    * lag flag and a running sum, all inside a single window stage.
+    * All-integer µs arithmetic.
+    */
+  def sessionize(df: DataFrame, partCols: Seq[String], epochUs: Column,
+                 gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(epochUs.asc)
+    val newSession = when(
+      epochUs - lag(epochUs, 1).over(w) > gapUs, 1L).otherwise(0L)
+    df.withColumn("__new_s", newSession)
+      .withColumn("session_idx",
+        sum(col("__new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new_s")
+  }
+
+  /** Per-session rollup over [[sessionize]]'s output: bounds, event
+    * count, and duration — one partial-agg'd groupBy on
+    * (keys, session_idx).
+    */
+  def sessionStats(sessionized: DataFrame, partCols: Seq[String],
+                   epochUs: Column): DataFrame =
+    sessionized.groupBy((partCols :+ "session_idx").map(col): _*)
+      .agg(min(epochUs).as("t_start_us"), max(epochUs).as("t_end_us"),
+        count(lit(1)).as("n_events"),
+        (max(epochUs) - min(epochUs)).as("duration_us"))
 }

@@ -492,6 +492,37 @@ object QueriesQcEvents {
               |    CASE WHEN elev > 0.0 THEN 4 ELSE 0 END) AS TINYINT) AS flag
               |FROM r""".stripMargin)),
 
+    // sessionization — gaps-and-islands per stream (new session when
+    // the inter-event gap exceeds 10 min), rolled up to per-session
+    // bounds/counts/duration. All-integer µs => engine-exact; session
+    // assignment is tie-safe (equal timestamps share a zero gap flag
+    // and an order-independent running sum).
+    QDef("a6_sessionize",
+      (s, dir) => {
+        val g = 43200000000L // 12 h in µs (median inter-event gap ~7.3 h)
+        val sess = graft.ops.WindowKernels.sessionize(
+          obs(s, dir), Seq(Obs.DatastreamId), col("t_us"), g)
+        graft.ops.WindowKernels.sessionStats(
+          sess, Seq(Obs.DatastreamId), col("t_us"))
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |s1 AS (
+              |  SELECT datastream_id, t_us,
+              |    CASE WHEN t_us - lag(t_us) OVER (PARTITION BY datastream_id
+              |      ORDER BY t_us) > 43200000000 THEN 1 ELSE 0 END AS ns
+              |  FROM obs),
+              |s2 AS (
+              |  SELECT datastream_id, t_us,
+              |    CAST(sum(ns) OVER (PARTITION BY datastream_id ORDER BY t_us
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              |      AS session_idx
+              |  FROM s1)
+              |SELECT datastream_id, session_idx,
+              |  min(t_us) AS t_start_us, max(t_us) AS t_end_us,
+              |  count(*) AS n_events,
+              |  max(t_us) - min(t_us) AS duration_us
+              |FROM s2 GROUP BY datastream_id, session_idx""".stripMargin)),
+
     // A4/O3 — 10-min bucket downsample, first row per (stream, bucket)
     QDef("a4_downsample",
       (s, dir) => {

@@ -91,4 +91,23 @@ class WindowKernelsSpec extends SparkSpec with Matchers {
     v(2).getDouble(0) shouldBe expected +- 0.01
     v(2).getDouble(1) shouldBe 0.0 +- 1e-6 // constant speed
   }
+
+  test("sessionize: sessions split exactly at gaps > threshold; stats roll up") {
+    // stream A: events at 0,10,20 | 100,105 | 300  (gap > 50 splits)
+    // stream B: one tied pair (zero gap => one session)
+    val df = Seq(
+      ("A", 0L), ("A", 10L), ("A", 20L), ("A", 100L), ("A", 105L), ("A", 300L),
+      ("B", 7L), ("B", 7L)
+    ).toDF("k", "t")
+    val sess = WindowKernels.sessionize(df, Seq("k"), $"t", gapUs = 50L)
+    val stats = WindowKernels.sessionStats(sess, Seq("k"), $"t")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("session_idx")) ->
+        (r.getAs[Long]("t_start_us"), r.getAs[Long]("t_end_us"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("duration_us"))).toMap
+    assert(stats(("A", 0L)) == ((0L, 20L, 3L, 20L)))
+    assert(stats(("A", 1L)) == ((100L, 105L, 2L, 5L)))
+    assert(stats(("A", 2L)) == ((300L, 300L, 1L, 0L)))
+    assert(stats(("B", 0L)) == ((7L, 7L, 2L, 0L)))
+    assert(stats.size == 4)
+  }
 }
