@@ -42,6 +42,57 @@ class StreamingSpec extends SparkSpec {
     // i=0: also true => 6 values: 0,7,14,21,28,35
   }
 
+  test("session_window streaming == batch sessionize on finalized sessions") {
+    import graft.streaming.StreamingSessions
+    val dir = java.nio.file.Files.createTempDirectory("stream_sess").toString
+    val base = 1700000000000L
+    // two users, sessions split by gaps far from the 30 s boundary
+    val events = Seq(
+      ("u1", 0L), ("u1", 5000L), ("u1", 9000L),      // session 1 (3 events)
+      ("u1", 120000L), ("u1", 125000L),              // session 2 (2 events)
+      ("u2", 1000L),                                  // session (1 event)
+      ("u2", 200000L), ("u2", 201000L), ("u2", 202000L) // session (3 events)
+    ).map { case (u, off) => (u, new java.sql.Timestamp(base + off)) }
+    spark.createDataFrame(events).toDF("user", "ts")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    // a far-future event in a SECOND file: its batch pushes the
+    // watermark past every real session so append mode finalizes them
+    Seq(("zz", new java.sql.Timestamp(base + 86400000L))).toDF("user", "ts")
+      .repartition(1).write.mode("append").parquet(dir)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = StreamingSessions.sessionStats(stream, "ts", Seq("user"),
+      gap = "30 seconds", watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sess_out")
+      .filter($"user" =!= "zz") // the watermark-pusher's own session never finalizes
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("t_start_us"),
+        r.getAs[Long]("t_end_us"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("duration_us"))).toSet
+    val batchDf = events.toDF("user", "ts")
+      .withColumn("t_us", unix_micros($"ts"))
+    val sess = graft.ops.WindowKernels.sessionize(
+      batchDf, Seq("user"), $"t_us", gapUs = 30000000L)
+    val batch = graft.ops.WindowKernels.sessionStats(sess, Seq("user"), $"t_us")
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("t_start_us"),
+        r.getAs[Long]("t_end_us"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("duration_us"))).toSet
+    assert(streamed == batch)
+    assert(batch.size == 4)
+  }
+
   test("re-running the stream over the same data is idempotent (last-writer-wins)") {
     val dir = java.nio.file.Files.createTempDirectory("stream_src2").toString
     val obs = (0 until 10).map { i =>
