@@ -376,6 +376,39 @@ object Dedup {
         round(col("n_contaminated").cast("double") / col("n_shingles").cast("double"), 6))
   }
 
+  /** [[contaminationCheck]]'s very-large-eval-set path: the distinct
+    * eval shingles go into a Bloom filter (`DataFrameStatFunctions
+    * .bloomFilter` — built distributed, merged on the driver) instead of
+    * a broadcast hash set. At an eval set of 10^9 shingles the exact
+    * set is tens of GB — undistributable — while a 1%-FPP Bloom filter
+    * is ~1.2 GB and any-FPP sizing is caller-controlled. Probe stays
+    * map-side (`might_contain` in a Column filter), the only shuffle is
+    * still the final per-doc groupBy.
+    *
+    * One-sided error, the safe direction for decontamination: NO false
+    * negatives (a truly contaminated shingle always counts), and false
+    * positives only INFLATE `n_contaminated` by ≤ fpp of clean
+    * shingles — a conservative over-flag, never a missed leak. Use the
+    * exact [[contaminationCheck]] when counts feed an oracle or report.
+    */
+  def contaminationCheckBloom(corpus: DataFrame, evalSet: DataFrame,
+                              idCol: String, textCol: String, k: Int = 3,
+                              expectedShingles: Long = 1000000L,
+                              fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
+    val evalSh = evalSet
+      .select(explode(shingles(col(textCol), k)).as("shingle")).distinct()
+    val bloom = evalSh.stat.bloomFilter("shingle", expectedShingles, fpp)
+    val hit = exprCol(BloomContainsExpr(colExpr(col("shingle")), bloom))
+    corpus
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("shingle"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_shingles").cast("double"), 6))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** Relational 32-bit SimHash (Charikar 2002): explode shingles, hash

@@ -153,6 +153,36 @@ class SamplingChunkingSpec extends SparkSpec with Matchers {
     assert("keys=\\[token#\\d+, id#".r.findFirstIn(approxPlan).isEmpty)
   }
 
+  test("bloom contamination: never under-counts the exact check, " +
+    "over-count bounded by the false-positive rate") {
+    import graft.functions.Dedup
+    val evalSet = (1L to 50L)
+      .map(i => (i, s"evaluation benchmark question number $i with answer"))
+      .toDF("doc_id", "text")
+    // corpus: 30 docs verbatim from the eval set (leaks) + 200 clean
+    val leaks = (1L to 30L)
+      .map(i => (i, s"evaluation benchmark question number $i with answer"))
+    val clean = (100L to 299L)
+      .map(i => (i, s"ordinary corpus document $i about something else entirely unique$i"))
+    val corpus = (leaks ++ clean).toDF("doc_id", "text")
+
+    def byId(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_contaminated")).toMap
+    val exact = byId(Dedup.contaminationCheck(corpus, evalSet, "doc_id", "text"))
+    val bloom = byId(Dedup.contaminationCheckBloom(corpus, evalSet, "doc_id", "text",
+      expectedShingles = 1000L, fpp = 0.01))
+
+    assert(bloom.keySet == exact.keySet)
+    // one-sided error: bloom >= exact everywhere (no false negatives)
+    exact.foreach { case (id, n) => assert(bloom(id) >= n, s"doc $id under-counted") }
+    // leaked docs are fully flagged in both
+    (1L to 30L).foreach(id => assert(bloom(id) == exact(id) && exact(id) > 0))
+    // over-count across the clean corpus bounded well above fpp=1%
+    val extra = exact.keys.map(id => bloom(id) - exact(id)).sum.toDouble
+    val totalShingles = exact.size * 7.0 // ~7 shingles per ~9-word doc
+    assert(extra / totalShingles < 0.05, s"FP rate ${extra / totalShingles}")
+  }
+
   test("quality select: exact per-source budget, best-first, deterministic ties") {
     // 30 docs across 2 sources; src A has 10 IDENTICAL texts (one score
     // bucket — the tie-split stress), src B a quality gradient
