@@ -126,6 +126,42 @@ object QueriesTpch {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name, n_name""".stripMargin)),
 
+    // TPC-H q10 shape — returned-item report: one quarter of orders,
+    // returned lines only, revenue per customer, top 20. The selective
+    // date filter reaches the orders scan; customer/nation broadcast;
+    // the top-k is a partial TakeOrdered, never a global sort.
+    QDef("q10_returned_items",
+      (s, dir) => {
+        val l = Q.table(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        val o = Q.table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        val c = Q.table(s, dir, "customer")
+        val n = Q.table(s, dir, "nation")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(micro(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_micro"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("revenue_micro").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name,
+             |  CAST(sum(${microSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS revenue_micro,
+             |  count(*) AS n_lines
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY revenue_micro DESC, c_custkey ASC
+             |LIMIT 20""".stripMargin)),
+
     // semi/anti join coverage (free Spark builtins; SURVEY §2.10)
     QDef("q_semi_anti",
       (s, dir) => {
