@@ -43,6 +43,11 @@ object Packing {
     * a boundary). Documents with zero tokens are dropped (they
     * contribute nothing to the stream and have no position in it).
     *
+    * Separator overhead (BOS/EOS between documents): the layout is a
+    * pure function of the token counts, so pass `nTokens + k` for a
+    * k-token per-document separator — every downstream offset,
+    * sequence id, and slice accounts for it with no code change.
+    *
     * @param seqLen   training sequence length in tokens
     * @param nBuckets width of the distributed scan; at cluster scale
     *                 set ≈ the executor count (the serial phase-2

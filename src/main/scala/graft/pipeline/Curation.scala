@@ -48,6 +48,35 @@ object Curation {
         col("pii_ok")).as("keep"))
   }
 
+  /** Streaming curation — the ingest-time form: all quality gates are
+    * stateless Columns so they run map-side on the stream unchanged;
+    * exact dedup becomes first-seen-wins on the fingerprint
+    * (`dropDuplicates` keyed streaming state — same choice as
+    * [[graft.streaming.StreamingDedup]]; the batch form's min-id
+    * canonical coincides with first-seen when arrival follows id
+    * order). Emits only the SURVIVING documents — a stream cannot
+    * retract a duplicate row it already emitted, so the streaming
+    * contract is "the curated corpus", not per-doc verdicts.
+    */
+  def curateStream(df: DataFrame, idCol: String, textCol: String,
+                   minQualityMicro: Long = 400000L,
+                   maxPii: Long = 0L): DataFrame = {
+    val text: Column = col(textCol)
+    val gated = TextAnalysis.gopherFilterOnto(
+      df.select(col(idCol).as("doc_id"), text.as("text")), col("text"))
+      .withColumnRenamed("keep", "gopher_ok")
+    val scored = TextAnalysis.qualityScoreOnto(gated, "__q", col("text"))
+      .withColumn("quality_ok",
+        (col("__q").cast("decimal(25,6)") * lit(1000000)).cast("long")
+          >= minQualityMicro)
+    val pii = TextAnalysis.piiScrubOnto(scored, col("text"))
+      .withColumn("pii_ok", col("n_pii") <= maxPii)
+    pii.filter(col("gopher_ok") && col("quality_ok") && col("pii_ok"))
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+      .dropDuplicates("fingerprint")
+      .select(col("doc_id"), col("text"))
+  }
+
   /** Per-gate kill counts + survivor count — the dashboard rollup a
     * curation run reports (one tiny aggregate).
     */

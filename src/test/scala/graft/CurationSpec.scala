@@ -51,6 +51,35 @@ class CurationSpec extends SparkSpec with Matchers {
     assert(s.getAs[Long]("n_kept") == 1L)
   }
 
+  test("streaming curation emits exactly the batch survivors (id-ordered arrival)") {
+    val docs = Seq(
+      (1L, goodText),
+      (2L, goodText),                       // dup: dropped by first-seen
+      (3L, "too short a text"),             // gopher kill
+      (4L, goodText + " mail me at someone@example.com please today ok"),
+      (5L, goodText.replace("river", "harbor")) // distinct clean doc: kept
+    )
+    val dir = java.nio.file.Files.createTempDirectory("stream_cur").toString
+    docs.toDF("doc_id", "text").repartition(1)
+      .sortWithinPartitions($"doc_id") // arrival order = id order
+      .write.mode("overwrite").parquet(dir)
+    val schema = docs.toDF("doc_id", "text").schema
+    val out = Curation.curateStream(
+      spark.readStream.schema(schema).parquet(dir), "doc_id", "text",
+      minQualityMicro = 700000L, maxPii = 0L)
+    val q = out.writeStream.format("memory").queryName("cur_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("cur_out").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val batch = Curation.curate(docs.toDF("doc_id", "text"), "doc_id", "text",
+        minQualityMicro = 700000L, maxPii = 0L)
+      .filter($"keep").select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(batch == Set(1L, 5L))
+  }
+
   test("composition adds no shuffle beyond the dedup window Exchange") {
     val docs = Seq((1L, goodText)).toDF("doc_id", "text")
     val plan = Curation.curate(docs, "doc_id", "text")
