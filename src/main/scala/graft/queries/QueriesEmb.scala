@@ -137,10 +137,14 @@ object QueriesEmb {
     // cosine-≥-tau neighbor of smaller id is dropped (deterministic
     // greedy keep-lowest-id). Same k-means CTE chain and cosine fold
     // the sim_ivf_topk oracle already proved engine-exact.
+    // maxClusterSize=140 is the skew cap, LIVE at sf0.1 (largest
+    // trained cluster there is 143 -> its members skip pair generation
+    // and stay kept, on both engine and oracle identically) and inert
+    // at sf0.001/0.01 (clusters ~30-45).
     QDef("dd_semantic",
       (s, dir) => Similarity.semanticDedup(Q.table(s, dir, "embeddings"),
         "vec_id", "embedding", tau = 0.3, nCentroids = 16, iters = 3,
-        dim = Dim, maxClusterSize = 500L),
+        dim = Dim, maxClusterSize = 140L),
       Some {
         val dxy = dotSql("x.e", "y.e")
         val dxx = dotSql("x.e", "x.e")
@@ -155,7 +159,7 @@ object QueriesEmb {
            |asg AS MATERIALIZED (SELECT id, e, cluster FROM a WHERE rn = 1),
            |j AS (SELECT id, e, cluster FROM (
            |  SELECT id, e, cluster, count(*) OVER (PARTITION BY cluster) AS cn
-           |  FROM asg) WHERE cn <= 500),
+           |  FROM asg) WHERE cn <= 140),
            |dup AS (
            |  SELECT DISTINCT y.id
            |  FROM j x JOIN j y ON x.cluster = y.cluster AND x.id < y.id
