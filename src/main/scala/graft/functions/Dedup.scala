@@ -124,6 +124,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Substring-level near-dup pairs via shared winnowing fingerprints
+    * (Schleimer et al. 2003 — the granularity word-shingle Jaccard
+    * misses: a document that *contains* another wholesale, plus
+    * unrelated text, has low Jaccard but near-total fingerprint
+    * containment; cf. Lee et al. 2022 on substring-level training-data
+    * dup). Same inverted-index shape as [[ngramJaccardPairs]]: explode
+    * each doc's winnowing fingerprints, df-cap the boilerplate ones,
+    * equi-join on fingerprint, score = shared / min(|A|, |B|)
+    * (containment, not Jaccard — deliberately asymmetric-friendly).
+    * Returns (id_a, id_b, shared, containment) with id_a < id_b and
+    * containment ≥ tau.
+    *
+    * Scale: the self-join is per-fingerprint — Σdf² bounded by the df
+    * cap, never O(n²); sizes attach to the (tiny) surviving pair set
+    * after the group-count, not to the exploded index.
+    */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                         tau: Double, maxFpDf: Long = Long.MaxValue): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.winnowingFingerprints(
+          TextAnalysis.normalized(col(textCol)))).as("fp"))
+      .withColumn("dfc", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("dfc") <= maxFpDf)
+      .select(col("id"), col("fp"))
+      .cache() // feeds both the pair join and the per-doc sizes
+    val sizes = fp.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val co = fp.as("x").join(fp.as("y"), Seq("fp"))
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    co.join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .filter(col("shared").cast("double") / least(col("na"), col("nb")).cast("double") >= tau)
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("shared").cast("double") / least(col("na"), col("nb")).cast("double"), 6)
+          .as("containment"))
+  }
+
   // ---- MinHash ----------------------------------------------------------
   // Base shingle hash: first 8 hex chars of md5 (32 bits, engine-portable),
   // then K independent affine permutations (a_k·h + b_k) mod P. Coefficient

@@ -50,6 +50,43 @@ object Similarity {
       .select(col("query_id"), col("match_id"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Symmetric scalar quantization of an embedding column (the int8
+    * compression path of a vector index): q(x) = clamp(floor(x·scale),
+    * −127, 127). Emitted as integral-valued array<double> so the cosine
+    * fold stays engine-portable — |q| ≤ 127 means every pairwise product
+    * ≤ 16129 and every 64-term partial sum is an exact small integer in
+    * double, so ANY summation order in ANY engine produces the same
+    * bits (the float-embedding cosine needs a pinned fold order; the
+    * quantized one doesn't). A production index persists the codes as
+    * 1-byte values — 4× less storage/shuffle than float32 — and runs
+    * the dot in int32; the arithmetic here is that dot, exactly.
+    */
+  def scalarQuantize(emb: Column, scale: Int = 200): Column =
+    transform(emb, x =>
+      greatest(lit(-127.0), least(lit(127.0), floor(x.cast("double") * scale))))
+      .cast("array<double>")
+
+  /** Quantized brute-force top-k: [[bruteForceTopK]] over
+    * [[scalarQuantize]]d vectors — the corpus-side bytes drop 4× (the
+    * scan/broadcast/shuffle cost at 100 TB) for a small recall loss vs
+    * exact cosine (spec'd in SimilaritySpec). Quantization is map-side
+    * narrow work on both join inputs; everything downstream is the
+    * exact-path plan.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, k: Int, scale: Int = 200): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      scalarQuantize(col(embCol), scale).as("q_q"))
+    val c = corpus.select(col(idCol).as("match_id"),
+      scalarQuantize(col(embCol), scale).as("c_q"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("match_id"))
+      .withColumn("sim_q", cosine(col("q_q"), col("c_q")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim_q").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("match_id"), col("rank"),
+        round(col("sim_q"), 6).as("sim_q"))
+  }
+
   // ---- Random-hyperplane LSH -------------------------------------------
   // Deterministic integer hyperplanes: plane p, dim d has weight
   // ((p*73 + d*31) % 19) - 9 in [-9, 9]. Bit p of the bucket id = sign of

@@ -99,6 +99,38 @@ object QueriesEmb {
            |WHERE rank <= 10""".stripMargin
       }),
 
+    // int8-style scalar-quantized top-k (the 4×-smaller-index ANN path):
+    // same plan as sim_cosine_topk but both sides quantized to integral
+    // codes — quantized products are exact small integers in double, so
+    // the cosine is engine-portable under ANY summation order (the float
+    // path needs the pinned left-assoc fold).
+    QDef("sim_sq_topk",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", k = 10)
+      },
+      Some {
+        def qSql(e: String) =
+          s"list_transform($e, x -> greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE) * 200.0))))"
+        val dqq = dotSql("q.e", "q.e")
+        val dcc = dotSql("c.e", "c.e")
+        val dqc = dotSql("q.e", "c.e")
+        s"""WITH q AS (SELECT vec_id AS query_id, ${qSql("embedding")} AS e
+           |           FROM embeddings WHERE vec_id % 50 = 0),
+           |c AS (SELECT vec_id AS match_id, ${qSql("embedding")} AS e FROM embeddings),
+           |s AS (
+           |  SELECT query_id, match_id,
+           |    $dqc / (sqrt($dqq) * sqrt($dcc)) AS sim_q
+           |  FROM c, q WHERE query_id <> match_id)
+           |SELECT query_id, match_id, rank, round(sim_q, 6) + 0.0e0 AS sim_q FROM (
+           |  SELECT query_id, match_id, sim_q,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim_q DESC, match_id ASC) AS INT) AS rank
+           |  FROM s) r
+           |WHERE rank <= 10""".stripMargin
+      }),
+
     // random-hyperplane LSH bucket assignment (the ANN scale path) —
     // native codegen'd expression; quantized-integer hyperplane dots
     QDef("sim_lsh_buckets",

@@ -523,6 +523,35 @@ object QueriesQcEvents {
               |  max(t_us) - min(t_us) AS duration_us
               |FROM s2 GROUP BY datastream_id, session_idx""".stripMargin)),
 
+    // ordered event funnel — per stream, first 'view', then first
+    // 'click' at-or-after it, then first 'purchase' at-or-after that;
+    // stage = how deep the stream got. Three chained min-aggregations,
+    // every shuffle on the same key (datastream_id) so the exchanges
+    // line up, and each later stage joins only the survivors of the
+    // previous one — the classic at-scale funnel shape where the heavy
+    // event table is scanned per stage but never self-joined row×row.
+    // All-integer µs => engine-exact.
+    QDef("a7_funnel",
+      (s, dir) => graft.ops.Funnel.ordered(obs(s, dir), Obs.DatastreamId,
+        col(Obs.ObservationType), col("t_us"), Seq("view", "click", "purchase")),
+      Some(s"""WITH ${Q.ObsCte},
+              |f1 AS (SELECT datastream_id, min(t_us) AS t1 FROM obs
+              |       WHERE observation_type = 'view' GROUP BY 1),
+              |f2 AS (SELECT e.datastream_id, min(e.t_us) AS t2
+              |       FROM obs e JOIN f1 USING (datastream_id)
+              |       WHERE e.observation_type = 'click' AND e.t_us >= f1.t1
+              |       GROUP BY 1),
+              |f3 AS (SELECT e.datastream_id, min(e.t_us) AS t3
+              |       FROM obs e JOIN f2 USING (datastream_id)
+              |       WHERE e.observation_type = 'purchase' AND e.t_us >= f2.t2
+              |       GROUP BY 1)
+              |SELECT f1.datastream_id, t1, t2, t3,
+              |  CASE WHEN t3 IS NOT NULL THEN 3
+              |       WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS stage
+              |FROM f1
+              |LEFT JOIN f2 USING (datastream_id)
+              |LEFT JOIN f3 USING (datastream_id)""".stripMargin)),
+
     // A4/O3 — 10-min bucket downsample, first row per (stream, bucket)
     QDef("a4_downsample",
       (s, dir) => {

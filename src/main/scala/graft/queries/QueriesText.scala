@@ -46,6 +46,36 @@ object QueriesText {
   private def baseHashSql(c: String): String =
     s"CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)"
 
+  /** Winnowing-fingerprint CTE chain over documents, ending in
+    * `m (doc_id, wf)` — mirrors [[TextAnalysis.winnowingFingerprints]]
+    * (k=8 char grams, window 16, Karp-Rabin Horner fold, identical
+    * integer arithmetic both engines).
+    */
+  private val winnowCte: String = {
+    val B = TextAnalysis.WinnowB
+    val P = TextAnalysis.WinnowP
+    // identical Horner fold: (((c0*B + c1) % P)*B + c2) % P ...
+    val horner = (0 until 8).foldLeft("CAST(0 AS BIGINT)") { (h, j) =>
+      s"(($h * $B + codes[i + $j]) % $P)"
+    }
+    s"""wn AS (SELECT doc_id,
+       |    rpad($normSql, CAST(greatest(length($normSql), 8) AS INTEGER), ' ') AS norm
+       |  FROM documents),
+       |wc AS (SELECT doc_id,
+       |  list_transform(range(1, length(norm) + 1),
+       |    i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT)) AS codes
+       |  FROM wn),
+       |wg AS (SELECT doc_id,
+       |  list_transform(range(1, len(codes) - 7 + 1),
+       |    i -> $horner) AS grams
+       |  FROM wc),
+       |m AS (SELECT doc_id,
+       |  list_sort(list_distinct(
+       |    list_transform(range(1, greatest(len(grams) - 15, 1) + 1),
+       |      i -> list_min(list_slice(grams, i, i + 15))))) AS wf
+       |  FROM wg)""".stripMargin
+  }
+
   /** stopword-hit count for one language (mirrors TextAnalysis.stopwordHits). */
   private def stopwordHitsSql(lang: String): String = {
     val lst = TextAnalysis.Stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -196,33 +226,37 @@ object QueriesText {
           element_at(col("wf"), 1).as("min_fp"),
           element_at(col("wf"), -1).as("max_fp"),
           md5(concat_ws(",", col("wf"))).as("fp_checksum")),
-      Some {
-        val B = TextAnalysis.WinnowB
-        val P = TextAnalysis.WinnowP
-        // identical Horner fold: (((c0*B + c1) % P)*B + c2) % P ...
-        val horner = (0 until 8).foldLeft("CAST(0 AS BIGINT)") { (h, j) =>
-          s"(($h * $B + codes[i + $j]) % $P)"
-        }
-        s"""WITH n AS (SELECT doc_id,
-           |    rpad($normSql, CAST(greatest(length($normSql), 8) AS INTEGER), ' ') AS norm
-           |  FROM documents),
-           |c AS (SELECT doc_id,
-           |  list_transform(range(1, length(norm) + 1),
-           |    i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT)) AS codes
-           |  FROM n),
-           |g AS (SELECT doc_id,
-           |  list_transform(range(1, len(codes) - 7 + 1),
-           |    i -> $horner) AS grams
-           |  FROM c),
-           |m AS (SELECT doc_id,
-           |  list_sort(list_distinct(
-           |    list_transform(range(1, greatest(len(grams) - 15, 1) + 1),
-           |      i -> list_min(list_slice(grams, i, i + 15))))) AS wf
-           |  FROM g)
+      Some(
+        s"""WITH $winnowCte
            |SELECT doc_id, len(wf) AS n_fp, wf[1] AS min_fp, wf[-1] AS max_fp,
            |  md5(array_to_string(wf, ',')) AS fp_checksum
-           |FROM m""".stripMargin
-      }),
+           |FROM m""".stripMargin)),
+
+    // substring-level near-dup pairs: containment of shared winnowing
+    // fingerprints (catches wholesale-inclusion dups that word-shingle
+    // Jaccard scores low; Lee et al. 2022 motivates the granularity).
+    // Same production posture as dd_ngram_pairs: the df cap (20) drops
+    // boilerplate fingerprints BEFORE the self-join and the oracle
+    // mirrors it — containment is over the capped fingerprint sets.
+    QDef("dd_winnow_pairs",
+      (s, dir) => Dedup.winnowOverlapPairs(Q.table(s, dir, "documents"),
+        "doc_id", "text", tau = 0.7, maxFpDf = 20L),
+      Some(
+        s"""WITH $winnowCte,
+           |fp0 AS (SELECT doc_id, unnest(wf) AS fp FROM m),
+           |fq AS (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= 20),
+           |fp AS (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN fq USING (fp)),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1),
+           |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           |       FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |       GROUP BY 1, 2)
+           |SELECT id_a, id_b, shared,
+           |  round(CAST(shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 6)
+           |    AS containment
+           |FROM co
+           |JOIN sizes sa ON sa.doc_id = id_a
+           |JOIN sizes sb ON sb.doc_id = id_b
+           |WHERE CAST(shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.7""".stripMargin)),
 
     // exact dedup by normalized-text fingerprint
     QDef("dd_exact",

@@ -162,6 +162,41 @@ object QueriesTpch {
              |ORDER BY revenue_micro DESC, c_custkey ASC
              |LIMIT 20""".stripMargin)),
 
+    // TPC-H q18 shape — large-volume orders: aggregate lineitem FIRST
+    // (the HAVING semi-join), then join the tiny qualifying set to
+    // orders/customer. The aggregation is the reduction: at 100 TB the
+    // qualifying orders are a sliver of lineitem, so the heavy table is
+    // touched once by a partial-agg groupBy and the join sides after it
+    // are broadcast-able — the win is agg-before-join, not pushdown.
+    QDef("q18_large_orders",
+      (s, dir) => {
+        val l = Q.table(s, dir, "lineitem")
+        val big = l.groupBy(col("l_orderkey"))
+          .agg(sum(micro(col("l_quantity"))).as("sum_qty_micro"))
+          .filter(col("sum_qty_micro") > lit(300L * 1000000L))
+        val o = Q.table(s, dir, "orders")
+        val c = Q.table(s, dir, "customer")
+        o.join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            // parquet TIMESTAMP_NTZ → session-UTC timestamp, exact µs
+            unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+            micro(col("o_totalprice")).as("o_totalprice_micro"),
+            col("sum_qty_micro"))
+      },
+      Some(s"""WITH big AS (
+             |  SELECT l_orderkey,
+             |    CAST(sum(${microSql("l_quantity")}) AS BIGINT) AS sum_qty_micro
+             |  FROM lineitem GROUP BY 1
+             |  HAVING CAST(sum(${microSql("l_quantity")}) AS BIGINT) > 300000000)
+             |SELECT c_name, c_custkey, o_orderkey,
+             |  epoch_us(o_orderdate) AS o_orderdate_us,
+             |  ${microSql("o_totalprice")} AS o_totalprice_micro,
+             |  sum_qty_micro
+             |FROM orders
+             |JOIN big ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
     // semi/anti join coverage (free Spark builtins; SURVEY §2.10)
     QDef("q_semi_anti",
       (s, dir) => {

@@ -295,4 +295,61 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
       TextAnalysis.langId($"text").as("l")).orderBy($"n".desc).collect()
     assert(m(0).getInt(0) == 9 && m(0).getString(1) == "en")
   }
+
+  test("winnow overlap pairs: wholesale containment found where jaccard fails") {
+    val core = "the migratory patterns of arctic terns span both polar circles"
+    val filler = (1 to 30).map(i => s"unrelated filler sentence number $i about nothing").mkString(" ")
+    val corpus = Seq(
+      (1L, core),                 // the contained document
+      (2L, core + " " + filler),  // contains doc 1 wholesale + 6× more text
+      (3L, "completely different prose on spark catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    // word-shingle jaccard misses the inclusion (shared/union is tiny) ...
+    val jac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)))
+    // ... fingerprint containment catches it: doc 1's fingerprints are a
+    // near-subset of doc 2's (window alignment differs at the splice edge)
+    val pairs = Dedup.winnowOverlapPairs(corpus, "doc_id", "text", tau = 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 0.7)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnow overlap df cap: boilerplate fingerprints dropped before the join") {
+    // every doc shares one boilerplate sentence; with the cap at df <= 3
+    // the boilerplate fingerprints vanish from the index and only the
+    // genuine near-dup pair (100, 101) survives
+    val boiler = "standard legal disclaimer applies to all content herein"
+    val base = (1 to 10).map(i =>
+      (i.toLong, s"document $i discusses subject ${i * 13} in depth. " + boiler))
+    val corpus = (base
+      :+ (100L, "identical twin text about winnowing fingerprints. " + boiler)
+      :+ (101L, "identical twin text about winnowing fingerprints! " + boiler))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowOverlapPairs(corpus, "doc_id", "text",
+      tau = 0.8, maxFpDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((100L, 101L)))
+    assert(capped.forall { case (a, b) => a >= 100L && b >= 100L })
+  }
+
+  test("scalar quantization: integral codes in [-127, 127]") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.select(explode(Similarity.scalarQuantize($"embedding")).as("c"))
+      .agg(min($"c"), max($"c"), sum(when($"c" =!= floor($"c"), 1).otherwise(0)))
+      .collect()(0)
+    assert(q.getDouble(0) >= -127.0 && q.getDouble(1) <= 127.0 && q.getLong(2) == 0L)
+  }
+
+  test("quantized top-k: high recall vs exact cosine at 4x fewer index bytes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .select($"query_id", $"match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(emb, q, "vec_id", "embedding", 10)
+      .select($"query_id", $"match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    recall should be >= 0.8 // ~7.6 bits/dim keeps neighborhoods nearly intact
+  }
 }
