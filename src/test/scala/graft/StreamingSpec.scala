@@ -93,6 +93,44 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size == 4)
   }
 
+  test("streaming funnel == batch funnel across a micro-batch split") {
+    import graft.streaming.{FunnelEvent, StreamingFunnel}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val steps = Seq("view", "click", "purchase")
+    val events = Seq(
+      FunnelEvent(1L, "view", 10L), FunnelEvent(1L, "click", 20L),
+      FunnelEvent(1L, "purchase", 30L),                    // full funnel
+      FunnelEvent(2L, "click", 5L), FunnelEvent(2L, "view", 10L),
+      FunnelEvent(2L, "click", 40L),                       // pre-view click ignored
+      FunnelEvent(3L, "view", 10L),                        // stops at stage 1
+      FunnelEvent(4L, "purchase", 10L))                    // never viewed: no rows
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val out = StreamingFunnel(mem.toDS(), steps)
+    val q = out.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      // split MID-FUNNEL for keys 1 and 2: stage times must carry in state
+      mem.addData(events.take(4))
+      q.processAllAvailable()
+      mem.addData(events.drop(4))
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val batch = graft.ops.Funnel.ordered(
+        events.toDF().select($"key", $"etype", $"tUs"),
+        "key", $"etype", $"tUs", steps)
+        .collect().flatMap { r =>
+          (1 to steps.length).flatMap { i =>
+            if (r.isNullAt(i)) None else Some((r.getLong(0), i, r.getLong(i)))
+          }
+        }.toSet
+      assert(streamed == batch)
+      assert(streamed.contains((1L, 3, 30L)) && streamed.contains((2L, 2, 40L)))
+      assert(!streamed.exists(_._1 == 4L))
+    } finally q.stop()
+  }
+
   test("re-running the stream over the same data is idempotent (last-writer-wins)") {
     val dir = java.nio.file.Files.createTempDirectory("stream_src2").toString
     val obs = (0 until 10).map { i =>
