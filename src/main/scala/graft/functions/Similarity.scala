@@ -87,6 +87,74 @@ object Similarity {
         round(col("sim_q"), 6).as("sim_q"))
   }
 
+  // ---- Product quantization --------------------------------------------
+
+  /** Train per-subspace PQ codebooks (product quantization, Jégou,
+    * Douze & Schmid 2011): split the embedding into `m` contiguous
+    * subspaces of `subDim` dims and run the deterministic k-means of
+    * [[trainIvfCentroids]] on each slice independently. Driver state =
+    * m·k·subDim doubles regardless of corpus size; each subspace's
+    * training is the same bit-reproducible quantized-integer pipeline
+    * the IVF oracle proved engine-exact.
+    */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, embCol: String,
+                       m: Int, subDim: Int, k: Int,
+                       iters: Int): Array[Array[Double]] =
+    (0 until m).map { s =>
+      trainIvfCentroids(
+        corpus.select(col(idCol),
+          slice(col(embCol), s * subDim + 1, subDim).as("__sub")),
+        idCol, "__sub", k, iters, subDim)
+    }.toArray
+
+  /** PQ encoding: nearest codebook centroid per subspace — an array of
+    * `m` small ints per vector (m·log2(k) bits of index payload instead
+    * of 4·dim bytes: 24 bits vs 256 bytes at m=8, k=8, dim=64). Pure
+    * map-side narrow work, [[NearestCentroidExpr]] per slice.
+    */
+  def pqEncode(emb: Column, codebooks: Array[Array[Double]], subDim: Int): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
+    array(codebooks.zipWithIndex.map { case (cb, s) =>
+      exprCol(NearestCentroidExpr(
+        colExpr(slice(emb, s * subDim + 1, subDim)), cb, subDim))
+    }: _*)
+  }
+
+  /** PQ decoding: concatenate each coded subspace's centroid back into a
+    * dim-length approximation of the original vector. Literal codebooks
+    * ride the plan (m·k·subDim doubles); map-side.
+    */
+  def pqReconstruct(codes: Column, codebooks: Array[Array[Double]],
+                    subDim: Int): Column =
+    concat(codebooks.zipWithIndex.map { case (cb, s) =>
+      slice(typedLit(cb.toSeq), codes.getItem(s) * subDim + 1, lit(subDim))
+    }: _*)
+
+  /** PQ approximate top-k: encode the corpus, score queries against the
+    * RECONSTRUCTED vectors, exact re-rank order (sim desc, id asc).
+    * Equivalent arithmetic to classic ADC lookup tables — summing
+    * dot(q_sub, centroid[code]) per subspace IS the dot against the
+    * reconstruction — with the same plan shape (one map-side pass over
+    * the corpus against broadcast queries); the LUT is a constant-factor
+    * trick this declarative form leaves to the scorer. At 100 TB the
+    * point of PQ is at-rest/in-shuffle size: the persisted index is the
+    * codes column (m bytes/vector), not the float embedding.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             embCol: String, k: Int, m: Int = 8, subDim: Int = 8,
+             nCentroids: Int = 8, iters: Int = 2): DataFrame = {
+    val cbs = trainPqCodebooks(corpus, idCol, embCol, m, subDim, nCentroids, iters)
+    val c = corpus.select(col(idCol).as("match_id"),
+      pqReconstruct(pqEncode(col(embCol), cbs, subDim), cbs, subDim).as("recon"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("match_id"))
+      .withColumn("sim_pq", cosine(col("q_emb"), col("recon")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim_pq").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("match_id"), col("rank"),
+        round(col("sim_pq"), 6).as("sim_pq"))
+  }
+
   // ---- Random-hyperplane LSH -------------------------------------------
   // Deterministic integer hyperplanes: plane p, dim d has weight
   // ((p*73 + d*31) % 19) - 9 in [-9, 9]. Bit p of the bucket id = sign of

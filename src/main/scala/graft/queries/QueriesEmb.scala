@@ -15,12 +15,16 @@ object QueriesEmb {
   private val Dim = 64
 
   /** a·b as an explicit left-assoc sum over array columns (1-based). */
-  private def dotSql(a: String, b: String): String =
-    (1 to Dim).map(i => s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))")
+  private def dotSqlN(a: String, b: String, n: Int): String =
+    (1 to n).map(i => s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))")
       .mkString("(", " + ", ")")
 
-  private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+  private def dotSql(a: String, b: String): String = dotSqlN(a, b, Dim)
+
+  private def cosSqlN(a: String, b: String, n: Int): String =
+    s"(${dotSqlN(a, b, n)} / (sqrt(${dotSqlN(a, a, n)}) * sqrt(${dotSqlN(b, b, n)})))"
+
+  private def cosSql(a: String, b: String): String = cosSqlN(a, b, Dim)
 
   /** Deterministic Lloyd's k-means as chained SQL CTEs — the oracle
     * mirror of `Similarity.trainIvfCentroids`, ending in CTE
@@ -67,6 +71,54 @@ object QueriesEmb {
          |  FROM $prev p CROSS JOIN dims
          |  LEFT JOIN m$it m ON m.c = p.c AND m.d = dims.d),
          |cent$it AS MATERIALIZED (SELECT c, list(v ORDER BY d) AS ce FROM cc$it GROUP BY c)""".stripMargin
+    }
+    (seed +: iterCtes).mkString(",\n")
+  }
+
+  /** Prefixed k-means CTE chain over an arbitrary slice of `embedding` —
+    * the per-subspace mirror of `Similarity.trainPqCodebooks` (which runs
+    * `trainIvfCentroids` on each slice): same mod-stride seeding over the
+    * full id range, same left-assoc cosine assignment with first-best
+    * ties, same quantized-integer update. Ends in `${p}cent$iters (c, ce)`
+    * with the working slice in `${p}src (vec_id, se)`.
+    */
+  private def kmeansSubCte(p: String, sliceSql: String, sub: Int, k: Int,
+                           iters: Int): String = {
+    val seed =
+      s"""${p}dims AS (SELECT CAST(unnest(range(0, $sub)) AS INT) AS d),
+         |${p}src AS (SELECT vec_id, $sliceSql AS se FROM embeddings),
+         |${p}bnd AS (SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM embeddings),
+         |${p}seedrows AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY e.vec_id) - 1 AS INT) AS c,
+         |    e.se
+         |  FROM ${p}src e, ${p}bnd b
+         |  WHERE (e.vec_id - b.mn) % greatest((b.mx - b.mn + 1) // $k, 1) = 0
+         |  ORDER BY e.vec_id LIMIT $k),
+         |${p}cent0 AS MATERIALIZED (SELECT c,
+         |  list_transform(range(1, ${sub + 1}), i -> CAST(se[i] AS DOUBLE)) AS ce
+         |  FROM ${p}seedrows)""".stripMargin
+    val iterCtes = (1 to iters).map { it =>
+      val prev = s"${p}cent${it - 1}"
+      s"""${p}a$it AS (
+         |  SELECT e.vec_id, e.se, s.c,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSqlN("e.se", "s.ce", sub)} DESC, s.c ASC) AS rn
+         |  FROM ${p}src e, $prev s),
+         |${p}asg$it AS MATERIALIZED (SELECT vec_id, se, c FROM ${p}a$it WHERE rn = 1),
+         |${p}m$it AS (
+         |  SELECT g.c, dims.d,
+         |    CAST(SUM(CAST(floor(CAST(g.se[dims.d + 1] AS DOUBLE)
+         |      * 1048576.0) AS BIGINT)) AS BIGINT) AS s,
+         |    COUNT(*) AS cnt
+         |  FROM ${p}asg$it g, ${p}dims dims GROUP BY g.c, dims.d),
+         |${p}cc$it AS (
+         |  SELECT p.c, dims.d,
+         |    COALESCE((CAST(m.s AS DOUBLE) / CAST(m.cnt AS DOUBLE)) / 1048576.0,
+         |             p.ce[dims.d + 1]) AS v
+         |  FROM $prev p CROSS JOIN ${p}dims dims
+         |  LEFT JOIN ${p}m$it m ON m.c = p.c AND m.d = dims.d),
+         |${p}cent$it AS MATERIALIZED (SELECT c, list(v ORDER BY d) AS ce
+         |  FROM ${p}cc$it GROUP BY c)""".stripMargin
     }
     (seed +: iterCtes).mkString(",\n")
   }
@@ -127,6 +179,59 @@ object QueriesEmb {
            |  SELECT query_id, match_id, sim_q,
            |    CAST(row_number() OVER (PARTITION BY query_id
            |      ORDER BY sim_q DESC, match_id ASC) AS INT) AS rank
+           |  FROM s) r
+           |WHERE rank <= 10""".stripMargin
+      }),
+
+    // product-quantized top-k (Jégou et al. 2011 — the m-bytes-per-vector
+    // index): 8 subspaces × 8 dims, 8 centroids each, trained by the same
+    // deterministic k-means the IVF oracle proved engine-exact, run per
+    // slice. Scoring = cosine against the reconstruction (≡ ADC table
+    // sums). The oracle replays all 8 subspace trainings as CTE chains.
+    QDef("sim_pq_topk",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 10,
+          m = 8, subDim = 8, nCentroids = 8, iters = 2)
+      },
+      Some {
+        val m = 8; val sub = 8; val kc = 8; val iters = 2
+        val subCtes = (0 until m).map { i =>
+          kmeansSubCte(s"p${i}_",
+            s"list_slice(embedding, ${i * sub + 1}, ${(i + 1) * sub})",
+            sub, kc, iters)
+        }.mkString(",\n")
+        val fCtes = (0 until m).map { i =>
+          s"""f$i AS (SELECT vec_id, c FROM (
+             |  SELECT e.vec_id, s.c,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY ${cosSqlN("e.se", "s.ce", sub)} DESC, s.c ASC) AS rn
+             |  FROM p${i}_src e, p${i}_cent$iters s) t WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        val reconJoins = (1 until m).map(i =>
+          s"  JOIN f$i ON f$i.vec_id = f0.vec_id JOIN p${i}_cent$iters c$i ON c$i.c = f$i.c")
+          .mkString("\n")
+        val reconList = (0 until m).map(i => s"c$i.ce").mkString(" || ")
+        val dqq = dotSql("q.e", "q.e")
+        val drr = dotSql("r.recon", "r.recon")
+        val dqr = dotSql("q.e", "r.recon")
+        s"""WITH $subCtes,
+           |$fCtes,
+           |recon AS MATERIALIZED (
+           |  SELECT f0.vec_id, $reconList AS recon
+           |  FROM f0 JOIN p0_cent$iters c0 ON c0.c = f0.c
+           |$reconJoins),
+           |q AS (SELECT vec_id AS query_id, embedding AS e FROM embeddings
+           |      WHERE vec_id % 50 = 0),
+           |s AS (
+           |  SELECT query_id, r.vec_id AS match_id,
+           |    $dqr / (sqrt($dqq) * sqrt($drr)) AS sim_pq
+           |  FROM recon r JOIN q ON query_id <> r.vec_id)
+           |SELECT query_id, match_id, rank, round(sim_pq, 6) + 0.0e0 AS sim_pq FROM (
+           |  SELECT query_id, match_id, sim_pq,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim_pq DESC, match_id ASC) AS INT) AS rank
            |  FROM s) r
            |WHERE rank <= 10""".stripMargin
       }),
