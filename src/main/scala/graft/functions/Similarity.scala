@@ -155,6 +155,30 @@ object Similarity {
         round(col("sim_pq"), 6).as("sim_pq"))
   }
 
+  /** Two-stage retrieve-and-rerank (the production ANN serving shape):
+    * PQ scores nominate `candK` candidates per query from the compact
+    * code index, then the float vectors of ONLY those candidates are
+    * fetched and exactly re-scored to the final top-k. At 100 TB the
+    * exact pass touches nQueries·candK vectors instead of the corpus —
+    * the candidate set broadcasts into the corpus join, so the heavy
+    * side never shuffles.
+    */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   embCol: String, k: Int, candK: Int = 50, m: Int = 8,
+                   subDim: Int = 8, nCentroids: Int = 8, iters: Int = 2): DataFrame = {
+    val cand = pqTopK(corpus, queries, idCol, embCol, candK, m, subDim,
+      nCentroids, iters).select(col("query_id"), col("match_id"))
+    val c = corpus.select(col(idCol).as("match_id"), col(embCol).as("c_emb"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val scored = c.join(broadcast(cand), Seq("match_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("match_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   // ---- Random-hyperplane LSH -------------------------------------------
   // Deterministic integer hyperplanes: plane p, dim d has weight
   // ((p*73 + d*31) % 19) - 9 in [-9, 9]. Bit p of the bucket id = sign of

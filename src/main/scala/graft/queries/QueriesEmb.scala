@@ -123,6 +123,46 @@ object QueriesEmb {
     (seed +: iterCtes).mkString(",\n")
   }
 
+  /** The full PQ pipeline as CTEs — m subspace trainings, final
+    * assignments `f0..f{m-1}`, reconstructions, the query set `q`, and
+    * approximate scores `s (query_id, match_id, sim_pq)`. Shared by
+    * `sim_pq_topk` (rank over `s`) and `sim_pq_rerank` (candidates from
+    * `s`, exact re-score).
+    */
+  private def pqScoreCtes(m: Int, sub: Int, kc: Int, iters: Int): String = {
+    val subCtes = (0 until m).map { i =>
+      kmeansSubCte(s"p${i}_",
+        s"list_slice(embedding, ${i * sub + 1}, ${(i + 1) * sub})",
+        sub, kc, iters)
+    }.mkString(",\n")
+    val fCtes = (0 until m).map { i =>
+      s"""f$i AS (SELECT vec_id, c FROM (
+         |  SELECT e.vec_id, s.c,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSqlN("e.se", "s.ce", sub)} DESC, s.c ASC) AS rn
+         |  FROM p${i}_src e, p${i}_cent$iters s) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val reconJoins = (1 until m).map(i =>
+      s"  JOIN f$i ON f$i.vec_id = f0.vec_id JOIN p${i}_cent$iters c$i ON c$i.c = f$i.c")
+      .mkString("\n")
+    val reconList = (0 until m).map(i => s"c$i.ce").mkString(" || ")
+    val dqq = dotSql("q.e", "q.e")
+    val drr = dotSql("r.recon", "r.recon")
+    val dqr = dotSql("q.e", "r.recon")
+    s"""$subCtes,
+       |$fCtes,
+       |recon AS MATERIALIZED (
+       |  SELECT f0.vec_id, $reconList AS recon
+       |  FROM f0 JOIN p0_cent$iters c0 ON c0.c = f0.c
+       |$reconJoins),
+       |q AS (SELECT vec_id AS query_id, embedding AS e FROM embeddings
+       |      WHERE vec_id % 50 = 0),
+       |s AS (
+       |  SELECT query_id, r.vec_id AS match_id,
+       |    $dqr / (sqrt($dqq) * sqrt($drr)) AS sim_pq
+       |  FROM recon r JOIN q ON query_id <> r.vec_id)""".stripMargin
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // brute-force cosine top-k (every 50th vector queries the corpus)
@@ -196,43 +236,47 @@ object QueriesEmb {
           m = 8, subDim = 8, nCentroids = 8, iters = 2)
       },
       Some {
-        val m = 8; val sub = 8; val kc = 8; val iters = 2
-        val subCtes = (0 until m).map { i =>
-          kmeansSubCte(s"p${i}_",
-            s"list_slice(embedding, ${i * sub + 1}, ${(i + 1) * sub})",
-            sub, kc, iters)
-        }.mkString(",\n")
-        val fCtes = (0 until m).map { i =>
-          s"""f$i AS (SELECT vec_id, c FROM (
-             |  SELECT e.vec_id, s.c,
-             |    row_number() OVER (PARTITION BY e.vec_id
-             |      ORDER BY ${cosSqlN("e.se", "s.ce", sub)} DESC, s.c ASC) AS rn
-             |  FROM p${i}_src e, p${i}_cent$iters s) t WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
-        val reconJoins = (1 until m).map(i =>
-          s"  JOIN f$i ON f$i.vec_id = f0.vec_id JOIN p${i}_cent$iters c$i ON c$i.c = f$i.c")
-          .mkString("\n")
-        val reconList = (0 until m).map(i => s"c$i.ce").mkString(" || ")
-        val dqq = dotSql("q.e", "q.e")
-        val drr = dotSql("r.recon", "r.recon")
-        val dqr = dotSql("q.e", "r.recon")
-        s"""WITH $subCtes,
-           |$fCtes,
-           |recon AS MATERIALIZED (
-           |  SELECT f0.vec_id, $reconList AS recon
-           |  FROM f0 JOIN p0_cent$iters c0 ON c0.c = f0.c
-           |$reconJoins),
-           |q AS (SELECT vec_id AS query_id, embedding AS e FROM embeddings
-           |      WHERE vec_id % 50 = 0),
-           |s AS (
-           |  SELECT query_id, r.vec_id AS match_id,
-           |    $dqr / (sqrt($dqq) * sqrt($drr)) AS sim_pq
-           |  FROM recon r JOIN q ON query_id <> r.vec_id)
+        s"""WITH ${pqScoreCtes(m = 8, sub = 8, kc = 8, iters = 2)}
            |SELECT query_id, match_id, rank, round(sim_pq, 6) + 0.0e0 AS sim_pq FROM (
            |  SELECT query_id, match_id, sim_pq,
            |    CAST(row_number() OVER (PARTITION BY query_id
            |      ORDER BY sim_pq DESC, match_id ASC) AS INT) AS rank
            |  FROM s) r
+           |WHERE rank <= 10""".stripMargin
+      }),
+
+    // two-stage retrieve-and-rerank: the PQ code index nominates 50
+    // candidates per query, the float vectors of only those candidates
+    // are exactly re-scored — the production ANN serving shape (compact
+    // index recalls, exact pass fixes the ranking).
+    QDef("sim_pq_rerank",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        Similarity.pqRerankTopK(emb, queries, "vec_id", "embedding", k = 10,
+          candK = 50, m = 8, subDim = 8, nCentroids = 8, iters = 2)
+      },
+      Some {
+        val dqq = dotSql("q.e", "q.e")
+        val dee = dotSql("e.embedding", "e.embedding")
+        val dqe = dotSql("q.e", "e.embedding")
+        s"""WITH ${pqScoreCtes(m = 8, sub = 8, kc = 8, iters = 2)},
+           |cand AS (SELECT query_id, match_id FROM (
+           |  SELECT query_id, match_id,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim_pq DESC, match_id ASC) AS INT) AS rank
+           |  FROM s) t WHERE rank <= 50),
+           |x AS (
+           |  SELECT c.query_id, c.match_id,
+           |    $dqe / (sqrt($dqq) * sqrt($dee)) AS sim
+           |  FROM cand c
+           |  JOIN embeddings e ON e.vec_id = c.match_id
+           |  JOIN q ON q.query_id = c.query_id)
+           |SELECT query_id, match_id, rank, round(sim, 6) + 0.0e0 AS sim FROM (
+           |  SELECT query_id, match_id, sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, match_id ASC) AS INT) AS rank
+           |  FROM x) r
            |WHERE rank <= 10""".stripMargin
       }),
 

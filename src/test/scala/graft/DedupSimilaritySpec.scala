@@ -371,6 +371,14 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
     // encoder output fares far better, and OPQ rotation is the published
     // fix). The bound guards against breakage, not marketing.
     recall should be >= 0.15
+    // the two-stage cure: 50 PQ candidates + exact rerank recovers most
+    // of what the approximate scores scramble, touching only
+    // nQueries×candK float vectors
+    val rr = Similarity.pqRerankTopK(emb, q, "vec_id", "embedding", 10, candK = 50)
+      .select($"query_id", $"match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerankRecall = (exact intersect rr).size.toDouble / exact.size
+    rerankRecall should be >= recall
+    rerankRecall should be >= 0.4
   }
 
   test("quantized top-k: high recall vs exact cosine at 4x fewer index bytes") {
