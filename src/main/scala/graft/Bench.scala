@@ -11,7 +11,12 @@ object Bench {
     // JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional comma-separated name filter for targeted re-measures
+    // (profiling one query without paying for the suite)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(f) if f.nonEmpty => f.split(",").toSeq.sorted
+      case _ => SparkEntry.queries.keys.toSeq.sorted
+    }
     // per query: all successful rep times + the last error (if any rep failed)
     val times = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
