@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Bucketed-at-rest table layout — the co-location lever for repeated
   * big-big equi-joins and aggregations at 100 TB: both sides bucketed
@@ -30,5 +31,51 @@ object Tables {
       .sortBy(sorted.head, sorted.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Morton (Z-order) key over numeric columns: each column linearly
+    * quantized to `bits` bits against its [min, max], bit b of column i
+    * landing at interleaved position b·nCols + i. Rows close in z are
+    * close in EVERY dimension, so range-partitioning by z gives files
+    * whose per-column min/max footprints are small in all dimensions at
+    * once — parquet row-group / file skipping then works for predicates
+    * on ANY subset of the z columns, where a single-column sort only
+    * serves that column. nCols·bits must fit a long (≤ 62).
+    */
+  def zOrderKey(cols: Seq[Column], mins: Seq[Double], maxs: Seq[Double],
+                bits: Int = 16): Column = {
+    val n = cols.length
+    require(n >= 1 && n * bits <= 62, s"z-order needs 1..62/bits cols, got $n x $bits")
+    val cap = (1L << bits) - 1
+    val q = cols.zipWithIndex.map { case (c, i) =>
+      val span = math.max(maxs(i) - mins(i), java.lang.Double.MIN_NORMAL)
+      least(lit(cap), greatest(lit(0L),
+        floor((c.cast("double") - lit(mins(i))) / lit(span) * cap)))
+    }
+    val terms = for (b <- 0 until bits; i <- 0 until n)
+      yield shiftleft(shiftright(q(i), b).bitwiseAND(lit(1L)), b * n + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` range-partitioned and sorted by the z-order key of
+    * `zCols` — the multi-dimensional clustering layout (one write-time
+    * shuffle buys file skipping on every z column for all later reads).
+    * Column min/max come from one bounded stats pass (2·nCols doubles
+    * on the driver).
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    files: Int, bits: Int = 16): Unit = {
+    val stats = df.agg(
+      zCols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+        .head, zCols.flatMap(c =>
+        Seq(min(col(c).cast("double")), max(col(c).cast("double")))).tail: _*)
+      .collect()(0)
+    val mins = zCols.indices.map(i => stats.getDouble(2 * i))
+    val maxs = zCols.indices.map(i => stats.getDouble(2 * i + 1))
+    df.withColumn("__z", zOrderKey(zCols.map(col), mins, maxs, bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
   }
 }
