@@ -40,7 +40,10 @@ object Tables {
     * whose per-column min/max footprints are small in all dimensions at
     * once — parquet row-group / file skipping then works for predicates
     * on ANY subset of the z columns, where a single-column sort only
-    * serves that column. nCols·bits must fit a long (≤ 62).
+    * serves that column. nCols·bits must fit a long (≤ 62). A null in
+    * any z column nulls the key — range partitioning groups those rows
+    * into the first partition (nulls-first ordering), so they cannot
+    * smear every file's footprint.
     */
   def zOrderKey(cols: Seq[Column], mins: Seq[Double], maxs: Seq[Double],
                 bits: Int = 16): Column = {
