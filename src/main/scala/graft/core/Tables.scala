@@ -33,6 +33,31 @@ object Tables {
       .saveAsTable(table)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetFileBytes` each — the operational counterpart of the
+    * streaming sinks, whose per-trigger×per-partition output degrades
+    * scan planning and driver memory once file counts reach the
+    * millions at ingest scale. One size-driven repartition pass: the
+    * output file count comes from the directory's actual bytes, not
+    * its file count. Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetFileBytes > 0)
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = fs.listStatus(p).filter { s =>
+      s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")
+    }
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath).repartition(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (dataFiles.length, outFiles)
+  }
+
   /** Morton (Z-order) key over numeric columns: each column linearly
     * quantized to `bits` bits against its [min, max], bit b of column i
     * landing at interleaved position b·nCols + i. Rows close in z are

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guards for the headline queries' scale claims —
+  * the properties PLAN_AUDIT reads off by hand, pinned so a refactor
+  * that silently changes the plan fails a spec instead of a bench.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q18: lineitem aggregates BEFORE any join (the HAVING semi-join shape)") {
+    val p = plan("q18_large_orders")
+    // the aggregate must sit below the first join in the tree — if the
+    // plan joined first, the string order would invert
+    val aggAt = p.indexOf("HashAggregate")
+    val joinAt = p.indexOf("Join")
+    assert(aggAt >= 0 && joinAt >= 0 && joinAt < aggAt,
+      s"agg must be under the join (join at $joinAt, agg at $aggAt):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"qualifying sliver should broadcast:\n$p")
+  }
+
+  test("funnel: each stage's event-type filter reaches the parquet scan") {
+    val p = plan("a7_funnel")
+    Seq("view", "click", "purchase").foreach { step =>
+      assert(p.contains(s"EqualTo(event_type,$step)"),
+        s"$step filter not pushed to scan:\n$p")
+    }
+  }
+
+  test("winnow pairs: the df-cap window shares the self-join's fingerprint key") {
+    val p = plan("dd_winnow_pairs")
+    // window over fp partitions, join on fp: the Exchange on fp must be
+    // planned once and reused, not duplicated per consumer
+    assert(p.contains("ReusedExchange") || p.contains("InMemoryTableScan"),
+      s"capped index should be computed once:\n$p")
+  }
+
+  test("quantized ANN: no shuffle of the corpus side") {
+    Seq("sim_sq_topk", "sim_cosine_topk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q corpus must not shuffle-join:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q queries should broadcast:\n$p")
+    }
+  }
+}

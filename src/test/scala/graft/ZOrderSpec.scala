@@ -72,4 +72,23 @@ class ZOrderSpec extends SparkSpec {
     assert(zRead.agg(sum($"user_id"), sum($"t_us")).collect()(0) ==
       events.agg(sum($"user_id"), sum($"t_us")).collect()(0))
   }
+
+  test("compaction: size-driven rewrite collapses a small-file directory") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.repartition(64).write.parquet(s"$dir/shattered")
+
+    val perFile = new java.io.File(s"$dir/shattered").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum / 64
+    val (before, after) = graft.core.Tables.compact(
+      spark, s"$dir/shattered", s"$dir/compacted", targetFileBytes = perFile * 16)
+    assert(before == 64, s"expected 64 shattered files, saw $before")
+    assert(after <= 8 && after >= 1, s"expected <=8 compacted files, saw $after")
+
+    val a = spark.read.parquet(s"$dir/compacted")
+    assert(a.count() == events.count())
+    assert(a.agg(sum($"event_id")).collect()(0) ==
+      events.agg(sum($"event_id")).collect()(0))
+  }
 }
