@@ -179,6 +179,65 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF-PQ: the canonical big-index composition (coarse inverted lists
+    * + product-quantized RESIDUALS, à la Jégou et al. 2011 §IV) — the
+    * coarse quantizer prunes the corpus to nProbe lists per query, and
+    * within a list each vector is its coarse centroid plus an m-byte PQ
+    * code of the residual. Residuals cluster far tighter than raw
+    * vectors, so the same code budget reconstructs with less distortion
+    * than flat PQ. Index payload per vector: one small int (list id) +
+    * m bytes. Driver state: (nCoarse + m·nCentroids·subDim) doubles.
+    * All training/assignment reuses the bit-reproducible machinery the
+    * IVF and PQ oracles proved engine-exact.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                embCol: String, k: Int, nCoarse: Int = 8, coarseIters: Int = 2,
+                m: Int = 8, subDim: Int = 8, nCentroids: Int = 8,
+                pqIters: Int = 2, nProbe: Int = 2, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarse = trainIvfCentroids(corpus, idCol, embCol, nCoarse, coarseIters, dim)
+    val nC = coarse.length / dim
+    val coarseLit = typedLit(coarse.toSeq)
+    def centSlice(idx: Column) = slice(coarseLit, idx * dim + 1, lit(dim))
+
+    // map-side: coarse list id, residual, PQ code, decoded approximation
+    val withC = corpus
+      .withColumn("coarse_c",
+        exprCol(NearestCentroidExpr(colExpr(col(embCol)), coarse, dim)))
+      .withColumn("resid", zip_with(col(embCol).cast("array<double>"),
+        centSlice(col("coarse_c")), (x, c) => x - c))
+    val cbs = trainPqCodebooks(withC.select(col(idCol), col("resid")),
+      idCol, "resid", m, subDim, nCentroids, pqIters)
+    val encoded = withC.select(col(idCol).as("match_id"), col("coarse_c"),
+        pqReconstruct(pqEncode(col("resid"), cbs, subDim), cbs, subDim).as("rrec"))
+      .withColumn("approx",
+        zip_with(centSlice(col("coarse_c")), col("rrec"), (a, b) => a + b))
+      .drop("rrec")
+
+    // per-query probe lists (tiny: queries × nCoarse, broadcast)
+    val centDf = (0 until nC).map(c =>
+      (c, coarse.slice(c * dim, (c + 1) * dim).toSeq)).toDF("cent_c", "cent_emb")
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("p_cos").desc, col("cent_c").asc)
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("p_cos", cosine(col("q_emb"), col("cent_emb")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cent_c"))
+
+    val scored = encoded.join(broadcast(probes),
+        col("coarse_c") === col("cent_c") && col("query_id") =!= col("match_id"))
+      .withColumn("sim_ivfpq", cosine(col("q_emb"), col("approx")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_ivfpq").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("match_id"), col("rank"),
+        round(col("sim_ivfpq"), 6).as("sim_ivfpq"))
+  }
+
   // ---- Random-hyperplane LSH -------------------------------------------
   // Deterministic integer hyperplanes: plane p, dim d has weight
   // ((p*73 + d*31) % 19) - 9 in [-9, 9]. Bit p of the bucket id = sign of

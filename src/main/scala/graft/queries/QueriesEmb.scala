@@ -83,11 +83,11 @@ object QueriesEmb {
     * with the working slice in `${p}src (vec_id, se)`.
     */
   private def kmeansSubCte(p: String, sliceSql: String, sub: Int, k: Int,
-                           iters: Int): String = {
+                           iters: Int, src: String = "embeddings"): String = {
     val seed =
       s"""${p}dims AS (SELECT CAST(unnest(range(0, $sub)) AS INT) AS d),
-         |${p}src AS (SELECT vec_id, $sliceSql AS se FROM embeddings),
-         |${p}bnd AS (SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM embeddings),
+         |${p}src AS (SELECT vec_id, $sliceSql AS se FROM $src),
+         |${p}bnd AS (SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM $src),
          |${p}seedrows AS (
          |  SELECT CAST(row_number() OVER (ORDER BY e.vec_id) - 1 AS INT) AS c,
          |    e.se
@@ -277,6 +277,88 @@ object QueriesEmb {
            |    CAST(row_number() OVER (PARTITION BY query_id
            |      ORDER BY sim DESC, match_id ASC) AS INT) AS rank
            |  FROM x) r
+           |WHERE rank <= 10""".stripMargin
+      }),
+
+    // IVF-PQ: coarse inverted lists + product-quantized RESIDUALS (the
+    // canonical big-index composition). Oracle = coarse k-means chain +
+    // residual CTE + 8 subspace chains TRAINED ON RESIDUALS + probe-list
+    // pruning + cosine against coarse-centroid-plus-decoded-residual.
+    QDef("sim_ivfpq_topk",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 10,
+          nCoarse = 8, coarseIters = 2, m = 8, subDim = 8, nCentroids = 8,
+          pqIters = 2, nProbe = 2, dim = Dim)
+      },
+      Some {
+        val m = 8; val sub = 8; val kc = 8; val iters = 2
+        val subCtes = (0 until m).map { i =>
+          kmeansSubCte(s"p${i}_",
+            s"list_slice(re, ${i * sub + 1}, ${(i + 1) * sub})",
+            sub, kc, iters, src = "resid")
+        }.mkString(",\n")
+        val fCtes = (0 until m).map { i =>
+          s"""f$i AS (SELECT vec_id, c FROM (
+             |  SELECT e.vec_id, s.c,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY ${cosSqlN("e.se", "s.ce", sub)} DESC, s.c ASC) AS rn
+             |  FROM p${i}_src e, p${i}_cent$iters s) t WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        val reconJoins = (1 until m).map(i =>
+          s"  JOIN f$i ON f$i.vec_id = f0.vec_id JOIN p${i}_cent$iters c$i ON c$i.c = f$i.c")
+          .mkString("\n")
+        val reconList = (0 until m).map(i => s"c$i.ce").mkString(" || ")
+        val dqq = dotSql("q.e", "q.e")
+        val dap = dotSql("q.e", "a.ap")
+        val dapap = dotSql("a.ap", "a.ap")
+        s"""WITH ${kmeansCentsCte(k = 8, iters = 2)},
+           |ccent AS MATERIALIZED (SELECT c, ce FROM cent2),
+           |ca AS (
+           |  SELECT e.vec_id, e.embedding, s.c,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosSql("e.embedding", "s.ce")} DESC, s.c ASC) AS rn
+           |  FROM embeddings e, ccent s),
+           |casg AS MATERIALIZED (SELECT vec_id, embedding, c AS coarse_c
+           |  FROM ca WHERE rn = 1),
+           |resid AS MATERIALIZED (
+           |  SELECT a.vec_id,
+           |    list_transform(range(1, ${Dim + 1}),
+           |      i -> CAST(a.embedding[i] AS DOUBLE) - t.ce[i]) AS re,
+           |    a.coarse_c
+           |  FROM casg a JOIN ccent t ON t.c = a.coarse_c),
+           |$subCtes,
+           |$fCtes,
+           |recon AS MATERIALIZED (
+           |  SELECT f0.vec_id, $reconList AS rrec
+           |  FROM f0 JOIN p0_cent$iters c0 ON c0.c = f0.c
+           |$reconJoins),
+           |approx AS MATERIALIZED (
+           |  SELECT r.vec_id, g.coarse_c,
+           |    list_transform(range(1, ${Dim + 1}),
+           |      i -> t.ce[i] + r.rrec[i]) AS ap
+           |  FROM recon r
+           |  JOIN casg g ON g.vec_id = r.vec_id
+           |  JOIN ccent t ON t.c = g.coarse_c),
+           |q AS (SELECT vec_id AS query_id, embedding AS e FROM embeddings
+           |      WHERE vec_id % 50 = 0),
+           |probes AS (SELECT query_id, c FROM (
+           |  SELECT q.query_id, s.c,
+           |    row_number() OVER (PARTITION BY q.query_id
+           |      ORDER BY ${cosSql("q.e", "s.ce")} DESC, s.c ASC) AS prn
+           |  FROM q, ccent s) t WHERE prn <= 2),
+           |s AS (
+           |  SELECT q.query_id, a.vec_id AS match_id,
+           |    $dap / (sqrt($dqq) * sqrt($dapap)) AS sim_ivfpq
+           |  FROM approx a
+           |  JOIN probes p ON p.c = a.coarse_c
+           |  JOIN q ON q.query_id = p.query_id AND q.query_id <> a.vec_id)
+           |SELECT query_id, match_id, rank, round(sim_ivfpq, 6) + 0.0e0 AS sim_ivfpq FROM (
+           |  SELECT query_id, match_id, sim_ivfpq,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim_ivfpq DESC, match_id ASC) AS INT) AS rank
+           |  FROM s) r
            |WHERE rank <= 10""".stripMargin
       }),
 

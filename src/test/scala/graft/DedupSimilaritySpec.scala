@@ -381,6 +381,47 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
     rerankRecall should be >= 0.4
   }
 
+  test("ivf-pq: residual codes reconstruct tighter than flat PQ; probing works") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // flat-PQ reconstruction fidelity (baseline)
+    val flat = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", 8, 8, 8, 2)
+    val flatSim = emb.select(Similarity.cosine($"embedding",
+        Similarity.pqReconstruct(Similarity.pqEncode($"embedding", flat, 8), flat, 8)).as("c"))
+      .agg(avg($"c")).collect()(0).getDouble(0)
+    // ivf-pq approximation fidelity: same code budget over RESIDUALS
+    import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
+    val coarse = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", 8, 2)
+    val coarseLit = typedLit(coarse.toSeq)
+    val withC = emb
+      .withColumn("coarse_c", exprCol(graft.functions.NearestCentroidExpr(
+        colExpr($"embedding"), coarse, 64)))
+      .withColumn("resid", zip_with($"embedding".cast("array<double>"),
+        slice(coarseLit, $"coarse_c" * 64 + 1, lit(64)), (x, c) => x - c))
+    val rcbs = Similarity.trainPqCodebooks(
+      withC.select($"vec_id", $"resid"), "vec_id", "resid", 8, 8, 8, 2)
+    val ivfpqSim = withC.select(Similarity.cosine($"embedding",
+        zip_with(slice(coarseLit, $"coarse_c" * 64 + 1, lit(64)),
+          Similarity.pqReconstruct(
+            Similarity.pqEncode($"resid", rcbs, 8), rcbs, 8), (a, b) => a + b)).as("c"))
+      .agg(avg($"c")).collect()(0).getDouble(0)
+    assert(ivfpqSim > flatSim,
+      s"residual coding should reconstruct tighter: ivfpq=$ivfpqSim flat=$flatSim")
+
+    // probing: full-probe search is exhaustive over the approximation;
+    // 2-probe recall is positive and bounded by it
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .select($"query_id", $"match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val got = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 10, nProbe = nProbe)
+        .select($"query_id", $"match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val r2 = recallAt(2)
+    val rAll = recallAt(100)
+    assert(r2 > 0.0 && r2 <= rAll + 1e-9, s"recall@2=$r2 should be within (0, $rAll]")
+  }
+
   test("quantized top-k: high recall vs exact cosine at 4x fewer index bytes") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" % 100 === 0)
