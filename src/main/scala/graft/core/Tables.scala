@@ -39,7 +39,9 @@ object Tables {
     * scan planning and driver memory once file counts reach the
     * millions at ingest scale. One size-driven repartition pass: the
     * output file count comes from the directory's actual bytes, not
-    * its file count. Returns (filesBefore, filesAfter).
+    * its file count. Returns (filesBefore, filesAfter). Expects a FLAT
+    * parquet directory (the streaming sinks' layout); for a
+    * hive-partitioned tree, compact each leaf directory.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
               outPath: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {

@@ -24,6 +24,7 @@ object Funnel {
   def ordered(df: DataFrame, keyCol: String, typeCol: Column, tsCol: Column,
               steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
     val e = df.select(col(keyCol), typeCol.as("__type"), tsCol.as("__ts"))
     // each stage frame is consumed twice (next stage's lineage + the final
     // assembly join); cached, the heavy event table is scanned once per
