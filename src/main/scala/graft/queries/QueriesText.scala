@@ -364,6 +364,43 @@ object QueriesText {
               |  id = min(cluster) AS is_canonical
               |FROM lab GROUP BY id""".stripMargin)),
 
+    // substring-level dup GROUPS: the generic HashMin clustering composed
+    // over winnow-containment pairs instead of MinHash-Jaccard pairs —
+    // one clustering operator, any pair generator. Same recursive-CTE
+    // min-reachable-id oracle as dd_clusters over the winnow pair CTE.
+    QDef("dd_winnow_clusters",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        val pairs = Dedup.winnowOverlapPairs(docs, "doc_id", "text",
+          tau = 0.7, maxFpDf = 20L)
+        Dedup.nearDupClusters(docs.select(col("doc_id").as("id")), pairs)
+          .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+            col("is_canonical"))
+      },
+      Some(
+        s"""WITH RECURSIVE $winnowCte,
+           |fp0 AS (SELECT doc_id, unnest(wf) AS fp FROM m),
+           |fq AS (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= 20),
+           |fp AS (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN fq USING (fp)),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1),
+           |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           |       FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |       GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT id_a, id_b FROM co
+           |  JOIN sizes sa ON sa.doc_id = id_a
+           |  JOIN sizes sb ON sb.doc_id = id_b
+           |  WHERE CAST(shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.7),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |          UNION ALL SELECT id_b, id_a FROM pairs),
+           |lab (id, cluster) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.src, l.cluster FROM edges e JOIN lab l ON l.id = e.dst)
+           |SELECT id AS doc_id, min(cluster) AS cluster_id,
+           |  id = min(cluster) AS is_canonical
+           |FROM lab GROUP BY id""".stripMargin)),
+
     // cross-corpus near-dups: odd doc ids play the incoming batch, even
     // ids the already-trained reference corpus. Band join ACROSS the two
     // tables only — neither side self-joins.
