@@ -197,6 +197,42 @@ object QueriesTpch {
              |JOIN big ON o_orderkey = l_orderkey
              |JOIN customer ON o_custkey = c_custkey""".stripMargin)),
 
+    // TPC-H q14 shape — promo revenue ratio: one month of lineitem
+    // (date filter pushed to the scan) broadcast-joined to the part dim,
+    // conditional micro-unit sums, ratio = IEEE division of two exact
+    // integers (deterministic across engines). The single-row ratio
+    // report shape: no shuffle beyond the one partial-agg merge.
+    QDef("q14_promo_revenue",
+      (s, dir) => {
+        val l = Q.table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        val p = Q.table(s, dir, "part")
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO",
+              micro(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .otherwise(lit(0L))).as("promo_micro"),
+            sum(micro(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("total_micro"))
+          .withColumn("promo_ratio",
+            round(col("promo_micro").cast("double") / col("total_micro").cast("double"), 6))
+      },
+      Some(s"""SELECT promo_micro, total_micro,
+             |  round(CAST(promo_micro AS DOUBLE) / CAST(total_micro AS DOUBLE), 6)
+             |    AS promo_ratio
+             |FROM (
+             |  SELECT
+             |    CAST(sum(CASE WHEN p_type = 'PROMO'
+             |      THEN ${microSql("l_extendedprice * (1.0 - l_discount)")}
+             |      ELSE 0 END) AS BIGINT) AS promo_micro,
+             |    CAST(sum(${microSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT)
+             |      AS total_micro
+             |  FROM lineitem
+             |  JOIN part ON l_partkey = p_partkey
+             |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00') t""".stripMargin)),
+
     // semi/anti join coverage (free Spark builtins; SURVEY §2.10)
     QDef("q_semi_anti",
       (s, dir) => {
