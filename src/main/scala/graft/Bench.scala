@@ -12,9 +12,17 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
     // optional comma-separated name filter for targeted re-measures
-    // (profiling one query without paying for the suite)
+    // (profiling one query without paying for the suite); names are
+    // trimmed and validated UP FRONT — a typo must fail before the
+    // warmup cost is paid, not NoSuchElementException mid-bench
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
-      case Some(f) if f.nonEmpty => f.split(",").toSeq.sorted
+      case Some(f) if f.trim.nonEmpty =>
+        val asked = f.split(",").map(_.trim).filter(_.nonEmpty).toSeq.sorted
+        val unknown = asked.filterNot(SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"unknown SPARK_GRAFT_BENCH_ONLY names: ${unknown.mkString(",")}; " +
+            s"valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(",")}")
+        asked
       case _ => SparkEntry.queries.keys.toSeq.sorted
     }
     // per query: all successful rep times + the last error (if any rep failed)
@@ -63,7 +71,15 @@ object Bench {
     val totalsJson = totals.mkString("[", ",", "]")
     // headline value = the best complete run; per-query mins may come
     // from different reps, so their sum can undercut every real run
-    println(s"""{"metric":"total","value":${totals.min},"unit":"sec","reps":$reps,"totals":$totalsJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${totals.min},"unit":"sec","reps":$reps,"totals":$totalsJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line gets tail-truncated by log captures once the query
+    // map grows — persist the full JSON too (path overridable)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"bench: could not write $outFile: $e") }
     spark.stop()
   }
 }

@@ -46,6 +46,13 @@ object Tables {
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
               outPath: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
     require(targetFileBytes > 0)
+    // in-place compaction is UNSUPPORTED: the read is lazy, so an
+    // overwrite into the source directory would truncate it mid-job and
+    // destroy the data. Write to a sibling dir and swap afterwards.
+    require(new org.apache.hadoop.fs.Path(inPath).toUri.normalize() !=
+      new org.apache.hadoop.fs.Path(outPath).toUri.normalize(),
+      s"compact cannot write in place (outPath == inPath == $inPath); " +
+        "write to a temp dir and rename")
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val dataFiles = fs.listStatus(p).filter { s =>
@@ -100,6 +107,11 @@ object Tables {
         .head, zCols.flatMap(c =>
         Seq(min(col(c).cast("double")), max(col(c).cast("double")))).tail: _*)
       .collect()(0)
+    zCols.indices.foreach { i =>
+      require(!stats.isNullAt(2 * i),
+        s"z-order column '${zCols(i)}' is entirely null — " +
+          "it cannot contribute to the key; drop it from zCols")
+    }
     val mins = zCols.indices.map(i => stats.getDouble(2 * i))
     val maxs = zCols.indices.map(i => stats.getDouble(2 * i + 1))
     df.withColumn("__z", zOrderKey(zCols.map(col), mins, maxs, bits))

@@ -32,17 +32,25 @@ object Dedup {
       ShinglesExpr(org.apache.spark.sql.GraftExpressionBridge.expression(
         TextAnalysis.normalized(text)), k))
 
-  /** Exact dedup: canonical = min id per fingerprint group. Window
-    * aggregates over the fingerprint partition — ONE scan and ONE
-    * shuffle (the groupBy+join form planned the source subtree twice:
-    * parquet decoded and the text normalized+hashed once per join side).
-    * Returns (id, fingerprint, canonical_id, group_size, is_duplicate).
+  /** Exact dedup: canonical = min id per fingerprint group, as a
+    * two-phase aggregate: `groupBy(fingerprint).agg(min, count)` — whose
+    * map-side partial aggregation collapses a mega-dup group (10⁹ empty
+    * documents) to one row per input partition — joined back onto the
+    * rows. The earlier window form (`min(id).over(partitionBy(fp))`)
+    * colocated every row of the hot fingerprint on one task before it
+    * could aggregate; here the only per-key row concentration is the
+    * join probe, which AQE's skew-join splitting handles. Costs a second
+    * plan of the source subtree (text normalized+hashed once per side) —
+    * at 100 TB that is noise next to a single-task hot group.
+    * Returns (df.*, fingerprint, canonical_id, group_size, is_duplicate).
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val wg = Window.partitionBy(col("fingerprint"))
-    df.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
-      .withColumn("canonical_id", min(col(idCol)).over(wg))
-      .withColumn("group_size", count(lit(1)).over(wg))
+    val withFp = df.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+    val stats = withFp
+      .groupBy(col("fingerprint").as("__fp"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+    withFp.join(stats, col("fingerprint") <=> col("__fp"))
+      .drop("__fp")
       .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
   }
 
@@ -59,16 +67,18 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         tau: Double, k: Int = 3,
                         maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    // exploded distinct shingles — the inverted index — with each
-    // shingle's document frequency attached by ONE window over the
-    // shingle partition (the agg + join-back form shuffled twice and
-    // planned the shingle scan twice; the df-cap filter then rides the
-    // same pass). Cached: it feeds the prefix index and the
-    // verification arrays.
+    // exploded distinct shingles — the inverted index. The df cap is
+    // two-phase ([[SkewCap]]): partial-agg counts → broadcast anti-join,
+    // so a boilerplate shingle's rows are dropped map-side and never
+    // colocate. Only THEN does a window attach each surviving shingle's
+    // document frequency — safe now, because every remaining partition
+    // key holds ≤ maxShingleDf rows. (With cap == MaxValue — fully-exact
+    // semantics — the window is unbounded per key; that mode is for
+    // small corpora by definition.) Cached: it feeds the prefix index
+    // and the verification arrays.
     val sh0 = df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("shingle"))
-    val sh = sh0
+    val sh = SkewCap.dropOverCap(sh0, col("shingle"), maxShingleDf)
       .withColumn("dfc", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("dfc") <= maxShingleDf)
       .cache()
 
     // PPJoin-style prefix filter (exact): order each doc's shingles by the
@@ -142,12 +152,14 @@ object Dedup {
     */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                          tau: Double, maxFpDf: Long = Long.MaxValue): DataFrame = {
-    val fp = df.select(col(idCol).as("id"),
-        explode(TextAnalysis.winnowingFingerprints(
-          TextAnalysis.normalized(col(textCol)))).as("fp"))
-      .withColumn("dfc", count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .filter(col("dfc") <= maxFpDf)
-      .select(col("id"), col("fp"))
+    // df cap via [[SkewCap]]: partial-agg counts + broadcast anti-join
+    // (mirrors the oracle's fq CTE) — a hot boilerplate fingerprint is
+    // dropped map-side, never colocated the way the earlier
+    // count-over-window cap forced. No window remains in this operator.
+    val fp0 = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.winnowingFingerprints(
+        TextAnalysis.normalized(col(textCol)))).as("fp"))
+    val fp = SkewCap.dropOverCap(fp0, col("fp"), maxFpDf)
       .cache() // feeds both the pair join and the per-doc sizes
     val sizes = fp.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val co = fp.as("x").join(fp.as("y"), Seq("fp"))
@@ -335,43 +347,58 @@ object Dedup {
     * Returns (id, cluster, is_canonical) for every id in `ids`
     * (edge-free docs are their own singleton cluster).
     *
-    * Each round ends in `localCheckpoint` — iterative plans NEST the
+    * Each round ends in a checkpoint — iterative plans NEST the
     * previous round's plan (the round's join references it twice), so
     * without lineage truncation the logical tree grows ~3^rounds and the
     * plan serialization alone OOMs around round 8. Checkpointing per
     * round keeps the plan constant-size; it is also what bounds recovery
     * cost on a real cluster.
+    *
+    * @param checkpointDir when set, rounds use RELIABLE `checkpoint()`
+    *   into this fault-tolerant directory (HDFS/object store on a real
+    *   cluster) — an executor loss costs one round's recompute, not the
+    *   whole fixpoint. The default `localCheckpoint` stores blocks on
+    *   executors: fastest, but a lost executor kills the job — fine for
+    *   local/bench runs, not for a 1000-executor cluster.
     */
   def nearDupClusters(ids: DataFrame, pairs: DataFrame,
                       idCol: String = "id",
-                      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+                      aCol: String = "id_a", bCol: String = "id_b",
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val sc = ids.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def mark(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(false) else df.localCheckpoint(false)
     // Materialize pair discovery ONCE before mirroring: the union puts
     // the (expensive) pairs plan in both arms, so without this the
     // upstream candidate+verify pipeline executes twice.
-    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).localCheckpoint(true)
-    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = if (checkpointDir.isDefined) p.checkpoint(true)
+      else p.localCheckpoint(true)
+    val mirrored = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
     // Only vertices with at least one edge can ever leave cluster==id, so
     // the fixpoint loop runs over the edge-vertex set (∝ #near-dups, a
     // small fraction of the corpus at any scale) — the edge-free majority
     // never enters a propagation round and is labeled in one final
     // left join. This is what keeps the per-round shuffles proportional
     // to the dup graph, not the corpus.
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labels = mirrored.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
-      val nbrMin = edges
+      val nbrMin = mirrored
         .join(labels.select(col("id").as("dst"), col("cluster").as("nc")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("nc")).as("nbc"))
         .withColumnRenamed("src", "id")
-      // Carry the previous label through the checkpoint so convergence is
-      // a filter over the materialized round, not another join.
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      // LAZY checkpoint + count: the convergence count IS the action that
+      // materializes the round into stored blocks — one job per round.
+      // (The earlier eager-checkpoint-then-count shape ran two.) The
+      // previous label rides along so convergence is a filter over the
+      // materialized round, not another join.
+      val next = mark(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("cluster").as("old"),
-          least(col("cluster"), coalesce(col("nbc"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
+          least(col("cluster"), coalesce(col("nbc"), col("cluster"))).as("cluster")))
       changed = next.filter(col("cluster") =!= col("old")).count()
       labels = next.select(col("id"), col("cluster"))
     }

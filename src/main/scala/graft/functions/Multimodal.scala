@@ -127,15 +127,19 @@ object Multimodal {
     * multimodal training-data pipeline (identical images/audio recur
     * massively in web-scale corpora). Only (media_id, checksum) enters
     * the shuffle: md5 is computed map-side and the payload bytes never
-    * leave their scan partitions. Same group semantics as
-    * [[graft.functions.Dedup.exact]]: canonical = min media_id per
-    * checksum group.
+    * leave their scan partitions. Same group semantics and same
+    * two-phase shape as [[graft.functions.Dedup.exact]]: canonical =
+    * min media_id per checksum group via groupBy partial aggregation +
+    * join-back (a web-scale corpus has mega-dup payloads — a
+    * count-over-window on checksum would colocate each such group on
+    * one task; the partial agg collapses it map-side).
     */
   def dedupByContent(media: DataFrame): DataFrame = {
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("checksum"))
-    media.select(col("media_id"), md5(col("payload")).as("checksum"))
-      .withColumn("canonical_id", min(col("media_id")).over(wg))
-      .withColumn("group_size", count(lit(1)).over(wg))
+    val hashed = media.select(col("media_id"), md5(col("payload")).as("checksum"))
+    val stats = hashed.groupBy(col("checksum").as("__ck"))
+      .agg(min(col("media_id")).as("canonical_id"), count(lit(1)).as("group_size"))
+    hashed.join(stats, col("checksum") <=> col("__ck"))
+      .drop("__ck")
       .withColumn("is_duplicate", col("media_id") =!= col("canonical_id"))
   }
 

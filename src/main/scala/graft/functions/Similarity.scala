@@ -284,21 +284,18 @@ object Similarity {
     * O(nBuckets · cap²). Recall effect: pairs whose shared bucket
     * overflows are lost — near-constant corpora are exactly the ones
     * where pairwise cosine is uninformative, so the lost pairs are
-    * degenerate dups best handled by exact dedup upstream. The cap
-    * count is one window over `bucket` — the same key the join shuffles
-    * on, so the Exchange is reused, not added.
+    * degenerate dups best handled by exact dedup upstream. The cap is
+    * the two-phase [[SkewCap]] shape — partial-agg bucket counts, then
+    * the (tiny) over-cap bucket set broadcast back as an anti-join — so
+    * an overflowing bucket's rows are dropped map-side instead of being
+    * colocated by a count-over-window before the filter can see them.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                          tau: Double, nPlanes: Int = 8, dim: Int = 64,
                          maxBucketSize: Long = Long.MaxValue): DataFrame = {
     val b0 = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       lshBucket(col(embCol), nPlanes, dim).as("bucket"))
-    val b =
-      if (maxBucketSize == Long.MaxValue) b0
-      else b0
-        .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-        .filter(col("__bn") <= maxBucketSize)
-        .drop("__bn")
+    val b = SkewCap.dropOverCap(b0, col("bucket"), maxBucketSize)
     b.as("x").join(b.as("y"), Seq("bucket"))
       .filter(col("x.id") < col("y.id"))
       .withColumn("cos", cosine(col("x.emb"), col("y.emb")))
@@ -322,8 +319,9 @@ object Similarity {
     * `maxClusterSize` mirrors `cosineNearDupPairs`' bucket cap: an
     * overflowing cluster (degenerate encoder output) skips pair
     * generation entirely — its members are all KEPT rather than
-    * quadratically joined, and the cap count reuses the join's
-    * Exchange key.
+    * quadratically joined. The cap is the two-phase [[SkewCap]] shape
+    * (partial-agg counts → broadcast anti-join), so the overflowing
+    * cluster never colocates on one task.
     */
   def semanticDedup(df: DataFrame, idCol: String, embCol: String,
                     tau: Double, nCentroids: Int, iters: Int = 3,
@@ -333,12 +331,7 @@ object Similarity {
     val cents = trainIvfCentroids(df, idCol, embCol, nCentroids, iters, dim)
     val assigned = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       exprCol(NearestCentroidExpr(colExpr(col(embCol)), cents, dim)).as("cluster"))
-    val joinable =
-      if (maxClusterSize == Long.MaxValue) assigned
-      else assigned
-        .withColumn("__cn", count(lit(1)).over(Window.partitionBy(col("cluster"))))
-        .filter(col("__cn") <= maxClusterSize)
-        .drop("__cn")
+    val joinable = SkewCap.dropOverCap(assigned, col("cluster"), maxClusterSize)
     val dups = joinable.as("x").join(joinable.as("y"), Seq("cluster"))
       .filter(col("x.id") < col("y.id"))
       .filter(cosine(col("x.emb"), col("y.emb")) >= tau)

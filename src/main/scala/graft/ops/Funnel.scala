@@ -27,18 +27,20 @@ object Funnel {
     require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
     val e = df.select(col(keyCol), typeCol.as("__type"), tsCol.as("__ts"))
     // each stage frame is consumed twice (next stage's lineage + the final
-    // assembly join); cached, the heavy event table is scanned once per
-    // step instead of once per use — the frames themselves are per-key
-    // aggregates, orders of magnitude smaller than the events
+    // assembly join), but NOT cached: every stage ends in a groupBy —
+    // an Exchange — and identical Exchange subtrees inside the one
+    // assembled plan are planned once and shared (ReusedExchange), so
+    // the heavy event table is still scanned once per step. Caching here
+    // (the earlier shape) left per-stage frames pinned in executor
+    // storage after return, leaking across a long-lived session.
     val first = e.filter(col("__type") === steps.head)
-      .groupBy(col(keyCol)).agg(min(col("__ts")).as("t1")).cache()
+      .groupBy(col(keyCol)).agg(min(col("__ts")).as("t1"))
     val frames = steps.zipWithIndex.tail.scanLeft(first) {
       case (prev, (step, i)) =>
         e.filter(col("__type") === step)
           .join(prev.select(col(keyCol), col(s"t$i")), Seq(keyCol))
           .filter(col("__ts") >= col(s"t$i"))
           .groupBy(col(keyCol)).agg(min(col("__ts")).as(s"t${i + 1}"))
-          .cache()
     }
     val joined = frames.tail.foldLeft(frames.head)((d, f) =>
       d.join(f, Seq(keyCol), "left"))

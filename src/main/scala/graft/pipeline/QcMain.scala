@@ -196,6 +196,13 @@ object QcMain {
         .drop("dep_flag")
     }.cache()
     flagged.count()
+    // flagged is now materialized in its own cache; the intermediate
+    // stage caches only existed to build it — release them so a
+    // long-lived session (the cron/streaming shape) doesn't accumulate
+    // storage. The RETURNED frame stays cached and is caller-owned:
+    // unpersist it when done.
+    obs.unpersist()
+    valueFlagged.unpersist()
     val rangesSec = rangesSecMeasured
     val totalQcSec = secsSince(tRegion0)
 

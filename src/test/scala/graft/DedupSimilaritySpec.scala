@@ -122,6 +122,23 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
     assert(labs.values.toSet == Set(1L) && labs.size == 9)
   }
 
+  test("near-dup clusters: reliable-checkpoint mode matches the local default") {
+    // the fault-tolerant cluster path: checkpointDir set => rounds write
+    // reliable checkpoints (recoverable after executor loss) instead of
+    // executor-stored localCheckpoint blocks; labels must be identical
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_cc_ck").toString
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val local = Dedup.nearDupClusters(ids, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val reliable = Dedup.nearDupClusters(ids, pairs, checkpointDir = Some(ckDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(reliable == local)
+    // and the checkpoint actually landed in the requested directory
+    val wrote = new java.io.File(ckDir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, s"no reliable checkpoint written under $ckDir")
+  }
+
   test("cross-corpus near-dups: incoming vs reference only, no self-join pairs") {
     val ref = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),

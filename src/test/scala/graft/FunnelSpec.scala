@@ -48,4 +48,26 @@ class FunnelSpec extends SparkSpec with Matchers {
       (1L, "click", 15L), (1L, "click", 25L)))
     assert(out(1L) == ((Some(10L), Some(15L), None, 2))) // min view, then min click >= it
   }
+
+  test("no lingering cached frames after the op runs (lifecycle is leak-free)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    run(Seq((1L, "view", 10L), (1L, "click", 20L), (2L, "view", 10L)))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"funnel left cached RDDs behind: $leaked")
+  }
+
+  test("stage subtrees are shared in the assembled plan (exchange reuse), not recomputed") {
+    val df = Seq((1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L))
+      .toDF("uid", "etype", "ts")
+    val out = Funnel.ordered(df, "uid", $"etype", $"ts", steps)
+    out.collect() // AQE only surfaces stage reuse in the FINAL plan
+    val p = out.queryExecution.executedPlan.toString
+    // reuse markers: explicit Reused* nodes, or the same AQE stage id
+    // referenced from more than one point in the final plan
+    val stageIds = "(?:Shuffle|Broadcast)QueryStage (\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      stageIds.distinct.size < stageIds.size,
+      s"without caches, stage frames must be deduped by exchange/stage reuse:\n$p")
+  }
 }

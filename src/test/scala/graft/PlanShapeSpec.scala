@@ -32,12 +32,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("winnow pairs: the df-cap window shares the self-join's fingerprint key") {
+  test("winnow pairs: df cap is a broadcast anti-join, never a window over the hot key") {
     val p = plan("dd_winnow_pairs")
-    // window over fp partitions, join on fp: the Exchange on fp must be
-    // planned once and reused, not duplicated per consumer
-    assert(p.contains("ReusedExchange") || p.contains("InMemoryTableScan"),
+    assert(p.contains("LeftAnti"),
+      s"cap must be the two-phase broadcast anti-join:\n$p")
+    assert(!p.contains("Window"),
+      s"a count-over-window cap colocates the hot fingerprint:\n$p")
+    // the capped index is cached and consumed by both self-join sides
+    assert(p.contains("InMemoryTableScan"),
       s"capped index should be computed once:\n$p")
+  }
+
+  test("ngram pairs: exploded index filtered by anti-join BEFORE the df window / self-join") {
+    val p = plan("dd_ngram_pairs")
+    val winAt = p.indexOf("Window")
+    val antiAt = p.indexOf("LeftAnti")
+    // tree prints parents first: the anti-join must sit BELOW the dfc
+    // window (hot shingles dropped map-side before any shingle-keyed
+    // shuffle), so its line comes after the window's
+    assert(antiAt >= 0, s"df cap must be the broadcast anti-join:\n$p")
+    assert(winAt >= 0 && winAt < antiAt,
+      s"anti-join must run before (sit below) the dfc window:\n$p")
   }
 
   test("quantized ANN: no shuffle of the corpus side") {

@@ -23,7 +23,14 @@ class QcMainSpec extends SparkSpec {
         dependentId = 7770L, dtToleranceUs = 500000L,
         secondaryRange = Some((0.0, 25.0)))))
     val out = java.nio.file.Files.createTempDirectory("qc_patch").toString
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val (flagged, phases) = QcMain.run(spark, fixture, cfg, patchOut = Some(out))
+
+    // cache lifecycle: run() must release its intermediate stage caches;
+    // the single surviving cached frame is the RETURNED one (caller-owned)
+    val newlyCached = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(newlyCached.size <= 1,
+      s"run() leaked intermediate caches: $newlyCached")
 
     val hist = flagged.groupBy(col("flag")).count().collect()
       .map(r => r.getByte(0) -> r.getLong(1)).toMap
@@ -41,5 +48,9 @@ class QcMainSpec extends SparkSpec {
     val patch = spark.read.json(out)
     assert(patch.count() == hist.values.sum)
     assert(patch.columns.toSet == Set("id", "resultQuality"))
+
+    // releasing the returned frame leaves the session storage-clean
+    flagged.unpersist()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore).isEmpty)
   }
 }
