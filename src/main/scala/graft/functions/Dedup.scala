@@ -90,7 +90,10 @@ object Dedup {
     // their original counts — removal only deletes whole groups — so the
     // dfc computed above IS the prefix-ordering key.)
     val wDoc = Window.partitionBy(col("id")).orderBy(col("dfc").asc, col("shingle").asc)
-    val wN = Window.partitionBy(col("id"))
+    // full-partition count on the SAME partition+order spec (explicit
+    // unbounded frame) — both functions ride one Window operator and one
+    // sort; a bare partitionBy(id) spec would plan a second Window pass
+    val wN = wDoc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val prefix = sh
       .withColumn("rk", row_number().over(wDoc))
       .withColumn("n", count(lit(1)).over(wN))

@@ -87,6 +87,89 @@ object Multimodal {
     }
   }
 
+  /** Real image codec over `javax.imageio` (JPEG/PNG/GIF/BMP — whatever
+    * the JRE's registered readers decode): dimensions and features come
+    * from actual pixel data, resize is an area-averaged rescale
+    * re-encoded as PNG, frames degenerate to 1 (stills). Deterministic:
+    * decode → `BufferedImage` pixel access → integer arithmetic, no
+    * timestamps or platform color management in the outputs. The 8-dim
+    * feature is [mean R, G, B, luma, normalized w, h, aspect, edge
+    * energy] — enough signal for the near-dup/embedding operators to
+    * compose against real images.
+    *
+    * This codec and [[StubMediaCodec]] implement the same [[MediaCodec]]
+    * trait; the mm_* oracle queries keep the stub (byte-arithmetic is
+    * SQL-mirrorable, real decoding is not), production wires this one.
+    */
+  object ImageIoCodec extends MediaCodec {
+    private def read(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload")
+      img
+    }
+
+    override def decode(kind: String, payload: Array[Byte]): Decoded = {
+      val img = read(payload)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var edge = 0L
+      var prevLuma = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          sr += r; sg += g; sb += b
+          val luma = (299L * r + 587L * g + 114L * b) / 1000L
+          if (x > 0) edge += math.abs(luma - prevLuma)
+          prevLuma = luma
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val checksum = { // content hash of the DECODED pixels, not the container
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val bb = java.nio.ByteBuffer.allocate(24)
+          .putLong(sr).putLong(sg).putLong(sb)
+        md.update(bb.array())
+        md.digest().take(4).map(b => f"${b & 0xff}%02x").mkString
+      }
+      Decoded(width = w, height = h, checksum = checksum,
+        feature = Array(
+          sr.toFloat / n / 255f, sg.toFloat / n / 255f, sb.toFloat / n / 255f,
+          ((299L * sr + 587L * sg + 114L * sb) / 1000L).toFloat / n / 255f,
+          math.min(w / 4096f, 1f), math.min(h / 4096f, 1f),
+          w.toFloat / math.max(h, 1),
+          if (n > w) edge.toFloat / (n - w) / 255f else 0f))
+    }
+
+    override def resize(kind: String, payload: Array[Byte],
+                        targetW: Int, targetH: Int): Array[Byte] = {
+      val src = read(payload)
+      val dst = new java.awt.image.BufferedImage(targetW, targetH,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", out)
+      out.toByteArray
+    }
+
+    /** Stills: exactly one frame — the image itself. */
+    override def frameCount(payload: Array[Byte]): Int = 1
+
+    override def frameAt(payload: Array[Byte], idx: Int): Array[Byte] = {
+      require(idx == 0, s"still image has one frame, asked for $idx")
+      payload
+    }
+  }
+
   /** Wrap a text table as fake media payloads (utf-8 bytes) — the
     * stand-in corpus for plumbing tests at any SF.
     */

@@ -179,6 +179,56 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  // ---- Persisted PQ index ----------------------------------------------
+
+  /** Build and PERSIST a PQ index: `<path>/codebooks` (one row — m,
+    * subDim, the m×k×subDim centroid matrix) and `<path>/codes` (one row
+    * per corpus vector: match_id + its m-byte code array). This is the
+    * production split the in-query training forms ([[pqTopK]] etc., kept
+    * for oracle reproducibility) amortize into: training and encoding
+    * run ONCE at index-build time; every search afterwards touches only
+    * the compact codes — at 100 TB the float embeddings never get read
+    * again on the serving path. Encoding is map-side
+    * ([[NearestCentroidExpr]] per slice); the only index-build shuffles
+    * are inside k-means training.
+    */
+  def writePqIndex(corpus: DataFrame, idCol: String, embCol: String,
+                   path: String, m: Int = 8, subDim: Int = 8,
+                   nCentroids: Int = 8, iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cbs = trainPqCodebooks(corpus, idCol, embCol, m, subDim, nCentroids, iters)
+    Seq((m, subDim, cbs.map(_.toSeq).toSeq)).toDF("m", "sub_dim", "codebooks")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    corpus.select(col(idCol).as("match_id"),
+        pqEncode(col(embCol), cbs, subDim).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Search a persisted PQ index ([[writePqIndex]]): reconstruct each
+    * stored code against the (tiny, plan-literal) codebooks, score the
+    * broadcast queries, rank. No training, no scan of the float corpus —
+    * the scan side is the m-bytes-per-vector codes table. Arithmetic is
+    * identical to [[pqTopK]] with the same build parameters, so results
+    * match the in-query form bit for bit.
+    */
+  def searchPqIndex(spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
+                    idCol: String, embCol: String, k: Int): DataFrame = {
+    val meta = spark.read.parquet(s"$path/codebooks").collect()(0)
+    val subDim = meta.getInt(meta.fieldIndex("sub_dim"))
+    val cbs = meta.getSeq[scala.collection.Seq[Double]](meta.fieldIndex("codebooks"))
+      .map(_.toArray).toArray
+    val c = spark.read.parquet(s"$path/codes")
+      .select(col("match_id"), pqReconstruct(col("codes"), cbs, subDim).as("recon"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("match_id"))
+      .withColumn("sim_pq", cosine(col("q_emb"), col("recon")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim_pq").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("match_id"), col("rank"),
+        round(col("sim_pq"), 6).as("sim_pq"))
+  }
+
   /** IVF-PQ: the canonical big-index composition (coarse inverted lists
     * + product-quantized RESIDUALS, à la Jégou et al. 2011 §IV) — the
     * coarse quantizer prunes the corpus to nProbe lists per query, and

@@ -41,8 +41,10 @@ object GridLoader {
     * coordinate axes — the reference's native grid format
     * (`get_elev_netcdf`, `/root/reference/src/main.py:560`). Pure-JVM
     * header parser ([[NetcdfReader]]); applies scale/offset/fill the
-    * way xarray decodes ETOPO-style grids. NetCDF-4 (HDF5) files need a
-    * one-line `nccopy -k classic` conversion first.
+    * way xarray decodes ETOPO-style grids. NetCDF-4 (HDF5) containers
+    * are detected by magic and routed to [[Hdf5Reader]] (contiguous
+    * uncompressed grids; chunked/compressed files get a clear error
+    * naming the `nccopy` conversion).
     */
   def fromNetcdf(path: String, varName: String,
                  latVar: String = "lat", lonVar: String = "lon"): Grid =

@@ -183,16 +183,32 @@ object NetcdfReader {
 
   /** Load a 2-D (lat, lon) variable plus its 1-D coordinate variables as
     * a [[Grid]] for the bilinear lookup path. Coordinates must be
-    * uniformly spaced (the Grid contract) — validated here.
+    * uniformly spaced (the Grid contract) — validated here. Dispatches
+    * on the file magic: classic CDF-1/CDF-2 parses here, netCDF-4/HDF5
+    * containers route to [[Hdf5Reader]] — callers never need to know
+    * which vintage the download was.
     */
   def grid(path: String, varName: String,
            latVar: String = "lat", lonVar: String = "lon"): Grid = {
+    val head = {
+      val in = new java.io.FileInputStream(path)
+      try { val b = new Array[Byte](8); in.read(b); b } finally in.close()
+    }
+    if (Hdf5Reader.isHdf5(head)) return Hdf5Reader.grid(path, varName, latVar, lonVar)
     val nc = open(path)
     def variable(n: String): NcVar = nc.vars.getOrElse(n,
       throw new IllegalArgumentException(
         s"$path has no variable '$n' (found: ${nc.vars.keys.mkString(", ")})"))
-    val lat = nc.readDoubles(variable(latVar))
-    val lon = nc.readDoubles(variable(lonVar))
+    buildGrid(path, varName, latVar, lonVar,
+      nc.readDoubles(variable(latVar)), nc.readDoubles(variable(lonVar)),
+      nc.shape(variable(varName)), nc.readDoubles(variable(varName)))
+  }
+
+  /** Shared Grid assembly + uniform-spacing validation for both formats. */
+  private[geo] def buildGrid(path: String, varName: String,
+                             latVar: String, lonVar: String,
+                             lat: Array[Double], lon: Array[Double],
+                             sh: Seq[Int], data: Array[Double]): Grid = {
     require(lat.length >= 2 && lon.length >= 2, "coordinate axes need >= 2 points")
     def spacing(axis: Array[Double], name: String): Double = {
       val d = axis(1) - axis(0)
@@ -206,12 +222,9 @@ object NetcdfReader {
     }
     val dLat = spacing(lat, latVar)
     val dLon = spacing(lon, lonVar)
-    val v = variable(varName)
-    val sh = nc.shape(v)
     require(sh == Seq(lat.length, lon.length),
       s"$varName dims ${sh.mkString("x")} don't match ($latVar, $lonVar) = " +
         s"${lat.length}x${lon.length}; transpose the file or name the axes")
-    val data = nc.readDoubles(v)
     new Grid(lat(0), dLat, lat.length, lon(0), dLon, lon.length,
       data.map(_.toFloat))
   }

@@ -139,6 +139,26 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
     assert(wrote != null && wrote.nonEmpty, s"no reliable checkpoint written under $ckDir")
   }
 
+  test("persisted PQ index: search-from-disk equals in-query training bit for bit") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val ix = java.nio.file.Files.createTempDirectory("graft_pq_ix").toString
+    graft.functions.Similarity.writePqIndex(emb, "vec_id", "embedding", ix,
+      m = 8, subDim = 8, nCentroids = 4, iters = 1)
+    val fromDisk = graft.functions.Similarity
+      .searchPqIndex(spark, ix, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val inQuery = graft.functions.Similarity
+      .pqTopK(emb, queries, "vec_id", "embedding", k = 5,
+        m = 8, subDim = 8, nCentroids = 4, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(fromDisk == inQuery)
+    // the index really is the compact artifact: codes + codebooks on disk
+    assert(new java.io.File(s"$ix/codes").exists() &&
+      new java.io.File(s"$ix/codebooks").exists())
+  }
+
   test("cross-corpus near-dups: incoming vs reference only, no self-join pairs") {
     val ref = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),

@@ -203,13 +203,37 @@ class GeoLoadersSpec extends SparkSpec {
     val junk = Files.createTempFile("graft_junk", ".nc")
     Files.write(junk, "JUNKJUNK".getBytes)
     intercept[IllegalArgumentException](GridLoader.fromNetcdf(junk.toString, "elevation"))
-    // a real NetCDF-4 file is an HDF5 container: the error must name the
-    // nccopy conversion, not just "bad magic"
+    // an HDF5 container routes to the netCDF-4 reader; a truncated one
+    // must fail with a clear message, not a raw buffer underflow
     val h5 = Files.createTempFile("graft_h5", ".nc")
     Files.write(h5, Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
     val eh = intercept[IllegalArgumentException](
       GridLoader.fromNetcdf(h5.toString, "elevation"))
-    assert(eh.getMessage.contains("nccopy -k classic"))
+    assert(eh.getMessage.contains("truncated or corrupt"))
+  }
+
+  test("netCDF-4 (HDF5) grid: loads via the same entry point, values match the classic file") {
+    // classic fixture decoded (scale/offset/fill applied) → re-encoded as
+    // an HDF5 container by the spec-derived test writer (MiniHdf5, written
+    // independently of Hdf5Reader) → loaded back through fromNetcdf's
+    // magic dispatch; every cell must match, NaN holes included
+    val classic = GridLoader.fromNetcdf(
+      getClass.getResource("/bathy_fixture.nc").getPath, "elevation")
+    val lat = (0 until classic.nLat).map(i => classic.lat0 + i * classic.dLat).toArray
+    val lon = (0 until classic.nLon).map(j => classic.lon0 + j * classic.dLon).toArray
+    val h5Path = Files.createTempFile("graft_nc4_fixture", ".nc").toString
+    MiniHdf5.writeGrid(h5Path, "elevation", lat, lon, classic.values)
+
+    val nc4 = GridLoader.fromNetcdf(h5Path, "elevation")
+    assert(nc4.lat0 == classic.lat0 && nc4.dLat == classic.dLat && nc4.nLat == classic.nLat)
+    assert(nc4.lon0 == classic.lon0 && nc4.dLon == classic.dLon && nc4.nLon == classic.nLon)
+    for (i <- 0 until classic.nLat; j <- 0 until classic.nLon) {
+      val (a, b) = (classic.valueAt(i, j), nc4.valueAt(i, j))
+      assert((a.isNaN && b.isNaN) || a == b, s"($i,$j): classic=$a nc4=$b")
+    }
+    // unsupported-feature errors name the escape hatch
+    val h5 = graft.sources.geo.Hdf5Reader.open(h5Path)
+    assert(h5.datasets.keySet == Set("elevation", "lat", "lon"))
   }
 
   test("f32 grid loader + native bilinear matches the synthetic grid expression") {

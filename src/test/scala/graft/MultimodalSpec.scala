@@ -87,4 +87,68 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq ==
       Seq((1L, 1L, 3L, false), (2L, 1L, 3L, true), (3L, 3L, 1L, false), (7L, 1L, 3L, true)))
   }
+
+  /** A real PNG, generated in-memory: a deterministic 32×24 gradient
+    * with a hard vertical edge at x=16 (gives a nonzero edge-energy
+    * feature to pin).
+    */
+  private def testPng(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(32, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val v = if (x < 16) (x * 8) & 0xff else 0xe0
+      img.setRGB(x, y, (v << 16) | ((y * 10 & 0xff) << 8) | 0x40)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("ImageIoCodec: real PNG decode — true dims, deterministic pixel features") {
+    val png = testPng()
+    val d1 = Multimodal.ImageIoCodec.decode("image", png)
+    val d2 = Multimodal.ImageIoCodec.decode("image", png)
+    assert(d1.width == 32 && d1.height == 24)
+    // deterministic across calls, byte-identical feature vector
+    assert(d1.checksum == d2.checksum && d1.feature.sameElements(d2.feature))
+    assert(d1.feature.length == 8)
+    assert(d1.feature(6) == 32f / 24f) // aspect ratio from real pixels
+    assert(d1.feature(7) > 0f)         // the x=16 edge registers
+    // different pixels => different checksum/features
+    val other = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      Multimodal.ImageIoCodec.decode("image", out.toByteArray)
+    }
+    assert(other.checksum != d1.checksum)
+    // garbage bytes are rejected, not silently decoded
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoCodec.decode("image", Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("ImageIoCodec: resize re-encodes to the target dims; stills have one frame") {
+    val png = testPng()
+    val small = Multimodal.ImageIoCodec.resize("image", png, 8, 6)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(small))
+    assert(back.getWidth == 8 && back.getHeight == 6)
+    // deterministic re-encode
+    assert(small.sameElements(Multimodal.ImageIoCodec.resize("image", png, 8, 6)))
+    assert(Multimodal.ImageIoCodec.frameCount(png) == 1)
+    assert(Multimodal.ImageIoCodec.frameAt(png, 0).sameElements(png))
+  }
+
+  test("ImageIoCodec: drives the Spark operators end-to-end on real PNG payloads") {
+    import spark.implicits._
+    val rows = (1L to 6L).map(i => (i, "image", testPng()))
+    val m = rows.toDF("media_id", "kind", "payload")
+    val feats = Multimodal.decodeAndFeaturize(m, Multimodal.ImageIoCodec).collect()
+    assert(feats.length == 6)
+    assert(feats.forall(f => f.width == 32 && f.height == 24))
+    assert(feats.map(_.checksum).distinct.length == 1) // identical payloads
+    val resized = Multimodal.resize(m, 16, 12, Multimodal.ImageIoCodec).collect()
+    assert(resized.length == 6 && resized.forall(_.width == 16))
+  }
 }
