@@ -229,6 +229,86 @@ object Similarity {
         round(col("sim_pq"), 6).as("sim_pq"))
   }
 
+  /** Build and persist an IVF-PQ index (the [[ivfPqTopK]] composition,
+    * split build/serve like [[writePqIndex]]): `<path>/meta` holds the
+    * coarse centroid matrix + residual PQ codebooks (one row, driver
+    * payload (nCoarse + m·k)·subDim doubles), `<path>/codes` one row per
+    * vector — match_id, coarse list id, m-byte residual code. Training
+    * and encoding run once; the serving path never re-reads the float
+    * corpus.
+    */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, embCol: String,
+                      path: String, nCoarse: Int = 8, coarseIters: Int = 2,
+                      m: Int = 8, subDim: Int = 8, nCentroids: Int = 8,
+                      pqIters: Int = 2, dim: Int = 64): Unit = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarse = trainIvfCentroids(corpus, idCol, embCol, nCoarse, coarseIters, dim)
+    val coarseLit = typedLit(coarse.toSeq)
+    val withC = corpus
+      .withColumn("coarse_c",
+        exprCol(NearestCentroidExpr(colExpr(col(embCol)), coarse, dim)))
+      .withColumn("resid", zip_with(col(embCol).cast("array<double>"),
+        slice(coarseLit, col("coarse_c") * dim + 1, lit(dim)), (x, c) => x - c))
+    val cbs = trainPqCodebooks(withC.select(col(idCol), col("resid")),
+      idCol, "resid", m, subDim, nCentroids, pqIters)
+    Seq((dim, m, subDim, coarse.toSeq, cbs.map(_.toSeq).toSeq))
+      .toDF("dim", "m", "sub_dim", "coarse", "codebooks")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    withC.select(col(idCol).as("match_id"), col("coarse_c"),
+        pqEncode(col("resid"), cbs, subDim).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Search a persisted IVF-PQ index: probe-list pruning + residual
+    * reconstruction against the stored codes — arithmetic identical to
+    * [[ivfPqTopK]] with the same build parameters, so results match bit
+    * for bit; the scan side is the codes table (one small int + m bytes
+    * per vector), never the float embeddings.
+    */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, idCol: String, embCol: String,
+                       k: Int, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val dim = meta.getInt(meta.fieldIndex("dim"))
+    val subDim = meta.getInt(meta.fieldIndex("sub_dim"))
+    val coarse = meta.getSeq[Double](meta.fieldIndex("coarse")).toArray
+    val cbs = meta.getSeq[scala.collection.Seq[Double]](meta.fieldIndex("codebooks"))
+      .map(_.toArray).toArray
+    val nC = coarse.length / dim
+    val coarseLit = typedLit(coarse.toSeq)
+    def centSlice(idx: Column) = slice(coarseLit, idx * dim + 1, lit(dim))
+
+    val encoded = spark.read.parquet(s"$path/codes")
+      .select(col("match_id"), col("coarse_c"),
+        pqReconstruct(col("codes"), cbs, subDim).as("rrec"))
+      .withColumn("approx",
+        zip_with(centSlice(col("coarse_c")), col("rrec"), (a, b) => a + b))
+      .drop("rrec")
+
+    val centDf = (0 until nC).map(c =>
+      (c, coarse.slice(c * dim, (c + 1) * dim).toSeq)).toDF("cent_c", "cent_emb")
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("p_cos").desc, col("cent_c").asc)
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("p_cos", cosine(col("q_emb"), col("cent_emb")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cent_c"))
+
+    val scored = encoded.join(broadcast(probes),
+        col("coarse_c") === col("cent_c") && col("query_id") =!= col("match_id"))
+      .withColumn("sim_ivfpq", cosine(col("q_emb"), col("approx")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_ivfpq").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("match_id"), col("rank"),
+        round(col("sim_ivfpq"), 6).as("sim_ivfpq"))
+  }
+
   /** IVF-PQ: the canonical big-index composition (coarse inverted lists
     * + product-quantized RESIDUALS, à la Jégou et al. 2011 §IV) — the
     * coarse quantizer prunes the corpus to nProbe lists per query, and

@@ -123,6 +123,83 @@ object QueriesEmb {
     (seed +: iterCtes).mkString(",\n")
   }
 
+  /** The IVF-PQ oracle SQL — coarse k-means chain + residual CTE + 8
+    * subspace chains trained on residuals + probe-list pruning + cosine
+    * against coarse-centroid-plus-decoded-residual. Shared verbatim by
+    * `sim_ivfpq_topk` (train-in-query) and `sim_ivfpq_search` (persisted
+    * index): the serving path reconstructs the same arithmetic from
+    * stored codes, so one mirror checks both.
+    */
+  private lazy val ivfPqOracleSql: String = {
+    val m = 8; val sub = 8; val kc = 8; val iters = 2
+    val subCtes = (0 until m).map { i =>
+      kmeansSubCte(s"p${i}_",
+        s"list_slice(re, ${i * sub + 1}, ${(i + 1) * sub})",
+        sub, kc, iters, src = "resid")
+    }.mkString(",\n")
+    val fCtes = (0 until m).map { i =>
+      s"""f$i AS (SELECT vec_id, c FROM (
+         |  SELECT e.vec_id, s.c,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSqlN("e.se", "s.ce", sub)} DESC, s.c ASC) AS rn
+         |  FROM p${i}_src e, p${i}_cent$iters s) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val reconJoins = (1 until m).map(i =>
+      s"  JOIN f$i ON f$i.vec_id = f0.vec_id JOIN p${i}_cent$iters c$i ON c$i.c = f$i.c")
+      .mkString("\n")
+    val reconList = (0 until m).map(i => s"c$i.ce").mkString(" || ")
+    val dqq = dotSql("q.e", "q.e")
+    val dap = dotSql("q.e", "a.ap")
+    val dapap = dotSql("a.ap", "a.ap")
+    s"""WITH ${kmeansCentsCte(k = 8, iters = 2)},
+       |ccent AS MATERIALIZED (SELECT c, ce FROM cent2),
+       |ca AS (
+       |  SELECT e.vec_id, e.embedding, s.c,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.embedding", "s.ce")} DESC, s.c ASC) AS rn
+       |  FROM embeddings e, ccent s),
+       |casg AS MATERIALIZED (SELECT vec_id, embedding, c AS coarse_c
+       |  FROM ca WHERE rn = 1),
+       |resid AS MATERIALIZED (
+       |  SELECT a.vec_id,
+       |    list_transform(range(1, ${Dim + 1}),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) - t.ce[i]) AS re,
+       |    a.coarse_c
+       |  FROM casg a JOIN ccent t ON t.c = a.coarse_c),
+       |$subCtes,
+       |$fCtes,
+       |recon AS MATERIALIZED (
+       |  SELECT f0.vec_id, $reconList AS rrec
+       |  FROM f0 JOIN p0_cent$iters c0 ON c0.c = f0.c
+       |$reconJoins),
+       |approx AS MATERIALIZED (
+       |  SELECT r.vec_id, g.coarse_c,
+       |    list_transform(range(1, ${Dim + 1}),
+       |      i -> t.ce[i] + r.rrec[i]) AS ap
+       |  FROM recon r
+       |  JOIN casg g ON g.vec_id = r.vec_id
+       |  JOIN ccent t ON t.c = g.coarse_c),
+       |q AS (SELECT vec_id AS query_id, embedding AS e FROM embeddings
+       |      WHERE vec_id % 50 = 0),
+       |probes AS (SELECT query_id, c FROM (
+       |  SELECT q.query_id, s.c,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${cosSql("q.e", "s.ce")} DESC, s.c ASC) AS prn
+       |  FROM q, ccent s) t WHERE prn <= 2),
+       |s AS (
+       |  SELECT q.query_id, a.vec_id AS match_id,
+       |    $dap / (sqrt($dqq) * sqrt($dapap)) AS sim_ivfpq
+       |  FROM approx a
+       |  JOIN probes p ON p.c = a.coarse_c
+       |  JOIN q ON q.query_id = p.query_id AND q.query_id <> a.vec_id)
+       |SELECT query_id, match_id, rank, round(sim_ivfpq, 6) + 0.0e0 AS sim_ivfpq FROM (
+       |  SELECT query_id, match_id, sim_ivfpq,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim_ivfpq DESC, match_id ASC) AS INT) AS rank
+       |  FROM s) r
+       |WHERE rank <= 10""".stripMargin
+  }
+
   /** The full PQ pipeline as CTEs — m subspace trainings, final
     * assignments `f0..f{m-1}`, reconstructions, the query set `q`, and
     * approximate scores `s (query_id, match_id, sim_pq)`. Shared by
@@ -321,75 +398,28 @@ object QueriesEmb {
           nCoarse = 8, coarseIters = 2, m = 8, subDim = 8, nCentroids = 8,
           pqIters = 2, nProbe = 2, dim = Dim)
       },
-      Some {
-        val m = 8; val sub = 8; val kc = 8; val iters = 2
-        val subCtes = (0 until m).map { i =>
-          kmeansSubCte(s"p${i}_",
-            s"list_slice(re, ${i * sub + 1}, ${(i + 1) * sub})",
-            sub, kc, iters, src = "resid")
-        }.mkString(",\n")
-        val fCtes = (0 until m).map { i =>
-          s"""f$i AS (SELECT vec_id, c FROM (
-             |  SELECT e.vec_id, s.c,
-             |    row_number() OVER (PARTITION BY e.vec_id
-             |      ORDER BY ${cosSqlN("e.se", "s.ce", sub)} DESC, s.c ASC) AS rn
-             |  FROM p${i}_src e, p${i}_cent$iters s) t WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
-        val reconJoins = (1 until m).map(i =>
-          s"  JOIN f$i ON f$i.vec_id = f0.vec_id JOIN p${i}_cent$iters c$i ON c$i.c = f$i.c")
-          .mkString("\n")
-        val reconList = (0 until m).map(i => s"c$i.ce").mkString(" || ")
-        val dqq = dotSql("q.e", "q.e")
-        val dap = dotSql("q.e", "a.ap")
-        val dapap = dotSql("a.ap", "a.ap")
-        s"""WITH ${kmeansCentsCte(k = 8, iters = 2)},
-           |ccent AS MATERIALIZED (SELECT c, ce FROM cent2),
-           |ca AS (
-           |  SELECT e.vec_id, e.embedding, s.c,
-           |    row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${cosSql("e.embedding", "s.ce")} DESC, s.c ASC) AS rn
-           |  FROM embeddings e, ccent s),
-           |casg AS MATERIALIZED (SELECT vec_id, embedding, c AS coarse_c
-           |  FROM ca WHERE rn = 1),
-           |resid AS MATERIALIZED (
-           |  SELECT a.vec_id,
-           |    list_transform(range(1, ${Dim + 1}),
-           |      i -> CAST(a.embedding[i] AS DOUBLE) - t.ce[i]) AS re,
-           |    a.coarse_c
-           |  FROM casg a JOIN ccent t ON t.c = a.coarse_c),
-           |$subCtes,
-           |$fCtes,
-           |recon AS MATERIALIZED (
-           |  SELECT f0.vec_id, $reconList AS rrec
-           |  FROM f0 JOIN p0_cent$iters c0 ON c0.c = f0.c
-           |$reconJoins),
-           |approx AS MATERIALIZED (
-           |  SELECT r.vec_id, g.coarse_c,
-           |    list_transform(range(1, ${Dim + 1}),
-           |      i -> t.ce[i] + r.rrec[i]) AS ap
-           |  FROM recon r
-           |  JOIN casg g ON g.vec_id = r.vec_id
-           |  JOIN ccent t ON t.c = g.coarse_c),
-           |q AS (SELECT vec_id AS query_id, embedding AS e FROM embeddings
-           |      WHERE vec_id % 50 = 0),
-           |probes AS (SELECT query_id, c FROM (
-           |  SELECT q.query_id, s.c,
-           |    row_number() OVER (PARTITION BY q.query_id
-           |      ORDER BY ${cosSql("q.e", "s.ce")} DESC, s.c ASC) AS prn
-           |  FROM q, ccent s) t WHERE prn <= 2),
-           |s AS (
-           |  SELECT q.query_id, a.vec_id AS match_id,
-           |    $dap / (sqrt($dqq) * sqrt($dapap)) AS sim_ivfpq
-           |  FROM approx a
-           |  JOIN probes p ON p.c = a.coarse_c
-           |  JOIN q ON q.query_id = p.query_id AND q.query_id <> a.vec_id)
-           |SELECT query_id, match_id, rank, round(sim_ivfpq, 6) + 0.0e0 AS sim_ivfpq FROM (
-           |  SELECT query_id, match_id, sim_ivfpq,
-           |    CAST(row_number() OVER (PARTITION BY query_id
-           |      ORDER BY sim_ivfpq DESC, match_id ASC) AS INT) AS rank
-           |  FROM s) r
-           |WHERE rank <= 10""".stripMargin
-      }),
+      Some(ivfPqOracleSql)),
+
+    // the IVF-PQ persisted-index serving path (mirror of sim_pq_search):
+    // first invocation per sf dir trains coarse+residual quantizers and
+    // writes meta + codes; later invocations (bench reps 2+, production)
+    // search the stored codes only. Deterministic training => identical
+    // index and results whether fresh or reused; same oracle as
+    // sim_ivfpq_topk because the arithmetic matches bit for bit.
+    QDef("sim_ivfpq_search",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        val ix = System.getProperty("java.io.tmpdir") + "/graft_ivfpq_index_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
+          Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ix,
+            nCoarse = 8, coarseIters = 2, m = 8, subDim = 8, nCentroids = 8,
+            pqIters = 2, dim = Dim)
+        Similarity.searchIvfPqIndex(s, ix, queries, "vec_id", "embedding",
+          k = 10, nProbe = 2)
+      },
+      Some(ivfPqOracleSql)),
 
     // random-hyperplane LSH bucket assignment (the ANN scale path) —
     // native codegen'd expression; quantized-integer hyperplane dots

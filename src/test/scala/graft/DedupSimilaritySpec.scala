@@ -159,6 +159,25 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
       new java.io.File(s"$ix/codebooks").exists())
   }
 
+  test("persisted IVF-PQ index: search-from-disk equals in-query training bit for bit") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val ix = java.nio.file.Files.createTempDirectory("graft_ivfpq_ix").toString
+    graft.functions.Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ix,
+      nCoarse = 4, coarseIters = 1, m = 8, subDim = 8, nCentroids = 4,
+      pqIters = 1, dim = 64)
+    val fromDisk = graft.functions.Similarity
+      .searchIvfPqIndex(spark, ix, queries, "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val inQuery = graft.functions.Similarity
+      .ivfPqTopK(emb, queries, "vec_id", "embedding", k = 5,
+        nCoarse = 4, coarseIters = 1, m = 8, subDim = 8, nCentroids = 4,
+        pqIters = 1, nProbe = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(fromDisk == inQuery)
+  }
+
   test("cross-corpus near-dups: incoming vs reference only, no self-join pairs") {
     val ref = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),
