@@ -229,6 +229,30 @@ object Similarity {
         round(col("sim_pq"), 6).as("sim_pq"))
   }
 
+  /** Retrieve-and-rerank served from a persisted PQ index
+    * ([[writePqIndex]]): the stored codes nominate `candK` candidates
+    * per query (no training, no full-corpus float scan for scoring),
+    * then the float vectors of ONLY those candidates are exactly
+    * re-scored. Matches [[pqRerankTopK]] bit for bit at the same build
+    * parameters; the heavy side never shuffles (candidates and queries
+    * broadcast into the corpus scan).
+    */
+  def rerankPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    corpus: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, k: Int, candK: Int = 50): DataFrame = {
+    val cand = searchPqIndex(spark, path, queries, idCol, embCol, candK)
+      .select(col("query_id"), col("match_id"))
+    val c = corpus.select(col(idCol).as("match_id"), col(embCol).as("c_emb"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val scored = c.join(broadcast(cand), Seq("match_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("match_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Build and persist an IVF-PQ index (the [[ivfPqTopK]] composition,
     * split build/serve like [[writePqIndex]]): `<path>/meta` holds the
     * coarse centroid matrix + residual PQ codebooks (one row, driver

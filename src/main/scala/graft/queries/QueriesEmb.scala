@@ -123,6 +123,33 @@ object QueriesEmb {
     (seed +: iterCtes).mkString(",\n")
   }
 
+  /** The PQ retrieve-and-rerank oracle — shared by `sim_pq_rerank`
+    * (train-in-query) and `sim_pq_rerank_search` (persisted index).
+    */
+  private lazy val pqRerankOracleSql: String = {
+    val dqq = dotSql("q.e", "q.e")
+    val dee = dotSql("e.embedding", "e.embedding")
+    val dqe = dotSql("q.e", "e.embedding")
+    s"""WITH ${pqScoreCtes(m = 8, sub = 8, kc = 8, iters = 2)},
+       |cand AS (SELECT query_id, match_id FROM (
+       |  SELECT query_id, match_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim_pq DESC, match_id ASC) AS INT) AS rank
+       |  FROM s) t WHERE rank <= 50),
+       |x AS (
+       |  SELECT c.query_id, c.match_id,
+       |    $dqe / (sqrt($dqq) * sqrt($dee)) AS sim
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.match_id
+       |  JOIN q ON q.query_id = c.query_id)
+       |SELECT query_id, match_id, rank, round(sim, 6) + 0.0e0 AS sim FROM (
+       |  SELECT query_id, match_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, match_id ASC) AS INT) AS rank
+       |  FROM x) r
+       |WHERE rank <= 10""".stripMargin
+  }
+
   /** The IVF-PQ oracle SQL — coarse k-means chain + residual CTE + 8
     * subspace chains trained on residuals + probe-list pruning + cosine
     * against coarse-centroid-plus-decoded-residual. Shared verbatim by
@@ -362,29 +389,25 @@ object QueriesEmb {
         Similarity.pqRerankTopK(emb, queries, "vec_id", "embedding", k = 10,
           candK = 50, m = 8, subDim = 8, nCentroids = 8, iters = 2)
       },
-      Some {
-        val dqq = dotSql("q.e", "q.e")
-        val dee = dotSql("e.embedding", "e.embedding")
-        val dqe = dotSql("q.e", "e.embedding")
-        s"""WITH ${pqScoreCtes(m = 8, sub = 8, kc = 8, iters = 2)},
-           |cand AS (SELECT query_id, match_id FROM (
-           |  SELECT query_id, match_id,
-           |    CAST(row_number() OVER (PARTITION BY query_id
-           |      ORDER BY sim_pq DESC, match_id ASC) AS INT) AS rank
-           |  FROM s) t WHERE rank <= 50),
-           |x AS (
-           |  SELECT c.query_id, c.match_id,
-           |    $dqe / (sqrt($dqq) * sqrt($dee)) AS sim
-           |  FROM cand c
-           |  JOIN embeddings e ON e.vec_id = c.match_id
-           |  JOIN q ON q.query_id = c.query_id)
-           |SELECT query_id, match_id, rank, round(sim, 6) + 0.0e0 AS sim FROM (
-           |  SELECT query_id, match_id, sim,
-           |    CAST(row_number() OVER (PARTITION BY query_id
-           |      ORDER BY sim DESC, match_id ASC) AS INT) AS rank
-           |  FROM x) r
-           |WHERE rank <= 10""".stripMargin
-      }),
+      Some(pqRerankOracleSql)),
+
+    // retrieve-and-rerank SERVED from the persisted PQ index: stored
+    // codes nominate the candidates (no training in the query), exact
+    // cosine re-scores only those float vectors. Same oracle as
+    // sim_pq_rerank — identical arithmetic, different code provenance.
+    QDef("sim_pq_rerank_search",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        val ix = System.getProperty("java.io.tmpdir") + "/graft_pq_index_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
+          Similarity.writePqIndex(emb, "vec_id", "embedding", ix,
+            m = 8, subDim = 8, nCentroids = 8, iters = 2)
+        Similarity.rerankPqIndex(s, ix, emb, queries, "vec_id", "embedding",
+          k = 10, candK = 50)
+      },
+      Some(pqRerankOracleSql)),
 
     // IVF-PQ: coarse inverted lists + product-quantized RESIDUALS (the
     // canonical big-index composition). Oracle = coarse k-means chain +

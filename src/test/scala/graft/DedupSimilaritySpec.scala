@@ -157,6 +157,16 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
     // the index really is the compact artifact: codes + codebooks on disk
     assert(new java.io.File(s"$ix/codes").exists() &&
       new java.io.File(s"$ix/codebooks").exists())
+    // rerank served from the same index == the train-in-query rerank
+    val rerankDisk = graft.functions.Similarity
+      .rerankPqIndex(spark, ix, emb, queries, "vec_id", "embedding",
+        k = 5, candK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val rerankQuery = graft.functions.Similarity
+      .pqRerankTopK(emb, queries, "vec_id", "embedding", k = 5, candK = 20,
+        m = 8, subDim = 8, nCentroids = 4, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(rerankDisk == rerankQuery)
   }
 
   test("persisted IVF-PQ index: search-from-disk equals in-query training bit for bit") {
