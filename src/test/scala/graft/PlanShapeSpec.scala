@@ -63,4 +63,17 @@ class PlanShapeSpec extends SparkSpec {
         s"$q queries should broadcast:\n$p")
     }
   }
+
+  test("persisted-index serving: codes scan side never shuffle-joins") {
+    // building the index is part of the query's first run; the SERVING
+    // plan (what queries() returns once the index exists) must score the
+    // codes scan against broadcast probes/queries only
+    Seq("sim_pq_search", "sim_ivfpq_search", "sim_pq_rerank_search").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: the codes/corpus side must not shuffle-join:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q: queries/candidates should broadcast:\n$p")
+    }
+  }
 }
