@@ -361,8 +361,10 @@ object QueriesEmb {
       (s, dir) => {
         val emb = Q.table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 50 === 0)
+        // path carries the build params: a parameter change can never
+        // silently reuse a stale index trained with the old settings
         val ix = System.getProperty("java.io.tmpdir") + "/graft_pq_index_" +
-          java.lang.Integer.toHexString(dir.hashCode)
+          java.lang.Integer.toHexString(dir.hashCode) + "_m8s8k8i2"
         if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
           Similarity.writePqIndex(emb, "vec_id", "embedding", ix,
             m = 8, subDim = 8, nCentroids = 8, iters = 2)
@@ -400,7 +402,7 @@ object QueriesEmb {
         val emb = Q.table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 50 === 0)
         val ix = System.getProperty("java.io.tmpdir") + "/graft_pq_index_" +
-          java.lang.Integer.toHexString(dir.hashCode)
+          java.lang.Integer.toHexString(dir.hashCode) + "_m8s8k8i2"
         if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
           Similarity.writePqIndex(emb, "vec_id", "embedding", ix,
             m = 8, subDim = 8, nCentroids = 8, iters = 2)
@@ -434,7 +436,7 @@ object QueriesEmb {
         val emb = Q.table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 50 === 0)
         val ix = System.getProperty("java.io.tmpdir") + "/graft_ivfpq_index_" +
-          java.lang.Integer.toHexString(dir.hashCode)
+          java.lang.Integer.toHexString(dir.hashCode) + "_c8i2m8s8k8p2"
         if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
           Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ix,
             nCoarse = 8, coarseIters = 2, m = 8, subDim = 8, nCentroids = 8,
