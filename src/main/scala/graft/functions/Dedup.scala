@@ -388,20 +388,32 @@ object Dedup {
     var labels = mirrored.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
+    // one HashMin propagation hop, preserving any carried columns
+    def hop(l: DataFrame): DataFrame = {
       val nbrMin = mirrored
-        .join(labels.select(col("id").as("dst"), col("cluster").as("nc")), Seq("dst"))
+        .join(l.select(col("id").as("dst"), col("cluster").as("nc")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("nc")).as("nbc"))
         .withColumnRenamed("src", "id")
-      // LAZY checkpoint + count: the convergence count IS the action that
-      // materializes the round into stored blocks — one job per round.
-      // (The earlier eager-checkpoint-then-count shape ran two.) The
-      // previous label rides along so convergence is a filter over the
-      // materialized round, not another join.
-      val next = mark(labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("cluster").as("old"),
-          least(col("cluster"), coalesce(col("nbc"), col("cluster"))).as("cluster")))
+      l.join(nbrMin, Seq("id"), "left")
+        .withColumn("cluster",
+          least(col("cluster"), coalesce(col("nbc"), col("cluster"))))
+        .drop("nbc")
+    }
+    var changed = 1L
+    while (changed > 0) {
+      // TWO hops per materialized round: label propagation is monotone
+      // (labels only decrease toward the component min), so batching
+      // hops reaches the same fixpoint in half the rounds — and each
+      // round is a full driver barrier, which dominates wall time on
+      // sparse dup graphs. LAZY checkpoint + count: the convergence
+      // count IS the action that materializes the round into stored
+      // blocks — one job per round. The pre-round label rides along so
+      // convergence is a filter over the materialized round, not
+      // another join; no-change detection across a 2-hop round is
+      // exact (monotonicity: unchanged after 2 hops ⇒ fixpoint).
+      val next = mark(hop(hop(
+        labels.select(col("id"), col("cluster").as("old"))
+          .withColumn("cluster", col("old")))))
       changed = next.filter(col("cluster") =!= col("old")).count()
       labels = next.select(col("id"), col("cluster"))
     }
