@@ -80,6 +80,11 @@ object Bench {
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"bench: could not write $outFile: $e") }
+    // stop Spark BEFORE the final print, then repeat the JSON as the very
+    // last stdout line: a tail-window log capture keeps the END of the
+    // output, and Spark's shutdown logging after the first print is what
+    // pushed the line's head out of the r6 driver's window
     spark.stop()
+    println(line)
   }
 }

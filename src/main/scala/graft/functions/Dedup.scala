@@ -67,19 +67,25 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         tau: Double, k: Int = 3,
                         maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    // exploded distinct shingles — the inverted index. The df cap is
-    // two-phase ([[SkewCap]]): partial-agg counts → broadcast anti-join,
-    // so a boilerplate shingle's rows are dropped map-side and never
-    // colocate. Only THEN does a window attach each surviving shingle's
-    // document frequency — safe now, because every remaining partition
-    // key holds ≤ maxShingleDf rows. (With cap == MaxValue — fully-exact
-    // semantics — the window is unbounded per key; that mode is for
-    // small corpora by definition.) Cached: it feeds the prefix index
-    // and the verification arrays.
+    // exploded distinct shingles — the inverted index. Cached BEFORE the
+    // df cap: [[SkewCap.dropOverCap]] plans its input twice (partial-agg
+    // count pass + broadcast anti-join pass), so the count pass fills
+    // the cache and every later pass — anti-join, prefix, verification
+    // arrays — reads it; the explode is computed exactly once.
     val sh0 = df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("shingle"))
-    val sh = SkewCap.dropOverCap(sh0, col("shingle"), maxShingleDf)
-      .withColumn("dfc", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .cache()
+    // two-phase df cap: a boilerplate shingle's rows are dropped
+    // map-side (broadcast anti-join) and never colocate
+    val sh = SkewCap.dropOverCap(sh0, col("shingle"), maxShingleDf)
+    // Document frequency attaches via a window AFTER the cap — safe,
+    // because every remaining partition key holds ≤ maxShingleDf rows
+    // (with cap == MaxValue — fully-exact semantics — the window is
+    // unbounded per key; that mode is for small corpora by definition).
+    // Only the prefix path reads dfc, so the window rides in front of
+    // one consumer, not all of them; the verification arrays below read
+    // the capped index directly.
+    val shDfc = sh
+      .withColumn("dfc", count(lit(1)).over(Window.partitionBy(col("shingle"))))
 
     // PPJoin-style prefix filter (exact): order each doc's shingles by the
     // global (df, shingle) order; any pair with J >= tau must share one of
@@ -94,7 +100,7 @@ object Dedup {
     // unbounded frame) — both functions ride one Window operator and one
     // sort; a bare partitionBy(id) spec would plan a second Window pass
     val wN = wDoc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val prefix = sh
+    val prefix = shDfc
       .withColumn("rk", row_number().over(wDoc))
       .withColumn("n", count(lit(1)).over(wN))
       .filter(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
@@ -159,11 +165,16 @@ object Dedup {
     // (mirrors the oracle's fq CTE) — a hot boilerplate fingerprint is
     // dropped map-side, never colocated the way the earlier
     // count-over-window cap forced. No window remains in this operator.
+    // cached BEFORE the cap so the winnowing compute (normalize + hash +
+    // window minimum — the expensive part) runs once: the cap's count
+    // pass fills the cache; the anti-join pass, the pair join's two
+    // sides, and the per-doc sizes all read it. The anti-join itself is
+    // a map-side broadcast, free to re-apply per consumer.
     val fp0 = df.select(col(idCol).as("id"),
       explode(TextAnalysis.winnowingFingerprints(
         TextAnalysis.normalized(col(textCol)))).as("fp"))
+      .cache()
     val fp = SkewCap.dropOverCap(fp0, col("fp"), maxFpDf)
-      .cache() // feeds both the pair join and the per-doc sizes
     val sizes = fp.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val co = fp.as("x").join(fp.as("y"), Seq("fp"))
       .filter(col("x.id") < col("y.id"))
@@ -372,12 +383,12 @@ object Dedup {
     checkpointDir.foreach(sc.setCheckpointDir)
     def mark(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(false) else df.localCheckpoint(false)
+    def markEager(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     // Materialize pair discovery ONCE before mirroring: the union puts
     // the (expensive) pairs plan in both arms, so without this the
     // upstream candidate+verify pipeline executes twice.
-    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = if (checkpointDir.isDefined) p.checkpoint(true)
-      else p.localCheckpoint(true)
+    val edges = markEager(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
     val mirrored = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
     // Only vertices with at least one edge can ever leave cluster==id, so
     // the fixpoint loop runs over the edge-vertex set (∝ #near-dups, a
@@ -385,9 +396,13 @@ object Dedup {
     // never enters a propagation round and is labeled in one final
     // left join. This is what keeps the per-round shuffles proportional
     // to the dup graph, not the corpus.
-    var labels = mirrored.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+    // Seed labels through the same reliable/local choice as the rounds:
+    // in reliable mode a localCheckpoint here would truncate lineage to
+    // executor-held blocks, so losing one executor in round 1 would be
+    // unrecoverable — exactly what checkpointDir exists to prevent.
+    var labels = markEager(
+      mirrored.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id")))
     // one HashMin propagation hop, preserving any carried columns
     def hop(l: DataFrame): DataFrame = {
       val nbrMin = mirrored

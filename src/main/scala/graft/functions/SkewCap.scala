@@ -34,13 +34,34 @@ object SkewCap {
       .filter(col("__cap_n") > cap)
       .select(col("__cap_key"))
 
+  /** Conf key: set `false` to route the anti-join through a shuffle
+    * instead of a broadcast (see [[dropOverCap]] sizing contract).
+    */
+  val BroadcastConf = "graft.skewCap.broadcast"
+
   /** Drop every row whose `key` occurs more than `cap` times in `df`,
     * without ever colocating a hot key (see object doc). Null-safe on
     * the key (null keys group together, matching the window form's
     * null-partition semantics). `cap == Long.MaxValue` is the identity.
+    *
+    * Sizing contract: the over-cap key set broadcasts, and its size is
+    * bounded by |df| / cap keys (each needs > cap rows), NOT by "a few
+    * pathological keys" — a small cap over a heavy-tailed vocabulary
+    * (say cap=20 over 10¹² shingle rows) can produce a set that OOMs
+    * the driver. Choose cap so that (|df| / cap) × key-width fits
+    * comfortably in driver memory, or set `graft.skewCap.broadcast`
+    * to `false`: the cap then plans as a shuffle merge anti-join —
+    * hot LEFT keys colocate on one task, but a sort-merge drop streams
+    * and spills, so it degrades gracefully (a straggler) where an
+    * oversized broadcast fails hard.
     */
   def dropOverCap(df: DataFrame, key: Column, cap: Long): DataFrame =
     if (cap == Long.MaxValue) df
-    else df.join(broadcast(overCapKeys(df, key, cap)),
-      key <=> col("__cap_key"), "left_anti")
+    else {
+      val over = overCapKeys(df, key, cap)
+      val useBroadcast =
+        df.sparkSession.conf.getOption(BroadcastConf).forall(_.toBoolean)
+      val right = if (useBroadcast) broadcast(over) else over.hint("merge")
+      df.join(right, key <=> col("__cap_key"), "left_anti")
+    }
 }

@@ -131,8 +131,16 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val local = Dedup.nearDupClusters(ids, pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // Reliable mode must not create ANY localCheckpoint (= persisted,
+    // executor-block-backed) RDDs — edges, labels seed, and rounds all go
+    // through the reliable path, else an executor loss at that step is
+    // unrecoverable despite checkpointDir being set.
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val reliable = Dedup.nearDupClusters(ids, pairs, checkpointDir = Some(ckDir))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val persistedNew = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(persistedNew.isEmpty,
+      s"reliable mode left localCheckpoint/persisted RDDs behind: $persistedNew")
     assert(reliable == local)
     // and the checkpoint actually landed in the requested directory
     val wrote = new java.io.File(ckDir).listFiles()

@@ -38,9 +38,31 @@ class PlanShapeSpec extends SparkSpec {
       s"cap must be the two-phase broadcast anti-join:\n$p")
     assert(!p.contains("Window"),
       s"a count-over-window cap colocates the hot fingerprint:\n$p")
-    // the capped index is cached and consumed by both self-join sides
+    // the fingerprint index is cached (pre-cap) and consumed by the cap's
+    // count pass, both self-join sides, and the per-doc sizes
     assert(p.contains("InMemoryTableScan"),
-      s"capped index should be computed once:\n$p")
+      s"fingerprint index should be computed once:\n$p")
+    // ...which means the winnowing explode never appears OUTSIDE the
+    // cached relation: every consumer reads the cache, the fingerprint
+    // compute (normalize + hash + minimum) runs exactly once. The cached
+    // relation is a leaf of the logical plan, so any Generate the
+    // optimizer still sees is a recompute.
+    assertNoGenerateOutsideCache("dd_winnow_pairs")
+  }
+
+  /** The optimized logical plan must contain a cached relation and zero
+    * Generate (explode) nodes outside it — InMemoryRelation is a leaf,
+    * so a surviving Generate means the exploded index is being
+    * recomputed rather than read from the cache.
+    */
+  private def assertNoGenerateOutsideCache(q: String): Unit = {
+    val lp = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+    val gens = lp.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+    val cached = lp.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }
+    assert(cached.nonEmpty, s"$q: exploded index not cached:\n$lp")
+    assert(gens.isEmpty, s"$q: explode recomputed outside the cache:\n$lp")
   }
 
   test("ngram pairs: exploded index filtered by anti-join BEFORE the df window / self-join") {
@@ -53,6 +75,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(antiAt >= 0, s"df cap must be the broadcast anti-join:\n$p")
     assert(winAt >= 0 && winAt < antiAt,
       s"anti-join must run before (sit below) the dfc window:\n$p")
+    // the exploded index is cached BEFORE the cap: the cap's count pass
+    // materializes it and every later pass reads the cache, so the
+    // shingle explode must not survive anywhere outside the cached leaf
+    assert(p.contains("InMemoryTableScan"),
+      s"exploded index should be cached:\n$p")
+    assertNoGenerateOutsideCache("dd_ngram_pairs")
   }
 
   test("quantized ANN: no shuffle of the corpus side") {

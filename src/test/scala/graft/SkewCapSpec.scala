@@ -49,4 +49,20 @@ class SkewCapSpec extends SparkSpec {
     assert(p.contains("partial_count"),
       s"partial-agg count phase missing:\n$p")
   }
+
+  test("broadcast=false conf: cap falls back to a shuffled anti-join, same rows") {
+    // the escape hatch for a small cap over a heavy-tailed vocabulary,
+    // where the over-cap key set (bounded only by |df|/cap) would OOM
+    // the driver as a broadcast
+    spark.conf.set(SkewCap.BroadcastConf, "false")
+    try {
+      val got = SkewCap.dropOverCap(fixture, col("k"), 2L)
+      val p = got.queryExecution.executedPlan.toString
+      assert(p.contains("LeftAnti"), s"cap must still be an anti-join:\n$p")
+      assert(!p.contains("BroadcastExchange"),
+        s"fallback mode must not broadcast the over-cap keys:\n$p")
+      assert(got.select("id").as[Long].collect().sorted.toSeq ==
+        Seq(5L, 6L, 7L, 8L, 9L))
+    } finally spark.conf.unset(SkewCap.BroadcastConf)
+  }
 }
