@@ -1,49 +1,212 @@
 package graft.sources.geo
 
 import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Inflater
 
 import graft.ops.Grid
 
 /** Minimal pure-JVM reader for the HDF5 subset that netCDF-4 writes for
-  * small uncompressed grids — the missing half of [[NetcdfReader]]
-  * (which handles classic CDF-1/CDF-2): modern GEBCO/EMODnet bathymetry
-  * downloads (`/root/reference/src/main.py:560,595` via
-  * `get_elev_netcdf`) are frequently netCDF-4, i.e. HDF5 containers.
+  * grid files — the missing half of [[NetcdfReader]] (which handles
+  * classic CDF-1/CDF-2): modern GEBCO/EMODnet bathymetry downloads
+  * (`/root/reference/src/main.py:560,595` via `get_elev_netcdf`) are
+  * frequently netCDF-4, i.e. HDF5 containers, and typically chunked +
+  * deflated.
   *
-  * Implements exactly the profile needed for contiguous float/int grids,
-  * per the public "HDF5 File Format Specification" (The HDF Group,
-  * version 3.0): superblock v0/v1, version-1 object headers (with
-  * continuation blocks), old-style groups (Symbol Table message →
-  * v1 B-tree + local heap → SNOD leaf nodes), Dataspace v1/v2, Datatype
-  * classes 0 (fixed) and 1 (IEEE float), Data Layout v3 contiguous.
-  * Everything else — chunked/compressed layout, new-style groups,
-  * v2 object headers, non-8-byte offsets — fails LOUDLY with a message
+  * Implements the profile needed for float/int grids, per the public
+  * "HDF5 File Format Specification" (The HDF Group, version 3.0):
+  * superblock v0/v1, version-1 object headers (with continuation
+  * blocks), old-style groups (Symbol Table message → v1 B-tree + local
+  * heap → SNOD leaf nodes), Dataspace v1/v2, Datatype classes 0 (fixed)
+  * and 1 (IEEE float), Data Layout v3 contiguous AND chunked (v1 B-tree
+  * chunk index), filter pipeline with deflate (`java.util.zip.Inflater`
+  * — the zlib stream's own adler32 integrity-checks each chunk),
+  * shuffle (byte de-interleave), and fletcher32 (checksum stripped),
+  * and Attribute messages v1–v3 for the xarray/netCDF decoding
+  * conventions: `scale_factor`, `add_offset`, `_FillValue` /
+  * `missing_value` (fill → NaN), applied exactly like
+  * [[NetcdfReader.NcFile.readDoubles]] so a packed or fill-bearing grid
+  * decodes identically through either container.
+  *
+  * Everything else — new-style (fractal-heap) groups, v2 object
+  * headers, non-8-byte offsets, unknown filters, a conventions
+  * attribute this reader cannot decode — fails LOUDLY with a message
   * naming the limitation and the one-line `nccopy` escape hatch; this
-  * reader never misparses what it does not support.
+  * reader never misparses what it does not support. Files ≥ 2 GiB are
+  * rejected up front (in-memory reader, `Int` positions).
   */
 object Hdf5Reader {
 
   private val Undef = -1L // 0xFFFF_FFFF_FFFF_FFFF = "undefined address"
 
+  /** Attribute names whose loss would silently change decoded values —
+    * an undecodable attribute with one of these names is an error, not
+    * a skip.
+    */
+  private val ConventionAtts =
+    Set("_FillValue", "missing_value", "scale_factor", "add_offset")
+
+  /** One filter pipeline entry, in write-application order. */
+  final case class Filter(id: Int, client: Seq[Int])
+
+  sealed trait Layout
+  final case class Contiguous(addr: Long, size: Long) extends Layout
+  /** `chunkDims` excludes the trailing element-size pseudo-dimension. */
+  final case class Chunked(btree: Long, chunkDims: Seq[Int]) extends Layout
+
   final case class Dataset(name: String, dims: Seq[Int], dtClass: Int,
                            dtSize: Int, littleEndian: Boolean,
-                           dataAddr: Long, dataSize: Long)
+                           layout: Layout, filters: Seq[Filter],
+                           numAtts: Map[String, Double])
 
-  final case class H5File(datasets: Map[String, Dataset], bytes: Array[Byte]) {
+  final case class H5File(datasets: Map[String, Dataset], bytes: Array[Byte],
+                          path: String) {
     def shape(name: String): Seq[Int] = dataset(name).dims
 
     def dataset(name: String): Dataset = datasets.getOrElse(name,
       throw new IllegalArgumentException(
         s"no dataset '$name' (found: ${datasets.keys.toSeq.sorted.mkString(", ")})"))
 
-    /** Materialize a dataset as doubles (row-major). */
+    /** Materialize a dataset as doubles (row-major), with the
+      * scale/offset/fill conventions applied (same semantics as
+      * [[NetcdfReader.NcFile.readDoubles]]).
+      */
     def readDoubles(name: String): Array[Double] = {
       val d = dataset(name)
+      // same friendly-failure envelope as open(): a bogus data address
+      // in a corrupt file must not surface as a raw buffer exception
+      try {
+        val raw = d.layout match {
+          case c: Contiguous => readContiguous(d, c)
+          case c: Chunked => readChunked(d, c)
+        }
+        applyConventions(d, raw)
+      } catch {
+        case _: java.nio.BufferUnderflowException |
+             _: IndexOutOfBoundsException | _: NegativeArraySizeException =>
+          throw new IllegalArgumentException(
+            s"$path: truncated or corrupt HDF5/netCDF-4 data for '$name'")
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(
+            s"$path: corrupt deflate stream in chunk of '$name': ${e.getMessage}")
+      }
+    }
+
+    private def readContiguous(d: Dataset, c: Contiguous): Array[Double] = {
       val n = d.dims.product
-      require(d.dataAddr != Undef, s"dataset '$name' has no allocated data")
+      require(c.addr != Undef, s"dataset '${d.name}' has no allocated data")
       val b = ByteBuffer.wrap(bytes).order(
         if (d.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
-      b.position(d.dataAddr.toInt)
+      b.position(c.addr.toInt)
+      decodeElems(b, n, d, name = d.name)
+    }
+
+    private def readChunked(d: Dataset, c: Chunked): Array[Double] = {
+      val ndims = d.dims.length
+      require(c.chunkDims.length == ndims,
+        s"$path: chunk rank ${c.chunkDims.length} != dataset rank $ndims for '${d.name}'")
+      val n = d.dims.product
+      // unwritten chunks read as the fill value; the conventions pass
+      // then maps fill → NaN exactly like explicit fill elements
+      val fill = d.numAtts.get("_FillValue")
+        .orElse(d.numAtts.get("missing_value")).getOrElse(0.0)
+      val out = Array.fill(n)(fill)
+      if (c.btree == Undef) return out // no chunk was ever written
+      val gStrides = new Array[Long](ndims)
+      gStrides(ndims - 1) = 1
+      var s = ndims - 2
+      while (s >= 0) { gStrides(s) = gStrides(s + 1) * d.dims(s + 1); s -= 1 }
+      val cd = c.chunkDims.toArray
+      val nc = cd.product
+      chunkEntries(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN),
+        c.btree, ndims, path).foreach { case (storedSize, mask, offsets, addr) =>
+        var data = java.util.Arrays.copyOfRange(
+          bytes, addr.toInt, addr.toInt + storedSize)
+        // filters un-apply in reverse pipeline order; filter-mask bit i
+        // set means pipeline entry i was SKIPPED when this chunk was
+        // written (spec: "Filter Mask" in the chunk B-tree key)
+        d.filters.zipWithIndex.reverse.foreach { case (f, i) =>
+          if ((mask & (1 << i)) == 0) data = unfilter(f, data, nc * d.dtSize, d)
+        }
+        require(data.length >= nc * d.dtSize,
+          s"$path: chunk at ${offsets.mkString(",")} of '${d.name}' " +
+            s"decoded to ${data.length} bytes, expected ${nc * d.dtSize}")
+        val bb = ByteBuffer.wrap(data).order(
+          if (d.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+        val elems = decodeElems(bb, nc, d, name = d.name)
+        // scatter the (full-size, edge-padded) chunk into the global
+        // row-major array, skipping out-of-bounds edge padding
+        val coord = new Array[Int](ndims)
+        var k = 0
+        while (k < nc) {
+          var g = 0L
+          var ok = true
+          var i = 0
+          while (i < ndims) {
+            val gi = offsets(i) + coord(i)
+            if (gi >= d.dims(i)) ok = false
+            g += gi * gStrides(i)
+            i += 1
+          }
+          if (ok) out(g.toInt) = elems(k)
+          var dd = ndims - 1
+          var carry = true
+          while (dd >= 0 && carry) {
+            coord(dd) += 1
+            if (coord(dd) == cd(dd)) { coord(dd) = 0; dd -= 1 }
+            else carry = false
+          }
+          k += 1
+        }
+      }
+      out
+    }
+
+    private def unfilter(f: Filter, data: Array[Byte], rawSize: Int,
+                         d: Dataset): Array[Byte] = f.id match {
+      case 1 => // deflate (zlib stream — adler32 checked by Inflater)
+        val inf = new Inflater()
+        inf.setInput(data)
+        val out = new Array[Byte](rawSize)
+        var off = 0
+        while (!inf.finished() && off < rawSize) {
+          val got = inf.inflate(out, off, rawSize - off)
+          if (got == 0 && inf.needsInput())
+            throw new IllegalArgumentException(
+              s"$path: truncated deflate chunk in '${d.name}'")
+          off += got
+        }
+        inf.end()
+        out
+      case 2 => // shuffle: stored as all byte-0s, then all byte-1s, …
+        val es = f.client.headOption.getOrElse(d.dtSize)
+        if (es <= 1) data
+        else {
+          val nElems = data.length / es
+          val out = new Array[Byte](data.length)
+          var j = 0
+          while (j < es) {
+            var i = 0
+            while (i < nElems) {
+              out(i * es + j) = data(j * nElems + i)
+              i += 1
+            }
+            j += 1
+          }
+          // trailing bytes (length not divisible by es) copy through
+          var t = nElems * es
+          while (t < data.length) { out(t) = data(t); t += 1 }
+          out
+        }
+      case 3 => // fletcher32: payload + 4 checksum bytes; strip (deflate's
+        // adler32 already integrity-checks the payload when both are on)
+        java.util.Arrays.copyOfRange(data, 0, data.length - 4)
+      case other => throw new IllegalArgumentException(
+        s"$path: dataset '${d.name}' uses unsupported filter id $other " +
+          "(deflate/shuffle/fletcher32 only); `nccopy -d 0 -k classic` converts")
+    }
+
+    private def decodeElems(b: ByteBuffer, n: Int, d: Dataset,
+                            name: String): Array[Double] = {
       val out = new Array[Double](n)
       var i = 0
       while (i < n) {
@@ -61,6 +224,25 @@ object Hdf5Reader {
       }
       out
     }
+
+    /** xarray-style decoding, identical to the classic reader: fill
+      * compares against the RAW value, everything else scales.
+      */
+    private def applyConventions(d: Dataset, raw: Array[Double]): Array[Double] = {
+      val fill = d.numAtts.get("_FillValue").orElse(d.numAtts.get("missing_value"))
+      val scale = d.numAtts.getOrElse("scale_factor", 1.0)
+      val offset = d.numAtts.getOrElse("add_offset", 0.0)
+      if (fill.isEmpty && scale == 1.0 && offset == 0.0) return raw
+      var i = 0
+      while (i < raw.length) {
+        raw(i) = fill match {
+          case Some(f) if raw(i) == f => Double.NaN
+          case _ => raw(i) * scale + offset
+        }
+        i += 1
+      }
+      raw
+    }
   }
 
   def isHdf5(bytes: Array[Byte]): Boolean =
@@ -69,6 +251,10 @@ object Hdf5Reader {
       bytes(5) == 0x0a && (bytes(6) & 0xff) == 0x1a && bytes(7) == 0x0a
 
   def open(path: String): H5File = {
+    val size = java.nio.file.Files.size(java.nio.file.Paths.get(path))
+    require(size < Int.MaxValue,
+      s"$path: $size bytes — this in-memory reader supports files < 2 GiB; " +
+        "subset the grid (`nccopy` with hyperslabs / `cdo sellonlatbox`) first")
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     require(isHdf5(bytes), s"$path is not an HDF5 (netCDF-4) file")
     try openBytes(bytes, path)
@@ -117,7 +303,7 @@ object Hdf5Reader {
     val datasets = links.flatMap { case (name, addr) =>
       parseDataset(buf, name, addr, path)
     }.toMap
-    H5File(datasets, bytes)
+    H5File(datasets, bytes, path)
   }
 
   /** Symbol table entry: (link name offset, object header address,
@@ -181,6 +367,38 @@ object Hdf5Reader {
     walk(btreeAddr)
   }
 
+  /** Chunk index: walk a v1 B-tree of node type 1; returns
+    * (stored size, filter mask, per-dim element offsets, data address).
+    */
+  private def chunkEntries(buf: ByteBuffer, btreeAddr: Long, ndims: Int,
+                           path: String): Seq[(Int, Int, Array[Long], Long)] = {
+    def walk(addr: Long): Seq[(Int, Int, Array[Long], Long)] = {
+      val b = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+      b.position(addr.toInt)
+      val sig = new Array[Byte](4); b.get(sig)
+      require(new String(sig, "US-ASCII") == "TREE",
+        s"$path: expected chunk B-tree node, found '${new String(sig, "US-ASCII")}'")
+      val nodeType = b.get() & 0xff
+      require(nodeType == 1, s"$path: B-tree node type $nodeType in a chunk index")
+      val level = b.get() & 0xff
+      val used = b.getShort() & 0xffff
+      b.getLong(); b.getLong() // siblings
+      // entries: key_0, child_0, key_1, child_1, …, key_used; a type-1
+      // key is (chunk size u32, filter mask u32, (ndims+1) × u64 offsets)
+      (0 until used).flatMap { _ =>
+        val size = b.getInt()
+        val mask = b.getInt()
+        val offs = new Array[Long](ndims)
+        var i = 0
+        while (i < ndims) { offs(i) = b.getLong(); i += 1 }
+        b.getLong() // trailing element-size dimension offset (always 0)
+        val child = b.getLong()
+        if (level == 0) Seq((size, mask, offs, child)) else walk(child)
+      }
+    }
+    walk(btreeAddr)
+  }
+
   /** All (type, dataPos, dataSize) messages of a v1 object header,
     * following continuation blocks (type 0x0010).
     */
@@ -226,6 +444,94 @@ object Hdf5Reader {
     b
   }
 
+  /** Decode one numeric attribute message (0x000C, v1–v3) into
+    * (name, scalar value). Returns the name with None when the value is
+    * a type this reader does not decode (strings, references, vlens —
+    * netCDF-4 writes several as internal bookkeeping); the caller
+    * decides whether that's skippable or fatal.
+    */
+  private def readAttribute(buf: ByteBuffer, pos: Int, size: Int,
+                            path: String): (String, Option[Double]) = {
+    val b = slice(buf, pos, size)
+    val ver = b.get() & 0xff
+    require(ver >= 1 && ver <= 3, s"$path: attribute message v$ver unsupported")
+    val flags = b.get() & 0xff // v1: reserved (0)
+    val nameSize = b.getShort() & 0xffff
+    val dtSize = b.getShort() & 0xffff
+    val dsSize = b.getShort() & 0xffff
+    if (ver == 3) b.get() // name character-set encoding
+    def align8(n: Int): Int = (n + 7) & ~7
+    val padded = ver == 1 // v1 pads name/datatype/dataspace to 8 bytes
+    val nameStart = b.position()
+    val nameBytes = new Array[Byte](nameSize)
+    b.get(nameBytes)
+    val name = new String(nameBytes, "UTF-8").takeWhile(_ != 0)
+    b.position(nameStart + (if (padded) align8(nameSize) else nameSize))
+    // shared datatype/dataspace (v2+ flags) cannot be decoded here
+    if ((flags & 0x03) != 0 && ver >= 2) return (name, None)
+    val dtStart = b.position()
+    val clsVer = b.get() & 0xff
+    val dtClass = clsVer & 0x0f
+    val bits0 = b.get() & 0xff
+    b.get(); b.get()
+    val elemSize = b.getInt()
+    b.position(dtStart + (if (padded) align8(dtSize) else dtSize))
+    val dsStart = b.position()
+    val spVer = b.get() & 0xff
+    val ndims = b.get() & 0xff
+    val nelems: Long =
+      if (spVer == 1) {
+        b.get(); b.get(); b.getInt() // flags + reserved
+        (0 until ndims).map(_ => b.getLong()).product.max(1L)
+      } else if (spVer == 2) {
+        b.get(); b.get() // flags, type
+        (0 until ndims).map(_ => b.getLong()).product.max(1L)
+      } else return (name, None)
+    b.position(dsStart + (if (padded) align8(dsSize) else dsSize))
+    if (nelems < 1 || (dtClass != 0 && dtClass != 1)) return (name, None)
+    val little = (bits0 & 0x01) == 0
+    val vb = b.duplicate().order(
+      if (little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val v = (dtClass, elemSize) match {
+      case (1, 4) => Some(vb.getFloat().toDouble)
+      case (1, 8) => Some(vb.getDouble())
+      case (0, 1) => Some(vb.get().toDouble)
+      case (0, 2) => Some(vb.getShort().toDouble)
+      case (0, 4) => Some(vb.getInt().toDouble)
+      case (0, 8) => Some(vb.getLong().toDouble)
+      case _ => None
+    }
+    (name, v)
+  }
+
+  /** Parse a filter pipeline message (0x000B, v1/v2). */
+  private def readFilters(buf: ByteBuffer, pos: Int, size: Int, name: String,
+                          path: String): Seq[Filter] = {
+    val b = slice(buf, pos, size)
+    val ver = b.get() & 0xff
+    require(ver == 1 || ver == 2,
+      s"$path: filter pipeline v$ver unsupported for '$name'")
+    val nf = b.get() & 0xff
+    if (ver == 1) { b.getShort(); b.getInt() } // reserved
+    (0 until nf).map { _ =>
+      val id = b.getShort() & 0xffff
+      val nameLen =
+        if (ver == 2 && id < 256) 0 else b.getShort() & 0xffff
+      b.getShort() // flags (bit 0 = optional)
+      val nClient = b.getShort() & 0xffff
+      if (nameLen > 0) {
+        val skip = if (ver == 1) (nameLen + 7) & ~7 else nameLen
+        b.position(b.position() + skip)
+      }
+      val client = (0 until nClient).map(_ => b.getInt())
+      if (ver == 1 && nClient % 2 == 1) b.getInt() // pad to 8
+      require(id == 1 || id == 2 || id == 3,
+        s"$path: dataset '$name' uses unsupported filter id $id " +
+          "(deflate/shuffle/fletcher32 only); `nccopy -d 0 -k classic` converts")
+      Filter(id, client)
+    }
+  }
+
   /** Parse one linked object as a dataset; None for sub-groups (a grid
     * file's root holds only datasets, but be permissive).
     */
@@ -235,11 +541,26 @@ object Hdf5Reader {
     if (msgs.exists(_._1 == 0x0011)) return None // a sub-group, skip
     val space = msgs.find(_._1 == 0x0001)
     val dtype = msgs.find(_._1 == 0x0003)
-    val layout = msgs.find(_._1 == 0x0008)
-    if (space.isEmpty || dtype.isEmpty || layout.isEmpty) return None
-    require(!msgs.exists(_._1 == 0x000B),
-      s"$path: dataset '$name' has a filter pipeline (deflate/shuffle) — " +
-        "compressed netCDF-4 unsupported; `nccopy -d 0 -k classic` converts")
+    val layoutMsg = msgs.find(_._1 == 0x0008)
+    if (space.isEmpty || dtype.isEmpty || layoutMsg.isEmpty) return None
+
+    val filters = msgs.find(_._1 == 0x000B)
+      .map(m => readFilters(buf, m._2, m._3, name, path))
+      .getOrElse(Seq.empty)
+
+    // attributes: decode the numeric ones; netCDF-4's internal
+    // bookkeeping (DIMENSION_LIST references, CLASS/NAME strings) is
+    // skippable, but a conventions attribute that fails to decode would
+    // silently change values — fail loudly instead
+    val numAtts = msgs.filter(_._1 == 0x000C).flatMap { m =>
+      val (attName, value) = readAttribute(buf, m._2, m._3, path)
+      if (value.isEmpty && ConventionAtts(attName))
+        throw new IllegalArgumentException(
+          s"$path: cannot decode attribute '$attName' of '$name' — its type " +
+            "is outside this reader's numeric subset, and ignoring it would " +
+            "misdecode the data; `nccopy -k classic` converts")
+      value.map(attName -> _)
+    }.toMap
 
     val sp = slice(buf, space.get._2, space.get._3)
     val spVer = sp.get() & 0xff
@@ -263,16 +584,32 @@ object Hdf5Reader {
     val dtSize = dt.getInt()
     val littleEndian = (bits0 & 0x01) == 0
 
-    val lo = slice(buf, layout.get._2, layout.get._3)
+    val lo = slice(buf, layoutMsg.get._2, layoutMsg.get._3)
     val loVer = lo.get() & 0xff
     require(loVer == 3, s"$path: data layout v$loVer unsupported (v3 only)")
     val loClass = lo.get() & 0xff
-    require(loClass == 1,
-      s"$path: dataset '$name' layout class $loClass (0=compact, 2=chunked) — " +
-        "only contiguous storage supported; `nccopy -k classic` converts")
-    val addr = lo.getLong()
-    val size = lo.getLong()
-    Some(name -> Dataset(name, dims, dtClass, dtSize, littleEndian, addr, size))
+    val layout = loClass match {
+      case 1 =>
+        require(filters.isEmpty,
+          s"$path: dataset '$name' has a filter pipeline on contiguous storage")
+        val addr = lo.getLong()
+        val sz = lo.getLong()
+        Contiguous(addr, sz)
+      case 2 =>
+        // v3 chunked: dimensionality (= rank+1), B-tree address, then
+        // (rank+1) u32 dim sizes whose last entry is the element size
+        val dimensionality = lo.get() & 0xff
+        val btree = lo.getLong()
+        val cdims = (0 until dimensionality).map(_ => lo.getInt())
+        require(dimensionality == ndims + 1,
+          s"$path: chunk dimensionality $dimensionality != rank+1 for '$name'")
+        Chunked(btree, cdims.dropRight(1))
+      case other => throw new IllegalArgumentException(
+        s"$path: dataset '$name' layout class $other (0=compact) — " +
+          "only contiguous and chunked storage supported")
+    }
+    Some(name -> Dataset(name, dims, dtClass, dtSize, littleEndian,
+      layout, filters, numAtts))
   }
 
   /** Load a 2-D (lat, lon) grid variable + 1-D coordinate variables —

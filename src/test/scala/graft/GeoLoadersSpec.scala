@@ -236,6 +236,40 @@ class GeoLoadersSpec extends SparkSpec {
     assert(h5.datasets.keySet == Set("elevation", "lat", "lon"))
   }
 
+  test("netCDF-4 chunked + shuffle + deflate grid applies scale/offset/fill attributes") {
+    // 4×5 grid in 3×2 chunks (edge chunks full-size with padding, as
+    // HDF5 writes them), PACKED values + decoding attributes — the
+    // profile a real GEBCO/EMODnet download uses. Written by the
+    // spec-derived independent encoder; the reader must walk the chunk
+    // B-tree, inflate (zlib), un-shuffle, scatter, and decode
+    // scale_factor/add_offset/_FillValue exactly like the classic path.
+    val lat = Array(10.0, 10.5, 11.0, 11.5)
+    val lon = Array(20.0, 20.25, 20.5, 20.75, 21.0)
+    val scale = 0.5; val offset = 10.0; val fill = -999.0f
+    val expect = Array(
+      12.0, 13.5, -5.0, 0.0, 7.5,
+      Double.NaN, 42.5, 8.0, -12.5, 3.0,
+      1.5, Double.NaN, 99.0, -0.5, 2.0,
+      -3.5, 4.0, 5.5, 6.0, Double.NaN)
+    // (v - offset)/scale is integral for every value above → the packed
+    // f32 round-trips to the exact expected double
+    val packed = expect.map(v => if (v.isNaN) fill else ((v - offset) / scale).toFloat)
+    for ((defl, shuf) <- Seq((true, true), (true, false), (false, false))) {
+      val p = Files.createTempFile(s"graft_nc4_chunked_${defl}_$shuf", ".nc").toString
+      MiniHdf5.writeGridChunked(p, "elevation", lat, lon, packed,
+        chunkRows = 3, chunkCols = 2, deflate = defl, shuffle = shuf,
+        atts = Seq("scale_factor" -> scale, "add_offset" -> offset,
+          "_FillValue" -> fill.toDouble))
+      val g = GridLoader.fromNetcdf(p, "elevation")
+      assert(g.nLat == 4 && g.nLon == 5)
+      for (i <- 0 until 4; j <- 0 until 5) {
+        val (a, b) = (expect(i * 5 + j), g.valueAt(i, j))
+        assert((a.isNaN && b.isNaN) || a == b,
+          s"($i,$j) deflate=$defl shuffle=$shuf: want $a got $b")
+      }
+    }
+  }
+
   test("f32 grid loader + native bilinear matches the synthetic grid expression") {
     // dump the synthetic grid formula to raw f32, reload, compare lookups
     val nLat = 61; val nLon = 61

@@ -6,10 +6,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   * public HDF5 File Format Specification (independently of
   * `Hdf5Reader`'s parsing code): superblock v0, v1 object headers,
   * an old-style root group (Symbol Table message → v1 B-tree → SNOD →
-  * local heap), and three contiguous datasets — `lat` (f64), `lon`
-  * (f64), and a 2-D f32 grid variable. This is the layout profile
-  * netcdf-c emits for a small uncompressed grid, which is exactly what
-  * the reader claims to support.
+  * local heap), and three datasets — `lat` (f64), `lon` (f64), and a
+  * 2-D f32 grid variable, either contiguous ([[writeGrid]]) or chunked
+  * with shuffle+deflate filters and decoding-convention attributes
+  * ([[writeGridChunked]]). These are the layout profiles netcdf-c emits
+  * for small and for real (compressed) grids, which is exactly what the
+  * reader claims to support.
   */
 object MiniHdf5 {
 
@@ -181,6 +183,272 @@ object MiniHdf5 {
       else if (n == "lat") lat.foreach(buf.putDouble)
       else lon.foreach(buf.putDouble)
     }
+
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
+  }
+
+  /** Chunked + (optionally) shuffle/deflate-filtered variant, with
+    * netCDF decoding-convention attributes on the grid variable. The
+    * `packed` values are written raw; a correct reader must apply
+    * `atts`' scale_factor/add_offset/_FillValue itself. Chunk grid may
+    * not divide the dims — edge chunks are written full-size with
+    * padding, as HDF5 does.
+    */
+  def writeGridChunked(path: String, varName: String,
+                       lat: Array[Double], lon: Array[Double],
+                       packed: Array[Float],
+                       chunkRows: Int, chunkCols: Int,
+                       deflate: Boolean, shuffle: Boolean,
+                       atts: Seq[(String, Double)]): Unit = {
+    val nLat = lat.length; val nLon = lon.length
+    require(packed.length == nLat * nLon)
+    def align8(n: Int): Int = (n + 7) & ~7
+    val Undef = -1L
+
+    // ---- chunk payloads, filters applied in write order ----
+    val nCr = (nLat + chunkRows - 1) / chunkRows
+    val nCc = (nLon + chunkCols - 1) / chunkCols
+    val chunkList = for (cr <- 0 until nCr; cc <- 0 until nCc) yield {
+      val full = ByteBuffer.allocate(chunkRows * chunkCols * 4)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      for (i <- 0 until chunkRows; j <- 0 until chunkCols) {
+        val gi = cr * chunkRows + i; val gj = cc * chunkCols + j
+        full.putFloat(if (gi < nLat && gj < nLon) packed(gi * nLon + gj) else 0f)
+      }
+      var data = full.array()
+      if (shuffle) { // byte transpose: all byte-0s, then byte-1s, …
+        val es = 4; val n = data.length / es
+        val out = new Array[Byte](data.length)
+        for (i <- 0 until n; j <- 0 until es) out(j * n + i) = data(i * es + j)
+        data = out
+      }
+      if (deflate) {
+        val d = new java.util.zip.Deflater()
+        d.setInput(data); d.finish()
+        val tmp = new Array[Byte](data.length * 2 + 64)
+        val m = d.deflate(tmp); d.end()
+        data = java.util.Arrays.copyOf(tmp, m)
+      }
+      (cr * chunkRows.toLong, cc * chunkCols.toLong, data)
+    }
+
+    // ---- filter pipeline v1 sizing (names padded to 8, client pad) ----
+    final case class F(id: Int, name: String, client: Seq[Int])
+    val filters = (if (shuffle) Seq(F(2, "shuffle", Seq(4))) else Nil) ++
+      (if (deflate) Seq(F(1, "deflate", Seq(6))) else Nil)
+    def fEntryLen(f: F): Int =
+      8 + align8(f.name.length + 1) + 4 * f.client.length +
+        (if (f.client.length % 2 == 1) 4 else 0)
+    val fltDataLen = if (filters.isEmpty) 0 else 8 + filters.map(fEntryLen).sum
+    // attribute v1: fixed header 8 + padded name + datatype(24) +
+    // scalar dataspace(8) + f64 value(8)
+    def attLen(name: String): Int = 8 + align8(name.length + 1) + 24 + 8 + 8
+
+    // ---- layout plan ----
+    val superblock = 96
+    val rootHdr = superblock
+    val rootHdrLen = 16 + 24
+    val heapHdr = rootHdr + rootHdrLen
+    val names = Seq(varName, "lat", "lon").sorted
+    val nameOffs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    var heapOff = 8
+    names.foreach { n => nameOffs(n) = heapOff; heapOff += align8(n.length + 1) }
+    val heapDataLen = align8(heapOff)
+    val heapData = heapHdr + 32
+    val btree = heapData + heapDataLen
+    val snod = btree + 48
+    val coordHdrLen = 16 + (8 + 16) + (8 + 24) + (8 + 24)
+    val varMsgsLen = (8 + 24) + (8 + 24) + (8 + 24) +
+      (if (filters.isEmpty) 0 else 8 + fltDataLen) +
+      atts.map(a => 8 + attLen(a._1)).sum
+    val hdrAddrs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    var cursor = snod + 128
+    names.foreach { n =>
+      hdrAddrs(n) = cursor
+      cursor += (if (n == varName) 16 + varMsgsLen else coordHdrLen)
+    }
+    val keyLen = 8 + 3 * 8 // size+mask, (rank+1) offsets
+    val chunkBtree = cursor
+    cursor += 24 + chunkList.length * (keyLen + 8) + keyLen
+    val chunkAddrs = chunkList.map { c =>
+      val a = cursor; cursor += c._3.length; a }
+    cursor = align8(cursor)
+    val latAddr = cursor; cursor += nLat * 8
+    val lonAddr = cursor; cursor += nLon * 8
+    val eof = cursor
+
+    val buf = ByteBuffer.allocate(eof).order(ByteOrder.LITTLE_ENDIAN)
+
+    def msgHeader(typ: Int, size: Int): Unit = {
+      buf.putShort(typ.toShort); buf.putShort(size.toShort)
+      buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
+    }
+    def putPaddedName(n: String): Unit = {
+      val bytes = n.getBytes("US-ASCII")
+      buf.put(bytes)
+      (bytes.length until align8(bytes.length + 1)).foreach(_ => buf.put(0.toByte))
+    }
+    def putFloatDatatype(f32: Boolean): Unit = { // 24 bytes incl padding
+      buf.put(0x11.toByte)
+      buf.put(0x20.toByte)
+      buf.put((if (f32) 31 else 63).toByte)
+      buf.put(0.toByte)
+      buf.putInt(if (f32) 4 else 8)
+      buf.putShort(0)
+      buf.putShort((if (f32) 32 else 64).toShort)
+      buf.put((if (f32) 23 else 52).toByte)
+      buf.put((if (f32) 8 else 11).toByte)
+      buf.put(0.toByte)
+      buf.put((if (f32) 23 else 52).toByte)
+      buf.putInt(if (f32) 127 else 1023)
+      buf.putInt(0)
+    }
+
+    // ---- superblock v0 + root STE ----
+    buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a))
+    buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
+    buf.put(0.toByte)
+    buf.put(8.toByte); buf.put(8.toByte); buf.put(0.toByte)
+    buf.putShort(4); buf.putShort(16)
+    buf.putInt(0)
+    buf.putLong(0L); buf.putLong(Undef); buf.putLong(eof.toLong); buf.putLong(Undef)
+    buf.putLong(0L); buf.putLong(rootHdr.toLong)
+    buf.putInt(0); buf.putInt(0)
+    buf.putLong(0L); buf.putLong(0L)
+
+    // ---- root object header: Symbol Table message ----
+    assert(buf.position() == rootHdr)
+    buf.put(1.toByte); buf.put(0.toByte)
+    buf.putShort(1); buf.putInt(1); buf.putInt(24); buf.putInt(0)
+    msgHeader(0x0011, 16)
+    buf.putLong(btree.toLong); buf.putLong(heapHdr.toLong)
+
+    // ---- local heap ----
+    assert(buf.position() == heapHdr)
+    buf.put("HEAP".getBytes("US-ASCII"))
+    buf.putInt(0)
+    buf.putLong(heapDataLen.toLong); buf.putLong(heapDataLen.toLong)
+    buf.putLong(heapData.toLong)
+    val heapSeg = new Array[Byte](heapDataLen)
+    nameOffs.foreach { case (n, off) =>
+      System.arraycopy(n.getBytes("US-ASCII"), 0, heapSeg, off, n.length) }
+    buf.put(heapSeg)
+
+    // ---- group B-tree + SNOD ----
+    assert(buf.position() == btree)
+    buf.put("TREE".getBytes("US-ASCII"))
+    buf.put(0.toByte); buf.put(0.toByte)
+    buf.putShort(1)
+    buf.putLong(Undef); buf.putLong(Undef)
+    buf.putLong(nameOffs(names.head).toLong)
+    buf.putLong(snod.toLong)
+    buf.putLong(nameOffs(names.last).toLong)
+    assert(buf.position() == snod)
+    buf.put("SNOD".getBytes("US-ASCII"))
+    buf.put(1.toByte); buf.put(0.toByte)
+    buf.putShort(names.length.toShort)
+    names.foreach { n =>
+      buf.putLong(nameOffs(n).toLong); buf.putLong(hdrAddrs(n).toLong)
+      buf.putInt(0); buf.putInt(0); buf.putLong(0L); buf.putLong(0L)
+    }
+    buf.position(snod + 128)
+
+    // ---- dataset headers ----
+    names.foreach { n =>
+      assert(buf.position() == hdrAddrs(n))
+      if (n == varName) {
+        val nMess = 3 + (if (filters.isEmpty) 0 else 1) + atts.length
+        buf.put(1.toByte); buf.put(0.toByte)
+        buf.putShort(nMess.toShort)
+        buf.putInt(1)
+        buf.putInt(varMsgsLen)
+        buf.putInt(0)
+        // dataspace v1, 2-D
+        msgHeader(0x0001, 24)
+        buf.put(1.toByte); buf.put(2.toByte); buf.put(0.toByte)
+        buf.put(0.toByte); buf.putInt(0)
+        buf.putLong(nLat.toLong); buf.putLong(nLon.toLong)
+        // datatype f32
+        msgHeader(0x0003, 24)
+        putFloatDatatype(f32 = true)
+        // layout v3 chunked: rank+1 dims, last = element size
+        msgHeader(0x0008, 24)
+        buf.put(3.toByte); buf.put(2.toByte)
+        buf.put(3.toByte)
+        buf.putLong(chunkBtree.toLong)
+        buf.putInt(chunkRows); buf.putInt(chunkCols); buf.putInt(4)
+        buf.put(0.toByte) // pad 23 → 24
+        // filter pipeline v1
+        if (filters.nonEmpty) {
+          msgHeader(0x000B, fltDataLen)
+          buf.put(1.toByte); buf.put(filters.length.toByte)
+          buf.putShort(0); buf.putInt(0)
+          filters.foreach { f =>
+            buf.putShort(f.id.toShort)
+            buf.putShort(align8(f.name.length + 1).toShort)
+            buf.putShort(if (f.id == 1) 1.toShort else 0.toShort) // optional flag
+            buf.putShort(f.client.length.toShort)
+            putPaddedName(f.name)
+            f.client.foreach(buf.putInt)
+            if (f.client.length % 2 == 1) buf.putInt(0)
+          }
+        }
+        // attributes v1: f64 scalar values
+        atts.foreach { case (attName, value) =>
+          msgHeader(0x000C, attLen(attName))
+          buf.put(1.toByte); buf.put(0.toByte)
+          buf.putShort((attName.length + 1).toShort)
+          buf.putShort(24)
+          buf.putShort(8)
+          putPaddedName(attName)
+          putFloatDatatype(f32 = false)
+          buf.put(1.toByte); buf.put(0.toByte); buf.put(0.toByte) // scalar space
+          buf.put(0.toByte); buf.putInt(0)
+          buf.putDouble(value)
+        }
+      } else {
+        val oneD = if (n == "lat") lat else lon
+        buf.put(1.toByte); buf.put(0.toByte)
+        buf.putShort(3); buf.putInt(1)
+        buf.putInt((8 + 16) + (8 + 24) + (8 + 24))
+        buf.putInt(0)
+        msgHeader(0x0001, 16)
+        buf.put(1.toByte); buf.put(1.toByte); buf.put(0.toByte)
+        buf.put(0.toByte); buf.putInt(0)
+        buf.putLong(oneD.length.toLong)
+        msgHeader(0x0003, 24)
+        putFloatDatatype(f32 = false)
+        msgHeader(0x0008, 24)
+        buf.put(3.toByte); buf.put(1.toByte)
+        buf.putLong((if (n == "lat") latAddr else lonAddr).toLong)
+        buf.putLong(oneD.length * 8L)
+        buf.putInt(0); buf.putShort(0)
+      }
+    }
+
+    // ---- chunk index: one leaf v1 B-tree node, type 1 ----
+    assert(buf.position() == chunkBtree)
+    buf.put("TREE".getBytes("US-ASCII"))
+    buf.put(1.toByte) // node type: raw data chunk
+    buf.put(0.toByte) // level: leaf
+    buf.putShort(chunkList.length.toShort)
+    buf.putLong(Undef); buf.putLong(Undef)
+    chunkList.zip(chunkAddrs).foreach { case ((offR, offC, data), addr) =>
+      buf.putInt(data.length)
+      buf.putInt(0) // filter mask: none skipped
+      buf.putLong(offR); buf.putLong(offC); buf.putLong(0L)
+      buf.putLong(addr.toLong)
+    }
+    // final key: one past the last chunk in each dimension
+    buf.putInt(0); buf.putInt(0)
+    buf.putLong(nCr.toLong * chunkRows); buf.putLong(nCc.toLong * chunkCols)
+    buf.putLong(0L)
+
+    // ---- raw chunk + coordinate data ----
+    chunkList.zip(chunkAddrs).foreach { case ((_, _, data), addr) =>
+      buf.position(addr); buf.put(data) }
+    buf.position(latAddr); lat.foreach(buf.putDouble)
+    buf.position(lonAddr); lon.foreach(buf.putDouble)
 
     java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
   }
