@@ -194,15 +194,42 @@ object Similarity {
     */
   def writePqIndex(corpus: DataFrame, idCol: String, embCol: String,
                    path: String, m: Int = 8, subDim: Int = 8,
-                   nCentroids: Int = 8, iters: Int = 2): Unit = {
+                   nCentroids: Int = 8, iters: Int = 2,
+                   trainOn: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cbs = trainPqCodebooks(corpus, idCol, embCol, m, subDim, nCentroids, iters)
+    // trainOn: at corpus scale codebooks train on a (deterministic)
+    // sample while ALL vectors are encoded — k-means over 100 TB of
+    // floats buys no extra codebook quality over a few million rows
+    val cbs = trainPqCodebooks(trainOn.getOrElse(corpus), idCol, embCol,
+      m, subDim, nCentroids, iters)
     Seq((m, subDim, cbs.map(_.toSeq).toSeq)).toDF("m", "sub_dim", "codebooks")
       .write.mode("overwrite").parquet(s"$path/codebooks")
     corpus.select(col(idCol).as("match_id"),
         pqEncode(col(embCol), cbs, subDim).as("codes"))
       .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Encode-only append to a persisted PQ index ([[writePqIndex]]):
+    * the stored codebooks are FROZEN — new vectors are encoded with
+    * them and their codes land as new parquet files under
+    * `<path>/codes`. This is the standard serving-index ingest shape
+    * (daily vector arrivals never retrain or re-encode the existing
+    * corpus); an index built on half a corpus and appended with the
+    * rest is byte-identical to one built from scratch over everything
+    * with the same codebooks (`trainOn` = that same half).
+    */
+  def appendToPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      newRows: DataFrame, idCol: String, embCol: String): Unit = {
+    val meta = spark.read.parquet(s"$path/codebooks").collect()(0)
+    val subDim = meta.getInt(meta.fieldIndex("sub_dim"))
+    val cbs = meta.getSeq[scala.collection.Seq[Double]](meta.fieldIndex("codebooks"))
+      .map(_.toArray).toArray
+    require(cbs.length == meta.getInt(meta.fieldIndex("m")),
+      s"$path: codebook count ${cbs.length} != stored m — corrupt index meta")
+    newRows.select(col(idCol).as("match_id"),
+        pqEncode(col(embCol), cbs, subDim).as("codes"))
+      .write.mode("append").parquet(s"$path/codes")
   }
 
   /** Search a persisted PQ index ([[writePqIndex]]): reconstruct each
@@ -218,6 +245,8 @@ object Similarity {
     val subDim = meta.getInt(meta.fieldIndex("sub_dim"))
     val cbs = meta.getSeq[scala.collection.Seq[Double]](meta.fieldIndex("codebooks"))
       .map(_.toArray).toArray
+    require(cbs.length == meta.getInt(meta.fieldIndex("m")),
+      s"$path: codebook count ${cbs.length} != stored m — corrupt index meta")
     val c = spark.read.parquet(s"$path/codes")
       .select(col("match_id"), pqReconstruct(col("codes"), cbs, subDim).as("recon"))
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
@@ -264,25 +293,59 @@ object Similarity {
   def writeIvfPqIndex(corpus: DataFrame, idCol: String, embCol: String,
                       path: String, nCoarse: Int = 8, coarseIters: Int = 2,
                       m: Int = 8, subDim: Int = 8, nCentroids: Int = 8,
-                      pqIters: Int = 2, dim: Int = 64): Unit = {
+                      pqIters: Int = 2, dim: Int = 64,
+                      trainOn: Option[DataFrame] = None): Unit = {
     import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
     val spark = corpus.sparkSession
     import spark.implicits._
-    val coarse = trainIvfCentroids(corpus, idCol, embCol, nCoarse, coarseIters, dim)
+    // coarse centroids + residual codebooks train on trainOn (or the
+    // whole corpus); every corpus vector is then assigned + encoded
+    val trainDf = trainOn.getOrElse(corpus)
+    val coarse = trainIvfCentroids(trainDf, idCol, embCol, nCoarse, coarseIters, dim)
     val coarseLit = typedLit(coarse.toSeq)
-    val withC = corpus
+    def withResid(df: DataFrame): DataFrame = df
       .withColumn("coarse_c",
         exprCol(NearestCentroidExpr(colExpr(col(embCol)), coarse, dim)))
       .withColumn("resid", zip_with(col(embCol).cast("array<double>"),
         slice(coarseLit, col("coarse_c") * dim + 1, lit(dim)), (x, c) => x - c))
-    val cbs = trainPqCodebooks(withC.select(col(idCol), col("resid")),
+    val cbs = trainPqCodebooks(withResid(trainDf).select(col(idCol), col("resid")),
       idCol, "resid", m, subDim, nCentroids, pqIters)
     Seq((dim, m, subDim, coarse.toSeq, cbs.map(_.toSeq).toSeq))
       .toDF("dim", "m", "sub_dim", "coarse", "codebooks")
       .write.mode("overwrite").parquet(s"$path/meta")
-    withC.select(col(idCol).as("match_id"), col("coarse_c"),
+    withResid(corpus).select(col(idCol).as("match_id"), col("coarse_c"),
         pqEncode(col("resid"), cbs, subDim).as("codes"))
       .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Encode-only append to a persisted IVF-PQ index
+    * ([[writeIvfPqIndex]]): coarse centroids and residual codebooks are
+    * FROZEN — new vectors are assigned to their nearest coarse list,
+    * residual-encoded, and appended as new parquet files under
+    * `<path>/codes`. Same contract as [[appendToPqIndex]].
+    */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         newRows: DataFrame, idCol: String, embCol: String): Unit = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val dim = meta.getInt(meta.fieldIndex("dim"))
+    val subDim = meta.getInt(meta.fieldIndex("sub_dim"))
+    val coarse = meta.getSeq[Double](meta.fieldIndex("coarse")).toArray
+    val cbs = meta.getSeq[scala.collection.Seq[Double]](meta.fieldIndex("codebooks"))
+      .map(_.toArray).toArray
+    require(cbs.length == meta.getInt(meta.fieldIndex("m")) &&
+      coarse.length % dim == 0,
+      s"$path: inconsistent index meta (codebooks=${cbs.length}, " +
+        s"coarse=${coarse.length}, dim=$dim)")
+    val coarseLit = typedLit(coarse.toSeq)
+    newRows
+      .withColumn("coarse_c",
+        exprCol(NearestCentroidExpr(colExpr(col(embCol)), coarse, dim)))
+      .withColumn("resid", zip_with(col(embCol).cast("array<double>"),
+        slice(coarseLit, col("coarse_c") * dim + 1, lit(dim)), (x, c) => x - c))
+      .select(col(idCol).as("match_id"), col("coarse_c"),
+        pqEncode(col("resid"), cbs, subDim).as("codes"))
+      .write.mode("append").parquet(s"$path/codes")
   }
 
   /** Search a persisted IVF-PQ index: probe-list pruning + residual

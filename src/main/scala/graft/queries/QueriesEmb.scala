@@ -233,6 +233,24 @@ object QueriesEmb {
     * `sim_pq_topk` (rank over `s`) and `sim_pq_rerank` (candidates from
     * `s`, exact re-score).
     */
+  /** Content-fingerprinted persisted-index location: the cache key is an
+    * MD5 over the embeddings table's file names, sizes, and mtimes plus
+    * the full dir path and the build params — so regenerating a dataset
+    * in the same directory (or two dirs whose `hashCode` collides) can
+    * never serve a stale index trained on different data or settings.
+    */
+  private def indexDir(kind: String, dir: String, params: String): String = {
+    val root = new java.io.File(s"$dir/embeddings.parquet")
+    val files =
+      if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
+    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${root.getAbsolutePath}|$sig".getBytes("UTF-8"))
+    val hex = md5.take(8).map(b => f"$b%02x").mkString
+    System.getProperty("java.io.tmpdir") + s"/graft_${kind}_index_${hex}_$params"
+  }
+
   private def pqScoreCtes(m: Int, sub: Int, kc: Int, iters: Int): String = {
     val subCtes = (0 until m).map { i =>
       kmeansSubCte(s"p${i}_",
@@ -361,10 +379,10 @@ object QueriesEmb {
       (s, dir) => {
         val emb = Q.table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 50 === 0)
-        // path carries the build params: a parameter change can never
-        // silently reuse a stale index trained with the old settings
-        val ix = System.getProperty("java.io.tmpdir") + "/graft_pq_index_" +
-          java.lang.Integer.toHexString(dir.hashCode) + "_m8s8k8i2"
+        // path carries a content fingerprint + the build params: neither
+        // a regenerated dataset nor a parameter change can silently
+        // reuse a stale index
+        val ix = indexDir("pq", dir, "m8s8k8i2")
         if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
           Similarity.writePqIndex(emb, "vec_id", "embedding", ix,
             m = 8, subDim = 8, nCentroids = 8, iters = 2)
@@ -401,8 +419,7 @@ object QueriesEmb {
       (s, dir) => {
         val emb = Q.table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 50 === 0)
-        val ix = System.getProperty("java.io.tmpdir") + "/graft_pq_index_" +
-          java.lang.Integer.toHexString(dir.hashCode) + "_m8s8k8i2"
+        val ix = indexDir("pq", dir, "m8s8k8i2")
         if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
           Similarity.writePqIndex(emb, "vec_id", "embedding", ix,
             m = 8, subDim = 8, nCentroids = 8, iters = 2)
@@ -435,8 +452,7 @@ object QueriesEmb {
       (s, dir) => {
         val emb = Q.table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 50 === 0)
-        val ix = System.getProperty("java.io.tmpdir") + "/graft_ivfpq_index_" +
-          java.lang.Integer.toHexString(dir.hashCode) + "_c8i2m8s8k8p2"
+        val ix = indexDir("ivfpq", dir, "c8i2m8s8k8p2")
         if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
           Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ix,
             nCoarse = 8, coarseIters = 2, m = 8, subDim = 8, nCentroids = 8,

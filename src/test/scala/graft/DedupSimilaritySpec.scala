@@ -196,6 +196,49 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
     assert(fromDisk == inQuery)
   }
 
+  test("index append: build-half-then-append equals full build with the same codebooks") {
+    // the serving-index ingest path: codebooks/centroids FROZEN, new
+    // vectors encode-only. Reference = a from-scratch build over the
+    // full corpus trained on the SAME half (trainOn), so the codebooks
+    // are identical and only the code provenance differs.
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    def results(ix: String) = graft.functions.Similarity
+      .searchPqIndex(spark, ix, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+    val ixInc = java.nio.file.Files.createTempDirectory("graft_pq_inc").toString
+    graft.functions.Similarity.writePqIndex(half1, "vec_id", "embedding", ixInc,
+      m = 8, subDim = 8, nCentroids = 4, iters = 1)
+    graft.functions.Similarity.appendToPqIndex(spark, ixInc, half2, "vec_id", "embedding")
+
+    val ixFull = java.nio.file.Files.createTempDirectory("graft_pq_full").toString
+    graft.functions.Similarity.writePqIndex(emb, "vec_id", "embedding", ixFull,
+      m = 8, subDim = 8, nCentroids = 4, iters = 1, trainOn = Some(half1))
+    assert(results(ixInc) == results(ixFull))
+    // appended vectors are actually served (both halves reachable)
+    val served = results(ixInc).map(_._2)
+    assert(served.exists(_ % 2 == 0) && served.exists(_ % 2 == 1))
+
+    // same contract for IVF-PQ (coarse lists + residual codebooks frozen)
+    def ivfResults(ix: String) = graft.functions.Similarity
+      .searchIvfPqIndex(spark, ix, queries, "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val ivfInc = java.nio.file.Files.createTempDirectory("graft_ivfpq_inc").toString
+    graft.functions.Similarity.writeIvfPqIndex(half1, "vec_id", "embedding", ivfInc,
+      nCoarse = 4, coarseIters = 1, m = 8, subDim = 8, nCentroids = 4,
+      pqIters = 1, dim = 64)
+    graft.functions.Similarity.appendToIvfPqIndex(spark, ivfInc, half2, "vec_id", "embedding")
+    val ivfFull = java.nio.file.Files.createTempDirectory("graft_ivfpq_full").toString
+    graft.functions.Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ivfFull,
+      nCoarse = 4, coarseIters = 1, m = 8, subDim = 8, nCentroids = 4,
+      pqIters = 1, dim = 64, trainOn = Some(half1))
+    assert(ivfResults(ivfInc) == ivfResults(ivfFull))
+  }
+
   test("cross-corpus near-dups: incoming vs reference only, no self-join pairs") {
     val ref = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),
