@@ -161,13 +161,45 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** Stills: exactly one frame — the image itself. */
-    override def frameCount(payload: Array[Byte]): Int = 1
-
-    override def frameAt(payload: Array[Byte], idx: Int): Array[Byte] = {
-      require(idx == 0, s"still image has one frame, asked for $idx")
-      payload
+    /** Run `f` against the ImageIO reader registered for the payload's
+      * container (GIF gets the JRE's multi-frame GIF reader).
+      */
+    private def withReader[T](payload: Array[Byte])
+                             (f: javax.imageio.ImageReader => T): T = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "undecodable image payload")
+        val r = readers.next()
+        r.setInput(iis)
+        try f(r) finally r.dispose()
+      } finally iis.close()
     }
+
+    /** Real frame count: multi-frame containers (animated GIF) report
+      * their sequence length; stills report 1.
+      */
+    override def frameCount(payload: Array[Byte]): Int =
+      withReader(payload)(_.getNumImages(true))
+
+    /** Decode frame `idx` and re-encode it standalone as PNG, so each
+      * emitted frame is independently decodable downstream (a raw GIF
+      * sub-image may be a palette delta against the previous frame).
+      */
+    override def frameAt(payload: Array[Byte], idx: Int): Array[Byte] =
+      withReader(payload) { r =>
+        val n = r.getNumImages(true)
+        require(idx >= 0 && idx < n, s"frame $idx out of ${n} frames")
+        val img = r.read(idx)
+        val rgb = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = rgb.createGraphics()
+        try g.drawImage(img, 0, 0, null) finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(rgb, "png", out)
+        out.toByteArray
+      }
   }
 
   /** Wrap a text table as fake media payloads (utf-8 bytes) — the

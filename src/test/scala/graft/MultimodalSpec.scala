@@ -137,7 +137,65 @@ class MultimodalSpec extends SparkSpec {
     // deterministic re-encode
     assert(small.sameElements(Multimodal.ImageIoCodec.resize("image", png, 8, 6)))
     assert(Multimodal.ImageIoCodec.frameCount(png) == 1)
-    assert(Multimodal.ImageIoCodec.frameAt(png, 0).sameElements(png))
+    // frame 0 of a still re-encodes standalone: same pixels, same dims
+    val f0 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.ImageIoCodec.frameAt(png, 0)))
+    val orig = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(f0.getWidth == orig.getWidth && f0.getHeight == orig.getHeight)
+    assert((0 until f0.getHeight).forall(y => (0 until f0.getWidth).forall(x =>
+      (f0.getRGB(x, y) & 0xffffff) == (orig.getRGB(x, y) & 0xffffff))))
+    intercept[IllegalArgumentException](Multimodal.ImageIoCodec.frameAt(png, 1))
+  }
+
+  /** 3-frame animated GIF (8×6, one solid primary color per frame) via
+    * ImageIO's sequence writer — primaries survive GIF palettization
+    * exactly, so frame pixels are assertable.
+    */
+  private def testGif(colors: Seq[Int]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(c)); g.fillRect(0, 0, 8, 6) }
+      finally g.dispose()
+      w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    w.endWriteSequence(); w.dispose(); ios.close()
+    baos.toByteArray
+  }
+
+  test("ImageIoCodec: animated GIF — real frameCount, each frame decodes standalone") {
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff)
+    val gif = testGif(colors)
+    assert(Multimodal.ImageIoCodec.frameCount(gif) == 3)
+    colors.zipWithIndex.foreach { case (c, i) =>
+      val png = Multimodal.ImageIoCodec.frameAt(gif, i)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 8 && img.getHeight == 6, s"frame $i dims")
+      assert((img.getRGB(4, 3) & 0xffffff) == c, s"frame $i color")
+    }
+    intercept[IllegalArgumentException](Multimodal.ImageIoCodec.frameAt(gif, 3))
+    // and through the Spark frame-sampling operator: every frame out,
+    // indices and fps timestamps attached, payload column decodable
+    import spark.implicits._
+    val m = Seq((7L, "video", gif)).toDF("media_id", "kind", "payload")
+    val frames = Multimodal.sampleFrames(m, everyNth = 1, maxFrames = 8,
+      fps = 10.0, codec = Multimodal.ImageIoCodec).collect().sortBy(_.frame_idx)
+    assert(frames.map(f => (f.media_id, f.frame_idx, f.t_ms)).toSeq ==
+      Seq((7L, 0, 0L), (7L, 1, 100L), (7L, 2, 200L)))
+    frames.zip(colors).foreach { case (f, c) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame))
+      assert((img.getRGB(4, 3) & 0xffffff) == c)
+    }
+    // every-2nd sampling takes frames 0 and 2
+    val sampled = Multimodal.sampleFrames(m, everyNth = 2, maxFrames = 8,
+      fps = 10.0, codec = Multimodal.ImageIoCodec).collect().map(_.frame_idx).sorted
+    assert(sampled.toSeq == Seq(0, 2))
   }
 
   test("ImageIoCodec: drives the Spark operators end-to-end on real PNG payloads") {
