@@ -63,6 +63,12 @@ object Packing {
       .filter(col("n_tokens") > 0)
       .withColumn("bucket",
         pmod(Sampling.hashBucket(col("doc_id"), salt), lit(nBuckets.toLong)))
+      // explicit, so the offsets join can't push a one-sided isnotnull
+      // below only ITS copy of the bucket Exchange — the two consumers'
+      // subtrees must stay canonically identical for stage reuse (one
+      // corpus scan, not two). Null bucket ⇔ null doc_id, which has no
+      // position in the packed stream anyway.
+      .filter(col("bucket").isNotNull)
 
     // phase 1: inclusive cumulative sum WITHIN each bucket (distributed;
     // doc_id is unique so the order — and therefore the sum — is total)
@@ -70,11 +76,16 @@ object Packing {
     val local = base.withColumn("local_end", sum(col("n_tokens")).over(wBucket))
 
     // phase 2: exclusive prefix sum over the nBuckets-row totals frame —
-    // the single-partition window is deliberate and O(nBuckets)
+    // the single-partition window is deliberate and O(nBuckets). Totals
+    // are read off phase 1's output (max of the inclusive cumsum ≡ the
+    // bucket sum) rather than recomputed from `base`: both consumers then
+    // share the ONE bucket Exchange subtree (ReuseExchange), so the
+    // upstream — at 100 TB, the full corpus scan plus whatever gates feed
+    // this — is scanned once, not once per branch.
     val wTotals = Window.orderBy(col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col("bucket"))
-      .agg(sum(col("n_tokens")).as("tot"))
+    val offsets = local.groupBy(col("bucket"))
+      .agg(max(col("local_end")).as("tot"))
       .withColumn("bucket_off", coalesce(sum(col("tot")).over(wTotals), lit(0L)))
       .select(col("bucket"), col("bucket_off"))
 

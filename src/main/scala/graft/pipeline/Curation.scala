@@ -48,6 +48,29 @@ object Curation {
         col("pii_ok")).as("keep"))
   }
 
+  /** The surviving documents themselves (original columns), for feeding
+    * the next pipeline stage — same gates as [[curate]], applied as
+    * filters instead of verdict columns, so the composition stays the
+    * dedup Exchange plus one map-side pass and never joins the verdict
+    * frame back onto the corpus. Dedup canonicality is decided over the
+    * FULL corpus before any other gate: a canonical doc that later
+    * gates kill does NOT promote one of its duplicates (same contract
+    * as [[curate]]'s keep column).
+    */
+  def curatedCorpus(df: DataFrame, idCol: String, textCol: String,
+                    minQualityMicro: Long = 400000L,
+                    maxPii: Long = 0L): DataFrame = {
+    val text: Column = col(textCol)
+    val deduped = Dedup.exact(df, idCol, textCol).filter(!col("is_duplicate"))
+    val gated = TextAnalysis.gopherFilterOnto(deduped, text).filter(col("keep"))
+    val scored = TextAnalysis.qualityScoreOnto(gated, "__q", text)
+      .filter((col("__q").cast("decimal(25,6)") * lit(1000000)).cast("long")
+        >= minQualityMicro)
+    val survivors = TextAnalysis.piiScrubOnto(scored, text)
+      .filter(col("n_pii") <= maxPii)
+    survivors.select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Streaming curation — the ingest-time form: all quality gates are
     * stateless Columns so they run map-side on the stream unchanged;
     * exact dedup becomes first-seen-wins on the fingerprint

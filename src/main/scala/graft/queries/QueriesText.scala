@@ -790,6 +790,96 @@ object QueriesText {
               |  greatest(start_off, seq_id * 512) - seq_id * 512 AS seq_off
               |FROM e""".stripMargin)),
 
+    // CAPSTONE — prepare-training-shards end to end: exact-dedup
+    // canonical → Gopher/quality/PII curation gates → concat-and-split
+    // sequence packing of the survivors. Composes t_curation's gate
+    // fragments (as a WHERE) with t_seq_emit's layout CTEs (FROM the
+    // survivors); every fragment is one a standalone oracle already
+    // proved engine-exact, so this query guards the COMPOSED plan —
+    // the artifact a training run actually reads. All-BIGINT output.
+    QDef("t_pipeline_e2e",
+      (s, dir) => {
+        val d = Q.table(s, dir, "documents")
+        val corpus = graft.pipeline.Curation.curatedCorpus(
+          d, "doc_id", "text", minQualityMicro = 800000L, maxPii = 0L)
+        graft.functions.Packing.packedSequences(
+          corpus, col("doc_id"), TextAnalysis.wsTokenCount(col("text")),
+          seqLen = 512, nBuckets = 32, salt = "pack")
+      },
+      Some {
+        val enHits = stopwordHitsSql("en")
+        val (e, p, i) = (TextAnalysis.PiiEmailRe, TextAnalysis.PiiPhoneRe,
+          TextAnalysis.PiiIpRe)
+        s"""WITH dd0 AS (
+           |  SELECT doc_id,
+           |    doc_id = min(doc_id) OVER (PARTITION BY md5($normSql)) AS dedup_ok
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id,
+           |    len($rawTokensSql) >= 20 AND len($rawTokensSql) <= 90 AS r_len_ok,
+           |    CAST(length(text) AS DOUBLE)
+           |      / greatest(CAST(len($rawTokensSql) AS DOUBLE), 1.0) >= 3.0
+           |    AND CAST(length(text) AS DOUBLE)
+           |      / greatest(CAST(len($rawTokensSql) AS DOUBLE), 1.0) <= 10.0 AS r_mwl_ok,
+           |    $enHits >= 2 AS r_sw_ok,
+           |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           |      / greatest(CAST(length(text) AS DOUBLE), 1.0) >= 0.5 AS r_alpha_ok
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id,
+           |    CAST(CAST($qualitySql AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+           |      AS quality_micro
+           |  FROM documents),
+           |p1 AS (SELECT doc_id, text,
+           |    regexp_replace(text, '$e', '<EMAIL>', 'g') AS t1 FROM documents),
+           |p2 AS (SELECT doc_id, text, t1,
+           |    regexp_replace(t1, '$p', '<PHONE>', 'g') AS t2 FROM p1),
+           |pp AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_extract_all(text, '$e'))
+           |       + len(regexp_extract_all(t1, '$p'))
+           |       + len(regexp_extract_all(t2, '$i')) AS BIGINT) AS n_pii
+           |  FROM p2),
+           |kept AS (
+           |  SELECT doc_id, text FROM documents
+           |  JOIN dd0 USING (doc_id) JOIN g USING (doc_id)
+           |  JOIN q USING (doc_id) JOIN pp USING (doc_id)
+           |  WHERE dedup_ok AND r_len_ok AND r_mwl_ok AND r_sw_ok
+           |    AND r_alpha_ok AND quality_micro >= 800000 AND n_pii <= 0),
+           |d AS (
+           |  SELECT doc_id,
+           |    CAST(len($rawTokensSql) AS BIGINT) AS n_tokens,
+           |    (CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           |      % 1000000) % 32 AS bucket
+           |  FROM kept
+           |  WHERE len($rawTokensSql) > 0),
+           |c AS (
+           |  SELECT doc_id, bucket, n_tokens,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS local_end
+           |  FROM d),
+           |bo AS (
+           |  SELECT bucket,
+           |    CAST(coalesce(sum(tot) OVER (ORDER BY bucket
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bucket_off
+           |  FROM (SELECT bucket, sum(n_tokens) AS tot FROM d GROUP BY bucket) t),
+           |p AS (
+           |  SELECT c.doc_id, c.n_tokens,
+           |    bucket_off + local_end - n_tokens AS start_off,
+           |    (bucket_off + local_end - n_tokens) // 512 AS seq_first,
+           |    (bucket_off + local_end - 1) // 512 AS seq_last
+           |  FROM c JOIN bo USING (bucket)),
+           |e AS (
+           |  SELECT doc_id, n_tokens, start_off,
+           |    unnest(generate_series(seq_first, seq_last)) AS seq_id
+           |  FROM p)
+           |SELECT seq_id, doc_id,
+           |  greatest(start_off, seq_id * 512) - start_off AS tok_from,
+           |  least(start_off + n_tokens, (seq_id + 1) * 512) - start_off AS tok_to,
+           |  greatest(start_off, seq_id * 512) - seq_id * 512 AS seq_off
+           |FROM e""".stripMargin
+      }),
+
     // MinHash estimator calibration: sketch-Jaccard vs exact Jaccard
     // with signed error for every band candidate — run before picking
     // (k, bands, tau) on a new corpus. All-integer outputs.

@@ -92,6 +92,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("capstone pipeline: composed plan stays at the sum of its parts' shuffles") {
+    // dedup-canonical → curation gates → sequence packing, composed. The
+    // shuffle budget of the whole artifact: the dedup fingerprint agg, the
+    // packing bucket shuffle (shared by the cumsum window AND the bucket
+    // totals via exchange reuse — the corpus scan + gates run ONCE), and
+    // the deliberate O(nBuckets) SinglePartition offsets window. Both
+    // joins (dedup canonical map, bucket offsets) broadcast. More distinct
+    // shuffles means a gate stopped being map-side; a missing reuse means
+    // the 100 TB scan doubled.
+    val df = SparkEntry.queries("t_pipeline_e2e")(spark, dir)
+    df.collect() // AQE only surfaces stage reuse in the FINAL plan
+    // the AdaptiveSparkPlan string carries BOTH final and initial plans;
+    // only the final one reflects what actually ran
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // materialized Exchange NODES (a ReusedExchange line repeats the
+    // original's description, so match the node prefix, not the substring)
+    val exchanges = "\\+- Exchange (hashpartitioning|SinglePartition)".r.findAllIn(p).size
+    assert(exchanges == 3,
+      s"expected 3 materialized shuffles (dedup fp, bucket, offsets single-partition), got $exchanges:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"bucket shuffle must be REUSED by window + totals (one corpus scan):\n$p")
+    assert("\\+- Exchange SinglePartition".r.findAllIn(p).size == 1,
+      s"exactly the one O(nBuckets) offsets window may serialize:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join anywhere in the capstone:\n$p")
+  }
+
   test("persisted-index serving: codes scan side never shuffle-joins") {
     // building the index is part of the query's first run; the SERVING
     // plan (what queries() returns once the index exists) must score the
