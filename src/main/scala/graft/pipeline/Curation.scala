@@ -71,6 +71,34 @@ object Curation {
     survivors.select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** The whole prepare-training-shards flow as one call: curated corpus
+    * ([[curatedCorpus]]) → concat-and-split packing → fixed-`seqLen`
+    * token sequences, written as a bucketed-at-rest table keyed by
+    * `shard` (= seq_id / seqsPerShard) and sorted by (shard, seq_id) —
+    * so a trainer's "read shard k" is a bucket-pruned scan in sequence
+    * order with no shuffle and no sort at read time. Tokenization is
+    * [[TextAnalysis.wsTokens]], the same split the curation gates count,
+    * so the packed layout and the gates agree on token boundaries.
+    * Returns the sequence count (the one number an orchestrator needs
+    * to size the training run).
+    */
+  def writeTrainingShards(df: DataFrame, idCol: String, textCol: String,
+                          outTable: String, outPath: String,
+                          seqLen: Int = 512, nBuckets: Int = 32,
+                          seqsPerShard: Long = 1024L, tableBuckets: Int = 32,
+                          minQualityMicro: Long = 400000L,
+                          maxPii: Long = 0L): Long = {
+    val corpus = curatedCorpus(df, idCol, textCol, minQualityMicro, maxPii)
+    val seqs = graft.functions.Packing.packSequenceTokens(
+        corpus, col(idCol), TextAnalysis.wsTokens(col(textCol)),
+        seqLen, nBuckets)
+      .withColumn("shard", (col("seq_id") / lit(seqsPerShard)).cast("long"))
+    graft.core.Tables.writeBucketed(seqs, outTable, outPath,
+      keys = Seq("shard"), buckets = tableBuckets,
+      sortCols = Seq("shard", "seq_id"))
+    seqs.sparkSession.table(outTable).count()
+  }
+
   /** Streaming curation — the ingest-time form: all quality gates are
     * stateless Columns so they run map-side on the stream unchanged;
     * exact dedup becomes first-seen-wins on the fingerprint

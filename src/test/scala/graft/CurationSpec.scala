@@ -80,6 +80,42 @@ class CurationSpec extends SparkSpec with Matchers {
     assert(batch == Set(1L, 5L))
   }
 
+  test("writeTrainingShards: curated corpus lands as bucketed fixed-length sequences") {
+    import org.apache.spark.sql.functions._
+    // 3 clean docs (one a dup, killed) → enough tokens for several
+    // 16-token sequences; the junk/PII docs must not reach the shards
+    val docs = Seq(
+      (1L, goodText),
+      (2L, goodText),                       // dup of 1: dropped
+      (3L, goodText.replace("river", "harbor")),
+      (4L, "too short a text"),             // gopher kill
+      (5L, goodText + " mail me at someone@example.com please today ok")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("shards").toString
+    val n = graft.pipeline.Curation.writeTrainingShards(
+      docs, "doc_id", "text", "train_shards", path,
+      seqLen = 16, nBuckets = 4, seqsPerShard = 2, tableBuckets = 4,
+      minQualityMicro = 700000L, maxPii = 0L)
+    try {
+      val back = spark.table("train_shards")
+      assert(back.count() == n && n > 0)
+      // survivors are docs 1 and 3 only: total tokens = 2 × |goodText|
+      val totalTokens = back.agg(sum(org.apache.spark.sql.functions.size($"tokens"))).head().getLong(0)
+      val expected = 2L * goodText.trim.split("\\s+").length
+      assert(totalTokens == expected, s"shards carry $totalTokens of $expected tokens")
+      // every sequence is exactly seqLen except the single global tail
+      val lens = back.select(org.apache.spark.sql.functions.size($"tokens").as("n")).collect().map(_.getInt(0))
+      assert(lens.count(_ != 16) <= 1 && lens.forall(_ <= 16))
+      // shard ids tile seq_ids in order: shard == seq_id / seqsPerShard
+      assert(back.filter($"shard" =!= ($"seq_id" / 2).cast("long")).isEmpty)
+      // the at-rest layout is the bucketed table writeBucketed promises
+      val cat = spark.sql("DESCRIBE TABLE EXTENDED train_shards")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(cat.get("Num Buckets").exists(_.trim == "4"), cat)
+      assert(cat.get("Bucket Columns").exists(_.contains("shard")), cat)
+    } finally spark.sql("DROP TABLE IF EXISTS train_shards")
+  }
+
   test("composition adds no shuffle beyond the dedup window Exchange") {
     val docs = Seq((1L, goodText)).toDF("doc_id", "text")
     val plan = Curation.curate(docs, "doc_id", "text")
