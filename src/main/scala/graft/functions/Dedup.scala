@@ -54,6 +54,34 @@ object Dedup {
       .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
   }
 
+  /** Sub-document exact dedup (Lee et al. 2022 span dedup, on the
+    * fixed-word-window span unit of [[TextAnalysis.passages]]):
+    * first-seen-wins per exact passage — the occurrence with the
+    * smallest (doc_id, pidx) keeps the text, every later occurrence
+    * (including repeats WITHIN one document) is cut — then documents
+    * are rebuilt from their surviving passages. Returns
+    * (doc_id, n_passages, n_kept, clean_text).
+    *
+    * Scale shape mirrors [[exact]]: first-occurrence is a two-phase
+    * `groupBy(fp).agg(min(struct(doc_id, pidx)))` whose map-side
+    * partial aggregation collapses a mega-duplicated passage (the
+    * empty-ish span that appears 10⁹ times) to one row per input
+    * partition — never a hot-key window. The join probe back is the
+    * only per-key concentration and AQE skew-split handles it.
+    */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+                   passageLen: Int = 8): DataFrame = {
+    val pass = TextAnalysis.passages(df, idCol, textCol, passageLen)
+      .withColumn("fp", md5(col("passage")))
+    val first = pass.groupBy(col("fp").as("__fp"))
+      .agg(min(struct(col("doc_id"), col("pidx"))).as("__first"))
+    val kept = pass.join(first, col("fp") === col("__fp"))
+      .filter(col("doc_id") === col("__first.doc_id") &&
+        col("pidx") === col("__first.pidx"))
+      .select("doc_id", "pidx", "passage")
+    TextAnalysis.reassemblePassages(pass, kept)
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:
     * explode distinct shingles, self-join on shingle (df-filtered to cap
     * skew), count co-occurrences, Jaccard = co / (|A| + |B| − co).

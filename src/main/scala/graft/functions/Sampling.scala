@@ -78,4 +78,47 @@ object Sampling {
       .filter(col("__s_rk") <= k)
       .drop("__s_rk")
   }
+
+  /** Temperature-weighted mixture sampling to a global token budget —
+    * the domain-mixing step of a pretraining pipeline: give each
+    * stratum (domain/language/source) a token target proportional to
+    * n_s^0.5 (temperature-0.5 upsampling of small domains, the
+    * "unigram-smoothed" mixture of multilingual-corpus practice), cap
+    * at the stratum's actual mass, and keep each document by the same
+    * repeatable per-key hash as [[hashSample]]. Returns the kept rows
+    * as (key, stratum, n_tokens, rate_micro).
+    *
+    * Portability is engineered: the ONLY floating-point step is sqrt,
+    * which IEEE 754 requires to be exactly rounded (unlike pow/log,
+    * whose last bits vary by libm) — its result is floored to an
+    * integer weight and everything downstream (weight normalization,
+    * token target, keep rate) is int64 arithmetic, so the per-stratum
+    * rate is bit-identical in any engine. `budgetTokens` ≤ 9.2e12 so
+    * budget×1e6 fits int64; split a larger budget across corpus shards.
+    *
+    * Scale shape: one partial-aggregating groupBy builds the per-stratum
+    * token mass (output = #strata rows, tiny); the rate table broadcasts
+    * back; membership is then a map-side filter — no data-scale shuffle,
+    * and re-weighting (new budget or temperature) only rebuilds the tiny
+    * rate table, never reshuffles the corpus.
+    */
+  def mixtureSample(df: DataFrame, keyCol: Column, strataCol: Column,
+                    tokenCountCol: Column, budgetTokens: Long,
+                    salt: String = "graft"): DataFrame = {
+    require(budgetTokens > 0 && budgetTokens <= 9200000000000L,
+      s"budgetTokens must be in (0, 9.2e12]: got $budgetTokens")
+    val doc = df.select(keyCol.as("key"), strataCol.as("stratum"),
+      tokenCountCol.cast("long").as("n_tokens"))
+    val strat = doc.groupBy("stratum").agg(sum("n_tokens").as("__n"))
+      .withColumn("__sq",
+        expr("CAST(floor(sqrt(CAST(__n AS DOUBLE)) * 1000.0) AS BIGINT)"))
+    val ssum = strat.agg(sum("__sq").as("__ssum"))
+    val rates = strat.crossJoin(broadcast(ssum))
+      .withColumn("rate_micro",
+        expr(s"least(1000000L, ((${budgetTokens}L * 1000000L div __ssum) * __sq) div __n)"))
+      .select(col("stratum").as("__stratum"), col("rate_micro"))
+    doc.join(broadcast(rates), col("stratum") === col("__stratum"))
+      .filter(hashBucket(col("key"), salt) < col("rate_micro"))
+      .select("key", "stratum", "n_tokens", "rate_micro")
+  }
 }

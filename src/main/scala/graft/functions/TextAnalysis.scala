@@ -414,4 +414,108 @@ object TextAnalysis {
         size(col("toks")).as("n_tokens"),
         array_join(col("toks"), " ").as("chunk_text"))
   }
+
+  /** Consecutive non-overlapping `len`-word passages of the normalized
+    * text — (doc_id, pidx, passage), the last one possibly short. The
+    * exact-span unit for sub-document dedup: Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * deduplicate fixed-length token spans, and CCNet (Wenzek et al.
+    * 2020) deduplicates lines; the corpus here is single-line text, so
+    * fixed word windows are the span unit for both. Map-side explode —
+    * zero shuffle on its own.
+    */
+  def passages(df: DataFrame, idCol: String, textCol: String,
+               len: Int): DataFrame = {
+    require(len > 0, s"passage length must be positive: got $len")
+    df.select(col(idCol).as("doc_id"),
+        split(normalized(col(textCol)), " ").as("words"))
+      .withColumn("s", explode(sequence(lit(0), size(col("words")) - 1, lit(len))))
+      .select(col("doc_id"),
+        (col("s") / len).cast("long").as("pidx"),
+        array_join(slice(col("words"), col("s") + 1, lit(len)), " ").as("passage"))
+  }
+
+  /** Rebuild documents from a surviving subset of their passages:
+    * (doc_id, n_passages, n_kept, clean_text) with passages rejoined in
+    * original order. Documents that lost every passage survive with
+    * n_kept = 0 and empty clean_text (the caller decides whether an
+    * emptied doc is dropped — that's a curation-gate decision, not a
+    * dedup decision). One shuffle per side keyed by doc_id; the
+    * collect_list is bounded by words/len per doc, the same per-doc
+    * bound the source text already had.
+    */
+  def reassemblePassages(all: DataFrame, kept: DataFrame): DataFrame = {
+    val tot = all.groupBy("doc_id").agg(count(lit(1)).as("n_passages"))
+    val k = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pidx"), col("passage")))),
+        x => x("passage")), " ").as("clean_text"))
+    tot.join(k, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** CCNet-style boilerplate removal: drop every passage whose exact
+    * text appears in more than `maxDf` distinct documents (navigation
+    * chrome, license headers, cookie banners — the spans that repeat
+    * corpus-wide), then rebuild the documents. Returns
+    * (doc_id, n_passages, n_kept, clean_text).
+    *
+    * Scale shape — the [[SkewCap]] argument applies verbatim: the
+    * boilerplate key set is SMALL by definition (each key crosses
+    * > maxDf documents, so there are at most corpus_passages / maxDf of
+    * them), so it broadcasts, and the heavy side is pruned with a
+    * map-side left-anti join — the hot passages never colocate. The df
+    * count itself is a partial-aggregating groupBy (the mega-hot
+    * passage collapses to one row per map task before shuffling).
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        passageLen: Int = 8, maxDf: Long = 1L): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1: got $maxDf")
+    val pass = passages(df, idCol, textCol, passageLen)
+      .withColumn("fp", md5(col("passage")))
+    val boiler = pass.groupBy(col("fp").as("__fp"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("__fp")
+    val kept = pass
+      .join(broadcast(boiler), col("fp") === col("__fp"), "left_anti")
+      .select("doc_id", "pidx", "passage")
+    reassemblePassages(pass, kept)
+  }
+
+  /** Unigram-frequency-rank quality proxy: rank every vocabulary token
+    * by corpus frequency (1 = most frequent; ties broken by token text),
+    * then score each document by the mean rank of its tokens — a
+    * perplexity-like "how surprising is this document under the corpus
+    * unigram distribution" signal with NO floating-point transcendentals
+    * (log/pow are libm calls whose last bits differ across engines; an
+    * integer rank sum is bit-portable everywhere). Returns
+    * (doc_id, n_tokens, sum_rank, mean_rank_micro), all BIGINT.
+    *
+    * Scale shape: vocab build is a partial-aggregating groupBy (hot
+    * tokens collapse map-side). The global row_number over the vocab is
+    * a single-partition window — correct because vocab cardinality is
+    * corpus-sublinear (Heaps' law: ~millions of types for trillions of
+    * tokens), so it is the small frame in the plan; the rank table then
+    * joins back to the exploded token stream where AQE's skew-join
+    * splitting absorbs the stopword keys.
+    *
+    * Contract: sum_rank × 1e6 must fit in int64 — holds through
+    * vocab ≤ 1e6 with docs ≤ 9e6 tokens (and far beyond in practice).
+    */
+  def tokenRankScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = df.select(col(idCol).as("doc_id"),
+      explode(split(normalized(col(textCol)), " ")).as("token"))
+    val vocab = tk.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val rank = vocab.withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token").asc)))
+      .select("token", "rank")
+    tk.join(rank, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("rank").as("sum_rank"))
+      .withColumn("mean_rank_micro", expr("sum_rank * 1000000 div n_tokens"))
+  }
 }

@@ -46,6 +46,34 @@ object QueriesText {
   private def baseHashSql(c: String): String =
     s"CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)"
 
+  /** Fixed-`len`-word passage CTE ending in `p (doc_id, pidx, passage)`
+    * — mirrors [[TextAnalysis.passages]] (normalized words, stride =
+    * len, last passage short).
+    */
+  private def passageCte(len: Int): String =
+    s"""wn AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS words
+       |       FROM documents),
+       |p AS (
+       |  SELECT doc_id, CAST((s - 1) // $len AS BIGINT) AS pidx,
+       |         array_to_string(list_slice(words, s, s + ${len - 1}), ' ') AS passage
+       |  FROM (SELECT doc_id, words,
+       |          unnest(range(1, len(words) + 1, $len)) AS s FROM wn))""".stripMargin
+
+  /** Rebuild CTEs over `p` (all passages) and `kept` — mirrors
+    * [[TextAnalysis.reassemblePassages]].
+    */
+  private val reassembleCtes: String =
+    """tot AS (SELECT doc_id, count(*) AS n_passages FROM p GROUP BY 1),
+      |ka AS (SELECT doc_id, count(*) AS n_kept,
+      |         string_agg(passage, ' ' ORDER BY pidx) AS clean_text
+      |       FROM kept GROUP BY 1)""".stripMargin
+
+  private val reassembleSelect: String =
+    """SELECT t.doc_id, t.n_passages,
+      |  coalesce(ka.n_kept, 0) AS n_kept,
+      |  coalesce(ka.clean_text, '') AS clean_text
+      |FROM tot t LEFT JOIN ka USING (doc_id)""".stripMargin
+
   /** Winnowing-fingerprint CTE chain over documents, ending in
     * `m (doc_id, wf)` — mirrors [[TextAnalysis.winnowingFingerprints]]
     * (k=8 char grams, window 16, Karp-Rabin Horner fold, identical
@@ -944,6 +972,87 @@ object QueriesText {
            |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
            |      $enHits AS sw
            |    FROM documents) t) f""".stripMargin
-      })
+      }),
+
+    // sub-document exact dedup (Lee et al. 2022 span dedup on 8-word
+    // passages): first-seen (doc_id, pidx) keeps each exact passage,
+    // later occurrences are cut, documents rebuilt from survivors.
+    // Spark side is the partial-agg groupBy + join-back shape (no
+    // hot-key window); oracle mirrors it with a first-occurrence
+    // window, which is equivalent on the result.
+    QDef("dd_passage",
+      (s, dir) => Dedup.passageDedup(Q.table(s, dir, "documents"),
+        "doc_id", "text", passageLen = 8),
+      Some(s"""WITH ${passageCte(8)},
+              |f AS (SELECT doc_id, pidx, passage,
+              |        row_number() OVER (PARTITION BY md5(passage)
+              |          ORDER BY doc_id, pidx) AS rn
+              |      FROM p),
+              |kept AS (SELECT doc_id, pidx, passage FROM f WHERE rn = 1),
+              |$reassembleCtes
+              |$reassembleSelect""".stripMargin)),
+
+    // CCNet-style boilerplate removal: passages appearing in more than
+    // one distinct document are corpus boilerplate — cut everywhere,
+    // documents rebuilt. The over-threshold key set is tiny by
+    // definition, so the Spark side prunes with a broadcast left-anti
+    // (the SkewCap shape).
+    QDef("t_boilerplate",
+      (s, dir) => TextAnalysis.removeBoilerplate(Q.table(s, dir, "documents"),
+        "doc_id", "text", passageLen = 8, maxDf = 1L),
+      Some(s"""WITH ${passageCte(8)},
+              |b AS (SELECT md5(passage) AS fp FROM p
+              |      GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+              |kept AS (SELECT doc_id, pidx, passage FROM p
+              |         WHERE md5(passage) NOT IN (SELECT fp FROM b)),
+              |$reassembleCtes
+              |$reassembleSelect""".stripMargin)),
+
+    // temperature-0.5 mixture sampling to a global token budget: each
+    // source's keep rate targets budget · sqrt(n_s)/Σsqrt tokens. All
+    // integer arithmetic after one exactly-rounded sqrt — portable.
+    // Map-side membership: the rate table is #sources rows, broadcast.
+    QDef("t_mixture_sample",
+      (s, dir) => Sampling.mixtureSample(Q.table(s, dir, "documents"),
+        col("doc_id"), col("source"),
+        TextAnalysis.wsTokenCount(col("text")),
+        budgetTokens = 12000L, salt = "mix2")
+        .select(col("key").as("doc_id"), col("stratum").as("source"),
+          col("n_tokens"), col("rate_micro")),
+      Some(s"""WITH d AS (SELECT doc_id, source,
+              |         CAST(len($rawTokensSql) AS BIGINT) AS n_tokens
+              |       FROM documents),
+              |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n
+              |      FROM d GROUP BY 1),
+              |s2 AS (SELECT source, n,
+              |         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS sq
+              |       FROM s),
+              |t AS (SELECT CAST(sum(sq) AS BIGINT) AS ssum FROM s2),
+              |r AS (SELECT source,
+              |        least(1000000, ((CAST(12000 AS BIGINT) * 1000000 // ssum) * sq) // n)
+              |          AS rate_micro
+              |      FROM s2, t)
+              |SELECT d.doc_id, d.source, d.n_tokens, r.rate_micro
+              |FROM d JOIN r USING (source)
+              |WHERE (CAST(('0x' || substr(md5('mix2' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              |         % 1000000) < r.rate_micro""".stripMargin)),
+
+    // unigram-frequency-rank quality proxy: mean corpus-frequency rank
+    // of a document's tokens — perplexity-like rarity signal in pure
+    // integer space (no libm transcendentals, bit-portable).
+    QDef("t_token_rank",
+      (s, dir) => TextAnalysis.tokenRankScore(Q.table(s, dir, "documents"),
+        "doc_id", "text"),
+      Some(s"""WITH tk AS (SELECT doc_id, unnest($wordsSql) AS token FROM documents),
+              |v AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1),
+              |r AS (SELECT token,
+              |        CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS rnk
+              |      FROM v),
+              |d AS (SELECT tk.doc_id, count(*) AS n_tokens,
+              |        CAST(sum(r.rnk) AS BIGINT) AS sum_rank
+              |      FROM tk JOIN r USING (token) GROUP BY 1)
+              |SELECT doc_id, n_tokens, sum_rank,
+              |  sum_rank * 1000000 // n_tokens AS mean_rank_micro
+              |FROM d""".stripMargin))
   )
 }

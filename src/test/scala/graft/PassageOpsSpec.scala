@@ -1,0 +1,116 @@
+package graft
+
+import graft.functions.{Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Sub-document span operators (passage dedup, boilerplate removal),
+  * the unigram-rank quality proxy, and mixture sampling.
+  */
+class PassageOpsSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  test("passageDedup: first-seen wins, later occurrences cut, docs rebuilt") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),         // p0="a b c d" p1="e f g h" both first
+      (2L, "a b c d x y z w"),         // p0 dups doc1.p0 → cut; p1 kept
+      (3L, "e f g h e f g h"),         // both passages dup doc1.p1 → emptied
+      (4L, "q r s t q r s t")          // within-doc repeat: p1 dups own p0
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(docs, "doc_id", "text", passageLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((2L, 2L, "a b c d e f g h"))
+    out(2L) shouldBe ((2L, 1L, "x y z w"))
+    out(3L) shouldBe ((2L, 0L, ""))    // lost everything, row survives
+    out(4L) shouldBe ((2L, 1L, "q r s t"))
+  }
+
+  test("passageDedup: survivors independent of partitioning") {
+    val docs = (1L to 60L)
+      .map(i => (i, s"shared lead in text here unique tail ${i % 7} word $i"))
+      .toDF("doc_id", "text")
+    val a = Dedup.passageDedup(docs, "doc_id", "text", passageLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    val b = Dedup.passageDedup(docs.repartition(13), "doc_id", "text", passageLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    a shouldBe b   // min(struct) ordering, not arrival order
+  }
+
+  test("removeBoilerplate: shared passage cut EVERYWHERE, unique text kept") {
+    val docs = Seq(
+      (1L, "cookie banner text here body one alpha beta"),
+      (2L, "cookie banner text here body two gamma delta"),
+      (3L, "cookie banner text here body three epsilon zeta"),
+      (4L, "entirely unique document four has no chrome")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplate(docs, "doc_id", "text",
+      passageLen = 4, maxDf = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // "cookie banner text here" spans 3 docs → boilerplate: cut from ALL
+    // THREE (passage dedup would have kept doc 1's copy — the difference)
+    out(1L) shouldBe ((2L, 1L, "body one alpha beta"))
+    out(2L) shouldBe ((2L, 1L, "body two gamma delta"))
+    out(3L) shouldBe ((2L, 1L, "body three epsilon zeta"))
+    out(4L) shouldBe ((2L, 2L, "entirely unique document four has no chrome"))
+  }
+
+  test("removeBoilerplate: prunes with a broadcast left-anti join") {
+    val docs = (1L to 50L).map(i => (i, s"chrome header row doc body $i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplate(docs, "doc_id", "text",
+      passageLen = 3, maxDf = 1L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+  }
+
+  test("tokenRankScore: exact integer ranks, ties broken by token text") {
+    val docs = Seq((1L, "the the cat"), (2L, "the dog")).toDF("doc_id", "text")
+    // corpus counts: the=3, cat=1, dog=1 → ranks the=1, cat=2, dog=3
+    val out = TextAnalysis.tokenRankScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out(1L) shouldBe ((3L, 4L, 1333333L))  // 1+1+2, ×1e6 div 3
+    out(2L) shouldBe ((2L, 4L, 2000000L))  // 1+3, ×1e6 div 2
+  }
+
+  test("mixtureSample: budget ≥ corpus keeps all; equal strata get equal rates") {
+    val docs = (1L to 300L).map { i =>
+      (i, s"src${i % 3}", "one two three four five")   // 5 tokens each
+    }.toDF("doc_id", "source", "text")
+    val all = Sampling.mixtureSample(docs, $"doc_id", $"source",
+      TextAnalysis.wsTokenCount($"text"), budgetTokens = 10000L, salt = "m1")
+    all.count() shouldBe 300L              // 1500-token corpus, rate caps at 1
+    val sampled = Sampling.mixtureSample(docs, $"doc_id", $"source",
+      TextAnalysis.wsTokenCount($"text"), budgetTokens = 750L, salt = "m1")
+    val rates = sampled.select($"stratum", $"rate_micro").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates.values.toSet.size shouldBe 1     // identical mass → identical rate
+    // half the tokens asked → rate ≈ 0.5 (integer floors keep it ≤)
+    assert(rates.values.head > 400000L && rates.values.head <= 500000L)
+    val kept = sampled.agg(sum($"n_tokens")).head().getLong(0)
+    assert(kept > 500L && kept <= 800L)    // lands near the budget
+  }
+
+  test("mixtureSample: deterministic, partitioning-independent, sqrt upweights small strata") {
+    val docs = ((1L to 240L).map(i => (i, "big", "a b c d e f g h")) ++
+      (241L to 270L).map(i => (i, "small", "a b c d e f g h")))
+      .toDF("doc_id", "source", "text")
+    val s1 = Sampling.mixtureSample(docs, $"doc_id", $"source",
+      TextAnalysis.wsTokenCount($"text"), budgetTokens = 1000L, salt = "m2")
+    val s2 = Sampling.mixtureSample(docs.repartition(11), $"doc_id", $"source",
+      TextAnalysis.wsTokenCount($"text"), budgetTokens = 1000L, salt = "m2")
+    val k1 = s1.select($"key").collect().map(_.getLong(0)).toSet
+    s2.select($"key").collect().map(_.getLong(0)).toSet shouldBe k1
+    val rates = s1.select($"stratum", $"rate_micro").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // temperature 0.5: the 8× bigger stratum gets only √8× the tokens,
+    // so its keep RATE is ~√8 ≈ 2.83× LOWER than the small stratum's
+    val ratio = rates("small").toDouble / rates("big").toDouble
+    assert(ratio > 2.5 && ratio < 3.2, s"rates=$rates ratio=$ratio")
+  }
+}
