@@ -486,6 +486,35 @@ object TextAnalysis {
     reassemblePassages(pass, kept)
   }
 
+  /** Benchmark decontamination, the REMOVAL form of
+    * [[Dedup.contaminationCheck]] (which only flags): cut from every
+    * corpus document each passage whose exact `passageLen`-word text
+    * appears ANYWHERE in the benchmark — at any token offset, because
+    * the benchmark side is indexed by its overlapping `passageLen`-gram
+    * shingles (stride 1), not by aligned windows — then rebuild the
+    * documents. Returns (doc_id, n_passages, n_kept, clean_text).
+    * Passages shorter than `passageLen` (document tails) can never
+    * equal a full-length shingle and are always kept.
+    *
+    * Scale shape: benchmark shingle fingerprints are distinct-reduced
+    * (partial agg) and broadcast — eval sets are small next to the
+    * corpus — so the cut is a map-side left-anti; for a huge eval set
+    * swap in a Bloom filter exactly as [[Dedup.contaminationCheckBloom]]
+    * does. The corpus side stays one explode + the reassembly groupBy.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    passageLen: Int = 8): DataFrame = {
+    val pass = passages(corpus, idCol, textCol, passageLen)
+      .withColumn("fp", md5(col("passage")))
+    val bench = benchmark
+      .select(explode(Dedup.shingles(col(textCol), passageLen)).as("g"))
+      .select(md5(col("g")).as("__fp")).distinct()
+    val kept = pass.join(broadcast(bench), col("fp") === col("__fp"), "left_anti")
+      .select("doc_id", "pidx", "passage")
+    reassemblePassages(pass, kept)
+  }
+
   /** Unigram-frequency-rank quality proxy: rank every vocabulary token
     * by corpus frequency (1 = most frequent; ties broken by token text),
     * then score each document by the mean rank of its tokens — a

@@ -1037,6 +1037,36 @@ object QueriesText {
               |WHERE (CAST(('0x' || substr(md5('mix2' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
               |         % 1000000) < r.rate_micro""".stripMargin)),
 
+    // benchmark decontamination, removal form: corpus passages equal to
+    // ANY 8-gram of the benchmark docs (doc_id % 23 = 0, same split as
+    // t_contamination) are cut at any offset, documents rebuilt. The
+    // benchmark fingerprint set broadcasts; the cut is map-side.
+    QDef("t_decontaminate",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        TextAnalysis.decontaminate(
+          docs.filter(col("doc_id") % 23 =!= 0),
+          docs.filter(col("doc_id") % 23 === 0),
+          "doc_id", "text", passageLen = 8)
+      },
+      Some(s"""WITH wn AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS words
+              |            FROM documents),
+              |p0 AS (
+              |  SELECT doc_id, CAST((s - 1) // 8 AS BIGINT) AS pidx,
+              |         array_to_string(list_slice(words, s, s + 7), ' ') AS passage
+              |  FROM (SELECT doc_id, words,
+              |          unnest(range(1, len(words) + 1, 8)) AS s FROM wn)),
+              |p AS (SELECT * FROM p0 WHERE doc_id % 23 <> 0),
+              |ev AS (
+              |  SELECT DISTINCT md5(array_to_string(list_slice(words, i, i + 7), ' ')) AS fp
+              |  FROM (SELECT words,
+              |          unnest(range(1, greatest(len(words) - 7, 0) + 1)) AS i
+              |        FROM wn WHERE doc_id % 23 = 0) t),
+              |kept AS (SELECT doc_id, pidx, passage FROM p
+              |         WHERE md5(passage) NOT IN (SELECT fp FROM ev)),
+              |$reassembleCtes
+              |$reassembleSelect""".stripMargin)),
+
     // unigram-frequency-rank quality proxy: mean corpus-frequency rank
     // of a document's tokens — perplexity-like rarity signal in pure
     // integer space (no libm transcendentals, bit-portable).

@@ -68,6 +68,20 @@ class PassageOpsSpec extends SparkSpec with Matchers {
     assert(plan.contains("BroadcastExchange"), plan.take(2000))
   }
 
+  test("decontaminate: passages matching benchmark n-grams at ANY offset are cut") {
+    val bench = Seq((100L, "q w e r t y")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c w e r d e f"),   // "w e r" = benchmark 3-gram at offset 1
+      (2L, "q w x y z")            // "q w x" matches nothing; short tail kept
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text",
+      passageLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((3L, 2L, "a b c d e f"))  // non-aligned overlap caught
+    out(2L) shouldBe ((2L, 2L, "q w x y z"))
+  }
+
   test("tokenRankScore: exact integer ranks, ties broken by token text") {
     val docs = Seq((1L, "the the cat"), (2L, "the dog")).toDF("doc_id", "text")
     // corpus counts: the=3, cat=1, dog=1 → ranks the=1, cat=2, dog=3
