@@ -82,6 +82,63 @@ object Dedup {
     TextAnalysis.reassemblePassages(pass, kept)
   }
 
+  /** Create a persistent dedup ledger: the fingerprint set of an
+    * already-accepted corpus, stored as a parquet table BUCKETED BY
+    * FINGERPRINT — the cross-run form of [[exact]]. Every later ingest
+    * ([[dedupAgainstLedger]]) dedups against ALL history by scanning
+    * only this one-hash-per-document column store, never the historical
+    * corpus bytes, and because the ledger is bucketed on the join key
+    * the history side NEVER shuffles: each ingest shuffles only that
+    * day's batch into the bucket layout. At 10¹¹ accepted documents the
+    * ledger is a few TB of hashes; the daily batch is the small side.
+    */
+  def writeDedupLedger(df: DataFrame, textCol: String, table: String,
+                       path: String, buckets: Int = 32): Unit = {
+    val fps = df.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .distinct()
+    graft.core.Tables.writeBucketed(fps, table, path,
+      keys = Seq("fingerprint"), buckets = buckets)
+  }
+
+  /** Incremental-ingest dedup against a [[writeDedupLedger]] ledger:
+    * first-seen-wins WITHIN the batch (two-phase min-id, as [[exact]]),
+    * then a left-anti join against the ledger drops everything history
+    * has already accepted; survivors' fingerprints are appended to the
+    * ledger (same bucket spec — Spark validates on append) and the
+    * surviving rows are returned WITH their `fingerprint` column.
+    *
+    * The result is materialized with LINEAGE CUT (`localCheckpoint`)
+    * before the ledger append: a table insert actively REFRESHES every
+    * cached plan that references the table (persist() is not enough),
+    * so any frame still carrying the anti-join would re-evaluate
+    * against the grown ledger and come back empty. After the
+    * checkpoint the result no longer references the table at all.
+    */
+  def dedupAgainstLedger(batch: DataFrame, idCol: String, textCol: String,
+                         table: String): DataFrame = {
+    val spark = batch.sparkSession
+    val withFp = batch.withColumn("fingerprint",
+      TextAnalysis.fingerprint(col(textCol)))
+    val first = withFp.groupBy(col("fingerprint").as("__fp"))
+      .agg(min(col(idCol)).as("__canon"))
+    val inBatchCanon = withFp.join(first,
+        col("fingerprint") === col("__fp") && col(idCol) === col("__canon"))
+      .drop("__fp", "__canon")
+    val fresh = inBatchCanon
+      .join(spark.table(table), Seq("fingerprint"), "left_anti")
+      .localCheckpoint(true)
+    val meta = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val buckets = meta("Num Buckets").trim.toInt
+    fresh.select("fingerprint")
+      .write.mode("append")
+      .bucketBy(buckets, "fingerprint")
+      .sortBy("fingerprint")
+      .format("parquet")
+      .saveAsTable(table)
+    fresh
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:
     * explode distinct shingles, self-join on shingle (df-filtered to cap
     * skew), count co-occurrences, Jaccard = co / (|A| + |B| − co).
