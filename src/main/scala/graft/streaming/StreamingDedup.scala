@@ -36,4 +36,21 @@ object StreamingDedup {
     ds.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(timeCol, delay)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Streaming passage-level dedup — the streaming face of
+    * [[graft.functions.Dedup.passageDedup]]: documents explode into
+    * fixed-word passages map-side, the first arrival of each exact
+    * passage passes, every later copy (same or later micro-batch, same
+    * or other document) is dropped. Emits the surviving
+    * (doc_id, pidx, passage, fp) rows in append mode; reassembly
+    * ([[TextAnalysis.reassemblePassages]]) is left to the sink or a
+    * downstream batch read — a streaming per-document collect would
+    * chain a second stateful stage for no ingest-side benefit. State:
+    * one store entry per distinct passage fingerprint.
+    */
+  def passages(ds: DataFrame, idCol: String, textCol: String,
+               passageLen: Int = 8): DataFrame =
+    TextAnalysis.passages(ds, idCol, textCol, passageLen)
+      .withColumn("fp", md5(col("passage")))
+      .dropDuplicates("fp")
 }

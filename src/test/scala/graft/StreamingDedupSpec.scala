@@ -77,4 +77,34 @@ class StreamingDedupSpec extends SparkSpec with Matchers {
       assert(got == batchCanonical) // min-id == first-arrival here (ordered feed)
     } finally query.stop()
   }
+
+  test("stream passage dedup == batch passageDedup under id-ordered arrival") {
+    implicit val sq = spark.sqlContext
+    // same dup matrix as PassageOpsSpec: cross-doc dup, emptied doc,
+    // within-doc repeat
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d x y z w"),
+      (3L, "e f g h e f g h"), (4L, "q r s t q r s t"))
+    val batchDf = docs.toDF("doc_id", "text")
+    val mem = MemoryStream[DocEvent]
+    val query = StreamingDedup.passages(mem.toDF().withColumnRenamed("docId", "doc_id"),
+        "doc_id", "text", passageLen = 4)
+      .writeStream.format("memory").queryName("pass_stream")
+      .outputMode("append").start()
+    try {
+      // one doc per batch: cross-batch state does the dedup work
+      docs.foreach { case (i, s) =>
+        mem.addData(DocEvent(i, s, t(i.toInt))); query.processAllAvailable()
+      }
+      val streamKept = spark.table("pass_stream")
+        .select($"doc_id", $"pidx", $"passage")
+      val rebuilt = graft.functions.TextAnalysis.reassemblePassages(
+        graft.functions.TextAnalysis.passages(batchDf, "doc_id", "text", 4),
+        streamKept)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val batch = graft.functions.Dedup.passageDedup(batchDf, "doc_id", "text", 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(rebuilt == batch)
+    } finally query.stop()
+  }
 }
