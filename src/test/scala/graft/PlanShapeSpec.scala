@@ -50,6 +50,38 @@ class PlanShapeSpec extends SparkSpec {
     assertNoGenerateOutsideCache("dd_winnow_pairs")
   }
 
+  test("passage dedup: first-seen-wins is the partial-agg groupBy, no window over the fp") {
+    val p = plan("dd_passage")
+    // a mega-duplicated passage must collapse map-side; a window over
+    // the fp would colocate every copy on one task first
+    assert(!p.contains("Window ["), s"hot-passage window found:\n$p")
+    assert(p.contains("partial_min"), s"expected two-phase min(struct):\n$p")
+  }
+
+  test("mixture sample: rate plumbing broadcasts, corpus membership stays map-side") {
+    val p = plan("t_mixture_sample")
+    assert(!p.contains("SortMergeJoin"),
+      s"rate table must broadcast, never SMJ the corpus:\n$p")
+    assert(p.contains("BroadcastExchange"), s"no broadcast in plan:\n$p")
+    // the only Exchanges are the per-stratum aggregations (strat branch
+    // ×2 + the scalar weight-sum) — every one carries partial-agg'd
+    // rows bounded by #strata, never corpus rows
+    val ex = p.linesIterator.count(_.contains("+- Exchange "))
+    assert(ex <= 3, s"expected only the tiny per-stratum agg Exchanges, got $ex:\n$p")
+  }
+
+  test("token rank: the only window ranks the vocab aggregate, not the token stream") {
+    val p = plan("t_token_rank")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"expected exactly the vocab rank window:\n$p")
+    // the single-partition sort is over the corpus-sublinear vocab — the
+    // token-keyed agg must sit BELOW the single-partition exchange
+    val spAt = p.indexOf("Exchange SinglePartition")
+    val vocabAggAt = p.indexOf("HashAggregate(keys=[token", spAt)
+    assert(spAt >= 0 && vocabAggAt > spAt,
+      s"vocab agg must feed the single-partition rank (sp at $spAt, agg at $vocabAggAt):\n$p")
+  }
+
   /** The optimized logical plan must contain a cached relation and zero
     * Generate (explode) nodes outside it — InMemoryRelation is a leaf,
     * so a surviving Generate means the exploded index is being
