@@ -486,6 +486,41 @@ object TextAnalysis {
     reassemblePassages(pass, kept)
   }
 
+  /** Linear quality-classifier inference — the fastText-style learned
+    * filter of production curation pipelines, reduced to what inference
+    * actually is at scale: a dot product of per-document features
+    * against a broadcast weight vector. Features are the integer
+    * signals the rule gates already compute (token count, char count,
+    * alpha chars, English stopword hits, mean word length in
+    * milli-chars); weights and bias arrive in micro units, the logit
+    * stays in integer micro space (a monotone function of the sigmoid,
+    * so `keep = logit ≥ 0` IS the classifier decision — no libm exp,
+    * bit-portable in any engine). Returns
+    * (doc_id, n_tokens, logit_micro, keep), map-side, zero shuffle.
+    *
+    * Train wherever you like (sklearn, fastText, a Spark LR fit);
+    * serve here by passing the learned coefficients.
+    */
+  def linearQualityScore(df: DataFrame, idCol: String, textCol: String,
+                         wTokensMicro: Long, wCharsMicro: Long,
+                         wAlphaMicro: Long, wStopMicro: Long,
+                         wMwlMicro: Long, biasMicro: Long): DataFrame = {
+    val text = col(textCol)
+    df.select(col(idCol).as("doc_id"),
+        wsTokenCount(text).cast("long").as("n_tokens"),
+        length(text).cast("long").as("__nc"),
+        length(regexp_replace(text, "[^A-Za-z]", "")).cast("long").as("__na"),
+        stopwordHits(text, Stopwords("en")).cast("long").as("__ns"))
+      // logit entirely in int64 (mean word length as integer
+      // milli-chars) — `div`, never `/` (double division)
+      .selectExpr("doc_id", "n_tokens",
+        s"${biasMicro}L + ${wTokensMicro}L * n_tokens + ${wCharsMicro}L * __nc" +
+          s" + ${wAlphaMicro}L * __na + ${wStopMicro}L * __ns" +
+          s" + ${wMwlMicro}L * (__nc * 1000L div greatest(n_tokens, 1L))" +
+          " AS logit_micro")
+      .withColumn("keep", col("logit_micro") >= 0L)
+  }
+
   /** Benchmark decontamination, the REMOVAL form of
     * [[Dedup.contaminationCheck]] (which only flags): cut from every
     * corpus document each passage whose exact `passageLen`-word text

@@ -1067,6 +1067,30 @@ object QueriesText {
               |$reassembleCtes
               |$reassembleSelect""".stripMargin)),
 
+    // learned-filter inference: fastText-style linear quality classifier
+    // served as a map-side integer dot product (logit in micro units —
+    // monotone in the sigmoid, so logit >= 0 IS the decision; no libm).
+    QDef("t_quality_classifier",
+      (s, dir) => TextAnalysis.linearQualityScore(Q.table(s, dir, "documents"),
+        "doc_id", "text",
+        wTokensMicro = 500000L, wCharsMicro = 50000L, wAlphaMicro = 30000L,
+        wStopMicro = 200000L, wMwlMicro = 2000L, biasMicro = -62000000L),
+      Some {
+        val enHits = stopwordHitsSql("en")
+        s"""SELECT doc_id, n_tokens, logit_micro, logit_micro >= 0 AS keep
+           |FROM (
+           |  SELECT doc_id,
+           |    CAST(len($rawTokensSql) AS BIGINT) AS n_tokens,
+           |    -62000000 + 500000 * CAST(len($rawTokensSql) AS BIGINT)
+           |      + 50000 * CAST(length(text) AS BIGINT)
+           |      + 30000 * CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+           |      + 200000 * CAST($enHits AS BIGINT)
+           |      + 2000 * (CAST(length(text) AS BIGINT) * 1000
+           |                // greatest(CAST(len($rawTokensSql) AS BIGINT), 1))
+           |      AS logit_micro
+           |  FROM documents) t""".stripMargin
+      }),
+
     // unigram-frequency-rank quality proxy: mean corpus-frequency rank
     // of a document's tokens — perplexity-like rarity signal in pure
     // integer space (no libm transcendentals, bit-portable).

@@ -92,6 +92,25 @@ class PassageOpsSpec extends SparkSpec with Matchers {
     out(2L) shouldBe ((2L, 4L, 2000000L))  // 1+3, ×1e6 div 2
   }
 
+  test("linearQualityScore: hand-computed integer logit, keep = logit >= 0") {
+    val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
+    // doc 1: nt=3 nc=11 na=9 stop=1 mwl=11000 div 3=3666
+    //   logit = 10 + 1·3 + 2·11 + 3·9 + 1000·1 + 1·3666 = 4728
+    // doc 2: nt=1 nc=1 na=1 stop=0 mwl=1000
+    //   logit = 10 + 1 + 2 + 3 + 0 + 1000 = 1016; with bias -2000 → -984
+    val out = TextAnalysis.linearQualityScore(docs, "doc_id", "text",
+      wTokensMicro = 1L, wCharsMicro = 2L, wAlphaMicro = 3L,
+      wStopMicro = 1000L, wMwlMicro = 1L, biasMicro = 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    out(1L) shouldBe ((4728L, true))
+    out(2L) shouldBe ((1016L, true))
+    val neg = TextAnalysis.linearQualityScore(docs, "doc_id", "text",
+      1L, 2L, 3L, 1000L, 1L, biasMicro = -2000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    neg(1L) shouldBe true    // 2718 >= 0
+    neg(2L) shouldBe false   // -994 < 0
+  }
+
   test("mixtureSample: budget ≥ corpus keeps all; equal strata get equal rates") {
     val docs = (1L to 300L).map { i =>
       (i, s"src${i % 3}", "one two three four five")   // 5 tokens each
