@@ -486,6 +486,31 @@ object TextAnalysis {
     reassemblePassages(pass, kept)
   }
 
+  /** C4-style cleaning rules (Raffel et al. 2020 §2.2), the other
+    * canonical rule battery next to the Gopher gates: code-page
+    * heuristic (curly braces), placeholder text ("lorem ipsum"),
+    * boilerplate-warning marker ("javascript"), and a word-count
+    * band standing in for C4's sentence-count floor (the corpus here
+    * is single-line). Emits one verdict column per rule plus the
+    * combined `keep` — per-rule columns are what a curation dashboard
+    * tracks (WHICH rule kills documents). Pure Column expressions:
+    * map-side, zero shuffle.
+    */
+  def c4Filters(df: DataFrame, idCol: String, textCol: String,
+                minWords: Int = 5, maxWords: Int = 100000): DataFrame = {
+    val text = col(textCol)
+    val lower0 = lower(text)
+    val n = wsTokenCount(text)
+    df.select(col(idCol).as("doc_id"),
+        (!text.contains("{") && !text.contains("}")).as("r_braces_ok"),
+        (!lower0.contains("lorem ipsum")).as("r_lorem_ok"),
+        (!lower0.contains("javascript")).as("r_policy_ok"),
+        (n >= minWords && n <= maxWords).as("r_words_ok"))
+      .withColumn("keep",
+        col("r_braces_ok") && col("r_lorem_ok") &&
+          col("r_policy_ok") && col("r_words_ok"))
+  }
+
   /** Linear quality-classifier inference — the fastText-style learned
     * filter of production curation pipelines, reduced to what inference
     * actually is at scale: a dot product of per-document features

@@ -1067,6 +1067,22 @@ object QueriesText {
               |$reassembleCtes
               |$reassembleSelect""".stripMargin)),
 
+    // C4 cleaning rules (braces / lorem ipsum / javascript / word band)
+    // with per-rule verdicts — the second canonical battery next to
+    // t_gopher_filter. Map-side only.
+    QDef("t_c4_filter",
+      (s, dir) => TextAnalysis.c4Filters(Q.table(s, dir, "documents"),
+        "doc_id", "text", minWords = 50, maxWords = 90),
+      Some(s"""SELECT doc_id, r_braces_ok, r_lorem_ok, r_policy_ok, r_words_ok,
+              |  r_braces_ok AND r_lorem_ok AND r_policy_ok AND r_words_ok AS keep
+              |FROM (
+              |  SELECT doc_id,
+              |    NOT (contains(text, '{') OR contains(text, '}')) AS r_braces_ok,
+              |    NOT contains(lower(text), 'lorem ipsum') AS r_lorem_ok,
+              |    NOT contains(lower(text), 'javascript') AS r_policy_ok,
+              |    len($rawTokensSql) >= 50 AND len($rawTokensSql) <= 90 AS r_words_ok
+              |  FROM documents) t""".stripMargin)),
+
     // learned-filter inference: fastText-style linear quality classifier
     // served as a map-side integer dot product (logit in micro units —
     // monotone in the sigmoid, so logit >= 0 IS the decision; no libm).

@@ -92,6 +92,25 @@ class PassageOpsSpec extends SparkSpec with Matchers {
     out(2L) shouldBe ((2L, 4L, 2000000L))  // 1+3, ×1e6 div 2
   }
 
+  test("c4Filters: each rule kills its own pathology, clean doc passes") {
+    val docs = Seq(
+      (1L, "a perfectly clean document with enough words here"),
+      (2L, "code like function() { return 1 } inline"),
+      (3L, "Lorem Ipsum dolor sit amet filler text here"),
+      (4L, "please enable JavaScript to view this content"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filters(docs, "doc_id", "text", minWords = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5)))).toMap
+    out(1L) shouldBe ((true, true, true, true, true))
+    out(2L) shouldBe ((false, true, true, true, false))  // braces
+    out(3L) shouldBe ((true, false, true, true, false))  // lorem ipsum
+    out(4L) shouldBe ((true, true, false, true, false))  // javascript
+    out(5L) shouldBe ((true, true, true, false, false))  // word floor
+  }
+
   test("linearQualityScore: hand-computed integer logit, keep = logit >= 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // doc 1: nt=3 nc=11 na=9 stop=1 mwl=11000 div 3=3666
