@@ -102,6 +102,45 @@ object Sampling {
     * and re-weighting (new budget or temperature) only rebuilds the tiny
     * rate table, never reshuffles the corpus.
     */
+  /** The UPSAMPLING form of [[mixtureSample]]: where the sampler caps a
+    * stratum's keep rate at 1, this emits REPEATED copies when the
+    * temperature-weighted token target exceeds the stratum's mass —
+    * the "small domains run multiple epochs" side of mixture planning.
+    * Per document: `target·1e6 div n_s` micro-copies → `div 1e6` full
+    * copies for every doc, plus one extra copy for the deterministic
+    * hash-selected fraction — so the stratum's expected emitted tokens
+    * equal its target exactly, and the copy plan is reproducible on
+    * any engine/cluster/run. Returns (key, stratum, n_tokens, copy)
+    * with copy = 0..copies-1 (0 rows for a rate-0 stratum).
+    *
+    * Same integer-after-sqrt portability contract as [[mixtureSample]];
+    * the explode is map-side (output ∝ emitted volume, the unavoidable
+    * floor), so beyond the tiny rate table nothing shuffles.
+    */
+  def mixtureRepeat(df: DataFrame, keyCol: Column, strataCol: Column,
+                    tokenCountCol: Column, budgetTokens: Long,
+                    salt: String = "graft"): DataFrame = {
+    require(budgetTokens > 0 && budgetTokens <= 9200000000000L,
+      s"budgetTokens must be in (0, 9.2e12]: got $budgetTokens")
+    val doc = df.select(keyCol.as("key"), strataCol.as("stratum"),
+      tokenCountCol.cast("long").as("n_tokens"))
+    val strat = doc.groupBy("stratum").agg(sum("n_tokens").as("__n"))
+      .withColumn("__sq",
+        expr("CAST(floor(sqrt(CAST(__n AS DOUBLE)) * 1000.0) AS BIGINT)"))
+    val ssum = strat.agg(sum("__sq").as("__ssum"))
+    val rates = strat.crossJoin(broadcast(ssum))
+      .withColumn("rate_micro",
+        expr(s"((${budgetTokens}L * 1000000L div __ssum) * __sq) div __n"))
+      .select(col("stratum").as("__stratum"), col("rate_micro"))
+    doc.join(broadcast(rates), col("stratum") === col("__stratum"))
+      .withColumn("__hb", hashBucket(col("key"), salt))
+      .withColumn("__copies",
+        expr("rate_micro div 1000000L + IF(__hb < pmod(rate_micro, 1000000L), 1L, 0L)"))
+      .filter(col("__copies") > 0L)
+      .select(col("key"), col("stratum"), col("n_tokens"),
+        explode(expr("sequence(0L, __copies - 1L)")).as("copy"))
+  }
+
   def mixtureSample(df: DataFrame, keyCol: Column, strataCol: Column,
                     tokenCountCol: Column, budgetTokens: Long,
                     salt: String = "graft"): DataFrame = {

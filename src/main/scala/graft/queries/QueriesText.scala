@@ -1067,6 +1067,38 @@ object QueriesText {
               |$reassembleCtes
               |$reassembleSelect""".stripMargin)),
 
+    // UPSAMPLING mixture: temperature targets above a stratum's mass
+    // emit repeated copies (small domains run multiple epochs); full
+    // copies for all docs + one hash-selected extra for the fractional
+    // part, so expected emitted tokens hit the target exactly.
+    QDef("t_mixture_repeat",
+      (s, dir) => Sampling.mixtureRepeat(Q.table(s, dir, "documents"),
+        col("doc_id"), col("source"),
+        TextAnalysis.wsTokenCount(col("text")),
+        budgetTokens = 40000L, salt = "mix3")
+        .select(col("key").as("doc_id"), col("stratum").as("source"),
+          col("n_tokens"), col("copy")),
+      Some(s"""WITH d AS (SELECT doc_id, source,
+              |         CAST(len($rawTokensSql) AS BIGINT) AS n_tokens
+              |       FROM documents),
+              |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n
+              |      FROM d GROUP BY 1),
+              |s2 AS (SELECT source, n,
+              |         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS sq
+              |       FROM s),
+              |t AS (SELECT CAST(sum(sq) AS BIGINT) AS ssum FROM s2),
+              |r AS (SELECT source,
+              |        ((CAST(40000 AS BIGINT) * 1000000 // ssum) * sq) // n AS rate_micro
+              |      FROM s2, t),
+              |c AS (SELECT d.doc_id, d.source, d.n_tokens,
+              |        rate_micro // 1000000
+              |        + (CASE WHEN (CAST(('0x' || substr(md5('mix3' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              |                      % 1000000) < rate_micro % 1000000
+              |                THEN 1 ELSE 0 END) AS copies
+              |      FROM d JOIN r USING (source))
+              |SELECT doc_id, source, n_tokens, unnest(range(0, copies)) AS copy
+              |FROM c WHERE copies > 0""".stripMargin)),
+
     // C4 cleaning rules (braces / lorem ipsum / javascript / word band)
     // with per-rule verdicts — the second canonical battery next to
     // t_gopher_filter. Map-side only.

@@ -148,6 +148,30 @@ class PassageOpsSpec extends SparkSpec with Matchers {
     assert(kept > 500L && kept <= 800L)    // lands near the budget
   }
 
+  test("mixtureRepeat: upsampling emits repeats; expected tokens hit the target") {
+    // one stratum, 100 docs × 8 tokens = 800 tokens; budget 2000 →
+    // rate 2.5: every doc gets 2 copies, ~half get a third
+    val docs = (1L to 100L).map(i => (i, "s", "a b c d e f g h"))
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.mixtureRepeat(docs, $"doc_id", $"source",
+      graft.functions.TextAnalysis.wsTokenCount($"text"),
+      budgetTokens = 2000L, salt = "r1")
+    val perDoc = out.groupBy($"key").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.values.forall(c => c == 2L || c == 3L))
+    val total = out.agg(sum($"n_tokens")).head().getLong(0)
+    assert(total > 1800L && total <= 2200L, s"emitted $total of 2000 target")
+    // copy indices tile 0..copies-1
+    val copies = out.filter($"key" === 1L).select($"copy")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(copies == copies.indices.map(_.toLong))
+    // determinism across partitioning
+    val out2 = Sampling.mixtureRepeat(docs.repartition(7), $"doc_id", $"source",
+      graft.functions.TextAnalysis.wsTokenCount($"text"), 2000L, "r1")
+    assert(out2.groupBy($"key").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == perDoc)
+  }
+
   test("mixtureSample: deterministic, partitioning-independent, sqrt upweights small strata") {
     val docs = ((1L to 240L).map(i => (i, "big", "a b c d e f g h")) ++
       (241L to 270L).map(i => (i, "small", "a b c d e f g h")))
