@@ -32,9 +32,14 @@ class ZOrderSpec extends SparkSpec {
   test("z-order prunes files on both dimensions; a time sort only on time") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
-    // ts is TIMESTAMP(NANOS) read as a raw ns long (nanosAsLong)
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("user_id"), expr("ts DIV 1000").as("t_us"), col("value"))
+    // t_us: epoch-µs long regardless of how the vintage of events.parquet
+    // encodes ts (TIMESTAMP(NANOS)-as-long under nanosAsLong, or native µs)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val tUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    val events = raw.select(col("user_id"), tUs.as("t_us"), col("value"))
     val nFiles = 8
 
     Tables.writeZOrdered(events, s"$dir/z", Seq("user_id", "t_us"), files = nFiles)
