@@ -52,10 +52,22 @@ object Bench {
       repResults.collect { case (dt, None) => dt }.sum
     }
     // a failed query reports -1 (NOT its wall time: a fast exception path
-    // would silently flatter the total) and lands in the "errors" map
+    // would silently flatter the total) and lands in the "errors" map.
+    // Times are ms precision (3 decimals): full-double values made the
+    // stdout line ~2.6 KB, which overflowed the driver's log-capture
+    // window and truncated the head of the JSON (BENCH_r07 parsed:null)
+    def f3(v: Double): String = {
+      val s = "%.3f".format(v)
+      if (s == "-1.000") "-1"
+      // trailing-zero strip ("1.140"→"1.14", "2.000"→"2.0"): ~100 bytes
+      // across 80+ queries, and this line fights a ~2 KB capture window
+      else if (s.endsWith("00")) s.dropRight(2)
+      else if (s.endsWith("0")) s.dropRight(1)
+      else s
+    }
     val qs = names.map { n =>
       val v = times(n) match { case Nil => -1.0; case ts => ts.min }
-      s"\"" + n + "\":" + v
+      s"\"" + n + "\":" + f3(v)
     }.mkString("{", ",", "}")
     // full JSON string escaping (AnalysisException messages span lines —
     // a raw \n would break the one-line metric contract)
@@ -68,23 +80,33 @@ object Bench {
     val errJson = errs.toSeq.sortBy(_._1)
       .map { case (k, e) => s"\"" + k + "\":\"" + jstr(e) + "\"" }
       .mkString("{", ",", "}")
-    val totalsJson = totals.mkString("[", ",", "]")
+    val totalsJson = totals.map(f3).mkString("[", ",", "]")
     // headline value = the best complete run; per-query mins may come
-    // from different reps, so their sum can undercut every real run
-    val line = s"""{"metric":"total","value":${totals.min},"unit":"sec","reps":$reps,"totals":$totalsJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    println(line)
-    // the stdout line gets tail-truncated by log captures once the query
-    // map grows — persist the full JSON too (path overridable)
+    // from different reps, so their sum can undercut every real run.
+    // Two layers against the driver's bounded log-capture window:
+    //   - the stdout line carries only the essentials (metric/value/
+    //     queries/errors/sf) at ms precision — ~1.3 KB for 80+ queries,
+    //     under the ~2 KB window that truncated r7's 2.6 KB line;
+    //   - the file JSON keeps everything (reps + every rep's total).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // stdout line trims the sf to its basename and drops an empty error
+    // map; the file JSON keeps the full forms
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val errPart = if (errs.isEmpty) "" else s""","errors":$errJson"""
+    val line = s"""{"metric":"total","value":${f3(totals.min)},"unit":"sec","queries":$qs$errPart,"sf":"$sfShort"}"""
+    val full = s"""{"metric":"total","value":${f3(totals.min)},"unit":"sec","reps":$reps,"totals":$totalsJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir","out":"$outFile"}"""
+    println(full)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"bench: could not write $outFile: $e") }
-    // stop Spark BEFORE the final print, then repeat the JSON as the very
-    // last stdout line: a tail-window log capture keeps the END of the
-    // output, and Spark's shutdown logging after the first print is what
-    // pushed the line's head out of the r6 driver's window
+    // compact head-line BEFORE the final full line: even if a future
+    // query-map growth pushes the full line past the capture window
+    // again, the head-line's total/errors survive just above it
     spark.stop()
+    println(s"""{"metric":"total","value":${f3(totals.min)},"unit":"sec","nqueries":${names.size},"nerrors":${errs.size},"out":"$outFile"}""")
+    // stop Spark BEFORE the final print, then the JSON as the very last
+    // stdout line: a tail-window log capture keeps the END of the output
     println(line)
   }
 }

@@ -46,6 +46,27 @@ object Obs {
   /** Epoch seconds as fractional double (for rates: gradient, velocity). */
   def epochSec(ts: Column): Column = epochUs(ts).cast("double") / 1e6
 
+  /** Epoch-µs derivation for the RAW events `ts` column — the single
+    * place the schema dispatch lives (production + tests share it, so
+    * the epoch axis cannot drift between them). The driver's
+    * events.parquet carries parquet TIMESTAMP(NANOS); under
+    * `spark.sql.legacy.parquet.nanosAsLong` (set by [[Sessions]]) Spark
+    * surfaces that as a raw ns LongType, which truncates ns→µs by
+    * integer division — matching how µs-native engines (and the DuckDB
+    * oracle) read the same file. LongType occurs ONLY via that flag:
+    * this is the table's write contract, not an inference from value
+    * magnitude, so an int64 column here is by definition nanoseconds.
+    * Note the result is DERIVED (`ts DIV 1000`) and therefore does not
+    * push to the parquet scan — for pushable range predicates use
+    * [[eventsAsObservationsBetween]], which inverts the bounds onto the
+    * raw column.
+    */
+  def rawTsToEpochUs(schema: StructType, tsField: String = "ts"): Column =
+    schema(tsField).dataType match {
+      case LongType => expr(s"$tsField DIV 1000")
+      case _ => unix_micros(col(tsField).cast("timestamp"))
+    }
+
   /** Adapt the driver's `events` table to the observations shape:
     * event_id -> iot_id, user_id -> datastream_id, value -> result,
     * ts -> phenomenonTime, event_type -> observation_type. Lat/long are
@@ -89,20 +110,18 @@ object Obs {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val pushed = ev.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // inverted bounds on the RAW ns column (≡ rawTsToEpochUs(ts)
+        // in (fromUsExcl, toUsExcl)) — this integer form pushes
         ev.filter(col("ts") > fromUsExcl * 1000L + 999L && col("ts") < toUsExcl * 1000L)
       case _ =>
-        ev.filter(unix_micros(col("ts").cast("timestamp")) > fromUsExcl &&
-          unix_micros(col("ts").cast("timestamp")) < toUsExcl)
+        val tUs = rawTsToEpochUs(ev.schema)
+        ev.filter(tUs > fromUsExcl && tUs < toUsExcl)
     }
     project(pushed)
   }
 
   private def project(ev: DataFrame): DataFrame = {
-    val tsCol = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr("ts DIV 1000"))
-      case _ => col("ts").cast("timestamp")
-    }
+    val tsCol = timestamp_micros(rawTsToEpochUs(ev.schema))
     ev.select(
       col("event_id").as(IotId),
       col("value").as(Result),

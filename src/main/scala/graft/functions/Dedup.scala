@@ -127,9 +127,14 @@ object Dedup {
     val fresh = inBatchCanon
       .join(spark.table(table), Seq("fingerprint"), "left_anti")
       .localCheckpoint(true)
-    val meta = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    val buckets = meta("Num Buckets").trim.toInt
+    // append must match the ledger's existing bucket layout; read it
+    // from the catalog's typed metadata (not DESCRIBE text, whose row
+    // labels have shifted across Spark versions)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val buckets = spark.sessionState.catalog.getTableMetadata(ident)
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(sys.error(s"ledger table $table has no bucket spec — " +
+        "create it with writeDedupLedger"))
     fresh.select("fingerprint")
       .write.mode("append")
       .bucketBy(buckets, "fingerprint")

@@ -89,14 +89,19 @@ object Curation {
                           minQualityMicro: Long = 400000L,
                           maxPii: Long = 0L): Long = {
     val corpus = curatedCorpus(df, idCol, textCol, minQualityMicro, maxPii)
+    // the sequence count rides the write itself (observed metric
+    // harvested from the write job) — a count() against the written
+    // table would re-scan the whole shard table for one number
+    val obs = org.apache.spark.sql.Observation()
     val seqs = graft.functions.Packing.packSequenceTokens(
         corpus, col(idCol), TextAnalysis.wsTokens(col(textCol)),
         seqLen, nBuckets)
       .withColumn("shard", (col("seq_id") / lit(seqsPerShard)).cast("long"))
+      .observe(obs, count(lit(1)).as("n_seqs"))
     graft.core.Tables.writeBucketed(seqs, outTable, outPath,
       keys = Seq("shard"), buckets = tableBuckets,
       sortCols = Seq("shard", "seq_id"))
-    seqs.sparkSession.table(outTable).count()
+    obs.get("n_seqs").asInstanceOf[Long]
   }
 
   /** Streaming curation — the ingest-time form: all quality gates are

@@ -35,10 +35,7 @@ class ZOrderSpec extends SparkSpec {
     // t_us: epoch-µs long regardless of how the vintage of events.parquet
     // encodes ts (TIMESTAMP(NANOS)-as-long under nanosAsLong, or native µs)
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    val tUs = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
-      case _ => unix_micros(col("ts").cast("timestamp"))
-    }
+    val tUs = graft.core.Obs.rawTsToEpochUs(raw.schema)
     val events = raw.select(col("user_id"), tUs.as("t_us"), col("value"))
     val nFiles = 8
 
