@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.functions.{Dedup, TextAnalysis}
+import graft.functions.{Bpe, Dedup, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -76,9 +76,14 @@ object Curation {
     * token sequences, written as a bucketed-at-rest table keyed by
     * `shard` (= seq_id / seqsPerShard) and sorted by (shard, seq_id) —
     * so a trainer's "read shard k" is a bucket-pruned scan in sequence
-    * order with no shuffle and no sort at read time. Tokenization is
-    * [[TextAnalysis.wsTokens]], the same split the curation gates count,
-    * so the packed layout and the gates agree on token boundaries.
+    * order with no shuffle and no sort at read time. Tokenization:
+    * whitespace words by default — the same split the curation gates
+    * count, so the packed layout and the gates agree on token
+    * boundaries; pass `bpeVocab` to emit SUBWORD TOKEN IDS instead
+    * ([[Bpe.encode]] greedy longest-match, `array<int>` sequences) —
+    * the shard table then holds trainable integer ids, and the packing
+    * offsets count BPE tokens rather than words (the gates still count
+    * words: quality thresholds are calibrated on word statistics).
     * Returns the sequence count (the one number an orchestrator needs
     * to size the training run).
     */
@@ -87,15 +92,19 @@ object Curation {
                           seqLen: Int = 512, nBuckets: Int = 32,
                           seqsPerShard: Long = 1024L, tableBuckets: Int = 32,
                           minQualityMicro: Long = 400000L,
-                          maxPii: Long = 0L): Long = {
+                          maxPii: Long = 0L,
+                          bpeVocab: Option[Bpe.Vocab] = None): Long = {
     val corpus = curatedCorpus(df, idCol, textCol, minQualityMicro, maxPii)
+    val tokens = bpeVocab match {
+      case Some(v) => Bpe.encode(TextAnalysis.normalized(col(textCol)), v)
+      case None => TextAnalysis.wsTokens(col(textCol))
+    }
     // the sequence count rides the write itself (observed metric
     // harvested from the write job) — a count() against the written
     // table would re-scan the whole shard table for one number
     val obs = org.apache.spark.sql.Observation()
     val seqs = graft.functions.Packing.packSequenceTokens(
-        corpus, col(idCol), TextAnalysis.wsTokens(col(textCol)),
-        seqLen, nBuckets)
+        corpus, col(idCol), tokens, seqLen, nBuckets)
       .withColumn("shard", (col("seq_id") / lit(seqsPerShard)).cast("long"))
       .observe(obs, count(lit(1)).as("n_seqs"))
     graft.core.Tables.writeBucketed(seqs, outTable, outPath,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Dedup, Sampling, TextAnalysis}
+import graft.functions.{Bpe, Dedup, Sampling, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication queries over the `documents` table.
@@ -1155,6 +1155,65 @@ object QueriesText {
               |      FROM tk JOIN r USING (token) GROUP BY 1)
               |SELECT doc_id, n_tokens, sum_rank,
               |  sum_rank * 1000000 // n_tokens AS mean_rank_micro
-              |FROM d""".stripMargin))
+              |FROM d""".stripMargin)),
+
+    // BPE/subword tokenizer apply: greedy longest-match over a fixed
+    // vocabulary (native expression, map-side, zero shuffle). Output is
+    // the id sequence pinned by order-sensitive integer checksums (the
+    // positional sum makes any reordering or off-by-one visible) plus
+    // the first 8 ids verbatim. The oracle replays the greedy match
+    // per word with a recursive CTE + lateral longest-piece probe over
+    // the SAME vocab literal (generated from Bpe.demoVocab — the two
+    // sides cannot drift).
+    QDef("t_bpe_encode",
+      (s, dir) => {
+        val ids = Bpe.encode(TextAnalysis.normalized(col("text")), Bpe.demoVocab)
+        Q.table(s, dir, "documents")
+          .select(col("doc_id"), ids.as("ids"))
+          .select(col("doc_id"),
+            size(col("ids")).as("n_tokens"),
+            array_join(transform(slice(col("ids"), 1, 8), _.cast("string")), ",")
+              .as("head_ids"),
+            aggregate(col("ids"), lit(0L), (a, x) => a + x.cast("long"))
+              .as("id_sum"),
+            aggregate(col("ids"), struct(lit(0L).as("s"), lit(0L).as("i")),
+              (acc, x) => struct(
+                (acc.getField("s") + (acc.getField("i") + lit(1L)) * x.cast("long")).as("s"),
+                (acc.getField("i") + lit(1L)).as("i")),
+              acc => acc.getField("s")).as("id_possum"))
+      },
+      Some(s"""WITH RECURSIVE
+              |vocab(id, piece, plen) AS (VALUES ${Bpe.vocabValuesSql(Bpe.demoVocab)}),
+              |docs AS (SELECT doc_id, $normSql AS norm FROM documents),
+              |wn AS (SELECT doc_id, regexp_split_to_array(norm, ' ') AS words FROM docs),
+              |w AS (SELECT doc_id, unnest(words) AS word,
+              |             unnest(range(1, len(words) + 1)) AS widx FROM wn),
+              |enc(doc_id, widx, word, pos, ids) AS (
+              |  SELECT doc_id, widx, word, 0, CAST([] AS INTEGER[]) FROM w
+              |  WHERE length(word) > 0
+              |  UNION ALL
+              |  SELECT e.doc_id, e.widx, e.word, e.pos + coalesce(m.plen, 1),
+              |         list_append(e.ids, coalesce(m.id, 0))
+              |  FROM enc e LEFT JOIN LATERAL (
+              |    SELECT v.id, v.plen FROM vocab v
+              |    WHERE substr(e.word, e.pos + 1, v.plen) = v.piece
+              |    ORDER BY v.plen DESC LIMIT 1) m ON true
+              |  WHERE e.pos < length(e.word)
+              |),
+              |done AS (SELECT doc_id, widx, ids FROM enc WHERE pos = length(word)),
+              |flat AS (SELECT doc_id, flatten(list(ids ORDER BY widx)) AS ids
+              |         FROM done GROUP BY doc_id),
+              |fl AS (SELECT d.doc_id, coalesce(f.ids, CAST([] AS INTEGER[])) AS ids
+              |       FROM docs d LEFT JOIN flat f USING (doc_id)),
+              |ex AS (SELECT doc_id, unnest(ids) AS id,
+              |              unnest(range(1, len(ids) + 1)) AS pos FROM fl),
+              |sums AS (SELECT doc_id, CAST(sum(id) AS BIGINT) AS id_sum,
+              |                CAST(sum(id * pos) AS BIGINT) AS id_possum
+              |         FROM ex GROUP BY doc_id)
+              |SELECT fl.doc_id, len(fl.ids) AS n_tokens,
+              |  array_to_string(fl.ids[1:8], ',') AS head_ids,
+              |  coalesce(s.id_sum, 0) AS id_sum,
+              |  coalesce(s.id_possum, 0) AS id_possum
+              |FROM fl LEFT JOIN sums s USING (doc_id)""".stripMargin))
   )
 }

@@ -116,6 +116,39 @@ class CurationSpec extends SparkSpec with Matchers {
     } finally spark.sql("DROP TABLE IF EXISTS train_shards")
   }
 
+  test("writeTrainingShards with a BPE vocab emits integer token ids") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, goodText), (3L, goodText.replace("river", "harbor")))
+      .toDF("doc_id", "text")
+    val vocab = graft.functions.Bpe.learn(docs, "text", nMerges = 20)
+    val path = java.nio.file.Files.createTempDirectory("shards_bpe").toString
+    val n = graft.pipeline.Curation.writeTrainingShards(
+      docs, "doc_id", "text", "train_shards_bpe", path,
+      seqLen = 16, nBuckets = 4, seqsPerShard = 2, tableBuckets = 4,
+      minQualityMicro = 700000L, maxPii = 0L, bpeVocab = Some(vocab))
+    try {
+      val back = spark.table("train_shards_bpe")
+      assert(back.count() == n && n > 0)
+      // the token column is integer ids now, not words (parquet reads
+      // list elements back as optional, so only the element type is
+      // asserted)
+      assert(back.schema("tokens").dataType.asInstanceOf[
+        org.apache.spark.sql.types.ArrayType].elementType ==
+        org.apache.spark.sql.types.IntegerType)
+      // total ids across shards == total ids of the two docs' encodes
+      // (packing reorders/splits but never drops or fabricates tokens)
+      val totalIds = back.agg(sum(org.apache.spark.sql.functions.size($"tokens")))
+        .head().getLong(0)
+      val direct = docs.select(org.apache.spark.sql.functions.size(
+          graft.functions.Bpe.encode(
+            graft.functions.TextAnalysis.normalized($"text"), vocab)).as("n"))
+        .agg(sum($"n")).head().getLong(0)
+      assert(totalIds == direct, s"shards carry $totalIds of $direct ids")
+      // the learned alphabet covers the corpus: no <unk> in the shards
+      assert(back.filter(array_contains($"tokens", 0)).isEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS train_shards_bpe")
+  }
+
   test("composition adds no shuffle beyond the dedup window Exchange") {
     val docs = Seq((1L, goodText)).toDF("doc_id", "text")
     val plan = Curation.curate(docs, "doc_id", "text")
