@@ -14,25 +14,34 @@ import graft.ops.Grid
   *
   * Implements the profile needed for float/int grids, per the public
   * "HDF5 File Format Specification" (The HDF Group, version 3.0):
-  * superblock v0/v1, version-1 object headers (with continuation
-  * blocks), old-style groups (Symbol Table message → v1 B-tree + local
-  * heap → SNOD leaf nodes), Dataspace v1/v2, Datatype classes 0 (fixed)
-  * and 1 (IEEE float), Data Layout v3 contiguous AND chunked (v1 B-tree
-  * chunk index), filter pipeline with deflate (`java.util.zip.Inflater`
-  * — the zlib stream's own adler32 integrity-checks each chunk),
-  * shuffle (byte de-interleave), and fletcher32 (checksum stripped),
-  * and Attribute messages v1–v3 for the xarray/netCDF decoding
-  * conventions: `scale_factor`, `add_offset`, `_FillValue` /
-  * `missing_value` (fill → NaN), applied exactly like
-  * [[NetcdfReader.NcFile.readDoubles]] so a packed or fill-bearing grid
-  * decodes identically through either container.
+  * superblock v0/v1 AND v2/v3 (the `H5F_LIBVER_LATEST` / recent-h5py
+  * layout), version-1 object headers (with continuation blocks) AND
+  * version-2 "OHDR" headers (per-chunk checksums accounted, "OCHK"
+  * continuations), old-style groups (Symbol Table message → v1 B-tree
+  * + local heap → SNOD leaf nodes) AND new-style compact groups (Link
+  * messages in the header), Dataspace v1/v2, Datatype classes 0
+  * (fixed) and 1 (IEEE float), Data Layout v3 contiguous AND chunked
+  * (v1 B-tree chunk index) AND v4 (contiguous; chunked under Single
+  * Chunk, Implicit and Fixed Array indexes — the fixed-dims indexes
+  * the latest format writes), filter pipeline v1/v2 with deflate
+  * (`java.util.zip.Inflater` — the zlib stream's own adler32
+  * integrity-checks each chunk), shuffle (byte de-interleave), and
+  * fletcher32 (checksum stripped), and Attribute messages v1–v3 for
+  * the xarray/netCDF decoding conventions: `scale_factor`,
+  * `add_offset`, `_FillValue` / `missing_value` (fill → NaN), applied
+  * exactly like [[NetcdfReader.NcFile.readDoubles]] so a packed or
+  * fill-bearing grid decodes identically through either container.
   *
-  * Everything else — new-style (fractal-heap) groups, v2 object
-  * headers, non-8-byte offsets, unknown filters, a conventions
-  * attribute this reader cannot decode — fails LOUDLY with a message
-  * naming the limitation and the one-line `nccopy` escape hatch; this
-  * reader never misparses what it does not support. Files ≥ 2 GiB are
-  * rejected up front (in-memory reader, `Int` positions).
+  * Everything else — dense (fractal-heap) groups, extensible-array /
+  * v2-B-tree chunk indexes (unlimited dims), superblock extensions,
+  * non-8-byte offsets, unknown filters, a conventions attribute this
+  * reader cannot decode — fails LOUDLY with a message naming the
+  * limitation and the one-line `nccopy` escape hatch; this reader
+  * never misparses what it does not support. Files ≥ 2 GiB are
+  * rejected up front (in-memory reader, `Int` positions). Jenkins
+  * lookup3 checksums (superblock v2+, OHDR chunks, Fixed Array blocks)
+  * are structural — accounted for, not verified — matching the
+  * fletcher32 stance.
   */
 object Hdf5Reader {
 
@@ -50,8 +59,25 @@ object Hdf5Reader {
 
   sealed trait Layout
   final case class Contiguous(addr: Long, size: Long) extends Layout
+
+  /** How a chunked dataset's chunks are located. V1 B-tree is what
+    * classic (superblock v0/v1) files use; the other three are the v4
+    * data-layout chunk indexes the latest file format writes for
+    * fixed-dimension datasets. (Extensible Array and v2 B-tree indexes
+    * — unlimited/multi-unlimited dims — are rejected loudly.)
+    */
+  sealed trait ChunkIndex
+  final case class BtreeV1(addr: Long) extends ChunkIndex
+  /** One chunk covers the whole dataset; `filtered` = (size, mask). */
+  final case class SingleChunk(addr: Long,
+                               filtered: Option[(Long, Int)]) extends ChunkIndex
+  /** Unfiltered chunks laid out contiguously in linear chunk order. */
+  final case class ImplicitIndex(addr: Long) extends ChunkIndex
+  /** Fixed Array index: FAHD header → FADB element block. */
+  final case class FixedArrayIndex(addr: Long) extends ChunkIndex
+
   /** `chunkDims` excludes the trailing element-size pseudo-dimension. */
-  final case class Chunked(btree: Long, chunkDims: Seq[Int]) extends Layout
+  final case class Chunked(index: ChunkIndex, chunkDims: Seq[Int]) extends Layout
 
   final case class Dataset(name: String, dims: Seq[Int], dtClass: Int,
                            dtSize: Int, littleEndian: Boolean,
@@ -110,15 +136,33 @@ object Hdf5Reader {
       val fill = d.numAtts.get("_FillValue")
         .orElse(d.numAtts.get("missing_value")).getOrElse(0.0)
       val out = Array.fill(n)(fill)
-      if (c.btree == Undef) return out // no chunk was ever written
+      val idxAddr = c.index match {
+        case BtreeV1(a) => a
+        case SingleChunk(a, _) => a
+        case ImplicitIndex(a) => a
+        case FixedArrayIndex(a) => a
+      }
+      if (idxAddr == Undef) return out // no chunk was ever written
       val gStrides = new Array[Long](ndims)
       gStrides(ndims - 1) = 1
       var s = ndims - 2
       while (s >= 0) { gStrides(s) = gStrides(s + 1) * d.dims(s + 1); s -= 1 }
       val cd = c.chunkDims.toArray
       val nc = cd.product
-      chunkEntries(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN),
-        c.btree, ndims, path).foreach { case (storedSize, mask, offsets, addr) =>
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val entries = c.index match {
+        case BtreeV1(a) => chunkEntries(b, a, ndims, path)
+        case SingleChunk(a, filtered) =>
+          val (sz, mask) = filtered.getOrElse((nc.toLong * d.dtSize, 0))
+          Seq((sz.toInt, mask, new Array[Long](ndims), a))
+        case ImplicitIndex(a) =>
+          implicitEntries(a, d.dims.toArray, cd, nc * d.dtSize)
+        case FixedArrayIndex(a) =>
+          fixedArrayEntries(b, a, d, cd, nc, path)
+      }
+      // an Undef entry address = chunk never allocated (sparse dataset
+      // under a Fixed Array index): those cells keep the fill value
+      entries.filter(_._4 != Undef).foreach { case (storedSize, mask, offsets, addr) =>
         var data = java.util.Arrays.copyOfRange(
           bytes, addr.toInt, addr.toInt + storedSize)
         // filters un-apply in reverse pipeline order; filter-mask bit i
@@ -269,41 +313,109 @@ object Hdf5Reader {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     buf.position(8)
     val sbVer = buf.get() & 0xff
-    require(sbVer <= 1,
-      s"$path: superblock v$sbVer unsupported (v0/v1 only — the profile " +
-        "netcdf-c writes by default; `nccopy -k classic` converts)")
-    buf.get(); buf.get(); buf.get() // free-space ver, root-symtab ver, reserved
-    buf.get() // shared-header-message version
-    val offSize = buf.get() & 0xff
-    val lenSize = buf.get() & 0xff
-    require(offSize == 8 && lenSize == 8,
-      s"$path: only 8-byte offsets/lengths supported (got $offSize/$lenSize)")
-    buf.get() // reserved
-    buf.getShort(); buf.getShort() // group leaf / internal k
-    if (sbVer == 1) { buf.getShort(); buf.getShort() } // indexed-storage k
-    buf.getInt() // file consistency flags
-    val base = buf.getLong()
-    require(base == 0, s"$path: nonzero base address $base unsupported")
-    buf.getLong(); buf.getLong(); buf.getLong() // free-space, EOF, driver-info
-    // root group symbol table entry
-    val (_, rootHdr, rootBtree, rootHeap) = readSte(buf)
-    val (btree, heap) =
-      if (rootBtree != Undef && rootHeap != Undef) (rootBtree, rootHeap)
-      else {
-        // cache type 0: the Symbol Table message lives in the root header
-        val msgs = readMessages(buf, rootHdr, path)
-        val st = msgs.find(_._1 == 0x0011).getOrElse(
-          throw new IllegalArgumentException(
-            s"$path: root group has no Symbol Table message — new-style " +
-              "(fractal-heap) groups unsupported; `nccopy -k classic` converts"))
-        val d = slice(buf, st._2, st._3)
-        (d.getLong(), d.getLong())
+    require(sbVer <= 3,
+      s"$path: superblock v$sbVer unsupported (v0–v3 only)")
+    val links: Seq[(String, Long)] =
+      if (sbVer <= 1) {
+        buf.get(); buf.get(); buf.get() // free-space ver, root-symtab ver, reserved
+        buf.get() // shared-header-message version
+        val offSize = buf.get() & 0xff
+        val lenSize = buf.get() & 0xff
+        require(offSize == 8 && lenSize == 8,
+          s"$path: only 8-byte offsets/lengths supported (got $offSize/$lenSize)")
+        buf.get() // reserved
+        buf.getShort(); buf.getShort() // group leaf / internal k
+        if (sbVer == 1) { buf.getShort(); buf.getShort() } // indexed-storage k
+        buf.getInt() // file consistency flags
+        val base = buf.getLong()
+        require(base == 0, s"$path: nonzero base address $base unsupported")
+        buf.getLong(); buf.getLong(); buf.getLong() // free-space, EOF, driver-info
+        // root group symbol table entry
+        val (_, rootHdr, rootBtree, rootHeap) = readSte(buf)
+        val (btree, heap) =
+          if (rootBtree != Undef && rootHeap != Undef) (rootBtree, rootHeap)
+          else {
+            // cache type 0: the Symbol Table message lives in the root header
+            val msgs = readMessages(buf, rootHdr, path)
+            val st = msgs.find(_._1 == 0x0011).getOrElse(
+              throw new IllegalArgumentException(
+                s"$path: root group has no Symbol Table message — new-style " +
+                  "(fractal-heap) groups unsupported; `nccopy -k classic` converts"))
+            val d = slice(buf, st._2, st._3)
+            (d.getLong(), d.getLong())
+          }
+        readGroup(buf, btree, heap, path)
+      } else {
+        // superblock v2/v3 (the H5F_LIBVER_LATEST / SWMR layout — same
+        // fields in both versions): sizes, flags, four addresses, then
+        // a Jenkins-lookup3 checksum (structural here, like the other
+        // checksums this reader accounts for but does not verify)
+        val offSize = buf.get() & 0xff
+        val lenSize = buf.get() & 0xff
+        require(offSize == 8 && lenSize == 8,
+          s"$path: only 8-byte offsets/lengths supported (got $offSize/$lenSize)")
+        buf.get() // file consistency flags
+        val base = buf.getLong()
+        require(base == 0, s"$path: nonzero base address $base unsupported")
+        val sbExt = buf.getLong()
+        require(sbExt == Undef,
+          s"$path: superblock extension present — shared message tables " +
+            "are unsupported; `nccopy -k classic` converts")
+        buf.getLong() // end-of-file address
+        val rootHdr = buf.getLong()
+        buf.getInt() // superblock checksum
+        rootLinksFromHeader(buf, rootHdr, path)
       }
-    val links = readGroup(buf, btree, heap, path)
     val datasets = links.flatMap { case (name, addr) =>
       parseDataset(buf, name, addr, path)
     }.toMap
     H5File(datasets, bytes, path)
+  }
+
+  /** Root links of a message-driven (new-style) group: compact Link
+    * messages in the root object header (the layout the latest format
+    * writes for small groups); an old-style Symbol Table message is
+    * also honored (a v2 superblock may still point at an old-style
+    * group). Dense groups — Link Info with a fractal heap and no
+    * compact links — are rejected loudly.
+    */
+  private def rootLinksFromHeader(buf: ByteBuffer, rootHdr: Long,
+                                  path: String): Seq[(String, Long)] = {
+    val msgs = readMessages(buf, rootHdr, path)
+    msgs.find(_._1 == 0x0011) match {
+      case Some(st) =>
+        val d = slice(buf, st._2, st._3)
+        readGroup(buf, d.getLong(), d.getLong(), path)
+      case None =>
+        val links = msgs.filter(_._1 == 0x0006)
+          .map(m => readLink(buf, m._2, m._3, path))
+        if (links.nonEmpty) links
+        else throw new IllegalArgumentException(
+          s"$path: root group has no compact Link messages — dense " +
+            "(fractal-heap) groups unsupported; `nccopy -k classic` converts")
+    }
+  }
+
+  /** Decode a Link message (type 0x0006, version 1) to
+    * (name, object header address). Only hard links can name a dataset
+    * this reader can load; soft/external links fail loudly rather than
+    * silently dropping a variable.
+    */
+  private def readLink(buf: ByteBuffer, pos: Int, size: Int,
+                       path: String): (String, Long) = {
+    val b = slice(buf, pos, size)
+    val ver = b.get() & 0xff
+    require(ver == 1, s"$path: link message v$ver unsupported")
+    val flags = b.get() & 0xff
+    val linkType = if ((flags & 0x08) != 0) b.get() & 0xff else 0
+    require(linkType == 0,
+      s"$path: non-hard link (type $linkType) in root group unsupported")
+    if ((flags & 0x04) != 0) b.getLong() // creation order
+    if ((flags & 0x10) != 0) b.get() // link-name character set
+    val nameLen = readUintLE(b, 1 << (flags & 0x03)).toInt
+    val nameBytes = new Array[Byte](nameLen)
+    b.get(nameBytes)
+    (new String(nameBytes, "UTF-8"), b.getLong())
   }
 
   /** Symbol table entry: (link name offset, object header address,
@@ -399,17 +511,117 @@ object Hdf5Reader {
     walk(btreeAddr)
   }
 
-  /** All (type, dataPos, dataSize) messages of a v1 object header,
-    * following continuation blocks (type 0x0010).
+  /** Implicit chunk index (v4 layout, unfiltered fixed-dims): chunks
+    * stored back-to-back at `addr` in row-major linear chunk order; the
+    * index IS the arithmetic.
+    */
+  private def implicitEntries(addr: Long, dims: Array[Int], cd: Array[Int],
+                              chunkBytes: Int): Seq[(Int, Int, Array[Long], Long)] = {
+    val grid = dims.indices.map(i => (dims(i) + cd(i) - 1) / cd(i)).toArray
+    val nChunks = grid.product
+    (0 until nChunks).map { lin =>
+      val offs = new Array[Long](dims.length)
+      var rem = lin
+      var i = dims.length - 1
+      while (i >= 0) {
+        offs(i) = (rem % grid(i)).toLong * cd(i)
+        rem /= grid(i)
+        i -= 1
+      }
+      (chunkBytes, 0, offs, addr + lin.toLong * chunkBytes)
+    }
+  }
+
+  /** Unsigned little-endian integer of 1–8 bytes. */
+  private def readUintLE(b: ByteBuffer, width: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < width) { v |= (b.get() & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  /** Fixed Array chunk index (v4 layout, fixed dims): FAHD header →
+    * FADB data block whose elements are the chunk records in linear
+    * chunk order (client 0 = address only; client 1 = address +
+    * variable-width chunk size + filter mask). Paged data blocks
+    * (element count above 2^pageBits) are rejected loudly — grid files
+    * stay far below the default 1024-element page. Checksums are
+    * structural (accounted, not verified), like fletcher32 elsewhere in
+    * this reader.
+    */
+  private def fixedArrayEntries(buf: ByteBuffer, addr: Long, d: Dataset,
+                                cd: Array[Int], nc: Int,
+                                path: String): Seq[(Int, Int, Array[Long], Long)] = {
+    val ndims = d.dims.length
+    val grid = (0 until ndims).map(i => (d.dims(i) + cd(i) - 1) / cd(i)).toArray
+    val nChunks = grid.product
+    val h = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+    h.position(addr.toInt)
+    val sig = new Array[Byte](4); h.get(sig)
+    require(new String(sig, "US-ASCII") == "FAHD",
+      s"$path: expected Fixed Array header for '${d.name}'")
+    val ver = h.get() & 0xff
+    require(ver == 0, s"$path: Fixed Array header v$ver unsupported")
+    val client = h.get() & 0xff
+    require(client == 0 || client == 1,
+      s"$path: Fixed Array client $client (chunk indexes are 0/1) for '${d.name}'")
+    val entrySize = h.get() & 0xff
+    val pageBits = h.get() & 0xff
+    val maxEntries = h.getLong()
+    require(maxEntries == nChunks,
+      s"$path: Fixed Array entry count $maxEntries != chunk-grid size " +
+        s"$nChunks for '${d.name}'")
+    require(maxEntries <= (1L << pageBits),
+      s"$path: paged Fixed Array data block ($maxEntries entries > " +
+        s"2^$pageBits page) unsupported for '${d.name}'")
+    val dbAddr = h.getLong()
+    if (dbAddr == Undef) return Seq.empty // no chunk written yet
+    val b = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+    b.position(dbAddr.toInt)
+    val dsig = new Array[Byte](4); b.get(dsig)
+    require(new String(dsig, "US-ASCII") == "FADB",
+      s"$path: expected Fixed Array data block for '${d.name}'")
+    val dver = b.get() & 0xff
+    require(dver == 0, s"$path: Fixed Array data block v$dver unsupported")
+    val dclient = b.get() & 0xff
+    require(dclient == client, s"$path: Fixed Array client mismatch for '${d.name}'")
+    b.getLong() // back-pointer to the FAHD header
+    val szWidth = entrySize - 8 - 4 // client 1: addr(8) + size + mask(4)
+    require(client == 0 || (szWidth >= 1 && szWidth <= 8),
+      s"$path: Fixed Array entry size $entrySize undecodable for '${d.name}'")
+    (0 until nChunks.toInt).map { lin =>
+      val offs = new Array[Long](ndims)
+      var rem = lin
+      var i = ndims - 1
+      while (i >= 0) {
+        offs(i) = (rem % grid(i)).toLong * cd(i)
+        rem /= grid(i)
+        i -= 1
+      }
+      if (client == 0) (nc * d.dtSize, 0, offs, b.getLong())
+      else {
+        val a = b.getLong()
+        val sz = readUintLE(b, szWidth)
+        val mask = b.getInt()
+        (sz.toInt, mask, offs, a)
+      }
+    }
+  }
+
+  /** All (type, dataPos, dataSize) messages of an object header — v1
+    * (no signature, version byte 1 first) or v2 ("OHDR" signature, the
+    * latest-format layout with per-chunk checksums) — following
+    * continuation blocks (type 0x0010) in either format.
     */
   private def readMessages(buf: ByteBuffer, hdrAddr: Long,
                            path: String): Seq[(Int, Int, Int)] = {
+    if (bytesAt(buf, hdrAddr.toInt, 4) == "OHDR")
+      return readMessagesV2(buf, hdrAddr, path)
     val b = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
     b.position(hdrAddr.toInt)
     val ver = b.get() & 0xff
     require(ver == 1,
-      s"$path: object header v$ver unsupported (v1 only — netcdf-c default; " +
-        "files written with H5F_LIBVER_LATEST need conversion)")
+      s"$path: object header v$ver unsupported (v1/v2 only)")
     b.get() // reserved
     val nMess = b.getShort() & 0xffff
     b.getInt() // reference count
@@ -442,6 +654,69 @@ object Hdf5Reader {
     val b = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
     b.position(pos)
     b
+  }
+
+  private def bytesAt(buf: ByteBuffer, pos: Int, n: Int): String = {
+    if (pos < 0 || pos + n > buf.capacity()) return ""
+    val a = new Array[Byte](n)
+    val b = buf.duplicate(); b.position(pos); b.get(a)
+    new String(a, "US-ASCII")
+  }
+
+  /** Messages of a v2 ("OHDR") object header. Layout per the spec's
+    * version-2 object header: flags select optional time/phase-change
+    * fields and the width of the chunk-0 size; messages carry a 1-byte
+    * type, 2-byte size, 1-byte flags (+ optional 2-byte creation order
+    * when the HEADER tracks attribute creation order); every chunk ends
+    * with a 4-byte checksum (structural); continuation chunks carry an
+    * "OCHK" signature. There is no message count — each chunk is
+    * parsed to its checksum, skipping trailing gaps too small for a
+    * message header.
+    */
+  private def readMessagesV2(buf: ByteBuffer, hdrAddr: Long,
+                             path: String): Seq[(Int, Int, Int)] = {
+    val b = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+    b.position(hdrAddr.toInt + 4) // past "OHDR"
+    val ver = b.get() & 0xff
+    require(ver == 2, s"$path: OHDR version $ver unsupported")
+    val flags = b.get() & 0xff
+    if ((flags & 0x20) != 0) { b.getInt(); b.getInt(); b.getInt(); b.getInt() }
+    if ((flags & 0x10) != 0) { b.getShort(); b.getShort() }
+    val chunk0Size = readUintLE(b, 1 << (flags & 0x03)).toInt
+    val trackOrder = (flags & 0x04) != 0
+    val msgHdrLen = if (trackOrder) 6 else 4
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    // (start, len) of each chunk's message area, checksum excluded
+    var blocks = List((b.position(), chunk0Size))
+    while (blocks.nonEmpty) {
+      val (start, len) = blocks.head
+      blocks = blocks.tail
+      val mb = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+      mb.position(start)
+      val end = start + len
+      while (mb.position() + msgHdrLen <= end) {
+        val typ = mb.get() & 0xff
+        val size = mb.getShort() & 0xffff
+        mb.get() // message flags
+        if (trackOrder) mb.getShort() // creation order
+        val dataPos = mb.position()
+        if (dataPos + size > end)
+          throw new IllegalArgumentException(
+            s"$path: OHDR message overruns its chunk (corrupt header)")
+        if (typ == 0x0010) { // continuation → "OCHK" sig + messages + checksum
+          val cb = slice(buf, dataPos, size)
+          val cOff = cb.getLong().toInt
+          val cLen = cb.getLong().toInt
+          require(bytesAt(buf, cOff, 4) == "OCHK",
+            s"$path: continuation block missing OCHK signature")
+          blocks = blocks :+ ((cOff + 4, cLen - 8)) // minus sig + checksum
+        } else if (typ != 0x0000) { // NIL messages pad; skip them
+          out += ((typ, dataPos, size))
+        }
+        mb.position(dataPos + size)
+      }
+    }
+    out.toSeq
   }
 
   /** Decode one numeric attribute message (0x000C, v1–v3) into
@@ -586,16 +861,18 @@ object Hdf5Reader {
 
     val lo = slice(buf, layoutMsg.get._2, layoutMsg.get._3)
     val loVer = lo.get() & 0xff
-    require(loVer == 3, s"$path: data layout v$loVer unsupported (v3 only)")
+    require(loVer == 3 || loVer == 4,
+      s"$path: data layout v$loVer unsupported (v3/v4 only)")
     val loClass = lo.get() & 0xff
-    val layout = loClass match {
-      case 1 =>
+    val layout = (loVer, loClass) match {
+      case (_, 1) =>
+        // contiguous: identical fields in v3 and v4
         require(filters.isEmpty,
           s"$path: dataset '$name' has a filter pipeline on contiguous storage")
         val addr = lo.getLong()
         val sz = lo.getLong()
         Contiguous(addr, sz)
-      case 2 =>
+      case (3, 2) =>
         // v3 chunked: dimensionality (= rank+1), B-tree address, then
         // (rank+1) u32 dim sizes whose last entry is the element size
         val dimensionality = lo.get() & 0xff
@@ -603,8 +880,55 @@ object Hdf5Reader {
         val cdims = (0 until dimensionality).map(_ => lo.getInt())
         require(dimensionality == ndims + 1,
           s"$path: chunk dimensionality $dimensionality != rank+1 for '$name'")
-        Chunked(btree, cdims.dropRight(1))
-      case other => throw new IllegalArgumentException(
+        Chunked(BtreeV1(btree), cdims.dropRight(1))
+      case (4, 2) =>
+        // v4 chunked (latest file format): flags, dimensionality,
+        // encoded dim width, dims, chunk index type, index fields,
+        // index address. The dimensionality is validated against the
+        // dataspace rank and accepted in BOTH published conventions —
+        // rank (element size implied by the datatype) or rank+1 (v3's
+        // trailing element-size pseudo-dim); a trailing entry only
+        // passes when it equals the datatype size, so neither form can
+        // be misparsed as the other.
+        val loFlags = lo.get() & 0xff
+        val dimensionality = lo.get() & 0xff
+        val encLen = lo.get() & 0xff
+        require(encLen >= 1 && encLen <= 8,
+          s"$path: v4 chunk dim width $encLen for '$name'")
+        val rawDims = (0 until dimensionality).map(_ => readUintLE(lo, encLen))
+        val cdims =
+          if (dimensionality == ndims) rawDims.map(_.toInt)
+          else if (dimensionality == ndims + 1 && rawDims.last == dtSize)
+            rawDims.dropRight(1).map(_.toInt)
+          else throw new IllegalArgumentException(
+            s"$path: v4 chunk dimensionality $dimensionality does not match " +
+              s"rank $ndims (dims ${rawDims.mkString("x")}) for '$name'")
+        val idxType = lo.get() & 0xff
+        val index = idxType match {
+          case 1 =>
+            val filteredSingle =
+              if ((loFlags & 0x02) != 0) {
+                val sz = lo.getLong() // size-of-lengths-wide filtered size
+                val mask = lo.getInt()
+                Some((sz, mask))
+              } else None
+            val addr = lo.getLong()
+            SingleChunk(addr, filteredSingle)
+          case 2 =>
+            require(filters.isEmpty,
+              s"$path: implicit chunk index with filters for '$name'")
+            ImplicitIndex(lo.getLong())
+          case 3 =>
+            lo.get() // page bits (re-read from the FAHD header itself)
+            FixedArrayIndex(lo.getLong())
+          case other => throw new IllegalArgumentException(
+            s"$path: v4 chunk index type $other unsupported for '$name' " +
+              "(single/implicit/fixed-array only — extensible-array and " +
+              "v2-B-tree indexes mean unlimited dims; `nccopy -k classic` " +
+              "converts)")
+        }
+        Chunked(index, cdims)
+      case (_, other) => throw new IllegalArgumentException(
         s"$path: dataset '$name' layout class $other (0=compact) — " +
           "only contiguous and chunked storage supported")
     }

@@ -270,6 +270,47 @@ class GeoLoadersSpec extends SparkSpec {
     }
   }
 
+  test("latest-format HDF5 (superblock v3, OHDR, layout v4) reads equal to classic encodings") {
+    // same grid/attributes as the chunked case, re-encoded in the
+    // latest file format: superblock v3, v2 object headers with compact
+    // root Link messages, v2 filter pipeline, v3 attributes, layout v4
+    // with a Fixed Array chunk index (multi-chunk) or a Single Chunk
+    // index (chunk covers grid) — the profiles H5F_LIBVER_LATEST /
+    // recent h5py defaults emit. Every decoded cell must equal the
+    // classic chunked encoding's.
+    val lat = Array(10.0, 10.5, 11.0, 11.5)
+    val lon = Array(20.0, 20.25, 20.5, 20.75, 21.0)
+    val scale = 0.5; val offset = 10.0; val fill = -999.0f
+    val expect = Array(
+      12.0, 13.5, -5.0, 0.0, 7.5,
+      Double.NaN, 42.5, 8.0, -12.5, 3.0,
+      1.5, Double.NaN, 99.0, -0.5, 2.0,
+      -3.5, 4.0, 5.5, 6.0, Double.NaN)
+    val packed = expect.map(v => if (v.isNaN) fill else ((v - offset) / scale).toFloat)
+    val attList = Seq("scale_factor" -> scale, "add_offset" -> offset,
+      "_FillValue" -> fill.toDouble)
+    // (chunkRows, chunkCols, deflate, shuffle): fixed-array filtered,
+    // fixed-array unfiltered, single-chunk filtered, single-chunk raw
+    for ((cr, cc, defl, shuf) <- Seq((3, 2, true, true), (3, 2, false, false),
+      (4, 5, true, true), (4, 5, false, false))) {
+      val p = Files.createTempFile(s"graft_v2_${cr}_${cc}_${defl}_$shuf", ".nc").toString
+      MiniHdf5.writeGridV2(p, "elevation", lat, lon, packed,
+        chunkRows = cr, chunkCols = cc, deflate = defl, shuffle = shuf,
+        atts = attList)
+      val g = GridLoader.fromNetcdf(p, "elevation")
+      assert(g.nLat == 4 && g.nLon == 5)
+      for (i <- 0 until 4; j <- 0 until 5) {
+        val (a, b) = (expect(i * 5 + j), g.valueAt(i, j))
+        assert((a.isNaN && b.isNaN) || a == b,
+          s"($i,$j) chunks=${cr}x$cc deflate=$defl shuffle=$shuf: want $a got $b")
+      }
+      // the latest-format fixture exercises the v2-header dataset walk:
+      // all three variables must be discovered via root Link messages
+      val h5 = graft.sources.geo.Hdf5Reader.open(p)
+      assert(h5.datasets.keySet == Set("elevation", "lat", "lon"))
+    }
+  }
+
   test("f32 grid loader + native bilinear matches the synthetic grid expression") {
     // dump the synthetic grid formula to raw f32, reload, compare lookups
     val nLat = 61; val nLon = 61

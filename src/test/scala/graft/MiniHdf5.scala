@@ -452,4 +452,284 @@ object MiniHdf5 {
 
     java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
   }
+
+  /** Latest-file-format variant (what `H5F_LIBVER_LATEST` / recent h5py
+    * defaults produce): superblock v3, v2 ("OHDR") object headers with
+    * compact Link messages in the root group, v2 filter pipeline, v3
+    * attributes, and VERSION-4 data layouts — the grid variable chunked
+    * under a Fixed Array index (or a Single Chunk index when one chunk
+    * covers the grid), `lat` contiguous v4, `lon` contiguous v3 (a
+    * legal mix — message versions are per-message). Checksums are
+    * written as zeros: the reader accounts for them structurally, the
+    * same stance it takes on fletcher32.
+    */
+  def writeGridV2(path: String, varName: String,
+                  lat: Array[Double], lon: Array[Double],
+                  packed: Array[Float],
+                  chunkRows: Int, chunkCols: Int,
+                  deflate: Boolean, shuffle: Boolean,
+                  atts: Seq[(String, Double)]): Unit = {
+    val nLat = lat.length; val nLon = lon.length
+    require(packed.length == nLat * nLon)
+    val Undef = -1L
+    val names = Seq(varName, "lat", "lon")
+
+    // ---- chunk payloads (same filter application as writeGridChunked) ----
+    val nCr = (nLat + chunkRows - 1) / chunkRows
+    val nCc = (nLon + chunkCols - 1) / chunkCols
+    val singleChunk = nCr == 1 && nCc == 1
+    val chunkList = for (cr <- 0 until nCr; cc <- 0 until nCc) yield {
+      val full = ByteBuffer.allocate(chunkRows * chunkCols * 4)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      for (i <- 0 until chunkRows; j <- 0 until chunkCols) {
+        val gi = cr * chunkRows + i; val gj = cc * chunkCols + j
+        full.putFloat(if (gi < nLat && gj < nLon) packed(gi * nLon + gj) else 0f)
+      }
+      var data = full.array()
+      if (shuffle) {
+        val es = 4; val n = data.length / es
+        val out = new Array[Byte](data.length)
+        for (i <- 0 until n; j <- 0 until es) out(j * n + i) = data(i * es + j)
+        data = out
+      }
+      if (deflate) {
+        val d = new java.util.zip.Deflater()
+        d.setInput(data); d.finish()
+        val tmp = new Array[Byte](data.length * 2 + 64)
+        val m = d.deflate(tmp); d.end()
+        data = java.util.Arrays.copyOf(tmp, m)
+      }
+      data
+    }
+    val filtered = deflate || shuffle
+
+    // ---- blob builders (two-pass: dummy addresses size the layout) ----
+    def bb(n: Int): ByteBuffer =
+      ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def blob(b: ByteBuffer): Array[Byte] =
+      java.util.Arrays.copyOf(b.array(), b.position())
+
+    def floatDatatype(f32: Boolean): Array[Byte] = {
+      val b = bb(24)
+      b.put(0x11.toByte); b.put(0x20.toByte)
+      b.put((if (f32) 31 else 63).toByte); b.put(0.toByte)
+      b.putInt(if (f32) 4 else 8)
+      b.putShort(0); b.putShort((if (f32) 32 else 64).toShort)
+      b.put((if (f32) 23 else 52).toByte)
+      b.put((if (f32) 8 else 11).toByte)
+      b.put(0.toByte)
+      b.put((if (f32) 23 else 52).toByte)
+      b.putInt(if (f32) 127 else 1023)
+      b.putInt(0)
+      blob(b)
+    }
+
+    /** v2 object header: "OHDR", version, flags 0x01 (2-byte chunk-0
+      * size), messages (1-byte type / 2-byte size / 1-byte flags),
+      * zero checksum.
+      */
+    def v2Header(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+      val msgLen = msgs.map(4 + _._2.length).sum
+      val b = bb(8 + msgLen + 4)
+      b.put("OHDR".getBytes("US-ASCII"))
+      b.put(2.toByte); b.put(0x01.toByte)
+      b.putShort(msgLen.toShort)
+      msgs.foreach { case (typ, data) =>
+        b.put(typ.toByte); b.putShort(data.length.toShort); b.put(0.toByte)
+        b.put(data)
+      }
+      b.putInt(0) // chunk-0 checksum (structural)
+      blob(b)
+    }
+
+    def linkMsg(name: String, hdrAddr: Long): Array[Byte] = {
+      val b = bb(11 + name.length)
+      b.put(1.toByte)        // link message version
+      b.put(0.toByte)        // flags: 1-byte name length, hard link implied
+      b.put(name.length.toByte)
+      b.put(name.getBytes("US-ASCII"))
+      b.putLong(hdrAddr)
+      blob(b)
+    }
+
+    def dataspaceV2(dims: Seq[Long]): Array[Byte] = {
+      val b = bb(4 + dims.length * 8)
+      b.put(2.toByte); b.put(dims.length.toByte)
+      b.put(0.toByte)        // flags: no max dims
+      b.put((if (dims.isEmpty) 0 else 1).toByte) // type: scalar / simple
+      dims.foreach(b.putLong)
+      blob(b)
+    }
+
+    def layoutV4Contiguous(addr: Long, size: Long): Array[Byte] = {
+      val b = bb(18)
+      b.put(4.toByte); b.put(1.toByte)
+      b.putLong(addr); b.putLong(size)
+      blob(b)
+    }
+
+    def layoutV3Contiguous(addr: Long, size: Long): Array[Byte] = {
+      val b = bb(18)
+      b.put(3.toByte); b.put(1.toByte)
+      b.putLong(addr); b.putLong(size)
+      blob(b)
+    }
+
+    /** v4 chunked layout; rank-dims convention (no element-size dim). */
+    def layoutV4Chunked(idxAddr: Long): Array[Byte] = {
+      val b = bb(64)
+      b.put(4.toByte); b.put(2.toByte)
+      b.put((if (singleChunk && filtered) 0x02 else 0x00).toByte)
+      b.put(2.toByte)        // dimensionality = rank
+      b.put(8.toByte)        // dim size encoded length
+      b.putLong(chunkRows.toLong); b.putLong(chunkCols.toLong)
+      if (singleChunk) {
+        b.put(1.toByte)      // index: single chunk
+        if (filtered) {
+          b.putLong(chunkList.head.length.toLong) // filtered chunk size
+          b.putInt(0)                             // filter mask
+        }
+        b.putLong(idxAddr)   // the chunk itself
+      } else {
+        b.put(3.toByte)      // index: fixed array
+        b.put(10.toByte)     // page bits
+        b.putLong(idxAddr)   // FAHD address
+      }
+      blob(b)
+    }
+
+    def filterPipelineV2: Array[Byte] = {
+      final case class F(id: Int, client: Seq[Int])
+      val fs = (if (shuffle) Seq(F(2, Seq(4))) else Nil) ++
+        (if (deflate) Seq(F(1, Seq(6))) else Nil)
+      val b = bb(2 + fs.map(f => 6 + 4 * f.client.length).sum)
+      b.put(2.toByte); b.put(fs.length.toByte)
+      fs.foreach { f =>
+        b.putShort(f.id.toShort) // id < 256: no name field in v2
+        b.putShort(if (f.id == 1) 1.toShort else 0.toShort) // optional flag
+        b.putShort(f.client.length.toShort)
+        f.client.foreach(b.putInt)
+      }
+      blob(b)
+    }
+
+    def attributeV3(name: String, value: Double): Array[Byte] = {
+      val dt = floatDatatype(f32 = false)
+      val ds = dataspaceV2(Seq.empty) // scalar
+      val b = bb(9 + name.length + 1 + dt.length + ds.length + 8)
+      b.put(3.toByte); b.put(0.toByte)
+      b.putShort((name.length + 1).toShort)
+      b.putShort(dt.length.toShort)
+      b.putShort(ds.length.toShort)
+      b.put(0.toByte)        // charset: ASCII
+      b.put(name.getBytes("US-ASCII")); b.put(0.toByte)
+      b.put(dt); b.put(ds)
+      b.putDouble(value)
+      blob(b)
+    }
+
+    def fahd(dbAddr: Long): Array[Byte] = {
+      val b = bb(28)
+      b.put("FAHD".getBytes("US-ASCII"))
+      b.put(0.toByte)
+      b.put((if (filtered) 1 else 0).toByte) // client
+      b.put((if (filtered) 16 else 8).toByte) // entry size (addr+size4+mask4)
+      b.put(10.toByte)       // page bits
+      b.putLong(chunkList.length.toLong)
+      b.putLong(dbAddr)
+      b.putInt(0)            // checksum (structural)
+      blob(b)
+    }
+
+    def fadb(hdrAddr: Long, chunkAddrs: Seq[Long]): Array[Byte] = {
+      val b = bb(14 + chunkList.length * (if (filtered) 16 else 8) + 4)
+      b.put("FADB".getBytes("US-ASCII"))
+      b.put(0.toByte)
+      b.put((if (filtered) 1 else 0).toByte)
+      b.putLong(hdrAddr)
+      chunkAddrs.zip(chunkList).foreach { case (a, data) =>
+        b.putLong(a)
+        if (filtered) { b.putInt(data.length); b.putInt(0) }
+      }
+      b.putInt(0)            // checksum (structural)
+      blob(b)
+    }
+
+    def gridHeader(idxAddr: Long): Array[Byte] = v2Header(
+      Seq((0x0001, dataspaceV2(Seq(nLat.toLong, nLon.toLong))),
+        (0x0003, floatDatatype(f32 = true)),
+        (0x0008, layoutV4Chunked(idxAddr))) ++
+        (if (filtered) Seq((0x000B, filterPipelineV2)) else Nil) ++
+        atts.map { case (n, v) => (0x000C, attributeV3(n, v)) })
+
+    def latHeader(addr: Long): Array[Byte] = v2Header(Seq(
+      (0x0001, dataspaceV2(Seq(nLat.toLong))),
+      (0x0003, floatDatatype(f32 = false)),
+      (0x0008, layoutV4Contiguous(addr, nLat * 8L))))
+
+    def lonHeader(addr: Long): Array[Byte] = v2Header(Seq(
+      (0x0001, dataspaceV2(Seq(nLon.toLong))),
+      (0x0003, floatDatatype(f32 = false)),
+      (0x0008, layoutV3Contiguous(addr, nLon * 8L))))
+
+    def rootHeader(hdrAddrs: Map[String, Long]): Array[Byte] =
+      v2Header(names.map(n => (0x0006, linkMsg(n, hdrAddrs(n)))))
+
+    // ---- pass 1: sizes with dummy addresses ----
+    val sbLen = 48
+    val rootLen = rootHeader(names.map(_ -> 0L).toMap).length
+    val gridLen = gridHeader(0L).length
+    val latLen = latHeader(0L).length
+    val lonLen = lonHeader(0L).length
+    val fahdLen = if (singleChunk) 0 else fahd(0L).length
+    val fadbLen = if (singleChunk) 0 else fadb(0L, chunkList.map(_ => 0L)).length
+
+    val rootAddr = sbLen.toLong
+    val gridAddr = rootAddr + rootLen
+    val latHdrAddr = gridAddr + gridLen
+    val lonHdrAddr = latHdrAddr + latLen
+    val fahdAddr = lonHdrAddr + lonLen
+    val fadbAddr = fahdAddr + fahdLen
+    var cursor = fadbAddr + fadbLen
+    val chunkAddrs = chunkList.map { c => val a = cursor; cursor += c.length; a }
+    val latAddr = cursor; cursor += nLat * 8
+    val lonAddr = cursor; cursor += nLon * 8
+    val eof = cursor
+
+    // ---- pass 2: emit with real addresses ----
+    val buf = ByteBuffer.allocate(eof.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a))
+    buf.put(3.toByte)       // superblock version
+    buf.put(8.toByte); buf.put(8.toByte) // offset / length sizes
+    buf.put(0.toByte)       // file consistency flags
+    buf.putLong(0L)         // base address
+    buf.putLong(Undef)      // superblock extension
+    buf.putLong(eof)        // end of file
+    buf.putLong(rootAddr)   // root group object header
+    buf.putInt(0)           // checksum (structural)
+    assert(buf.position() == sbLen)
+
+    val gridIdxAddr =
+      if (singleChunk) chunkAddrs.head else fahdAddr
+    buf.put(rootHeader(Map(varName -> gridAddr, "lat" -> latHdrAddr,
+      "lon" -> lonHdrAddr)))
+    assert(buf.position() == gridAddr)
+    buf.put(gridHeader(gridIdxAddr))
+    assert(buf.position() == latHdrAddr)
+    buf.put(latHeader(latAddr))
+    assert(buf.position() == lonHdrAddr)
+    buf.put(lonHeader(lonAddr))
+    if (!singleChunk) {
+      assert(buf.position() == fahdAddr)
+      buf.put(fahd(fadbAddr))
+      assert(buf.position() == fadbAddr)
+      buf.put(fadb(fahdAddr, chunkAddrs))
+    }
+    chunkAddrs.zip(chunkList).foreach { case (a, data) =>
+      buf.position(a.toInt); buf.put(data) }
+    buf.position(latAddr.toInt); lat.foreach(buf.putDouble)
+    buf.position(lonAddr.toInt); lon.foreach(buf.putDouble)
+
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
+  }
 }
