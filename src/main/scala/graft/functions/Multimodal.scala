@@ -238,6 +238,34 @@ object Multimodal {
       octet_length(col("payload")).cast("long").as("n_bytes"),
       md5(col("payload")).as("checksum"))
 
+  final case class ContainerMeta(media_id: Long, format: String,
+                                 duration_ms: Long, width: Int, height: Int,
+                                 n_frames: Int, n_keyframes: Int,
+                                 key_sum: Long, first_key_offset: Long)
+
+  /** Container-level metadata of MP4/WebM payloads WITHOUT any codec:
+    * [[MediaContainers.parse]] per payload, map-side (the payload bytes
+    * never shuffle — only this small typed row moves on). `key_sum` is
+    * the order-pinning checksum Σ keyframe indices; `first_key_offset`
+    * the byte position of the first keyframe (−1 when the container
+    * carries no derivable offsets).
+    */
+  def containerMetadata(media: DataFrame): Dataset[ContainerMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val ci = MediaContainers.parse(payload)
+          ContainerMeta(id, ci.format, ci.durationMs, ci.width, ci.height,
+            ci.frameCount, ci.keyframes.length,
+            ci.keyframes.map(_.toLong).sum,
+            ci.keyframeOffsets.headOption.getOrElse(-1L))
+        }
+      }
+  }
+
   /** Content-hash dedup of binary payloads — the first pass of any
     * multimodal training-data pipeline (identical images/audio recur
     * massively in web-scale corpora). Only (media_id, checksum) enters

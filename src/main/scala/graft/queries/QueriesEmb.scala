@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Multimodal, Similarity}
+import graft.functions.{MediaContainers, Multimodal, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search queries over `embeddings` (64-dim float vectors) and
@@ -660,6 +660,54 @@ object QueriesEmb {
              |  CAST(CASE WHEN len >= 256 THEN 256 ELSE len END AS INT) AS n_frame_bytes
              |FROM f
              |QUALIFY row_number() OVER (PARTITION BY media_id ORDER BY frame_idx) <= 3""".stripMargin)),
+
+    // MP4/WebM container metadata without any codec: each row builds a
+    // deterministic container from per-row parameters (MediaContainers.
+    // buildMp4/buildWebm — even docs MP4, odd WebM), parses it back with
+    // the box/EBML walker, and emits the recovered facts; the oracle
+    // recomputes the parameters algebraically. Any drift in EITHER the
+    // builder or the parser (sizes, fixed-point dims, stss/SimpleBlock
+    // keyframe flags, duration arithmetic) breaks the hash. Map-side:
+    // payloads are built, parsed and dropped inside one task.
+    QDef("mm_container",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Q.table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val media = docs.map { case (id, nch) =>
+          val w = 16 + ((id * 7) % 320).toInt
+          val h = 16 + ((id * 11) % 240).toInt
+          val nf = 1 + (nch % 24).toInt
+          val ke = 1 + (id % 7).toInt
+          val tpf = 20 + (id % 50).toInt
+          val payload =
+            if (id % 2 == 0) MediaContainers.buildMp4(w, h, nf, tpf, ke)
+            else MediaContainers.buildWebm(w, h, nf, tpf, ke)
+          (id, payload)
+        }.toDF("media_id", "payload")
+        Multimodal.containerMetadata(media).toDF()
+          .select(col("media_id"), col("format"), col("duration_ms"),
+            col("width"), col("height"), col("n_frames"),
+            col("n_keyframes"), col("key_sum"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    1 + n_chars % 24 AS nf,
+             |    1 + doc_id % 7 AS ke,
+             |    20 + doc_id % 50 AS tpf
+             |  FROM documents),
+             |k AS (SELECT doc_id, nf, ke, tpf,
+             |        (nf + ke - 1) // ke AS nk FROM p)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS format,
+             |  CAST(nf * tpf AS BIGINT) AS duration_ms,
+             |  CAST(16 + (doc_id * 7) % 320 AS INT) AS width,
+             |  CAST(16 + (doc_id * 11) % 240 AS INT) AS height,
+             |  CAST(nf AS INT) AS n_frames,
+             |  CAST(nk AS INT) AS n_keyframes,
+             |  CAST(ke * (nk * (nk - 1) // 2) AS BIGINT) AS key_sum
+             |FROM k""".stripMargin)),
 
     // content-hash dedup of binary payloads: md5 computed map-side, only
     // (media_id, checksum) shuffles — payload bytes stay in their scan

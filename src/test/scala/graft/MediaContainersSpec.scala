@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.{MediaContainers => MC, Multimodal}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** MP4 box / WebM EBML metadata parsing against the deterministic
+  * builders, plus structural-failure behavior and the Spark-side
+  * containerMetadata op.
+  */
+class MediaContainersSpec extends AnyFunSuite with Matchers {
+
+  test("MP4 round-trip: dims, duration, frames, keyframes, byte offsets") {
+    val b = MC.buildMp4(width = 320, height = 176, nFrames = 10,
+      ticksPerFrame = 40, keyEvery = 4, frameSize = 32)
+    MC.isMp4(b) shouldBe true
+    val ci = MC.parse(b)
+    ci.format shouldBe "mp4"
+    ci.width shouldBe 320
+    ci.height shouldBe 176
+    ci.frameCount shouldBe 10
+    ci.durationMs shouldBe 400L // 10 frames x 40 ticks at 1000 Hz
+    ci.keyframes shouldBe Seq(0, 4, 8)
+    // one sample per chunk => keyframe byte offsets are chunk offsets;
+    // the builder packs frame i's bytes as (j % 251) starting at
+    // i*frameSize of the frame block — check the bytes at each offset
+    ci.keyframeOffsets should have size 3
+    ci.keyframes.zip(ci.keyframeOffsets).foreach { case (k, off) =>
+      b(off.toInt) shouldBe ((k * 32) % 251).toByte
+    }
+  }
+
+  test("WebM round-trip: dims, duration, frames, keyframes point at blocks") {
+    val b = MC.buildWebm(width = 640, height = 360, nFrames = 12,
+      msPerFrame = 33, keyEvery = 5, frameSize = 24)
+    MC.isWebm(b) shouldBe true
+    val ci = MC.parse(b)
+    ci.format shouldBe "webm"
+    ci.width shouldBe 640
+    ci.height shouldBe 360
+    ci.frameCount shouldBe 12
+    ci.durationMs shouldBe (12L * 33)
+    ci.keyframes shouldBe Seq(0, 5, 10)
+    // each keyframe offset is the SimpleBlock element start (id 0xA3)
+    ci.keyframeOffsets.foreach { off =>
+      (b(off.toInt) & 0xff) shouldBe 0xa3
+    }
+  }
+
+  test("single-frame and every-frame-keyframe edges") {
+    val one = MC.parse(MC.buildMp4(16, 16, nFrames = 1, ticksPerFrame = 40,
+      keyEvery = 1))
+    one.frameCount shouldBe 1
+    one.keyframes shouldBe Seq(0)
+    val all = MC.parse(MC.buildWebm(16, 16, nFrames = 5, msPerFrame = 20,
+      keyEvery = 1))
+    all.keyframes shouldBe (0 until 5)
+  }
+
+  test("structural damage fails loudly, never misparses") {
+    val neither = "not a container at all".getBytes
+    intercept[IllegalArgumentException](MC.parse(neither))
+      .getMessage should include("neither MP4")
+    // truncate an MP4 mid-moov: the box walk must detect the overrun
+    val mp4 = MC.buildMp4(64, 64, 6, 40, 2)
+    val cut = java.util.Arrays.copyOf(mp4, mp4.length / 3)
+    intercept[IllegalArgumentException](MC.parse(cut))
+    // damage a WebM element length so a child overruns its parent
+    val webm = MC.buildWebm(64, 64, 6, 40, 2)
+    val bad = webm.clone()
+    bad(bad.length - 10) = 0xff.toByte // stomp inside the last block
+    // either parses (stomped a frame byte) or fails loudly — never a
+    // silent wrong answer on the structured fields; verify the loud
+    // path with a surgically broken size: claim the Segment is tiny
+    val tiny = webm.clone()
+    // EBML header is 4+2+body; find segment id 0x18538067 and shrink it
+    val segAt = tiny.indices.find(i => (tiny(i) & 0xff) == 0x18 &&
+      i + 3 < tiny.length && (tiny(i + 1) & 0xff) == 0x53 &&
+      (tiny(i + 2) & 0xff) == 0x80 && (tiny(i + 3) & 0xff) == 0x67).get
+    tiny(segAt + 4) = 0x40.toByte; tiny(segAt + 5) = 0x05.toByte
+    intercept[IllegalArgumentException](MC.parse(tiny))
+  }
+
+  test("containerMetadata: map-side parse over a mixed-format frame") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    val media = Seq(
+      (1L, MC.buildMp4(100, 80, 8, 25, 3)),
+      (2L, MC.buildWebm(200, 120, 6, 50, 2))
+    ).toDF("media_id", "payload")
+    val rows = Multimodal.containerMetadata(media)
+      .collect().sortBy(_.media_id)
+    rows(0).format shouldBe "mp4"
+    rows(0).duration_ms shouldBe 200L
+    rows(0).n_frames shouldBe 8
+    rows(0).n_keyframes shouldBe 3 // frames 0,3,6
+    rows(0).key_sum shouldBe 9L
+    rows(1).format shouldBe "webm"
+    rows(1).width shouldBe 200
+    rows(1).n_keyframes shouldBe 3 // frames 0,2,4
+    rows(1).key_sum shouldBe 6L
+    rows(1).first_key_offset should be > 0L
+  }
+}
