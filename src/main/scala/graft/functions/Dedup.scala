@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -142,6 +142,58 @@ object Dedup {
       .format("parquet")
       .saveAsTable(table)
     fresh
+  }
+
+  /** Compact a dedup ledger in place (catalog-wise): every
+    * [[dedupAgainstLedger]] append adds one small file-set per bucket,
+    * so after N daily ingests each bucketed scan opens N files per
+    * bucket and planning degrades. This rewrites the ledger into
+    * `newPath` PRESERVING the bucket spec — the rewrite is
+    * repartitioned by the bucket columns with the bucket count, which
+    * is the same Murmur3 `pmod` mapping bucketed writes use, so each
+    * task holds exactly one bucket's rows and emits one file per
+    * bucket — then swaps the staged table in under the original name
+    * (drop + rename; the old files stay at the old path for the caller
+    * to retire). Post-compaction plans are identical: history side
+    * still bucketed, still Exchange-free (spec-pinned).
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactLedger(spark: SparkSession, table: String,
+                    newPath: String): (Int, Int) = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val spec = meta.bucketSpec.getOrElse(sys.error(
+      s"ledger table $table has no bucket spec — not a dedup ledger"))
+    def countFiles(p: org.apache.hadoop.fs.Path): Int = {
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(p).count(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    }
+    val oldPath = new org.apache.hadoop.fs.Path(meta.location)
+    require(new org.apache.hadoop.fs.Path(newPath).toUri.normalize() !=
+      oldPath.toUri.normalize(),
+      s"compactLedger cannot write in place ($newPath == ledger location); " +
+        "stage to a sibling directory")
+    val before = countFiles(oldPath)
+    val keyCols = spec.bucketColumnNames
+    // read the ledger as a PLAIN parquet directory, not via the catalog:
+    // a bucketed-table read already satisfies the hash distribution, so
+    // a catalog read would elide the repartition shuffle and leave one
+    // task per file-split (files per bucket = read tasks, not 1); the
+    // plain read keeps the shuffle real, so each task holds exactly one
+    // bucket's rows and the write emits one file per bucket. It also
+    // leaves no catalog reference in the staged frame's lineage, so the
+    // drop+rename swap below cannot invalidate it mid-write.
+    val rows = spark.read.parquet(oldPath.toString)
+      .repartition(spec.numBuckets, keyCols.map(col): _*)
+    val staged = table + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $staged")
+    graft.core.Tables.writeBucketed(rows, staged, newPath,
+      keys = keyCols, buckets = spec.numBuckets,
+      sortCols = spec.sortColumnNames)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staged RENAME TO $table")
+    (before, countFiles(new org.apache.hadoop.fs.Path(newPath)))
   }
 
   /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:

@@ -40,6 +40,55 @@ class DedupLedgerSpec extends SparkSpec with Matchers {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("compaction: 5 appends -> one file per bucket, same plan, same answers") {
+    val table = "led_t3"
+    try {
+      val base = (1L to 50L).map(i => (i, s"seed doc $i")).toDF("doc_id", "text")
+      Dedup.writeDedupLedger(base, "text", table, freshDir(), buckets = 4)
+      // five daily ingests, each appending a file-set into every bucket
+      (0 until 5).foreach { day =>
+        val batch = (1L to 20L)
+          .map(i => (1000L * (day + 1) + i, s"day $day doc $i"))
+          .toDF("doc_id", "text")
+        Dedup.dedupAgainstLedger(batch, "doc_id", "text", table).count()
+      }
+      val fpsBefore = spark.table(table).collect().map(_.getString(0)).sorted
+      fpsBefore.length shouldBe (50 + 5 * 20)
+
+      val (before, after) = Dedup.compactLedger(spark, table, freshDir())
+      assert(before > 4 && after == 4,
+        s"expected 4 post-compaction files (one per bucket), got $before -> $after")
+
+      // same answers: identical fingerprint set...
+      spark.table(table).collect().map(_.getString(0)).sorted shouldBe fpsBefore
+      // ...same bucket spec in the catalog...
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).bucketSpec
+      spec.map(_.numBuckets) shouldBe Some(4)
+      spec.map(_.bucketColumnNames) shouldBe Some(Seq("fingerprint"))
+      // ...and the ingest plan is still Exchange-free on the history side
+      val batch = (1L to 10L).map(i => (9000L + i, s"day 2 doc $i"))
+        .toDF("doc_id", "text")
+      val withFp = batch.withColumn("fingerprint",
+        graft.functions.TextAnalysis.fingerprint($"text"))
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val plan = try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val anti = withFp.join(spark.table(table), Seq("fingerprint"), "left_anti")
+        anti.collect()
+        anti.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      assert(plan.linesIterator.count(_.contains("+- Exchange ")) == 1, plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // and a re-ingest of day-2 content still dedups to nothing
+      Dedup.dedupAgainstLedger(batch, "doc_id", "text", table).count() shouldBe 0L
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__compacting")
+    }
+  }
+
   test("ingest shuffles only the batch: ledger side reads bucketed, no Exchange") {
     val table = "led_t2"
     try {
