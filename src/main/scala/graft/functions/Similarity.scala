@@ -247,7 +247,15 @@ object Similarity {
       .map(_.toArray).toArray
     require(cbs.length == meta.getInt(meta.fieldIndex("m")),
       s"$path: codebook count ${cbs.length} != stored m — corrupt index meta")
+    // the codes table is tiny AT REST (m bytes/vector → one file even
+    // for a large corpus) but the probe join below EXPANDS it by the
+    // query count: without this repartition the scan plans as 1-2
+    // partitions and the whole queries×codes scoring stage runs on as
+    // many tasks (measured at sf10: 324 s single-task vs the corpus-
+    // scan twin's full-width stage). A ~1 MB shuffle buys full
+    // parallelism on the multi-hundred-million-row in-flight expansion.
     val c = spark.read.parquet(s"$path/codes")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("match_id"), pqReconstruct(col("codes"), cbs, subDim).as("recon"))
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("match_id"))
@@ -368,7 +376,11 @@ object Similarity {
     val coarseLit = typedLit(coarse.toSeq)
     def centSlice(idx: Column) = slice(coarseLit, idx * dim + 1, lit(dim))
 
+    // same tiny-at-rest / huge-in-flight argument as [[searchPqIndex]]:
+    // spread the one-file codes scan across the cluster BEFORE the
+    // probe join multiplies it by the query count
     val encoded = spark.read.parquet(s"$path/codes")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("match_id"), col("coarse_c"),
         pqReconstruct(col("codes"), cbs, subDim).as("rrec"))
       .withColumn("approx",

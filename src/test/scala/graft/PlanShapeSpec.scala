@@ -160,6 +160,13 @@ class PlanShapeSpec extends SparkSpec {
         s"$q: the codes/corpus side must not shuffle-join:\n$p")
       assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
         s"$q: queries/candidates should broadcast:\n$p")
+      // the codes table is tiny at rest (one file) but the probe join
+      // expands it by the query count — the serving plan must spread
+      // the scan BEFORE the expansion or the whole scoring stage runs
+      // single-task (measured 4.3x at sf10)
+      assert(p.contains("Exchange RoundRobinPartitioning") ||
+        p.contains("REPARTITION_BY_NUM"),
+        s"$q: codes scan must repartition ahead of the expanding join:\n$p")
     }
   }
 }
