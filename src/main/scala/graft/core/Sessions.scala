@@ -11,6 +11,15 @@ object Sessions {
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // let every shuffle START wide and have AQE coalesce it down to
+      // the data's actual size: at small SFs this is a no-op (AQE
+      // merges the small partitions back, advisory target unchanged),
+      // while at 100× data the heavy shuffles (the ngram inverted
+      // index, candidate joins) keep the width they need instead of
+      // squeezing through `shufflePartitions` fixed-size buckets —
+      // the same setting a real cluster sizes to executors×cores
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(shufflePartitions * 8, 64))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
