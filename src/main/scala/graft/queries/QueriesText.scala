@@ -1214,6 +1214,94 @@ object QueriesText {
               |  array_to_string(fl.ids[1:8], ',') AS head_ids,
               |  coalesce(s.id_sum, 0) AS id_sum,
               |  coalesce(s.id_possum, 0) AS id_possum
-              |FROM fl LEFT JOIN sums s USING (doc_id)""".stripMargin))
+              |FROM fl LEFT JOIN sums s USING (doc_id)""".stripMargin)),
+
+    // BPE ids through concat-and-split packing, end to end: the
+    // trainable-shard integration (what writeTrainingShards(bpeVocab=…)
+    // lands) reduced to per-sequence order-pinned checksums. The oracle
+    // composes the t_bpe_encode recursive-CTE encoder with the
+    // t_seq_emit layout CTEs (same two-phase prefix sum, n_tokens now
+    // BPE counts) and re-derives every sequence's contents from the
+    // slice table — any drift in tokenization, layout arithmetic, or
+    // assembly order breaks the positional hash.
+    QDef("t_bpe_pack",
+      (s, dir) => {
+        val d = Q.table(s, dir, "documents")
+        graft.functions.Packing.packSequenceTokens(
+            d, col("doc_id"),
+            Bpe.encode(TextAnalysis.normalized(col("text")), Bpe.demoVocab),
+            seqLen = 512, nBuckets = 32, salt = "pack")
+          .select(col("seq_id"),
+            size(col("tokens")).cast("long").as("n_tokens"),
+            aggregate(col("tokens"), lit(0L), (a, x) => a + x.cast("long"))
+              .as("id_sum"),
+            aggregate(col("tokens"), struct(lit(0L).as("s"), lit(0L).as("i")),
+              (acc, x) => struct(
+                (acc.getField("s") + (acc.getField("i") + lit(1L)) * x.cast("long")).as("s"),
+                (acc.getField("i") + lit(1L)).as("i")),
+              acc => acc.getField("s")).as("id_possum"))
+      },
+      Some(s"""WITH RECURSIVE
+              |vocab(id, piece, plen) AS (VALUES ${Bpe.vocabValuesSql(Bpe.demoVocab)}),
+              |docs AS (SELECT doc_id, $normSql AS norm FROM documents),
+              |wn AS (SELECT doc_id, regexp_split_to_array(norm, ' ') AS words FROM docs),
+              |w AS (SELECT doc_id, unnest(words) AS word,
+              |             unnest(range(1, len(words) + 1)) AS widx FROM wn),
+              |enc(doc_id, widx, word, pos, ids) AS (
+              |  SELECT doc_id, widx, word, 0, CAST([] AS INTEGER[]) FROM w
+              |  WHERE length(word) > 0
+              |  UNION ALL
+              |  SELECT e.doc_id, e.widx, e.word, e.pos + coalesce(m.plen, 1),
+              |         list_append(e.ids, coalesce(m.id, 0))
+              |  FROM enc e LEFT JOIN LATERAL (
+              |    SELECT v.id, v.plen FROM vocab v
+              |    WHERE substr(e.word, e.pos + 1, v.plen) = v.piece
+              |    ORDER BY v.plen DESC LIMIT 1) m ON true
+              |  WHERE e.pos < length(e.word)
+              |),
+              |done AS (SELECT doc_id, widx, ids FROM enc WHERE pos = length(word)),
+              |fl AS (SELECT doc_id, flatten(list(ids ORDER BY widx)) AS ids
+              |       FROM done GROUP BY doc_id),
+              |d AS (
+              |  SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+              |    (CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              |      % 1000000) % 32 AS bucket
+              |  FROM fl WHERE len(ids) > 0),
+              |c AS (
+              |  SELECT doc_id, bucket, n_tokens,
+              |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS local_end
+              |  FROM d),
+              |bo AS (
+              |  SELECT bucket,
+              |    CAST(coalesce(sum(tot) OVER (ORDER BY bucket
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bucket_off
+              |  FROM (SELECT bucket, sum(n_tokens) AS tot FROM d GROUP BY bucket) t),
+              |p AS (
+              |  SELECT c.doc_id, c.n_tokens,
+              |    bucket_off + local_end - n_tokens AS start_off,
+              |    (bucket_off + local_end - n_tokens) // 512 AS seq_first,
+              |    (bucket_off + local_end - 1) // 512 AS seq_last
+              |  FROM c JOIN bo USING (bucket)),
+              |e AS (
+              |  SELECT doc_id, n_tokens, start_off,
+              |    unnest(generate_series(seq_first, seq_last)) AS seq_id
+              |  FROM p),
+              |sl AS (
+              |  SELECT e.seq_id, e.doc_id,
+              |    greatest(start_off, seq_id * 512) - start_off AS tok_from,
+              |    least(start_off + n_tokens, (seq_id + 1) * 512) - start_off AS tok_to,
+              |    greatest(start_off, seq_id * 512) - seq_id * 512 AS seq_off
+              |  FROM e),
+              |x AS (
+              |  SELECT sl.seq_id,
+              |    unnest(list_slice(fl.ids, CAST(tok_from + 1 AS INTEGER),
+              |                      CAST(tok_to AS INTEGER))) AS id,
+              |    seq_off + unnest(range(1, tok_to - tok_from + 1)) AS pos
+              |  FROM sl JOIN fl USING (doc_id))
+              |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              |  CAST(sum(id) AS BIGINT) AS id_sum,
+              |  CAST(sum(id * pos) AS BIGINT) AS id_possum
+              |FROM x GROUP BY seq_id""".stripMargin))
   )
 }
