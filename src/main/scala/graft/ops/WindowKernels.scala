@@ -181,6 +181,63 @@ object WindowKernels {
   def dtToRound(ts: Column, rounded: Column): Column =
     abs(unix_micros(ts.cast("timestamp")) - unix_micros(rounded)).cast("double") / 1e6
 
+  /** W7 — slinear interpolation/extrapolation parity (scipy
+    * `interp1d(kind="slinear", fill_value="extrapolate")`; the reference
+    * uses it as a gradient test oracle, `tests/test_qc.py:495-503`).
+    * Rows whose `value` is null get the linear interpolation between the
+    * nearest known samples of the same stream in time order; before the
+    * first / after the last known sample, the nearest known segment is
+    * extended (linear extrapolation). Known rows keep their value.
+    *
+    * Pure window arithmetic: the two flanking known points on each side
+    * come from `nth_value(..., ignoreNulls)` over a forward and a
+    * reversed row frame. Both orderings hash-partition on the same
+    * stream key, so the plan is one Exchange and two Sort+Window stages
+    * — no join, no UDF; at 100 TB a hot stream parallelizes with the
+    * same chunk-with-overlap hardening as the other kernels (the
+    * lookback here is 2 known samples, not a time range).
+    *
+    * Degenerate spacing (the flanking samples share a timestamp) yields
+    * null rather than an ANSI divide error; a stream with fewer than 2
+    * known samples cannot define a segment and also yields null.
+    */
+  def interpSlinear(df: DataFrame, out: String, value: Column, epochUs: Column,
+                    partCols: Seq[String] = Seq(Obs.DatastreamId),
+                    tieBreak: Column = col(Obs.IotId)): DataFrame = {
+    val wAsc = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(epochUs.asc, tieBreak.asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val wDesc = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(epochUs.desc, tieBreak.desc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val t = epochUs.cast("double")
+    // time-of-known-sample: null wherever the value is null, so the same
+    // nth_value(ignoreNulls) index selects the matching (t, v) pair
+    val tKnown = when(value.isNotNull, t)
+    // materialize each nth_value ONCE (Spark does not dedupe repeated
+    // identical window expressions)
+    val withFlanks = df
+      .withColumn("__p1v", nth_value(value, 1, ignoreNulls = true).over(wDesc))
+      .withColumn("__p1t", nth_value(tKnown, 1, ignoreNulls = true).over(wDesc))
+      .withColumn("__p2v", nth_value(value, 2, ignoreNulls = true).over(wDesc))
+      .withColumn("__p2t", nth_value(tKnown, 2, ignoreNulls = true).over(wDesc))
+      .withColumn("__n1v", nth_value(value, 1, ignoreNulls = true).over(wAsc))
+      .withColumn("__n1t", nth_value(tKnown, 1, ignoreNulls = true).over(wAsc))
+      .withColumn("__n2v", nth_value(value, 2, ignoreNulls = true).over(wAsc))
+      .withColumn("__n2t", nth_value(tKnown, 2, ignoreNulls = true).over(wAsc))
+    def seg(t0: Column, v0: Column, t1: Column, v1: Column): Column =
+      when(t1 =!= t0, v0 + (v1 - v0) * (t - t0) / (t1 - t0))
+    val interp = when(value.isNotNull, value)
+      .when(col("__p1v").isNotNull && col("__n1v").isNotNull,
+        seg(col("__p1t"), col("__p1v"), col("__n1t"), col("__n1v")))
+      .when(col("__p1v").isNull && col("__n2v").isNotNull,
+        seg(col("__n1t"), col("__n1v"), col("__n2t"), col("__n2v")))
+      .when(col("__n1v").isNull && col("__p2v").isNotNull,
+        seg(col("__p2t"), col("__p2v"), col("__p1t"), col("__p1v")))
+    withFlanks.withColumn(out, interp)
+      .drop("__p1v", "__p1t", "__p2v", "__p2t", "__n1v", "__n1t", "__n2v", "__n2t")
+  }
+
   /** Sessionization — gaps-and-islands over an event stream: a new
     * session starts whenever the gap to the previous event of the same
     * key exceeds `gapUs`. Returns one row per event with its

@@ -168,6 +168,54 @@ object QueriesQcEvents {
               |            ELSE q % 2 END) * 1000000 - t_us) AS dt_us
               |FROM r""".stripMargin)),
 
+    // W7 — slinear interpolation/extrapolation (scipy interp1d parity;
+    // the reference's gradient-test oracle). Every 7th observation's
+    // value is masked, then refilled from its stream's flanking known
+    // samples; edge rows extrapolate along the nearest segment.
+    QDef("w7_interp",
+      (s, dir) => {
+        val masked = obs(s, dir).withColumn("v_obs",
+          when(col(Obs.IotId) % 7 === 0, lit(null).cast("double"))
+            .otherwise(col(Obs.Result)))
+        WindowKernels.interpSlinear(masked, "v_filled", col("v_obs"), col("t_us"))
+          .filter(col("v_obs").isNull)
+          .select(col(Obs.IotId), round(col("v_filled"), 6).as("v_filled"))
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |m AS (SELECT iot_id, datastream_id, t_us,
+              |        CASE WHEN iot_id % 7 = 0 THEN NULL ELSE result END AS v
+              |      FROM obs),
+              |k AS (SELECT *, CASE WHEN v IS NULL THEN NULL
+              |                ELSE CAST(t_us AS DOUBLE) END AS tk FROM m),
+              |f AS (
+              |  SELECT iot_id, t_us, v,
+              |    nth_value(v, 1 IGNORE NULLS) OVER wd AS p1v,
+              |    nth_value(tk, 1 IGNORE NULLS) OVER wd AS p1t,
+              |    nth_value(v, 2 IGNORE NULLS) OVER wd AS p2v,
+              |    nth_value(tk, 2 IGNORE NULLS) OVER wd AS p2t,
+              |    nth_value(v, 1 IGNORE NULLS) OVER wa AS n1v,
+              |    nth_value(tk, 1 IGNORE NULLS) OVER wa AS n1t,
+              |    nth_value(v, 2 IGNORE NULLS) OVER wa AS n2v,
+              |    nth_value(tk, 2 IGNORE NULLS) OVER wa AS n2t
+              |  FROM k
+              |  WINDOW wa AS (PARTITION BY datastream_id ORDER BY t_us ASC, iot_id ASC
+              |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+              |         wd AS (PARTITION BY datastream_id ORDER BY t_us DESC, iot_id DESC
+              |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+              |SELECT iot_id,
+              |  round(CASE
+              |    WHEN p1v IS NOT NULL AND n1v IS NOT NULL THEN
+              |      CASE WHEN n1t <> p1t THEN
+              |        p1v + (n1v - p1v) * (CAST(t_us AS DOUBLE) - p1t) / (n1t - p1t) END
+              |    WHEN p1v IS NULL AND n2v IS NOT NULL THEN
+              |      CASE WHEN n2t <> n1t THEN
+              |        n1v + (n2v - n1v) * (CAST(t_us AS DOUBLE) - n1t) / (n2t - n1t) END
+              |    WHEN n1v IS NULL AND p2v IS NOT NULL THEN
+              |      CASE WHEN p1t <> p2t THEN
+              |        p2v + (p1v - p2v) * (CAST(t_us AS DOUBLE) - p2t) / (p1t - p2t) END
+              |  END, 6) + 0.0e0 AS v_filled
+              |FROM f WHERE v IS NULL""".stripMargin)),
+
     // J1 — broadcast config join, row count preserved (asserted in tests)
     QDef("j1_config_join",
       (s, dir) => QcConfigJoin.joined(s, dir)

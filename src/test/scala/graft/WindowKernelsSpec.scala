@@ -110,4 +110,35 @@ class WindowKernelsSpec extends SparkSpec with Matchers {
     assert(stats(("B", 0L)) == ((7L, 7L, 2L, 0L)))
     assert(stats.size == 4)
   }
+
+  // W7 — scipy interp1d(kind="slinear", fill_value="extrapolate") parity.
+  // Expected values are the hand-computed piecewise-linear fills; the edge
+  // rows extend the nearest known segment (scipy's "extrapolate").
+  test("interpSlinear: interior fill, edge extrapolation, degenerate streams") {
+    val rows = Seq(
+      // stream 1: known (0,10) (2,30) (5,60); masked at -1,1,3,4,7
+      (1L, -1L, 1L, None), (1L, 0L, 2L, Some(10.0)), (1L, 1L, 3L, None),
+      (1L, 2L, 4L, Some(30.0)), (1L, 3L, 5L, None), (1L, 4L, 6L, None),
+      (1L, 5L, 7L, Some(60.0)), (1L, 7L, 8L, None),
+      // stream 2: one known sample — no segment, fill stays null
+      (2L, 0L, 9L, Some(5.0)), (2L, 1L, 10L, None),
+      // stream 3: no known samples at all
+      (3L, 0L, 11L, None)
+    )
+    val df = rows.toDF("ds", "t", "id", "v")
+      .withColumn("v", $"v".cast("double"))
+    val got = WindowKernels.interpSlinear(df, "fill", $"v", $"t",
+        partCols = Seq("ds"), tieBreak = $"id")
+      .select($"id", $"fill").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    got(1L) shouldBe Some(0.0)    // leading extrapolation along (0,10)-(2,30)
+    got(3L) shouldBe Some(20.0)   // interior between (0,10)-(2,30)
+    got(5L) shouldBe Some(40.0)   // interior between (2,30)-(5,60)
+    got(6L) shouldBe Some(50.0)
+    got(8L) shouldBe Some(80.0)   // trailing extrapolation along (2,30)-(5,60)
+    got(2L) shouldBe Some(10.0)   // known rows keep their value
+    got(10L) shouldBe None        // single-known stream: no segment
+    got(11L) shouldBe None        // all-null stream
+  }
 }
