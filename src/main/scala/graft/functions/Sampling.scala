@@ -79,6 +79,41 @@ object Sampling {
       .drop("__s_rk")
   }
 
+  /** Per-key quota — "keep at most `n` rows per domain, best first" (the
+    * crawl-curation cap against crawler traps and boilerplate hubs; cf.
+    * the per-domain limits of C4/RefinedWeb-style corpus construction).
+    * `orderCols` ranks rows within a key (must be a total order for
+    * determinism — tiebreak on a unique id).
+    *
+    * Unlike [[fixedKPerStratum]] (a sample: every stratum is ranked),
+    * this is a CAP, and at corpus scale most keys are under it — so the
+    * shape matters: ranking everything would shuffle the whole corpus by
+    * key. Two-phase instead, same machinery as [[SkewCap]]:
+    *   1. partial-agg'd `groupBy(key).count` finds the over-cap keys
+    *      (tiny by construction: ≤ |df|/n keys can exceed n rows);
+    *   2. under-cap rows pass through a broadcast LEFT ANTI join —
+    *      map-side, they never shuffle;
+    *   3. only over-cap keys' rows (broadcast LEFT SEMI) enter the
+    *      rank window, and `row_number <= n` plans as WindowGroupLimit:
+    *      each map task pre-trims to its partial top-n per key before
+    *      the exchange, so a 10⁹-row trap domain ships n × partitions
+    *      rows, not 10⁹.
+    * The input is scanned twice (count + pass) — at 100 TB that is noise
+    * next to shuffling the full corpus through one window.
+    */
+  def capPerKey(df: DataFrame, keyCol: Column, n: Int,
+                orderCols: Seq[Column]): DataFrame = {
+    val over = broadcast(SkewCap.overCapKeys(df, keyCol, n.toLong))
+    val underRows = df.join(over, keyCol <=> col("__cap_key"), "left_anti")
+    val overRows = df.join(over, keyCol <=> col("__cap_key"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(orderCols: _*)
+    val capped = overRows.withColumn("__cap_rk", row_number().over(w))
+      .filter(col("__cap_rk") <= n)
+      .drop("__cap_rk")
+    underRows.unionByName(capped)
+  }
+
   /** Temperature-weighted mixture sampling to a global token budget —
     * the domain-mixing step of a pretraining pipeline: give each
     * stratum (domain/language/source) a token target proportional to

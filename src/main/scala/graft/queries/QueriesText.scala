@@ -738,6 +738,34 @@ object QueriesText {
              |  FROM documents) t
              |WHERE rk <= 10""".stripMargin)),
 
+    // per-domain quota (crawler-trap cap): keep at most 15 docs per
+    // domain, longest-first. The domain column fuses half the corpus
+    // into one hot 'hub' key (the w8-style skew synthesis) so BOTH
+    // paths run: under-cap domains pass map-side via broadcast anti,
+    // only the hub's rows enter the rank window (WindowGroupLimit).
+    QDef("t_source_cap",
+      (s, dir) => {
+        val d = Q.table(s, dir, "documents").withColumn("domain",
+          when(col("doc_id") % 4 < 2, lit("hub")).otherwise(col("source")))
+        Sampling.capPerKey(d, col("domain"), n = 15,
+            orderCols = Seq(col("n_chars").desc, col("doc_id").asc))
+          .select(col("doc_id"), col("domain"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, n_chars,
+             |    CASE WHEN doc_id % 4 < 2 THEN 'hub' ELSE source END AS domain
+             |  FROM documents),
+             |oc AS (SELECT domain FROM d GROUP BY domain HAVING count(*) > 15),
+             |r AS (
+             |  SELECT doc_id, domain,
+             |    row_number() OVER (PARTITION BY domain
+             |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+             |  FROM d WHERE domain IN (SELECT domain FROM oc))
+             |SELECT doc_id, domain FROM d
+             |WHERE domain NOT IN (SELECT domain FROM oc)
+             |UNION ALL
+             |SELECT doc_id, domain FROM r WHERE rk <= 15""".stripMargin)),
+
     // concat-and-split sequence packing via the two-phase distributed
     // prefix sum (per-bucket cumsum + broadcast bucket offsets) — the
     // naive single-window global cumsum is the scale-killer this

@@ -169,4 +169,23 @@ class PlanShapeSpec extends SparkSpec {
         s"$q: codes scan must repartition ahead of the expanding join:\n$p")
     }
   }
+
+  test("source cap: under-cap rows bypass the window; over-cap ranking pre-trims") {
+    val p = plan("t_source_cap")
+    // phase 1+2: the over-cap key set broadcasts back as anti (pass) and
+    // semi (rank) — the corpus must never shuffle-join its own counts
+    assert(p.contains("LeftAnti") && p.contains("LeftSemi"),
+      s"expected broadcast anti (under-cap pass) + semi (over-cap select):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"over-cap key set must broadcast, not shuffle:\n$p")
+    // phase 3: row_number <= n over only the over-cap slice plans as
+    // WindowGroupLimit — map tasks pre-trim to partial top-n per key
+    // before the exchange, so a trap domain ships n x partitions rows
+    assert(p.contains("WindowGroupLimit"),
+      s"rank must pre-trim map-side (WindowGroupLimit):\n$p")
+    // exactly ONE window stage exists (the over-cap branch); the
+    // under-cap branch is scan + broadcast join only
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"only the over-cap slice may be windowed:\n$p")
+  }
 }
