@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Portable cardinality sketches for corpus profiling.
+  *
+  * Spark's own `approx_count_distinct` is the right tool when only Spark
+  * reads the answer — but its HLL++ buffers hash with xxHash64 and are
+  * not reproducible outside the engine, so a sketch persisted today
+  * can't be merged or audited by another system tomorrow. This HLL is
+  * built from PORTABLE pieces instead: the same md5-prefix hash as the
+  * dedup/sampling family, integer-only rank-of-first-set-bit (bit-fill +
+  * popcount — no log/clz libm anywhere), and an exact integer harmonic
+  * denominator in Q49 fixed point. The identical arithmetic runs in any
+  * engine with md5 + 64-bit integers (the DuckDB oracle replays it
+  * bit-for-bit), and the per-register state is plain rows — mergeable
+  * across runs/engines by `max` per register.
+  *
+  * Scale shape (Flajolet et al. 2007, "HyperLogLog"): the sketch is
+  * relational algebra, not a custom buffer — `groupBy(strata, register)
+  * .agg(max(rho))` collapses the token stream map-side to ≤ #strata × m
+  * rows per partition before the only shuffle, then a second tiny
+  * groupBy folds the m registers. An exact `count(DISTINCT token)` would
+  * instead shuffle one row per distinct (stratum, token) pair — the
+  * dominant shuffle at corpus scale; the sketch's traffic is bounded by
+  * the register count no matter how many tokens flow in.
+  */
+object Sketches {
+
+  /** Hash width: 15 md5 hex chars = 60 bits, the widest prefix that is
+    * guaranteed inside a signed 64-bit integer in every engine.
+    */
+  val HashBits = 60
+
+  /** First 60 bits of md5(salt‖item) as a non-negative BIGINT. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Per-stratum HLL profile of `item` with m = 2^p registers.
+    * Returns one row per stratum: `hll_zeros` (registers never hit),
+    * `hll_denom_q49` (the exact integer harmonic denominator,
+    * Σ_j 2^(49−M_j) over all m registers), and `hll_estimate` (the raw
+    * HLL cardinality α_m·m²/Σ2^(−M_j) — IEEE-deterministic: the only
+    * float steps are two exact power-of-two scalings and one division).
+    * Small-range linear counting (m·ln(m/zeros)) needs libm and is left
+    * to the caller — `hll_zeros` carries everything it needs.
+    *
+    * p ∈ [4, 16]: register index takes p of the 60 hash bits, rho ranks
+    * the remaining w = 60−p, so M_j ∈ [1, w+1] and the Q49 denominator
+    * Σ ≤ m·2^49 stays inside int64 for p ≤ 16 at the fixed q = 49 scale
+    * (which itself requires w ≤ 48, i.e. p ≥ 12; smaller p just wastes
+    * scale headroom, so q is pinned to 49 for portability).
+    */
+  def hllProfile(df: DataFrame, strata: Seq[String], item: Column,
+                 p: Int = 12, salt: String = "hll"): DataFrame = {
+    require(p >= 12 && p <= 16, s"p=$p outside [12,16] (q49 fixed point)")
+    val m = 1L << p
+    val wBits = HashBits - p
+    val q = 49 // fixed-point scale: 2^(q - M_j) with M_j >= 1 ... wBits+1
+    require(wBits + 1 <= q, "rho must fit the Q49 scale")
+    val h = hash60(concat(lit(salt), item.cast("string")))
+    val reg = pmod(h, lit(m))
+    val w = shiftright(h, p)
+    // fill every bit below the MSB, then popcount == bit-length(w);
+    // rho = leading-zeros-in-wBits + 1 = wBits - bitlen + 1 (w=0 -> wBits+1)
+    val filled = Seq(1, 2, 4, 8, 16, 32)
+      .foldLeft(w)((acc, s) => acc.bitwiseOR(shiftright(acc, s)))
+    val rho = lit(wBits + 1) - bit_count(filled)
+    val perReg = df
+      .select(strata.map(col) :+ reg.as("__hll_reg") :+ rho.as("__hll_rho"): _*)
+      .groupBy((strata :+ "__hll_reg").map(col): _*)
+      .agg(max(col("__hll_rho")).as("__hll_max"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    perReg.groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).as("__n_present"),
+        sum(call_function("shiftleft", lit(1L), lit(q) - col("__hll_max")))
+          .as("__present_q49"))
+      .withColumn("hll_zeros", lit(m) - col("__n_present"))
+      .withColumn("hll_denom_q49",
+        col("__present_q49") + col("hll_zeros") * lit(1L << q))
+      .withColumn("hll_estimate",
+        round(alpha * lit(m.toDouble * m.toDouble) * lit(math.pow(2.0, q))
+          / col("hll_denom_q49").cast("double"), 6))
+      .drop("__n_present", "__present_q49")
+  }
+}

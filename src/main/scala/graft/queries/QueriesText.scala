@@ -724,6 +724,42 @@ object QueriesText {
               |ORDER BY n_total DESC, token
               |LIMIT 100""".stripMargin)),
 
+    // distinct-token cardinality per language WITHOUT an exact-distinct
+    // shuffle: portable HyperLogLog (md5-prefix hash, integer-only rho,
+    // Q49 fixed-point harmonic sum) — the sketch is two tiny groupBys;
+    // exact countDistinct would shuffle one row per distinct
+    // (lang, token) pair. DuckDB replays every bit of the register math.
+    QDef("t_hll_profile",
+      (s, dir) => {
+        val tok = Q.table(s, dir, "documents").select(col("lang"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("token"))
+        graft.functions.Sketches.hllProfile(tok, Seq("lang"), col("token"),
+          p = 12, salt = "hll")
+      },
+      Some(s"""WITH w AS (SELECT lang, $wordsSql AS words FROM documents),
+              |tok AS (SELECT lang, unnest(words) AS token FROM w),
+              |h AS (SELECT lang,
+              |        CAST(('0x' || substr(md5('hll' || token), 1, 15)) AS BIGINT) AS h
+              |      FROM tok),
+              |f AS (SELECT lang, h % 4096 AS reg, h >> 12 AS w0,
+              |        w0 | (w0 >> 1) AS a1, a1 | (a1 >> 2) AS a2,
+              |        a2 | (a2 >> 4) AS a3, a3 | (a3 >> 8) AS a4,
+              |        a4 | (a4 >> 16) AS a5, a5 | (a5 >> 32) AS a6,
+              |        49 - bit_count(a6) AS rho
+              |      FROM h),
+              |mx AS (SELECT lang, reg, max(rho) AS mr FROM f GROUP BY 1, 2),
+              |ag AS (SELECT lang, count(*) AS np,
+              |         CAST(sum(CAST(1 AS BIGINT) << (49 - mr)) AS BIGINT) AS pq
+              |       FROM mx GROUP BY 1)
+              |SELECT lang,
+              |  4096 - np AS hll_zeros,
+              |  pq + (4096 - np) * 562949953421312 AS hll_denom_q49,
+              |  round(0.7213e0 / (1.0e0 + 1.079e0 / 4096.0e0)
+              |        * 16777216.0e0 * 562949953421312.0e0
+              |        / CAST(pq + (4096 - np) * 562949953421312 AS DOUBLE), 6)
+              |    AS hll_estimate
+              |FROM ag""".stripMargin)),
+
     // exactly k docs per stratum by hash order (WindowGroupLimit keeps
     // per-map-task partial top-k ahead of the low-cardinality shuffle)
     QDef("t_fixed_k_sample",
