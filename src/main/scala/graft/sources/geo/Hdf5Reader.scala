@@ -390,9 +390,174 @@ object Hdf5Reader {
         val links = msgs.filter(_._1 == 0x0006)
           .map(m => readLink(buf, m._2, m._3, path))
         if (links.nonEmpty) links
-        else throw new IllegalArgumentException(
-          s"$path: root group has no compact Link messages — dense " +
-            "(fractal-heap) groups unsupported; `nccopy -k classic` converts")
+        else msgs.find(_._1 == 0x0002) match { // Link Info → dense storage
+          case Some(li) => readDenseLinks(buf, li._2, li._3, path)
+          case None => throw new IllegalArgumentException(
+            s"$path: root group has neither compact Link messages nor a " +
+              "Link Info message — unsupported group layout")
+        }
+    }
+  }
+
+  /** Dense link storage (the latest-format layout once a group exceeds
+    * the compact-message threshold, 8 links by library default — a
+    * netCDF-4 file with many variables): the Link Info message points at
+    * a fractal heap holding each link message as a managed object, and a
+    * v2 B-tree (type 5, name index) whose records carry the heap IDs.
+    * Enumeration = walk the B-tree leaf records, decode each managed
+    * heap ID to (heap offset, length) via the heap's doubling table, and
+    * parse the object bytes as a Link message.
+    *
+    * Never-misparse bounds, all failing loudly: managed objects only
+    * (huge/tiny heap IDs reject), unfiltered heaps, direct-block rows
+    * only (an indirect-block hierarchy means >maxDirect×width bytes of
+    * link names), and a root-leaf B-tree (≈180 links at the library's
+    * default node size; deeper trees reject).
+    */
+  private def readDenseLinks(buf: ByteBuffer, pos: Int, size: Int,
+                             path: String): Seq[(String, Long)] = {
+    val b = slice(buf, pos, size)
+    val ver = b.get() & 0xff
+    require(ver == 0, s"$path: Link Info message v$ver unsupported")
+    val flags = b.get() & 0xff
+    if ((flags & 0x01) != 0) b.getLong() // max creation index
+    val fheapAddr = b.getLong()
+    val nameBtAddr = b.getLong()
+    require(fheapAddr != Undef && nameBtAddr != Undef,
+      s"$path: dense group without fractal heap / name index")
+    val heap = readFractalHeapHeader(buf, fheapAddr, path)
+    val ids = readBtree2LeafRecords(buf, nameBtAddr, path)
+    ids.map { id =>
+      val flag = id(0) & 0xff
+      require((flag & 0xc0) == 0, s"$path: heap ID version ${flag >> 6}")
+      require((flag & 0x30) == 0,
+        s"$path: non-managed (huge/tiny) link heap object unsupported")
+      val ib = ByteBuffer.wrap(id).order(ByteOrder.LITTLE_ENDIAN)
+      ib.position(1)
+      val off = readUintLE(ib, heap.offBytes)
+      val len = readUintLE(ib, heap.lenBytes).toInt
+      readLink(buf, heap.fileAddr(off, path), len, path)
+    }
+  }
+
+  private[graft] final case class FractalHeap(offBytes: Int, lenBytes: Int,
+                                              width: Int, startBlock: Long,
+                                              blockAddrs: IndexedSeq[Long]) {
+    /** File position of heap offset `off` via the doubling table: rows
+      * 0 and 1 hold `width` blocks of `startBlock` bytes, row r ≥ 2
+      * doubles the block size; row r ≥ 1 starts at heap offset
+      * width·startBlock·2^(r−1). Heap offsets include each block's own
+      * header, so the file position is blockAddr + (off − blockStart).
+      */
+    def fileAddr(off: Long, path: String): Int = {
+      val ws = width * startBlock
+      val (row, rowStart, blockSize) =
+        if (off < ws) (0, 0L, startBlock)
+        else {
+          var r = 1
+          while (ws * (1L << r) <= off) r += 1 // off < start(r+1)
+          (r, ws * (1L << (r - 1)), startBlock << (r - 1))
+        }
+      val col = ((off - rowStart) / blockSize).toInt
+      val idx = row * width + col
+      require(idx < blockAddrs.length && blockAddrs(idx) != Undef,
+        s"$path: link heap offset $off outside allocated direct blocks")
+      (blockAddrs(idx) + (off - (rowStart + col * blockSize))).toInt
+    }
+  }
+
+  /** FRHP header → the doubling-table geometry plus the direct-block
+    * address list (a single root direct block, or the direct rows of a
+    * root FHIB indirect block).
+    */
+  private def readFractalHeapHeader(buf: ByteBuffer, addr: Long,
+                                    path: String): FractalHeap = {
+    require(bytesAt(buf, addr.toInt, 4) == "FRHP",
+      s"$path: fractal heap signature missing at $addr")
+    val b = slice(buf, addr.toInt + 4, 0)
+    val ver = b.get() & 0xff
+    require(ver == 0, s"$path: fractal heap v$ver unsupported")
+    val heapIdLen = b.getShort() & 0xffff
+    val ioFilterLen = b.getShort() & 0xffff
+    require(ioFilterLen == 0,
+      s"$path: filtered link heap unsupported")
+    b.get() // flags (direct-block checksums are structural here)
+    b.getInt() // max managed object size
+    b.getLong(); b.getLong() // next huge id, huge b-tree address
+    b.getLong(); b.getLong() // free space, free-space manager address
+    b.getLong(); b.getLong() // managed space, allocated managed space
+    b.getLong() // direct-block iterator offset
+    b.getLong() // number of managed objects
+    b.getLong(); b.getLong() // huge size, huge count
+    b.getLong(); b.getLong() // tiny size, tiny count
+    val width = b.getShort() & 0xffff
+    val startBlock = b.getLong()
+    val maxDirect = b.getLong()
+    val maxHeapBits = b.getShort() & 0xffff
+    b.getShort() // starting # rows in root indirect block
+    val rootAddr = b.getLong()
+    val curRows = b.getShort() & 0xffff
+    val offBytes = (maxHeapBits + 7) / 8
+    val lenBytes = (64 - java.lang.Long.numberOfLeadingZeros(maxDirect - 1) + 7) / 8
+    require(1 + offBytes + lenBytes == heapIdLen,
+      s"$path: heap ID length $heapIdLen != 1+$offBytes+$lenBytes")
+    require(rootAddr != Undef, s"$path: empty link heap")
+    val blockAddrs: IndexedSeq[Long] =
+      if (curRows == 0) IndexedSeq(rootAddr) // root IS a direct block
+      else {
+        // rows of direct blocks in a root FHIB; indirect children sit
+        // beyond maxDirectRows and reject loudly
+        val maxDirectRows =
+          java.lang.Long.numberOfTrailingZeros(maxDirect / startBlock) + 2
+        require(curRows <= maxDirectRows,
+          s"$path: link heap has indirect-block rows ($curRows > " +
+            s"$maxDirectRows) — unsupported")
+        require(bytesAt(buf, rootAddr.toInt, 4) == "FHIB",
+          s"$path: indirect block signature missing at $rootAddr")
+        val ib = slice(buf, rootAddr.toInt + 4, 0)
+        val iver = ib.get() & 0xff
+        require(iver == 0, s"$path: indirect block v$iver unsupported")
+        ib.getLong() // heap header address
+        readUintLE(ib, offBytes) // block offset of this indirect block
+        (0 until curRows * width).map(_ => ib.getLong())
+      }
+    FractalHeap(offBytes, lenBytes, width, startBlock, blockAddrs)
+  }
+
+  /** v2 B-tree (BTHD), root-leaf form: returns each record's bytes
+    * minus the 4-byte name hash — i.e. the fractal heap IDs.
+    */
+  private def readBtree2LeafRecords(buf: ByteBuffer, addr: Long,
+                                    path: String): Seq[Array[Byte]] = {
+    require(bytesAt(buf, addr.toInt, 4) == "BTHD",
+      s"$path: v2 B-tree signature missing at $addr")
+    val b = slice(buf, addr.toInt + 4, 0)
+    val ver = b.get() & 0xff
+    require(ver == 0, s"$path: v2 B-tree v$ver unsupported")
+    val btType = b.get() & 0xff
+    require(btType == 5,
+      s"$path: v2 B-tree type $btType (expected 5, link-name index)")
+    b.getInt() // node size
+    val recSize = b.getShort() & 0xffff
+    val depth = b.getShort() & 0xffff
+    require(depth == 0,
+      s"$path: link-name B-tree depth $depth — root-leaf only (≈180 " +
+        "links); split the group or use `nccopy -k classic`")
+    b.get(); b.get() // split / merge percents
+    val rootNode = b.getLong()
+    val nRec = b.getShort() & 0xffff
+    require(bytesAt(buf, rootNode.toInt, 4) == "BTLF",
+      s"$path: B-tree leaf signature missing at $rootNode")
+    val lb = slice(buf, rootNode.toInt + 4, 0)
+    val lver = lb.get() & 0xff
+    require(lver == 0, s"$path: B-tree leaf v$lver unsupported")
+    val ltyp = lb.get() & 0xff
+    require(ltyp == 5, s"$path: B-tree leaf type $ltyp")
+    (0 until nRec).map { _ =>
+      lb.getInt() // hash of name (lookup index — enumeration skips it)
+      val id = new Array[Byte](recSize - 4)
+      lb.get(id)
+      id
     }
   }
 

@@ -308,7 +308,51 @@ class GeoLoadersSpec extends SparkSpec {
       // all three variables must be discovered via root Link messages
       val h5 = graft.sources.geo.Hdf5Reader.open(p)
       assert(h5.datasets.keySet == Set("elevation", "lat", "lon"))
+
+      // same file with DENSE root-group links (Link Info → fractal heap
+      // + v2 B-tree name index, the layout past the 8-link compact
+      // threshold): every decoded cell must equal the compact variant's
+      val pd = Files.createTempFile(s"graft_v2d_${cr}_${cc}", ".nc").toString
+      MiniHdf5.writeGridV2(pd, "elevation", lat, lon, packed,
+        chunkRows = cr, chunkCols = cc, deflate = defl, shuffle = shuf,
+        atts = attList, denseRoot = true)
+      val gd = GridLoader.fromNetcdf(pd, "elevation")
+      for (i <- 0 until 4; j <- 0 until 5) {
+        val (a, b) = (expect(i * 5 + j), gd.valueAt(i, j))
+        assert((a.isNaN && b.isNaN) || a == b,
+          s"dense ($i,$j) chunks=${cr}x$cc: want $a got $b")
+      }
+      assert(graft.sources.geo.Hdf5Reader.open(pd).datasets.keySet ==
+        Set("elevation", "lat", "lon"))
     }
+  }
+
+  test("fractal heap doubling table: rows double block size, offsets map through headers") {
+    // geometry: width 4, start 64 → rows 0,1 hold 4×64 B; row 2 128 B;
+    // row 3 256 B. blockAddrs are synthetic file positions; the heap
+    // offset of an object includes its block's own header bytes.
+    val heap = graft.sources.geo.Hdf5Reader.FractalHeap(
+      offBytes = 4, lenBytes = 2, width = 4, startBlock = 64L,
+      blockAddrs = (0 until 16).map(k => 10000L + k * 1000L))
+    val p = "t"
+    // row 0: offsets [0, 256) in 64 B blocks
+    assert(heap.fileAddr(0L, p) == 10000)
+    assert(heap.fileAddr(63L, p) == 10063)
+    assert(heap.fileAddr(64L, p) == 11000)     // block 1
+    assert(heap.fileAddr(255L, p) == 13063)    // block 3, last byte
+    // row 1: offsets [256, 512), still 64 B blocks
+    assert(heap.fileAddr(256L, p) == 14000)    // block 4
+    assert(heap.fileAddr(300L, p) == 14044)
+    assert(heap.fileAddr(511L, p) == 17063)    // block 7, last byte
+    // row 2: offsets [512, 1024) in 128 B blocks
+    assert(heap.fileAddr(512L, p) == 18000)    // block 8
+    assert(heap.fileAddr(700L, p) == 19060)    // block 9 (640+60)
+    // row 3: offsets [1024, 2048) in 256 B blocks
+    assert(heap.fileAddr(1024L, p) == 22000)   // block 12
+    assert(heap.fileAddr(1400L, p) == 23120)   // block 13 (1280+120)
+    // unallocated (Undef) block rejects loudly
+    val holey = heap.copy(blockAddrs = heap.blockAddrs.updated(2, -1L))
+    intercept[IllegalArgumentException] { holey.fileAddr(130L, p) }
   }
 
   test("f32 grid loader + native bilinear matches the synthetic grid expression") {

@@ -468,7 +468,8 @@ object MiniHdf5 {
                   packed: Array[Float],
                   chunkRows: Int, chunkCols: Int,
                   deflate: Boolean, shuffle: Boolean,
-                  atts: Seq[(String, Double)]): Unit = {
+                  atts: Seq[(String, Double)],
+                  denseRoot: Boolean = false): Unit = {
     val nLat = lat.length; val nLon = lon.length
     require(packed.length == nLat * nLon)
     val Undef = -1L
@@ -672,8 +673,103 @@ object MiniHdf5 {
       (0x0003, floatDatatype(f32 = false)),
       (0x0008, layoutV3Contiguous(addr, nLon * 8L))))
 
+    // ---- dense link storage (Link Info → fractal heap + v2 B-tree) ----
+    // Geometry chosen to exercise the indirect-root walk: one link per
+    // 64-byte direct block, so 3 links → a root FHIB with row 0 blocks.
+    val hpWidth = 4; val hpStart = 64L
+    val hpMaxDirect = 65536L; val hpMaxBits = 32 // → heap ID = 1+4+2 = 7
+    val fhdbHdrLen = 4 + 1 + 8 + 4 // sig, version, heap hdr, block offset
+    def blockHeapStart(k: Int): Long = {
+      val r = k / hpWidth; val c = k % hpWidth
+      val rowStart = if (r == 0) 0L else hpWidth * hpStart * (1L << (r - 1))
+      rowStart + c * (if (r < 2) hpStart else hpStart << (r - 1))
+    }
+    val nBlocks = names.length // one link object per block
+    require(!denseRoot || nBlocks <= 2 * hpWidth, "rows 0/1 only")
+    val heapOffsets = (0 until nBlocks).map(k => blockHeapStart(k) + fhdbHdrLen)
+
+    def linkInfoMsg(fheap: Long, bthd: Long): Array[Byte] = {
+      val b = bb(18)
+      b.put(0.toByte); b.put(0.toByte) // version, flags (no creation order)
+      b.putLong(fheap); b.putLong(bthd)
+      blob(b)
+    }
+
+    def frhp(rootBlock: Long, curRows: Int): Array[Byte] = {
+      val managed = hpWidth * hpStart * (if (curRows <= 1) 1L else 2L)
+      val b = bb(160)
+      b.put("FRHP".getBytes("US-ASCII")); b.put(0.toByte)
+      b.putShort(7)                 // heap ID length
+      b.putShort(0)                 // I/O filter encoded length
+      b.put(0.toByte)               // flags: no direct-block checksums
+      b.putInt(4096)                // max managed object size
+      b.putLong(0L); b.putLong(Undef) // next huge id, huge B-tree
+      b.putLong(0L); b.putLong(Undef) // free space, free-space manager
+      b.putLong(managed); b.putLong(managed) // managed, allocated
+      b.putLong(managed)            // direct-block iterator offset
+      b.putLong(names.length.toLong) // managed object count
+      b.putLong(0L); b.putLong(0L); b.putLong(0L); b.putLong(0L) // huge/tiny
+      b.putShort(hpWidth.toShort)
+      b.putLong(hpStart); b.putLong(hpMaxDirect)
+      b.putShort(hpMaxBits.toShort)
+      b.putShort(0)                 // starting rows in root indirect block
+      b.putLong(rootBlock)
+      b.putShort(curRows.toShort)
+      b.putInt(0)                   // checksum (structural)
+      blob(b)
+    }
+
+    def fhib(heapHdr: Long, entries: Seq[Long]): Array[Byte] = {
+      val b = bb(4 + 1 + 8 + 4 + entries.length * 8 + 4)
+      b.put("FHIB".getBytes("US-ASCII")); b.put(0.toByte)
+      b.putLong(heapHdr)
+      b.putInt(0)                   // block offset (4-byte heap offset)
+      entries.foreach(b.putLong)
+      b.putInt(0)                   // checksum (structural)
+      blob(b)
+    }
+
+    def fhdb(heapHdr: Long, blockOff: Long, obj: Array[Byte]): Array[Byte] = {
+      val arr = new Array[Byte](hpStart.toInt)
+      val b = ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("FHDB".getBytes("US-ASCII")); b.put(0.toByte)
+      b.putLong(heapHdr)
+      b.putInt(blockOff.toInt)      // this block's heap offset
+      b.put(obj)
+      arr
+    }
+
+    def bthd(rootLeaf: Long, nRec: Int): Array[Byte] = {
+      val b = bb(40)
+      b.put("BTHD".getBytes("US-ASCII")); b.put(0.toByte)
+      b.put(5.toByte)               // type 5: link name index
+      b.putInt(512)                 // node size
+      b.putShort(11)                // record size: 4 hash + 7 heap ID
+      b.putShort(0)                 // depth (root leaf)
+      b.put(100.toByte); b.put(40.toByte) // split / merge percents
+      b.putLong(rootLeaf)
+      b.putShort(nRec.toShort)
+      b.putLong(nRec.toLong)
+      b.putInt(0)                   // checksum (structural)
+      blob(b)
+    }
+
+    def btlf(recs: Seq[(Long, Int)]): Array[Byte] = {
+      val b = bb(4 + 1 + 1 + recs.length * 11 + 4)
+      b.put("BTLF".getBytes("US-ASCII")); b.put(0.toByte); b.put(5.toByte)
+      recs.foreach { case (off, len) =>
+        b.putInt(0)                 // name hash (enumeration skips it)
+        b.put(0.toByte)             // heap ID: version 0, managed
+        b.putInt(off.toInt)         // heap offset, 4 bytes LE
+        b.putShort(len.toShort)     // object length, 2 bytes LE
+      }
+      b.putInt(0)                   // checksum (structural)
+      blob(b)
+    }
+
     def rootHeader(hdrAddrs: Map[String, Long]): Array[Byte] =
-      v2Header(names.map(n => (0x0006, linkMsg(n, hdrAddrs(n)))))
+      if (denseRoot) v2Header(Seq((0x0002, linkInfoMsg(0L, 0L))))
+      else v2Header(names.map(n => (0x0006, linkMsg(n, hdrAddrs(n)))))
 
     // ---- pass 1: sizes with dummy addresses ----
     val sbLen = 48
@@ -684,8 +780,22 @@ object MiniHdf5 {
     val fahdLen = if (singleChunk) 0 else fahd(0L).length
     val fadbLen = if (singleChunk) 0 else fadb(0L, chunkList.map(_ => 0L)).length
 
+    val denseRows = (nBlocks + hpWidth - 1) / hpWidth
+    val frhpLen = if (denseRoot) frhp(0L, 0).length else 0
+    val fhibLen =
+      if (denseRoot) fhib(0L, Seq.fill(denseRows * hpWidth)(0L)).length else 0
+    val blocksLen = if (denseRoot) nBlocks * hpStart.toInt else 0
+    val bthdLen = if (denseRoot) bthd(0L, 0).length else 0
+    val btlfLen =
+      if (denseRoot) btlf(names.map(_ => (0L, 0))).length else 0
+
     val rootAddr = sbLen.toLong
-    val gridAddr = rootAddr + rootLen
+    val frhpAddr = rootAddr + rootLen
+    val fhibAddr = frhpAddr + frhpLen
+    val dblk0 = fhibAddr + fhibLen
+    val bthdAddr = dblk0 + blocksLen
+    val btlfAddr = bthdAddr + bthdLen
+    val gridAddr = btlfAddr + btlfLen
     val latHdrAddr = gridAddr + gridLen
     val lonHdrAddr = latHdrAddr + latLen
     val fahdAddr = lonHdrAddr + lonLen
@@ -711,8 +821,27 @@ object MiniHdf5 {
 
     val gridIdxAddr =
       if (singleChunk) chunkAddrs.head else fahdAddr
-    buf.put(rootHeader(Map(varName -> gridAddr, "lat" -> latHdrAddr,
-      "lon" -> lonHdrAddr)))
+    val hdrAddrs = Map(varName -> gridAddr, "lat" -> latHdrAddr,
+      "lon" -> lonHdrAddr)
+    if (denseRoot) {
+      buf.put(v2Header(Seq((0x0002, linkInfoMsg(frhpAddr, bthdAddr)))))
+      assert(buf.position() == frhpAddr)
+      buf.put(frhp(fhibAddr, denseRows))
+      assert(buf.position() == fhibAddr)
+      val dblkAddrs = (0 until nBlocks).map(k => dblk0 + k * hpStart)
+      buf.put(fhib(frhpAddr,
+        dblkAddrs.padTo(denseRows * hpWidth, -1L)))
+      names.zipWithIndex.foreach { case (n, k) =>
+        buf.position(dblkAddrs(k).toInt)
+        buf.put(fhdb(frhpAddr, blockHeapStart(k), linkMsg(n, hdrAddrs(n))))
+      }
+      buf.position(bthdAddr.toInt)
+      buf.put(bthd(btlfAddr, names.length))
+      assert(buf.position() == btlfAddr)
+      buf.put(btlf(heapOffsets.zip(names.map(n => linkMsg(n, 0L).length))))
+    } else {
+      buf.put(rootHeader(hdrAddrs))
+    }
     assert(buf.position() == gridAddr)
     buf.put(gridHeader(gridIdxAddr))
     assert(buf.position() == latHdrAddr)
