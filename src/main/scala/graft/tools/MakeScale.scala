@@ -43,15 +43,21 @@ object MakeScale {
     wr(rd("region"), "region")
     wr(rd("nation"), "nation")
 
-    /** k copies with the long key columns shifted by copy·Off. */
+    /** k copies with the long key columns shifted by copy·Off — one scan
+      * crossJoined with `range(k)` (a broadcast of k ids), NOT a k-way
+      * union: at k=1000 a union re-plans and re-scans the source 1000×,
+      * while this shape is a single map-side expansion.
+      */
     def copies(df: DataFrame, keyCols: Seq[String])
-              (mutate: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
-      (0 until k).map { c =>
-        val shifted = keyCols.foldLeft(df.withColumn("__copy", lit(c))) {
-          (d, kc) => d.withColumn(kc, col(kc) + lit(c * Off))
-        }
-        mutate(shifted, c).drop("__copy")
-      }.reduce(_ unionByName _)
+              (mutate: DataFrame => DataFrame = identity): DataFrame = {
+      val spark = df.sparkSession
+      val expanded = df.crossJoin(
+        broadcast(spark.range(k).toDF("__copy")))
+      val shifted = keyCols.foldLeft(expanded) {
+        (d, kc) => d.withColumn(kc, col(kc) + col("__copy") * lit(Off))
+      }
+      mutate(shifted).drop("__copy")
+    }
 
     wr(copies(rd("customer"), Seq("c_custkey"))(), "customer")
     wr(copies(rd("supplier"), Seq("s_suppkey"))(), "supplier")
@@ -61,19 +67,26 @@ object MakeScale {
       "lineitem")
     wr(copies(rd("events"), Seq("event_id", "user_id"))(), "events")
 
-    wr(copies(rd("documents"), Seq("doc_id")) { (d, c) =>
-      if (c == 0) d
-      else d
-        .withColumn("text", concat_ws(" ",
-          transform(split(col("text"), "\\s+"), w => concat(w, lit(s"_$c")))))
+    wr(copies(rd("documents"), Seq("doc_id")) { d =>
+      d.withColumn("text", when(col("__copy") === 0, col("text"))
+          .otherwise(concat_ws(" ", transform(split(col("text"), "\\s+"),
+            w => concat(w, lit("_"), col("__copy").cast("string"))))))
         .withColumn("n_chars", length(col("text")))
     }, "documents")
 
-    wr(copies(rd("embeddings"), Seq("vec_id")) { (d, c) =>
-      if (c == 0) d
-      else d.withColumn("embedding", concat(
-        slice(col("embedding"), c + 1, 1000000),
-        slice(col("embedding"), 1, c)))
+    // per-copy deterministic ±1 sign pattern: norms and WITHIN-copy
+    // cosines are exactly preserved (s_i·x_i · s_i·y_i = x_i·y_i) while
+    // cross-copy dots decorrelate under the differing patterns. The
+    // earlier circular rotation was identity once copy ≥ dim (64) — at
+    // k=1000 that made 94% of copies exact duplicates of copy 0 and a
+    // near-dup bench would measure the generator artifact, not the plan.
+    wr(copies(rd("embeddings"), Seq("vec_id")) { d =>
+      d.withColumn("embedding", when(col("__copy") === 0, col("embedding"))
+        .otherwise(transform(col("embedding"), (x, i) =>
+          // xxhash64 bit per (copy, element): a linear-arithmetic "hash"
+          // mod 2 collapses to parity and gives only TWO patterns
+          x * (lit(1.0f) - lit(2.0f) *
+            pmod(xxhash64(col("__copy"), i), lit(2L)).cast("float")))))
     }, "embeddings")
   }
 }
