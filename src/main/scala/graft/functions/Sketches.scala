@@ -84,4 +84,50 @@ object Sketches {
           / col("hll_denom_q49").cast("double"), 6))
       .drop("__n_present", "__present_q49")
   }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) of `item`
+    * frequencies: `d` independent hash rows × `w` columns, each cell the
+    * count of items landing on it. Returns (cms_row, cms_col, cms_cnt) —
+    * ≤ d·w rows however many items flow in, all-integer, mergeable
+    * across runs/engines by cell-wise sum.
+    *
+    * Scale shape: the d-way explode is map-side; `groupBy(row, col)`
+    * partial-aggregates each partition down to ≤ d·w cells before the
+    * only shuffle — an exact vocabulary count would instead shuffle one
+    * row per distinct token per partition (the Heaps-law tail). d·w is
+    * the whole sketch: pick w ≥ e/ε for ±ε·N error at δ = e^−d.
+    */
+  def cmsSketch(df: DataFrame, item: Column, d: Int = 4, w: Int = 2048,
+                salt: String = "cms"): DataFrame = {
+    val rows = explode(array((0 until d).map { j =>
+      struct(lit(j).as("cms_row"),
+        pmod(hash60(concat(lit(s"$salt$j"), item.cast("string"))), lit(w.toLong))
+          .as("cms_col"))
+    }: _*))
+    df.select(rows.as("__c")).select(col("__c.cms_row"), col("__c.cms_col"))
+      .groupBy(col("cms_row"), col("cms_col"))
+      .agg(count(lit(1)).as("cms_cnt"))
+  }
+
+  /** Point-query the sketch for each distinct probe item: the estimate
+    * is min over the d cells — an upper bound on the true count (collisions
+    * only inflate). The probe side re-derives the same (row, col) pairs;
+    * the sketch (≤ d·w rows) broadcasts, so probing any number of items
+    * is map-side.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, item: Column,
+                  d: Int = 4, w: Int = 2048,
+                  salt: String = "cms"): DataFrame = {
+    val p = probes.select(item.cast("string").as("item")).distinct()
+    val cells = p.select(col("item"), explode(array((0 until d).map { j =>
+      struct(lit(j).as("cms_row"),
+        pmod(hash60(concat(lit(s"$salt$j"), col("item"))), lit(w.toLong))
+          .as("cms_col"))
+    }: _*)).as("__c"))
+      .select(col("item"), col("__c.cms_row").as("cms_row"),
+        col("__c.cms_col").as("cms_col"))
+    cells.join(broadcast(sketch), Seq("cms_row", "cms_col"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cms_cnt"), lit(0L))).as("cms_estimate"))
+  }
 }

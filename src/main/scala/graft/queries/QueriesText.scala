@@ -760,6 +760,36 @@ object QueriesText {
               |    AS hll_estimate
               |FROM ag""".stripMargin)),
 
+    // Count-Min frequency estimates for a probe token set — bounded
+    // sketch state (4×2048 cells) instead of a full vocabulary groupBy;
+    // the probe join is against the broadcast sketch. Upper-bound
+    // estimates, exact integers, DuckDB replays every cell.
+    QDef("t_cms_counts",
+      (s, dir) => {
+        val tok = Q.table(s, dir, "documents").select(col("doc_id"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("token"))
+        val sketch = graft.functions.Sketches.cmsSketch(tok, col("token"))
+        val probes = tok.filter(col("doc_id") % 101 === 0).select(col("token"))
+        graft.functions.Sketches.cmsEstimate(sketch, probes, col("token"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+              |tok AS (SELECT doc_id, unnest(words) AS token FROM w),
+              |js AS (SELECT unnest(range(4)) AS j),
+              |cells AS (
+              |  SELECT j,
+              |    CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || token), 1, 15))
+              |      AS BIGINT) % 2048 AS c,
+              |    count(*) AS cnt
+              |  FROM tok, js GROUP BY 1, 2),
+              |probes AS (SELECT DISTINCT token AS item FROM tok WHERE doc_id % 101 = 0),
+              |pc AS (SELECT item, j,
+              |    CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || item), 1, 15))
+              |      AS BIGINT) % 2048 AS c
+              |  FROM probes, js)
+              |SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_estimate
+              |FROM pc LEFT JOIN cells USING (j, c)
+              |GROUP BY item""".stripMargin)),
+
     // exactly k docs per stratum by hash order (WindowGroupLimit keeps
     // per-map-task partial top-k ahead of the low-cardinality shuffle)
     QDef("t_fixed_k_sample",

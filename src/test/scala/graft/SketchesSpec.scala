@@ -30,6 +30,23 @@ class SketchesSpec extends SparkSpec with Matchers {
     lc shouldBe 100.0 +- 5.0
   }
 
+  test("cms: estimates upper-bound true counts; exact when vocab << cells") {
+    // 50 tokens, zipf-ish counts; 8192 cells per row → collisions are
+    // possible but the min-over-4-rows estimate must never undercount
+    val rows = (1 to 50).flatMap(i => Seq.fill(i * 3)(s"tok_$i"))
+    val df = rows.map(Tuple1(_)).toDF("t")
+    val sketch = Sketches.cmsSketch(df, $"t")
+    val est = Sketches.cmsEstimate(sketch, df, $"t").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (1 to 50).foreach { i =>
+      est(s"tok_$i") should be >= (i * 3).toLong
+    }
+    // 50 distinct over 4×2048 cells: overwhelmingly collision-free, so
+    // at least 45 of the 50 estimates are exact
+    val exact = (1 to 50).count(i => est(s"tok_$i") == (i * 3).toLong)
+    exact should be >= 45
+  }
+
   test("hllProfile: identical output under any input partitioning") {
     val df = (1 to 5000).map(i => ("g", s"x${i % 1234}")).toDF("g", "v")
     val a = Sketches.hllProfile(df, Seq("g"), $"v").collect().head
