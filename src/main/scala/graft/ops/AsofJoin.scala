@@ -121,4 +121,34 @@ object AsofJoin {
     when(col("asof_matched") && (indepValue < lo || indepValue > hi),
       Flags.worstWins(depFlag, lit(Flags.Bad).cast("tinyint")))
       .otherwise(depFlag).cast("tinyint")
+
+  /** Interval (range-containment) join: every (row, interval) pair of
+    * the same key with `startUs ≤ t < endUs` — point-in-window
+    * enrichment (maintenance windows, campaign spans, outage periods).
+    *
+    * Spark plans a raw range predicate as a per-key nested loop
+    * (BroadcastNestedLoopJoin, or worse a CartesianProduct) — O(n·m)
+    * per key and a straggler on any hot key. Same cure as [[nearest]]:
+    * time-chunk both sides and join EQUI on (keys…, chunk) with the
+    * range predicate demoted to a post-join filter. Each interval
+    * explodes only to the chunks it overlaps (≤ len/chunk + 1 — pick
+    * `chunkUs` ≈ the typical interval length), rows map to exactly one
+    * chunk, and the join is a plain shuffle/broadcast hash join that
+    * AQE can re-balance.
+    *
+    * `startUs`/`endUs` must be column NAMES on `intervals` (they survive
+    * to the output); `tUs` a column name on `rows`.
+    */
+  def intervalJoin(rows: DataFrame, intervals: DataFrame, keys: Seq[String],
+                   tUs: String, startUs: String, endUs: String,
+                   chunkUs: Long): DataFrame = {
+    require(chunkUs > 0, "chunk must be positive")
+    val iv = intervals.withColumn("__chunk",
+      explode(sequence(floor(col(startUs) / chunkUs).cast("long"),
+        floor((col(endUs) - 1) / chunkUs).cast("long"))))
+    val rw = rows.withColumn("__chunk", floor(col(tUs) / chunkUs).cast("long"))
+    rw.join(iv, keys :+ "__chunk")
+      .filter(col(tUs) >= col(startUs) && col(tUs) < col(endUs))
+      .drop("__chunk")
+  }
 }

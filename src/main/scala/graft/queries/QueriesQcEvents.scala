@@ -430,6 +430,31 @@ object QueriesQcEvents {
               |         THEN 4 ELSE 0 END) AS TINYINT) AS flag
               |FROM m""".stripMargin)),
 
+    // J7 — interval (range-containment) join: every observation paired
+    // with each same-stream 40-min window containing it (windows start
+    // at every 50th observation). Time-chunked equi-join — plan-pinned
+    // free of nested loops; a raw range predicate would go
+    // BroadcastNestedLoopJoin and O(n·m) per stream.
+    QDef("j7_interval_join",
+      (s, dir) => {
+        val o = obs(s, dir)
+        val win = o.filter(col(Obs.IotId) % 50 === 0)
+          .select(col(Obs.DatastreamId), col("t_us").as("wstart_us"),
+            (col("t_us") + lit(2400000000L)).as("wend_us"))
+        AsofJoin.intervalJoin(
+            o.select(col(Obs.IotId), col("t_us"), col(Obs.DatastreamId)),
+            win, Seq(Obs.DatastreamId), "t_us", "wstart_us", "wend_us",
+            chunkUs = 2400000000L)
+          .select(col(Obs.IotId), col("wstart_us"))
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |win AS (SELECT datastream_id, t_us AS wstart_us,
+              |          t_us + 2400000000 AS wend_us
+              |        FROM obs WHERE iot_id % 50 = 0)
+              |SELECT o.iot_id, w.wstart_us
+              |FROM obs o JOIN win w ON o.datastream_id = w.datastream_id
+              |  AND o.t_us >= w.wstart_us AND o.t_us < w.wend_us""".stripMargin)),
+
     // W3 — velocity / acceleration along the synthesized track. Uses the
     // bit-portable polynomial distance (Geo.portableDistM): libm sin/asin
     // last-ulp divergence between the JVM and the oracle machine's glibc

@@ -170,6 +170,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("interval join: time-chunked equi-join, never a nested loop") {
+    val p = plan("j7_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range predicate must ride the (key, chunk) equi-join:\n$p")
+    assert(p.contains("Generate explode"),
+      s"intervals should explode to their overlapped chunks:\n$p")
+  }
+
   test("source cap: under-cap rows bypass the window; over-cap ranking pre-trims") {
     val p = plan("t_source_cap")
     // phase 1+2: the over-cap key set broadcasts back as anti (pass) and
