@@ -37,6 +37,31 @@ object Sketches {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** The per-item HLL pieces as columns: (register index in [0, 2^p),
+    * rho = rank of first set bit of the remaining 60−p hash bits + 1).
+    * Shared by the batch profile and the streaming register state so
+    * stream and batch sketches are bit-compatible. Integer-only: rho is
+    * bit-fill + popcount, no log/clz libm anywhere.
+    */
+  def hllRegisterRho(item: Column, p: Int, salt: String): (Column, Column) = {
+    val m = 1L << p
+    val wBits = HashBits - p
+    val h = hash60(concat(lit(salt), item.cast("string")))
+    val reg = pmod(h, lit(m))
+    val w = shiftright(h, p)
+    // fill every bit below the MSB, then popcount == bit-length(w);
+    // rho = leading-zeros-in-wBits + 1 = wBits - bitlen + 1 (w=0 -> wBits+1)
+    val filled = Seq(1, 2, 4, 8, 16, 32)
+      .foldLeft(w)((acc, s) => acc.bitwiseOR(shiftright(acc, s)))
+    (reg, lit(wBits + 1) - bit_count(filled))
+  }
+
+  /** The raw-estimate constant: α_m · m² · 2^49 (the Q49 numerator). */
+  def hllNumerator(p: Int): Double = {
+    val m = (1L << p).toDouble
+    0.7213 / (1.0 + 1.079 / m) * (m * m) * math.pow(2.0, 49)
+  }
+
   /** Per-stratum HLL profile of `item` with m = 2^p registers.
     * Returns one row per stratum: `hll_zeros` (registers never hit),
     * `hll_denom_q49` (the exact integer harmonic denominator,
@@ -56,22 +81,13 @@ object Sketches {
                  p: Int = 12, salt: String = "hll"): DataFrame = {
     require(p >= 12 && p <= 16, s"p=$p outside [12,16] (q49 fixed point)")
     val m = 1L << p
-    val wBits = HashBits - p
     val q = 49 // fixed-point scale: 2^(q - M_j) with M_j >= 1 ... wBits+1
-    require(wBits + 1 <= q, "rho must fit the Q49 scale")
-    val h = hash60(concat(lit(salt), item.cast("string")))
-    val reg = pmod(h, lit(m))
-    val w = shiftright(h, p)
-    // fill every bit below the MSB, then popcount == bit-length(w);
-    // rho = leading-zeros-in-wBits + 1 = wBits - bitlen + 1 (w=0 -> wBits+1)
-    val filled = Seq(1, 2, 4, 8, 16, 32)
-      .foldLeft(w)((acc, s) => acc.bitwiseOR(shiftright(acc, s)))
-    val rho = lit(wBits + 1) - bit_count(filled)
+    require(HashBits - p + 1 <= q, "rho must fit the Q49 scale")
+    val (reg, rho) = hllRegisterRho(item, p, salt)
     val perReg = df
       .select(strata.map(col) :+ reg.as("__hll_reg") :+ rho.as("__hll_rho"): _*)
       .groupBy((strata :+ "__hll_reg").map(col): _*)
       .agg(max(col("__hll_rho")).as("__hll_max"))
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
     perReg.groupBy(strata.map(col): _*)
       .agg(count(lit(1)).as("__n_present"),
         sum(call_function("shiftleft", lit(1L), lit(q) - col("__hll_max")))
@@ -80,8 +96,7 @@ object Sketches {
       .withColumn("hll_denom_q49",
         col("__present_q49") + col("hll_zeros") * lit(1L << q))
       .withColumn("hll_estimate",
-        round(alpha * lit(m.toDouble * m.toDouble) * lit(math.pow(2.0, q))
-          / col("hll_denom_q49").cast("double"), 6))
+        round(lit(hllNumerator(p)) / col("hll_denom_q49").cast("double"), 6))
       .drop("__n_present", "__present_q49")
   }
 
