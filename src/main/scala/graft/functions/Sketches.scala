@@ -145,4 +145,80 @@ object Sketches {
       .groupBy(col("item"))
       .agg(min(coalesce(col("cms_cnt"), lit(0L))).as("cms_estimate"))
   }
+
+  // ---------------------------------------------------------------- quantiles
+
+  /** Log-linear histogram bucket of a non-negative integer value — the
+    * HDR-histogram scheme (Tene, HdrHistogram; same bucket geometry as
+    * DDSketch's log buckets but in pure integer bit math, no libm):
+    * values below 2^(subBits+1) map to themselves (EXACT); above, the
+    * top `subBits` bits below the MSB subdivide each octave linearly, so
+    * the bucket's relative width — and therefore any quantile's relative
+    * error — is ≤ 2^−subBits. Monotone in the value by construction
+    * (bucket order ≡ value order), continuous across the exact/log seam.
+    */
+  def histBucket(v: Column, subBits: Int): Column = {
+    val b = subBits
+    // bit-length via the fill-and-popcount trick (no libm log2/clz)
+    val filled = Seq(1, 2, 4, 8, 16, 32)
+      .foldLeft(v)((acc, s) => acc.bitwiseOR(shiftright(acc, s)))
+    val bitlen = bit_count(filled) // = floor(log2 v) + 1 for v > 0
+    when(v < (1L << (b + 1)), v)
+      .otherwise((bitlen - b) * (1L << b)
+        + call_function("shiftright", v, bitlen - (b + 1)) - (1L << b))
+  }
+
+  /** Lower edge of a [[histBucket]] bucket — the deterministic integer
+    * representative reported for any quantile landing in the bucket.
+    */
+  def histBucketLowerEdge(bucket: Column, subBits: Int): Column = {
+    val b = subBits
+    when(bucket < (1L << (b + 1)), bucket)
+      .otherwise(call_function("shiftleft",
+        lit(1L << b) + bucket.bitwiseAND(lit((1L << b) - 1)),
+        shiftright(bucket, b) - 1))
+  }
+
+  /** Per-stratum approximate quantiles of a non-negative integer value
+    * via the mergeable log-linear histogram: one row per stratum with
+    * `n_values` and a `p<q>_est` lower-quantile estimate per requested
+    * percentile (the bucket lower edge — all-integer, engine-portable,
+    * relative error ≤ 2^−subBits, small values exact).
+    *
+    * Scale shape: `groupBy(strata, bucket)` partial-aggregates every
+    * partition to ≤ #buckets rows (subBits=5 ⇒ at most ~1.9k buckets
+    * across the full int64 range) before the only data-scale shuffle —
+    * where an exact percentile needs a full sort of the value column, and
+    * Spark's own `percentile_approx` (GK) buffers are engine-opaque. The
+    * cumulative window that extracts the quantiles runs per stratum over
+    * the BOUNDED bucket frame, never the value stream (the vocab-rank
+    * argument); the histogram itself is mergeable across runs/engines by
+    * cell-wise sum. Rank rule: smallest bucket with 100·cum ≥ q·N — the
+    * classic lower (type-1) quantile, exact integer comparison.
+    */
+  def quantileProfile(df: DataFrame, strata: Seq[String], value: Column,
+                      subBits: Int = 5,
+                      percentiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(subBits >= 1 && subBits <= 8, s"subBits=$subBits outside [1,8]")
+    require(percentiles.nonEmpty && percentiles.forall(q => q >= 1 && q <= 100),
+      "percentiles must be in [1,100]")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df
+      .select(strata.map(col) :+
+        histBucket(value.cast("long"), subBits).as("__qb"): _*)
+      .groupBy((strata :+ "__qb").map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val byStratum = Window.partitionBy(strata.map(col): _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("__cnt")).over(byStratum.orderBy(col("__qb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("__cnt")).over(byStratum))
+    val rep = histBucketLowerEdge(col("__qb"), subBits)
+    val aggs = percentiles.map { q =>
+      min(when(col("__cum") * 100 >= col("__tot") * q, rep)).as(s"p${q}_est")
+    }
+    cum.groupBy((strata :+ "__tot").map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("__tot", "n_values")
+  }
 }

@@ -790,6 +790,59 @@ object QueriesText {
               |FROM pc LEFT JOIN cells USING (j, c)
               |GROUP BY item""".stripMargin)),
 
+    // per-source doc-length quantiles from the mergeable log-linear
+    // histogram (HDR bucket scheme, subBits=5 ⇒ ≤3.1% relative error,
+    // small values exact) — the distribution-profiling face of the
+    // sketch family: bounded bucket state instead of a full sort, the
+    // quantile window runs over buckets, never the value stream. DuckDB
+    // replays the bit-fill bucket math and the type-1 rank rule exactly.
+    QDef("t_quantile_profile",
+      (s, dir) => graft.functions.Sketches.quantileProfile(
+        Q.table(s, dir, "documents"), Seq("source"), col("n_chars")),
+      Some("""WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+             |f AS (SELECT source, v,
+             |        v | (v >> 1) AS a1, a1 | (a1 >> 2) AS a2,
+             |        a2 | (a2 >> 4) AS a3, a3 | (a3 >> 8) AS a4,
+             |        a4 | (a4 >> 16) AS a5, a5 | (a5 >> 32) AS a6,
+             |        CAST(bit_count(a6) AS BIGINT) AS bl,
+             |        CASE WHEN v < 64 THEN v
+             |             ELSE (bl - 5) * 32 + (v >> (bl - 6)) - 32 END AS qb
+             |      FROM v),
+             |hist AS (SELECT source, qb, count(*) AS cnt FROM f GROUP BY 1, 2),
+             |c AS (SELECT source, qb, cnt,
+             |        sum(cnt) OVER (PARTITION BY source ORDER BY qb) AS cum,
+             |        sum(cnt) OVER (PARTITION BY source) AS tot
+             |      FROM hist),
+             |r AS (SELECT source, cum, tot,
+             |        CASE WHEN qb < 64 THEN qb
+             |             ELSE (32 + (qb & 31)) << ((qb >> 5) - 1) END AS rep
+             |      FROM c)
+             |SELECT source, CAST(max(tot) AS BIGINT) AS n_values,
+             |  CAST(min(CASE WHEN cum * 100 >= tot * 50 THEN rep END) AS BIGINT) AS p50_est,
+             |  CAST(min(CASE WHEN cum * 100 >= tot * 90 THEN rep END) AS BIGINT) AS p90_est,
+             |  CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN rep END) AS BIGINT) AS p99_est
+             |FROM r GROUP BY source""".stripMargin)),
+
+    // the mixing dashboard at every granularity in ONE pass: doc/token/
+    // char volume per (source, lang), per source, and the grand total via
+    // ROLLUP grouping sets. Spark plans one Expand (3 grouping sets) into
+    // a single partially-aggregated shuffle — vs three separate scans +
+    // shuffles for the three granularities; grouping_id disambiguates
+    // subtotal rows from genuine nulls.
+    QDef("t_mixture_rollup",
+      (s, dir) => Q.table(s, dir, "documents")
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wsTokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          grouping_id(col("source"), col("lang")).cast("long").as("gid")),
+      Some(s"""SELECT source, lang,
+              |  count(*) AS n_docs,
+              |  CAST(sum(len($rawTokensSql)) AS BIGINT) AS n_tokens,
+              |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+              |  CAST(GROUPING(source, lang) AS BIGINT) AS gid
+              |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin)),
+
     // exactly k docs per stratum by hash order (WindowGroupLimit keeps
     // per-map-task partial top-k ahead of the low-cardinality shuffle)
     QDef("t_fixed_k_sample",

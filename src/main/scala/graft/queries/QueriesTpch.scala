@@ -250,6 +250,47 @@ object QueriesTpch {
              |UNION ALL
              |SELECT o_orderkey, 0 AS has_big FROM orders
              |WHERE NOT EXISTS (SELECT 1 FROM lineitem
-             |                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)""".stripMargin))
+             |                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)""".stripMargin)),
+
+    // graph authority over the customer↔supplier trade graph: 3 fixed
+    // PageRank iterations in exact integer micro-units (floor division
+    // everywhere — no float accumulation order), each iteration one
+    // same-key equi-join + one partially-aggregated groupBy; the ranks
+    // frame is |V| rows, lineage truncated per round. The oracle unrolls
+    // the identical iterations as CTEs.
+    QDef("q_pagerank",
+      (s, dir) => graft.ops.PageRank.ranks(
+        graft.ops.PageRank.tradeGraphEdges(
+          Q.table(s, dir, "orders"), Q.table(s, dir, "lineitem")), iters = 3),
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |edges AS (SELECT src, dst FROM pairs
+             |          UNION ALL SELECT dst, src FROM pairs),
+             |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+             |e AS (SELECT edges.src, edges.dst, deg.deg
+             |      FROM edges JOIN deg USING (src)),
+             |n AS (SELECT src AS node FROM deg),
+             |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM n),
+             |c1 AS (SELECT e.dst AS node, sum(r0.rank_micro // e.deg) AS s
+             |       FROM e JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+             |r1 AS (SELECT n.node,
+             |         CAST(150000 + (85 * coalesce(c1.s, 0)) // 100 AS BIGINT)
+             |           AS rank_micro
+             |       FROM n LEFT JOIN c1 ON c1.node = n.node),
+             |c2 AS (SELECT e.dst AS node, sum(r1.rank_micro // e.deg) AS s
+             |       FROM e JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+             |r2 AS (SELECT n.node,
+             |         CAST(150000 + (85 * coalesce(c2.s, 0)) // 100 AS BIGINT)
+             |           AS rank_micro
+             |       FROM n LEFT JOIN c2 ON c2.node = n.node),
+             |c3 AS (SELECT e.dst AS node, sum(r2.rank_micro // e.deg) AS s
+             |       FROM e JOIN r2 ON r2.node = e.src GROUP BY e.dst),
+             |r3 AS (SELECT n.node,
+             |         CAST(150000 + (85 * coalesce(c3.s, 0)) // 100 AS BIGINT)
+             |           AS rank_micro
+             |       FROM n LEFT JOIN c3 ON c3.node = n.node)
+             |SELECT node, rank_micro FROM r3""".stripMargin))
   )
 }

@@ -47,6 +47,57 @@ class SketchesSpec extends SparkSpec with Matchers {
     exact should be >= 45
   }
 
+  test("quantileProfile: estimates within 2^-subBits relative of exact; small values exact") {
+    val rnd = new scala.util.Random(7)
+    val vals = (1 to 20000).map(_ => math.abs(rnd.nextGaussian() * 5000).toLong + 1)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val out = Sketches.quantileProfile(df, Seq("g"), $"v").collect().head
+    out.getAs[Long]("n_values") shouldBe 20000L
+    val sorted = vals.sorted
+    def exact(q: Int): Long = sorted((q * 20000 + 99) / 100 - 1)
+    Seq(50, 90, 99).foreach { q =>
+      val est = out.getAs[Long](s"p${q}_est").toDouble
+      val ex = exact(q).toDouble
+      // lower edge of the bucket containing the exact quantile:
+      // est <= exact, relative gap <= 2^-5
+      est should be <= ex
+      est should be >= ex * (1.0 - 1.0 / 32.0) - 1.0
+    }
+    // values below 2^(subBits+1) are bucketed exactly
+    val small = (0 to 1000).map(i => ("s", (i % 60).toLong)).toDF("g", "v")
+    val so = Sketches.quantileProfile(small, Seq("g"), $"v").collect().head
+    val ssorted = (0 to 1000).map(i => (i % 60).toLong).sorted
+    so.getAs[Long]("p50_est") shouldBe ssorted((50 * 1001 + 99) / 100 - 1)
+  }
+
+  test("quantileProfile: pure function of the value multiset (partitioning invariant)") {
+    val df = (1 to 8000).map(i => ("g", (i * 37L) % 5000)).toDF("g", "v")
+    val a = Sketches.quantileProfile(df, Seq("g"), $"v").collect().head
+    val b = Sketches.quantileProfile(df.repartition(23), Seq("g"), $"v").collect().head
+    Seq("n_values", "p50_est", "p90_est", "p99_est").foreach { c =>
+      a.getAs[Long](c) shouldBe b.getAs[Long](c)
+    }
+  }
+
+  test("histBucket: monotone, seam-continuous, lower edge round-trips") {
+    val vals = (0L to 200L) ++ Seq(255L, 256L, 257L, 1000L, 4095L, 4096L,
+      65535L, 1000000L, Int.MaxValue.toLong, 1L << 40)
+    val df = vals.map(Tuple1(_)).toDF("v")
+      .select($"v", Sketches.histBucket($"v", 5).as("qb"))
+      .select($"v", $"qb", Sketches.histBucketLowerEdge($"qb", 5).as("lo"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.sortBy(_._1).sliding(2).foreach { case Array((v1, b1, _), (v2, b2, _)) =>
+      withClue(s"$v1->$b1 vs $v2->$b2: ") { b1 should be <= b2 }
+    }
+    rows.foreach { case (v, _, lo) =>
+      withClue(s"v=$v lo=$lo: ") {
+        lo should be <= v
+        if (v >= 64) (v - lo).toDouble should be <= v.toDouble / 32.0
+        else lo shouldBe v // exact region
+      }
+    }
+  }
+
   test("hllProfile: identical output under any input partitioning") {
     val df = (1 to 5000).map(i => ("g", s"x${i % 1234}")).toDF("g", "v")
     val a = Sketches.hllProfile(df, Seq("g"), $"v").collect().head
