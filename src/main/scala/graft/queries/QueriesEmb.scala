@@ -718,6 +718,62 @@ object QueriesEmb {
              |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
              |  count(*) OVER (PARTITION BY md5(text)) AS group_size,
              |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // content-defined chunking dedup (LBFS/FastCDC shape): Karp-Rabin
+    // boundaries + chunk fingerprints in ONE compiled map-side pass —
+    // payload bytes never shuffle, only chunk coordinate rows; global
+    // first-occurrence via the two-phase groupBy(fp).agg(min(struct)).
+    // DuckDB replays the window hash term-by-term (B^p mod M literals)
+    // and fingerprints chunks off the same uppercase-hex encoding.
+    QDef("mm_cdc_dedup",
+      (s, dir) => graft.functions.Cdc.dedupStats(
+        Q.table(s, dir, "documents").select(
+          col("doc_id").as("media_id"), col("source"),
+          encode(col("text"), "UTF-8").as("payload")),
+        strata = Seq("source")),
+      Some("""WITH m AS (SELECT doc_id AS media_id, source,
+             |         encode(text) AS payload FROM documents),
+             |b AS (SELECT media_id, source, hex(payload) AS hx,
+             |        octet_length(payload) AS n,
+             |        list_transform(range(1, octet_length(payload) + 1),
+             |          i -> CAST(('0x' || substr(hex(payload), 2 * i - 1, 2))
+             |            AS BIGINT)) AS bytes
+             |      FROM m WHERE octet_length(payload) > 0),
+             |bnd AS (SELECT media_id, source, hx,
+             |  list_sort(list_distinct(list_append(
+             |    list_filter(range(16, n + 1), i ->
+             |      (CAST(list_sum(list_transform(range(0, 16), k ->
+             |         bytes[i - 15 + k] *
+             |         ([1079017218, 330081243, 1346595130, 1150007217,
+             |           1090750511, 1775709275, 483199522, 1213495441,
+             |           623063367, 336663071, 168429323, 67503107,
+             |           16974593, 66049, 257, 1])[k + 1])) AS BIGINT)
+             |       % 2147483647) & 63 = 0),
+             |    CAST(n AS BIGINT)))) AS ends
+             |  FROM b),
+             |ch0 AS (SELECT media_id, source, hx,
+             |          unnest(list_transform(range(1, len(ends) + 1), j ->
+             |            struct_pack(o := CASE WHEN j = 1 THEN 0
+             |                             ELSE ends[CAST(j - 1 AS INT)] END,
+             |                        e := ends[CAST(j AS INT)]))) AS c
+             |        FROM bnd),
+             |ch AS (SELECT media_id, source,
+             |         CAST(c.o AS BIGINT) AS chunk_off,
+             |         CAST(c.e - c.o AS BIGINT) AS chunk_len,
+             |         md5(substr(hx, CAST(2 * c.o + 1 AS INT),
+             |                    CAST(2 * (c.e - c.o) AS INT))) AS chunk_fp
+             |       FROM ch0),
+             |fo AS (SELECT chunk_fp,
+             |         min(struct_pack(m := media_id, o := chunk_off)) AS f
+             |       FROM ch GROUP BY chunk_fp)
+             |SELECT source, count(*) AS n_chunks,
+             |  CAST(sum(CASE WHEN ch.media_id = fo.f.m AND ch.chunk_off = fo.f.o
+             |                THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_chunks,
+             |  CAST(sum(chunk_len) AS BIGINT) AS bytes_total,
+             |  CAST(sum(CASE WHEN ch.media_id = fo.f.m AND ch.chunk_off = fo.f.o
+             |                THEN 0 ELSE chunk_len END) AS BIGINT) AS bytes_dup
+             |FROM ch JOIN fo USING (chunk_fp)
+             |GROUP BY source""".stripMargin))
   )
 }
