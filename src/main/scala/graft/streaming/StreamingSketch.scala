@@ -11,6 +11,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 final case class HllToken(stratum: String, reg: Int, rho: Int)
 
+/** One (sketch row, cell) hit — derived map-side with the same hash
+  * columns as the batch CMS, so stream and batch cells are
+  * bit-compatible.
+  */
+final case class CmsToken(cmsRow: Int, cmsCol: Int)
+
+/** One refreshed CMS cell after a micro-batch. */
+final case class CmsCell(cmsRow: Int, cmsCol: Int, cmsCnt: Long)
+
 /** Per-stratum sketch snapshot after a micro-batch. */
 final case class HllSnapshot(stratum: String, hllZeros: Long,
                              hllDenomQ49: Long, hllEstimate: Double)
@@ -68,5 +77,46 @@ object StreamingSketch {
       .groupByKey(_.stratum)
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(step(p))
+  }
+
+  /** The per-row CMS fold: state = the row's w cell counts (one long
+    * array — w=2048 is 16 KB per row, the whole sketch fits any state
+    * store); emits the refreshed value of every cell this batch touched.
+    * Cell updates are SUMS — commutative but not idempotent (unlike the
+    * HLL max-merge), so correctness under retries leans on Structured
+    * Streaming's exactly-once state semantics, not on the operation.
+    */
+  def cmsStep(w: Int)(key: Int, rows: Iterator[CmsToken],
+                      state: GroupState[Array[Long]]): Iterator[CmsCell] = {
+    val cells = state.getOption.getOrElse(new Array[Long](w))
+    val touched = scala.collection.mutable.SortedSet.empty[Int]
+    rows.foreach { t => cells(t.cmsCol) += 1L; touched += t.cmsCol }
+    state.update(cells)
+    touched.iterator.map(c => CmsCell(key, c, cells(c))).toIndexedSeq.iterator
+  }
+
+  /** Streaming frequency monitor — the streaming face of
+    * [[Sketches.cmsSketch]]: the d×w Count-Min grid maintained as keyed
+    * state over an ingest stream, bit-compatible with (and mergeable
+    * into) any batch sketch of the same (d, w, salt). The keyed-state
+    * grain is the sketch ROW (d groups — cell additivity would allow any
+    * finer (row, col-block) sharding if d-way parallelism ever bound);
+    * run with OutputMode.Update. Probe the latest cells with
+    * [[Sketches.cmsEstimate]].
+    */
+  def cmsMonitor(ds: DataFrame, item: Column, d: Int = 4, w: Int = 2048,
+                 salt: String = "cms"): Dataset[CmsCell] = {
+    import ds.sparkSession.implicits._
+    val hits = explode(array((0 until d).map { j =>
+      struct(lit(j).as("cmsRow"),
+        pmod(Sketches.hash60(concat(lit(s"$salt$j"), item.cast("string"))),
+          lit(w.toLong)).cast("int").as("cmsCol"))
+    }: _*))
+    ds.select(hits.as("__c"))
+      .select(col("__c.cmsRow").as("cmsRow"), col("__c.cmsCol").as("cmsCol"))
+      .as[CmsToken]
+      .groupByKey(_.cmsRow)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(cmsStep(w))
   }
 }

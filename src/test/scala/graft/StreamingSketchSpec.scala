@@ -49,4 +49,30 @@ class StreamingSketchSpec extends SparkSpec with Matchers {
       }
     } finally query.stop()
   }
+
+  test("streaming CMS cells == batch cmsSketch, split across micro-batches") {
+    val rows = (1 to 50).flatMap(i => Seq.fill(i)(s"tok_${i % 17}"))
+    val batch = Sketches.cmsSketch(rows.map(Tuple1(_)).toDF("t"), $"t")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = graft.streaming.StreamingSketch.cmsMonitor(
+      mem.toDS().toDF("t"), $"t")
+    val query = out.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData(rows.take(600))
+      query.processAllAvailable()
+      mem.addData(rows.drop(600))
+      query.processAllAvailable()
+      val got = spark.table("cms_stream")
+        .withColumn("__n", monotonically_increasing_id())
+        .orderBy($"__n".desc).dropDuplicates("cmsRow", "cmsCol")
+        .collect().map(r => (r.getAs[Int]("cmsRow"), r.getAs[Int]("cmsCol").toLong)
+          -> r.getAs[Long]("cmsCnt")).toMap
+      got.size shouldBe batch.size
+      batch.foreach { case (k, v) => got(k) shouldBe v }
+    } finally query.stop()
+  }
 }
