@@ -62,7 +62,11 @@ object Cdc {
   def dedupStats(media: DataFrame, strata: Seq[String],
                  idCol: String = "media_id", payloadCol: String = "payload",
                  w: Int = 16, maskBits: Int = 6): DataFrame = {
-    val ch = chunks(media, payloadCol, w, maskBits)
+    // the chunking pass (rolling hash + per-chunk md5 over every payload
+    // byte) feeds BOTH the first-occurrence aggregate and the join-back;
+    // cache it so the compiled scan runs once (the ngram-pairs explode
+    // argument — without this the plan re-derives the explode per consumer)
+    val ch = chunks(media, payloadCol, w, maskBits).cache()
     val first = ch.groupBy(col("chunk_fp"))
       .agg(min(struct(col(idCol), col("chunk_off"))).as("__fo"))
     val marked = ch.join(first, "chunk_fp")

@@ -196,4 +196,48 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window \\[".r.findAllIn(p).size == 1,
       s"only the over-cap slice may be windowed:\n$p")
   }
+
+  test("quantile profile: histogram partial-aggs; the one window runs over buckets, not values") {
+    val p = plan("t_quantile_profile")
+    // the value stream collapses map-side to <= #buckets rows per
+    // partition before the only data-scale shuffle
+    assert(p.contains("partial_count"),
+      s"histogram must partially aggregate map-side:\n$p")
+    // two Window nodes (__cum running sum + __tot partition sum) share
+    // ONE sort + exchange and both consume the bucket AGGREGATE (printed
+    // before the hist agg), never the raw value column
+    assert("Window \\[".r.findAllIn(p).size == 2,
+      s"expected the cum+tot windows over the bucket frame:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 2,
+      s"expected exactly hist-agg + window exchanges:\n$p")
+    val winAt = p.lastIndexOf("Window [")
+    val histAt = p.lastIndexOf("HashAggregate")
+    assert(winAt < histAt,
+      s"windows must sit on the bucket aggregate, not the value stream:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no join belongs in this plan:\n$p")
+  }
+
+  test("cdc dedup: chunking computed once; first-occurrence is two-phase, no window over the fp") {
+    val p = plan("mm_cdc_dedup")
+    // a mega-duplicated chunk must collapse map-side (the passage-dedup
+    // argument); a window over chunk_fp would colocate every copy
+    assert(!p.contains("Window ["), s"hot-chunk window found:\n$p")
+    assert(p.contains("partial_min"), s"expected two-phase min(struct):\n$p")
+    // the compiled chunking pass feeds both consumers through the cache —
+    // any cdc_chunks Generate outside an InMemoryTableScan is a recompute
+    assert(p.contains("InMemoryTableScan"),
+      s"chunk explode should be computed once:\n$p")
+    assertNoGenerateOutsideCache("mm_cdc_dedup")
+  }
+
+  test("pagerank: lineage truncated per round — the result plan is ONE checkpoint scan") {
+    val p = plan("q_pagerank")
+    // each round ends in an eager checkpoint, so the final plan must be
+    // a bare RDD scan: constant-size regardless of iteration count (an
+    // un-truncated loop would nest joins ~linearly and re-derive the
+    // orders x lineitem trade graph in every arm)
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 1 && !p.contains("FileScan")
+      && !p.contains("Join"),
+      s"expected a single checkpointed scan (per-round truncation):\n$p")
+  }
 }
