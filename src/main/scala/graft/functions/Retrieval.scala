@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse full-text retrieval: an inverted index + BM25 ranking, the
+  * classic pre-filter / hard-negative-mining pass of a training-data
+  * pipeline (and the lexical half of hybrid search next to the dense
+  * ANN family in [[Similarity]]).
+  *
+  * Terms are adjacent word-bigrams of the normalized text — on real
+  * corpora unigrams work too, but bigram terms keep document frequency
+  * spreads realistic on small synthetic vocabularies and double as a
+  * phrase-ish signal. All scoring is integer: the tf saturation is an
+  * exact rational cleared to micro-units and the idf is the portable
+  * Q16 log2 ([[Portable.log2q16]]), so ranks and scores replay
+  * bit-identically in the DuckDB oracle.
+  *
+  * Scale shape (see SCALE.md): ONE corpus-scale shuffle builds the
+  * postings (groupBy (doc, term), map-side partials). df/idf live on a
+  * vocab-scale table (Heaps-law sublinear in the corpus) that joins
+  * back by broadcast; the query set broadcasts into the postings scan,
+  * so candidate generation is map-side and candidate volume is bounded
+  * by n_query_terms x maxDf (the df cap drops stopword-ish terms whose
+  * posting lists would dominate — they carry near-zero idf anyway).
+  * The only other shuffle carries candidates (groupBy (query, doc)),
+  * and the final top-k plans as WindowGroupLimit: each task forwards
+  * at most k rows per query.
+  */
+object Retrieval {
+
+  /** BM25 constants k1=1.2, b=0.75 as exact rationals: with
+    * avgdl = T/N the per-term saturation
+    *   tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    * multiplied through by 10*T*N/(T*N) clears to
+    *   22*tf*T / (10*tf*T + 3*T + 9*dl*N)
+    * — integer micro-units via one floor division. Fits 64-bit through
+    * ~1e11 corpus tokens; promote to DECIMAL(38,0) beyond.
+    */
+  private def tfPartMicro(tf: Column, dl: Column, nDocs: Column,
+                          nTerms: Column): Column =
+    call_function("div",
+      lit(22000000L) * tf * nTerms,
+      lit(10L) * tf * nTerms + lit(3L) * nTerms + lit(9L) * dl * nDocs)
+
+  /** Robertson-Sparck-Jones idf in Q16: log2((N-df+0.5)/(df+0.5)) =
+    * log2(2(N-df)+1) - log2(2df+1), clamped at 0 (Lucene-style) so
+    * ubiquitous terms can't vote negatively.
+    */
+  private def idfQ16(df: Column, nDocs: Column): Column =
+    greatest(
+      Portable.log2q16(lit(2L) * (nDocs - df) + 1L)
+        - Portable.log2q16(lit(2L) * df + 1L),
+      lit(0L))
+
+  /** Adjacent-bigram terms of a word array. */
+  def bigramsOf(words: Column): Column =
+    zip_with(
+      slice(words, lit(1), size(words) - 1),
+      slice(words, lit(2), size(words) - 1),
+      (a, b) => concat(a, lit(" "), b))
+
+  /** Bigram terms of normalized text. */
+  def bigramTerms(text: Column): Column =
+    bigramsOf(split(TextAnalysis.normalized(text), " "))
+
+  /** A deterministic query workload derived from the corpus itself
+    * (docs with id % every == offset; query terms = bigrams of the
+    * first nWords words) — the oracle-reproducible stand-in for a real
+    * query log.
+    */
+  def queriesFromDocs(docs: DataFrame, idCol: String, textCol: String,
+                      every: Long = 29L, offset: Long = 3L,
+                      nWords: Int = 5): DataFrame = {
+    val words = split(TextAnalysis.normalized(col(textCol)), " ")
+    docs.filter(pmod(col(idCol), lit(every)) === lit(offset))
+      .select(col(idCol).cast("long").as("query_id"),
+        bigramsOf(slice(words, lit(1), least(size(words), lit(nWords))))
+          .as("terms"))
+  }
+
+  /** BM25 top-k: for each (query_id, terms) row of `queries`, the k
+    * best documents by summed integer BM25 over bigram terms.
+    * Returns (query_id, doc_id, rnk, score_micro); queries with no
+    * surviving candidate terms yield no rows. `maxDf` drops terms
+    * appearing in more than that many documents from the index.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, k: Int = 5, maxDf: Long = 40L): DataFrame = {
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        bigramTerms(col(textCol)).as("terms"))
+      .withColumn("dl", size(col("terms")).cast("long"))
+      .filter(col("dl") > 0)
+    // the one corpus-scale shuffle: tf per (doc, term); dl is constant
+    // per doc so it rides the partial aggregation
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("terms")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // corpus stats: one row, broadcast everywhere it's needed
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("n_terms"))
+    // vocab-scale df + idf table (df <= maxDf cap LIVE: at sf0.01 it
+    // drops the handful of boilerplate bigrams with df > 40)
+    val dfTab = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= lit(maxDf))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), idfQ16(col("df"), col("n_docs")).as("idf_q16"))
+    val qTerms = queries
+      .select(col("query_id").cast("long").as("query_id"),
+        explode(col("terms")).as("term"))
+      .distinct()
+    // candidates: both join sides broadcast INTO the postings scan
+    val cand = postings
+      .join(broadcast(dfTab), "term")
+      .join(broadcast(qTerms), "term")
+      .crossJoin(broadcast(stats))
+    val scored = cand
+      .select(col("query_id"), col("doc_id"),
+        call_function("div",
+          col("idf_q16") * tfPartMicro(col("tf"), col("dl"),
+            col("n_docs"), col("n_terms")),
+          lit(65536L)).as("contrib"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rnk"), col("score_micro"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.{Portable, Retrieval}
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval semantics on a hand-built corpus + the scale-shape
+  * pins for t_bm25_topk (broadcast-only joins around the postings,
+  * WindowGroupLimit top-k). Integer-score parity with DuckDB is pinned
+  * by the driver's oracle gate.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private def corpus = {
+    val s = spark; import s.implicits._
+    // 6 interesting docs + filler so df stays under N/2 and idf > 0
+    val filler = (6L to 13L).map(i => (i, s"filler number $i content row"))
+    (Seq(
+      (0L, "red fox jumps over the lazy dog"),
+      (1L, "red fox jumps again and again red fox jumps"),
+      (2L, "the lazy dog sleeps all day long today"),
+      (3L, "red fox"),
+      (4L, "a completely unrelated sentence about spark plans"),
+      (5L, "red fox jumps red fox jumps red fox jumps")
+    ) ++ filler).toDF("doc_id", "text")
+  }
+
+  private def queryOf(id: Long, text: String) = {
+    val s = spark; import s.implicits._
+    Seq((id, text)).toDF("query_id", "qtext")
+      .select(col("query_id"), Retrieval.bigramTerms(col("qtext")).as("terms"))
+  }
+
+  test("more matching terms and higher tf rank higher; scores descend") {
+    val res = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        queryOf(100L, "red fox jumps"), k = 6, maxDf = 100L)
+      .orderBy(col("rnk")).collect()
+    val ranked = res.map(r => r.getLong(1))
+    // docs 0,1,3,5 contain "red fox"; 5 has tf=3 of both query bigrams,
+    // 1 has tf 2-3, 0 and 3 have tf=1; doc 3 is shorter than doc 0 so
+    // its tf saturation is higher. 2 and 4 contain no query bigram.
+    assert(ranked.take(4).toSet == Set(0L, 1L, 3L, 5L), res.mkString(";"))
+    assert(ranked.head == 5L, s"highest-tf doc must rank first: ${res.mkString(";")}")
+    assert(!ranked.contains(2L) && !ranked.contains(4L))
+    val scores = res.map(_.getLong(3))
+    assert(scores.sameElements(scores.sortBy(-_)), "scores must descend with rank")
+    // rnk is dense 1..n
+    assert(res.map(_.getInt(2)).toSeq == (1 to res.length))
+  }
+
+  test("maxDf cap drops ubiquitous terms from the index") {
+    // "red fox" appears in 4 of 6 docs; cap at 3 removes it, so a
+    // query of only that bigram returns nothing
+    val res = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      queryOf(100L, "red fox"), k = 6, maxDf = 3L)
+    assert(res.count() == 0)
+    // while "fox jumps" (df=3) survives
+    val res2 = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      queryOf(100L, "fox jumps"), k = 6, maxDf = 3L)
+    assert(res2.count() == 3)
+  }
+
+  test("idf favors the rarer term at equal tf") {
+    // doc 2 matches only the common-ish bigram pair of q; a doc
+    // matching a rarer bigram with same tf must not rank below it —
+    // check via two single-term queries instead (monotone idf):
+    // df("lazy dog")=2 < df("red fox")=4 => idf("lazy dog") > idf("red fox")
+    def idfOf(df: Long, n: Long): Long =
+      math.max(Portable.log2q16Ref(2 * (n - df) + 1)
+        - Portable.log2q16Ref(2 * df + 1), 0L)
+    assert(idfOf(2, 6) > idfOf(4, 6))
+  }
+
+  test("empty and single-word docs and queries are handled") {
+    val s = spark; import s.implicits._
+    val docs = Seq((0L, "only"), (1L, ""), (2L, "two words")).toDF("doc_id", "text")
+    val res = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queryOf(9L, "two words"), k = 3, maxDf = 10L)
+    assert(res.collect().map(_.getLong(1)).toSeq == Seq(2L))
+    val none = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queryOf(9L, "single"), k = 3, maxDf = 10L)
+    assert(none.count() == 0)
+  }
+
+  test("t_bm25_topk plan: broadcast-only joins, WindowGroupLimit top-k") {
+    val p = SparkEntry.queries("t_bm25_topk")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"df/idf and query joins must broadcast into the postings scan:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must pre-trim map-side:\n$p")
+    // the only nested-loop join allowed is the 1-row stats broadcast
+    // (same shape as Sampling's rate attach); a data-scale cartesian
+    // would show as CartesianProduct
+    assert(!p.contains("CartesianProduct"),
+      s"stats attach must be a broadcast, not a cartesian:\n$p")
+  }
+}
