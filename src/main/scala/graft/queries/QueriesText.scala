@@ -1506,6 +1506,46 @@ object QueriesText {
               |             ORDER BY score_micro DESC, doc_id) AS INT) AS rnk
               |      FROM sc)
               |SELECT query_id, doc_id, rnk, score_micro
-              |FROM r WHERE rnk <= 5""".stripMargin))
+              |FROM r WHERE rnk <= 5""".stripMargin)),
+
+    // CCNet-style LM perplexity filter: add-one bigram LM trained on
+    // the corpus itself, per-doc negative log-likelihood in portable
+    // Q16 bits, keep decision = integer multiply comparison against
+    // 4.9 bits/bigram (live split ~70/30 at sf0.01). The oracle
+    // retrains the same LM in SQL and replays the Q16 log recursion
+    // for every (context+V, count+1) pair.
+    QDef("t_lm_score",
+      (s, dir) => graft.functions.LangModel.bigramNllScore(
+        Q.table(s, dir, "documents"), "doc_id", "text",
+        thresholdMilliBits = 4900L),
+      Some(s"""WITH RECURSIVE
+              |w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+              |bg AS (SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+              |       FROM w, unnest(range(1, len(words))) AS r(i)),
+              |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+              |       FROM bg GROUP BY 1, 2),
+              |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+              |       FROM c2 GROUP BY 1),
+              |vv AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v
+              |       FROM (SELECT unnest(words) AS word FROM w)),
+              |ja AS (SELECT c2.w1, c2.w2,
+              |         c1.c1 + (SELECT v FROM vv) AS xa,
+              |         c2.c2 + 1 AS xb
+              |       FROM c2 JOIN c1 USING (w1)),
+              |ina AS (SELECT w1, w2, xa AS x FROM ja),
+              |${Portable.log2q16Sql("ina", Seq("w1", "w2"), "x", "lga", "lg")},
+              |inb AS (SELECT w1, w2, xb AS x FROM ja),
+              |${Portable.log2q16Sql("inb", Seq("w1", "w2"), "x", "lgb", "lg")},
+              |tab AS (SELECT a.w1, a.w2, a.lg - b.lg AS nll
+              |        FROM lga a JOIN lgb b USING (w1, w2)),
+              |d AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |        CAST(sum(t.nll) AS BIGINT) AS nll_q16
+              |      FROM bg JOIN tab t USING (w1, w2) GROUP BY 1)
+              |SELECT dd.doc_id,
+              |  coalesce(d.n_bigrams, 0) AS n_bigrams,
+              |  coalesce(d.nll_q16, 0) AS nll_q16,
+              |  coalesce(d.nll_q16, 0) * 1000
+              |    <= 4900 * coalesce(d.n_bigrams, 0) * 65536 AS keep
+              |FROM documents dd LEFT JOIN d ON dd.doc_id = d.doc_id""".stripMargin))
   )
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.{LangModel, Portable}
+import org.apache.spark.sql.functions._
+
+/** Bigram-LM scoring semantics on a hand-computable corpus + the
+  * broadcast-model plan pin for t_lm_score. Integer-score parity with
+  * DuckDB is pinned by the driver's oracle gate.
+  */
+class LangModelSpec extends SparkSpec {
+
+  test("NLL matches a hand-computed add-one bigram model") {
+    val s = spark; import s.implicits._
+    // corpus: "a b" x3, "a c" x1  => c2(a,b)=3, c2(a,c)=1, c1(a)=4, V=3
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = LangModel.bigramNllScore(docs, "doc_id", "text", 10000L)
+      .orderBy("doc_id").collect()
+    val nllAB = Portable.log2q16Ref(4 + 3) - Portable.log2q16Ref(3 + 1)
+    val nllAC = Portable.log2q16Ref(4 + 3) - Portable.log2q16Ref(1 + 1)
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 1L, 1L, 1L))
+    assert(got.map(_.getLong(2)).toSeq == Seq(nllAB, nllAB, nllAB, nllAC))
+    // log2(7/4) ~ 0.807, log2(7/2) ~ 1.807 bits
+    assert(math.abs(nllAB / 65536.0 - (math.log(7.0 / 4) / math.log(2))) < 2e-4)
+    assert(math.abs(nllAC / 65536.0 - (math.log(7.0 / 2) / math.log(2))) < 2e-4)
+  }
+
+  test("the rarer continuation costs more bits; repeated text costs fewer") {
+    val s = spark; import s.implicits._
+    val docs = (0L to 9L).map(i => (i, "the quick brown fox")) :+
+      (10L, "the quick zzz fox")
+    val got = LangModel.bigramNllScore(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 10000L)
+      .select("doc_id", "nll_q16").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) > got(0L),
+      s"the doc with the rare bigrams must score worse: $got")
+  }
+
+  test("docs without bigrams are kept with zero evidence") {
+    val s = spark; import s.implicits._
+    val docs = Seq((0L, "single"), (1L, ""), (2L, "two words"), (3L, "two words"))
+      .toDF("doc_id", "text")
+    val got = LangModel.bigramNllScore(docs, "doc_id", "text", 10000L)
+      .orderBy("doc_id").collect()
+    assert(got.length == 4)
+    assert(got(0).getLong(1) == 0L && got(0).getBoolean(3))
+    assert(got(1).getLong(1) == 0L && got(1).getBoolean(3))
+    assert(got(2).getLong(1) == 1L)
+  }
+
+  test("threshold decision is the pure integer comparison") {
+    val s = spark; import s.implicits._
+    val docs = Seq((0L, "x y"), (1L, "x z z z z z x y"))
+      .toDF("doc_id", "text")
+    // with a 0 threshold nothing with evidence survives
+    val strict = LangModel.bigramNllScore(docs, "doc_id", "text", 0L).collect()
+    assert(strict.forall(r => r.getLong(1) == 0L || !r.getBoolean(3)))
+    // with a huge threshold everything survives
+    val loose = LangModel.bigramNllScore(docs, "doc_id", "text", 1000000L).collect()
+    assert(loose.forall(_.getBoolean(3)))
+  }
+
+  test("t_lm_score plan: the model broadcasts; no corpus sort-merge join") {
+    val p = SparkEntry.queries("t_lm_score")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"nll table must broadcast into the pair stream:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+}
