@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Pure-JVM WAV/PCM audio decode — the audio leg of the multimodal
+  * family next to the image codecs and the MP4/WebM container walkers
+  * ([[Multimodal]], [[MediaContainers]]). RIFF is the one audio
+  * container with a fully deterministic pure-integer decode (PCM16
+  * needs no codec), so unlike the stubbed lossy-codec paths this is
+  * the real thing end to end: chunk walk -> fmt/data extraction ->
+  * sample decode -> integer features.
+  *
+  * Scale shape: everything is map-side inside `mapPartitions`; payload
+  * bytes never shuffle — only the ~70-byte feature row moves on. Same
+  * contract as [[Multimodal.containerMetadata]].
+  *
+  * Format notes (RIFF spec, multimedia programming interface 1.0):
+  * chunks are (fourcc, u32le size, payload) with odd sizes padded by
+  * one byte; `fmt ` must carry PCM (tag 1) at 16 bits — anything else
+  * fails loudly rather than misparse (the never-misparse contract the
+  * HDF5 reader set).
+  */
+object Audio {
+
+  final case class AudioMeta(media_id: Long, sample_rate: Int,
+                             channels: Int, bits: Int, n_samples: Long,
+                             duration_us: Long, peak: Long, sum_sq: Long,
+                             rms_milli: Long)
+
+  private def u16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+
+  /** Build a PCM16LE mono WAV. A junk LIST chunk sits between `fmt `
+    * and `data` so round-trip tests exercise real chunk walking, not a
+    * fixed-offset read.
+    */
+  def buildWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = (0 to 3).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val junk = "INFOengine".getBytes("US-ASCII")
+    val dataLen = samples.length * 2
+    tag("RIFF"); w32(4 + (8 + 16) + (8 + junk.length) + (8 + dataLen)); tag("WAVE")
+    tag("fmt "); w32(16)
+    w16(1); w16(1); w32(sampleRate); w32(sampleRate.toLong * 2); w16(2); w16(16)
+    tag("LIST"); w32(junk.length); out.write(junk)
+    tag("data"); w32(dataLen)
+    samples.foreach(s => w16(s & 0xffff))
+    out.toByteArray
+  }
+
+  /** Parse a PCM16 WAV into (sampleRate, channels, samples interleaved).
+    * Fails loudly on non-RIFF/non-PCM/non-16-bit input.
+    */
+  def parseWav(payload: Array[Byte]): (Int, Int, Array[Short]) = {
+    require(payload.length >= 12 &&
+      new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(payload, 8, 4, "US-ASCII") == "WAVE",
+      "not a RIFF/WAVE payload")
+    var p = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None // (offset, length)
+    while (p + 8 <= payload.length) {
+      val id = new String(payload, p, 4, "US-ASCII")
+      val sz = u32(payload, p + 4).toInt
+      require(sz >= 0 && p + 8 + sz <= payload.length,
+        s"chunk $id overruns the payload")
+      id match {
+        case "fmt " =>
+          require(sz >= 16, "fmt chunk too short")
+          val tag = u16(payload, p + 8)
+          require(tag == 1, s"not PCM (format tag $tag)")
+          fmt = Some((u16(payload, p + 10), u32(payload, p + 12).toInt,
+            u16(payload, p + 22)))
+        case "data" => data = Some((p + 8, sz))
+        case _ => () // walk past LIST/fact/cue/...
+      }
+      p += 8 + sz + (sz & 1) // odd chunks carry a pad byte
+    }
+    val (channels, rate, bits) = fmt.getOrElse(sys.error("no fmt chunk"))
+    require(bits == 16, s"only PCM16 supported (got $bits)")
+    val (off, len) = data.getOrElse(sys.error("no data chunk"))
+    val n = len / 2
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) { samples(i) = u16(payload, off + 2 * i).toShort; i += 1 }
+    (rate, channels, samples)
+  }
+
+  /** Decode + featurize WAV payloads map-side: per-row duration and
+    * integer signal stats. duration_us and rms_milli use only integer
+    * floor division and the IEEE-correctly-rounded sqrt, so they replay
+    * bit-identically in the oracle.
+    */
+  def pcmFeatures(media: DataFrame): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val (rate, channels, samples) = parseWav(payload)
+          val frames = if (channels == 0) 0L else samples.length.toLong / channels
+          var peak = 0L; var sumSq = 0L
+          samples.foreach { s =>
+            val v = s.toLong
+            if (math.abs(v) > peak) peak = math.abs(v)
+            sumSq += v * v
+          }
+          val durUs = if (rate == 0) 0L else frames * 1000000L / rate
+          val meanSqMicro = if (samples.isEmpty) 0L else sumSq * 1000000L / samples.length
+          AudioMeta(id, rate, channels, 16, frames, durUs, peak, sumSq,
+            math.sqrt(meanSqMicro.toDouble).toLong)
+        }
+      }
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{MediaContainers, Multimodal, Similarity}
+import graft.functions.{Audio, MediaContainers, Multimodal, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search queries over `embeddings` (64-dim float vectors) and
@@ -708,6 +708,51 @@ object QueriesEmb {
              |  CAST(nk AS INT) AS n_keyframes,
              |  CAST(ke * (nk * (nk - 1) // 2) AS BIGINT) AS key_sum
              |FROM k""".stripMargin)),
+
+    // real WAV/PCM audio decode: each row builds a deterministic PCM16
+    // mono WAV (header + junk LIST chunk + samples synthesized from
+    // doc_id), parses it back through the RIFF chunk walker and emits
+    // integer signal features; the oracle recomputes the same samples
+    // algebraically. Any drift in the builder OR the parser (chunk
+    // sizes, pad bytes, little-endian sample decode, duration/rms
+    // arithmetic) breaks the hash. Map-side end to end: payloads are
+    // built, parsed and dropped inside one task.
+    QDef("mm_audio",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Q.table(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = docs.map { id =>
+          val n = (20 + id % 50).toInt
+          val rate = (8000 + (id % 8) * 1000).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i * 17 + 7) % 65521) - 32768).toShort)
+          (id, Audio.buildWav(rate, samples))
+        }.toDF("media_id", "payload")
+        Audio.pcmFeatures(media).toDF()
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, 20 + doc_id % 50 AS n,
+             |         8000 + (doc_id % 8) * 1000 AS rate
+             |  FROM documents),
+             |s AS (SELECT doc_id, n, rate, unnest(range(0, n)) AS i FROM p),
+             |v AS (SELECT doc_id,
+             |        ((doc_id * 31 + i * 17 + 7) % 65521) - 32768 AS sv
+             |      FROM s),
+             |a AS (SELECT doc_id,
+             |        CAST(sum(sv * sv) AS BIGINT) AS sum_sq,
+             |        CAST(max(abs(sv)) AS BIGINT) AS peak
+             |      FROM v GROUP BY doc_id)
+             |SELECT p.doc_id AS media_id,
+             |  CAST(p.rate AS INT) AS sample_rate,
+             |  CAST(1 AS INT) AS channels,
+             |  CAST(16 AS INT) AS bits,
+             |  CAST(p.n AS BIGINT) AS n_samples,
+             |  CAST(p.n * 1000000 // p.rate AS BIGINT) AS duration_us,
+             |  a.peak, a.sum_sq,
+             |  CAST(floor(sqrt(CAST(a.sum_sq * 1000000 // p.n AS DOUBLE)))
+             |    AS BIGINT) AS rms_milli
+             |FROM p JOIN a USING (doc_id)""".stripMargin)),
 
     // content-hash dedup of binary payloads: md5 computed map-side, only
     // (media_id, checksum) shuffles — payload bytes stay in their scan
