@@ -87,7 +87,8 @@ object Retrieval {
     * appearing in more than that many documents from the index.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               queries: DataFrame, k: Int = 5, maxDf: Long = 40L): DataFrame = {
+               queries: DataFrame, k: Int = 5, maxDf: Long = 40L,
+               excludeSelf: Boolean = false): DataFrame = {
     val base = docs
       .select(col(idCol).cast("long").as("doc_id"),
         bigramTerms(col(textCol)).as("terms"))
@@ -113,10 +114,15 @@ object Retrieval {
         explode(col("terms")).as("term"))
       .distinct()
     // candidates: both join sides broadcast INTO the postings scan
-    val cand = postings
+    val cand0 = postings
       .join(broadcast(dfTab), "term")
       .join(broadcast(qTerms), "term")
       .crossJoin(broadcast(stats))
+    // self-exclusion (for corpus-derived query workloads) happens on
+    // the candidates so ranks are contiguous over the remaining docs
+    val cand =
+      if (excludeSelf) cand0.filter(col("query_id") =!= col("doc_id"))
+      else cand0
     val scored = cand
       .select(col("query_id"), col("doc_id"),
         call_function("div",
@@ -131,5 +137,32 @@ object Retrieval {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("doc_id"), col("rnk"), col("score_micro"))
+  }
+
+  /** Reciprocal-rank fusion of a lexical and a dense ranking — hybrid
+    * search's standard score-free combiner (Cormack et al. 2009):
+    * each system contributes 1/(kRrf + rank), here in integer
+    * micro-units (1000000 div (kRrf + rank)) so the fused scores and
+    * ranks replay exactly in the oracle. Inputs are the two top-k
+    * frames ((query_id, doc_id, rnk) and bruteForceTopK's (query_id,
+    * match_id, rank[, sim])); both are candidate-scale — everything
+    * here is post-retrieval and tiny next to the corpus.
+    */
+  def rrfFuse(lexical: DataFrame, dense: DataFrame,
+              kRrf: Long = 60L, k: Int = 10): DataFrame = {
+    val l = lexical.select(col("query_id"), col("doc_id"),
+      call_function("div", lit(1000000L), lit(kRrf) + col("rnk"))
+        .as("lex_rrf"))
+    val d = dense.select(col("query_id"), col("match_id").as("doc_id"),
+      call_function("div", lit(1000000L), lit(kRrf) + col("rank"))
+        .as("dense_rrf"))
+    val fused = l.join(d, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(col("lex_rrf"), lit(0L))
+          + coalesce(col("dense_rrf"), lit(0L))).as("rrf_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf_micro"), col("rnk"))
   }
 }

@@ -19,7 +19,7 @@ object QueriesEmb {
     (1 to n).map(i => s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))")
       .mkString("(", " + ", ")")
 
-  private def dotSql(a: String, b: String): String = dotSqlN(a, b, Dim)
+  private[queries] def dotSql(a: String, b: String): String = dotSqlN(a, b, Dim)
 
   private def cosSqlN(a: String, b: String, n: Int): String =
     s"(${dotSqlN(a, b, n)} / (sqrt(${dotSqlN(a, a, n)}) * sqrt(${dotSqlN(b, b, n)})))"

@@ -1546,6 +1546,100 @@ object QueriesText {
               |  coalesce(d.nll_q16, 0) AS nll_q16,
               |  coalesce(d.nll_q16, 0) * 1000
               |    <= 4900 * coalesce(d.n_bigrams, 0) * 65536 AS keep
-              |FROM documents dd LEFT JOIN d ON dd.doc_id = d.doc_id""".stripMargin))
+              |FROM documents dd LEFT JOIN d ON dd.doc_id = d.doc_id""".stripMargin)),
+
+    // hybrid search capstone: BM25 over the inverted bigram index and
+    // brute-force cosine over the embeddings, fused by integer
+    // reciprocal-rank fusion (1000000 div (60 + rank)) — the standard
+    // lexical+dense combiner. Only RANKS cross systems, so the fused
+    // output is pure-integer portable even though the dense side scores
+    // in floats (the pinned left-assoc dot fold makes its ranks
+    // engine-identical). Self-matches are excluded on both legs.
+    QDef("t_hybrid_search",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        val emb = Q.table(s, dir, "embeddings")
+        val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
+          Retrieval.queriesFromDocs(docs, "doc_id", "text",
+            every = 50L, offset = 0L),
+          k = 20, maxDf = 40L, excludeSelf = true)
+        val dense = graft.functions.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 20)
+        Retrieval.rrfFuse(lex, dense, kRrf = 60L, k = 10)
+      },
+      Some {
+        val dqq = QueriesEmb.dotSql("q.e", "q.e")
+        val dcc = QueriesEmb.dotSql("c.e", "c.e")
+        val dqc = QueriesEmb.dotSql("q.e", "c.e")
+        s"""WITH RECURSIVE
+           |w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+           |bl AS (SELECT doc_id,
+           |         list_transform(range(1, len(words)),
+           |           i -> words[i] || ' ' || words[i + 1]) AS terms,
+           |         CAST(len(words) - 1 AS BIGINT) AS dl
+           |       FROM w WHERE len(words) >= 2),
+           |post AS (SELECT doc_id, dl, unnest(terms) AS term FROM bl),
+           |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+           |        max(dl) AS dl
+           |      FROM post GROUP BY 1, 2),
+           |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |            CAST(sum(dl) AS BIGINT) AS n_terms FROM bl),
+           |dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           |        FROM p GROUP BY 1 HAVING count(*) <= 40),
+           |ina AS (SELECT term,
+           |          2 * ((SELECT n_docs FROM stats) - df) + 1 AS x FROM dfv),
+           |${Portable.log2q16Sql("ina", Seq("term"), "x", "lga", "lg")},
+           |inb AS (SELECT term, 2 * df + 1 AS x FROM dfv),
+           |${Portable.log2q16Sql("inb", Seq("term"), "x", "lgb", "lg")},
+           |idf AS (SELECT a.term, greatest(a.lg - b.lg, 0) AS idf_q16
+           |        FROM lga a JOIN lgb b USING (term)),
+           |qw AS (SELECT doc_id AS query_id, words FROM w
+           |       WHERE doc_id % 50 = 0),
+           |qt AS (SELECT DISTINCT query_id,
+           |         unnest(list_transform(range(1, least(len(words), 5)),
+           |           i -> words[i] || ' ' || words[i + 1])) AS term
+           |       FROM qw),
+           |cand AS (SELECT qt.query_id, p.doc_id, p.tf, p.dl, idf.idf_q16
+           |         FROM p JOIN idf USING (term) JOIN qt USING (term)
+           |         WHERE qt.query_id <> p.doc_id),
+           |sc AS (SELECT query_id, doc_id,
+           |         CAST(sum((idf_q16 * ((22000000 * tf * s.n_terms) //
+           |             (10 * tf * s.n_terms + 3 * s.n_terms
+           |              + 9 * dl * s.n_docs))) // 65536) AS BIGINT)
+           |           AS score_micro
+           |       FROM cand, stats s GROUP BY 1, 2),
+           |lr AS (SELECT query_id, doc_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY score_micro DESC, doc_id) AS rnk
+           |       FROM sc),
+           |lex AS (SELECT query_id, doc_id, 1000000 // (60 + rnk) AS r
+           |        FROM lr WHERE rnk <= 20),
+           |q AS (SELECT vec_id AS query_id, embedding AS e FROM embeddings
+           |      WHERE vec_id % 50 = 0),
+           |c AS (SELECT vec_id AS doc_id, embedding AS e FROM embeddings),
+           |s2 AS (SELECT query_id, doc_id,
+           |         $dqc / (sqrt($dqq) * sqrt($dcc)) AS sim
+           |       FROM c, q WHERE query_id <> doc_id),
+           |dr AS (SELECT query_id, doc_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY sim DESC, doc_id) AS rnk
+           |       FROM s2),
+           |den AS (SELECT query_id, doc_id, 1000000 // (60 + rnk) AS r
+           |        FROM dr WHERE rnk <= 20),
+           |fused AS (SELECT coalesce(lex.query_id, den.query_id) AS query_id,
+           |            coalesce(lex.doc_id, den.doc_id) AS doc_id,
+           |            CAST(coalesce(lex.r, 0) + coalesce(den.r, 0) AS BIGINT)
+           |              AS rrf_micro
+           |          FROM lex FULL OUTER JOIN den
+           |            ON lex.query_id = den.query_id
+           |           AND lex.doc_id = den.doc_id)
+           |SELECT query_id, doc_id, rrf_micro, rnk FROM (
+           |  SELECT query_id, doc_id, rrf_micro,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rrf_micro DESC, doc_id) AS INT) AS rnk
+           |  FROM fused) t
+           |WHERE rnk <= 10""".stripMargin
+      })
   )
 }
