@@ -269,4 +269,38 @@ object WindowKernels {
       .agg(min(epochUs).as("t_start_us"), max(epochUs).as("t_end_us"),
         count(lit(1)).as("n_events"),
         (max(epochUs) - min(epochUs)).as("duration_us"))
+
+  /** W9 — exponentially-weighted moving average with alpha = 1/2,
+    * truncated at `depth` samples, in EXACT integer arithmetic: over
+    * the frame (oldest..current = a[1..n], n <= depth)
+    *
+    *   ewma_micro = (sum_j a[j] * 2^(j-1)) div (2^n - 1)
+    *
+    * — the dyadic weights make the weighted mean a ratio of exact
+    * int64s (weights double toward the current row; the truncated tail
+    * mass 2^-depth is below micro resolution for depth >= 20), so the
+    * smoothed series replays bit-identically in any engine with 64-bit
+    * integer division (both Spark `div` and DuckDB `//` truncate toward
+    * zero). A float `pow(0.5, lag)` rendering would drift in the last
+    * ulp and flip micro-units.
+    *
+    * `valueMicro` must be an integral column (micro-quantized);
+    * |value_micro| * 2^depth must fit int64 — depth 20 admits |values|
+    * up to ~8.7e3 units (8.7e9 micro). Runs inside the shared stream
+    * sort: collect_list over the rows-frame, then a constant-size
+    * integer fold — one Exchange like every other kernel here, frame
+    * memory bounded by depth.
+    */
+  def ewmaDyadic(valueMicro: Column, w: WindowSpec, depth: Int = 20): Column = {
+    val arr = collect_list(valueMicro).over(w.rowsBetween(-(depth - 1), 0))
+    val num = aggregate(arr,
+      struct(lit(0L).as("s"), lit(0).as("j")),
+      (acc, x) => struct(
+        (acc.getField("s") + x
+          * call_function("shiftleft", lit(1L), acc.getField("j"))).as("s"),
+        (acc.getField("j") + 1).as("j")),
+      acc => acc.getField("s"))
+    val den = call_function("shiftleft", lit(1L), size(arr)) - 1L
+    call_function("div", num, den)
+  }
 }

@@ -216,6 +216,36 @@ object QueriesQcEvents {
               |  END, 6) + 0.0e0 AS v_filled
               |FROM f WHERE v IS NULL""".stripMargin)),
 
+    // W9 — dyadic EWMA smoothing (alpha = 1/2, 20-sample truncation):
+    // the weighted mean is a ratio of exact int64s over micro-quantized
+    // values, so the smoothed series is bit-portable (a pow(0.5, lag)
+    // float rendering would flip micro-units in the last ulp). Rides
+    // the same per-stream sort as every other kernel; the (t_us,
+    // iot_id) order key makes the frame deterministic under time ties.
+    QDef("w9_ewma",
+      (s, dir) => {
+        val vMicro =
+          expr(s"CAST(CAST(${Obs.Result} AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
+        val w = Window.partitionBy(col(Obs.DatastreamId))
+          .orderBy(col("t_us"), col(Obs.IotId))
+        obs(s, dir).select(col(Obs.IotId),
+          WindowKernels.ewmaDyadic(vMicro, w, depth = 20).as("ewma_micro"))
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |m AS (SELECT iot_id, datastream_id, t_us,
+              |        CAST(CAST(result AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS v
+              |      FROM obs),
+              |x AS (SELECT iot_id,
+              |        list(v) OVER (PARTITION BY datastream_id
+              |          ORDER BY t_us, iot_id
+              |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS a
+              |      FROM m)
+              |SELECT iot_id,
+              |  CAST(list_sum(list_transform(range(1, len(a) + 1),
+              |       j -> a[j] * (CAST(1 AS BIGINT) << (j - 1)))) AS BIGINT)
+              |    // ((CAST(1 AS BIGINT) << len(a)) - 1) AS ewma_micro
+              |FROM x""".stripMargin)),
+
     // J1 — broadcast config join, row count preserved (asserted in tests)
     QDef("j1_config_join",
       (s, dir) => QcConfigJoin.joined(s, dir)

@@ -141,4 +141,30 @@ class WindowKernelsSpec extends SparkSpec with Matchers {
     got(10L) shouldBe None        // single-known stream: no segment
     got(11L) shouldBe None        // all-null stream
   }
+
+  test("W9 dyadic EWMA: exact hand-computed weighted means, depth truncation") {
+    val s = spark; import s.implicits._
+    // one stream, values in micro units already
+    val df = Seq((1L, 10L, 1000000L), (2L, 20L, 4000000L), (3L, 30L, 7000000L))
+      .toDF("iot_id", "t_us", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("t_us"), col("iot_id"))
+    val got = df.select(col("iot_id"),
+        WindowKernels.ewmaDyadic(col("v"), w, depth = 20).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got(1L) shouldBe 1000000L                                   // 1-term frame
+    got(2L) shouldBe (1000000L + 2 * 4000000L) / 3              // w = 1,2 / 3
+    got(3L) shouldBe (1000000L + 2 * 4000000L + 4 * 7000000L) / 7
+    // depth truncation: with depth=2 the first sample falls out at row 3
+    val got2 = df.select(col("iot_id"),
+        WindowKernels.ewmaDyadic(col("v"), w, depth = 2).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got2(3L) shouldBe (4000000L + 2 * 7000000L) / 3
+    // constant series is a fixpoint at any depth
+    val const = Seq((1L, 1L, 5000000L), (2L, 2L, 5000000L), (3L, 3L, 5000000L))
+      .toDF("iot_id", "t_us", "v")
+    val got3 = const.select(WindowKernels.ewmaDyadic(col("v"), w, 20).as("e"))
+      .collect().map(_.getLong(0))
+    all(got3) shouldBe 5000000L
+  }
 }
