@@ -86,29 +86,37 @@ object Retrieval {
     * surviving candidate terms yield no rows. `maxDf` drops terms
     * appearing in more than that many documents from the index.
     */
-  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               queries: DataFrame, k: Int = 5, maxDf: Long = 40L,
-               excludeSelf: Boolean = false): DataFrame = {
+  /** The shared index build: per-doc term arrays + lengths, the
+    * postings (ONE corpus-scale shuffle — tf per (doc, term), dl rides
+    * the partial agg), the 1-row corpus stats, and the vocab-scale
+    * df/idf table (df <= maxDf cap LIVE at sf0.01: drops the handful
+    * of boilerplate bigrams with df > 40).
+    */
+  private[functions] def index(docs: DataFrame, idCol: String,
+                               textCol: String, maxDf: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
     val base = docs
       .select(col(idCol).cast("long").as("doc_id"),
         bigramTerms(col(textCol)).as("terms"))
       .withColumn("dl", size(col("terms")).cast("long"))
       .filter(col("dl") > 0)
-    // the one corpus-scale shuffle: tf per (doc, term); dl is constant
-    // per doc so it rides the partial aggregation
     val postings = base
       .select(col("doc_id"), col("dl"), explode(col("terms")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    // corpus stats: one row, broadcast everywhere it's needed
     val stats = base.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("n_terms"))
-    // vocab-scale df + idf table (df <= maxDf cap LIVE: at sf0.01 it
-    // drops the handful of boilerplate bigrams with df > 40)
     val dfTab = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= lit(maxDf))
       .crossJoin(broadcast(stats))
       .select(col("term"), idfQ16(col("df"), col("n_docs")).as("idf_q16"))
+    (postings, stats, dfTab)
+  }
+
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, k: Int = 5, maxDf: Long = 40L,
+               excludeSelf: Boolean = false): DataFrame = {
+    val (postings, stats, dfTab) = index(docs, idCol, textCol, maxDf)
     val qTerms = queries
       .select(col("query_id").cast("long").as("query_id"),
         explode(col("terms")).as("term"))
@@ -148,6 +156,38 @@ object Retrieval {
     * match_id, rank[, sim])); both are candidate-scale — everything
     * here is post-retrieval and tiny next to the corpus.
     */
+  /** Hashed tf-idf document vectors — the classic sparse-to-dense
+    * bridge from text to the ANN family ([[Similarity]]): each term's
+    * weight (tf x Q16 idf, all integer) lands in dimension
+    * baseHash(term) mod dims (the 32-bit portable md5-prefix hash the
+    * MinHash family already mirrors in SQL), summed per dimension.
+    * Docs with no terms get the zero vector. Entirely derived from the
+    * one postings shuffle + a vocab-scale broadcast + one groupBy(doc)
+    * with `dims` conditional sums (single pass, codegen'd — no
+    * per-dimension shuffle).
+    */
+  def tfidfVectors(docs: DataFrame, idCol: String, textCol: String,
+                   dims: Int = 64, maxDf: Long = 40L): DataFrame = {
+    require(dims > 0)
+    val (postings, _, dfTab) = index(docs, idCol, textCol, maxDf)
+    val weighted = postings
+      .join(broadcast(dfTab), "term")
+      .select(col("doc_id"),
+        pmod(Dedup.baseHash(col("term")), lit(dims.toLong)).as("dim"),
+        (col("tf") * col("idf_q16")).as("w"))
+    val sums = (0 until dims).map(d =>
+      sum(when(col("dim") === d, col("w")).otherwise(lit(0L))).as(s"__v$d"))
+    val vecs = weighted.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        array((0 until dims).map(d => col(s"__v$d")): _*).as("vec"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(vecs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("vec"),
+          array(Seq.fill(dims)(lit(0L)): _*)).as("vec"))
+  }
+
   def rrfFuse(lexical: DataFrame, dense: DataFrame,
               kRrf: Long = 60L, k: Int = 10): DataFrame = {
     val l = lexical.select(col("query_id"), col("doc_id"),

@@ -1640,6 +1640,64 @@ object QueriesText {
            |      ORDER BY rrf_micro DESC, doc_id) AS INT) AS rnk
            |  FROM fused) t
            |WHERE rnk <= 10""".stripMargin
-      })
+      }),
+
+    // hashed tf-idf document vectors: the sparse->dense bridge from
+    // text to the ANN family — term weight (tf x Q16 idf, integer)
+    // lands in dimension baseHash(term) mod 64, summed per dim; docs
+    // without terms get the zero vector. One postings shuffle + a
+    // vocab-scale broadcast + one groupBy(doc) with 64 conditional
+    // sums. The assembled array is pinned by order-sensitive integer
+    // checksums computed FROM the array (nnz + sum + positional sum —
+    // the t_bpe_encode pattern: the compare harness sorts rows by
+    // column values, which list columns can't support).
+    QDef("t_tfidf_vectors",
+      (s, dir) => Retrieval.tfidfVectors(
+          Q.table(s, dir, "documents"), "doc_id", "text",
+          dims = 64, maxDf = 40L)
+        .select(col("doc_id"),
+          size(filter(col("vec"), x => x =!= 0L)).as("nnz"),
+          aggregate(col("vec"), lit(0L), (a, x) => a + x).as("v_sum"),
+          aggregate(col("vec"), struct(lit(0L).as("s"), lit(0L).as("i")),
+            (acc, x) => struct(
+              (acc.getField("s") + (acc.getField("i") + 1L) * x).as("s"),
+              (acc.getField("i") + 1L).as("i")),
+            acc => acc.getField("s")).as("v_possum")),
+      Some(s"""WITH RECURSIVE
+              |w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+              |bl AS (SELECT doc_id,
+              |         list_transform(range(1, len(words)),
+              |           i -> words[i] || ' ' || words[i + 1]) AS terms,
+              |         CAST(len(words) - 1 AS BIGINT) AS dl
+              |       FROM w WHERE len(words) >= 2),
+              |post AS (SELECT doc_id, dl, unnest(terms) AS term FROM bl),
+              |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              |      FROM post GROUP BY 1, 2),
+              |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM bl),
+              |dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              |        FROM p GROUP BY 1 HAVING count(*) <= 40),
+              |ina AS (SELECT term,
+              |          2 * ((SELECT n_docs FROM stats) - df) + 1 AS x FROM dfv),
+              |${Portable.log2q16Sql("ina", Seq("term"), "x", "lga", "lg")},
+              |inb AS (SELECT term, 2 * df + 1 AS x FROM dfv),
+              |${Portable.log2q16Sql("inb", Seq("term"), "x", "lgb", "lg")},
+              |idf AS (SELECT a.term, greatest(a.lg - b.lg, 0) AS idf_q16
+              |        FROM lga a JOIN lgb b USING (term)),
+              |wt AS (SELECT p.doc_id,
+              |         ${baseHashSql("term")} % 64 AS dim,
+              |         p.tf * idf.idf_q16 AS wv
+              |       FROM p JOIN idf USING (term)),
+              |vd AS (SELECT doc_id, dim, CAST(sum(wv) AS BIGINT) AS v
+              |       FROM wt GROUP BY 1, 2),
+              |chk AS (SELECT doc_id,
+              |          CAST(count(*) FILTER (WHERE v <> 0) AS INT) AS nnz,
+              |          CAST(sum(v) AS BIGINT) AS v_sum,
+              |          CAST(sum((dim + 1) * v) AS BIGINT) AS v_possum
+              |        FROM vd GROUP BY 1)
+              |SELECT dd.doc_id,
+              |  coalesce(chk.nnz, 0) AS nnz,
+              |  coalesce(chk.v_sum, 0) AS v_sum,
+              |  coalesce(chk.v_possum, 0) AS v_possum
+              |FROM documents dd LEFT JOIN chk ON dd.doc_id = chk.doc_id""".stripMargin))
   )
 }

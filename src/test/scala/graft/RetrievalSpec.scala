@@ -81,6 +81,31 @@ class RetrievalSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("tfidf vectors: weights land in hashed dims, zero vector for empty docs") {
+    val s = spark; import s.implicits._
+    val docs = Seq((0L, "alpha beta alpha beta"), (1L, "gamma delta"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = Retrieval.tfidfVectors(docs, "doc_id", "text", dims = 8, maxDf = 10L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    assert(got.values.forall(_.length == 8))
+    // the empty doc has no bigrams -> zero vector
+    assert(got(2L).forall(_ == 0L))
+    // total mass of a doc's vector = sum of tf*idf over its terms;
+    // compute the expectation through the same public pieces
+    val idfOf = (df: Long, n: Long) => math.max(
+      Portable.log2q16Ref(2 * (n - df) + 1) - Portable.log2q16Ref(2 * df + 1), 0L)
+    // corpus: doc0 terms {alpha beta(x2), beta alpha(x1)}, doc1 {gamma delta}
+    // n_docs (with terms) = 2; every term df=1
+    val idf1 = idfOf(1, 2)
+    assert(got(0L).sum == 2 * idf1 + 1 * idf1, s"doc0 mass: ${got(0L)}")
+    assert(got(1L).sum == idf1, s"doc1 mass: ${got(1L)}")
+    // determinism across runs
+    val again = Retrieval.tfidfVectors(docs, "doc_id", "text", dims = 8, maxDf = 10L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again == got)
+  }
+
   test("t_bm25_topk plan: broadcast-only joins, WindowGroupLimit top-k") {
     val p = SparkEntry.queries("t_bm25_topk")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
