@@ -117,6 +117,16 @@ object Retrieval {
                queries: DataFrame, k: Int = 5, maxDf: Long = 40L,
                excludeSelf: Boolean = false): DataFrame = {
     val (postings, stats, dfTab) = index(docs, idCol, textCol, maxDf)
+    scoreAndRank(postings, stats, dfTab, queries, k, excludeSelf)
+  }
+
+  /** The serving tail shared by the in-query form and the persisted
+    * index: broadcast the query terms and the vocab-scale idf table
+    * into the postings, score, rank.
+    */
+  private def scoreAndRank(postings: DataFrame, stats: DataFrame,
+                           dfTab: DataFrame, queries: DataFrame,
+                           k: Int, excludeSelf: Boolean): DataFrame = {
     val qTerms = queries
       .select(col("query_id").cast("long").as("query_id"),
         explode(col("terms")).as("term"))
@@ -156,6 +166,36 @@ object Retrieval {
     * match_id, rank[, sim])); both are candidate-scale — everything
     * here is post-retrieval and tiny next to the corpus.
     */
+  /** Persist the inverted index (the ANN-family build-once/serve-many
+    * split applied to lexical retrieval): postings + the df/idf term
+    * table + the 1-row stats land as parquet. Serving then skips the
+    * corpus tokenize/explode/groupBy AND the log evaluations — a query
+    * touches the postings scan and two broadcast joins only. Index
+    * freshness over an ingest stream is [[graft.streaming.StreamingRetrieval]]'s
+    * job (df/cf deltas); BM25 serving tolerates slightly stale idf, so
+    * production rebuilds the terms table periodically rather than
+    * per-document.
+    */
+  def writeIndex(docs: DataFrame, idCol: String, textCol: String,
+                 path: String, maxDf: Long = 40L): Unit = {
+    val (postings, stats, dfTab) = index(docs, idCol, textCol, maxDf)
+    postings.write.mode("overwrite").parquet(s"$path/postings")
+    dfTab.write.mode("overwrite").parquet(s"$path/terms")
+    stats.write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Serve BM25 from a persisted index ([[writeIndex]]) — bit-identical
+    * to the train-in-query twin by construction (same integer
+    * arithmetic over the same stored values).
+    */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queries: DataFrame, k: Int = 5,
+                  excludeSelf: Boolean = false): DataFrame =
+    scoreAndRank(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/stats"),
+      spark.read.parquet(s"$path/terms"),
+      queries, k, excludeSelf)
+
   /** Hashed tf-idf document vectors — the classic sparse-to-dense
     * bridge from text to the ANN family ([[Similarity]]): each term's
     * weight (tf x Q16 idf, all integer) lands in dimension

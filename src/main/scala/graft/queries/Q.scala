@@ -16,6 +16,23 @@ object Q {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Content-fingerprinted persisted-index path for `table` under this
+    * sf dir: neither a regenerated dataset nor a parameter change can
+    * silently reuse a stale index (the sim_*_search cache-key rule).
+    */
+  def indexDir(kind: String, dir: String, table: String,
+               params: String): String = {
+    val root = new java.io.File(s"$dir/$table.parquet")
+    val files =
+      if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
+    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${root.getAbsolutePath}|$sig".getBytes("UTF-8"))
+    val hex = md5.take(8).map(b => f"$b%02x").mkString
+    System.getProperty("java.io.tmpdir") + s"/graft_${kind}_index_${hex}_$params"
+  }
+
   /** Shared SQL fragment: the events table adapted to the observations
     * shape (mirrors [[graft.core.Obs.eventsAsObservations]] exactly —
     * integer-rational coordinate synthesis, epoch µs time).

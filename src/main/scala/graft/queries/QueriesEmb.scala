@@ -239,17 +239,8 @@ object QueriesEmb {
     * in the same directory (or two dirs whose `hashCode` collides) can
     * never serve a stale index trained on different data or settings.
     */
-  private def indexDir(kind: String, dir: String, params: String): String = {
-    val root = new java.io.File(s"$dir/embeddings.parquet")
-    val files =
-      if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
-    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|")
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${root.getAbsolutePath}|$sig".getBytes("UTF-8"))
-    val hex = md5.take(8).map(b => f"$b%02x").mkString
-    System.getProperty("java.io.tmpdir") + s"/graft_${kind}_index_${hex}_$params"
-  }
+  private def indexDir(kind: String, dir: String, params: String): String =
+    Q.indexDir(kind, dir, "embeddings", params)
 
   private def pqScoreCtes(m: Int, sub: Int, kc: Int, iters: Int): String = {
     val subCtes = (0 until m).map { i =>

@@ -1508,6 +1508,65 @@ object QueriesText {
               |SELECT query_id, doc_id, rnk, score_micro
               |FROM r WHERE rnk <= 5""".stripMargin)),
 
+    // the BM25 persisted-index serving path (mirror of sim_pq_search):
+    // first invocation per sf dir tokenizes the corpus and writes
+    // postings + df/idf + stats; later invocations (bench reps 2+,
+    // production) serve from the stored tables — scan + two broadcast
+    // joins, no corpus re-tokenize, no log evaluation. Deterministic
+    // build => identical results fresh or reused; same oracle as
+    // t_bm25_topk because the integer arithmetic matches bit for bit.
+    QDef("t_bm25_search",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        val ix = Q.indexDir("bm25", dir, "documents", "df40")
+        if (!new java.io.File(s"$ix/postings/_SUCCESS").exists())
+          Retrieval.writeIndex(docs, "doc_id", "text", ix, maxDf = 40L)
+        Retrieval.searchIndex(s, ix,
+          Retrieval.queriesFromDocs(docs, "doc_id", "text"), k = 5)
+      },
+      Some(s"""WITH RECURSIVE
+              |w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+              |bl AS (SELECT doc_id,
+              |         list_transform(range(1, len(words)),
+              |           i -> words[i] || ' ' || words[i + 1]) AS terms,
+              |         CAST(len(words) - 1 AS BIGINT) AS dl
+              |       FROM w WHERE len(words) >= 2),
+              |post AS (SELECT doc_id, dl, unnest(terms) AS term FROM bl),
+              |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+              |        max(dl) AS dl
+              |      FROM post GROUP BY 1, 2),
+              |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |            CAST(sum(dl) AS BIGINT) AS n_terms FROM bl),
+              |dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              |        FROM p GROUP BY 1 HAVING count(*) <= 40),
+              |ina AS (SELECT term,
+              |          2 * ((SELECT n_docs FROM stats) - df) + 1 AS x FROM dfv),
+              |${Portable.log2q16Sql("ina", Seq("term"), "x", "lga", "lg")},
+              |inb AS (SELECT term, 2 * df + 1 AS x FROM dfv),
+              |${Portable.log2q16Sql("inb", Seq("term"), "x", "lgb", "lg")},
+              |idf AS (SELECT a.term, greatest(a.lg - b.lg, 0) AS idf_q16
+              |        FROM lga a JOIN lgb b USING (term)),
+              |qw AS (SELECT doc_id AS query_id, words FROM w
+              |       WHERE doc_id % 29 = 3),
+              |qt AS (SELECT DISTINCT query_id,
+              |         unnest(list_transform(range(1, least(len(words), 5)),
+              |           i -> words[i] || ' ' || words[i + 1])) AS term
+              |       FROM qw),
+              |cand AS (SELECT qt.query_id, p.doc_id, p.tf, p.dl, idf.idf_q16
+              |         FROM p JOIN idf USING (term) JOIN qt USING (term)),
+              |sc AS (SELECT query_id, doc_id,
+              |         CAST(sum((idf_q16 * ((22000000 * tf * s.n_terms) //
+              |             (10 * tf * s.n_terms + 3 * s.n_terms
+              |              + 9 * dl * s.n_docs))) // 65536) AS BIGINT)
+              |           AS score_micro
+              |       FROM cand, stats s GROUP BY 1, 2),
+              |r AS (SELECT query_id, doc_id, score_micro,
+              |        CAST(row_number() OVER (PARTITION BY query_id
+              |             ORDER BY score_micro DESC, doc_id) AS INT) AS rnk
+              |      FROM sc)
+              |SELECT query_id, doc_id, rnk, score_micro
+              |FROM r WHERE rnk <= 5""".stripMargin)),
+
     // CCNet-style LM perplexity filter: add-one bigram LM trained on
     // the corpus itself, per-doc negative log-likelihood in portable
     // Q16 bits, keep decision = integer multiply comparison against

@@ -106,6 +106,23 @@ class RetrievalSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("persisted-index serving == the train-in-query twin bit for bit") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    val twin = rows("t_bm25_topk")
+    val served = rows("t_bm25_search") // first call builds, result identical
+    assert(served == twin)
+    val servedAgain = rows("t_bm25_search") // second call reads the index
+    assert(servedAgain == twin)
+    // the index is the three parquet tables
+    val ix = graft.queries.Q.indexDir("bm25", dir, "documents", "df40")
+    Seq("postings", "terms", "stats").foreach { t =>
+      assert(new java.io.File(s"$ix/$t/_SUCCESS").exists(), s"missing $t")
+    }
+  }
+
   test("t_bm25_topk plan: broadcast-only joins, WindowGroupLimit top-k") {
     val p = SparkEntry.queries("t_bm25_topk")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
