@@ -179,7 +179,14 @@ object Retrieval {
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  path: String, maxDf: Long = 40L): Unit = {
     val (postings, stats, dfTab) = index(docs, idCol, textCol, maxDf)
-    postings.write.mode("overwrite").parquet(s"$path/postings")
+    // term-clustered at rest: range-partition + sort by term gives
+    // every parquet row group a tight term min/max footprint, so a
+    // small query workload's pushed In(term, ...) filter skips the row
+    // groups of every other term — the lexical analog of the z-order
+    // layout's file skipping
+    postings.repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$path/postings")
     dfTab.write.mode("overwrite").parquet(s"$path/terms")
     stats.write.mode("overwrite").parquet(s"$path/stats")
   }
@@ -187,14 +194,34 @@ object Retrieval {
   /** Serve BM25 from a persisted index ([[writeIndex]]) — bit-identical
     * to the train-in-query twin by construction (same integer
     * arithmetic over the same stored values).
+    *
+    * When the workload's distinct term set is small
+    * (<= pushTermFilterUpTo, the single-query / small-batch serving
+    * shape), it is collected (bounded) and pushed as an In filter into
+    * the postings scan — with the term-sorted layout that prunes row
+    * groups, so one query reads its own posting lists, not the corpus.
+    * Large derived workloads (the bench shape) skip the pushdown and
+    * broadcast-join as usual; results are identical either way (the
+    * filter set contains every joinable term). Note Spark only pushes
+    * In to parquet up to spark.sql.parquet.pushdown.inFilterThreshold
+    * values (default 10); above that the filter still prunes post-scan.
     */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                   queries: DataFrame, k: Int = 5,
-                  excludeSelf: Boolean = false): DataFrame =
-    scoreAndRank(spark.read.parquet(s"$path/postings"),
+                  excludeSelf: Boolean = false,
+                  pushTermFilterUpTo: Int = 64): DataFrame = {
+    val postings0 = spark.read.parquet(s"$path/postings")
+    val probe = queries.select(explode(col("terms")).as("term")).distinct()
+      .limit(pushTermFilterUpTo + 1).collect().map(_.getString(0))
+    val postings =
+      if (probe.length <= pushTermFilterUpTo)
+        postings0.filter(col("term").isin(probe.toSeq: _*))
+      else postings0
+    scoreAndRank(postings,
       spark.read.parquet(s"$path/stats"),
       spark.read.parquet(s"$path/terms"),
       queries, k, excludeSelf)
+  }
 
   /** Hashed tf-idf document vectors — the classic sparse-to-dense
     * bridge from text to the ANN family ([[Similarity]]): each term's

@@ -1518,7 +1518,7 @@ object QueriesText {
     QDef("t_bm25_search",
       (s, dir) => {
         val docs = Q.table(s, dir, "documents")
-        val ix = Q.indexDir("bm25", dir, "documents", "df40")
+        val ix = Q.indexDir("bm25", dir, "documents", "df40v2")
         if (!new java.io.File(s"$ix/postings/_SUCCESS").exists())
           Retrieval.writeIndex(docs, "doc_id", "text", ix, maxDf = 40L)
         Retrieval.searchIndex(s, ix,

@@ -117,10 +117,29 @@ class RetrievalSpec extends SparkSpec {
     val servedAgain = rows("t_bm25_search") // second call reads the index
     assert(servedAgain == twin)
     // the index is the three parquet tables
-    val ix = graft.queries.Q.indexDir("bm25", dir, "documents", "df40")
+    val ix = graft.queries.Q.indexDir("bm25", dir, "documents", "df40v2")
     Seq("postings", "terms", "stats").foreach { t =>
       assert(new java.io.File(s"$ix/$t/_SUCCESS").exists(), s"missing $t")
     }
+  }
+
+  test("small-workload serving pushes the term filter into the postings scan") {
+    val dir = "/root/testdata/sf0.001"
+    val ix = graft.queries.Q.indexDir("bm25", dir, "documents", "df40v2")
+    if (!new java.io.File(s"$ix/postings/_SUCCESS").exists())
+      graft.functions.Retrieval.writeIndex(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", ix)
+    val q = queryOf(7L, "key agg row scan")
+    val served = Retrieval.searchIndex(spark, ix, q, k = 5)
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(term"),
+      s"term filter must reach the postings scan:\n${p.take(4000)}")
+    // identical answers to the in-query twin for the same query
+    val twin = Retrieval.bm25TopK(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      q, k = 5, maxDf = 40L)
+    assert(served.collect().map(_.toSeq).toSeq.sortBy(_.toString) ==
+      twin.collect().map(_.toSeq).toSeq.sortBy(_.toString))
   }
 
   test("t_bm25_topk plan: broadcast-only joins, WindowGroupLimit top-k") {
