@@ -157,6 +157,65 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("rnk"), col("score_micro"))
   }
 
+  /** Hard-negative mining — the training-triple construction pass of a
+    * retriever/embedding training pipeline: for every query document,
+    *   pos      — the dense nearest neighbor (brute cosine top-1,
+    *              self excluded): the semantic positive;
+    *   hard_neg — BM25 top-k minus the positive: lexically similar
+    *              but not the semantic match (the negatives that teach
+    *              a model the lexical/semantic gap);
+    *   rand_neg — k docs drawn from a GLOBAL hash-selected pool (the
+    *              in-batch-negatives shape: the pool is a map-side
+    *              deterministic sample of ~N/poolMod docs, broadcast to
+    *              every query — no Q x N pair enumeration anywhere),
+    *              ranked per query by a portable pair hash, query/pos/
+    *              hard collisions excluded.
+    * All selection is integer/hash deterministic, so the triples replay
+    * exactly in the oracle. Returns (query_id, doc_id, role, rnk).
+    */
+  def hardNegativeMining(docs: DataFrame, idCol: String, textCol: String,
+                         emb: DataFrame, embIdCol: String, embCol: String,
+                         every: Long = 50L, kHard: Int = 5, kRand: Int = 3,
+                         poolMod: Long = 10L, maxDf: Long = 40L): DataFrame = {
+    val pos = Similarity.bruteForceTopK(emb,
+        emb.filter(pmod(col(embIdCol), lit(every)) === 0), embIdCol, embCol,
+        k = 1)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("match_id").cast("long").as("doc_id"),
+        lit("pos").as("role"), lit(1).as("rnk"))
+    val lex = bm25TopK(docs, idCol, textCol,
+      queriesFromDocs(docs, idCol, textCol, every = every, offset = 0L),
+      k = kHard, maxDf = maxDf, excludeSelf = true)
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("bm_rnk").asc)
+    val hard = lex.withColumnRenamed("rnk", "bm_rnk")
+      .join(pos.select(col("query_id"), col("doc_id").as("pos_id")), "query_id")
+      .filter(col("doc_id") =!= col("pos_id"))
+      .withColumn("rnk", row_number().over(wq))
+      .select(col("query_id"), col("doc_id"), lit("hard_neg").as("role"),
+        col("rnk"))
+    // global negative pool: deterministic doc-hash sample, broadcastable
+    val pool = docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .filter(pmod(Dedup.baseHash(concat(lit("pool"), col("doc_id"))),
+        lit(poolMod)) === 0)
+    val qids = docs.select(col(idCol).cast("long").as("query_id"))
+      .filter(pmod(col("query_id"), lit(every)) === 0)
+    val taken = pos.select(col("query_id"), col("doc_id"))
+      .union(hard.select(col("query_id"), col("doc_id")))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("h").asc,
+      col("doc_id").asc)
+    val rand = qids.crossJoin(broadcast(pool))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(taken, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("h", Dedup.baseHash(concat(lit("rng"), col("query_id"),
+        lit(":"), col("doc_id"))))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= kRand)
+      .select(col("query_id"), col("doc_id"), lit("rand_neg").as("role"),
+        col("rnk"))
+    pos.unionByName(hard).unionByName(rand)
+  }
+
   /** Reciprocal-rank fusion of a lexical and a dense ranking — hybrid
     * search's standard score-free combiner (Cormack et al. 2009):
     * each system contributes 1/(kRrf + rank), here in integer

@@ -30,6 +30,27 @@ class HybridSearchSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getLong(1) == 3L)
   }
 
+  test("mining triples: roles disjoint, pos unique, negatives exclude self and pos") {
+    val rows = SparkEntry.queries("t_mining_triples")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_._1)
+    byQuery.foreach { case (q, rs) =>
+      val pos = rs.filter(_._3 == "pos")
+      assert(pos.length == 1, s"query $q: exactly one positive")
+      val roles = rs.groupBy(_._3).view.mapValues(_.map(_._2).toSet).toMap
+      // no doc plays two roles for the same query; nothing equals the query
+      val all = rs.map(_._2)
+      assert(all.distinct.length == all.length, s"query $q: role overlap")
+      assert(!all.contains(q), s"query $q: self leaked into triples")
+      assert(roles.getOrElse("rand_neg", Set()).size <= 3)
+      // ranks dense per role
+      rs.groupBy(_._3).foreach { case (_, rr) =>
+        assert(rr.map(_._4).sorted.toSeq == (1 to rr.length))
+      }
+    }
+  }
+
   test("t_hybrid_search: self never appears; every query returns rows") {
     val res = SparkEntry.queries("t_hybrid_search")(spark, "/root/testdata/sf0.001")
       .collect()
