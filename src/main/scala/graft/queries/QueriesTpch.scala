@@ -258,6 +258,81 @@ object QueriesTpch {
     // same-key equi-join + one partially-aggregated groupBy; the ranks
     // frame is |V| rows, lineage truncated per round. The oracle unrolls
     // the identical iterations as CTEs.
+    // declarative data-quality audit (the Deequ/expectations shape):
+    // six rules over lineitem evaluate in ONE aggregation pass (every
+    // rule = (observed value, pass predicate) aggregates — auditing
+    // 100 TB costs one scan regardless of rule count) + one
+    // referential anti-join frame. discount_bounds and shipdate_range
+    // FAIL on this data by design — the audit reports, it does not
+    // filter. Integer values (micro ratios / violation counts) =>
+    // exact replay.
+    QDef("q_quality_audit",
+      (s, dir) => {
+        import graft.ops.DataQuality._
+        val l = Q.table(s, dir, "lineitem")
+        val o = Q.table(s, dir, "orders")
+        val loTs = lit(788918400000000L)  // 1995-01-01 UTC µs
+        val hiTs = lit(978307200000000L)  // 2001-01-01 UTC µs
+        val rules = Seq(
+          ("quantity_completeness", completenessMicro(col("l_quantity")),
+            completenessMicro(col("l_quantity")) === 1000000L),
+          ("quantity_bounds",
+            boundViolations(col("l_quantity"), lit(1.0), lit(50.0)),
+            boundViolations(col("l_quantity"), lit(1.0), lit(50.0)) === 0L),
+          ("discount_bounds",
+            boundViolations(col("l_discount"), lit(0.0), lit(0.06)),
+            boundViolations(col("l_discount"), lit(0.0), lit(0.06)) === 0L),
+          ("pk_unique", dupCount(col("l_orderkey"), col("l_linenumber")),
+            dupCount(col("l_orderkey"), col("l_linenumber")) === 0L),
+          ("shipdate_range",
+            boundViolations(unix_micros(col("l_shipdate").cast("timestamp")), loTs, hiTs),
+            boundViolations(unix_micros(col("l_shipdate").cast("timestamp")), loTs, hiTs) === 0L))
+        audit(l, rules).unionByName(
+          refIntegrity("orderkey_ref", l, col("l_orderkey"),
+            o, col("o_orderkey")))
+      },
+      Some("""SELECT 'quantity_completeness' AS rule,
+             |  CAST(count(l_quantity) * 1000000 // count(*) AS BIGINT) AS value,
+             |  count(l_quantity) * 1000000 // count(*) = 1000000 AS ok
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'quantity_bounds',
+             |  CAST(count(*) - count(CASE WHEN l_quantity >= 1.0
+             |    AND l_quantity <= 50.0 THEN 1 END) AS BIGINT),
+             |  count(*) = count(CASE WHEN l_quantity >= 1.0
+             |    AND l_quantity <= 50.0 THEN 1 END)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'discount_bounds',
+             |  CAST(count(*) - count(CASE WHEN l_discount >= 0.0
+             |    AND l_discount <= 0.06 THEN 1 END) AS BIGINT),
+             |  count(*) = count(CASE WHEN l_discount >= 0.0
+             |    AND l_discount <= 0.06 THEN 1 END)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'pk_unique',
+             |  CAST(count(*) - count(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+             |    AND l_linenumber IS NOT NULL
+             |    THEN (l_orderkey, l_linenumber) END) AS BIGINT),
+             |  count(*) = count(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+             |    AND l_linenumber IS NOT NULL
+             |    THEN (l_orderkey, l_linenumber) END)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'shipdate_range',
+             |  CAST(count(*) - count(CASE WHEN epoch_us(l_shipdate)
+             |    >= 788918400000000 AND epoch_us(l_shipdate)
+             |    <= 978307200000000 THEN 1 END) AS BIGINT),
+             |  count(*) = count(CASE WHEN epoch_us(l_shipdate)
+             |    >= 788918400000000 AND epoch_us(l_shipdate)
+             |    <= 978307200000000 THEN 1 END)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'orderkey_ref', CAST(count(*) AS BIGINT), count(*) = 0
+             |FROM lineitem l WHERE NOT EXISTS
+             |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)"""
+        .stripMargin)),
+
     QDef("q_pagerank",
       (s, dir) => graft.ops.PageRank.ranks(
         graft.ops.PageRank.tradeGraphEdges(
