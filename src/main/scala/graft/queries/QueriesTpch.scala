@@ -333,6 +333,46 @@ object QueriesTpch {
              |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)"""
         .stripMargin)),
 
+    // degree-oriented triangle counting over the part co-occurrence
+    // graph (parts sharing an order): orientation by (degree, id) rank
+    // bounds the wedge join by m^1.5 — the power-law-hub-safe scheme —
+    // and counts each triangle exactly once at its lowest-rank vertex.
+    // Integer stats => exact replay; closure = global clustering
+    // coefficient in micro-units.
+    QDef("q_triangles",
+      (s, dir) => graft.ops.Graphs.triangleStats(
+        graft.ops.Graphs.coOccurrenceEdges(
+          Q.table(s, dir, "lineitem"), "l_orderkey", "l_partkey")),
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+             |           FROM lineitem),
+             |pr AS (SELECT a.item AS x, b.item AS y
+             |       FROM li a JOIN li b ON a.g = b.g AND a.item < b.item),
+             |ed AS (SELECT DISTINCT x AS a, y AS b FROM pr),
+             |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+             |          SELECT a AS v FROM ed UNION ALL SELECT b FROM ed) t
+             |        GROUP BY v),
+             |rk AS (SELECT ed.a, ed.b,
+             |         da.d * 4294967296 + ed.a AS ra,
+             |         db.d * 4294967296 + ed.b AS rb
+             |       FROM ed JOIN deg da ON da.v = ed.a
+             |               JOIN deg db ON db.v = ed.b),
+             |o AS (SELECT CASE WHEN ra < rb THEN a ELSE b END AS src,
+             |             CASE WHEN ra < rb THEN b ELSE a END AS dst,
+             |             greatest(ra, rb) AS rdst
+             |      FROM rk),
+             |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+             |        FROM o e1 JOIN o e2 ON e1.src = e2.src
+             |                           AND e1.rdst < e2.rdst
+             |             JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+             |wed AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             |          CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+             |        FROM deg),
+             |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ed)
+             |SELECT wed.n_nodes, ne.n_edges, wed.n_wedges, tri.n_triangles,
+             |  CAST(3000000 * tri.n_triangles
+             |    // greatest(wed.n_wedges, 1) AS BIGINT) AS closure_micro
+             |FROM ne, wed, tri""".stripMargin)),
+
     QDef("q_pagerank",
       (s, dir) => graft.ops.PageRank.ranks(
         graft.ops.PageRank.tradeGraphEdges(
