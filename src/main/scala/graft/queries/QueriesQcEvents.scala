@@ -634,6 +634,42 @@ object QueriesQcEvents {
     // previous one — the classic at-scale funnel shape where the heavy
     // event table is scanned per stage but never self-joined row×row.
     // All-integer µs => engine-exact.
+    // A9 — cohort retention (the classic product-analytics matrix):
+    // users bucketed by first-seen epoch week, activity = distinct
+    // (user, week); per (cohort_week, offset): active users + integer
+    // retention ratio. Three even-keyed shuffles (user min-week,
+    // distinct activity, cohort-offset rollup) — no window, no
+    // per-user state.
+    QDef("a9_cohort_retention",
+      (s, dir) => {
+        val ev = Q.table(s, dir, "events")
+        val wk = call_function("div",
+          Obs.rawTsToEpochUs(ev.schema), lit(604800000000L))
+        val aw = ev.select(col("user_id"), wk.as("wk")).distinct()
+        val ch = aw.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+        val cs = ch.groupBy(col("cw")).agg(count(lit(1)).as("sz"))
+        aw.join(ch, "user_id")
+          .groupBy(col("cw"), (col("wk") - col("cw")).as("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(cs), "cw")
+          .select(col("cw").as("cohort_week"), col("week_offset"),
+            col("n_active"),
+            call_function("div", col("n_active") * 1000000L, col("sz"))
+              .as("retention_micro"))
+      },
+      Some("""WITH aw AS (SELECT DISTINCT user_id,
+             |              epoch_us(ts) // 604800000000 AS wk FROM events),
+             |ch AS (SELECT user_id, min(wk) AS cw FROM aw GROUP BY 1),
+             |cs AS (SELECT cw, CAST(count(*) AS BIGINT) AS sz
+             |       FROM ch GROUP BY 1),
+             |act AS (SELECT ch.cw, aw.wk - ch.cw AS week_offset,
+             |          CAST(count(*) AS BIGINT) AS n_active
+             |        FROM aw JOIN ch USING (user_id) GROUP BY 1, 2)
+             |SELECT act.cw AS cohort_week, act.week_offset, act.n_active,
+             |  CAST(act.n_active * 1000000 // cs.sz AS BIGINT)
+             |    AS retention_micro
+             |FROM act JOIN cs ON cs.cw = act.cw""".stripMargin)),
+
     QDef("a7_funnel",
       (s, dir) => graft.ops.Funnel.ordered(obs(s, dir), Obs.DatastreamId,
         col(Obs.ObservationType), col("t_us"), Seq("view", "click", "purchase")),

@@ -333,6 +333,56 @@ object QueriesTpch {
              |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)"""
         .stripMargin)),
 
+    // market-basket association rules over part co-occurrence: pairs
+    // with support >= 3 (LIVE: 63 of 115k pairs at sf0.01), integer
+    // confidence and lift in micro-units, top-20 by lift. All counts
+    // on DISTINCT (order, part) — one pair shuffle, item-frequency
+    // table broadcast back.
+    QDef("q_assoc_rules",
+      (s, dir) => {
+        val li = Q.table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+          .distinct()
+        val n = li.agg(countDistinct(col("g")).as("n"))
+        val cx = li.groupBy(col("item")).agg(count(lit(1)).as("c"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.g") === col("b.g") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("x"), col("b.item").as("y"))
+          .agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= 3L)
+        pairs
+          .join(broadcast(cx.select(col("item").as("x"), col("c").as("c_x"))), "x")
+          .join(broadcast(cx.select(col("item").as("y"), col("c").as("c_y"))), "y")
+          .crossJoin(broadcast(n))
+          .select(col("x"), col("y"), col("c_xy"),
+            call_function("div", col("c_xy") * 1000000L, col("c_x"))
+              .as("conf_xy_micro"),
+            call_function("div", col("c_xy") * 1000000L, col("c_y"))
+              .as("conf_yx_micro"),
+            call_function("div", col("c_xy") * col("n") * 1000000L,
+              col("c_x") * col("c_y")).as("lift_micro"))
+          .orderBy(col("lift_micro").desc, col("x").asc, col("y").asc)
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+             |           FROM lineitem),
+             |nn AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n FROM li),
+             |cx AS (SELECT item, CAST(count(*) AS BIGINT) AS c
+             |       FROM li GROUP BY 1),
+             |pr AS (SELECT a.item AS x, b.item AS y,
+             |         CAST(count(*) AS BIGINT) AS c_xy
+             |       FROM li a JOIN li b ON a.g = b.g AND a.item < b.item
+             |       GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT pr.x, pr.y, pr.c_xy,
+             |  CAST(pr.c_xy * 1000000 // ax.c AS BIGINT) AS conf_xy_micro,
+             |  CAST(pr.c_xy * 1000000 // ay.c AS BIGINT) AS conf_yx_micro,
+             |  CAST(pr.c_xy * nn.n * 1000000 // (ax.c * ay.c) AS BIGINT)
+             |    AS lift_micro
+             |FROM pr JOIN cx ax ON ax.item = pr.x
+             |        JOIN cx ay ON ay.item = pr.y, nn
+             |ORDER BY lift_micro DESC, x ASC, y ASC
+             |LIMIT 20""".stripMargin)),
+
     // degree-oriented triangle counting over the part co-occurrence
     // graph (parts sharing an order): orientation by (degree, id) rank
     // bounds the wedge join by m^1.5 — the power-law-hub-safe scheme —
