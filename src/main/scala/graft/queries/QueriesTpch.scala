@@ -333,6 +333,55 @@ object QueriesTpch {
              |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)"""
         .stripMargin)),
 
+    // snapshot diff: today's orders = yesterday's with planted drops
+    // (%13), price bumps (%7) and inserts (%41, shifted keys); the
+    // diff classifies every key with null-safe column comparison and
+    // names the changed columns. Output = the (status, changed_cols)
+    // histogram. One key-hash shuffle per side.
+    QDef("q_snapshot_diff",
+      (s, dir) => {
+        val o = Q.table(s, dir, "orders")
+        val mutated = o.filter(col("o_orderkey") % 13 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")))
+          .unionByName(o.filter(col("o_orderkey") % 41 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+        graft.core.Tables.snapshotDiff(o, mutated, "o_orderkey",
+            Seq("o_orderstatus", "o_totalprice"))
+          .groupBy(col("status"),
+            coalesce(col("changed_cols"), lit("")).as("changed_cols"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH oldt AS (SELECT o_orderkey AS k, o_orderstatus AS c1,
+             |                o_totalprice AS c2 FROM orders),
+             |newt AS (
+             |  SELECT o_orderkey AS k, o_orderstatus AS c1,
+             |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+             |         ELSE o_totalprice END AS c2
+             |  FROM orders WHERE o_orderkey % 13 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+             |  FROM orders WHERE o_orderkey % 41 = 0),
+             |j AS (SELECT o.k IS NOT NULL AS ino, n.k IS NOT NULL AS inn,
+             |        o.c1 IS NOT DISTINCT FROM n.c1 AS s1,
+             |        o.c2 IS NOT DISTINCT FROM n.c2 AS s2
+             |      FROM oldt o FULL OUTER JOIN newt n ON o.k = n.k),
+             |r AS (SELECT
+             |        CASE WHEN NOT ino THEN 'added'
+             |             WHEN NOT inn THEN 'removed'
+             |             WHEN s1 AND s2 THEN 'unchanged'
+             |             ELSE 'changed' END AS status,
+             |        CASE WHEN ino AND inn AND NOT (s1 AND s2) THEN
+             |          array_to_string(list_filter(
+             |            [CASE WHEN NOT s1 THEN 'o_orderstatus' END,
+             |             CASE WHEN NOT s2 THEN 'o_totalprice' END],
+             |            x -> x IS NOT NULL), ',')
+             |        ELSE '' END AS changed_cols
+             |      FROM j)
+             |SELECT status, changed_cols, CAST(count(*) AS BIGINT) AS n
+             |FROM r GROUP BY 1, 2""".stripMargin)),
+
     // market-basket association rules over part co-occurrence: pairs
     // with support >= 3 (LIVE: 63 of 115k pairs at sf0.01), integer
     // confidence and lift in micro-units, top-20 by lift. All counts

@@ -43,6 +43,26 @@ class DataQualitySpec extends SparkSpec {
     assert(ok.getLong(1) == 0L && ok.getBoolean(2))
   }
 
+  test("snapshotDiff: statuses, multi-column change lists, null transitions") {
+    val s = spark; import s.implicits._
+    val old = Seq((1L, Some("a"), Some(1.0)), (2L, Some("b"), Some(2.0)),
+      (3L, Some("c"), Some(3.0)), (4L, None: Option[String], Some(4.0)))
+      .toDF("k", "c1", "c2")
+    val nw = Seq((1L, Some("a"), Some(1.0)),        // unchanged
+      (2L, Some("B"), Some(2.5)),                   // both cols changed
+      (4L, Some("x"), Some(4.0)),                   // null -> value change
+      (5L, Some("new"), Some(5.0)))                 // added; 3 removed
+      .toDF("k", "c1", "c2")
+    val got = graft.core.Tables.snapshotDiff(old, nw, "k", Seq("c1", "c2"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.getString(2)))).toMap
+    assert(got(1L) == ("unchanged", None))
+    assert(got(2L) == ("changed", Some("c1,c2")))
+    assert(got(3L) == ("removed", None))
+    assert(got(4L) == ("changed", Some("c1")))
+    assert(got(5L) == ("added", None))
+  }
+
   test("q_quality_audit: the planted rules fail, the structural rules pass") {
     val got = SparkEntry.queries("q_quality_audit")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
