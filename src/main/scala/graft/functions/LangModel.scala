@@ -41,8 +41,15 @@ object LangModel {
     */
   def bigramNllScore(docs: DataFrame, idCol: String, textCol: String,
                      thresholdMilliBits: Long = 4900L): DataFrame = {
+    // CACHED: four consumers (bigram pairs for training, pairs again
+    // for scoring, the vocab distinct, the all-docs left join) would
+    // each re-scan + re-normalize + re-tokenize the corpus — Catalyst
+    // plans no ReusedExchange across the branches (the same audit
+    // catch as Retrieval.index). One tokenize pass, spilled under
+    // MEMORY_AND_DISK at scale.
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       split(TextAnalysis.normalized(col(textCol)), " ").as("words"))
+      .cache()
     val pairs = base.select(col("doc_id"),
       explode(zip_with(
         slice(col("words"), lit(1), size(col("words")) - 1),
@@ -65,7 +72,7 @@ object LangModel {
       .join(broadcast(nllTab), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_q16"))
-    docs.select(col(idCol).cast("long").as("doc_id"))
+    base.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
