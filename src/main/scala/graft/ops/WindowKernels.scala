@@ -303,4 +303,47 @@ object WindowKernels {
     val den = call_function("shiftleft", lit(1L), size(arr)) - 1L
     call_function("div", num, den)
   }
+
+  /** W10 — resample to a regular time grid with last-observation-
+    * carried-forward (pandas `resample(step).last().ffill()` parity;
+    * the reference downsamples with best-row-per-bucket, `src/
+    * aums_data_request.py:96-101` — this is the dense-grid dual that a
+    * dashboard or a training-feature join needs: every (stream, bucket)
+    * between the stream's first and last observation gets a row, gaps
+    * carry the most recent value).
+    *
+    * Per (key, bucket = t_us DIV stepUs) the LAST observation wins —
+    * max by (t_us, tieBreak), deterministic under time ties. The grid
+    * is `sequence(min_bucket, max_bucket)` per key; missing buckets
+    * left-join null and fill from `last(v, ignoreNulls)` over the
+    * preceding frame. The carried value is selected, never computed,
+    * so doubles pass through bit-identical (hash-portable).
+    *
+    * Scale shape: ONE data-scale shuffle (groupBy (key, bucket) with
+    * map-side partials — the bucket agg collapses raw rows before the
+    * wire); bounds/grid/fill all run on the BUCKET-scale frame
+    * (streams x span/step rows, data-independent), repartitioned once
+    * by key for the join + window. Grid memory per task is one
+    * stream's bucket range — size stepUs so span/step stays ~1e5-1e6.
+    * `t_us` must be nonnegative (epoch µs): Spark DIV truncates toward
+    * zero while the oracle's `//` floors, so negatives would disagree.
+    */
+  def resampleFfill(df: DataFrame, keyCol: String, tsUsCol: String,
+                    valueCol: String, tieBreakCol: String,
+                    stepUs: Long): DataFrame = {
+    val bucket = expr(s"$tsUsCol DIV $stepUs")
+    val lastPer = df
+      .groupBy(col(keyCol), bucket.as("bucket"))
+      .agg(max(struct(col(tsUsCol), col(tieBreakCol), col(valueCol)))
+        .getField(valueCol).as("v_obs"))
+    val grid = lastPer.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col(keyCol), explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(lastPer, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), (col("bucket") * stepUs).as("bucket_us"),
+        last(col("v_obs"), ignoreNulls = true).over(w).as("v_fill"),
+        col("v_obs").isNull.as("filled"))
+  }
 }

@@ -246,6 +246,35 @@ object QueriesQcEvents {
               |    // ((CAST(1 AS BIGINT) << len(a)) - 1) AS ewma_micro
               |FROM x""".stripMargin)),
 
+    // W10 — LOCF grid resample: every hourly bucket between a stream's
+    // first and last observation gets a row; buckets without an
+    // observation carry the most recent value forward. The carried
+    // double is SELECTED, never computed, so it hash-compares by bits.
+    QDef("w10_ffill",
+      (s, dir) => WindowKernels.resampleFfill(obs(s, dir),
+        Obs.DatastreamId, "t_us", Obs.Result, Obs.IotId,
+        stepUs = 3600000000L),
+      Some(s"""WITH ${Q.ObsCte},
+              |b AS (SELECT datastream_id, t_us // 3600000000 AS bucket,
+              |        t_us, iot_id, result
+              |      FROM obs),
+              |r AS (SELECT *, row_number() OVER (
+              |        PARTITION BY datastream_id, bucket
+              |        ORDER BY t_us DESC, iot_id DESC) AS rn FROM b),
+              |l AS (SELECT datastream_id, bucket, result AS v_obs
+              |      FROM r WHERE rn = 1),
+              |g AS (SELECT datastream_id,
+              |        unnest(range(min(bucket), max(bucket) + 1)) AS bucket
+              |      FROM l GROUP BY datastream_id),
+              |j AS (SELECT g.datastream_id, g.bucket, l.v_obs
+              |      FROM g LEFT JOIN l USING (datastream_id, bucket))
+              |SELECT datastream_id, bucket * 3600000000 AS bucket_us,
+              |  last_value(v_obs IGNORE NULLS) OVER (
+              |    PARTITION BY datastream_id ORDER BY bucket
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+              |  v_obs IS NULL AS filled
+              |FROM j""".stripMargin)),
+
     // J1 — broadcast config join, row count preserved (asserted in tests)
     QDef("j1_config_join",
       (s, dir) => QcConfigJoin.joined(s, dir)

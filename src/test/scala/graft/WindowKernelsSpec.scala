@@ -167,4 +167,37 @@ class WindowKernelsSpec extends SparkSpec with Matchers {
       .collect().map(_.getLong(0))
     all(got3) shouldBe 5000000L
   }
+
+  test("W10 ffill resample: dense grid, LOCF fill, last-in-bucket wins") {
+    val s = spark; import s.implicits._
+    // stream 1: obs in buckets 0 (two obs — later one wins), 3; gap 1-2
+    // stream 2: single bucket => single grid row, nothing filled
+    val df = Seq(
+      (1L, 5L, 10.0, 100L),   // ds 100, bucket 0, earlier
+      (2L, 7L, 11.0, 100L),   // ds 100, bucket 0, later (t_us 7) => wins
+      (3L, 35L, 44.0, 100L),  // ds 100, bucket 3
+      (4L, 12L, 9.0, 200L)    // ds 200, bucket 1
+    ).toDF("iot_id", "t_us", "result", "datastream_id")
+    val got = WindowKernels.resampleFfill(df, "datastream_id", "t_us",
+        "result", "iot_id", stepUs = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    got.size shouldBe 5 // ds 100: buckets 0..3; ds 200: bucket 1
+    got((100L, 0L)) shouldBe ((11.0, false)) // later obs in bucket wins
+    got((100L, 10L)) shouldBe ((11.0, true)) // gap carries forward
+    got((100L, 20L)) shouldBe ((11.0, true))
+    got((100L, 30L)) shouldBe ((44.0, false))
+    got((200L, 10L)) shouldBe ((9.0, false))
+  }
+
+  test("W10 ffill: equal-t tie broken by the tie-break column") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 5L, 1.0, 7L), (2L, 5L, 2.0, 7L))
+      .toDF("iot_id", "t_us", "result", "datastream_id")
+    val got = WindowKernels.resampleFfill(df, "datastream_id", "t_us",
+        "result", "iot_id", stepUs = 10L).collect()
+    got.length shouldBe 1
+    got(0).getDouble(2) shouldBe 2.0 // higher iot_id wins at equal t_us
+  }
 }
