@@ -1607,6 +1607,70 @@ object QueriesText {
               |    <= 4900 * coalesce(d.n_bigrams, 0) * 65536 AS keep
               |FROM documents dd LEFT JOIN d ON dd.doc_id = d.doc_id""".stripMargin)),
 
+    // DSIR importance resampling (Xie et al. 2023): hashed unigram+
+    // bigram models of a trusted target slice (src0-src3 here) vs the
+    // raw pool; each raw doc scores the Q16 log-ratio of the two
+    // models over its features, top-25% selected deterministically.
+    // The oracle retrains both hashed models in SQL and replays the
+    // Q16 log recursion for every count and the two totals.
+    QDef("t_dsir_select",
+      (s, dir) => graft.functions.Dsir.dsirSelect(
+        Q.table(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("source").isin("src0", "src1", "src2", "src3"),
+        buckets = 4096, keepNum = 1L, keepDen = 4L),
+      Some(s"""WITH RECURSIVE
+              |w AS (SELECT doc_id, $wordsSql AS words,
+              |        source IN ('src0', 'src1', 'src2', 'src3') AS is_t
+              |      FROM documents),
+              |fe AS (SELECT doc_id, is_t,
+              |         ${baseHashSql("'dsir' || g")} % 4096 AS fb
+              |       FROM (SELECT doc_id, is_t,
+              |               unnest(list_concat(words,
+              |                 list_transform(range(1, len(words)),
+              |                   i -> words[i] || ' ' || words[i + 1]))) AS g
+              |             FROM w)),
+              |cnt AS (SELECT fb,
+              |          CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+              |          CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+              |        FROM fe GROUP BY 1),
+              |tot AS (SELECT CAST(sum(ct) AS BIGINT) + 4096 AS xt,
+              |          CAST(sum(cr) AS BIGINT) + 4096 AS xr FROM cnt),
+              |ina AS (SELECT fb, ct + 1 AS x FROM cnt),
+              |${Portable.log2q16Sql("ina", Seq("fb"), "x", "lga", "lg")},
+              |inb AS (SELECT fb, cr + 1 AS x FROM cnt),
+              |${Portable.log2q16Sql("inb", Seq("fb"), "x", "lgb", "lg")},
+              |int1 AS (SELECT 1 AS k, xt AS x FROM tot),
+              |${Portable.log2q16Sql("int1", Seq("k"), "x", "lgt", "lg")},
+              |inr1 AS (SELECT 1 AS k, xr AS x FROM tot),
+              |${Portable.log2q16Sql("inr1", Seq("k"), "x", "lgr", "lg")},
+              |lam AS (SELECT a.fb, a.lg - b.lg AS lam
+              |        FROM lga a JOIN lgb b USING (fb)),
+              |d AS (SELECT fe.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+              |        CAST(sum(lam) AS BIGINT) AS s
+              |      FROM fe JOIN lam USING (fb) GROUP BY 1),
+              |sc AS (SELECT w.doc_id, w.is_t,
+              |         coalesce(d.n_feats, 0) AS n_feats,
+              |         CAST(coalesce(d.s, 0) + coalesce(d.n_feats, 0)
+              |           * ((SELECT lg FROM lgr) - (SELECT lg FROM lgt))
+              |           AS BIGINT) AS logratio_q16
+              |       FROM w LEFT JOIN d USING (doc_id)),
+              |raw AS (SELECT doc_id,
+              |          greatest(least(logratio_q16 // 64, 1048576),
+              |                   -1048576) AS m
+              |        FROM sc WHERE NOT is_t),
+              |nb AS (SELECT (CAST(count(*) AS BIGINT) * 1 + 4 - 1) // 4
+              |          AS budget FROM raw),
+              |rk AS (SELECT doc_id,
+              |         CAST(row_number() OVER (ORDER BY m DESC, doc_id)
+              |           AS BIGINT) AS r
+              |       FROM raw)
+              |SELECT sc.doc_id, sc.is_t AS is_target, sc.n_feats,
+              |  sc.logratio_q16,
+              |  CASE WHEN sc.is_t THEN FALSE
+              |       ELSE coalesce(rk.r <= (SELECT budget FROM nb), FALSE)
+              |  END AS selected
+              |FROM sc LEFT JOIN rk USING (doc_id)""".stripMargin)),
+
     // hybrid search capstone: BM25 over the inverted bigram index and
     // brute-force cosine over the embeddings, fused by integer
     // reciprocal-rank fusion (1000000 div (60 + rank)) — the standard
