@@ -432,6 +432,34 @@ object QueriesTpch {
              |ORDER BY lift_micro DESC, x ASC, y ASC
              |LIMIT 20""".stripMargin)),
 
+    // entity resolution, matching stage: near-identical part names via
+    // multi-pass token blocking (one block per token position) over the
+    // DISTINCT name universe, Levenshtein <= 2 verify, live block-size
+    // cap. 24 matched pairs at sf0.01; the fuzzy compare never touches
+    // the 2000-row part table, only the 64-name vocabulary.
+    QDef("q_entity_match",
+      (s, dir) => graft.ops.EntityResolution.nameMatchPairs(
+        Q.table(s, dir, "part"), "p_name", maxDist = 2, blockCap = 500L),
+      Some("""WITH n AS (SELECT p_name AS name,
+             |         CAST(count(*) AS BIGINT) AS n_rows
+             |       FROM part GROUP BY 1),
+             |t AS (SELECT name, string_split(name, ' ') AS toks FROM n),
+             |b AS (SELECT name, 't1:' || toks[1] AS blk FROM t
+             |      UNION ALL SELECT name, 't2:' || toks[2] FROM t),
+             |sz AS (SELECT blk FROM b GROUP BY blk
+             |       HAVING count(*) <= 500),
+             |bb AS (SELECT b.name, b.blk FROM b JOIN sz USING (blk)),
+             |cand AS (SELECT DISTINCT a.name AS name_a, b2.name AS name_b
+             |         FROM bb a JOIN bb b2 USING (blk)
+             |         WHERE a.name < b2.name),
+             |p AS (SELECT name_a, name_b,
+             |        CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+             |      FROM cand WHERE levenshtein(name_a, name_b) <= 2)
+             |SELECT p.name_a, p.name_b, p.dist,
+             |  na.n_rows AS rows_a, nb.n_rows AS rows_b
+             |FROM p JOIN n na ON na.name = p.name_a
+             |       JOIN n nb ON nb.name = p.name_b""".stripMargin)),
+
     // degree-oriented triangle counting over the part co-occurrence
     // graph (parts sharing an order): orientation by (degree, id) rank
     // bounds the wedge join by m^1.5 — the power-law-hub-safe scheme —
