@@ -73,4 +73,52 @@ object Graphs {
         call_function("div", lit(3000000L) * col("n_triangles"),
           greatest(col("n_wedges"), lit(1L))).as("closure_micro"))
   }
+
+  /** k-core decomposition by synchronized peeling (Seidman 1983;
+    * distributed formulation = the Montresor et al. 2013 message
+    * rounds): each round simultaneously removes every alive vertex
+    * whose degree in the alive subgraph is < k, for a FIXED `rounds`
+    * count. A fixed round budget (instead of loop-until-fixpoint)
+    * keeps the computation a deterministic finite dataflow that the
+    * SQL oracle replays by unrolling — once the peeling converges,
+    * extra rounds are identical no-ops in both engines, so parity
+    * holds whether or not the budget was generous.
+    *
+    * Returns one row per vertex: (v, removed_round 1-based or NULL,
+    * in_core). Per round: the per-vertex degree frame is EAGERLY
+    * localCheckpoint'ed — without the barrier each round re-embeds
+    * the previous round's whole tree twice (both endpoint semi-joins)
+    * and the logical plan grows 2^rounds: Catalyst itself OOMs before
+    * any data moves (the iterative-loop trap dd_clusters hit first).
+    * With it, plan depth is constant, rounds cost 2 semi-join shuffles
+    * + a map-side-partial degree groupBy each, and alive shrinks
+    * monotonically.
+    */
+  def kcoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 0 && rounds >= 1)
+    val ed = edges.select(col("a"), col("b")).localCheckpoint()
+    val verts = ed.select(col("a").as("v"))
+      .unionAll(ed.select(col("b").as("v")))
+      .distinct().localCheckpoint()
+    var alive = verts
+    val removed = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val ea = ed
+        .join(alive.select(col("v").as("a")), Seq("a"))
+        .join(alive.select(col("v").as("b")), Seq("b"))
+      val deg = ea.select(col("a").as("v"))
+        .unionAll(ea.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val dAll = alive.join(deg, Seq("v"), "left")
+        .select(col("v"), coalesce(col("d"), lit(0L)).as("d"))
+        .localCheckpoint()
+      removed += dAll.filter(col("d") < k)
+        .select(col("v"), lit(r).as("removed_round"))
+      alive = dAll.filter(col("d") >= k).select(col("v"))
+    }
+    val rm = removed.reduce(_ unionAll _)
+    verts.join(rm, Seq("v"), "left")
+      .select(col("v"), col("removed_round"),
+        col("removed_round").isNull.as("in_core"))
+  }
 }

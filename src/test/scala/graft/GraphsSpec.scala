@@ -51,4 +51,34 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  private def kcoreOf(g: Seq[(Long, Long)], k: Int, rounds: Int = 8) = {
+    val s = spark; import s.implicits._
+    Graphs.kcoreRounds(g.toDF("a", "b"), k, rounds).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)), r.getBoolean(2)))
+      .toMap
+  }
+
+  test("k-core: pendant peels in round 1, triangle survives k=2") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val got = kcoreOf(g, k = 2)
+    assert(got(4L) == (Some(1), false))
+    Seq(1L, 2L, 3L).foreach(v => assert(got(v) == (None, true)))
+  }
+
+  test("k-core: cascading removal over rounds (path graph, k=2)") {
+    // a-b-c-d: endpoints peel round 1, then b,c drop to degree 1
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val got = kcoreOf(g, k = 2)
+    assert(got(1L)._1 == Some(1) && got(4L)._1 == Some(1))
+    assert(got(2L)._1 == Some(2) && got(3L)._1 == Some(2))
+    assert(got.values.forall(!_._2))
+  }
+
+  test("k-core: k above max degree empties the graph; k=0 keeps all") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    assert(kcoreOf(g, k = 3).values.forall(v => !v._2 && v._1 == Some(1)))
+    assert(kcoreOf(g, k = 0).values.forall(_._2))
+  }
 }
