@@ -221,4 +221,39 @@ object Sketches {
       .agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("__tot", "n_values")
   }
+
+  /** EXACT per-stratum percentiles (`percentile_disc` semantics: the
+    * smallest value whose cumulative share reaches q%) without a
+    * per-stratum data sort: the same histogram-threshold shape as
+    * [[quantileProfile]] but on the exact value domain — one groupBy
+    * (strata, value) collapses the data to distinct-value counts
+    * (map-side partials absorb the hot values), and the cumulative
+    * window runs over that DISTINCT-VALUE frame, whose width is
+    * bounded by the value domain (micro-quantized measures ⇒ ~1e6
+    * rows/stratum worst case), not the row count. The integer
+    * comparison cum·100 ≥ tot·q is exact — no float percentile
+    * boundary, so results replay bit-identically in any engine's
+    * percentile_disc.
+    */
+  def exactQuantiles(df: DataFrame, strata: Seq[String], value: Column,
+                     percentiles: Seq[Int] = Seq(50)): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(q => q >= 1 && q <= 100),
+      "percentiles must be in [1,100]")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df
+      .select(strata.map(col) :+ value.cast("long").as("__v"): _*)
+      .groupBy((strata :+ "__v").map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val byStratum = Window.partitionBy(strata.map(col): _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("__cnt")).over(byStratum.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("__cnt")).over(byStratum))
+    val aggs = percentiles.map { q =>
+      min(when(col("__cum") * 100 >= col("__tot") * q, col("__v"))).as(s"p$q")
+    }
+    cum.groupBy((strata :+ "__tot").map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("__tot", "n_values")
+  }
 }

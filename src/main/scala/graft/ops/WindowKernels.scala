@@ -304,6 +304,36 @@ object WindowKernels {
     call_function("div", num, den)
   }
 
+  /** Gaps-and-islands: group each partition's time-ordered rows into
+    * maximal runs of an unchanged value (the classic change-point
+    * rollup — state dashboards, run-length encodings, SCD interval
+    * construction all reduce to it). A row opens a new island when its
+    * value differs from the previous row's (null-safe compare, so a
+    * null-valued run is an island too, and the first row always opens
+    * island 1).
+    *
+    * Same single-Exchange shape as [[sessionize]]: the lag compare and
+    * the cumulative island index ride one per-key sort; the rollup is
+    * a partial-agg'd groupBy on (keys, island_idx).
+    *
+    * Returns per-island rows: (keys..., island_idx, value,
+    * t_start_us, t_end_us, n_rows).
+    */
+  def islands(df: DataFrame, partCols: Seq[String], epochUs: Column,
+              tieBreak: Column, value: Column): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(epochUs.asc, tieBreak.asc)
+    val changed = when(
+      value <=> lag(value, 1).over(w), 0L).otherwise(1L)
+    df.withColumn("__v", value)
+      .withColumn("island_idx",
+        sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy((partCols.map(col) :+ col("island_idx")): _*)
+      .agg(first(col("__v")).as("value"),
+        min(epochUs).as("t_start_us"), max(epochUs).as("t_end_us"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** W10 — resample to a regular time grid with last-observation-
     * carried-forward (pandas `resample(step).last().ffill()` parity;
     * the reference downsamples with best-row-per-bucket, `src/

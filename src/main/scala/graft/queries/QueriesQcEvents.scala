@@ -655,6 +655,55 @@ object QueriesQcEvents {
               |  max(t_us) - min(t_us) AS duration_us
               |FROM s2 GROUP BY datastream_id, session_idx""".stripMargin)),
 
+    // A10 — exact per-stream percentiles on the micro-quantized value
+    // (percentile_disc semantics) via the distinct-value histogram —
+    // no per-stream sort of the data; the DuckDB oracle uses its own
+    // independent percentile_disc implementation.
+    QDef("a10_exact_quantiles",
+      (s, dir) => graft.functions.Sketches.exactQuantiles(
+        obs(s, dir), Seq(Obs.DatastreamId),
+        expr(s"CAST(CAST(${Obs.Result} AS DECIMAL(25,6)) * 1000000 AS BIGINT)"),
+        percentiles = Seq(25, 50, 90)),
+      Some(s"""WITH ${Q.ObsCte},
+              |m AS (SELECT datastream_id,
+              |        CAST(CAST(result AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+              |          AS v
+              |      FROM obs)
+              |SELECT datastream_id, CAST(count(*) AS BIGINT) AS n_values,
+              |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v)
+              |    AS BIGINT) AS p25,
+              |  CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY v)
+              |    AS BIGINT) AS p50,
+              |  CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY v)
+              |    AS BIGINT) AS p90
+              |FROM m GROUP BY 1""".stripMargin)),
+
+    // A11 — gaps-and-islands: maximal runs of an unchanged
+    // observation_type per stream in time order, rolled up to island
+    // bounds and lengths (change-point rollup / run-length encoding).
+    QDef("a11_islands",
+      (s, dir) => graft.ops.WindowKernels.islands(
+        obs(s, dir), Seq(Obs.DatastreamId), col("t_us"),
+        col(Obs.IotId), col("observation_type")),
+      Some(s"""WITH ${Q.ObsCte},
+              |c AS (
+              |  SELECT datastream_id, t_us, iot_id, observation_type AS v,
+              |    CASE WHEN observation_type IS NOT DISTINCT FROM
+              |      lag(observation_type) OVER (PARTITION BY datastream_id
+              |        ORDER BY t_us, iot_id) THEN 0 ELSE 1 END AS chg
+              |  FROM obs),
+              |i AS (
+              |  SELECT datastream_id, v, t_us,
+              |    CAST(sum(chg) OVER (PARTITION BY datastream_id
+              |      ORDER BY t_us, iot_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS BIGINT) AS island_idx
+              |  FROM c)
+              |SELECT datastream_id, island_idx, min(v) AS value,
+              |  min(t_us) AS t_start_us, max(t_us) AS t_end_us,
+              |  count(*) AS n_rows
+              |FROM i GROUP BY 1, 2""".stripMargin)),
+
     // ordered event funnel — per stream, first 'view', then first
     // 'click' at-or-after it, then first 'purchase' at-or-after that;
     // stage = how deep the stream got. Three chained min-aggregations,

@@ -105,4 +105,27 @@ class SketchesSpec extends SparkSpec with Matchers {
     a.getAs[Long]("hll_denom_q49") shouldBe b.getAs[Long]("hll_denom_q49")
     a.getAs[Double]("hll_estimate") shouldBe b.getAs[Double]("hll_estimate")
   }
+
+  test("exactQuantiles: percentile_disc semantics on hand vectors") {
+    // odd group: 1..5 => p50 = 3; even group: 10,20,30,40 => p50 = 20
+    // (smallest value whose cumulative share reaches 50%)
+    val df = ((1L to 5L).map(("odd", _)) ++
+      Seq(10L, 20L, 30L, 40L).map(("even", _))).toDF("g", "v")
+    val got = Sketches.exactQuantiles(df, Seq("g"), $"v",
+        percentiles = Seq(50, 100))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    got("odd") shouldBe ((5L, 3L, 5L))
+    got("even") shouldBe ((4L, 20L, 40L))
+  }
+
+  test("exactQuantiles: duplicates collapse, result partition-independent") {
+    val df = (Seq.fill(90)(7L) ++ Seq.fill(10)(100L)).map(("g", _)).toDF("g", "v")
+    val got = Sketches.exactQuantiles(df.repartition(13), Seq("g"), $"v",
+      percentiles = Seq(50, 90, 91)).collect().head
+    got.getLong(1) shouldBe 100L  // n
+    got.getLong(2) shouldBe 7L    // p50
+    got.getLong(3) shouldBe 7L    // p90: cum 90 >= 90
+    got.getLong(4) shouldBe 100L  // p91
+  }
 }

@@ -191,6 +191,28 @@ class WindowKernelsSpec extends SparkSpec with Matchers {
     got((200L, 10L)) shouldBe ((9.0, false))
   }
 
+  test("islands: change-point rollup, null-safe runs, first row opens") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, 10L, Some("a"), 5L),
+      (2L, 20L, Some("a"), 5L),   // same run
+      (3L, 30L, None, 5L),        // null opens island 2
+      (4L, 40L, None, 5L),        // null run continues (null-safe)
+      (5L, 50L, Some("a"), 5L),   // back to a => island 3
+      (6L, 10L, Some("x"), 9L)    // other stream: its own island 1
+    ).toDF("iot_id", "t_us", "v", "ds")
+    val got = graft.ops.WindowKernels.islands(df, Seq("ds"),
+        col("t_us"), col("iot_id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.getString(2)), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    got.size shouldBe 4
+    got((5L, 1L)) shouldBe ((Some("a"), 10L, 20L, 2L))
+    got((5L, 2L)) shouldBe ((None, 30L, 40L, 2L))
+    got((5L, 3L)) shouldBe ((Some("a"), 50L, 50L, 1L))
+    got((9L, 1L)) shouldBe ((Some("x"), 10L, 10L, 1L))
+  }
+
   test("W10 ffill: equal-t tie broken by the tie-break column") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 5L, 1.0, 7L), (2L, 5L, 2.0, 7L))
