@@ -102,7 +102,9 @@ object Graphs {
       .distinct().localCheckpoint()
     var alive = verts
     val removed = scala.collection.mutable.Buffer.empty[DataFrame]
-    for (r <- 1 to rounds) {
+    var r = 1
+    var converged = false
+    while (r <= rounds && !converged) {
       val ea = ed
         .join(alive.select(col("v").as("a")), Seq("a"))
         .join(alive.select(col("v").as("b")), Seq("b"))
@@ -111,10 +113,15 @@ object Graphs {
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
       val dAll = alive.join(deg, Seq("v"), "left")
         .select(col("v"), coalesce(col("d"), lit(0L)).as("d"))
-        .localCheckpoint()
-      removed += dAll.filter(col("d") < k)
-        .select(col("v"), lit(r).as("removed_round"))
+        .localCheckpoint() // eager: also powers the cheap count below
+      val rem = dAll.filter(col("d") < k)
+      removed += rem.select(col("v"), lit(r).as("removed_round"))
       alive = dAll.filter(col("d") >= k).select(col("v"))
+      // a converged round removes nobody, and so does every later one:
+      // stopping here emits exactly what running them all would — the
+      // unrolled oracle still runs its full budget and agrees
+      converged = rem.limit(1).count() == 0L
+      r += 1
     }
     val rm = removed.reduce(_ unionAll _)
     verts.join(rm, Seq("v"), "left")

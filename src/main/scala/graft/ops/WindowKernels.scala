@@ -334,6 +334,29 @@ object WindowKernels {
         count(lit(1)).as("n_rows"))
   }
 
+  /** SCD2 interval construction on top of [[islands]]: each maximal
+    * run of an unchanged tracked value becomes one validity interval
+    * (key, value, valid_from_us, valid_to_us, n_rows) — the slowly-
+    * changing-dimension type-2 shape a warehouse keeps for
+    * point-in-time joins ([[AsofJoin.intervalJoin]] consumes exactly
+    * this). `valid_to_us` = the NEXT island's start (half-open
+    * [from, to)), NULL for the current interval.
+    *
+    * The lead window runs on the ISLAND-scale frame and partitions by
+    * the same keys as the islands rollup — one more window pass, no
+    * new data-scale shuffle.
+    */
+  def scd2Intervals(df: DataFrame, partCols: Seq[String], epochUs: Column,
+                    tieBreak: Column, value: Column): DataFrame = {
+    val isl = islands(df, partCols, epochUs, tieBreak, value)
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("island_idx").asc)
+    isl.select(partCols.map(col) ++ Seq(col("value"),
+      col("t_start_us").as("valid_from_us"),
+      lead(col("t_start_us"), 1).over(w).as("valid_to_us"),
+      col("n_rows")): _*)
+  }
+
   /** W10 — resample to a regular time grid with last-observation-
     * carried-forward (pandas `resample(step).last().ffill()` parity;
     * the reference downsamples with best-row-per-bucket, `src/

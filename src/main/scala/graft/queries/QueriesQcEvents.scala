@@ -704,6 +704,37 @@ object QueriesQcEvents {
               |  count(*) AS n_rows
               |FROM i GROUP BY 1, 2""".stripMargin)),
 
+    // A12 — SCD2 validity intervals: each run of an unchanged
+    // observation_type per stream becomes one half-open [from, to)
+    // interval, NULL to = current. The dimension-versioning shape
+    // point-in-time joins consume.
+    QDef("a12_scd2",
+      (s, dir) => graft.ops.WindowKernels.scd2Intervals(
+        obs(s, dir), Seq(Obs.DatastreamId), col("t_us"),
+        col(Obs.IotId), col("observation_type")),
+      Some(s"""WITH ${Q.ObsCte},
+              |c AS (
+              |  SELECT datastream_id, t_us, iot_id, observation_type AS v,
+              |    CASE WHEN observation_type IS NOT DISTINCT FROM
+              |      lag(observation_type) OVER (PARTITION BY datastream_id
+              |        ORDER BY t_us, iot_id) THEN 0 ELSE 1 END AS chg
+              |  FROM obs),
+              |i AS (
+              |  SELECT datastream_id, v, t_us,
+              |    CAST(sum(chg) OVER (PARTITION BY datastream_id
+              |      ORDER BY t_us, iot_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS BIGINT) AS island_idx
+              |  FROM c),
+              |g AS (SELECT datastream_id, island_idx, min(v) AS value,
+              |        min(t_us) AS t_start_us, count(*) AS n_rows
+              |      FROM i GROUP BY 1, 2)
+              |SELECT datastream_id, value, t_start_us AS valid_from_us,
+              |  lead(t_start_us) OVER (PARTITION BY datastream_id
+              |    ORDER BY island_idx) AS valid_to_us,
+              |  n_rows
+              |FROM g""".stripMargin)),
+
     // ordered event funnel — per stream, first 'view', then first
     // 'click' at-or-after it, then first 'purchase' at-or-after that;
     // stage = how deep the stream got. Three chained min-aggregations,

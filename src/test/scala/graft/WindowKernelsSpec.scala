@@ -213,6 +213,24 @@ class WindowKernelsSpec extends SparkSpec with Matchers {
     got((9L, 1L)) shouldBe ((Some("x"), 10L, 10L, 1L))
   }
 
+  test("SCD2 intervals: half-open chain, NULL-terminated current row") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, 10L, "a", 5L), (2L, 20L, "a", 5L), // [10, 30) a
+      (3L, 30L, "b", 5L),                     // [30, 45) b
+      (4L, 45L, "a", 5L)                      // [45, null) a again
+    ).toDF("iot_id", "t_us", "v", "ds")
+    val got = graft.ops.WindowKernels.scd2Intervals(df, Seq("ds"),
+        col("t_us"), col("iot_id"), col("v"))
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4)))
+      .sortBy(_._2)
+    got shouldBe Seq(
+      ("a", 10L, Some(30L), 2L),
+      ("b", 30L, Some(45L), 1L),
+      ("a", 45L, None, 1L))
+  }
+
   test("W10 ffill: equal-t tie broken by the tie-break column") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 5L, 1.0, 7L), (2L, 5L, 2.0, 7L))
