@@ -1671,6 +1671,34 @@ object QueriesText {
               |  END AS selected
               |FROM sc LEFT JOIN rk USING (doc_id)""".stripMargin)),
 
+    // Unicode canonicalization: NFC composition + accent stripping as
+    // native codegen'd expressions (Spark ships neither). The input
+    // synthesizes a DECOMPOSED é (e + U+0301) into every doc so the
+    // normalization is genuinely exercised; the oracle is DuckDB's own
+    // utf8proc-based nfc_normalize/strip_accents — independent
+    // implementations of the same Unicode standard must agree bytewise.
+    QDef("t_unicode_normalize",
+      (s, dir) => {
+        val deco = concat(substring(col("text"), 1, 12), lit(" e"),
+          lit("\u0301"), lit("cole"))
+        Q.table(s, dir, "documents").select(col("doc_id"),
+          graft.functions.UnicodeNorm.normalize(deco, "NFC").as("nfc_str"),
+          length(deco).cast("int").as("raw_chars"),
+          length(graft.functions.UnicodeNorm.normalize(deco, "NFC"))
+            .cast("int").as("nfc_chars"),
+          graft.functions.UnicodeNorm.stripAccents(deco).as("ascii_str"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |         substr(text, 1, 12) || ' e' || chr(769) || 'cole'
+             |           AS deco
+             |       FROM documents)
+             |SELECT doc_id,
+             |  nfc_normalize(deco) AS nfc_str,
+             |  CAST(length(deco) AS INTEGER) AS raw_chars,
+             |  CAST(length(nfc_normalize(deco)) AS INTEGER) AS nfc_chars,
+             |  strip_accents(deco) AS ascii_str
+             |FROM d""".stripMargin)),
+
     // hybrid search capstone: BM25 over the inverted bigram index and
     // brute-force cosine over the embeddings, fused by integer
     // reciprocal-rank fusion (1000000 div (60 + rank)) — the standard
