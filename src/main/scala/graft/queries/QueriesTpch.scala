@@ -460,6 +460,52 @@ object QueriesTpch {
              |FROM p JOIN n na ON na.name = p.name_a
              |       JOIN n nb ON nb.name = p.name_b""".stripMargin)),
 
+    // entity resolution, clustering + survivorship stage: the generic
+    // HashMin connected-components operator composed over the fuzzy
+    // match pairs (labels are STRINGS here — min-label propagation is
+    // type-agnostic); canonical = the cluster's lexicographic-min name.
+    // Same recursive-CTE min-reachable oracle as dd_clusters.
+    QDef("q_entity_clusters",
+      (s, dir) => {
+        val part = Q.table(s, dir, "part")
+        val names = part.groupBy(col("p_name").as("name"))
+          .agg(count(lit(1)).as("n_rows"))
+        val pairs = graft.ops.EntityResolution.nameMatchPairs(
+          part, "p_name", maxDist = 2, blockCap = 500L)
+        graft.functions.Dedup.nearDupClusters(
+            names.select(col("name").as("id")), pairs,
+            aCol = "name_a", bCol = "name_b")
+          .select(col("id").as("name"), col("cluster").as("cluster_id"),
+            col("is_canonical"))
+          .join(broadcast(names), Seq("name"))
+      },
+      Some("""WITH RECURSIVE
+             |n AS (SELECT p_name AS name,
+             |         CAST(count(*) AS BIGINT) AS n_rows
+             |       FROM part GROUP BY 1),
+             |t AS (SELECT name, string_split(name, ' ') AS toks FROM n),
+             |b AS (SELECT name, 't1:' || toks[1] AS blk FROM t
+             |      UNION ALL SELECT name, 't2:' || toks[2] FROM t),
+             |sz AS (SELECT blk FROM b GROUP BY blk
+             |       HAVING count(*) <= 500),
+             |bb AS (SELECT b.name, b.blk FROM b JOIN sz USING (blk)),
+             |cand AS (SELECT DISTINCT a.name AS name_a, b2.name AS name_b
+             |         FROM bb a JOIN bb b2 USING (blk)
+             |         WHERE a.name < b2.name),
+             |p AS (SELECT name_a, name_b FROM cand
+             |      WHERE levenshtein(name_a, name_b) <= 2),
+             |edges AS (SELECT name_a AS src, name_b AS dst FROM p
+             |          UNION ALL SELECT name_b, name_a FROM p),
+             |lab (id, cluster) AS (
+             |  SELECT name, name FROM n
+             |  UNION
+             |  SELECT e.src, l.cluster FROM edges e JOIN lab l ON l.id = e.dst)
+             |SELECT g.id AS name, g.cluster_id, g.is_canonical, n.n_rows
+             |FROM (SELECT id, min(cluster) AS cluster_id,
+             |        id = min(cluster) AS is_canonical
+             |      FROM lab GROUP BY id) g
+             |JOIN n ON n.name = g.id""".stripMargin)),
+
     // degree-oriented triangle counting over the part co-occurrence
     // graph (parts sharing an order): orientation by (degree, id) rank
     // bounds the wedge join by m^1.5 — the power-law-hub-safe scheme —

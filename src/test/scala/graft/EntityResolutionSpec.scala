@@ -47,6 +47,27 @@ class EntityResolutionSpec extends SparkSpec with Matchers {
     got shouldBe Set(("red widget", "red wigdet")) // via t1:red (size 2)
   }
 
+  test("clusters: min-name survivorship over transitive match chains") {
+    val s = spark; import s.implicits._
+    // chain: "rad widget" ~ "red widget" ~ "red wigdet" (transitive);
+    // "blue anvil" isolated
+    val df = Seq("red widget", "rad widget", "red wigdet", "blue anvil")
+      .toDF("p_name")
+    val names = df.groupBy($"p_name".as("name"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+    val pairs = EntityResolution.nameMatchPairs(df, "p_name", 2, 100L)
+    val got = graft.functions.Dedup.nearDupClusters(
+        names.select($"name".as("id")), pairs,
+        aCol = "name_a", bCol = "name_b")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2)))
+      .toMap
+    got("rad widget") shouldBe (("rad widget", true)) // lexicographic min
+    got("red widget") shouldBe (("rad widget", false))
+    got("red wigdet") shouldBe (("rad widget", false))
+    got("blue anvil") shouldBe (("blue anvil", true))
+  }
+
   test("single-token names: pass 2 nulls out instead of erroring") {
     val df = Seq("widget", "wigdet", "bolt").toDF("p_name")
     val got = EntityResolution.nameMatchPairs(df, "p_name", 2, 100L).collect()
