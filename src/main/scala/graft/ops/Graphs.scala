@@ -85,14 +85,18 @@ object Graphs {
     * holds whether or not the budget was generous.
     *
     * Returns one row per vertex: (v, removed_round 1-based or NULL,
-    * in_core). Per round: the per-vertex degree frame is EAGERLY
-    * localCheckpoint'ed — without the barrier each round re-embeds
-    * the previous round's whole tree twice (both endpoint semi-joins)
-    * and the logical plan grows 2^rounds: Catalyst itself OOMs before
-    * any data moves (the iterative-loop trap dd_clusters hit first).
-    * With it, plan depth is constant, rounds cost 2 semi-join shuffles
-    * + a map-side-partial degree groupBy each, and alive shrinks
-    * monotonically.
+    * in_core). Execution is DELTA-based: degrees are counted once,
+    * then each round subtracts only the edges incident to that round's
+    * removed set — edges touching survivors are never re-aggregated
+    * (the full-recount formulation cost a corpus-scale groupBy per
+    * round and ran 3× slower at sf1). The removed set is small by
+    * construction, so its edge probe broadcasts and the decrement
+    * groupBy is removal-scale. Every round's degree frame is EAGERLY
+    * localCheckpoint'ed — without the barrier each round re-embeds the
+    * previous round's tree and the logical plan grows geometrically:
+    * Catalyst itself OOMs before any data moves (the iterative-loop
+    * trap dd_clusters hit first). Early exit on a converged round is
+    * output-identical (later rounds are no-ops).
     */
   def kcoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 0 && rounds >= 1)
@@ -100,27 +104,34 @@ object Graphs {
     val verts = ed.select(col("a").as("v"))
       .unionAll(ed.select(col("b").as("v")))
       .distinct().localCheckpoint()
-    var alive = verts
+    // full degree count: the ONE edge-scale aggregation
+    var deg = ed.select(col("a").as("v"))
+      .unionAll(ed.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     val removed = scala.collection.mutable.Buffer.empty[DataFrame]
     var r = 1
     var converged = false
     while (r <= rounds && !converged) {
-      val ea = ed
-        .join(alive.select(col("v").as("a")), Seq("a"))
-        .join(alive.select(col("v").as("b")), Seq("b"))
-      val deg = ea.select(col("a").as("v"))
-        .unionAll(ea.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("d"))
-      val dAll = alive.join(deg, Seq("v"), "left")
-        .select(col("v"), coalesce(col("d"), lit(0L)).as("d"))
-        .localCheckpoint() // eager: also powers the cheap count below
-      val rem = dAll.filter(col("d") < k)
+      val rem = deg.filter(col("d") < k).select(col("v")).localCheckpoint()
       removed += rem.select(col("v"), lit(r).as("removed_round"))
-      alive = dAll.filter(col("d") >= k).select(col("v"))
-      // a converged round removes nobody, and so does every later one:
-      // stopping here emits exactly what running them all would — the
-      // unrolled oracle still runs its full budget and agrees
-      converged = rem.limit(1).count() == 0L
+      if (rem.limit(1).count() == 0L) {
+        converged = true
+      } else {
+        // decrement the OTHER endpoint of every edge that lost a
+        // vertex this round; decrements landing on a vertex that is
+        // itself removed (this round or earlier) vanish in the
+        // left-anti — its degree row is already gone
+        val delta = ed.join(broadcast(rem.select(col("v").as("a"))), Seq("a"))
+          .select(col("b").as("v"))
+          .unionAll(ed.join(broadcast(rem.select(col("v").as("b"))), Seq("b"))
+            .select(col("a").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("dd"))
+        deg = deg.join(broadcast(rem), Seq("v"), "left_anti")
+          .join(delta, Seq("v"), "left")
+          .select(col("v"), (col("d") - coalesce(col("dd"), lit(0L))).as("d"))
+          .localCheckpoint()
+      }
       r += 1
     }
     val rm = removed.reduce(_ unionAll _)
