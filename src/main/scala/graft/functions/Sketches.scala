@@ -256,4 +256,31 @@ object Sketches {
       .agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("__tot", "n_values")
   }
+
+  /** Robust outlier flags by median/MAD (the heavy-tail-safe z-score:
+    * mean/stddev move with the outliers they're hunting; the median
+    * absolute deviation doesn't): per stratum, flag rows with
+    * |v − median| > k·MAD. Two [[exactQuantiles]] passes (median of v,
+    * then median of |v − median|), each a distinct-value histogram —
+    * never a per-stratum sort of the data; the stratum-scale median/
+    * MAD tables broadcast back. All-integer on a quantized `value`
+    * (percentile_disc semantics), so flags replay exactly.
+    *
+    * Returns every input row + (dev, is_outlier). MAD 0 (over half the
+    * stratum at one value) flags any deviation > 0 — the conventional
+    * degenerate-MAD reading.
+    */
+  def madOutliers(df: DataFrame, strata: Seq[String], value: Column,
+                  k: Int = 3): DataFrame = {
+    val med = exactQuantiles(df, strata, value, Seq(50))
+      .select((strata.map(col) :+ col("p50").as("__med")): _*)
+    val withDev = df.join(broadcast(med), strata)
+      .withColumn("__dev", abs(value.cast("long") - col("__med")))
+    val mad = exactQuantiles(withDev, strata, col("__dev"), Seq(50))
+      .select((strata.map(col) :+ col("p50").as("__mad")): _*)
+    withDev.join(broadcast(mad), strata)
+      .withColumn("dev", col("__dev"))
+      .withColumn("is_outlier", col("__dev") > col("__mad") * k)
+      .drop("__med", "__dev", "__mad")
+  }
 }

@@ -678,6 +678,37 @@ object QueriesQcEvents {
               |    AS BIGINT) AS p90
               |FROM m GROUP BY 1""".stripMargin)),
 
+    // W11 — robust outliers by median/MAD (the heavy-tail-safe
+    // z-score): flag |v − median| > 3·MAD per stream, exact via two
+    // distinct-value-histogram percentile passes; oracle uses DuckDB's
+    // own percentile_disc twice.
+    QDef("w11_mad_outlier",
+      (s, dir) => graft.functions.Sketches.madOutliers(
+          obs(s, dir), Seq(Obs.DatastreamId),
+          expr(s"CAST(CAST(${Obs.Result} AS DECIMAL(25,6)) * 1000000 AS BIGINT)"),
+          k = 3)
+        .select(col(Obs.IotId), col("dev").as("dev_micro"),
+          col("is_outlier")),
+      Some(s"""WITH ${Q.ObsCte},
+              |m AS (SELECT iot_id, datastream_id,
+              |        CAST(CAST(result AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+              |          AS v
+              |      FROM obs),
+              |med AS (SELECT datastream_id,
+              |          CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
+              |            AS BIGINT) AS med
+              |        FROM m GROUP BY 1),
+              |d AS (SELECT m.iot_id, m.datastream_id, abs(m.v - med.med)
+              |        AS dev
+              |      FROM m JOIN med USING (datastream_id)),
+              |mad AS (SELECT datastream_id,
+              |          CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)
+              |            AS BIGINT) AS mad
+              |        FROM d GROUP BY 1)
+              |SELECT d.iot_id, d.dev AS dev_micro,
+              |  d.dev > 3 * mad.mad AS is_outlier
+              |FROM d JOIN mad USING (datastream_id)""".stripMargin)),
+
     // A11 — gaps-and-islands: maximal runs of an unchanged
     // observation_type per stream in time order, rolled up to island
     // bounds and lengths (change-point rollup / run-length encoding).

@@ -119,6 +119,29 @@ class SketchesSpec extends SparkSpec with Matchers {
     got("even") shouldBe ((4L, 20L, 40L))
   }
 
+  test("madOutliers: median/MAD flags, robust to the outlier itself") {
+    // values 10,12,14,16,1000: median 14, devs 4,2,0,2,986, MAD 2
+    // => outlier iff dev > 6: only the 1000
+    val df = Seq(10L, 12L, 14L, 16L, 1000L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v, "g") }.toDF("id", "v", "g")
+    val got = Sketches.madOutliers(df, Seq("g"), $"v", k = 3)
+      .collect().map(r => r.getAs[Long]("v") ->
+        (r.getAs[Long]("dev"), r.getAs[Boolean]("is_outlier"))).toMap
+    got(1000L) shouldBe ((986L, true))
+    got(10L) shouldBe ((4L, false))
+    got(14L) shouldBe ((0L, false))
+  }
+
+  test("madOutliers: degenerate MAD 0 flags any deviation") {
+    val df = (Seq.fill(5)(7L) :+ 8L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v, "g") }.toDF("id", "v", "g")
+    val got = Sketches.madOutliers(df, Seq("g"), $"v", k = 3)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Boolean]("is_outlier"))
+      .toMap
+    got(7L) shouldBe false
+    got(8L) shouldBe true // dev 1 > 3*0
+  }
+
   test("exactQuantiles: duplicates collapse, result partition-independent") {
     val df = (Seq.fill(90)(7L) ++ Seq.fill(10)(100L)).map(("g", _)).toDF("g", "v")
     val got = Sketches.exactQuantiles(df.repartition(13), Seq("g"), $"v",
