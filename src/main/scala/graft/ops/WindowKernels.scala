@@ -334,6 +334,36 @@ object WindowKernels {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Conversion-timeout join: for every source event (e.g. 'view'),
+    * the time to the FIRST target event (e.g. 'click') of the same key
+    * strictly after it, and whether that lands within `windowUs` — the
+    * "did the user convert within the hour" / "did the alert get acked
+    * in time" shape. NO time-band self-join: both event sets ride ONE
+    * per-key sort, and the next-target time is a min over the
+    * following rows frame (`min(when(target, t)) OVER (1 FOLLOWING,
+    * UNBOUNDED)`) — the sorted-merge trick that replaces the quadratic
+    * (source × target within band) enumeration.
+    *
+    * Returns one row per SOURCE event: (keys..., src id col, t_us,
+    * next_dt_us or NULL, converted).
+    */
+  def conversionTimeout(df: DataFrame, partCols: Seq[String],
+                        epochUs: Column, tieBreak: Column,
+                        isSource: Column, isTarget: Column,
+                        windowUs: Long, idCol: String): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(epochUs.asc, tieBreak.asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val nextT = min(when(isTarget, epochUs)).over(w)
+    df.withColumn("__next_t", nextT)
+      .filter(isSource)
+      .select(partCols.map(col) ++ Seq(col(idCol),
+        epochUs.as("t_us"),
+        (col("__next_t") - epochUs).as("next_dt_us"),
+        coalesce(col("__next_t") - epochUs <= windowUs, lit(false))
+          .as("converted")): _*)
+  }
+
   /** SCD2 interval construction on top of [[islands]]: each maximal
     * run of an unchanged tracked value becomes one validity interval
     * (key, value, valid_from_us, valid_to_us, n_rows) — the slowly-

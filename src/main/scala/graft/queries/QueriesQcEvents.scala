@@ -678,6 +678,28 @@ object QueriesQcEvents {
               |    AS BIGINT) AS p90
               |FROM m GROUP BY 1""".stripMargin)),
 
+    // A13 — conversion timeout: per view, time to the first click of
+    // the same stream strictly after it, converted iff within 1 h.
+    // One per-key sort (min-over-following-frame), never a time-band
+    // self-join.
+    QDef("a13_conversion",
+      (s, dir) => graft.ops.WindowKernels.conversionTimeout(
+        obs(s, dir), Seq(Obs.DatastreamId), col("t_us"), col(Obs.IotId),
+        isSource = col("observation_type") === "view",
+        isTarget = col("observation_type") === "click",
+        windowUs = 3600000000L, idCol = Obs.IotId),
+      Some(s"""WITH ${Q.ObsCte},
+              |n AS (
+              |  SELECT datastream_id, iot_id, t_us, observation_type,
+              |    min(CASE WHEN observation_type = 'click' THEN t_us END)
+              |      OVER (PARTITION BY datastream_id ORDER BY t_us, iot_id
+              |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+              |      AS nt
+              |  FROM obs)
+              |SELECT datastream_id, iot_id, t_us, nt - t_us AS next_dt_us,
+              |  coalesce(nt - t_us <= 3600000000, FALSE) AS converted
+              |FROM n WHERE observation_type = 'view'""".stripMargin)),
+
     // W11 — robust outliers by median/MAD (the heavy-tail-safe
     // z-score): flag |v − median| > 3·MAD per stream, exact via two
     // distinct-value-histogram percentile passes; oracle uses DuckDB's

@@ -213,6 +213,29 @@ class WindowKernelsSpec extends SparkSpec with Matchers {
     got((9L, 1L)) shouldBe ((Some("x"), 10L, 10L, 1L))
   }
 
+  test("conversionTimeout: first target after source, window decides") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, 10L, "view", 5L),   // next click at 15 => dt 5, converted (w=10)
+      (2L, 15L, "click", 5L),
+      (3L, 20L, "view", 5L),   // next click at 40 => dt 20 > 10: late
+      (4L, 25L, "other", 5L),
+      (5L, 40L, "click", 5L),
+      (6L, 50L, "view", 5L),   // no click after => null, not converted
+      (7L, 8L, "click", 5L)    // click BEFORE the first view: ignored
+    ).toDF("iot_id", "t_us", "typ", "ds")
+    val got = graft.ops.WindowKernels.conversionTimeout(df, Seq("ds"),
+        col("t_us"), col("iot_id"), $"typ" === "view", $"typ" === "click",
+        windowUs = 10L, idCol = "iot_id")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+      .toMap
+    got.size shouldBe 3
+    got(1L) shouldBe ((Some(5L), true))
+    got(3L) shouldBe ((Some(20L), false))
+    got(6L) shouldBe ((None, false))
+  }
+
   test("SCD2 intervals: half-open chain, NULL-terminated current row") {
     val s = spark; import s.implicits._
     val df = Seq(
