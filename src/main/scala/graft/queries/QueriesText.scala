@@ -1363,6 +1363,61 @@ object QueriesText {
               |  coalesce(s.id_possum, 0) AS id_possum
               |FROM fl LEFT JOIN sums s USING (doc_id)""".stripMargin)),
 
+    // BPE fertility dashboard: subwords-per-word ratio per source —
+    // THE tokenizer-quality metric (fertility near 1 = vocab fits the
+    // domain; high fertility = the tokenizer shreds it into pieces and
+    // the model pays more sequence length for the same text). Composes
+    // the native encoder with word counting, rolled up per source in
+    // integer micro-units; the oracle replays the same greedy encode
+    // recursion then aggregates.
+    QDef("t_bpe_fertility",
+      (s, dir) => {
+        val words = filter(
+          split(TextAnalysis.normalized(col("text")), " "),
+          w => length(w) > 0)
+        val ids = Bpe.encode(TextAnalysis.normalized(col("text")), Bpe.demoVocab)
+        Q.table(s, dir, "documents")
+          .select(col("source"), size(words).cast("long").as("nw"),
+            size(ids).cast("long").as("nt"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nw")).as("n_words"),
+            sum(col("nt")).as("n_subwords"),
+            expr("sum(nt) * 1000000 DIV greatest(sum(nw), 1)")
+              .as("fertility_micro"))
+      },
+      Some(s"""WITH RECURSIVE
+              |vocab(id, piece, plen) AS (VALUES ${Bpe.vocabValuesSql(Bpe.demoVocab)}),
+              |docs AS (SELECT doc_id, source, $normSql AS norm FROM documents),
+              |wn AS (SELECT doc_id, regexp_split_to_array(norm, ' ') AS words FROM docs),
+              |w AS (SELECT doc_id, unnest(words) AS word,
+              |             unnest(range(1, len(words) + 1)) AS widx FROM wn),
+              |enc(doc_id, widx, word, pos, ids) AS (
+              |  SELECT doc_id, widx, word, 0, CAST([] AS INTEGER[]) FROM w
+              |  WHERE length(word) > 0
+              |  UNION ALL
+              |  SELECT e.doc_id, e.widx, e.word, e.pos + coalesce(m.plen, 1),
+              |         list_append(e.ids, coalesce(m.id, 0))
+              |  FROM enc e LEFT JOIN LATERAL (
+              |    SELECT v.id, v.plen FROM vocab v
+              |    WHERE substr(e.word, e.pos + 1, v.plen) = v.piece
+              |    ORDER BY v.plen DESC LIMIT 1) m ON true
+              |  WHERE e.pos < length(e.word)
+              |),
+              |done AS (SELECT doc_id, widx, ids FROM enc
+              |         WHERE pos = length(word)),
+              |wagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              |           CAST(sum(len(ids)) AS BIGINT) AS n_sub
+              |         FROM done GROUP BY 1)
+              |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(coalesce(w.n_words, 0)) AS BIGINT) AS n_words,
+              |  CAST(sum(coalesce(w.n_sub, 0)) AS BIGINT) AS n_subwords,
+              |  CAST(sum(coalesce(w.n_sub, 0)) * 1000000
+              |    // greatest(sum(coalesce(w.n_words, 0)), 1) AS BIGINT)
+              |    AS fertility_micro
+              |FROM docs d LEFT JOIN wagg w USING (doc_id)
+              |GROUP BY 1""".stripMargin)),
+
     // BPE ids through concat-and-split packing, end to end: the
     // trainable-shard integration (what writeTrainingShards(bpeVocab=…)
     // lands) reduced to per-sequence order-pinned checksums. The oracle
