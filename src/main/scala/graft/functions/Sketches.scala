@@ -257,6 +257,58 @@ object Sketches {
       .withColumnRenamed("__tot", "n_values")
   }
 
+  /** EXACT trimmed statistics per stratum — drop the lowest and
+    * highest `trimNum/trimDen` fraction of ROWS (floor(n·num/den)
+    * each side) and aggregate the middle, without sorting the data:
+    * the distinct-value histogram + two cumulative windows give each
+    * value bucket its bottom-range and top-range overlap, and the
+    * per-bucket surviving count is c − bottom_take − top_take (the
+    * two take-ranges are disjoint whenever 2k ≤ n, so the arithmetic
+    * is exact — ties need no ordering decision because trimming only
+    * depends on value counts). The portable floor division
+    * `(s − pmod(s, n)) / n` keeps the mean engine-exact for NEGATIVE
+    * sums too (Spark DIV truncates, DuckDB // floors — they disagree
+    * below zero).
+    *
+    * Returns per stratum: (strata..., n, k_trim, trimmed_sum,
+    * trimmed_mean_floor) — empty middle (2k ≥ n) yields NULL mean.
+    */
+  def trimmedStats(df: DataFrame, strata: Seq[String], value: Column,
+                   trimNum: Long = 1L, trimDen: Long = 10L): DataFrame = {
+    require(trimNum >= 0 && trimDen > 0 && trimNum * 2 < trimDen,
+      "trim fraction must be below one half per side")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df
+      .select(strata.map(col) :+ value.cast("long").as("__v"): _*)
+      .groupBy((strata :+ "__v").map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val byS = Window.partitionBy(strata.map(col): _*)
+    val asc = byS.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val desc = byS.orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("__cb", coalesce(sum(col("__c")).over(asc), lit(0L)))
+      .withColumn("__ca", coalesce(sum(col("__c")).over(desc), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(byS))
+    val k = expr(s"__n * $trimNum DIV $trimDen")
+    val keep = col("__c") -
+      greatest(lit(0L), least(col("__c"), k - col("__cb"))) -
+      greatest(lit(0L), least(col("__c"), k - col("__ca")))
+    val agg = cum
+      .withColumn("__k", k)
+      .withColumn("__keep", keep)
+      .groupBy((strata :+ "__n").map(col) :+ col("__k"): _*)
+      .agg(sum(col("__keep") * col("__v")).as("trimmed_sum"),
+        sum(col("__keep")).as("__tn"))
+    agg.select(strata.map(col) ++ Seq(col("__n").as("n"),
+      col("__k").as("k_trim"), col("trimmed_sum"),
+      when(col("__tn") > 0L,
+        call_function("div",
+          col("trimmed_sum") - pmod(col("trimmed_sum"), col("__tn")),
+          col("__tn"))).as("trimmed_mean_floor")): _*)
+  }
+
   /** Robust outlier flags by median/MAD (the heavy-tail-safe z-score:
     * mean/stddev move with the outliers they're hunting; the median
     * absolute deviation doesn't): per stratum, flag rows with

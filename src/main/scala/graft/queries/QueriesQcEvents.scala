@@ -678,6 +678,41 @@ object QueriesQcEvents {
               |    AS BIGINT) AS p90
               |FROM m GROUP BY 1""".stripMargin)),
 
+    // A14 — exact 10%-trimmed statistics per stream (drop the lowest
+    // and highest decile of rows, aggregate the middle) without a
+    // per-stream sort; the oracle trims by row_number — an independent
+    // formulation that must agree because trimming only depends on
+    // value counts.
+    QDef("a14_trimmed_stats",
+      (s, dir) => graft.functions.Sketches.trimmedStats(
+        obs(s, dir), Seq(Obs.DatastreamId),
+        expr(s"CAST(CAST(${Obs.Result} AS DECIMAL(25,6)) * 1000000 AS BIGINT)"),
+        trimNum = 1L, trimDen = 10L),
+      Some(s"""WITH ${Q.ObsCte},
+              |m AS (SELECT datastream_id,
+              |        CAST(CAST(result AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+              |          AS v
+              |      FROM obs),
+              |r AS (SELECT datastream_id, v,
+              |        row_number() OVER (PARTITION BY datastream_id
+              |          ORDER BY v) AS rn,
+              |        count(*) OVER (PARTITION BY datastream_id) AS n
+              |      FROM m),
+              |t AS (SELECT datastream_id, n, n * 1 // 10 AS k,
+              |        CAST(sum(CASE WHEN rn > n * 1 // 10
+              |              AND rn <= n - n * 1 // 10 THEN v END) AS BIGINT)
+              |          AS trimmed_sum,
+              |        CAST(sum(CASE WHEN rn > n * 1 // 10
+              |              AND rn <= n - n * 1 // 10 THEN 1 ELSE 0 END)
+              |          AS BIGINT) AS tn
+              |      FROM r GROUP BY 1, 2)
+              |SELECT datastream_id, CAST(n AS BIGINT) AS n,
+              |  CAST(k AS BIGINT) AS k_trim,
+              |  coalesce(trimmed_sum, 0) AS trimmed_sum,
+              |  CASE WHEN tn > 0 THEN trimmed_sum // tn END
+              |    AS trimmed_mean_floor
+              |FROM t""".stripMargin)),
+
     // A13 — conversion timeout: per view, time to the first click of
     // the same stream strictly after it, converted iff within 1 h.
     // One per-key sort (min-over-following-frame), never a time-band

@@ -142,6 +142,27 @@ class SketchesSpec extends SparkSpec with Matchers {
     got(8L) shouldBe true // dev 1 > 3*0
   }
 
+  test("trimmedStats: exact decile trim, hand-computed") {
+    // 10 values 1..9 + 1000: k = 1, middle = 2..9 + nothing of 1000
+    // => sum 2+..+9 = 44, n_mid 8, mean 5
+    val df = ((1L to 9L) :+ 1000L).map(("g", _)).toDF("g", "v")
+    val got = Sketches.trimmedStats(df, Seq("g"), $"v", 1L, 10L).collect()(0)
+    got.getLong(1) shouldBe 10L  // n
+    got.getLong(2) shouldBe 1L   // k
+    got.getLong(3) shouldBe 44L  // trimmed sum (outlier 1000 gone)
+    got.getLong(4) shouldBe 5L   // floor(44/8)
+  }
+
+  test("trimmedStats: negative sums floor portably; tie-heavy buckets") {
+    // -10 x3, -1 x4, 5 x3 ; k = 1: drop one -10 and one 5
+    // middle: -10 x2, -1 x4, 5 x2 => sum -14, n 8, floor(-14/8) = -2
+    val df = (Seq.fill(3)(-10L) ++ Seq.fill(4)(-1L) ++ Seq.fill(3)(5L))
+      .map(("g", _)).toDF("g", "v")
+    val got = Sketches.trimmedStats(df, Seq("g"), $"v", 1L, 10L).collect()(0)
+    got.getLong(3) shouldBe -14L
+    got.getLong(4) shouldBe -2L // floor, NOT truncate (-1)
+  }
+
   test("exactQuantiles: duplicates collapse, result partition-independent") {
     val df = (Seq.fill(90)(7L) ++ Seq.fill(10)(100L)).map(("g", _)).toDF("g", "v")
     val got = Sketches.exactQuantiles(df.repartition(13), Seq("g"), $"v",
