@@ -257,6 +257,27 @@ object Sketches {
       .withColumnRenamed("__tot", "n_values")
   }
 
+  /** Equi-depth binning: assign every row its quantile bucket
+    * (1..thresholds.size+1) BY VALUE — ties land in the same bucket
+    * (unlike `ntile`, which splits equal values arbitrarily by row
+    * position and is therefore not engine-portable). Thresholds come
+    * from ONE [[exactQuantiles]] pass and broadcast back; assignment
+    * is a map-side comparison chain. The ML feature-binning shape.
+    */
+  def quantileBuckets(df: DataFrame, strata: Seq[String], value: Column,
+                      percentiles: Seq[Int] = Seq(25, 50, 75)): DataFrame = {
+    val th = exactQuantiles(df, strata, value, percentiles)
+      .select((strata.map(col) ++
+        percentiles.map(q => col(s"p$q").as(s"__p$q"))): _*)
+    val v = value.cast("long")
+    val bucket = percentiles.map(q =>
+      when(v > col(s"__p$q"), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    df.join(broadcast(th), strata)
+      .withColumn("bucket", bucket)
+      .drop(percentiles.map(q => s"__p$q"): _*)
+  }
+
   /** EXACT trimmed statistics per stratum — drop the lowest and
     * highest `trimNum/trimDen` fraction of ROWS (floor(n·num/den)
     * each side) and aggregate the middle, without sorting the data:

@@ -678,6 +678,37 @@ object QueriesQcEvents {
               |    AS BIGINT) AS p90
               |FROM m GROUP BY 1""".stripMargin)),
 
+    // A15 — equi-depth quartile assignment by VALUE (tie-stable,
+    // unlike ntile); thresholds from the exact-percentile histogram,
+    // broadcast back; rolled up to per-(stream, bucket) counts.
+    QDef("a15_quartile_assign",
+      (s, dir) => graft.functions.Sketches.quantileBuckets(
+          obs(s, dir), Seq(Obs.DatastreamId),
+          expr(s"CAST(CAST(${Obs.Result} AS DECIMAL(25,6)) * 1000000 AS BIGINT)"),
+          percentiles = Seq(25, 50, 75))
+        .groupBy(col(Obs.DatastreamId), col("bucket"))
+        .agg(count(lit(1)).as("n")),
+      Some(s"""WITH ${Q.ObsCte},
+              |m AS (SELECT datastream_id,
+              |        CAST(CAST(result AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+              |          AS v
+              |      FROM obs),
+              |th AS (SELECT datastream_id,
+              |         CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v)
+              |           AS BIGINT) AS p25,
+              |         CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY v)
+              |           AS BIGINT) AS p50,
+              |         CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v)
+              |           AS BIGINT) AS p75
+              |       FROM m GROUP BY 1)
+              |SELECT m.datastream_id,
+              |  1 + CASE WHEN v > p25 THEN 1 ELSE 0 END
+              |    + CASE WHEN v > p50 THEN 1 ELSE 0 END
+              |    + CASE WHEN v > p75 THEN 1 ELSE 0 END AS bucket,
+              |  count(*) AS n
+              |FROM m JOIN th USING (datastream_id)
+              |GROUP BY 1, 2""".stripMargin)),
+
     // A14 — exact 10%-trimmed statistics per stream (drop the lowest
     // and highest decile of rows, aggregate the middle) without a
     // per-stream sort; the oracle trims by row_number — an independent

@@ -142,6 +142,20 @@ class SketchesSpec extends SparkSpec with Matchers {
     got(8L) shouldBe true // dev 1 > 3*0
   }
 
+  test("quantileBuckets: value-stable quartiles, ties share a bucket") {
+    // 1..8: p25=2, p50=4, p75=6 => buckets 1,1,2,2,3,3,4,4
+    val df = (1L to 8L).map(("g", _)).toDF("g", "v")
+    val got = Sketches.quantileBuckets(df, Seq("g"), $"v")
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Int]("bucket")).toMap
+    got shouldBe Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2,
+      5L -> 3, 6L -> 3, 7L -> 4, 8L -> 4)
+    // all-equal stratum: every row in bucket 1 (no arbitrary split)
+    val ties = Seq.fill(8)(5L).map(("t", _)).toDF("g", "v")
+    Sketches.quantileBuckets(ties, Seq("g"), $"v")
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq shouldBe
+      Seq(1)
+  }
+
   test("trimmedStats: exact decile trim, hand-computed") {
     // 10 values 1..9 + 1000: k = 1, middle = 2..9 + nothing of 1000
     // => sum 2+..+9 = 44, n_mid 8, mean 5
