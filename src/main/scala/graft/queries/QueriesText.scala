@@ -1726,6 +1726,108 @@ object QueriesText {
               |  END AS selected
               |FROM sc LEFT JOIN rk USING (doc_id)""".stripMargin)),
 
+    // CAPSTONE #2 — targeted-corpus shards end to end: DSIR selection
+    // (hashed-model importance weights, top-25% of the raw pool)
+    // straight into concat-and-split sequence packing. Both fragments
+    // are standalone-oracle-proved; this guards the COMPOSED plan —
+    // "build me a target-matched training mix" as one dataflow.
+    QDef("t_dsir_pipeline",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        val sel = graft.functions.Dsir.dsirSelect(docs, "doc_id", "text",
+          isTarget = col("source").isin("src0", "src1", "src2", "src3"),
+          buckets = 4096, keepNum = 1L, keepDen = 4L)
+        val kept = docs.join(
+          sel.filter(col("selected")).select(col("doc_id")), Seq("doc_id"))
+        graft.functions.Packing.packedSequences(
+          kept, col("doc_id"), TextAnalysis.wsTokenCount(col("text")),
+          seqLen = 512, nBuckets = 32, salt = "pack")
+      },
+      Some(s"""WITH RECURSIVE
+              |w AS (SELECT doc_id, $wordsSql AS words,
+              |        source IN ('src0', 'src1', 'src2', 'src3') AS is_t
+              |      FROM documents),
+              |fe AS (SELECT doc_id, is_t,
+              |         ${baseHashSql("'dsir' || g")} % 4096 AS fb
+              |       FROM (SELECT doc_id, is_t,
+              |               unnest(list_concat(words,
+              |                 list_transform(range(1, len(words)),
+              |                   i -> words[i] || ' ' || words[i + 1]))) AS g
+              |             FROM w)),
+              |cnt AS (SELECT fb,
+              |          CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+              |          CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+              |        FROM fe GROUP BY 1),
+              |tot AS (SELECT CAST(sum(ct) AS BIGINT) + 4096 AS xt,
+              |          CAST(sum(cr) AS BIGINT) + 4096 AS xr FROM cnt),
+              |ina AS (SELECT fb, ct + 1 AS x FROM cnt),
+              |${Portable.log2q16Sql("ina", Seq("fb"), "x", "lga", "lg")},
+              |inb AS (SELECT fb, cr + 1 AS x FROM cnt),
+              |${Portable.log2q16Sql("inb", Seq("fb"), "x", "lgb", "lg")},
+              |int1 AS (SELECT 1 AS k, xt AS x FROM tot),
+              |${Portable.log2q16Sql("int1", Seq("k"), "x", "lgt", "lg")},
+              |inr1 AS (SELECT 1 AS k, xr AS x FROM tot),
+              |${Portable.log2q16Sql("inr1", Seq("k"), "x", "lgr", "lg")},
+              |lam AS (SELECT a.fb, a.lg - b.lg AS lam
+              |        FROM lga a JOIN lgb b USING (fb)),
+              |sd AS (SELECT fe.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+              |         CAST(sum(lam) AS BIGINT) AS s
+              |       FROM fe JOIN lam USING (fb) GROUP BY 1),
+              |sc2 AS (SELECT w.doc_id, w.is_t,
+              |         CAST(coalesce(sd.s, 0) + coalesce(sd.n_feats, 0)
+              |           * ((SELECT lg FROM lgr) - (SELECT lg FROM lgt))
+              |           AS BIGINT) AS logratio_q16
+              |        FROM w LEFT JOIN sd USING (doc_id)),
+              |raw AS (SELECT doc_id,
+              |          greatest(least(logratio_q16 // 64, 1048576),
+              |                   -1048576) AS m
+              |        FROM sc2 WHERE NOT is_t),
+              |nb AS (SELECT (CAST(count(*) AS BIGINT) * 1 + 4 - 1) // 4
+              |          AS budget FROM raw),
+              |rk AS (SELECT doc_id,
+              |         CAST(row_number() OVER (ORDER BY m DESC, doc_id)
+              |           AS BIGINT) AS r
+              |       FROM raw),
+              |kept AS (SELECT d0.doc_id, d0.text FROM documents d0
+              |         JOIN rk ON rk.doc_id = d0.doc_id
+              |         WHERE rk.r <= (SELECT budget FROM nb)),
+              |pd AS (
+              |  SELECT doc_id,
+              |    CAST(len($rawTokensSql) AS BIGINT) AS n_tokens,
+              |    (CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              |      % 1000000) % 32 AS bucket
+              |  FROM kept
+              |  WHERE len($rawTokensSql) > 0),
+              |pc AS (
+              |  SELECT doc_id, bucket, n_tokens,
+              |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              |      AS local_end
+              |  FROM pd),
+              |bo AS (
+              |  SELECT bucket,
+              |    CAST(coalesce(sum(tot2) OVER (ORDER BY bucket
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS BIGINT) AS bucket_off
+              |  FROM (SELECT bucket, sum(n_tokens) AS tot2 FROM pd
+              |        GROUP BY bucket) t),
+              |pp AS (
+              |  SELECT pc.doc_id, pc.n_tokens,
+              |    bucket_off + local_end - n_tokens AS start_off,
+              |    (bucket_off + local_end - n_tokens) // 512 AS seq_first,
+              |    (bucket_off + local_end - 1) // 512 AS seq_last
+              |  FROM pc JOIN bo USING (bucket)),
+              |pe AS (
+              |  SELECT doc_id, n_tokens, start_off,
+              |    unnest(generate_series(seq_first, seq_last)) AS seq_id
+              |  FROM pp)
+              |SELECT seq_id, doc_id,
+              |  greatest(start_off, seq_id * 512) - start_off AS tok_from,
+              |  least(start_off + n_tokens, (seq_id + 1) * 512) - start_off
+              |    AS tok_to,
+              |  greatest(start_off, seq_id * 512) - seq_id * 512 AS seq_off
+              |FROM pe""".stripMargin)),
+
     // Unicode canonicalization: NFC composition + accent stripping as
     // native codegen'd expressions (Spark ships neither). The input
     // synthesizes a DECOMPOSED é (e + U+0301) into every doc so the
