@@ -297,6 +297,61 @@ object QueriesText {
               |  doc_id <> min(doc_id) OVER (PARTITION BY md5($normSql)) AS is_duplicate
               |FROM documents""".stripMargin)),
 
+    // exact dedup through Unicode canonicalization: composed and
+    // decomposed encodings of the same visible text (synthesized
+    // deterministically — doc_id mod 3 picks composed-e-acute /
+    // decomposed e+U+0301 / untouched) must land in ONE group; a raw
+    // byte fingerprint would split them. NFC + strip-accents + md5,
+    // group stats by window. The pre-hash normalization CCNet-class
+    // pipelines run, wired into the dedup flow end to end.
+    QDef("dd_unicode",
+      (s, dir) => {
+        import graft.functions.UnicodeNorm
+        val norm = TextAnalysis.normalized(col("text"))
+        val variant = when(col("doc_id") % 3 === 0,
+            regexp_replace(norm, "e", "\u00e9"))
+          .when(col("doc_id") % 3 === 1,
+            regexp_replace(norm, "e", "e\u0301"))
+          .otherwise(norm)
+        val canon = md5(UnicodeNorm.stripAccents(
+          UnicodeNorm.normalize(variant, "NFC")))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(canon)
+        // every doc + a shifted-id twin: the twin lands in a DIFFERENT
+        // encoding branch (10^6 mod 3 = 1), so each text exists under
+        // two byte encodings and the canonical groups MUST be pairs —
+        // a raw-byte fingerprint would leave 0 duplicates here
+        val base = Q.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        base.unionByName(base.select(
+            (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .select(col("doc_id"),
+          canon.as("fingerprint"),
+          min(col("doc_id")).over(w).as("canonical_id"),
+          count(lit(1)).over(w).as("group_size"),
+          (col("doc_id") =!= min(col("doc_id")).over(w)).as("is_duplicate"))
+      },
+      Some(s"""WITH u AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 1000000, text FROM documents),
+              |v AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 3 = 0
+              |           THEN regexp_replace($normSql, 'e', chr(233), 'g')
+              |         WHEN doc_id % 3 = 1
+              |           THEN regexp_replace($normSql, 'e',
+              |                               'e' || chr(769), 'g')
+              |         ELSE $normSql END AS t
+              |  FROM u),
+              |c AS (SELECT doc_id,
+              |        md5(strip_accents(nfc_normalize(t))) AS fp
+              |      FROM v)
+              |SELECT doc_id, fp AS fingerprint,
+              |  min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+              |  count(*) OVER (PARTITION BY fp) AS group_size,
+              |  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate
+              |FROM c""".stripMargin)),
+
     // exact n-gram-Jaccard near-dup pairs via inverted shingle index.
     // The flagship dedup query runs WITH the document-frequency skew cap
     // on (df <= 20 ≈ 3× the p99.9 shingle df at sf0.1): at corpus scale
