@@ -286,13 +286,12 @@ object Sketches {
     * per-bucket surviving count is c − bottom_take − top_take (the
     * two take-ranges are disjoint whenever 2k ≤ n, so the arithmetic
     * is exact — ties need no ordering decision because trimming only
-    * depends on value counts). The portable floor division
-    * `(s − pmod(s, n)) / n` keeps the mean engine-exact for NEGATIVE
-    * sums too (Spark DIV truncates, DuckDB // floors — they disagree
-    * below zero).
+    * depends on value counts). The mean uses native integer division:
+    * Spark `div` and DuckDB `//` BOTH truncate toward zero (verified —
+    * `-7 // 2 = -3` in DuckDB), so negative sums agree too.
     *
     * Returns per stratum: (strata..., n, k_trim, trimmed_sum,
-    * trimmed_mean_floor) — empty middle (2k ≥ n) yields NULL mean.
+    * trimmed_mean) — empty middle (2k ≥ n) yields NULL mean.
     */
   def trimmedStats(df: DataFrame, strata: Seq[String], value: Column,
                    trimNum: Long = 1L, trimDen: Long = 10L): DataFrame = {
@@ -325,9 +324,8 @@ object Sketches {
     agg.select(strata.map(col) ++ Seq(col("__n").as("n"),
       col("__k").as("k_trim"), col("trimmed_sum"),
       when(col("__tn") > 0L,
-        call_function("div",
-          col("trimmed_sum") - pmod(col("trimmed_sum"), col("__tn")),
-          col("__tn"))).as("trimmed_mean_floor")): _*)
+        call_function("div", col("trimmed_sum"), col("__tn")))
+        .as("trimmed_mean")): _*)
   }
 
   /** Robust outlier flags by median/MAD (the heavy-tail-safe z-score:

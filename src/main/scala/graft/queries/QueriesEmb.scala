@@ -278,6 +278,45 @@ object QueriesEmb {
 
   val defs: Seq[QDef] = Seq(
 
+    // embedding-health dashboard: per-dimension integer stats over the
+    // whole vector table (dead dimensions, scale drift, zero inflation
+    // — what you check before trusting an ANN index on new vectors).
+    // Elements quantize by the exact power-of-two floor(x·2^20) (the
+    // LshBucketExpr contract), so sums/min/max/mean replay exactly;
+    // one posexplode + one groupBy(dim) with map-side partials.
+    QDef("sim_dim_stats",
+      (s, dir) => {
+        val q = floor(col("x").cast("double") * 1048576.0).cast("long")
+        Q.table(s, dir, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("dim"), q.as("q"),
+            (col("x") === 0.0f).cast("long").as("z"))
+          .groupBy(col("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("z")).as("n_zero"),
+            min(col("q")).as("min_q"), max(col("q")).as("max_q"),
+            sum(col("q")).as("sum_q"),
+            sum(col("q") * col("q")).as("sum_sq"),
+            call_function("div", sum(col("q")), count(lit(1)))
+              .as("mean_q"))
+      },
+      Some("""WITH e AS (
+             |  SELECT unnest(embedding) AS x,
+             |    unnest(range(0, len(embedding))) AS dim
+             |  FROM embeddings),
+             |q AS (SELECT CAST(dim AS INTEGER) AS dim,
+             |        CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)
+             |          AS q,
+             |        CASE WHEN x = 0.0 THEN 1 ELSE 0 END AS z
+             |      FROM e)
+             |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(z) AS BIGINT) AS n_zero,
+             |  min(q) AS min_q, max(q) AS max_q,
+             |  CAST(sum(q) AS BIGINT) AS sum_q,
+             |  CAST(sum(q * q) AS BIGINT) AS sum_sq,
+             |  CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT)
+             |    AS mean_q
+             |FROM q GROUP BY 1""".stripMargin)),
+
     // brute-force cosine top-k (every 50th vector queries the corpus)
     QDef("sim_cosine_topk",
       (s, dir) => {

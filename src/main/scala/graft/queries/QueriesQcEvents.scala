@@ -741,7 +741,7 @@ object QueriesQcEvents {
               |  CAST(k AS BIGINT) AS k_trim,
               |  coalesce(trimmed_sum, 0) AS trimmed_sum,
               |  CASE WHEN tn > 0 THEN trimmed_sum // tn END
-              |    AS trimmed_mean_floor
+              |    AS trimmed_mean
               |FROM t""".stripMargin)),
 
     // A13 — conversion timeout: per view, time to the first click of

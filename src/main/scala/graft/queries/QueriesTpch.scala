@@ -27,13 +27,12 @@ object QueriesTpch {
 
   /** Same quantization as DuckDB SQL text.
     *
-    * PRECONDITION for the paired `sum(micro) DIV count` / `sum // count`
-    * average recipe: the summed measure must be NON-NEGATIVE. Spark's
-    * integer `DIV` truncates toward zero while DuckDB's `//` floors, so
-    * a negative micro sum diverges by one micro-unit between engines.
-    * TPC-H measures (quantity, price, discount) are all >= 0; for signed
-    * measures use `floor()` on both sides instead:
-    * Spark `floor(sum(micro) / count)` == DuckDB `sum // count`.
+    * The paired `sum(micro) DIV count` / `sum // count` average recipe
+    * is engine-exact for ANY sign: Spark's integer `DIV` and DuckDB's
+    * integer `//` BOTH truncate toward zero (verified: `-7 // 2 = -3`
+    * in DuckDB 1.x — an earlier note here claimed `//` floors, which
+    * is true only for FLOAT operands). Keep both sides on integer
+    * operands and the semantics match.
     */
   private def microSql(e: String): String =
     s"CAST(CAST($e AS DECIMAL(25,6)) * 1000000 AS BIGINT)"

@@ -167,14 +167,14 @@ class SketchesSpec extends SparkSpec with Matchers {
     got.getLong(4) shouldBe 5L   // floor(44/8)
   }
 
-  test("trimmedStats: negative sums floor portably; tie-heavy buckets") {
+  test("trimmedStats: negative sums truncate portably; tie-heavy buckets") {
     // -10 x3, -1 x4, 5 x3 ; k = 1: drop one -10 and one 5
-    // middle: -10 x2, -1 x4, 5 x2 => sum -14, n 8, floor(-14/8) = -2
+    // middle: -10 x2, -1 x4, 5 x2 => sum -14, n 8, trunc(-14/8) = -1
     val df = (Seq.fill(3)(-10L) ++ Seq.fill(4)(-1L) ++ Seq.fill(3)(5L))
       .map(("g", _)).toDF("g", "v")
     val got = Sketches.trimmedStats(df, Seq("g"), $"v", 1L, 10L).collect()(0)
     got.getLong(3) shouldBe -14L
-    got.getLong(4) shouldBe -2L // floor, NOT truncate (-1)
+    got.getLong(4) shouldBe -1L // truncation: BOTH engines' native int div
   }
 
   test("exactQuantiles: duplicates collapse, result partition-independent") {
