@@ -168,4 +168,46 @@ object Packing {
       sum(when(col("n_seqs") > 1, 1L).otherwise(0L)).as("n_straddling"),
       ((max(col("seq_last")) + 1) * seqLen - sum(col("n_tokens")))
         .as("tail_padding"))
+
+  /** Length-grouped batching — the training-loader trick that cuts
+    * padding waste: documents of similar token length train together,
+    * so a batch's padding is bounded by the within-bucket length
+    * spread instead of the global max. Buckets are exact length
+    * quartiles ([[Sketches.quantileBuckets]], value-stable under
+    * ties); within a bucket, documents rank by (length, id) and chop
+    * into `batchSize` groups.
+    *
+    * The within-bucket rank does NOT sort the data per bucket (4
+    * near-corpus-size partitions would be the classic skewed-window
+    * killer): the exclusive cumulative count over the (bucket, length)
+    * HISTOGRAM gives every length its global offset, and a row_number
+    * only WITHIN each (bucket, length) cell breaks ties — fine-grained
+    * partitions, the qualitySelect scheme.
+    *
+    * Returns (doc_id, n_tokens, bucket, batch_idx).
+    */
+  def lengthGroupedBatches(df: DataFrame, idCol: Column, nTokens: Column,
+                           batchSize: Int): DataFrame = {
+    require(batchSize > 0)
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(idCol.cast("long").as("doc_id"),
+      nTokens.cast("long").as("n_tokens"), lit(0).as("__s"))
+    val bucketed = Sketches.quantileBuckets(base, Seq("__s"),
+      col("n_tokens"), Seq(25, 50, 75))
+    val hist = bucketed.groupBy(col("bucket"), col("n_tokens"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_tokens").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("__before", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+      .select(col("bucket"), col("n_tokens"), col("__before"))
+    val wTie = Window.partitionBy(col("bucket"), col("n_tokens"))
+      .orderBy(col("doc_id").asc)
+    bucketed
+      .withColumn("__rn", row_number().over(wTie).cast("long"))
+      .join(cum, Seq("bucket", "n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        expr(s"(__before + __rn - 1) DIV $batchSize").as("batch_idx"))
+  }
 }

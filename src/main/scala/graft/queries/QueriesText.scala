@@ -1781,6 +1781,39 @@ object QueriesText {
               |  END AS selected
               |FROM sc LEFT JOIN rk USING (doc_id)""".stripMargin)),
 
+    // length-grouped batching: docs of similar token length train
+    // together (padding bounded by within-bucket spread, not global
+    // max). Exact length quartiles + histogram-offset ranking — no
+    // per-bucket data sort. batchSize 64 => multiple live batches per
+    // bucket at sf0.01.
+    QDef("t_length_batches",
+      (s, dir) => graft.functions.Packing.lengthGroupedBatches(
+        Q.table(s, dir, "documents"), col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")), batchSize = 64),
+      Some(s"""WITH m AS (SELECT doc_id,
+              |         CAST(len($rawTokensSql) AS BIGINT) AS n
+              |       FROM documents),
+              |th AS (SELECT
+              |    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n)
+              |      AS BIGINT) AS p25,
+              |    CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY n)
+              |      AS BIGINT) AS p50,
+              |    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n)
+              |      AS BIGINT) AS p75
+              |  FROM m),
+              |b AS (SELECT doc_id, n,
+              |        1 + CASE WHEN n > p25 THEN 1 ELSE 0 END
+              |          + CASE WHEN n > p50 THEN 1 ELSE 0 END
+              |          + CASE WHEN n > p75 THEN 1 ELSE 0 END AS bucket
+              |      FROM m, th),
+              |r AS (SELECT doc_id, n, bucket,
+              |        CAST(row_number() OVER (PARTITION BY bucket
+              |          ORDER BY n, doc_id) AS BIGINT) AS rk
+              |      FROM b)
+              |SELECT doc_id, n AS n_tokens, bucket,
+              |  CAST((rk - 1) // 64 AS BIGINT) AS batch_idx
+              |FROM r""".stripMargin)),
+
     // CAPSTONE #2 — targeted-corpus shards end to end: DSIR selection
     // (hashed-model importance weights, top-25% of the raw pool)
     // straight into concat-and-split sequence packing. Both fragments

@@ -199,4 +199,25 @@ class PackingSpec extends SparkSpec with Matchers {
       rows.count(_.getAs[Long]("n_seqs") > 1))
     assert(s.getAs[Long]("tail_padding") == nSeqs * L - total)
   }
+
+  test("lengthGroupedBatches: full batches, length-contiguous, all docs kept") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 300).map(i => (i.toLong, 5L + rnd.nextInt(200)))
+      .toDF("doc_id", "n")
+    val got = Packing.lengthGroupedBatches(df, $"doc_id", $"n", batchSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.length == 300) // every doc assigned exactly once
+    got.groupBy(g => (g._3, g._4)).foreach { case ((b, idx), batch) =>
+      val bucketSize = got.count(_._3 == b)
+      val isLast = idx == (bucketSize - 1) / 16
+      // every batch full except possibly the bucket's last
+      if (!isLast) assert(batch.length == 16, s"bucket $b batch $idx")
+      // batches are length-contiguous: max length of batch k <= min of k+1
+      val next = got.filter(g => g._3 == b && g._4 == idx + 1)
+      if (next.nonEmpty)
+        assert(batch.map(_._2).max <= next.map(_._2).min,
+          s"bucket $b: batch $idx not length-contiguous with ${idx + 1}")
+    }
+  }
 }
