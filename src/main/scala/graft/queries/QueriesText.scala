@@ -1781,6 +1781,71 @@ object QueriesText {
               |  END AS selected
               |FROM sc LEFT JOIN rk USING (doc_id)""".stripMargin)),
 
+    // corpus drift report: per-source doc/token deltas and mix-share
+    // shift between two corpus versions (the "what changed since the
+    // last crawl" dashboard a data-ops rotation reads before shipping
+    // a mix). The new version is synthesized deterministically (drop
+    // doc_id % 13, re-ingest % 41 under fresh ids — the snapshot-diff
+    // mutation scheme); shares in integer micro-units.
+    QDef("t_corpus_drift",
+      (s, dir) => {
+        val d = Q.table(s, dir, "documents")
+        val newV = d.filter(col("doc_id") % 13 =!= 0)
+          .unionByName(d.filter(col("doc_id") % 41 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        def stats(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.wsTokenCount(col("text")).cast("long"))
+              .as("n_tokens"))
+        val o = stats(d).select(col("source"), col("n_docs").as("docs_old"),
+          col("n_tokens").as("toks_old"))
+        val n = stats(newV).select(col("source"), col("n_docs").as("docs_new"),
+          col("n_tokens").as("toks_new"))
+        val tot = n.agg(sum(col("toks_new")).as("tot_new"))
+        val totO = o.agg(sum(col("toks_old")).as("tot_old"))
+        o.join(n, Seq("source"), "full_outer")
+          .select(col("source"),
+            coalesce(col("docs_old"), lit(0L)).as("docs_old"),
+            coalesce(col("docs_new"), lit(0L)).as("docs_new"),
+            coalesce(col("toks_old"), lit(0L)).as("toks_old"),
+            coalesce(col("toks_new"), lit(0L)).as("toks_new"))
+          .crossJoin(broadcast(totO)).crossJoin(broadcast(tot))
+          .select(col("source"), col("docs_old"), col("docs_new"),
+            (col("docs_new") - col("docs_old")).as("delta_docs"),
+            expr("toks_old * 1000000 DIV greatest(tot_old, 1)")
+              .as("share_old_micro"),
+            expr("toks_new * 1000000 DIV greatest(tot_new, 1)")
+              .as("share_new_micro"))
+      },
+      Some(s"""WITH oldv AS (SELECT source,
+              |         CAST(count(*) AS BIGINT) AS docs_old,
+              |         CAST(sum(len($rawTokensSql)) AS BIGINT) AS toks_old
+              |       FROM documents GROUP BY 1),
+              |newd AS (SELECT source, text FROM documents
+              |         WHERE doc_id % 13 <> 0
+              |         UNION ALL
+              |         SELECT source, text FROM documents
+              |         WHERE doc_id % 41 = 0),
+              |newv AS (SELECT source,
+              |         CAST(count(*) AS BIGINT) AS docs_new,
+              |         CAST(sum(len($rawTokensSql)) AS BIGINT) AS toks_new
+              |       FROM newd GROUP BY 1),
+              |t1 AS (SELECT CAST(sum(toks_old) AS BIGINT) AS tot_old
+              |       FROM oldv),
+              |t2 AS (SELECT CAST(sum(toks_new) AS BIGINT) AS tot_new
+              |       FROM newv)
+              |SELECT coalesce(o.source, n.source) AS source,
+              |  coalesce(o.docs_old, 0) AS docs_old,
+              |  coalesce(n.docs_new, 0) AS docs_new,
+              |  coalesce(n.docs_new, 0) - coalesce(o.docs_old, 0)
+              |    AS delta_docs,
+              |  CAST(coalesce(o.toks_old, 0) * 1000000
+              |    // greatest(t1.tot_old, 1) AS BIGINT) AS share_old_micro,
+              |  CAST(coalesce(n.toks_new, 0) * 1000000
+              |    // greatest(t2.tot_new, 1) AS BIGINT) AS share_new_micro
+              |FROM oldv o FULL OUTER JOIN newv n ON o.source = n.source,
+              |  t1, t2""".stripMargin)),
+
     // length-grouped batching: docs of similar token length train
     // together (padding bounded by within-bucket spread, not global
     // max). Exact length quartiles + histogram-offset ranking — no
