@@ -744,6 +744,59 @@ object QueriesQcEvents {
               |    AS trimmed_mean
               |FROM t""".stripMargin)),
 
+    // W12 — anomaly-run alarms: runs of >= 3 CONSECUTIVE MAD outliers
+    // per stream (the alarm-suppression rule that separates a real
+    // excursion from salt-and-pepper noise). Composes w11's robust
+    // flags with the islands rollup — one more per-key sort over the
+    // flagged frame, nothing else.
+    QDef("w12_anomaly_runs",
+      (s, dir) => {
+        val flagged = graft.functions.Sketches.madOutliers(
+          obs(s, dir), Seq(Obs.DatastreamId),
+          expr(s"CAST(CAST(${Obs.Result} AS DECIMAL(25,6)) * 1000000 AS BIGINT)"),
+          k = 3)
+        graft.ops.WindowKernels.islands(flagged, Seq(Obs.DatastreamId),
+            col("t_us"), col(Obs.IotId), col("is_outlier"))
+          .filter(col("value") === true && col("n_rows") >= 3L)
+          .select(col(Obs.DatastreamId), col("t_start_us"),
+            col("t_end_us"), col("n_rows"))
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |m AS (SELECT iot_id, datastream_id, t_us,
+              |        CAST(CAST(result AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+              |          AS v
+              |      FROM obs),
+              |med AS (SELECT datastream_id,
+              |          CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
+              |            AS BIGINT) AS med
+              |        FROM m GROUP BY 1),
+              |d AS (SELECT m.iot_id, m.datastream_id, m.t_us,
+              |        abs(m.v - med.med) AS dev
+              |      FROM m JOIN med USING (datastream_id)),
+              |mad AS (SELECT datastream_id,
+              |          CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)
+              |            AS BIGINT) AS mad
+              |        FROM d GROUP BY 1),
+              |f AS (SELECT d.iot_id, d.datastream_id, d.t_us,
+              |        d.dev > 3 * mad.mad AS o
+              |      FROM d JOIN mad USING (datastream_id)),
+              |c AS (SELECT *, CASE WHEN o IS NOT DISTINCT FROM
+              |        lag(o) OVER (PARTITION BY datastream_id
+              |          ORDER BY t_us, iot_id) THEN 0 ELSE 1 END AS chg
+              |      FROM f),
+              |i AS (SELECT datastream_id, o, t_us,
+              |        CAST(sum(chg) OVER (PARTITION BY datastream_id
+              |          ORDER BY t_us, iot_id
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |          AS BIGINT) AS island_idx
+              |      FROM c),
+              |g AS (SELECT datastream_id, island_idx, bool_and(o) AS o,
+              |        min(t_us) AS t_start_us, max(t_us) AS t_end_us,
+              |        count(*) AS n_rows
+              |      FROM i GROUP BY 1, 2)
+              |SELECT datastream_id, t_start_us, t_end_us, n_rows
+              |FROM g WHERE o AND n_rows >= 3""".stripMargin)),
+
     // A13 — conversion timeout: per view, time to the first click of
     // the same stream strictly after it, converted iff within 1 h.
     // One per-key sort (min-over-following-frame), never a time-band
