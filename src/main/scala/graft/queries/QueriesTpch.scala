@@ -431,6 +431,57 @@ object QueriesTpch {
              |ORDER BY lift_micro DESC, x ASC, y ASC
              |LIMIT 20""".stripMargin)),
 
+    // join-key skew diagnosis: per candidate key column, the group-size
+    // distribution (count, max, p50/p99 via the exact-percentile
+    // histogram — a histogram OF the histogram), top-key share and
+    // max/median skew ratio in micro-units. The report a planner (or a
+    // human) reads before picking join keys / salting at 100 TB.
+    QDef("q_skew_report",
+      (s, dir) => {
+        val li = Q.table(s, dir, "lineitem")
+        def one(c: String) = {
+          val grp = li.groupBy(col(c)).agg(count(lit(1)).as("c"))
+            .withColumn("g", lit(c))
+          val pq = graft.functions.Sketches.exactQuantiles(
+            grp, Seq("g"), col("c"), Seq(50, 99))
+          grp.groupBy(col("g").as("key_name"))
+            .agg(sum(col("c")).as("n_rows"),
+              count(lit(1)).as("n_keys"), max(col("c")).as("max_group"))
+            .join(broadcast(pq.select(col("g").as("key_name"),
+              col("p50").as("p50_group"), col("p99").as("p99_group"))),
+              Seq("key_name"))
+        }
+        one("l_orderkey").unionByName(one("l_partkey"))
+          .unionByName(one("l_suppkey"))
+          .select(col("key_name"), col("n_rows"), col("n_keys"),
+            col("max_group"), col("p50_group"), col("p99_group"),
+            expr("max_group * 1000000 DIV n_rows").as("top_share_micro"),
+            expr("max_group * 1000000 DIV greatest(p50_group, 1)")
+              .as("skew_micro"))
+      },
+      Some {
+        def blk(c: String) =
+          s"""(SELECT '$c' AS key_name,
+             |  CAST(sum(c) AS BIGINT) AS n_rows,
+             |  CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(max(c) AS BIGINT) AS max_group,
+             |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+             |    AS BIGINT) AS p50_group,
+             |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c)
+             |    AS BIGINT) AS p99_group
+             | FROM (SELECT $c AS k, CAST(count(*) AS BIGINT) AS c
+             |       FROM lineitem GROUP BY 1) g)""".stripMargin
+        s"""SELECT key_name, n_rows, n_keys, max_group, p50_group,
+           |  p99_group,
+           |  CAST(max_group * 1000000 // n_rows AS BIGINT)
+           |    AS top_share_micro,
+           |  CAST(max_group * 1000000 // greatest(p50_group, 1) AS BIGINT)
+           |    AS skew_micro
+           |FROM (${blk("l_orderkey")}
+           |      UNION ALL ${blk("l_partkey")}
+           |      UNION ALL ${blk("l_suppkey")}) t""".stripMargin
+      }),
+
     // entity resolution, matching stage: near-identical part names via
     // multi-pass token blocking (one block per token position) over the
     // DISTINCT name universe, Levenshtein <= 2 verify, live block-size
