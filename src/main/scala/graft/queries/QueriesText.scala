@@ -1781,6 +1781,39 @@ object QueriesText {
               |  END AS selected
               |FROM sc LEFT JOIN rk USING (doc_id)""".stripMargin)),
 
+    // n-gram novelty: fraction of a doc's distinct 3-shingles whose
+    // FIRST corpus occurrence (by doc_id order) is this doc — the
+    // "how much of this is new text" curation signal (low novelty =
+    // rehash of earlier documents; the within-corpus analogue of the
+    // contamination check). One shingle-keyed shuffle for the
+    // first-occurrence table, joined back onto the doc's shingles.
+    QDef("t_ngram_novelty",
+      (s, dir) => {
+        val d = Q.table(s, dir, "documents")
+        val sh = d.select(col("doc_id"),
+          explode(Dedup.shingles(col("text"))).as("shingle"))
+        val first = sh.groupBy(col("shingle"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        sh.join(first, Seq("shingle"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L)
+              .otherwise(0L)).as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            expr("n_novel * 1000000 DIV n_shingles").as("novelty_micro"))
+      },
+      Some(s"""WITH $shinglesCte,
+              |f AS (SELECT shingle, min(doc_id) AS first_doc
+              |      FROM sh GROUP BY 1)
+              |SELECT sh.doc_id,
+              |  CAST(count(*) AS BIGINT) AS n_shingles,
+              |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_novel,
+              |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+              |    * 1000000 // count(*) AS BIGINT) AS novelty_micro
+              |FROM sh JOIN f USING (shingle)
+              |GROUP BY 1""".stripMargin)),
+
     // corpus drift report: per-source doc/token deltas and mix-share
     // shift between two corpus versions (the "what changed since the
     // last crawl" dashboard a data-ops rotation reads before shipping
