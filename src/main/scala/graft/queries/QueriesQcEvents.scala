@@ -744,6 +744,42 @@ object QueriesQcEvents {
               |    AS trimmed_mean
               |FROM t""".stripMargin)),
 
+    // A16 — event transition matrix (the sankey/flow source): counts
+    // of consecutive event-type pairs per stream in time order, with
+    // integer transition probability per origin state. One per-key
+    // sort (lead), one pair groupBy; END marks a stream's last event.
+    QDef("a16_transition_matrix",
+      (s, dir) => {
+        val w = Window.partitionBy(col(Obs.DatastreamId))
+          .orderBy(col("t_us").asc, col(Obs.IotId).asc)
+        val pairs = obs(s, dir)
+          .withColumn("next_type",
+            coalesce(lead(col("observation_type"), 1).over(w), lit("END")))
+          .groupBy(col("observation_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy(col("from_type"))
+          .agg(sum(col("n")).as("tot"))
+        pairs.join(broadcast(totals), Seq("from_type"))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("n * 1000000 DIV tot").as("p_micro"))
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |p AS (
+              |  SELECT observation_type AS from_type,
+              |    coalesce(lead(observation_type) OVER (
+              |      PARTITION BY datastream_id ORDER BY t_us, iot_id),
+              |      'END') AS to_type
+              |  FROM obs),
+              |c AS (SELECT from_type, to_type,
+              |        CAST(count(*) AS BIGINT) AS n
+              |      FROM p GROUP BY 1, 2),
+              |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+              |      FROM c GROUP BY 1)
+              |SELECT c.from_type, c.to_type, c.n,
+              |  CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_micro
+              |FROM c JOIN t USING (from_type)""".stripMargin)),
+
     // W12 — anomaly-run alarms: runs of >= 3 CONSECUTIVE MAD outliers
     // per stream (the alarm-suppression rule that separates a real
     // excursion from salt-and-pepper noise). Composes w11's robust
