@@ -305,6 +305,60 @@ object Multimodal {
     }
   }
 
+  final case class PHashRow(media_id: Long, phash: Long)
+
+  /** Perceptual difference-hash (dHash, Krawetz): resample the payload
+    * to a 64+1-value row through the codec and take the 64 adjacent
+    * unsigned greater-than bits — near-identical images differ in a few
+    * bits where a cryptographic hash differs in all of them. Map-side
+    * through the per-partition codec; only (id, 64-bit hash) moves on.
+    */
+  def perceptualHash(media: DataFrame,
+                     codec: MediaCodec = StubMediaCodec): Dataset[PHashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      codec.init()
+      rows.map { r =>
+        val b = codec.resize(r.kind, r.payload, 64, 65) // 65 values
+        var h = 0L
+        var i = 0
+        while (i < 64 && i + 1 < b.length) {
+          if ((b(i) & 0xff) > (b(i + 1) & 0xff)) h |= 1L << i
+          i += 1
+        }
+        PHashRow(r.media_id, h)
+      }
+    }
+  }
+
+  /** Perceptual near-dup pairs: band the 64-bit dHash into 4×16-bit
+    * keys (two hashes within Hamming distance 3 of each other share at
+    * least one intact band — the SimHash pigeonhole), equi-join on the
+    * bands, verify with bit_count(xor) ≤ `maxHamming`. Candidates are
+    * band-bucket equi-joins, never all-pairs.
+    */
+  def phashPairs(media: DataFrame, maxHamming: Int = 2,
+                 codec: MediaCodec = StubMediaCodec): DataFrame = {
+    val h = perceptualHash(media, codec).toDF()
+    val bands = h.select(col("media_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band_idx"))
+      .withColumn("band_key",
+        expr("shiftright(phash, CAST(band_idx * 16 AS INT)) & 65535"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        expr("CAST(bit_count(ha ^ hb) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   final case class MediaFrame(media_id: Long, frame_idx: Int, t_ms: Long,
                               frame: Array[Byte])
 

@@ -670,6 +670,52 @@ object QueriesEmb {
              |  CAST(n % 640 AS INT) AS width, CAST(s % 480 AS INT) AS height
              |FROM b""".stripMargin)),
 
+    // perceptual near-dup pairs: 64-bit dHash (adjacent unsigned
+    // greater-than bits over the codec-resized payload), banded 4×16
+    // for candidates (SimHash pigeonhole), bit_count(xor) <= 2 verify.
+    // The stub codec's resize is payload bytes cycled, so the oracle
+    // replays the hash bit-for-bit via hex-pair byte extraction; 24
+    // live pairs at sf0.01.
+    QDef("mm_phash_pairs",
+      (s, dir) => graft.functions.Multimodal.phashPairs(
+        graft.functions.Multimodal.documentsAsMedia(s, dir),
+        maxHamming = 2),
+      Some("""WITH m AS (
+             |  SELECT doc_id AS media_id, encode(text) AS payload
+             |  FROM documents),
+             |hx AS (SELECT media_id, hex(payload) AS hp,
+             |         octet_length(payload) AS n
+             |       FROM m WHERE octet_length(payload) > 0),
+             |h AS (
+             |  SELECT media_id,
+             |    CAST(list_sum(list_transform(range(0, 63), i ->
+             |      CASE WHEN
+             |        CAST(('0x' || substr(hp, 2 * (i % n) + 1, 2)) AS BIGINT)
+             |        > CAST(('0x' || substr(hp, 2 * ((i + 1) % n) + 1, 2))
+             |            AS BIGINT)
+             |      THEN CAST(1 AS BIGINT) << i ELSE 0 END))
+             |      AS BIGINT)
+             |    + CASE WHEN
+             |        CAST(('0x' || substr(hp, 2 * (63 % n) + 1, 2)) AS BIGINT)
+             |        > CAST(('0x' || substr(hp, 2 * (64 % n) + 1, 2))
+             |            AS BIGINT)
+             |      THEN -9223372036854775807 - 1 ELSE 0 END AS phash
+             |  FROM hx),
+             |bands AS (
+             |  SELECT media_id, phash, b AS band_idx,
+             |    (phash >> CAST(16 * b AS INTEGER)) & 65535 AS band_key
+             |  FROM h, unnest(range(0, 4)) AS r(b)),
+             |cand AS (
+             |  SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b,
+             |    a.phash AS ha, b2.phash AS hb
+             |  FROM bands a JOIN bands b2
+             |    ON a.band_idx = b2.band_idx AND a.band_key = b2.band_key
+             |   AND a.media_id < b2.media_id)
+             |SELECT id_a, id_b,
+             |  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+             |FROM cand
+             |WHERE bit_count(xor(ha, hb)) <= 2""".stripMargin)),
+
     // frame sampling: the one-to-many explode contract (stride, bound,
     // timestamps, frame sizes) is deterministic plumbing — oracle-checked
     // even though the codec is stubbed

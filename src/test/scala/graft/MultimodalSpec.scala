@@ -209,4 +209,24 @@ class MultimodalSpec extends SparkSpec {
     val resized = Multimodal.resize(m, 16, 12, Multimodal.ImageIoCodec).collect()
     assert(resized.length == 6 && resized.forall(_.width == 16))
   }
+
+  test("perceptual dHash: identical payloads pair at 0; near-identical low; disjoint none") {
+    import spark.implicits._
+    val base = Array.tabulate(130)(i => ((i * 37 + 11) % 251).toByte)
+    val near = base.clone(); near(5) = (near(5) + 120).toByte // flip a few bits
+    val other = Array.tabulate(130)(i => ((i * 91 + 3) % 247).toByte)
+    val m = Seq((1L, "image", base), (2L, "image", base),
+        (3L, "image", near), (4L, "image", other))
+      .toDF("media_id", "kind", "payload")
+    val hashes = Multimodal.perceptualHash(m).collect()
+      .map(r => r.media_id -> r.phash).toMap
+    assert(hashes(1L) == hashes(2L)) // identical payloads, identical hash
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) <= 4
+      && hashes(1L) != hashes(3L)) // near-dup: few bits differ
+    val pairs = Multimodal.phashPairs(m, maxHamming = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
 }
