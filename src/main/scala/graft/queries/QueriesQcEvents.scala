@@ -744,6 +744,45 @@ object QueriesQcEvents {
               |    AS trimmed_mean
               |FROM t""".stripMargin)),
 
+    // A17 — week-over-week deltas: weekly value sums per stream with
+    // the previous week's total, absolute delta, and integer percent
+    // change (truncating division — both engines' native semantics).
+    // The metric-dashboard lag comparison; one bucket agg + one
+    // stream-keyed lag window over the WEEK-scale frame.
+    QDef("a17_wow_deltas",
+      (s, dir) => {
+        val wk = expr("t_us DIV 604800000000")
+        val weekly = obs(s, dir)
+          .groupBy(col(Obs.DatastreamId), wk.as("week_idx"))
+          .agg(sum(expr(
+            s"CAST(CAST(${Obs.Result} AS DECIMAL(25,6)) * 1000000 AS BIGINT)"))
+            .as("sum_micro"))
+        val w = Window.partitionBy(col(Obs.DatastreamId))
+          .orderBy(col("week_idx").asc)
+        weekly
+          .withColumn("prev_micro", lag(col("sum_micro"), 1).over(w))
+          .withColumn("delta_micro", col("sum_micro") - col("prev_micro"))
+          .withColumn("pct_micro",
+            when(coalesce(abs(col("prev_micro")), lit(0L)) > 0L,
+              expr("delta_micro * 1000000 DIV abs(prev_micro)")))
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |wkl AS (
+              |  SELECT datastream_id, t_us // 604800000000 AS week_idx,
+              |    CAST(sum(CAST(CAST(result AS DECIMAL(25,6)) * 1000000
+              |      AS BIGINT)) AS BIGINT) AS sum_micro
+              |  FROM obs GROUP BY 1, 2),
+              |lg AS (
+              |  SELECT *, lag(sum_micro) OVER (PARTITION BY datastream_id
+              |    ORDER BY week_idx) AS prev_micro
+              |  FROM wkl)
+              |SELECT datastream_id, week_idx, sum_micro, prev_micro,
+              |  sum_micro - prev_micro AS delta_micro,
+              |  CASE WHEN abs(prev_micro) > 0 THEN
+              |    CAST((sum_micro - prev_micro) * 1000000
+              |      // abs(prev_micro) AS BIGINT) END AS pct_micro
+              |FROM lg""".stripMargin)),
+
     // A16 — event transition matrix (the sankey/flow source): counts
     // of consecutive event-type pairs per stream in time order, with
     // integer transition probability per origin state. One per-key

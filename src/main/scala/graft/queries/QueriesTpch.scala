@@ -431,6 +431,54 @@ object QueriesTpch {
              |ORDER BY lift_micro DESC, x ASC, y ASC
              |LIMIT 20""".stripMargin)),
 
+    // TPC-H Q7 shape — cross-nation shipping volume: revenue between a
+    // nation pair (both directions) by ship year. Two independent
+    // nation lookups (supplier side, customer side) on one fact scan;
+    // all dimension joins broadcast; year from l_shipdate.
+    QDef("q7_nation_volume",
+      (s, dir) => {
+        val l = Q.table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        val o = Q.table(s, dir, "orders")
+        val c = Q.table(s, dir, "customer")
+        val sup = Q.table(s, dir, "supplier")
+        val n1 = Q.table(s, dir, "nation")
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+        val n2 = Q.table(s, dir, "nation")
+          .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("snk"))
+          .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+          .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" &&
+              col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(micro(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_micro"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  CAST(year(l_shipdate) AS INT) AS l_year,
+             |  CAST(sum(${microSql("l_extendedprice * (1.0 - l_discount)")})
+             |    AS BIGINT) AS revenue_micro,
+             |  count(*) AS n_lines
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     // join-key skew diagnosis: per candidate key column, the group-size
     // distribution (count, max, p50/p99 via the exact-percentile
     // histogram — a histogram OF the histogram), top-key share and
