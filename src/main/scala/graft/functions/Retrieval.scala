@@ -166,6 +166,47 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("rnk"), col("score_micro"))
   }
 
+  /** BM25 with pseudo-relevance feedback (Rocchio's query expansion,
+    * blind-feedback form): score once, harvest the strongest new terms
+    * from each query's top `nFeedback` documents (in-vocab only — the
+    * df cap keeps boilerplate out of the expansion — ranked by summed
+    * tf with a deterministic term tie-break, original query terms
+    * excluded), add `nExpand` of them to the query, score again. The
+    * classic recall lever when queries are short.
+    *
+    * Scale shape: both rounds share ONE index build (postings cached
+    * inside [[index]]); feedback-term harvesting joins the tiny round-1
+    * result (queries × nFeedback rows) back to the postings — the only
+    * new work is candidate-scale. Expansion sets are (queries ×
+    * nExpand) rows — broadcast-sized by construction.
+    */
+  def bm25Prf(docs: DataFrame, idCol: String, textCol: String,
+              queries: DataFrame, k: Int = 5, maxDf: Long = 40L,
+              nFeedback: Int = 3, nExpand: Int = 2): DataFrame = {
+    val (postings, stats, dfTab) = index(docs, idCol, textCol, maxDf)
+    val r1 = scoreAndRank(postings, stats, dfTab, queries, nFeedback,
+      excludeSelf = true)
+    val qTerms = queries
+      .select(col("query_id").cast("long").as("query_id"),
+        explode(col("terms")).as("term"))
+      .distinct()
+    val fb = r1.select(col("query_id"), col("doc_id"))
+      .join(postings.select(col("doc_id"), col("term"), col("tf")), Seq("doc_id"))
+      .join(broadcast(dfTab.select(col("term"))), Seq("term"))
+      .join(qTerms, Seq("query_id", "term"), "left_anti")
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("tf")).as("ft"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("ft").desc, col("term").asc)
+    val expansion = fb.withColumn("er", row_number().over(wE))
+      .filter(col("er") <= nExpand)
+      .select(col("query_id"), col("term"))
+    val q2 = qTerms.unionByName(expansion).distinct()
+      .groupBy(col("query_id"))
+      .agg(collect_list(col("term")).as("terms"))
+    scoreAndRank(postings, stats, dfTab, q2, k, excludeSelf = true)
+  }
+
   /** Hard-negative mining — the training-triple construction pass of a
     * retriever/embedding training pipeline: for every query document,
     *   pos      — the dense nearest neighbor (brute cosine top-1,

@@ -1618,6 +1618,91 @@ object QueriesText {
               |SELECT query_id, doc_id, rnk, score_micro
               |FROM r WHERE rnk <= 5""".stripMargin)),
 
+    // BM25 + pseudo-relevance feedback (Rocchio blind feedback): the
+    // top-3 feedback docs donate their 2 strongest in-vocab new terms
+    // (summed tf, term tie-break) and the expanded query rescoras.
+    // Both rounds share one index build; the oracle replays round 1,
+    // the expansion harvest and round 2 over the same Q16 idf CTEs.
+    QDef("t_bm25_prf",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        Retrieval.bm25Prf(docs, "doc_id", "text",
+          Retrieval.queriesFromDocs(docs, "doc_id", "text"),
+          k = 5, maxDf = 40L, nFeedback = 3, nExpand = 2)
+      },
+      Some(s"""WITH RECURSIVE
+              |w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+              |bl AS (SELECT doc_id,
+              |         list_transform(range(1, len(words)),
+              |           i -> words[i] || ' ' || words[i + 1]) AS terms,
+              |         CAST(len(words) - 1 AS BIGINT) AS dl
+              |       FROM w WHERE len(words) >= 2),
+              |post AS (SELECT doc_id, dl, unnest(terms) AS term FROM bl),
+              |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+              |        max(dl) AS dl
+              |      FROM post GROUP BY 1, 2),
+              |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |            CAST(sum(dl) AS BIGINT) AS n_terms FROM bl),
+              |dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              |        FROM p GROUP BY 1 HAVING count(*) <= 40),
+              |ina AS (SELECT term,
+              |          2 * ((SELECT n_docs FROM stats) - df) + 1 AS x FROM dfv),
+              |${Portable.log2q16Sql("ina", Seq("term"), "x", "lga", "lg")},
+              |inb AS (SELECT term, 2 * df + 1 AS x FROM dfv),
+              |${Portable.log2q16Sql("inb", Seq("term"), "x", "lgb", "lg")},
+              |idf AS (SELECT a.term, greatest(a.lg - b.lg, 0) AS idf_q16
+              |        FROM lga a JOIN lgb b USING (term)),
+              |qw AS (SELECT doc_id AS query_id, words FROM w
+              |       WHERE doc_id % 29 = 3),
+              |qt AS (SELECT DISTINCT query_id,
+              |         unnest(list_transform(range(1, least(len(words), 5)),
+              |           i -> words[i] || ' ' || words[i + 1])) AS term
+              |       FROM qw),
+              |cand1 AS (SELECT qt.query_id, p.doc_id, p.tf, p.dl, idf.idf_q16
+              |          FROM p JOIN idf USING (term) JOIN qt USING (term)
+              |          WHERE qt.query_id <> p.doc_id),
+              |sc1 AS (SELECT query_id, doc_id,
+              |         CAST(sum((idf_q16 * ((22000000 * tf * s.n_terms) //
+              |             (10 * tf * s.n_terms + 3 * s.n_terms
+              |              + 9 * dl * s.n_docs))) // 65536) AS BIGINT)
+              |           AS score_micro
+              |        FROM cand1, stats s GROUP BY 1, 2),
+              |r1 AS (SELECT query_id, doc_id,
+              |         row_number() OVER (PARTITION BY query_id
+              |           ORDER BY score_micro DESC, doc_id) AS rnk
+              |       FROM sc1),
+              |fb AS (SELECT r1.query_id, p.term,
+              |         CAST(sum(p.tf) AS BIGINT) AS ft
+              |       FROM r1 JOIN p USING (doc_id)
+              |       JOIN dfv USING (term)
+              |       LEFT JOIN qt ON qt.query_id = r1.query_id
+              |                   AND qt.term = p.term
+              |       WHERE r1.rnk <= 3 AND qt.term IS NULL
+              |       GROUP BY 1, 2),
+              |ex AS (SELECT query_id, term FROM (
+              |         SELECT query_id, term,
+              |           row_number() OVER (PARTITION BY query_id
+              |             ORDER BY ft DESC, term) AS er
+              |         FROM fb) t WHERE er <= 2),
+              |qt2 AS (SELECT query_id, term FROM qt
+              |        UNION SELECT query_id, term FROM ex),
+              |cand2 AS (SELECT q2.query_id, p.doc_id, p.tf, p.dl,
+              |            idf.idf_q16
+              |          FROM p JOIN idf USING (term) JOIN qt2 q2 USING (term)
+              |          WHERE q2.query_id <> p.doc_id),
+              |sc2 AS (SELECT query_id, doc_id,
+              |         CAST(sum((idf_q16 * ((22000000 * tf * s.n_terms) //
+              |             (10 * tf * s.n_terms + 3 * s.n_terms
+              |              + 9 * dl * s.n_docs))) // 65536) AS BIGINT)
+              |           AS score_micro
+              |        FROM cand2, stats s GROUP BY 1, 2),
+              |r2 AS (SELECT query_id, doc_id, score_micro,
+              |         CAST(row_number() OVER (PARTITION BY query_id
+              |           ORDER BY score_micro DESC, doc_id) AS INT) AS rnk
+              |       FROM sc2)
+              |SELECT query_id, doc_id, rnk, score_micro
+              |FROM r2 WHERE rnk <= 5""".stripMargin)),
+
     // the BM25 persisted-index serving path (mirror of sim_pq_search):
     // first invocation per sf dir tokenizes the corpus and writes
     // postings + df/idf + stats; later invocations (bench reps 2+,

@@ -155,4 +155,30 @@ class RetrievalSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"stats attach must be a broadcast, not a cartesian:\n$p")
   }
+
+  test("PRF expansion reaches documents the literal query cannot") {
+    import spark.implicits._
+    // query doc 3 shares "x y" with doc 1; doc 1 carries "z w", which
+    // also appears in doc 2 — doc 2 has NO term of the literal query
+    val docs = Seq(
+      (3L, "x y q1filler q2filler q3filler"),
+      (1L, "x y z w"),
+      (2L, "z w unrelated tail here"),
+      (4L, "noise text entirely apart")
+    ).toDF("doc_id", "text")
+    val q = graft.functions.Retrieval.queriesFromDocs(
+      docs, "doc_id", "text", every = 29L, offset = 3L)
+    val plain = graft.functions.Retrieval.bm25TopK(
+        docs, "doc_id", "text", q, k = 5, maxDf = 40L, excludeSelf = true)
+      .collect().map(_.getLong(1)).toSet
+    val prf = graft.functions.Retrieval.bm25Prf(
+        docs, "doc_id", "text", q, k = 5, maxDf = 40L,
+        nFeedback = 1, nExpand = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(plain.contains(1L) && !plain.contains(2L),
+      s"plain reaches only the lexical match: $plain")
+    assert(prf.contains(1L) && prf.contains(2L),
+      s"expansion must reach doc 2 through doc 1's terms: $prf")
+    assert(!prf.contains(3L), "self stays excluded after expansion")
+  }
 }
