@@ -93,7 +93,8 @@ object Retrieval {
     * of boilerplate bigrams with df > 40).
     */
   private[functions] def index(docs: DataFrame, idCol: String,
-                               textCol: String, maxDf: Long)
+                               textCol: String, maxDf: Long,
+                               relDfDen: Option[Long] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     val base = docs
       .select(col(idCol).cast("long").as("doc_id"),
@@ -115,9 +116,16 @@ object Retrieval {
     // from another corpus pass; same doc set (dl > 0) by construction
     val stats = postings.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_terms"))
+    // df cap: absolute (maxDf) or RELATIVE (df <= n_docs/relDfDen) —
+    // an absolute cap silently empties the vocabulary as the corpus
+    // grows (t_bm25_prf measured 0 candidates at sf0.1 under df<=40);
+    // the relative form scales with the corpus by construction
     val dfTab = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= lit(maxDf))
       .crossJoin(broadcast(stats))
+      .filter(relDfDen match {
+        case Some(den) => col("df") * den <= col("n_docs")
+        case None => col("df") <= lit(maxDf)
+      })
       .select(col("term"), idfQ16(col("df"), col("n_docs")).as("idf_q16"))
     (postings, stats, dfTab)
   }
@@ -182,8 +190,9 @@ object Retrieval {
     */
   def bm25Prf(docs: DataFrame, idCol: String, textCol: String,
               queries: DataFrame, k: Int = 5, maxDf: Long = 40L,
-              nFeedback: Int = 3, nExpand: Int = 2): DataFrame = {
-    val (postings, stats, dfTab) = index(docs, idCol, textCol, maxDf)
+              nFeedback: Int = 3, nExpand: Int = 2,
+              relDfDen: Option[Long] = None): DataFrame = {
+    val (postings, stats, dfTab) = index(docs, idCol, textCol, maxDf, relDfDen)
     val r1 = scoreAndRank(postings, stats, dfTab, queries, nFeedback,
       excludeSelf = true)
     val qTerms = queries

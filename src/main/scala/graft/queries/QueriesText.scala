@@ -1628,7 +1628,8 @@ object QueriesText {
         val docs = Q.table(s, dir, "documents")
         Retrieval.bm25Prf(docs, "doc_id", "text",
           Retrieval.queriesFromDocs(docs, "doc_id", "text"),
-          k = 5, maxDf = 40L, nFeedback = 3, nExpand = 2)
+          k = 5, maxDf = 40L, nFeedback = 3, nExpand = 2,
+          relDfDen = Some(12L))
       },
       Some(s"""WITH RECURSIVE
               |w AS (SELECT doc_id, $wordsSql AS words FROM documents),
@@ -1644,7 +1645,8 @@ object QueriesText {
               |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
               |            CAST(sum(dl) AS BIGINT) AS n_terms FROM bl),
               |dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-              |        FROM p GROUP BY 1 HAVING count(*) <= 40),
+              |        FROM p GROUP BY 1
+              |        HAVING count(*) * 12 <= (SELECT n_docs FROM stats)),
               |ina AS (SELECT term,
               |          2 * ((SELECT n_docs FROM stats) - df) + 1 AS x FROM dfv),
               |${Portable.log2q16Sql("ina", Seq("term"), "x", "lga", "lg")},
