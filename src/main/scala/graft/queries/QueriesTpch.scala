@@ -479,6 +479,39 @@ object QueriesTpch {
              |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
              |GROUP BY 1, 2, 3""".stripMargin)),
 
+    // TPC-H Q16 shape — supplier diversity per part attribute: distinct
+    // supplier count per (brand, size band), suppliers on a deterministic
+    // denylist excluded by anti-join (the NOT IN shape), lineitem as
+    // the part-supplier relation. countDistinct rides Expand in one
+    // aggregation pass.
+    QDef("q16_supplier_diversity",
+      (s, dir) => {
+        val li = Q.table(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val p = Q.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"),
+            expr("p_size DIV 10").as("size_band"))
+        val bad = Q.table(s, dir, "supplier")
+          .filter(col("s_suppkey") % 17 === 0)
+          .select(col("s_suppkey").as("l_suppkey"))
+        li.join(bad, Seq("l_suppkey"), "left_anti")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("size_band"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+            countDistinct(col("l_partkey")).as("part_cnt"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_partkey, l_suppkey
+             |           FROM lineitem),
+             |ok AS (SELECT li.* FROM li
+             |       WHERE l_suppkey NOT IN (
+             |         SELECT s_suppkey FROM supplier
+             |         WHERE s_suppkey % 17 = 0))
+             |SELECT p.p_brand, p.p_size // 10 AS size_band,
+             |  CAST(count(DISTINCT ok.l_suppkey) AS BIGINT) AS supplier_cnt,
+             |  CAST(count(DISTINCT ok.l_partkey) AS BIGINT) AS part_cnt
+             |FROM ok JOIN part p ON ok.l_partkey = p.p_partkey
+             |GROUP BY 1, 2""".stripMargin)),
+
     // join-key skew diagnosis: per candidate key column, the group-size
     // distribution (count, max, p50/p99 via the exact-percentile
     // histogram — a histogram OF the histogram), top-key share and
