@@ -100,13 +100,14 @@ object Bench {
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"bench: could not write $outFile: $e") }
-    // compact head-line BEFORE the final full line: even if a future
-    // query-map growth pushes the full line past the capture window
-    // again, the head-line's total/errors survive just above it
+    // stop Spark BEFORE the final prints so no late executor log line
+    // lands after them, then the per-query line, then the COMPACT line
+    // as the very last stdout line: a tail-window log capture keeps the
+    // END of the output, and at 135 queries the per-query line alone
+    // overflows the ~2 KB window (r8's tail started mid-line) — the
+    // small always-parseable summary must be what survives at the tail
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(totals.min)},"unit":"sec","nqueries":${names.size},"nerrors":${errs.size},"out":"$outFile"}""")
-    // stop Spark BEFORE the final print, then the JSON as the very last
-    // stdout line: a tail-window log capture keeps the END of the output
     println(line)
+    println(s"""{"metric":"total","value":${f3(totals.min)},"unit":"sec","nqueries":${names.size},"nerrors":${errs.size},"sf":"$sfShort","out":"$outFile"}""")
   }
 }

@@ -317,7 +317,9 @@ object Multimodal {
                      codec: MediaCodec = StubMediaCodec): Dataset[PHashRow] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
+    // empty payloads carry no pixels to hash: they would all collide on
+    // phash 0 and pair quadratically, and the oracle filters them too
+    media.filter(length(col("payload")) > 0).as[MediaRow].mapPartitions { rows =>
       codec.init()
       rows.map { r =>
         val b = codec.resize(r.kind, r.payload, 64, 65) // 65 values

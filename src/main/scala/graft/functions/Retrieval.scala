@@ -191,10 +191,11 @@ object Retrieval {
   def bm25Prf(docs: DataFrame, idCol: String, textCol: String,
               queries: DataFrame, k: Int = 5, maxDf: Long = 40L,
               nFeedback: Int = 3, nExpand: Int = 2,
-              relDfDen: Option[Long] = None): DataFrame = {
+              relDfDen: Option[Long] = None,
+              excludeSelf: Boolean = true): DataFrame = {
     val (postings, stats, dfTab) = index(docs, idCol, textCol, maxDf, relDfDen)
     val r1 = scoreAndRank(postings, stats, dfTab, queries, nFeedback,
-      excludeSelf = true)
+      excludeSelf)
     val qTerms = queries
       .select(col("query_id").cast("long").as("query_id"),
         explode(col("terms")).as("term"))
@@ -213,7 +214,7 @@ object Retrieval {
     val q2 = qTerms.unionByName(expansion).distinct()
       .groupBy(col("query_id"))
       .agg(collect_list(col("term")).as("terms"))
-    scoreAndRank(postings, stats, dfTab, q2, k, excludeSelf = true)
+    scoreAndRank(postings, stats, dfTab, q2, k, excludeSelf)
   }
 
   /** Hard-negative mining — the training-triple construction pass of a

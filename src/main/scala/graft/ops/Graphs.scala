@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph statistics beyond [[PageRank]]: co-occurrence
@@ -42,7 +43,8 @@ object Graphs {
     * closure = 3·triangles/wedges in integer micro-units (the global
     * clustering coefficient).
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  def triangleStats(edges: DataFrame, adjSegSize: Int = 4096): DataFrame = {
+    require(adjSegSize >= 1)
     val deg = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -65,7 +67,19 @@ object Graphs {
       when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("src"),
       when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"))
       .localCheckpoint()
-    val adj = o.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+    // Spill-aware adjacency: split each vertex's out-neighbor list into
+    // fixed-size segments (≤ adjSegSize) so no shuffled row carries an
+    // unbounded array — a hub with out-degree D becomes ceil(D/S)
+    // bounded rows. Each common neighbor w of (u, v) lives in exactly
+    // ONE segment of u's list and ONE of v's, so summing
+    // |intersect(segU_i, segV_j)| over all (i, j) pairs partitions the
+    // full intersection — same count, bounded per-row memory.
+    val wSeg = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val adj = o
+      .withColumn("seg",
+        ((row_number().over(wSeg) - 1) / lit(adjSegSize)).cast("int"))
+      .groupBy(col("src"), col("seg"))
+      .agg(collect_list(col("dst")).as("nbrs"))
       .localCheckpoint()
     val triangles = o
       .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
@@ -101,16 +115,20 @@ object Graphs {
     * then each round subtracts only the edges incident to that round's
     * removed set — edges touching survivors are never re-aggregated
     * (the full-recount formulation cost a corpus-scale groupBy per
-    * round and ran 3× slower at sf1). The removed set is small by
-    * construction, so its edge probe broadcasts and the decrement
-    * groupBy is removal-scale. Every round's degree frame is EAGERLY
+    * round and ran 3× slower at sf1). The removal-set probe joins are
+    * broadcast ONLY when the measured count is ≤ `broadcastRemUpTo`
+    * (round 1 removes O(|V|) vertices on power-law graphs — an
+    * unconditional broadcast there breaks past the driver limit at
+    * cluster scale); bigger sets take a shuffled join under AQE.
+    * Every round's degree frame is EAGERLY
     * localCheckpoint'ed — without the barrier each round re-embeds the
     * previous round's tree and the logical plan grows geometrically:
     * Catalyst itself OOMs before any data moves (the iterative-loop
     * trap dd_clusters hit first). Early exit on a converged round is
     * output-identical (later rounds are no-ops).
     */
-  def kcoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kcoreRounds(edges: DataFrame, k: Int, rounds: Int,
+                  broadcastRemUpTo: Long = 1000000L): DataFrame = {
     require(k >= 0 && rounds >= 1)
     val ed = edges.select(col("a"), col("b")).localCheckpoint()
     val verts = ed.select(col("a").as("v"))
@@ -127,19 +145,28 @@ object Graphs {
     while (r <= rounds && !converged) {
       val rem = deg.filter(col("d") < k).select(col("v")).localCheckpoint()
       removed += rem.select(col("v"), lit(r).as("removed_round"))
-      if (rem.limit(1).count() == 0L) {
+      val nRem = rem.count()
+      if (nRem == 0L) {
         converged = true
       } else {
+        // The removal set is small in STEADY-STATE rounds, but round 1
+        // removes every vertex with degree < k — on a power-law graph
+        // that is O(|V|), far past any broadcast limit at cluster
+        // scale. Gate the hint on the count (already needed for the
+        // convergence check): small set → broadcast probe; big set →
+        // plain shuffled join and AQE decides.
+        val remSide: DataFrame => DataFrame =
+          if (nRem <= broadcastRemUpTo) df => broadcast(df) else identity
         // decrement the OTHER endpoint of every edge that lost a
         // vertex this round; decrements landing on a vertex that is
         // itself removed (this round or earlier) vanish in the
         // left-anti — its degree row is already gone
-        val delta = ed.join(broadcast(rem.select(col("v").as("a"))), Seq("a"))
+        val delta = ed.join(remSide(rem.select(col("v").as("a"))), Seq("a"))
           .select(col("b").as("v"))
-          .unionAll(ed.join(broadcast(rem.select(col("v").as("b"))), Seq("b"))
+          .unionAll(ed.join(remSide(rem.select(col("v").as("b"))), Seq("b"))
             .select(col("a").as("v")))
           .groupBy(col("v")).agg(count(lit(1)).as("dd"))
-        deg = deg.join(broadcast(rem), Seq("v"), "left_anti")
+        deg = deg.join(remSide(rem), Seq("v"), "left_anti")
           .join(delta, Seq("v"), "left")
           .select(col("v"), (col("d") - coalesce(col("dd"), lit(0L))).as("d"))
           .localCheckpoint()

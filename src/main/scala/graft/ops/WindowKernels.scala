@@ -408,8 +408,8 @@ object WindowKernels {
     * (streams x span/step rows, data-independent), repartitioned once
     * by key for the join + window. Grid memory per task is one
     * stream's bucket range — size stepUs so span/step stays ~1e5-1e6.
-    * `t_us` must be nonnegative (epoch µs): Spark DIV truncates toward
-    * zero while the oracle's `//` floors, so negatives would disagree.
+    * Integer DIV (Spark) and `//` (DuckDB) both truncate toward zero
+    * on integer operands, so bucketing agrees for any sign of `t_us`.
     */
   def resampleFfill(df: DataFrame, keyCol: String, tsUsCol: String,
                     valueCol: String, tieBreakCol: String,

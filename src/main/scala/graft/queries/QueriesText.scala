@@ -1852,7 +1852,7 @@ object QueriesText {
               |           AS BIGINT) AS logratio_q16
               |       FROM w LEFT JOIN d USING (doc_id)),
               |raw AS (SELECT doc_id,
-              |          greatest(least(logratio_q16 // 64, 1048576),
+              |          greatest(least(logratio_q16 >> 6, 1048576),
               |                   -1048576) AS m
               |        FROM sc WHERE NOT is_t),
               |nb AS (SELECT (CAST(count(*) AS BIGINT) * 1 + 4 - 1) // 4
@@ -2052,7 +2052,7 @@ object QueriesText {
               |           AS BIGINT) AS logratio_q16
               |        FROM w LEFT JOIN sd USING (doc_id)),
               |raw AS (SELECT doc_id,
-              |          greatest(least(logratio_q16 // 64, 1048576),
+              |          greatest(least(logratio_q16 >> 6, 1048576),
               |                   -1048576) AS m
               |        FROM sc2 WHERE NOT is_t),
               |nb AS (SELECT (CAST(count(*) AS BIGINT) * 1 + 4 - 1) // 4
