@@ -82,6 +82,109 @@ object Dedup {
     TextAnalysis.reassemblePassages(pass, kept)
   }
 
+  /** Exact any-length duplicate-SPAN detection (the exact-substring
+    * dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": substrings of ≥ `windowLen` tokens that
+    * occur more than once corpus-wide). The published tool builds a
+    * single-node suffix array; the equivalent distributed-by-
+    * construction formulation used here is STRIDE-1 window
+    * fingerprints: a token span of length ≥ L is duplicated iff every
+    * one of its length-L windows is duplicated, so hashing the window
+    * at EVERY offset (not [[passageDedup]]'s aligned blocks, which
+    * miss spans straddling block boundaries at non-aligned offsets)
+    * and merging runs of duplicated offsets yields exactly the maximal
+    * duplicated spans — no suffix-array ranks needed, and where
+    * prefix-doubling costs O(log n) full-corpus sort rounds, this is
+    * ONE map-side hash pass + ONE groupBy(fp).
+    *
+    * Returns every occurrence of every maximal duplicated span:
+    * (doc_id, span_start 0-based token offset, span_tokens ≥ L).
+    *
+    * Scale shape: windows shuffle as (fp 32B, doc_id, s) — ~34 B per
+    * corpus token, independent of L (the window TEXT never leaves the
+    * map side); the dup test is the same two-phase
+    * `groupBy(fp).agg(count)` + join-probe as [[exact]] (map-side
+    * partials collapse a mega-duplicated window before the wire, AQE
+    * splits the probe); the run-merge window is per-document and
+    * span-scale.
+    */
+  def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                          windowLen: Int = 16): DataFrame = {
+    val dup = dupWindows(df, idCol, textCol, windowLen)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    dup.withColumn("isl", col("s") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("s")).cast("long").as("span_start"),
+        (max(col("s")) - min(col("s")) + lit(windowLen)).cast("long")
+          .as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_tokens"))
+  }
+
+  /** Exact-substring REMOVAL, first-seen-wins: every token covered by a
+    * duplicated window whose occurrence is NOT the group's canonical
+    * first (min (doc_id, s)) is cut; the first occurrence keeps its
+    * text, later occurrences (across documents or within one) lose the
+    * whole straddling span at any offset. Documents shorter than
+    * `windowLen` tokens are untouched. Returns
+    * (doc_id, n_tokens, n_removed, clean_text).
+    *
+    * Scale shape: removal INTERVALS (not tokens) shuffle — per-doc
+    * island merge of the non-canonical duplicated offsets, then one
+    * doc-keyed join back to the text and a codegen'd
+    * `filter(words, (w, i) => no interval covers i)` cuts map-side; the
+    * full token explode never happens.
+    */
+  def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
+                          windowLen: Int = 16): DataFrame = {
+    val dup = dupWindows(df, idCol, textCol, windowLen)
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("s") === col("first.s")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val ivals = dup.withColumn("isl", col("s") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("s")).as("lo"),
+        (max(col("s")) + lit(windowLen)).as("hi"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("lo"), col("hi"))).as("cut"))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        split(TextAnalysis.normalized(col(textCol)), " ").as("words"))
+      .join(ivals, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_tokens"),
+        when(col("cut").isNull, col("words")).otherwise(
+          filter(col("words"), (_, i) =>
+            !exists(col("cut"), iv => i >= iv("lo") && i < iv("hi"))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
+  /** Shared core of the exact-substring pair: every stride-1 window
+    * occurrence whose fingerprint occurs ≥ 2 times corpus-wide, with
+    * the group's canonical first occurrence attached —
+    * (doc_id, s 0-based, fp, first(doc_id, s)).
+    */
+  private def dupWindows(df: DataFrame, idCol: String, textCol: String,
+                         windowLen: Int): DataFrame = {
+    require(windowLen > 0, s"windowLen must be positive: got $windowLen")
+    val wins = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(TextAnalysis.normalized(col(textCol)), " ").as("words"))
+      .filter(size(col("words")) >= windowLen)
+      .withColumn("s", explode(sequence(lit(0),
+        size(col("words")) - windowLen)))
+      .select(col("doc_id"), col("s"),
+        md5(array_join(slice(col("words"), col("s") + 1, lit(windowLen)), " "))
+          .as("fp"))
+    val grp = wins.groupBy(col("fp").as("__fp"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("s"))).as("first"))
+      .filter(col("c") > 1)
+    wins.join(grp, col("fp") === col("__fp"))
+      .select(col("doc_id"), col("s"), col("fp"), col("first"))
+  }
+
   /** Create a persistent dedup ledger: the fingerprint set of an
     * already-accepted corpus, stored as a parquet table BUCKETED BY
     * FINGERPRINT — the cross-run form of [[exact]]. Every later ingest

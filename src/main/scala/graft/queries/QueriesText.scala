@@ -1194,6 +1194,66 @@ object QueriesText {
               |$reassembleCtes
               |$reassembleSelect""".stripMargin)),
 
+    // exact any-length duplicate spans (Lee et al. 2022 exact-substring
+    // dedup): stride-1 8-token window fingerprints, runs of duplicated
+    // offsets merged into maximal spans — catches spans straddling the
+    // aligned block boundaries dd_passage misses.
+    QDef("dd_substring",
+      (s, dir) => Dedup.exactSubstringSpans(Q.table(s, dir, "documents"),
+        "doc_id", "text", windowLen = 8),
+      Some(s"""WITH wn AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS words
+              |            FROM documents),
+              |wi AS (SELECT doc_id, s,
+              |         md5(array_to_string(list_slice(words, s, s + 7), ' ')) AS fp
+              |       FROM (SELECT doc_id, words,
+              |               unnest(range(1, len(words) - 6)) AS s FROM wn)),
+              |g AS (SELECT fp FROM wi GROUP BY fp HAVING count(*) > 1),
+              |d AS (SELECT wi.doc_id, wi.s FROM wi JOIN g USING (fp)),
+              |r AS (SELECT doc_id, s,
+              |        s - row_number() OVER (PARTITION BY doc_id ORDER BY s) AS isl
+              |      FROM d)
+              |SELECT doc_id, CAST(min(s) - 1 AS BIGINT) AS span_start,
+              |  CAST(max(s) - min(s) + 8 AS BIGINT) AS span_tokens
+              |FROM r GROUP BY doc_id, isl""".stripMargin)),
+
+    // exact-substring REMOVAL, first-seen-wins: tokens covered by a
+    // non-canonical duplicated window are cut at any offset; removal
+    // intervals (not tokens) are what shuffles on the Spark side.
+    QDef("dd_substring_clean",
+      (s, dir) => Dedup.exactSubstringDedup(Q.table(s, dir, "documents"),
+        "doc_id", "text", windowLen = 8),
+      Some(s"""WITH wn AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS words
+              |            FROM documents),
+              |wi AS (SELECT doc_id, s,
+              |         md5(array_to_string(list_slice(words, s, s + 7), ' ')) AS fp
+              |       FROM (SELECT doc_id, words,
+              |               unnest(range(1, len(words) - 6)) AS s FROM wn)),
+              |f AS (SELECT doc_id, s, row_number() OVER (PARTITION BY fp
+              |        ORDER BY doc_id, s) AS rn
+              |      FROM wi),
+              |d AS (SELECT doc_id, s FROM f WHERE rn > 1),
+              |r AS (SELECT doc_id, s,
+              |        s - row_number() OVER (PARTITION BY doc_id ORDER BY s) AS isl
+              |      FROM d),
+              |iv AS (SELECT doc_id, min(s) AS lo, max(s) + 8 AS hi
+              |       FROM r GROUP BY doc_id, isl),
+              |tok AS (SELECT doc_id, t, words[t] AS wd
+              |        FROM (SELECT doc_id, words,
+              |                unnest(range(1, len(words) + 1)) AS t FROM wn)),
+              |cut AS (SELECT tok.doc_id, tok.t FROM tok
+              |        JOIN iv ON tok.doc_id = iv.doc_id
+              |          AND tok.t >= iv.lo AND tok.t < iv.hi),
+              |kept AS (SELECT tok.doc_id, tok.t, tok.wd FROM tok
+              |         LEFT JOIN cut ON tok.doc_id = cut.doc_id AND tok.t = cut.t
+              |         WHERE cut.t IS NULL),
+              |ka AS (SELECT doc_id, count(*) AS n_kept,
+              |         string_agg(wd, ' ' ORDER BY t) AS clean_text
+              |       FROM kept GROUP BY 1)
+              |SELECT wn.doc_id, CAST(len(wn.words) AS BIGINT) AS n_tokens,
+              |  CAST(len(wn.words) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+              |  coalesce(ka.clean_text, '') AS clean_text
+              |FROM wn LEFT JOIN ka USING (doc_id)""".stripMargin)),
+
     // CCNet-style boilerplate removal: passages appearing in more than
     // one distinct document are corpus boilerplate — cut everywhere,
     // documents rebuilt. The over-threshold key set is tiny by

@@ -37,6 +37,68 @@ class PassageOpsSpec extends SparkSpec with Matchers {
     a shouldBe b   // min(struct) ordering, not arrival order
   }
 
+  test("exactSubstringSpans: finds straddling spans passageDedup misses") {
+    // the 4-token span "p q r s" sits at offset 2 in doc 1 and offset 5
+    // in doc 2 — NON-aligned to any fixed 4-block boundary in either
+    // doc, so aligned-passage dedup (len 4: blocks [0,4) [4,8)...)
+    // never hashes it as a unit in both docs; stride-1 windows do.
+    val docs = Seq(
+      (1L, "a b p q r s c d"),
+      (2L, "e f g h i p q r s j")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(docs, "doc_id", "text", windowLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spans shouldBe Set((1L, 2L, 4L), (2L, 5L, 4L))
+    // passageDedup provably misses it: nothing is cut
+    val pd = Dedup.passageDedup(docs, "doc_id", "text", passageLen = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    pd(1L) shouldBe 2L   // all passages kept
+    pd(2L) shouldBe 3L
+  }
+
+  test("exactSubstringSpans: overlapping dup windows merge to ONE maximal span") {
+    // 6 shared tokens with L=4 → 3 duplicated offsets per doc, one span
+    val docs = Seq(
+      (1L, "x1 u v w p q r x2"),
+      (2L, "y1 y2 u v w p q r")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(docs, "doc_id", "text", windowLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spans shouldBe Set((1L, 1L, 6L), (2L, 2L, 6L))
+  }
+
+  test("exactSubstringDedup: first occurrence keeps text, later lose the span") {
+    val docs = Seq(
+      (1L, "a b p q r s c d"),
+      (2L, "e f g h i p q r s j"),
+      (3L, "short doc")                      // < windowLen: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDedup(docs, "doc_id", "text", windowLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((8L, 0L, "a b p q r s c d"))   // canonical: kept whole
+    out(2L) shouldBe ((10L, 4L, "e f g h i j"))      // span cut at offset 5
+    out(3L) shouldBe ((2L, 0L, "short doc"))
+  }
+
+  test("exactSubstringDedup: within-doc repeat cut; partitioning-independent") {
+    val docs = Seq(
+      (1L, "m n o p z z m n o p"),   // self-repeat of "m n o p"
+      (2L, "w x y v unrelated tokens here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDedup(docs, "doc_id", "text", windowLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((10L, 4L, "m n o p z z"))
+    out(2L)._2 shouldBe 0L
+    val a = Dedup.exactSubstringDedup(docs, "doc_id", "text", windowLen = 4)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    val b = Dedup.exactSubstringDedup(docs.repartition(7), "doc_id", "text",
+        windowLen = 4)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    a shouldBe b
+  }
+
   test("removeBoilerplate: shared passage cut EVERYWHERE, unique text kept") {
     val docs = Seq(
       (1L, "cookie banner text here body one alpha beta"),
