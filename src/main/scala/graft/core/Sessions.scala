@@ -27,6 +27,26 @@ object Sessions {
       // (truncated to µs in Obs.eventsAsObservations)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Spark's spillable on-disk state store for Structured Streaming. */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Point every streaming query STARTED AFTER this call at the RocksDB
+    * state store (the provider class is captured per query at start).
+    * The default HDFS-backed store keeps all keyed state on the executor
+    * heap — fine at test scale, a memory wall for production ingest
+    * state (term stats, open sessions, dedup fingerprints); RocksDB
+    * keeps a bounded block cache in memory, spills the rest to local
+    * disk, and checkpoints per-batch CHANGELOGS instead of full
+    * snapshots, which is the state lifecycle a 100 TB ingest needs.
+    */
+  def useRocksDbStateStore(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      RocksDbProvider)
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled", "true")
+  }
+
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
