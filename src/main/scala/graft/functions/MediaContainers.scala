@@ -280,6 +280,23 @@ object MediaContainers {
     */
   def buildMp4(width: Int, height: Int, nFrames: Int, ticksPerFrame: Int,
                keyEvery: Int, frameSize: Int = 16): Array[Byte] = {
+    // bitwise-identical to the original fixed-size form: frame j is the
+    // [j*frameSize, (j+1)*frameSize) slice of the (i % 251) byte ramp
+    buildMp4Samples(width, height,
+      (0 until nFrames).map(j => Array.tabulate(frameSize)(i =>
+        ((j * frameSize + i) % 251).toByte)),
+      ticksPerFrame, keyEvery)
+  }
+
+  /** [[buildMp4]] with CALLER-SUPPLIED sample payloads (variable sizes —
+    * e.g. real PNG/JPEG intra frames for the MJPEG-in-MP4 shape): stsz
+    * carries each sample's true size and stco each sample's true byte
+    * offset, so keyframe spans sliced from the sample table recover the
+    * exact encoded frame bytes.
+    */
+  def buildMp4Samples(width: Int, height: Int, frames: Seq[Array[Byte]],
+                      ticksPerFrame: Int, keyEvery: Int): Array[Byte] = {
+    val nFrames = frames.length
     require(width > 0 && height > 0 && nFrames > 0 && keyEvery > 0)
     def box(name: String, payload: Array[Byte]*): Array[Byte] = {
       val n = 8 + payload.map(_.length).sum
@@ -312,7 +329,7 @@ object MediaContainers {
     val stts = full("stts", be32(1, nFrames, ticksPerFrame))
     val stsc = full("stsc", be32(1, 1, 1, 1)) // one entry: 1 sample/chunk
     val stsz = full("stsz", be32(0, nFrames) ++
-      be32((0 until nFrames).map(_ => frameSize): _*))
+      be32(frames.map(_.length): _*))
     val stss = full("stss", be32(keyIdx.length +: keyIdx.map(_ + 1): _*))
     // stco is back-patched once the mdat position is known
     val stcoBody = be32(nFrames +: (0 until nFrames).map(_ => 0): _*)
@@ -322,18 +339,75 @@ object MediaContainers {
     val mdia = box("mdia", mdhd, hdlr, minf)
     val trak = box("trak", tkhd, mdia)
     val moov = box("moov", mvhd, trak)
-    val frames = Array.tabulate(nFrames * frameSize)(i => (i % 251).toByte)
-    val mdat = box("mdat", frames)
+    val mdat = box("mdat", frames.toArray: _*)
     val out = ftyp ++ moov ++ mdat
     // back-patch chunk offsets: find stco inside the flat file (the
     // builder wrote zeros there), first frame starts 8 bytes into mdat
     val mdatPos = ftyp.length + moov.length
     val stcoPos = indexOfBox(out, "stco")
     val b = ByteBuffer.wrap(out).order(ByteOrder.BIG_ENDIAN)
+    val starts = frames.scanLeft(mdatPos + 8)(_ + _.length)
     (0 until nFrames).foreach { i =>
-      b.putInt(stcoPos + 16 + 4 * i, mdatPos + 8 + i * frameSize)
+      b.putInt(stcoPos + 16 + 4 * i, starts(i))
     }
     out
+  }
+
+  /** Byte span of every sync sample of the video track:
+    * (frameIdx 0-based, offset, size). Exact under the
+    * 1-sample-per-chunk stsc layout (the video-keyframe-seek layout
+    * real muxers write); fails loudly otherwise — a wrong slice would
+    * silently decode garbage.
+    */
+  def mp4KeyframeSpans(payload: Array[Byte]): Seq[(Int, Long, Int)] = {
+    val top = boxes(payload, 0, payload.length)
+    val (moovFrom, moovTo) = child(payload, top, "moov").getOrElse(
+      throw new IllegalArgumentException("MP4 has no moov box"))
+    val moov = boxes(payload, moovFrom, moovTo)
+    val tracks = moov.filter(_._1 == "trak").map { case (_, f, t) =>
+      val tk = boxes(payload, f, t)
+      val dims = child(payload, tk, "tkhd").map { case (_, kt) =>
+        (u32(payload, kt - 8).toInt >>> 16, u32(payload, kt - 4).toInt >>> 16)
+      }.getOrElse((0, 0))
+      (tk, dims._1, dims._2)
+    }
+    val tk = tracks.find(t => t._2 > 0 && t._3 > 0).map(_._1).getOrElse(
+      throw new IllegalArgumentException("MP4 has no video track"))
+    val stbl = (for {
+      (mdFrom, mdTo) <- child(payload, tk, "mdia")
+      mdia = boxes(payload, mdFrom, mdTo)
+      (mnFrom, mnTo) <- child(payload, mdia, "minf")
+      minf = boxes(payload, mnFrom, mnTo)
+      (sbFrom, sbTo) <- child(payload, minf, "stbl")
+    } yield boxes(payload, sbFrom, sbTo)).getOrElse(
+      throw new IllegalArgumentException("MP4 video track has no stbl"))
+    val (szFrom, _) = child(payload, stbl, "stsz").getOrElse(
+      throw new IllegalArgumentException("MP4 stbl has no stsz"))
+    val fixedSize = u32(payload, szFrom + 4)
+    val nFrames = u32(payload, szFrom + 8).toInt
+    val sizes: Int => Int =
+      if (fixedSize != 0L) _ => fixedSize.toInt
+      else i => u32(payload, szFrom + 12 + 4 * i).toInt
+    val keyframes = child(payload, stbl, "stss").map { case (f, _) =>
+      val n = u32(payload, f + 4).toInt
+      (0 until n).map(i => u32(payload, f + 8 + 4 * i).toInt - 1)
+    }.getOrElse(0 until nFrames)
+    val chunkOffsets = child(payload, stbl, "stco").map { case (f, _) =>
+      val n = u32(payload, f + 4).toInt
+      (0 until n).map(i => u32(payload, f + 8 + 4 * i))
+    }.orElse(child(payload, stbl, "co64").map { case (f, _) =>
+      val n = u32(payload, f + 4).toInt
+      (0 until n).map(i => ByteBuffer.wrap(payload, f + 8 + 8 * i, 8)
+        .order(ByteOrder.BIG_ENDIAN).getLong())
+    }).getOrElse(throw new IllegalArgumentException(
+      "MP4 stbl has no stco/co64"))
+    val oneSamplePerChunk = child(payload, stbl, "stsc").exists { case (f, _) =>
+      u32(payload, f + 4).toInt == 1 && u32(payload, f + 12) == 1L
+    }
+    require(oneSamplePerChunk && chunkOffsets.length >= nFrames,
+      "MP4 keyframe spans need the 1-sample-per-chunk stsc layout " +
+        s"(entries=${chunkOffsets.length}, frames=$nFrames)")
+    keyframes.map(k => (k, chunkOffsets(k), sizes(k)))
   }
 
   private def indexOfBox(b: Array[Byte], name: String): Int = {

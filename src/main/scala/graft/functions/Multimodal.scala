@@ -334,6 +334,79 @@ object Multimodal {
     }
   }
 
+  final case class VideoPhashRow(media_id: Long, frame_idx: Int,
+                                 frame_w: Int, frame_h: Int, phash: Long)
+
+  /** I-frame perceptual hash for intra-coded video (the MJPEG-in-MP4
+    * shape: every sample a standalone JPEG/PNG image): slice each sync
+    * sample's exact bytes out of the container via the sample table
+    * ([[MediaContainers.mp4KeyframeSpans]] — stss × stsz × stco),
+    * decode it standalone with ImageIO, and dHash the 65 column-mean
+    * lumas (integer 299/587/114 luma, integer means — adjacent
+    * greater-than bits, same convention as [[perceptualHash]]). This
+    * extends perceptual near-dup detection from images to video without
+    * a codec dependency: intra frames decode through the same
+    * `javax.imageio` path the image rows use. Map-side only — payloads
+    * never shuffle; only (id, frame, dims, 64-bit hash) rows move on.
+    */
+  def videoKeyframePhash(media: DataFrame): Dataset[VideoPhashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaContainers.mp4KeyframeSpans(r.payload).map { case (k, off, len) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload, off.toInt, len))
+          require(img != null, s"undecodable intra frame $k")
+          val (w, h) = (img.getWidth, img.getHeight)
+          // 65 sampled columns spread across the width (c*(w-1)/64 —
+          // for a 65-px frame that is column c exactly), integer mean
+          // luma down each column, 64 adjacent comparisons
+          val colLuma = Array.tabulate(65) { c =>
+            val x = c * (w - 1) / 64
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              val rgb = img.getRGB(x, y)
+              sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff)
+                + 114L * (rgb & 0xff)) / 1000L
+              y += 1
+            }
+            sum / h
+          }
+          var bits = 0L
+          var i = 0
+          while (i < 64) {
+            if (colLuma(i) > colLuma(i + 1)) bits |= 1L << i
+            i += 1
+          }
+          VideoPhashRow(r.media_id, k, w, h, bits)
+        }
+      }
+    }
+  }
+
+  /** Deterministic 65×`h` PNG intra frame whose column `x` is the flat
+    * gray `(x * mult + add) % 256` — PNG is lossless, so decoding
+    * replays the integer formula exactly (the fixture the video-phash
+    * oracle recomputes algebraically).
+    */
+  def pngColumnFrame(mult: Int, add: Int, h: Int = 3): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(65, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < 65) {
+      val l = ((x * mult + add) % 256 + 256) % 256
+      val rgb = (l << 16) | (l << 8) | l
+      var y = 0
+      while (y < h) { img.setRGB(x, y, rgb); y += 1 }
+      x += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Perceptual near-dup pairs: band the 64-bit dHash into 4×16-bit
     * keys (two hashes within Hamming distance 3 of each other share at
     * least one intact band — the SimHash pigeonhole), equi-join on the

@@ -785,6 +785,57 @@ object QueriesEmb {
              |  CAST(ke * (nk * (nk - 1) // 2) AS BIGINT) AS key_sum
              |FROM k""".stripMargin)),
 
+    // video I-frame perceptual hash: each row builds an intra-coded MP4
+    // (every sample a real lossless PNG whose column lumas follow an
+    // integer formula), then the operator slices each sync sample's
+    // exact bytes via the sample table, decodes it standalone through
+    // ImageIO, and dHashes the column-mean lumas. The oracle recomputes
+    // the lumas algebraically — any drift in the builder, the
+    // stss/stsz/stco slicing, the PNG round-trip, or the bit packing
+    // breaks the hash. Map-side end to end; payloads never shuffle.
+    QDef("mm_video_phash",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Q.table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val media = docs.map { case (id, nch) =>
+          val nf = 1 + (nch % 24).toInt
+          val ke = 1 + (id % 7).toInt
+          val mult = 1 + (id % 5).toInt
+          val frames = (0 until nf).map(j =>
+            Multimodal.pngColumnFrame(mult, ((7L * j + id) % 256).toInt))
+          (id, "video/mp4",
+            MediaContainers.buildMp4Samples(65, 3, frames, 40, ke))
+        }.toDF("media_id", "kind", "payload")
+        Multimodal.videoKeyframePhash(media).toDF()
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id AS media_id,
+             |    1 + n_chars % 24 AS nf,
+             |    1 + doc_id % 7 AS ke,
+             |    1 + doc_id % 5 AS mult
+             |  FROM documents),
+             |kf AS (SELECT media_id, mult,
+             |         unnest(range(0, nf, ke)) AS frame_idx FROM p),
+             |lum AS (SELECT media_id, frame_idx, x,
+             |          (x * mult + 7 * frame_idx + media_id) % 256 AS l
+             |        FROM kf, unnest(range(0, 65)) AS t(x)),
+             |bits AS (SELECT a.media_id, a.frame_idx, a.x AS i,
+             |           CASE WHEN a.l > b.l THEN 1 ELSE 0 END AS bit
+             |         FROM lum a JOIN lum b
+             |           ON a.media_id = b.media_id
+             |          AND a.frame_idx = b.frame_idx AND b.x = a.x + 1
+             |         WHERE a.x < 64)
+             |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+             |  CAST(65 AS INT) AS frame_w, CAST(3 AS INT) AS frame_h,
+             |  CAST(sum(CASE WHEN i < 63
+             |             THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END)
+             |    + CASE WHEN max(CASE WHEN i = 63 THEN bit ELSE 0 END) = 1
+             |        THEN -9223372036854775807 - 1 ELSE 0 END AS BIGINT)
+             |    AS phash
+             |FROM bits GROUP BY media_id, frame_idx""".stripMargin)),
+
     // real WAV/PCM audio decode: each row builds a deterministic PCM16
     // mono WAV (header + junk LIST chunk + samples synthesized from
     // doc_id), parses it back through the RIFF chunk walker and emits

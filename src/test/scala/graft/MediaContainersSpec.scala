@@ -81,6 +81,57 @@ class MediaContainersSpec extends AnyFunSuite with Matchers {
     intercept[IllegalArgumentException](MC.parse(tiny))
   }
 
+  test("mp4KeyframeSpans: exact byte spans; sliced bytes equal the source frames") {
+    val frames = Seq(
+      Multimodal.pngColumnFrame(1, 0),
+      Multimodal.pngColumnFrame(2, 5),
+      Multimodal.pngColumnFrame(3, 9),
+      Multimodal.pngColumnFrame(4, 1))
+    val mp4 = MC.buildMp4Samples(65, 3, frames, 40, keyEvery = 2)
+    val spans = MC.mp4KeyframeSpans(mp4)
+    spans.map(_._1) shouldBe Seq(0, 2) // keyframes every 2 of 4 frames
+    spans.foreach { case (k, off, len) =>
+      len shouldBe frames(k).length
+      mp4.slice(off.toInt, off.toInt + len).toSeq shouldBe frames(k).toSeq
+    }
+    // fixed-size legacy form still yields exact spans
+    val fixed = MC.buildMp4(100, 80, 5, 25, 2, frameSize = 16)
+    MC.mp4KeyframeSpans(fixed).map(s => (s._1, s._3)) shouldBe
+      Seq((0, 16), (2, 16), (4, 16))
+  }
+
+  test("videoKeyframePhash: decoded I-frame hashes match the pixel formula") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    // monotone increasing columns → no adjacent greater-than → hash 0;
+    // monotone decreasing (mult 255 ≡ -1 mod 256 from 255) → all 64
+    // bits set → -1 as a signed long
+    val inc = Multimodal.pngColumnFrame(2, 0)       // 0,2,4,... rising
+    val dec = Multimodal.pngColumnFrame(255, 255)   // 255,254,... falling
+    val mp4 = MC.buildMp4Samples(65, 3, Seq(inc, dec), 40, keyEvery = 1)
+    val rows = Multimodal.videoKeyframePhash(
+        Seq((9L, "video/mp4", mp4)).toDF("media_id", "kind", "payload"))
+      .collect().sortBy(_.frame_idx)
+    rows.map(_.frame_idx).toSeq shouldBe Seq(0, 1)
+    rows(0).phash shouldBe 0L
+    rows(1).phash shouldBe -1L
+    rows.foreach { r => r.frame_w shouldBe 65; r.frame_h shouldBe 3 }
+    // near-identical frames (one column bumped) differ in few bits
+    val bumped = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(inc))
+      img.setRGB(30, 0, 0xffffff); img.setRGB(30, 1, 0xffffff)
+      img.setRGB(30, 2, 0xffffff)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out); out.toByteArray
+    }
+    val mp4b = MC.buildMp4Samples(65, 3, Seq(bumped), 40, keyEvery = 1)
+    val hb = Multimodal.videoKeyframePhash(
+        Seq((10L, "video/mp4", mp4b)).toDF("media_id", "kind", "payload"))
+      .collect().head.phash
+    java.lang.Long.bitCount(hb ^ 0L) should be <= 3
+  }
+
   test("containerMetadata: map-side parse over a mixed-format frame") {
     val spark = TestSession.spark
     import spark.implicits._
