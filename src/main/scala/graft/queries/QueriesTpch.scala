@@ -749,6 +749,511 @@ object QueriesTpch {
              |         CAST(150000 + (85 * coalesce(c3.s, 0)) // 100 AS BIGINT)
              |           AS rank_micro
              |       FROM n LEFT JOIN c3 ON c3.node = n.node)
-             |SELECT node, rank_micro FROM r3""".stripMargin))
+             |SELECT node, rank_micro FROM r3""".stripMargin)),
+
+    // TPC-H q2 shape — min-cost supplier (the correlated-subquery
+    // pattern): "supply cost" is the min unit price each supplier ever
+    // charged for the part (no partsupp table in this schema), the
+    // region filter prunes suppliers, and each part keeps only the
+    // suppliers matching its regional minimum. Scale shape: the unit
+    // costs are a two-phase groupBy over lineitem; all dims broadcast;
+    // the per-part min joins back on (part, cost) equality. Fully
+    // deterministic output order (the sort key chain is unique).
+    QDef("q2_min_cost_supplier",
+      (s, dir) => {
+        val l = Q.table(s, dir, "lineitem")
+        val p = Q.table(s, dir, "part")
+          .filter(col("p_type") === "STANDARD" && col("p_size") < 10)
+        val sup = Q.table(s, dir, "supplier")
+        val n = Q.table(s, dir, "nation")
+        val r = Q.table(s, dir, "region").filter(col("r_name") === "EUROPE")
+        // unit cost in PURE integer arithmetic: micro(ep)*1e6 DIV
+        // micro(qty) — a double division quantized through the decimal
+        // cast rounds half-up in Spark but half-even in DuckDB, and one
+        // exact-.5 cell proved it (597470312.5)
+        val cost = l.groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(expr(
+            "CAST(CAST(l_extendedprice AS decimal(25,6)) * 1000000 AS BIGINT)" +
+              " * 1000000 DIV" +
+              " CAST(CAST(l_quantity AS decimal(25,6)) * 1000000 AS BIGINT)"))
+            .as("cost_micro"))
+        val eu = cost
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        val best = eu.groupBy(col("l_partkey").as("__pk"))
+          .agg(min(col("cost_micro")).as("__min_cost"))
+        eu.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(best, col("l_partkey") === col("__pk") &&
+            col("cost_micro") === col("__min_cost"))
+          .select(micro(col("s_acctbal")).as("s_acctbal_micro"),
+            col("s_name"), col("n_name"), col("p_partkey"), col("p_name"),
+            col("cost_micro"))
+          .orderBy(col("s_acctbal_micro").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some(s"""WITH cost AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    CAST(min(${microSql("l_extendedprice")} * 1000000
+             |      // ${microSql("l_quantity")}) AS BIGINT) AS cost_micro
+             |  FROM lineitem GROUP BY 1, 2),
+             |eu AS (
+             |  SELECT cost.l_partkey, cost.cost_micro, s_name, s_acctbal, n_name
+             |  FROM cost JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'EUROPE'),
+             |best AS (SELECT l_partkey, min(cost_micro) AS min_cost
+             |         FROM eu GROUP BY 1)
+             |SELECT ${microSql("s_acctbal")} AS s_acctbal_micro, s_name, n_name,
+             |  p_partkey, p_name, cost_micro
+             |FROM eu JOIN part ON eu.l_partkey = p_partkey
+             |JOIN best ON eu.l_partkey = best.l_partkey
+             |  AND cost_micro = min_cost
+             |WHERE p_type = 'STANDARD' AND p_size < 10
+             |ORDER BY s_acctbal_micro DESC, n_name, s_name, p_partkey
+             |LIMIT 100""".stripMargin)),
+
+    // TPC-H q4 shape — order priority checking: one quarter of orders
+    // having at least one "late" line (shipped > 30 days after the
+    // order date; this schema has no commit/receipt dates). The EXISTS
+    // is a left-semi join; the quarter filter reaches the orders scan.
+    QDef("q4_order_priority",
+      (s, dir) => {
+        val o = Q.table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        val l = Q.table(s, dir, "lineitem")
+        o.join(l, col("o_orderkey") === col("l_orderkey") &&
+            unix_micros(col("l_shipdate").cast("timestamp")) >
+              unix_micros(col("o_orderdate").cast("timestamp"))
+                + lit(2592000000000L),
+          "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+             |  AND EXISTS (
+             |    SELECT 1 FROM lineitem
+             |    WHERE l_orderkey = o_orderkey
+             |      AND epoch_us(l_shipdate) > epoch_us(o_orderdate)
+             |        + 2592000000000)
+             |GROUP BY 1""".stripMargin)),
+
+    // TPC-H q6 — forecasting revenue change: pure scan-side predicate
+    // (year x discount band x quantity cap, all pushed to parquet) and
+    // one global integer sum. The canonical columns all exist here.
+    QDef("q6_forecast_revenue",
+      (s, dir) => Q.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(micro(col("l_extendedprice") * col("l_discount")))
+          .as("revenue_micro"),
+          count(lit(1)).as("n_lines")),
+      Some(s"""SELECT
+             |  CAST(sum(${microSql("l_extendedprice * l_discount")}) AS BIGINT)
+             |    AS revenue_micro,
+             |  count(*) AS n_lines
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount >= CAST(0.05 AS DOUBLE)
+             |  AND l_discount <= CAST(0.07 AS DOUBLE)
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H q8 shape — national market share: NATION_7's slice of ASIA
+    // customers' PROMO-part volume per order year. Share is reported in
+    // ppm over WHOLE-unit sums (micro sums overflow int64 when scaled
+    // by 1e6; identical integer ops both engines keep parity exact).
+    QDef("q8_market_share",
+      (s, dir) => {
+        val l = Q.table(s, dir, "lineitem")
+        val o = Q.table(s, dir, "orders")
+        val c = Q.table(s, dir, "customer")
+        val sup = Q.table(s, dir, "supplier")
+        val n1 = Q.table(s, dir, "nation")
+        val r = Q.table(s, dir, "region").filter(col("r_name") === "ASIA")
+        val n2 = Q.table(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val p = Q.table(s, dir, "part").filter(col("p_type") === "PROMO")
+        val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(sum(when(col("supp_nation") === "NATION_7", micro(vol))
+            .otherwise(lit(0L))).as("nation_vol_micro"),
+            sum(micro(vol)).as("total_vol_micro"))
+          .select(col("o_year"), col("nation_vol_micro"), col("total_vol_micro"),
+            expr("(nation_vol_micro DIV 1000000) * 1000000" +
+              " DIV greatest(total_vol_micro DIV 1000000, 1)").as("share_ppm"))
+      },
+      Some(s"""WITH v AS (
+             |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             |    CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+             |      THEN ${microSql("l_extendedprice * (1.0 - l_discount)")}
+             |      ELSE 0 END) AS BIGINT) AS nation_vol_micro,
+             |    CAST(sum(${microSql("l_extendedprice * (1.0 - l_discount)")})
+             |      AS BIGINT) AS total_vol_micro
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN part ON l_partkey = p_partkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |  JOIN region ON n1.n_regionkey = r_regionkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+             |  GROUP BY 1)
+             |SELECT o_year, nation_vol_micro, total_vol_micro,
+             |  CAST((nation_vol_micro // 1000000) * 1000000
+             |    // greatest(total_vol_micro // 1000000, 1) AS BIGINT)
+             |    AS share_ppm
+             |FROM v""".stripMargin)),
+
+    // TPC-H q9 shape — product-type profit: revenue minus a synthetic
+    // supply cost (half the part's retail price per unit — no
+    // ps_supplycost here), per supplier nation x order year, for parts
+    // whose name carries a color token.
+    QDef("q9_product_profit",
+      (s, dir) => {
+        val l = Q.table(s, dir, "lineitem")
+        val o = Q.table(s, dir, "orders")
+        val sup = Q.table(s, dir, "supplier")
+        val n = Q.table(s, dir, "nation")
+        val p = Q.table(s, dir, "part").filter(col("p_name").contains("red"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+          .agg(sum(micro(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            - micro(col("p_retailprice") * col("l_quantity") * lit(0.5)))
+            .as("profit_micro"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some(s"""SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+             |  CAST(sum(${microSql("l_extendedprice * (1.0 - l_discount)")}
+             |    - ${microSql("p_retailprice * l_quantity * 0.5")}) AS BIGINT)
+             |    AS profit_micro,
+             |  count(*) AS n_lines
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE p_name LIKE '%red%'
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // TPC-H q11 shape — important stock: per-part "inventory value"
+    // (revenue booked through NATION_3 suppliers; no partsupp here)
+    // above a fraction of the grand total. The total is a one-row
+    // broadcast; the threshold compare is pure integer.
+    QDef("q11_important_stock",
+      (s, dir) => {
+        val l = Q.table(s, dir, "lineitem")
+        val sup = Q.table(s, dir, "supplier")
+        val n = Q.table(s, dir, "nation").filter(col("n_name") === "NATION_3")
+        val li = l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        val perPart = li.groupBy(col("l_partkey"))
+          .agg(sum(micro(col("l_extendedprice"))).as("value_micro"))
+        val total = perPart.agg(sum(col("value_micro")).as("__total"))
+        perPart.crossJoin(broadcast(total))
+          .filter(col("value_micro") * lit(10000L) > col("__total"))
+          .select(col("l_partkey"), col("value_micro"))
+      },
+      Some(s"""WITH li AS (
+             |  SELECT l_partkey, ${microSql("l_extendedprice")} AS v
+             |  FROM lineitem
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE n_name = 'NATION_3'),
+             |pp AS (SELECT l_partkey, CAST(sum(v) AS BIGINT) AS value_micro
+             |       FROM li GROUP BY 1),
+             |t AS (SELECT CAST(sum(value_micro) AS BIGINT) AS total FROM pp)
+             |SELECT l_partkey, value_micro FROM pp, t
+             |WHERE value_micro * 10000 > total""".stripMargin)),
+
+    // TPC-H q12 shape — shipping-delay classes (no l_shipmode in this
+    // schema): lines bucketed by ship delay vs the order date, counting
+    // critical-priority orders per bucket. Delay is exact integer
+    // epoch-µs arithmetic.
+    QDef("q12_delay_classes",
+      (s, dir) => {
+        val l = Q.table(s, dir, "lineitem")
+        val o = Q.table(s, dir, "orders")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("delay_class",
+            when((unix_micros(col("l_shipdate").cast("timestamp"))
+              - unix_micros(col("o_orderdate").cast("timestamp")))
+              >= lit(60L * 86400000000L), "SLOW").otherwise("FAST"))
+          .groupBy(col("delay_class"))
+          .agg(sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+            .as("high_line_count"),
+            sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+              col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+              .as("low_line_count"))
+      },
+      Some("""SELECT
+             |  CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate)
+             |    >= 5184000000000 THEN 'SLOW' ELSE 'FAST' END AS delay_class,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1""".stripMargin)),
+
+    // TPC-H q13 — customer order-count distribution: left join keeps
+    // zero-order customers, the excluded priority stands in for the
+    // canonical comment filter; two cascaded aggregations.
+    QDef("q13_customer_distribution",
+      (s, dir) => {
+        val c = Q.table(s, dir, "customer")
+        val o = Q.table(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""WITH co AS (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer
+             |  LEFT JOIN orders ON c_custkey = o_custkey
+             |    AND o_orderpriority <> '4-NOT SPECIFIED'
+             |  GROUP BY 1)
+             |SELECT c_count, count(*) AS custdist
+             |FROM co GROUP BY 1""".stripMargin)),
+
+    // TPC-H q15 — top supplier: quarterly revenue per supplier, keep
+    // the one(s) matching the scalar max (ties all survive, exactly the
+    // canonical view + subquery form).
+    QDef("q15_top_supplier",
+      (s, dir) => {
+        val l = Q.table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        val rev = l.groupBy(col("l_suppkey"))
+          .agg(sum(micro(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("total_revenue_micro"))
+        val mx = rev.agg(max(col("total_revenue_micro")).as("__mx"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("total_revenue_micro") === col("__mx"))
+          .join(broadcast(Q.table(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue_micro"))
+      },
+      Some(s"""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    CAST(sum(${microSql("l_extendedprice * (1.0 - l_discount)")})
+             |      AS BIGINT) AS total_revenue_micro
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name, total_revenue_micro
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_revenue_micro = (SELECT max(total_revenue_micro)
+             |                             FROM rev)""".stripMargin)),
+
+    // TPC-H q17 shape — small-quantity-order revenue: lines of one
+    // brand under 20% of their part's average quantity; the 5x integer
+    // cross-multiplication avoids any division on the compare side, and
+    // the per-part averages join back broadcast-scale.
+    QDef("q17_small_qty_revenue",
+      (s, dir) => {
+        val p = Q.table(s, dir, "part").filter(col("p_brand") === "Brand#13")
+        val l = Q.table(s, dir, "lineitem")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        val perPart = l.groupBy(col("l_partkey").as("__pk"))
+          .agg(sum(micro(col("l_quantity"))).as("__sq"),
+            count(lit(1)).as("__cnt"))
+        l.join(broadcast(perPart), col("l_partkey") === col("__pk"))
+          .filter(micro(col("l_quantity")) * lit(5L) <
+            expr("__sq DIV __cnt"))
+          .agg(sum(micro(col("l_extendedprice"))).as("__rev"),
+            count(lit(1)).as("n_lines"))
+          .select(expr("__rev DIV 7").as("avg_yearly_micro"), col("n_lines"))
+      },
+      Some(s"""WITH li AS (
+             |  SELECT l_partkey, l_quantity, l_extendedprice
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_brand = 'Brand#13'),
+             |pp AS (SELECT l_partkey,
+             |         CAST(sum(${microSql("l_quantity")}) AS BIGINT) AS sq,
+             |         count(*) AS cnt
+             |       FROM li GROUP BY 1)
+             |SELECT CAST(sum(${microSql("l_extendedprice")}) // 7 AS BIGINT)
+             |    AS avg_yearly_micro,
+             |  count(*) AS n_lines
+             |FROM li JOIN pp USING (l_partkey)
+             |WHERE ${microSql("l_quantity")} * 5 < sq // cnt""".stripMargin)),
+
+    // TPC-H q19 — discounted revenue, the OR-of-ANDs join predicate
+    // (brand x size x quantity windows; no container/shipmode columns
+    // here). The disjunction lives in the join condition, exactly the
+    // canonical pattern Catalyst must not flatten wrongly.
+    QDef("q19_discounted_revenue",
+      (s, dir) => {
+        val l = Q.table(s, dir, "lineitem")
+        val p = Q.table(s, dir, "part")
+        val c1 = col("p_brand") === "Brand#1" &&
+          col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+        val c2 = col("p_brand") === "Brand#7" &&
+          col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+        val c3 = col("p_brand") === "Brand#13" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+        l.join(broadcast(p),
+            col("l_partkey") === col("p_partkey") && (c1 || c2 || c3))
+          .agg(sum(micro(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_micro"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some(s"""SELECT
+             |  CAST(sum(${microSql("l_extendedprice * (1.0 - l_discount)")})
+             |    AS BIGINT) AS revenue_micro,
+             |  count(*) AS n_lines
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+             |       AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 10
+             |       AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+             |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // TPC-H q20 shape — potential part promotion: ASIA suppliers who
+    // moved more than 30 units of any 'small %' part during 1996
+    // (supply volume from lineitem; no partsupp availqty here). The
+    // nested-subquery chain becomes groupBy -> semi-join.
+    QDef("q20_potential_promotion",
+      (s, dir) => {
+        val p = Q.table(s, dir, "part").filter(col("p_name").startsWith("small"))
+        val l = Q.table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        val sup = Q.table(s, dir, "supplier")
+        val n = Q.table(s, dir, "nation")
+        val r = Q.table(s, dir, "region").filter(col("r_name") === "ASIA")
+        val moved = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum(micro(col("l_quantity"))).as("__qty"))
+          .filter(col("__qty") > lit(30L * 1000000L))
+          .select(col("l_suppkey")).distinct()
+        sup.join(moved, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      },
+      Some(s"""WITH moved AS (
+             |  SELECT l_suppkey FROM (
+             |    SELECT l_suppkey, l_partkey,
+             |      CAST(sum(${microSql("l_quantity")}) AS BIGINT) AS q
+             |    FROM lineitem JOIN part ON l_partkey = p_partkey
+             |    WHERE p_name LIKE 'small%'
+             |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |    GROUP BY 1, 2) t
+             |  WHERE q > 30000000 GROUP BY 1)
+             |SELECT s_suppkey, s_name, n_name
+             |FROM supplier
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND s_suppkey IN (SELECT l_suppkey FROM moved)""".stripMargin)),
+
+    // TPC-H q21 shape — suppliers who kept orders waiting: finalized
+    // multi-supplier orders where ONLY this supplier shipped late
+    // (> 60 days after the order date; no commit/receipt dates here).
+    // exists -> semi-join, not-exists -> anti-join, per-line counting.
+    QDef("q21_waiting_supplier",
+      (s, dir) => {
+        val o = Q.table(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        val l = Q.table(s, dir, "lineitem")
+        val sup = Q.table(s, dir, "supplier")
+        val lo = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        val lateCond = unix_micros(col("l_shipdate").cast("timestamp")) >
+          unix_micros(col("o_orderdate").cast("timestamp")) + lit(5184000000000L)
+        val l1 = lo.filter(lateCond).select(col("l_orderkey"), col("l_suppkey"))
+        val allLines = l.select(col("l_orderkey").as("__o2"),
+          col("l_suppkey").as("__s2")).distinct()
+        val lateD = l1.distinct()
+          .select(col("l_orderkey").as("__o3"), col("l_suppkey").as("__s3"))
+        l1.join(allLines, col("l_orderkey") === col("__o2") &&
+            col("l_suppkey") =!= col("__s2"), "left_semi")
+          .join(lateD, col("l_orderkey") === col("__o3") &&
+            col("l_suppkey") =!= col("__s3"), "left_anti")
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""WITH l1 AS (
+             |  SELECT l_orderkey, l_suppkey
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderstatus = 'F'
+             |    AND epoch_us(l_shipdate) > epoch_us(o_orderdate)
+             |      + 5184000000000)
+             |SELECT s_name, count(*) AS numwait
+             |FROM l1 JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM l1 l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey)
+             |GROUP BY 1
+             |ORDER BY numwait DESC, s_name
+             |LIMIT 20""".stripMargin)),
+
+    // TPC-H q22 shape — global sales opportunity: customers richer than
+    // the average positive balance with no RECENT orders, grouped by nation
+    // (no phone country codes in this schema). The average is an exact
+    // integer floor-division scalar; the not-exists is an anti-join.
+    QDef("q22_sales_opportunity",
+      (s, dir) => {
+        val c = Q.table(s, dir, "customer")
+        val o = Q.table(s, dir, "orders")
+        val avgPos = c.filter(col("c_acctbal") > 0.0)
+          .agg(sum(micro(col("c_acctbal"))).as("__s"),
+            count(lit(1)).as("__n"))
+          .select(expr("__s DIV __n").as("__avg"))
+        c.crossJoin(broadcast(avgPos))
+          .filter(micro(col("c_acctbal")) > col("__avg"))
+          .join(o.filter(col("o_orderdate") >= lit("1999-01-01")
+              .cast("timestamp"))
+            .select(col("o_custkey")).distinct(),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(micro(col("c_acctbal"))).as("totacctbal_micro"))
+      },
+      Some(s"""WITH a AS (
+             |  SELECT CAST(sum(${microSql("c_acctbal")}) // count(*) AS BIGINT)
+             |    AS avg_micro
+             |  FROM customer WHERE c_acctbal > 0.0)
+             |SELECT c_nationkey, count(*) AS numcust,
+             |  CAST(sum(${microSql("c_acctbal")}) AS BIGINT) AS totacctbal_micro
+             |FROM customer, a
+             |WHERE ${microSql("c_acctbal")} > a.avg_micro
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderdate >=
+             |                      TIMESTAMP '1999-01-01 00:00:00')
+             |GROUP BY 1""".stripMargin)),
   )
 }
