@@ -22,8 +22,9 @@ import graft.ops.Grid
   * messages in the header), Dataspace v1/v2, Datatype classes 0
   * (fixed) and 1 (IEEE float), Data Layout v3 contiguous AND chunked
   * (v1 B-tree chunk index) AND v4 (contiguous; chunked under Single
-  * Chunk, Implicit and Fixed Array indexes — the fixed-dims indexes
-  * the latest format writes), filter pipeline v1/v2 with deflate
+  * Chunk, Implicit, Fixed Array — the fixed-dims indexes the latest
+  * format writes — and Extensible Array for a leading unlimited/record
+  * dimension, direct blocks), filter pipeline v1/v2 with deflate
   * (`java.util.zip.Inflater` — the zlib stream's own adler32
   * integrity-checks each chunk), shuffle (byte de-interleave), and
   * fletcher32 (checksum stripped), and Attribute messages v1–v3 for
@@ -32,8 +33,8 @@ import graft.ops.Grid
   * exactly like [[NetcdfReader.NcFile.readDoubles]] so a packed or
   * fill-bearing grid decodes identically through either container.
   *
-  * Everything else — dense (fractal-heap) groups, extensible-array /
-  * v2-B-tree chunk indexes (unlimited dims), superblock extensions,
+  * Everything else — v2-B-tree chunk indexes (several unlimited
+  * dims), Extensible Array super blocks, superblock extensions,
   * non-8-byte offsets, unknown filters, a conventions attribute this
   * reader cannot decode — fails LOUDLY with a message naming the
   * limitation and the one-line `nccopy` escape hatch; this reader
@@ -63,8 +64,9 @@ object Hdf5Reader {
   /** How a chunked dataset's chunks are located. V1 B-tree is what
     * classic (superblock v0/v1) files use; the other three are the v4
     * data-layout chunk indexes the latest file format writes for
-    * fixed-dimension datasets. (Extensible Array and v2 B-tree indexes
-    * — unlimited/multi-unlimited dims — are rejected loudly.)
+    * fixed-dimension datasets; Extensible Array covers the
+    * one-unlimited-dim (netCDF record dimension) files h5py/netCDF-4
+    * write. (v2 B-tree indexes — multi-unlimited dims — reject loudly.)
     */
   sealed trait ChunkIndex
   final case class BtreeV1(addr: Long) extends ChunkIndex
@@ -75,6 +77,11 @@ object Hdf5Reader {
   final case class ImplicitIndex(addr: Long) extends ChunkIndex
   /** Fixed Array index: FAHD header → FADB element block. */
   final case class FixedArrayIndex(addr: Long) extends ChunkIndex
+  /** Extensible Array index (one unlimited dim): EAHD header → EAIB
+    * index block (direct elements + direct EADB data blocks; super
+    * blocks reject loudly).
+    */
+  final case class ExtensibleArrayIndex(addr: Long) extends ChunkIndex
 
   /** `chunkDims` excludes the trailing element-size pseudo-dimension. */
   final case class Chunked(index: ChunkIndex, chunkDims: Seq[Int]) extends Layout
@@ -141,6 +148,7 @@ object Hdf5Reader {
         case SingleChunk(a, _) => a
         case ImplicitIndex(a) => a
         case FixedArrayIndex(a) => a
+        case ExtensibleArrayIndex(a) => a
       }
       if (idxAddr == Undef) return out // no chunk was ever written
       val gStrides = new Array[Long](ndims)
@@ -159,6 +167,8 @@ object Hdf5Reader {
           implicitEntries(a, d.dims.toArray, cd, nc * d.dtSize)
         case FixedArrayIndex(a) =>
           fixedArrayEntries(b, a, d, cd, nc, path)
+        case ExtensibleArrayIndex(a) =>
+          extensibleArrayEntries(b, a, d, cd, nc, path)
       }
       // an Undef entry address = chunk never allocated (sparse dataset
       // under a Fixed Array index): those cells keep the fill value
@@ -773,6 +783,167 @@ object Hdf5Reader {
     }
   }
 
+  /** Extensible Array chunk index (v4 layout, ONE unlimited dim — the
+    * netCDF record-dimension files h5py writes): EAHD header → EAIB
+    * index block. Elements live (a) directly in the index block (the
+    * first `idxBlkElmts`) and (b) in EADB data blocks addressed
+    * directly from the index block — per the spec's geometry, super
+    * block u holds 2^(u/2) data blocks of 2^((u+1)/2)·minElmts
+    * elements, and the first 2·log2(minPtrs) super blocks' data blocks
+    * are addressed straight from the index block (H5EA "Index Block":
+    * 2·(minPtrs−1) data block addresses). Deeper growth lives under
+    * EASB super blocks, which this reader rejects LOUDLY (with the
+    * default creation params that boundary is 4 + 16+32+32+64+64 = 212
+    * chunks — far past any grid fixture, and a real file past it names
+    * the `nccopy` escape). Element encoding matches Fixed Array:
+    * client 0 = chunk address; client 1 = address + variable-width
+    * stored size + filter mask. Linear element index = row-major chunk
+    * grid index over the CURRENT dims, which is growth-stable exactly
+    * when the unlimited dimension is dim 0 (validated against the
+    * dataspace max-dims in [[parseDataset]]). Checksums structural,
+    * like the rest of this reader.
+    */
+  private def extensibleArrayEntries(buf: ByteBuffer, addr: Long, d: Dataset,
+                                     cd: Array[Int], nc: Int,
+                                     path: String): Seq[(Int, Int, Array[Long], Long)] = {
+    val ndims = d.dims.length
+    val grid = (0 until ndims).map(i => (d.dims(i) + cd(i) - 1) / cd(i)).toArray
+    val nChunks = grid.product
+    val h = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+    h.position(addr.toInt)
+    val sig = new Array[Byte](4); h.get(sig)
+    require(new String(sig, "US-ASCII") == "EAHD",
+      s"$path: expected Extensible Array header for '${d.name}'")
+    val ver = h.get() & 0xff
+    require(ver == 0, s"$path: Extensible Array header v$ver unsupported")
+    val client = h.get() & 0xff
+    require(client == 0 || client == 1,
+      s"$path: Extensible Array client $client (chunk indexes are 0/1) " +
+        s"for '${d.name}'")
+    val elmtSize = h.get() & 0xff
+    val maxBits = h.get() & 0xff
+    val idxBlkElmts = h.get() & 0xff
+    val minElmts = h.get() & 0xff
+    val minPtrs = h.get() & 0xff
+    h.get() // max data-block page nelmts bits (paging starts past 2^10)
+    h.getLong() // n super blocks
+    h.getLong() // super block size
+    h.getLong() // n data blocks
+    h.getLong() // data block size
+    h.getLong() // max index set
+    val nElmts = h.getLong()
+    val ibAddr = h.getLong()
+    require(nElmts >= nChunks,
+      s"$path: Extensible Array holds $nElmts elements < chunk-grid size " +
+        s"$nChunks for '${d.name}'")
+    if (ibAddr == Undef) return Seq.empty // nothing written yet
+    def log2(v: Int): Int = {
+      require(v > 0 && (v & (v - 1)) == 0,
+        s"$path: Extensible Array parameter $v not a power of two")
+      java.lang.Integer.numberOfTrailingZeros(v)
+    }
+    // index-block geometry (H5EA spec): direct data-block addresses
+    // cover the first 2·log2(minPtrs) super blocks = 2·(minPtrs−1)
+    // blocks; the remaining super blocks get EASB addresses
+    val nSblks = 1 + (maxBits - log2(minElmts))
+    val iblkSblks = 2 * log2(minPtrs)
+    val nDblkAddrs = 2 * (minPtrs - 1)
+    val nSblkAddrs = math.max(nSblks - iblkSblks, 0)
+    val arrOffSize = (maxBits + 7) / 8
+    val b = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+    b.position(ibAddr.toInt)
+    val isig = new Array[Byte](4); b.get(isig)
+    require(new String(isig, "US-ASCII") == "EAIB",
+      s"$path: expected Extensible Array index block for '${d.name}'")
+    val iver = b.get() & 0xff
+    require(iver == 0, s"$path: Extensible Array index block v$iver unsupported")
+    val iclient = b.get() & 0xff
+    require(iclient == client,
+      s"$path: Extensible Array client mismatch for '${d.name}'")
+    b.getLong() // back-pointer to the EAHD header
+    val szWidth = elmtSize - 8 - 4 // client 1: addr(8) + size + mask(4)
+    require(client == 0 || (szWidth >= 1 && szWidth <= 8),
+      s"$path: Extensible Array element size $elmtSize undecodable " +
+        s"for '${d.name}'")
+    def readElement(eb: ByteBuffer): (Int, Int, Long) =
+      if (client == 0) (nc * d.dtSize, 0, eb.getLong())
+      else {
+        val a = eb.getLong()
+        val sz = readUintLE(eb, szWidth)
+        val mask = eb.getInt()
+        (sz.toInt, mask, a)
+      }
+    // (size, mask, addr) per linear element index, in order: first the
+    // index block's direct elements, then each directly-addressed data
+    // block's elements
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    var i = 0
+    while (i < math.min(idxBlkElmts.toLong, nChunks).toInt) {
+      out += readElement(b); i += 1
+    }
+    if (out.size < idxBlkElmts) {
+      // skip the unread direct element slots to reach the address lists
+      b.position(b.position() + (idxBlkElmts - out.size) * elmtSize)
+    }
+    val dblkAddrs = (0 until nDblkAddrs).map(_ => b.getLong())
+    val sblkAddrs = (0 until nSblkAddrs).map(_ => b.getLong())
+    require(!sblkAddrs.exists(_ != Undef),
+      s"$path: Extensible Array super blocks present for '${d.name}' — " +
+        s"more than ${idxBlkElmts + (0 until iblkSblks).map(u =>
+          (1 << (u / 2)) * (1 << ((u + 1) / 2)) * minElmts).sum} chunks " +
+        "unsupported; `nccopy -k classic` converts")
+    // walk the direct data blocks in super-block order until the grid
+    // is covered; an Undef block address = its chunks were never
+    // written (the caller keeps the fill value for Undef entries)
+    var dblkIdx = 0
+    var u = 0
+    while (out.size < nChunks && u < iblkSblks) {
+      val ndblks = 1 << (u / 2)
+      val dblkElmts = (1 << ((u + 1) / 2)) * minElmts
+      var j = 0
+      while (out.size < nChunks && j < ndblks) {
+        val dbAddr = dblkAddrs(dblkIdx)
+        val take = math.min(dblkElmts, nChunks - out.size)
+        if (dbAddr == Undef) {
+          (0 until take).foreach(_ => out += ((0, 0, Undef)))
+        } else {
+          val db = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+          db.position(dbAddr.toInt)
+          val dsig = new Array[Byte](4); db.get(dsig)
+          require(new String(dsig, "US-ASCII") == "EADB",
+            s"$path: expected Extensible Array data block for '${d.name}'")
+          val dver = db.get() & 0xff
+          require(dver == 0,
+            s"$path: Extensible Array data block v$dver unsupported")
+          val dclient = db.get() & 0xff
+          require(dclient == client,
+            s"$path: Extensible Array data block client mismatch " +
+              s"for '${d.name}'")
+          db.getLong() // back-pointer to the EAHD header
+          readUintLE(db, arrOffSize) // block's element offset (implied)
+          (0 until take).foreach(_ => out += readElement(db))
+        }
+        dblkIdx += 1
+        j += 1
+      }
+      u += 1
+    }
+    require(out.size >= nChunks,
+      s"$path: Extensible Array direct blocks cover ${out.size} of " +
+        s"$nChunks chunks for '${d.name}'")
+    out.take(nChunks).toSeq.zipWithIndex.map { case ((sz, mask, a), lin) =>
+      val offs = new Array[Long](ndims)
+      var rem = lin
+      var k = ndims - 1
+      while (k >= 0) {
+        offs(k) = (rem % grid(k)).toLong * cd(k)
+        rem /= grid(k)
+        k -= 1
+      }
+      (sz, mask, offs, a)
+    }
+  }
+
   /** All (type, dataPos, dataSize) messages of an object header — v1
     * (no signature, version byte 1 first) or v2 ("OHDR" signature, the
     * latest-format layout with per-chunk checksums) — following
@@ -1014,7 +1185,11 @@ object Hdf5Reader {
     }
     // v2: layout is ver(1) ndims(1) flags(1) type(1) then dims
     val dims = (0 until ndims).map(_ => sp.getLong().toInt)
-    val _ = spFlags // max-dims follow the dims; not needed
+    // max-dims (flag bit 0): only consulted to validate which dim is
+    // unlimited under an Extensible Array chunk index
+    val maxDims: Seq[Long] =
+      if ((spFlags & 0x01) != 0) (0 until ndims).map(_ => sp.getLong())
+      else Seq.empty
 
     val dt = slice(buf, dtype.get._2, dtype.get._3)
     val clsVer = dt.get() & 0xff
@@ -1086,16 +1261,33 @@ object Hdf5Reader {
           case 3 =>
             lo.get() // page bits (re-read from the FAHD header itself)
             FixedArrayIndex(lo.getLong())
+          case 4 =>
+            // creation params (max-bits, index-elmts, min-ptrs,
+            // min-elmts, page-bits) are re-read from the EAHD header
+            lo.position(lo.position() + 5)
+            ExtensibleArrayIndex(lo.getLong())
           case other => throw new IllegalArgumentException(
             s"$path: v4 chunk index type $other unsupported for '$name' " +
-              "(single/implicit/fixed-array only — extensible-array and " +
-              "v2-B-tree indexes mean unlimited dims; `nccopy -k classic` " +
-              "converts)")
+              "(single/implicit/fixed-array/extensible-array only — a " +
+              "v2-B-tree index means several unlimited dims; " +
+              "`nccopy -k classic` converts)")
         }
         Chunked(index, cdims)
       case (_, other) => throw new IllegalArgumentException(
         s"$path: dataset '$name' layout class $other (0=compact) — " +
           "only contiguous and chunked storage supported")
+    }
+    layout match {
+      case Chunked(ExtensibleArrayIndex(_), _) if maxDims.nonEmpty =>
+        // the EA's linear element order is growth-stable row-major only
+        // when the unlimited dimension is the FIRST (the netCDF record
+        // dimension convention); anything else would misplace chunks
+        val unlim = maxDims.zipWithIndex.filter(_._1 == Undef).map(_._2)
+        require(unlim == Seq(0),
+          s"$path: Extensible Array index with unlimited dims at " +
+            s"${unlim.mkString(",")} for '$name' — only a leading record " +
+            "dimension is supported; `nccopy -k classic` converts")
+      case _ => ()
     }
     Some(name -> Dataset(name, dims, dtClass, dtSize, littleEndian,
       layout, filters, numAtts))

@@ -327,6 +327,43 @@ class GeoLoadersSpec extends SparkSpec {
     }
   }
 
+  test("Extensible Array chunk index (unlimited record dim) reads equal to Fixed Array") {
+    // the same grid under the ONE-unlimited-dim index h5py/netCDF write
+    // for record dimensions: layout v4 type 4, EAHD → EAIB with the
+    // first elements inline plus direct EADB data blocks. Fixture
+    // geometry (idxElmts 4, minElmts 2, minPtrs 4) forces 9-20 chunks
+    // through index-block elements AND several doubling data blocks —
+    // partially-filled tail block included. Filtered (client 1,
+    // deflate+shuffle) and raw (client 0) both decode cell-identical
+    // to the Fixed Array encoding of the same data.
+    val lat = Array(10.0, 10.5, 11.0, 11.5, 12.0, 12.5)
+    val lon = Array(20.0, 20.25, 20.5, 20.75, 21.0)
+    val scale = 0.25; val offset = 4.0; val fill = -999.0f
+    val expect = Array.tabulate(30) { k =>
+      if (k % 7 == 3) Double.NaN else (k * 0.25) - 2.0
+    }
+    val packed = expect.map(v =>
+      if (v.isNaN) fill else ((v - offset) / scale).toFloat)
+    val attList = Seq("scale_factor" -> scale, "add_offset" -> offset,
+      "_FillValue" -> fill.toDouble)
+    // chunk grids: 3x3=9 chunks (EAIB elements + 2 data blocks),
+    // 2x1 -> 3x5=15 chunks, 1x1 -> 6x5=30 chunks (4 data blocks)
+    for ((cr, cc, defl, shuf) <- Seq((2, 2, true, true), (2, 2, false, false),
+      (2, 1, true, false), (1, 1, false, false))) {
+      val p = Files.createTempFile(s"graft_ea_${cr}_${cc}_$defl", ".nc").toString
+      MiniHdf5.writeGridV2(p, "elevation", lat, lon, packed,
+        chunkRows = cr, chunkCols = cc, deflate = defl, shuffle = shuf,
+        atts = attList, eaIndex = true)
+      val g = GridLoader.fromNetcdf(p, "elevation")
+      assert(g.nLat == 6 && g.nLon == 5)
+      for (i <- 0 until 6; j <- 0 until 5) {
+        val (a, b) = (expect(i * 5 + j), g.valueAt(i, j))
+        assert((a.isNaN && b.isNaN) || a == b,
+          s"EA ($i,$j) chunks=${cr}x$cc deflate=$defl: want $a got $b")
+      }
+    }
+  }
+
   test("fractal heap doubling table: rows double block size, offsets map through headers") {
     // geometry: width 4, start 64 → rows 0,1 hold 4×64 B; row 2 128 B;
     // row 3 256 B. blockAddrs are synthetic file positions; the heap

@@ -469,7 +469,8 @@ object MiniHdf5 {
                   chunkRows: Int, chunkCols: Int,
                   deflate: Boolean, shuffle: Boolean,
                   atts: Seq[(String, Double)],
-                  denseRoot: Boolean = false): Unit = {
+                  denseRoot: Boolean = false,
+                  eaIndex: Boolean = false): Unit = {
     val nLat = lat.length; val nLon = lon.length
     require(packed.length == nLat * nLon)
     val Undef = -1L
@@ -479,6 +480,7 @@ object MiniHdf5 {
     val nCr = (nLat + chunkRows - 1) / chunkRows
     val nCc = (nLon + chunkCols - 1) / chunkCols
     val singleChunk = nCr == 1 && nCc == 1
+    require(!eaIndex || !singleChunk, "EA fixture needs several chunks")
     val chunkList = for (cr <- 0 until nCr; cc <- 0 until nCc) yield {
       val full = ByteBuffer.allocate(chunkRows * chunkCols * 4)
         .order(ByteOrder.LITTLE_ENDIAN)
@@ -503,6 +505,37 @@ object MiniHdf5 {
       data
     }
     val filtered = deflate || shuffle
+
+    // ---- Extensible Array chunk index (leading unlimited dim) ----
+    // Geometry chosen to exercise ALL direct layers: 4 elements in the
+    // index block, then data blocks [2],[4],[4,4],[8,8] (minElmts 2,
+    // minPtrs 4 -> 6 direct dblk addrs, super blocks never needed)
+    val eaMaxBits = 32; val eaIdxElmts = 4
+    val eaMinElmts = 2; val eaMinPtrs = 4
+    val eaElmtSize = if (filtered) 16 else 8
+    val eaDblkSizes = Seq(2, 4, 4, 4, 8, 8) // per direct data block
+    val eaNDblkAddrs = 2 * (eaMinPtrs - 1)
+    val eaNSblkAddrs = (1 + (eaMaxBits - 1)) - 4 // nSblks - 2*log2(minPtrs)
+    val eaArrOff = (eaMaxBits + 7) / 8
+    // how many data blocks the chunk count actually needs
+    val eaUsedDblks = {
+      var rem = math.max(chunkList.length - eaIdxElmts, 0)
+      var k = 0
+      while (rem > 0 && k < eaDblkSizes.length) { rem -= eaDblkSizes(k); k += 1 }
+      require(rem <= 0, s"EA fixture limited to ${eaIdxElmts +
+        eaDblkSizes.sum} chunks; got ${chunkList.length}")
+      k
+    }
+    var eaChunkAddr: Int => Long = _ => 0L // rebound in pass 2
+    def eaElement(b: ByteBuffer, chunkIdx: Int): Unit =
+      if (chunkIdx >= chunkList.length) { // unused slot
+        b.putLong(Undef)
+        if (filtered) { b.putInt(0); b.putInt(0) }
+      } else {
+        b.putLong(eaChunkAddr(chunkIdx))
+        if (filtered) { b.putInt(chunkList(chunkIdx).length); b.putInt(0) }
+      }
+
 
     // ---- blob builders (two-pass: dummy addresses size the layout) ----
     def bb(n: Int): ByteBuffer =
@@ -562,6 +595,18 @@ object MiniHdf5 {
       blob(b)
     }
 
+    /** Dataspace with max dims: first dim unlimited (the record dim). */
+    def dataspaceV2Unlim(dims: Seq[Long]): Array[Byte] = {
+      val b = bb(4 + dims.length * 16)
+      b.put(2.toByte); b.put(dims.length.toByte)
+      b.put(1.toByte)        // flags: max dims present
+      b.put(1.toByte)
+      dims.foreach(b.putLong)
+      dims.zipWithIndex.foreach { case (d, i) =>
+        b.putLong(if (i == 0) Undef else d) }
+      blob(b)
+    }
+
     def layoutV4Contiguous(addr: Long, size: Long): Array[Byte] = {
       val b = bb(18)
       b.put(4.toByte); b.put(1.toByte)
@@ -591,6 +636,14 @@ object MiniHdf5 {
           b.putInt(0)                             // filter mask
         }
         b.putLong(idxAddr)   // the chunk itself
+      } else if (eaIndex) {
+        b.put(4.toByte)      // index: extensible array
+        b.put(eaMaxBits.toByte)
+        b.put(eaIdxElmts.toByte)
+        b.put(eaMinPtrs.toByte)
+        b.put(eaMinElmts.toByte)
+        b.put(10.toByte)     // max data-block page nelmts bits
+        b.putLong(idxAddr)   // EAHD address
       } else {
         b.put(3.toByte)      // index: fixed array
         b.put(10.toByte)     // page bits
@@ -656,8 +709,60 @@ object MiniHdf5 {
       blob(b)
     }
 
+    def eahd(ibAddr: Long): Array[Byte] = {
+      val b = bb(72)
+      b.put("EAHD".getBytes("US-ASCII"))
+      b.put(0.toByte)
+      b.put((if (filtered) 1 else 0).toByte) // client
+      b.put(eaElmtSize.toByte)
+      b.put(eaMaxBits.toByte)
+      b.put(eaIdxElmts.toByte)
+      b.put(eaMinElmts.toByte)
+      b.put(eaMinPtrs.toByte)
+      b.put(10.toByte)       // max data-block page nelmts bits
+      b.putLong(0L)          // n super blocks
+      b.putLong(0L)          // super block size
+      b.putLong(eaUsedDblks.toLong) // n data blocks
+      b.putLong(eaDblkSizes.take(eaUsedDblks).map(_.toLong).sum * eaElmtSize)
+      b.putLong(chunkList.length.toLong) // max index set
+      b.putLong(chunkList.length.toLong) // n elements
+      b.putLong(ibAddr)
+      b.putInt(0)            // checksum (structural)
+      blob(b)
+    }
+
+    def eaib(hdrAddr: Long, dblkAddrs: Seq[Long]): Array[Byte] = {
+      val b = bb(14 + eaIdxElmts * eaElmtSize +
+        (eaNDblkAddrs + eaNSblkAddrs) * 8 + 4)
+      b.put("EAIB".getBytes("US-ASCII"))
+      b.put(0.toByte)
+      b.put((if (filtered) 1 else 0).toByte)
+      b.putLong(hdrAddr)
+      (0 until eaIdxElmts).foreach(i => eaElement(b, i))
+      dblkAddrs.padTo(eaNDblkAddrs, Undef).foreach(b.putLong)
+      (0 until eaNSblkAddrs).foreach(_ => b.putLong(Undef))
+      b.putInt(0)            // checksum (structural)
+      blob(b)
+    }
+
+    def eadb(hdrAddr: Long, dblkIdx: Int): Array[Byte] = {
+      val nel = eaDblkSizes(dblkIdx)
+      val b = bb(14 + eaArrOff + nel * eaElmtSize + 4)
+      b.put("EADB".getBytes("US-ASCII"))
+      b.put(0.toByte)
+      b.put((if (filtered) 1 else 0).toByte)
+      b.putLong(hdrAddr)
+      val firstIdx = eaIdxElmts + eaDblkSizes.take(dblkIdx).sum
+      (0 until eaArrOff).foreach(i =>
+        b.put(((firstIdx >> (8 * i)) & 0xff).toByte)) // block offset LE
+      (0 until nel).foreach(i => eaElement(b, firstIdx + i))
+      b.putInt(0)            // checksum (structural)
+      blob(b)
+    }
+
     def gridHeader(idxAddr: Long): Array[Byte] = v2Header(
-      Seq((0x0001, dataspaceV2(Seq(nLat.toLong, nLon.toLong))),
+      Seq((0x0001, if (eaIndex) dataspaceV2Unlim(Seq(nLat.toLong, nLon.toLong))
+        else dataspaceV2(Seq(nLat.toLong, nLon.toLong))),
         (0x0003, floatDatatype(f32 = true)),
         (0x0008, layoutV4Chunked(idxAddr))) ++
         (if (filtered) Seq((0x000B, filterPipelineV2)) else Nil) ++
@@ -777,8 +882,17 @@ object MiniHdf5 {
     val gridLen = gridHeader(0L).length
     val latLen = latHeader(0L).length
     val lonLen = lonHeader(0L).length
-    val fahdLen = if (singleChunk) 0 else fahd(0L).length
-    val fadbLen = if (singleChunk) 0 else fadb(0L, chunkList.map(_ => 0L)).length
+    val fahdLen =
+      if (singleChunk) 0
+      else if (eaIndex) eahd(0L).length
+      else fahd(0L).length
+    val fadbLen =
+      if (singleChunk) 0
+      else if (eaIndex) eaib(0L, Seq.fill(eaUsedDblks)(0L)).length
+      else fadb(0L, chunkList.map(_ => 0L)).length
+    val eadbLens =
+      if (eaIndex && !singleChunk) (0 until eaUsedDblks).map(eadb(0L, _).length)
+      else Seq.empty
 
     val denseRows = (nBlocks + hpWidth - 1) / hpWidth
     val frhpLen = if (denseRoot) frhp(0L, 0).length else 0
@@ -801,6 +915,7 @@ object MiniHdf5 {
     val fahdAddr = lonHdrAddr + lonLen
     val fadbAddr = fahdAddr + fahdLen
     var cursor = fadbAddr + fadbLen
+    val eadbAddrs = eadbLens.map { n => val a = cursor; cursor += n; a }
     val chunkAddrs = chunkList.map { c => val a = cursor; cursor += c.length; a }
     val latAddr = cursor; cursor += nLat * 8
     val lonAddr = cursor; cursor += nLon * 8
@@ -850,9 +965,20 @@ object MiniHdf5 {
     buf.put(lonHeader(lonAddr))
     if (!singleChunk) {
       assert(buf.position() == fahdAddr)
-      buf.put(fahd(fadbAddr))
-      assert(buf.position() == fadbAddr)
-      buf.put(fadb(fahdAddr, chunkAddrs))
+      if (eaIndex) {
+        eaChunkAddr = chunkAddrs(_) // real addresses for the element blobs
+        buf.put(eahd(fadbAddr))
+        assert(buf.position() == fadbAddr)
+        buf.put(eaib(fahdAddr, eadbAddrs))
+        eadbAddrs.zipWithIndex.foreach { case (a, k) =>
+          assert(buf.position() == a)
+          buf.put(eadb(fahdAddr, k))
+        }
+      } else {
+        buf.put(fahd(fadbAddr))
+        assert(buf.position() == fadbAddr)
+        buf.put(fadb(fahdAddr, chunkAddrs))
+      }
     }
     chunkAddrs.zip(chunkList).foreach { case (a, data) =>
       buf.position(a.toInt); buf.put(data) }
