@@ -68,18 +68,20 @@ object Graphs {
       when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"))
       .localCheckpoint()
     // Spill-aware adjacency: split each vertex's out-neighbor list into
-    // fixed-size segments (≤ adjSegSize) so no shuffled row carries an
-    // unbounded array — a hub with out-degree D becomes ceil(D/S)
-    // bounded rows. Each common neighbor w of (u, v) lives in exactly
+    // fixed-size segments (≤ adjSegSize) AFTER the one groupBy, by
+    // slicing the collected array map-side — a hub with out-degree D
+    // becomes ceil(D/S) bounded rows where it matters (the Σoutdeg²
+    // probe joins below carry the arrays through the shuffle), while
+    // the agg buffer itself stays O(outdeg) ≤ O(√m) under the degree
+    // orientation. Each common neighbor w of (u, v) lives in exactly
     // ONE segment of u's list and ONE of v's, so summing
     // |intersect(segU_i, segV_j)| over all (i, j) pairs partitions the
-    // full intersection — same count, bounded per-row memory.
-    val wSeg = Window.partitionBy(col("src")).orderBy(col("dst"))
-    val adj = o
-      .withColumn("seg",
-        ((row_number().over(wSeg) - 1) / lit(adjSegSize)).cast("int"))
-      .groupBy(col("src"), col("seg"))
-      .agg(collect_list(col("dst")).as("nbrs"))
+    // full intersection — same count, bounded per-row memory. (A
+    // window-rank segmentation measured one extra data-scale sort.)
+    val adj = o.groupBy(col("src")).agg(collect_list(col("dst")).as("all"))
+      .select(col("src"), explode(expr(
+        s"transform(sequence(0, (size(all) - 1) DIV $adjSegSize)," +
+          s" i -> slice(all, i * $adjSegSize + 1, $adjSegSize))")).as("nbrs"))
       .localCheckpoint()
     val triangles = o
       .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))

@@ -781,11 +781,15 @@ object QueriesTpch {
           .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        val best = eu.groupBy(col("l_partkey").as("__pk"))
-          .agg(min(col("cost_micro")).as("__min_cost"))
-        eu.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-          .join(best, col("l_partkey") === col("__pk") &&
-            col("cost_micro") === col("__min_cost"))
+        // per-part min via a window over the COST-scale frame (rows per
+        // part = suppliers that shipped it — bounded, never corpus-hot):
+        // a groupBy+join-back here re-planned the whole lineitem subtree
+        // twice (no ReusedExchange across the differently-aliased aggs)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_partkey"))
+        eu.withColumn("__min_cost", min(col("cost_micro")).over(w))
+          .filter(col("cost_micro") === col("__min_cost"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
           .select(micro(col("s_acctbal")).as("s_acctbal_micro"),
             col("s_name"), col("n_name"), col("p_partkey"), col("p_name"),
             col("cost_micro"))
