@@ -34,7 +34,7 @@ import graft.ops.Grid
   * fill-bearing grid decodes identically through either container.
   *
   * Everything else — v2-B-tree chunk indexes (several unlimited
-  * dims), Extensible Array super blocks, superblock extensions,
+  * dims), paged Extensible Array data blocks, superblock extensions,
   * non-8-byte offsets, unknown filters, a conventions attribute this
   * reader cannot decode — fails LOUDLY with a message naming the
   * limitation and the one-line `nccopy` escape hatch; this reader
@@ -791,11 +791,10 @@ object Hdf5Reader {
     * block u holds 2^(u/2) data blocks of 2^((u+1)/2)·minElmts
     * elements, and the first 2·log2(minPtrs) super blocks' data blocks
     * are addressed straight from the index block (H5EA "Index Block":
-    * 2·(minPtrs−1) data block addresses). Deeper growth lives under
-    * EASB super blocks, which this reader rejects LOUDLY (with the
-    * default creation params that boundary is 4 + 16+32+32+64+64 = 212
-    * chunks — far past any grid fixture, and a real file past it names
-    * the `nccopy` escape). Element encoding matches Fixed Array:
+    * 2·(minPtrs−1) data block addresses), and (c) in data blocks under
+    * EASB super blocks for deeper growth (unpaged data blocks only —
+    * paging starts at 2^pageBits elements per block and rejects
+    * loudly). Element encoding matches Fixed Array:
     * client 0 = chunk address; client 1 = address + variable-width
     * stored size + filter mask. Linear element index = row-major chunk
     * grid index over the CURRENT dims, which is growth-stable exactly
@@ -887,46 +886,84 @@ object Hdf5Reader {
     }
     val dblkAddrs = (0 until nDblkAddrs).map(_ => b.getLong())
     val sblkAddrs = (0 until nSblkAddrs).map(_ => b.getLong())
-    require(!sblkAddrs.exists(_ != Undef),
-      s"$path: Extensible Array super blocks present for '${d.name}' — " +
-        s"more than ${idxBlkElmts + (0 until iblkSblks).map(u =>
-          (1 << (u / 2)) * (1 << ((u + 1) / 2)) * minElmts).sum} chunks " +
-        "unsupported; `nccopy -k classic` converts")
+    // one data block's worth of elements; an Undef block address =
+    // those chunks were never written (the caller keeps the fill
+    // value for Undef entries)
+    def readDataBlock(dbAddr: Long, dblkElmts: Int): Unit = {
+      val take = math.min(dblkElmts, nChunks - out.size)
+      if (dbAddr == Undef) {
+        (0 until take).foreach(_ => out += ((0, 0, Undef)))
+      } else {
+        val db = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+        db.position(dbAddr.toInt)
+        val dsig = new Array[Byte](4); db.get(dsig)
+        require(new String(dsig, "US-ASCII") == "EADB",
+          s"$path: expected Extensible Array data block for '${d.name}'")
+        val dver = db.get() & 0xff
+        require(dver == 0,
+          s"$path: Extensible Array data block v$dver unsupported")
+        val dclient = db.get() & 0xff
+        require(dclient == client,
+          s"$path: Extensible Array data block client mismatch " +
+            s"for '${d.name}'")
+        db.getLong() // back-pointer to the EAHD header
+        readUintLE(db, arrOffSize) // block's element offset (implied)
+        require(dblkElmts <= (1 << 10) || take <= (1 << 10),
+          s"$path: paged Extensible Array data block ($dblkElmts elements)" +
+            s" unsupported for '${d.name}'")
+        (0 until take).foreach(_ => out += readElement(db))
+      }
+    }
+    def sblkGeom(u: Int): (Int, Int) = // (n data blocks, elements each)
+      (1 << (u / 2), (1 << ((u + 1) / 2)) * minElmts)
     // walk the direct data blocks in super-block order until the grid
-    // is covered; an Undef block address = its chunks were never
-    // written (the caller keeps the fill value for Undef entries)
+    // is covered
     var dblkIdx = 0
     var u = 0
     while (out.size < nChunks && u < iblkSblks) {
-      val ndblks = 1 << (u / 2)
-      val dblkElmts = (1 << ((u + 1) / 2)) * minElmts
+      val (ndblks, dblkElmts) = sblkGeom(u)
       var j = 0
       while (out.size < nChunks && j < ndblks) {
-        val dbAddr = dblkAddrs(dblkIdx)
-        val take = math.min(dblkElmts, nChunks - out.size)
-        if (dbAddr == Undef) {
-          (0 until take).foreach(_ => out += ((0, 0, Undef)))
-        } else {
-          val db = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
-          db.position(dbAddr.toInt)
-          val dsig = new Array[Byte](4); db.get(dsig)
-          require(new String(dsig, "US-ASCII") == "EADB",
-            s"$path: expected Extensible Array data block for '${d.name}'")
-          val dver = db.get() & 0xff
-          require(dver == 0,
-            s"$path: Extensible Array data block v$dver unsupported")
-          val dclient = db.get() & 0xff
-          require(dclient == client,
-            s"$path: Extensible Array data block client mismatch " +
-              s"for '${d.name}'")
-          db.getLong() // back-pointer to the EAHD header
-          readUintLE(db, arrOffSize) // block's element offset (implied)
-          (0 until take).foreach(_ => out += readElement(db))
-        }
+        readDataBlock(dblkAddrs(dblkIdx), dblkElmts)
         dblkIdx += 1
         j += 1
       }
       u += 1
+    }
+    // then the EASB super blocks: header + block offset + its data
+    // block addresses (unpaged; a paged data block rejects above).
+    // An Undef super block = none of its chunks written.
+    var si = 0
+    while (out.size < nChunks && si < nSblkAddrs) {
+      val (ndblks, dblkElmts) = sblkGeom(iblkSblks + si)
+      val sbAddr = sblkAddrs(si)
+      if (sbAddr == Undef) {
+        val take = math.min(ndblks.toLong * dblkElmts,
+          (nChunks - out.size).toLong).toInt
+        (0 until take).foreach(_ => out += ((0, 0, Undef)))
+      } else {
+        val sb = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+        sb.position(sbAddr.toInt)
+        val ssig = new Array[Byte](4); sb.get(ssig)
+        require(new String(ssig, "US-ASCII") == "EASB",
+          s"$path: expected Extensible Array super block for '${d.name}'")
+        val sver = sb.get() & 0xff
+        require(sver == 0,
+          s"$path: Extensible Array super block v$sver unsupported")
+        val sclient = sb.get() & 0xff
+        require(sclient == client,
+          s"$path: Extensible Array super block client mismatch " +
+            s"for '${d.name}'")
+        sb.getLong() // back-pointer to the EAHD header
+        readUintLE(sb, arrOffSize) // block offset (implied by position)
+        val addrs = (0 until ndblks).map(_ => sb.getLong())
+        var j = 0
+        while (out.size < nChunks && j < ndblks) {
+          readDataBlock(addrs(j), dblkElmts)
+          j += 1
+        }
+      }
+      si += 1
     }
     require(out.size >= nChunks,
       s"$path: Extensible Array direct blocks cover ${out.size} of " +

@@ -362,6 +362,24 @@ class GeoLoadersSpec extends SparkSpec {
           s"EA ($i,$j) chunks=${cr}x$cc deflate=$defl: want $a got $b")
       }
     }
+
+    // EASB super blocks: tiny creation params (idxElmts 1, minElmts 1,
+    // minPtrs 2 -> only 4 elements reachable from the index block) push
+    // the same 30 single-cell chunks through THREE EASB super blocks
+    // with doubling data blocks, partial tail block included
+    for (defl <- Seq(true, false)) {
+      val p = Files.createTempFile(s"graft_easb_$defl", ".nc").toString
+      MiniHdf5.writeGridV2(p, "elevation", lat, lon, packed,
+        chunkRows = 1, chunkCols = 1, deflate = defl, shuffle = defl,
+        atts = attList, eaIndex = true,
+        eaIdxElmts = 1, eaMinElmts = 1, eaMinPtrs = 2)
+      val g = GridLoader.fromNetcdf(p, "elevation")
+      for (i <- 0 until 6; j <- 0 until 5) {
+        val (a, b) = (expect(i * 5 + j), g.valueAt(i, j))
+        assert((a.isNaN && b.isNaN) || a == b,
+          s"EASB ($i,$j) deflate=$defl: want $a got $b")
+      }
+    }
   }
 
   test("fractal heap doubling table: rows double block size, offsets map through headers") {

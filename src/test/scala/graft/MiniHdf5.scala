@@ -470,7 +470,9 @@ object MiniHdf5 {
                   deflate: Boolean, shuffle: Boolean,
                   atts: Seq[(String, Double)],
                   denseRoot: Boolean = false,
-                  eaIndex: Boolean = false): Unit = {
+                  eaIndex: Boolean = false,
+                  eaIdxElmts: Int = 4, eaMinElmts: Int = 2,
+                  eaMinPtrs: Int = 4): Unit = {
     val nLat = lat.length; val nLon = lon.length
     require(packed.length == nLat * nLon)
     val Undef = -1L
@@ -507,25 +509,42 @@ object MiniHdf5 {
     val filtered = deflate || shuffle
 
     // ---- Extensible Array chunk index (leading unlimited dim) ----
-    // Geometry chosen to exercise ALL direct layers: 4 elements in the
-    // index block, then data blocks [2],[4],[4,4],[8,8] (minElmts 2,
-    // minPtrs 4 -> 6 direct dblk addrs, super blocks never needed)
-    val eaMaxBits = 32; val eaIdxElmts = 4
-    val eaMinElmts = 2; val eaMinPtrs = 4
-    val eaElmtSize = if (filtered) 16 else 8
-    val eaDblkSizes = Seq(2, 4, 4, 4, 8, 8) // per direct data block
-    val eaNDblkAddrs = 2 * (eaMinPtrs - 1)
-    val eaNSblkAddrs = (1 + (eaMaxBits - 1)) - 4 // nSblks - 2*log2(minPtrs)
-    val eaArrOff = (eaMaxBits + 7) / 8
-    // how many data blocks the chunk count actually needs
-    val eaUsedDblks = {
-      var rem = math.max(chunkList.length - eaIdxElmts, 0)
-      var k = 0
-      while (rem > 0 && k < eaDblkSizes.length) { rem -= eaDblkSizes(k); k += 1 }
-      require(rem <= 0, s"EA fixture limited to ${eaIdxElmts +
-        eaDblkSizes.sum} chunks; got ${chunkList.length}")
-      k
+    // Spec geometry from the creation params: super block u holds
+    // 2^(u/2) data blocks of 2^((u+1)/2)*minElmts elements; the first
+    // 2*log2(minPtrs) super blocks' data blocks are addressed directly
+    // from the index block, deeper ones under EASB super blocks.
+    def log2i(v: Int): Int = {
+      require(v > 0 && (v & (v - 1)) == 0, s"EA param $v not a power of 2")
+      java.lang.Integer.numberOfTrailingZeros(v)
     }
+    val eaMaxBits = 32
+    val eaElmtSize = if (filtered) 16 else 8
+    val eaIblkSblks = 2 * log2i(eaMinPtrs)
+    val eaNDblkAddrs = 2 * (eaMinPtrs - 1)
+    val eaNSblkAddrs = (1 + (eaMaxBits - log2i(eaMinElmts))) - eaIblkSblks
+    val eaArrOff = (eaMaxBits + 7) / 8
+    // flat plan of data blocks that hold at least one real element:
+    // (first element idx, nelmts, super-block idx or -1 for direct)
+    final case class EaDblk(first: Int, nelmts: Int, sblk: Int)
+    val eaPlan: Seq[EaDblk] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[EaDblk]
+      var first = eaIdxElmts
+      var u = 0
+      while (first < chunkList.length) {
+        require(u < eaIblkSblks + eaNSblkAddrs, "EA fixture out of blocks")
+        val ndblks = 1 << (u / 2)
+        val nel = (1 << ((u + 1) / 2)) * eaMinElmts
+        var j = 0
+        while (first < chunkList.length && j < ndblks) {
+          out += EaDblk(first, nel, if (u < eaIblkSblks) -1 else u - eaIblkSblks)
+          first += nel
+          j += 1
+        }
+        u += 1
+      }
+      out.toSeq
+    }
+    val eaUsedSblks = eaPlan.filter(_.sblk >= 0).map(_.sblk).distinct.sorted
     var eaChunkAddr: Int => Long = _ => 0L // rebound in pass 2
     def eaElement(b: ByteBuffer, chunkIdx: Int): Unit =
       if (chunkIdx >= chunkList.length) { // unused slot
@@ -720,10 +739,10 @@ object MiniHdf5 {
       b.put(eaMinElmts.toByte)
       b.put(eaMinPtrs.toByte)
       b.put(10.toByte)       // max data-block page nelmts bits
-      b.putLong(0L)          // n super blocks
-      b.putLong(0L)          // super block size
-      b.putLong(eaUsedDblks.toLong) // n data blocks
-      b.putLong(eaDblkSizes.take(eaUsedDblks).map(_.toLong).sum * eaElmtSize)
+      b.putLong(eaUsedSblks.length.toLong) // n super blocks
+      b.putLong(0L)          // super block size (stat only)
+      b.putLong(eaPlan.length.toLong) // n data blocks
+      b.putLong(eaPlan.map(_.nelmts.toLong).sum * eaElmtSize)
       b.putLong(chunkList.length.toLong) // max index set
       b.putLong(chunkList.length.toLong) // n elements
       b.putLong(ibAddr)
@@ -731,31 +750,49 @@ object MiniHdf5 {
       blob(b)
     }
 
-    def eaib(hdrAddr: Long, dblkAddrs: Seq[Long]): Array[Byte] = {
+    def eaib(hdrAddr: Long, dblkAddrs: Seq[Long],
+             sblkAddrs: Seq[Long]): Array[Byte] = {
       val b = bb(14 + eaIdxElmts * eaElmtSize +
         (eaNDblkAddrs + eaNSblkAddrs) * 8 + 4)
       b.put("EAIB".getBytes("US-ASCII"))
       b.put(0.toByte)
       b.put((if (filtered) 1 else 0).toByte)
       b.putLong(hdrAddr)
-      (0 until eaIdxElmts).foreach(i => eaElement(b, i))
+      (0 until eaIdxElmts).foreach(i =>
+        eaElement(b, math.min(i, chunkList.length)))
       dblkAddrs.padTo(eaNDblkAddrs, Undef).foreach(b.putLong)
-      (0 until eaNSblkAddrs).foreach(_ => b.putLong(Undef))
+      sblkAddrs.padTo(eaNSblkAddrs, Undef).foreach(b.putLong)
+      b.putInt(0)            // checksum (structural)
+      blob(b)
+    }
+
+    /** EASB super block: its data block addresses (unpaged). */
+    def easb(hdrAddr: Long, sblkIdx: Int, dblkAddrs: Seq[Long]): Array[Byte] = {
+      val u = eaIblkSblks + sblkIdx
+      val ndblks = 1 << (u / 2)
+      val b = bb(14 + eaArrOff + ndblks * 8 + 4)
+      b.put("EASB".getBytes("US-ASCII"))
+      b.put(0.toByte)
+      b.put((if (filtered) 1 else 0).toByte)
+      b.putLong(hdrAddr)
+      val firstIdx = eaPlan.find(_.sblk == sblkIdx).map(_.first).getOrElse(0)
+      (0 until eaArrOff).foreach(i =>
+        b.put(((firstIdx >> (8 * i)) & 0xff).toByte))
+      dblkAddrs.padTo(ndblks, Undef).foreach(b.putLong)
       b.putInt(0)            // checksum (structural)
       blob(b)
     }
 
     def eadb(hdrAddr: Long, dblkIdx: Int): Array[Byte] = {
-      val nel = eaDblkSizes(dblkIdx)
-      val b = bb(14 + eaArrOff + nel * eaElmtSize + 4)
+      val d = eaPlan(dblkIdx)
+      val b = bb(14 + eaArrOff + d.nelmts * eaElmtSize + 4)
       b.put("EADB".getBytes("US-ASCII"))
       b.put(0.toByte)
       b.put((if (filtered) 1 else 0).toByte)
       b.putLong(hdrAddr)
-      val firstIdx = eaIdxElmts + eaDblkSizes.take(dblkIdx).sum
       (0 until eaArrOff).foreach(i =>
-        b.put(((firstIdx >> (8 * i)) & 0xff).toByte)) // block offset LE
-      (0 until nel).foreach(i => eaElement(b, firstIdx + i))
+        b.put(((d.first >> (8 * i)) & 0xff).toByte)) // block offset LE
+      (0 until d.nelmts).foreach(i => eaElement(b, d.first + i))
       b.putInt(0)            // checksum (structural)
       blob(b)
     }
@@ -888,10 +925,13 @@ object MiniHdf5 {
       else fahd(0L).length
     val fadbLen =
       if (singleChunk) 0
-      else if (eaIndex) eaib(0L, Seq.fill(eaUsedDblks)(0L)).length
+      else if (eaIndex) eaib(0L, Nil, Nil).length
       else fadb(0L, chunkList.map(_ => 0L)).length
+    val easbLens =
+      if (eaIndex && !singleChunk) eaUsedSblks.map(si => easb(0L, si, Nil).length)
+      else Seq.empty
     val eadbLens =
-      if (eaIndex && !singleChunk) (0 until eaUsedDblks).map(eadb(0L, _).length)
+      if (eaIndex && !singleChunk) eaPlan.indices.map(eadb(0L, _).length)
       else Seq.empty
 
     val denseRows = (nBlocks + hpWidth - 1) / hpWidth
@@ -915,6 +955,7 @@ object MiniHdf5 {
     val fahdAddr = lonHdrAddr + lonLen
     val fadbAddr = fahdAddr + fahdLen
     var cursor = fadbAddr + fadbLen
+    val easbAddrs = easbLens.map { n => val a = cursor; cursor += n; a }
     val eadbAddrs = eadbLens.map { n => val a = cursor; cursor += n; a }
     val chunkAddrs = chunkList.map { c => val a = cursor; cursor += c.length; a }
     val latAddr = cursor; cursor += nLat * 8
@@ -967,9 +1008,21 @@ object MiniHdf5 {
       assert(buf.position() == fahdAddr)
       if (eaIndex) {
         eaChunkAddr = chunkAddrs(_) // real addresses for the element blobs
+        val directAddrs = eaPlan.zipWithIndex
+          .filter(_._1.sblk < 0).map(p => eadbAddrs(p._2))
+        val sblkAddrSlots = (0 until eaNSblkAddrs).map { si =>
+          if (eaUsedSblks.contains(si)) easbAddrs(eaUsedSblks.indexOf(si))
+          else Undef
+        }
         buf.put(eahd(fadbAddr))
         assert(buf.position() == fadbAddr)
-        buf.put(eaib(fahdAddr, eadbAddrs))
+        buf.put(eaib(fahdAddr, directAddrs, sblkAddrSlots))
+        eaUsedSblks.zipWithIndex.foreach { case (si, k) =>
+          assert(buf.position() == easbAddrs(k))
+          val mine = eaPlan.zipWithIndex.filter(_._1.sblk == si)
+            .map(p => eadbAddrs(p._2))
+          buf.put(easb(fahdAddr, si, mine))
+        }
         eadbAddrs.zipWithIndex.foreach { case (a, k) =>
           assert(buf.position() == a)
           buf.put(eadb(fahdAddr, k))
