@@ -160,6 +160,49 @@ object Dedup {
         array_join(col("kept"), " ").as("clean_text"))
   }
 
+  /** Longest repeated substring (in tokens) across the corpus — the
+    * classic suffix-array statistic, computed the bounded-dataflow way:
+    * L is the answer iff some length-L token window occurs ≥ 2 times
+    * and no length-(L+1) window does, so exponential doubling then
+    * binary search on "∃ duplicated L-window" finds it in ≤ 2·log₂(max
+    * doc tokens) rounds — the same round structure as suffix-array
+    * prefix doubling, but each round is ONE map-side hash pass + ONE
+    * count(distinct-ish) aggregate instead of a full-corpus sort.
+    * Returns one row: (lrs_tokens, n_dup_windows at that length —
+    * 0/0 when no token repeats at all).
+    *
+    * Driver loop is bounded (≤ ~2·log₂ rounds, one scalar count each);
+    * every round's heavy work is distributed.
+    */
+  def longestRepeatedSubstring(df: DataFrame, idCol: String,
+                               textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(split(TextAnalysis.normalized(col(textCol)), " ").as("words"))
+      .localCheckpoint()
+    // count of window TEXTS (fingerprints) occurring >= 2 times at L
+    def dupWindowCount(len: Int): Long = words
+      .filter(size(col("words")) >= len)
+      .withColumn("s", explode(sequence(lit(0), size(col("words")) - len)))
+      .select(md5(array_join(slice(col("words"), col("s") + 1, lit(len)), " "))
+        .as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .count()
+    if (dupWindowCount(1) == 0L)
+      return Seq((0L, 0L)).toDF("lrs_tokens", "n_dup_windows")
+    // double until no duplicate at hi, then binary-search (lo dup, hi not]
+    var lo = 1
+    var hi = 2
+    while (dupWindowCount(hi) > 0L) { lo = hi; hi *= 2 }
+    while (hi - lo > 1) {
+      val mid = (lo + hi) / 2
+      if (dupWindowCount(mid) > 0L) lo = mid else hi = mid
+    }
+    Seq((lo.toLong, dupWindowCount(lo))).toDF("lrs_tokens", "n_dup_windows")
+  }
+
   /** Shared core of the exact-substring pair: every stride-1 window
     * occurrence whose fingerprint occurs ≥ 2 times corpus-wide, with
     * the group's canonical first occurrence attached —

@@ -1254,6 +1254,30 @@ object QueriesText {
               |  coalesce(ka.clean_text, '') AS clean_text
               |FROM wn LEFT JOIN ka USING (doc_id)""".stripMargin)),
 
+    // longest repeated substring — the suffix-array statistic via
+    // doubling + binary search on "any duplicated L-window" (bounded
+    // rounds, one hash pass each); the oracle brute-forces every L
+    QDef("dd_lrs",
+      (s, dir) => Dedup.longestRepeatedSubstring(
+        Q.table(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH wn AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS words
+              |            FROM documents),
+              |mx AS (SELECT max(len(words)) AS m FROM wn),
+              |ls AS (SELECT unnest(range(1, (SELECT m FROM mx) + 1)) AS L),
+              |wi AS (SELECT ls.L,
+              |         array_to_string(list_slice(w.words, s.s, s.s + ls.L - 1), ' ') AS t
+              |       FROM wn w, ls,
+              |         unnest(range(1, len(w.words) - ls.L + 2)) AS s(s)),
+              |d AS (SELECT L, count(*) AS nd FROM (
+              |        SELECT L, t FROM wi GROUP BY L, t HAVING count(*) > 1) q
+              |      GROUP BY L),
+              |best AS (SELECT max(L) AS lrs FROM d)
+              |SELECT CAST(coalesce((SELECT lrs FROM best), 0) AS BIGINT)
+              |    AS lrs_tokens,
+              |  CAST(coalesce((SELECT nd FROM d
+              |                 WHERE L = (SELECT lrs FROM best)), 0) AS BIGINT)
+              |    AS n_dup_windows""".stripMargin)),
+
     // CCNet-style boilerplate removal: passages appearing in more than
     // one distinct document are corpus boilerplate — cut everywhere,
     // documents rebuilt. The over-threshold key set is tiny by

@@ -99,6 +99,28 @@ class PassageOpsSpec extends SparkSpec with Matchers {
     a shouldBe b
   }
 
+  test("longestRepeatedSubstring: exact length via doubling + binary search") {
+    // longest repeat: "q r s t u" (5 tokens, across docs 1 and 2);
+    // the merged-run trap is avoided: "a b" and "b c" both repeat but
+    // "a b c" never does, so lrs must NOT report the merged span
+    val docs = Seq(
+      (1L, "q r s t u x1 a b c"),
+      (2L, "y1 q r s t u a b x2"),
+      (3L, "b c z1 z2 z3")
+    ).toDF("doc_id", "text")
+    val r = Dedup.longestRepeatedSubstring(docs, "doc_id", "text").collect().head
+    r.getLong(0) shouldBe 5L
+    r.getLong(1) shouldBe 1L   // exactly one 5-token text repeats
+    // no repeats at all → (0, 0)
+    val uniq = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    val r0 = Dedup.longestRepeatedSubstring(uniq, "doc_id", "text").collect().head
+    (r0.getLong(0), r0.getLong(1)) shouldBe ((0L, 0L))
+    // whole-document duplicate → lrs = doc length
+    val dup = Seq((1L, "m n o p"), (2L, "m n o p")).toDF("doc_id", "text")
+    Dedup.longestRepeatedSubstring(dup, "doc_id", "text")
+      .collect().head.getLong(0) shouldBe 4L
+  }
+
   test("removeBoilerplate: shared passage cut EVERYWHERE, unique text kept") {
     val docs = Seq(
       (1L, "cookie banner text here body one alpha beta"),
