@@ -139,8 +139,40 @@ object Dedup {
     val dup = dupWindows(df, idCol, textCol, windowLen)
       .filter(!(col("doc_id") === col("first.doc_id") &&
         col("s") === col("first.s")))
+    cutCoveredSpans(df, idCol, textCol, dup, windowLen)
+  }
+
+  /** Exact-substring DECONTAMINATION: cut every corpus span of
+    * ≥ `windowLen` tokens whose text appears ANYWHERE in the benchmark
+    * set, at ANY offset on BOTH sides — the stride-1 exact form of
+    * [[TextAnalysis.decontaminate]] (whose corpus side is aligned
+    * passages: a leaked benchmark span straddling a passage boundary
+    * at a non-aligned offset survives it; not this). Returns
+    * (doc_id, n_tokens, n_removed, clean_text) over the corpus.
+    *
+    * Scale shape: the benchmark fingerprint set is eval-suite-sized —
+    * it BROADCASTS, and the corpus-side window probe is map-side; only
+    * matched offsets (rare by construction) reach the interval merge.
+    */
+  def exactSubstringDecontaminate(corpus: DataFrame, bench: DataFrame,
+                                  idCol: String, textCol: String,
+                                  windowLen: Int = 16): DataFrame = {
+    val benchFps = slidingWindows(bench, idCol, textCol, windowLen)
+      .select(col("fp")).distinct()
+    val hits = slidingWindows(corpus, idCol, textCol, windowLen)
+      .join(broadcast(benchFps), Seq("fp"))
+      .select(col("doc_id"), col("s"))
+    cutCoveredSpans(corpus, idCol, textCol, hits, windowLen)
+  }
+
+  /** Merge duplicated window offsets (doc_id, s) into per-doc removal
+    * intervals and cut the covered tokens map-side — the shared tail of
+    * [[exactSubstringDedup]] / [[exactSubstringDecontaminate]].
+    */
+  private def cutCoveredSpans(df: DataFrame, idCol: String, textCol: String,
+                              offsets: DataFrame, windowLen: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-    val ivals = dup.withColumn("isl", col("s") - row_number().over(w))
+    val ivals = offsets.withColumn("isl", col("s") - row_number().over(w))
       .groupBy(col("doc_id"), col("isl"))
       .agg(min(col("s")).as("lo"),
         (max(col("s")) + lit(windowLen)).as("hi"))
@@ -208,11 +240,14 @@ object Dedup {
     * the group's canonical first occurrence attached —
     * (doc_id, s 0-based, fp, first(doc_id, s)).
     */
-  private def dupWindows(df: DataFrame, idCol: String, textCol: String,
-                         windowLen: Int): DataFrame = {
+  /** Every stride-1 length-`windowLen` token window of every document:
+    * (doc_id, s 0-based offset, fp = md5 of the window text). Map-side
+    * explode; only ~34 B/token (hash + ids) ever leaves the task.
+    */
+  private def slidingWindows(df: DataFrame, idCol: String, textCol: String,
+                             windowLen: Int): DataFrame = {
     require(windowLen > 0, s"windowLen must be positive: got $windowLen")
-    val wins = df
-      .select(col(idCol).cast("long").as("doc_id"),
+    df.select(col(idCol).cast("long").as("doc_id"),
         split(TextAnalysis.normalized(col(textCol)), " ").as("words"))
       .filter(size(col("words")) >= windowLen)
       .withColumn("s", explode(sequence(lit(0),
@@ -220,6 +255,11 @@ object Dedup {
       .select(col("doc_id"), col("s"),
         md5(array_join(slice(col("words"), col("s") + 1, lit(windowLen)), " "))
           .as("fp"))
+  }
+
+  private def dupWindows(df: DataFrame, idCol: String, textCol: String,
+                         windowLen: Int): DataFrame = {
+    val wins = slidingWindows(df, idCol, textCol, windowLen)
     val grp = wins.groupBy(col("fp").as("__fp"))
       .agg(count(lit(1)).as("c"),
         min(struct(col("doc_id"), col("s"))).as("first"))

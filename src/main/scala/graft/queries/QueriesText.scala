@@ -1254,6 +1254,55 @@ object QueriesText {
               |  coalesce(ka.clean_text, '') AS clean_text
               |FROM wn LEFT JOIN ka USING (doc_id)""".stripMargin)),
 
+    // exact-substring decontamination: corpus spans >= 8 tokens equal
+    // to ANY benchmark text at ANY offset on BOTH sides are cut — the
+    // stride-1 exact form of t_decontaminate (whose corpus side is
+    // aligned passages). Benchmark fp set broadcasts; probe map-side.
+    QDef("t_substring_decontaminate",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        Dedup.exactSubstringDecontaminate(
+          docs.filter(col("doc_id") % 23 =!= 0),
+          docs.filter(col("doc_id") % 23 === 0),
+          "doc_id", "text", windowLen = 8)
+      },
+      Some(s"""WITH wn AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS words
+              |            FROM documents),
+              |bf AS (SELECT DISTINCT
+              |         md5(array_to_string(list_slice(words, s, s + 7), ' ')) AS fp
+              |       FROM (SELECT doc_id, words,
+              |               unnest(range(1, len(words) - 6)) AS s
+              |             FROM wn WHERE doc_id % 23 = 0) b),
+              |cw AS (SELECT doc_id, s,
+              |         md5(array_to_string(list_slice(words, s, s + 7), ' ')) AS fp
+              |       FROM (SELECT doc_id, words,
+              |               unnest(range(1, len(words) - 6)) AS s
+              |             FROM wn WHERE doc_id % 23 <> 0) c),
+              |d AS (SELECT cw.doc_id, cw.s FROM cw JOIN bf USING (fp)),
+              |r AS (SELECT doc_id, s,
+              |        s - row_number() OVER (PARTITION BY doc_id ORDER BY s) AS isl
+              |      FROM d),
+              |iv AS (SELECT doc_id, min(s) AS lo, max(s) + 8 AS hi
+              |       FROM r GROUP BY doc_id, isl),
+              |tok AS (SELECT doc_id, t, words[t] AS wd
+              |        FROM (SELECT doc_id, words,
+              |                unnest(range(1, len(words) + 1)) AS t
+              |              FROM wn WHERE doc_id % 23 <> 0)),
+              |cut AS (SELECT tok.doc_id, tok.t FROM tok
+              |        JOIN iv ON tok.doc_id = iv.doc_id
+              |          AND tok.t >= iv.lo AND tok.t < iv.hi),
+              |kept AS (SELECT tok.doc_id, tok.t, tok.wd FROM tok
+              |         LEFT JOIN cut ON tok.doc_id = cut.doc_id AND tok.t = cut.t
+              |         WHERE cut.t IS NULL),
+              |ka AS (SELECT doc_id, count(*) AS n_kept,
+              |         string_agg(wd, ' ' ORDER BY t) AS clean_text
+              |       FROM kept GROUP BY 1)
+              |SELECT wn.doc_id, CAST(len(wn.words) AS BIGINT) AS n_tokens,
+              |  CAST(len(wn.words) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+              |  coalesce(ka.clean_text, '') AS clean_text
+              |FROM wn LEFT JOIN ka USING (doc_id)
+              |WHERE wn.doc_id % 23 <> 0""".stripMargin)),
+
     // longest repeated substring — the suffix-array statistic via
     // doubling + binary search on "any duplicated L-window" (bounded
     // rounds, one hash pass each); the oracle brute-forces every L

@@ -99,6 +99,29 @@ class PassageOpsSpec extends SparkSpec with Matchers {
     a shouldBe b
   }
 
+  test("exactSubstringDecontaminate: leaked span cut at ANY offset; aligned form misses it") {
+    val bench = Seq((100L, "the exact answer is forty two")).toDF("doc_id", "text")
+    // the 4-token benchmark span "answer is forty two" sits at corpus
+    // offset 3 — not aligned to any 4-block; a clean doc is untouched
+    val corpus = Seq(
+      (1L, "w1 w2 w3 answer is forty two w8"),
+      (2L, "totally unrelated clean document here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDecontaminate(corpus, bench,
+        "doc_id", "text", windowLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((8L, 4L, "w1 w2 w3 w8"))
+    out(2L) shouldBe ((5L, 0L, "totally unrelated clean document here"))
+    // the aligned-passage form provably keeps the leak (blocks
+    // [w1 w2 w3 answer] and [is forty two w8] match no benchmark 4-gram
+    // as units at those alignments — both survive)
+    val pd = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text",
+      passageLen = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    pd(1L) shouldBe 2L // all passages kept — the leak survives
+  }
+
   test("longestRepeatedSubstring: exact length via doubling + binary search") {
     // longest repeat: "q r s t u" (5 tokens, across docs 1 and 2);
     // the merged-run trap is avoided: "a b" and "b c" both repeat but
