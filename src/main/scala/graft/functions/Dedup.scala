@@ -244,7 +244,7 @@ object Dedup {
     * (doc_id, s 0-based offset, fp = md5 of the window text). Map-side
     * explode; only ~34 B/token (hash + ids) ever leaves the task.
     */
-  private def slidingWindows(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def slidingWindows(df: DataFrame, idCol: String, textCol: String,
                              windowLen: Int): DataFrame = {
     require(windowLen > 0, s"windowLen must be positive: got $windowLen")
     df.select(col(idCol).cast("long").as("doc_id"),

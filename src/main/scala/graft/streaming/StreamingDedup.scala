@@ -37,6 +37,23 @@ object StreamingDedup {
       .withWatermark(timeCol, delay)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming exact-substring dedup — the streaming face of
+    * [[graft.functions.Dedup.exactSubstringDedup]]'s window core:
+    * documents explode into STRIDE-1 `windowLen`-token window
+    * fingerprints map-side; the first arrival of each exact window text
+    * passes, every later copy — same or later micro-batch, any offset,
+    * any document — is dropped. Emits surviving
+    * (doc_id, s, fp) occurrences in append mode; the batch-side
+    * interval merge + cut (`cutCoveredSpans`) consumes the COMPLEMENT
+    * downstream. State: one store entry per distinct window
+    * fingerprint (the spillable RocksDB provider is the at-scale
+    * configuration — [[graft.core.Sessions.useRocksDbStateStore]]).
+    */
+  def substringWindows(ds: DataFrame, idCol: String, textCol: String,
+                       windowLen: Int = 16): DataFrame =
+    graft.functions.Dedup.slidingWindows(ds, idCol, textCol, windowLen)
+      .dropDuplicates("fp")
+
   /** Streaming passage-level dedup — the streaming face of
     * [[graft.functions.Dedup.passageDedup]]: documents explode into
     * fixed-word passages map-side, the first arrival of each exact

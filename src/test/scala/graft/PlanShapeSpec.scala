@@ -58,6 +58,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_min"), s"expected two-phase min(struct):\n$p")
   }
 
+  test("substring dedup: dup test is the partial-agg groupBy; no window over the fp") {
+    val p = plan("dd_substring")
+    // the one per-doc Window merges ISLANDS (span-scale rows); the fp
+    // dup test itself must be two-phase so a mega-duplicated window
+    // collapses map-side before the wire
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"expected two-phase fp aggregate:\n$p")
+  }
+
+  test("substring decontamination: benchmark fingerprints broadcast, probe map-side") {
+    val p = plan("t_substring_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark fp set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin LeftSemi") &&
+      !p.contains("SortMergeJoin Inner, [fp"),
+      s"fp probe must not SMJ the corpus windows:\n$p")
+  }
+
   test("mixture sample: rate plumbing broadcasts, corpus membership stays map-side") {
     val p = plan("t_mixture_sample")
     assert(!p.contains("SortMergeJoin"),

@@ -78,6 +78,39 @@ class StreamingDedupSpec extends SparkSpec with Matchers {
     } finally query.stop()
   }
 
+  test("stream substring windows: cross-batch window fps deduped; survivors = distinct fps") {
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      (1L, "a b p q r s c d"),            // canonical holder of "p q r s"
+      (2L, "e f g h i p q r s j"),        // straddling dup, later batch
+      (3L, "fresh words only in here now")
+    )
+    val mem = MemoryStream[DocEvent]
+    val query = StreamingDedup.substringWindows(
+        mem.toDF().withColumnRenamed("docId", "doc_id"),
+        "doc_id", "text", windowLen = 4)
+      .writeStream.format("memory").queryName("substr_stream")
+      .outputMode("append").start()
+    try {
+      docs.foreach { case (i, s) =>
+        mem.addData(DocEvent(i, s, t(i.toInt))); query.processAllAvailable()
+      }
+      val kept = spark.table("substr_stream")
+        .select($"doc_id", $"s", $"fp").collect()
+      // one survivor per distinct window text, corpus-wide
+      val batchWins = docs.toDF("doc_id", "text")
+      val allFps = graft.functions.Dedup.slidingWindows(
+          batchWins, "doc_id", "text", 4)
+        .select($"fp").distinct().collect().map(_.getString(0)).toSet
+      kept.map(_.getString(2)).toSet shouldBe allFps
+      kept.length shouldBe allFps.size
+      // doc 2's copy of the straddling span lost every window to doc 1
+      // (id-ordered arrival: doc 1's batch ran first)
+      val doc2Survivors = kept.filter(_.getLong(0) == 2L).map(_.getInt(1)).toSet
+      doc2Survivors.intersect(Set(5)) shouldBe Set.empty // offset of "p q r s"
+    } finally query.stop()
+  }
+
   test("stream passage dedup == batch passageDedup under id-ordered arrival") {
     implicit val sq = spark.sqlContext
     // same dup matrix as PassageOpsSpec: cross-doc dup, emptied doc,
