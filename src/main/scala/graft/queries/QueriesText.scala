@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Bpe, Dedup, Portable, Retrieval, Sampling, TextAnalysis}
+import graft.functions.{Bpe, Dedup, Portable, Retrieval, Sampling, TextAnalysis, Train}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication queries over the `documents` table.
@@ -1302,6 +1302,14 @@ object QueriesText {
               |  coalesce(ka.clean_text, '') AS clean_text
               |FROM wn LEFT JOIN ka USING (doc_id)
               |WHERE wn.doc_id % 23 <> 0""".stripMargin)),
+
+    // in-engine classifier training: pocket perceptron distilling the
+    // integer heuristic teacher into linearQualityScore weights; the
+    // oracle replays the full 8-round training run bit-exactly
+    QDef("t_train_classifier",
+      (s, dir) => Train.pocketPerceptron(Q.table(s, dir, "documents"),
+        "doc_id", "text"),
+      Some(Train.pocketPerceptronOracleSql(rawTokensSql = rawTokensSql))),
 
     // longest repeated substring — the suffix-array statistic via
     // doubling + binary search on "any duplicated L-window" (bounded
