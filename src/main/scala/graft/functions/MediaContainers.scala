@@ -157,6 +157,48 @@ object MediaContainers {
       keyframes, keyframeOffsets)
   }
 
+  /** Byte span of every keyframe SimpleBlock's FRAME DATA in a WebM
+    * payload: (frameIdx 0-based, offset, size) — track vint + 2-byte
+    * timestamp + flags stripped. Unlaced blocks only (lacing bits in
+    * the flags byte reject loudly — a wrong slice would decode
+    * garbage); the video track is resolved exactly as [[parseWebm]].
+    */
+  def webmKeyframeSpans(payload: Array[Byte]): Seq[(Int, Long, Int)] = {
+    val top = ebmlChildren(payload, 0, payload.length)
+    val seg = top.find(_._1 == 0x18538067L).getOrElse(
+      throw new IllegalArgumentException("WebM has no Segment element"))
+    val segCh = ebmlChildren(payload, seg._2, seg._3)
+    val tracks = segCh.find(_._1 == 0x1654AE6BL).getOrElse(
+      throw new IllegalArgumentException("WebM Segment has no Tracks"))
+    val entries = ebmlChildren(payload, tracks._2, tracks._3)
+      .filter(_._1 == 0xAEL)
+      .map(e => ebmlChildren(payload, e._2, e._3))
+    val video = entries.find(_.exists(c =>
+        c._1 == 0x83L && ebmlUint(payload, c._2, c._3) == 1L))
+      .getOrElse(throw new IllegalArgumentException("WebM has no video track"))
+    val trackNum = video.find(_._1 == 0xD7L)
+      .map(e => ebmlUint(payload, e._2, e._3)).getOrElse(1L)
+    var nFrames = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int)]
+    segCh.filter(_._1 == 0x1F43B675L).foreach { cl =>
+      ebmlChildren(payload, cl._2, cl._3).filter(_._1 == 0xA3L)
+        .foreach { blk =>
+          val (tn, tnLen) = vint(payload, blk._2, keepMarker = false)
+          if (tn == trackNum) {
+            val flags = payload(blk._2 + tnLen + 2) & 0xff
+            if ((flags & 0x80) != 0) {
+              require((flags & 0x06) == 0,
+                "laced WebM SimpleBlock unsupported for keyframe spans")
+              val dataStart = blk._2 + tnLen + 3
+              out += ((nFrames, dataStart.toLong, blk._3 - dataStart))
+            }
+            nFrames += 1
+          }
+        }
+    }
+    out.toSeq
+  }
+
   // --------------------------------------------------------------- WebM
 
   /** EBML variable-length integer at p: (value, bytes consumed). For
@@ -426,7 +468,19 @@ object MediaContainers {
     * keyframe flag every `keyEvery`-th block).
     */
   def buildWebm(width: Int, height: Int, nFrames: Int, msPerFrame: Int,
-                keyEvery: Int, frameSize: Int = 16): Array[Byte] = {
+                keyEvery: Int, frameSize: Int = 16): Array[Byte] =
+    // bitwise-identical to the original fixed-size form
+    buildWebmSamples(width, height,
+      (0 until nFrames).map(i =>
+        Array.tabulate(frameSize)(j => ((i * 31 + j) % 251).toByte)),
+      msPerFrame, keyEvery)
+
+  /** [[buildWebm]] with CALLER-SUPPLIED frame payloads (variable sizes
+    * — real PNG/JPEG intra frames for the intra-coded-WebM shape).
+    */
+  def buildWebmSamples(width: Int, height: Int, frames: Seq[Array[Byte]],
+                       msPerFrame: Int, keyEvery: Int): Array[Byte] = {
+    val nFrames = frames.length
     require(width > 0 && height > 0 && nFrames > 0 && keyEvery > 0)
     def id(v: Long): Array[Byte] = { // IDs are stored verbatim
       val n = (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8
@@ -460,7 +514,7 @@ object MediaContainers {
       val flags = if (i % keyEvery == 0) 0x80 else 0x00
       val body = Array[Byte](0x81.toByte, // track 1 as a 1-byte varint
         ((i * msPerFrame) >> 8).toByte, (i * msPerFrame).toByte, flags.toByte) ++
-        Array.tabulate(frameSize)(j => ((i * 31 + j) % 251).toByte)
+        frames(i)
       el(0xA3L, body)
     }.toArray
     val cluster = el(0x1F43B675L, el(0xE7L, uint(0)) ++ blocks)

@@ -337,10 +337,11 @@ object Multimodal {
   final case class VideoPhashRow(media_id: Long, frame_idx: Int,
                                  frame_w: Int, frame_h: Int, phash: Long)
 
-  /** I-frame perceptual hash for intra-coded video (the MJPEG-in-MP4
-    * shape: every sample a standalone JPEG/PNG image): slice each sync
-    * sample's exact bytes out of the container via the sample table
-    * ([[MediaContainers.mp4KeyframeSpans]] — stss × stsz × stco),
+  /** I-frame perceptual hash for intra-coded video (the MJPEG-style
+    * shape: every sample a standalone JPEG/PNG image), MP4 AND WebM:
+    * slice each keyframe's exact bytes out of the container
+    * ([[MediaContainers.mp4KeyframeSpans]] — stss × stsz × stco — or
+    * [[MediaContainers.webmKeyframeSpans]] — keyflagged SimpleBlocks),
     * decode it standalone with ImageIO, and dHash the 65 column-mean
     * lumas (integer 299/587/114 luma, integer means — adjacent
     * greater-than bits, same convention as [[perceptualHash]]). This
@@ -354,7 +355,14 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
-        MediaContainers.mp4KeyframeSpans(r.payload).map { case (k, off, len) =>
+        val spans =
+          if (MediaContainers.isMp4(r.payload))
+            MediaContainers.mp4KeyframeSpans(r.payload)
+          else if (MediaContainers.isWebm(r.payload))
+            MediaContainers.webmKeyframeSpans(r.payload)
+          else throw new IllegalArgumentException(
+            s"media ${r.media_id}: neither MP4 nor WebM")
+        spans.map { case (k, off, len) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.payload, off.toInt, len))
           require(img != null, s"undecodable intra frame $k")

@@ -785,10 +785,11 @@ object QueriesEmb {
              |  CAST(ke * (nk * (nk - 1) // 2) AS BIGINT) AS key_sum
              |FROM k""".stripMargin)),
 
-    // video I-frame perceptual hash: each row builds an intra-coded MP4
-    // (every sample a real lossless PNG whose column lumas follow an
-    // integer formula), then the operator slices each sync sample's
-    // exact bytes via the sample table, decodes it standalone through
+    // video I-frame perceptual hash: each row builds an intra-coded
+    // container — MP4 (even docs, sample-table slicing) or WebM (odd,
+    // keyflagged SimpleBlocks) — every sample a real lossless PNG whose
+    // column lumas follow an integer formula; the operator slices each
+    // keyframe's exact bytes, decodes it standalone through
     // ImageIO, and dHashes the column-mean lumas. The oracle recomputes
     // the lumas algebraically — any drift in the builder, the
     // stss/stsz/stco slicing, the PNG round-trip, or the bit packing
@@ -805,8 +806,14 @@ object QueriesEmb {
           val mult = 1 + (id % 5).toInt
           val frames = (0 until nf).map(j =>
             Multimodal.pngColumnFrame(mult, ((7L * j + id) % 256).toInt))
-          (id, "video/mp4",
-            MediaContainers.buildMp4Samples(65, 3, frames, 40, ke))
+          // even docs MP4, odd WebM (the mm_container split): the hash
+          // must be container-independent — same pixels, same dHash
+          if (id % 2 == 0)
+            (id, "video/mp4",
+              MediaContainers.buildMp4Samples(65, 3, frames, 40, ke))
+          else
+            (id, "video/webm",
+              MediaContainers.buildWebmSamples(65, 3, frames, 40, ke))
         }.toDF("media_id", "kind", "payload")
         Multimodal.videoKeyframePhash(media).toDF()
       },

@@ -100,6 +100,33 @@ class MediaContainersSpec extends AnyFunSuite with Matchers {
       Seq((0, 16), (2, 16), (4, 16))
   }
 
+  test("webmKeyframeSpans: sliced bytes equal the source frames; phash container-independent") {
+    val frames = Seq(
+      Multimodal.pngColumnFrame(2, 0),
+      Multimodal.pngColumnFrame(3, 7),
+      Multimodal.pngColumnFrame(255, 255),
+      Multimodal.pngColumnFrame(1, 50))
+    val webm = MC.buildWebmSamples(65, 3, frames, 40, keyEvery = 2)
+    val spans = MC.webmKeyframeSpans(webm)
+    spans.map(_._1) shouldBe Seq(0, 2)
+    spans.foreach { case (k, off, len) =>
+      len shouldBe frames(k).length
+      webm.slice(off.toInt, off.toInt + len).toSeq shouldBe frames(k).toSeq
+    }
+    // the SAME frames through MP4 and WebM must hash identically —
+    // the dHash sees pixels, never the container
+    val spark = TestSession.spark
+    import spark.implicits._
+    val mp4 = MC.buildMp4Samples(65, 3, frames, 40, keyEvery = 2)
+    val rows = Multimodal.videoKeyframePhash(
+        Seq((1L, "video/mp4", mp4), (2L, "video/webm", webm))
+          .toDF("media_id", "kind", "payload"))
+      .collect().groupBy(_.media_id)
+    val a = rows(1L).sortBy(_.frame_idx).map(r => (r.frame_idx, r.phash)).toSeq
+    val b = rows(2L).sortBy(_.frame_idx).map(r => (r.frame_idx, r.phash)).toSeq
+    a shouldBe b
+  }
+
   test("videoKeyframePhash: decoded I-frame hashes match the pixel formula") {
     val spark = TestSession.spark
     import spark.implicits._
