@@ -43,8 +43,9 @@ object Graphs {
     * closure = 3·triangles/wedges in integer micro-units (the global
     * clustering coefficient).
     */
-  def triangleStats(edges: DataFrame, adjSegSize: Int = 4096): DataFrame = {
-    require(adjSegSize >= 1)
+  def triangleStats(edges: DataFrame, adjSegSize: Int = 4096,
+                    probeEdgesPerBatch: Long = 30000000L): DataFrame = {
+    require(adjSegSize >= 1 && probeEdgesPerBatch >= 1)
     val deg = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -83,22 +84,41 @@ object Graphs {
         s"transform(sequence(0, (size(all) - 1) DIV $adjSegSize)," +
           s" i -> slice(all, i * $adjSegSize + 1, $adjSegSize))")).as("nbrs"))
       .localCheckpoint()
-    val triangles = o
+    // The probe join's shuffle volume is Σ outdeg² (arrays attached to
+    // every edge row) — linear in wedges but, at the sf10 century
+    // point, past this machine's RAM, so it spills (107× measured for
+    // 100× data). Batch the PROBE side when the oriented-edge count
+    // says so: each of B sequential passes probes a deterministic
+    // hash-slice of the edges against the SAME checkpointed adjacency,
+    // dividing peak shuffle memory by B with a bit-identical total
+    // (every edge lands in exactly one slice). Driver holds B ≤ 64
+    // partial counts — bounded. One pass at bench scales (B = 1).
+    val nOriented = o.count()
+    val nBatches = math.max(1L, math.min(64L,
+      (nOriented + probeEdgesPerBatch - 1) / probeEdgesPerBatch)).toInt
+    def probeCount(probe: DataFrame): Long = probe
       .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")),
         Seq("dst"), "left")
       .select(size(array_intersect(col("nu"),
         coalesce(col("nv"), array()))).cast("long").as("c"))
-      .agg(sum(col("c")).as("n_triangles"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+      .first().getLong(0)
+    val nTriangles =
+      if (nBatches == 1) probeCount(o)
+      else (0 until nBatches).map { b =>
+        probeCount(o.filter(
+          pmod(xxhash64(col("src"), col("dst")), lit(nBatches)) === b))
+      }.sum
     val wedges = deg.agg(
       count(lit(1)).as("n_nodes"),
       sum(call_function("div", col("d") * (col("d") - 1L), lit(2L)))
         .as("n_wedges"))
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-    nEdges.crossJoin(broadcast(wedges)).crossJoin(broadcast(triangles))
+    nEdges.crossJoin(broadcast(wedges))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-        col("n_triangles"),
-        call_function("div", lit(3000000L) * col("n_triangles"),
+        lit(nTriangles).as("n_triangles"),
+        call_function("div", lit(3000000L) * lit(nTriangles),
           greatest(col("n_wedges"), lit(1L))).as("closure_micro"))
   }
 

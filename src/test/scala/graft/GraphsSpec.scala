@@ -16,6 +16,17 @@ class GraphsSpec extends SparkSpec {
       r.getAs[Long]("closure_micro"))
   }
 
+  test("probe batching: forced multi-batch count equals the single pass") {
+    val s2 = spark; import s2.implicits._
+    // K6: 20 triangles — every probe slice must contribute correctly
+    val k6 = (for { a <- 1L to 6L; b <- (a + 1) to 6L } yield (a, b))
+    val one = Graphs.triangleStats(k6.toDF("a", "b")).collect()(0)
+    val batched = Graphs.triangleStats(k6.toDF("a", "b"),
+      probeEdgesPerBatch = 3L).collect()(0) // 15 oriented edges → 5 batches
+    assert(one.getAs[Long]("n_triangles") == 20L)
+    assert(one.toSeq == batched.toSeq)
+  }
+
   test("K4 has 4 triangles and closure 1; path and star have none") {
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
     val (n, e, w, t, c) = stats(k4)
