@@ -210,29 +210,62 @@ object Dedup {
                                textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val words = df
+    // HIERARCHICAL HASH DOUBLING (the sparse-table trick): each round
+    // keeps per-doc arrays where index s holds a 128-bit fingerprint
+    // (two independently-salted xxhash64 lanes) of the length-p window
+    // starting at s, p a power of two. Doubling composes
+    // h_2p(s) = H(h_p(s), h_p(s+p)); an arbitrary binary-search length
+    // m in (p, 2p) composes the two OVERLAPPING length-p spans
+    // h_m(s) = H(h_p(s), h_p(s+m-p)) — equal windows ⟺ equal span
+    // pairs, so equality is preserved exactly (collisions are the only
+    // error source, same Monte-Carlo standard as the md5 scheme this
+    // replaces). Each round is O(1) hash work per offset instead of
+    // O(L) re-slicing, entirely map-side within each doc row; the only
+    // shuffle per round is the duplicate-existence partial-agg, and
+    // driver work is one scalar count per round (≤ 2·log₂ rounds).
+    def shifted(d: Int)(arr: String, salt: String): Column = expr(
+      s"CASE WHEN size($arr) > $d THEN transform(" +
+        s"sequence(0, size($arr) - ${d + 1}), " +
+        s"i -> xxhash64('$salt', element_at($arr, i + 1), " +
+        s"element_at($arr, i + 1 + $d))) " +
+        s"ELSE CAST(array() AS array<bigint>) END")
+    def composed(src: DataFrame, d: Int): DataFrame = src.select(
+      shifted(d)("ha", "a").as("ha"), shifted(d)("hb", "b").as("hb"))
+    def hasDup(h: DataFrame): Boolean = h
+      .select(explode(arrays_zip(col("ha"), col("hb"))).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).count() > 0L
+    val base = df
       .select(split(TextAnalysis.normalized(col(textCol)), " ").as("words"))
+      .select(expr("transform(words, w -> xxhash64('a', w))").as("ha"),
+        expr("transform(words, w -> xxhash64('b', w))").as("hb"))
       .localCheckpoint()
-    // count of window TEXTS (fingerprints) occurring >= 2 times at L
-    def dupWindowCount(len: Int): Long = words
-      .filter(size(col("words")) >= len)
-      .withColumn("s", explode(sequence(lit(0), size(col("words")) - len)))
-      .select(md5(array_join(slice(col("words"), col("s") + 1, lit(len)), " "))
-        .as("fp"))
+    if (!hasDup(base))
+      return Seq((0L, 0L)).toDF("lrs_tokens", "n_dup_windows")
+    // double until no duplicate at hi, then binary-search (lo dup, hi not];
+    // `cur` stays at the last duplicated power-of-two length p == lo.
+    var lo = 1
+    var cur = base
+    var hi = 2
+    var probe = composed(cur, lo).localCheckpoint()
+    while (hasDup(probe)) {
+      lo = hi; cur = probe // cur now holds length-lo fingerprints
+      hi *= 2
+      probe = composed(cur, lo).localCheckpoint()
+    }
+    val p = lo // power-of-two anchor; all later lengths compose from it
+    while (hi - lo > 1) {
+      val mid = (lo + hi) / 2
+      if (hasDup(composed(cur, mid - p))) lo = mid else hi = mid
+    }
+    // distinct duplicated window TEXTS at the answer length
+    val atLo = if (lo == p) cur else composed(cur, lo - p)
+    val nDup = atLo
+      .select(explode(arrays_zip(col("ha"), col("hb"))).as("fp"))
       .groupBy(col("fp")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1)
       .count()
-    if (dupWindowCount(1) == 0L)
-      return Seq((0L, 0L)).toDF("lrs_tokens", "n_dup_windows")
-    // double until no duplicate at hi, then binary-search (lo dup, hi not]
-    var lo = 1
-    var hi = 2
-    while (dupWindowCount(hi) > 0L) { lo = hi; hi *= 2 }
-    while (hi - lo > 1) {
-      val mid = (lo + hi) / 2
-      if (dupWindowCount(mid) > 0L) lo = mid else hi = mid
-    }
-    Seq((lo.toLong, dupWindowCount(lo))).toDF("lrs_tokens", "n_dup_windows")
+    Seq((lo.toLong, nDup)).toDF("lrs_tokens", "n_dup_windows")
   }
 
   /** Shared core of the exact-substring pair: every stride-1 window
