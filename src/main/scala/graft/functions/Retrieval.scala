@@ -374,6 +374,58 @@ object Retrieval {
           array(Seq.fill(dims)(lit(0L)): _*)).as("vec"))
   }
 
+  /** Deterministic phrase workload: the first `nWords` normalized words
+    * of docs with id % every == offset — the same oracle-reproducible
+    * corpus-derived scheme as [[queriesFromDocs]].
+    */
+  def phrasesFromDocs(docs: DataFrame, idCol: String, textCol: String,
+                      every: Long = 41L, offset: Long = 5L,
+                      nWords: Int = 3): DataFrame = {
+    val words = split(TextAnalysis.normalized(col(textCol)), " ")
+    docs.filter(pmod(col(idCol), lit(every)) === lit(offset) &&
+        size(words) >= nWords)
+      .select(col(idCol).cast("long").as("phrase_id"),
+        slice(words, 1, nWords).as("terms"))
+  }
+
+  /** Exact phrase-occurrence search via positional postings: a phrase
+    * t_0..t_{k-1} occurs at token offset a iff token a+i equals t_i for
+    * every i, so each corpus token that matches SOME phrase term votes
+    * for anchor (pos - i), and an anchor with k votes is a hit (a token
+    * position pairs with a phrase position at most once, so plain
+    * count == k — no distinct needed).
+    *
+    * Scale shape: the phrase-term table broadcasts into the one
+    * corpus-token scan (map-side candidate generation, tokens that
+    * match no phrase term never leave the map task); the single shuffle
+    * carries only (doc, phrase, anchor) votes — Σ occurrences of the
+    * phrases' terms, the classic positional-intersection volume — and
+    * the groupBy takes map-side partials. Doc text never shuffles.
+    *
+    * Returns (phrase_id, doc_id, n_hits, first_pos) with `first_pos`
+    * 1-based; overlapping occurrences each count.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrases: DataFrame): DataFrame = {
+    val words = split(TextAnalysis.normalized(col(textCol)), " ")
+    val postings = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(words).as(Seq("pos", "tok")))
+    val pterms = phrases.select(col("phrase_id"),
+        size(col("terms")).as("k"),
+        posexplode(col("terms")).as(Seq("i", "pterm")))
+    val votes = postings.join(broadcast(pterms), col("tok") === col("pterm"))
+      .select(col("doc_id"), col("phrase_id"), col("k"),
+        (col("pos") - col("i")).as("anchor"))
+      .filter(col("anchor") >= 0)
+    votes.groupBy("doc_id", "phrase_id", "k", "anchor")
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") === col("k"))
+      .groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        (min(col("anchor")) + 1L).cast("long").as("first_pos"))
+      .orderBy("phrase_id", "doc_id")
+  }
+
   def rrfFuse(lexical: DataFrame, dense: DataFrame,
               kRrf: Long = 60L, k: Int = 10): DataFrame = {
     val l = lexical.select(col("query_id"), col("doc_id"),

@@ -2525,6 +2525,35 @@ object QueriesText {
               |  coalesce(chk.nnz, 0) AS nnz,
               |  coalesce(chk.v_sum, 0) AS v_sum,
               |  coalesce(chk.v_possum, 0) AS v_possum
-              |FROM documents dd LEFT JOIN chk ON dd.doc_id = chk.doc_id""".stripMargin))
+              |FROM documents dd LEFT JOIN chk ON dd.doc_id = chk.doc_id""".stripMargin)),
+
+    // exact phrase search via positional postings: phrase terms
+    // broadcast into the one corpus-token scan; the single shuffle
+    // carries per-(doc, phrase, anchor) votes (only tokens matching a
+    // phrase term), and an anchor with k votes is an occurrence. The
+    // oracle brute-forces every anchor by list-slice equality — a
+    // completely different algorithm arriving at the same rows, so the
+    // hash pins the anchor arithmetic (off-by-one, overlap handling,
+    // 1-based first_pos) rather than replaying the Spark plan.
+    QDef("t_phrase_search",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        Retrieval.phraseSearch(docs, "doc_id", "text",
+          Retrieval.phrasesFromDocs(docs, "doc_id", "text"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+              |phr AS (SELECT doc_id AS phrase_id,
+              |          list_slice(words, 1, 3) AS p
+              |        FROM w WHERE doc_id % 41 = 5 AND len(words) >= 3),
+              |anch AS (SELECT doc_id, words,
+              |           unnest(range(1, greatest(len(words) - 2, 0) + 1)) AS s
+              |         FROM w),
+              |hit AS (SELECT p.phrase_id, a.doc_id, a.s
+              |        FROM anch a JOIN phr p
+              |          ON list_slice(a.words, a.s, a.s + 2) = p.p)
+              |SELECT phrase_id, doc_id,
+              |  CAST(count(*) AS BIGINT) AS n_hits,
+              |  CAST(min(s) AS BIGINT) AS first_pos
+              |FROM hit GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -534,8 +534,18 @@ object Hdf5Reader {
     FractalHeap(offBytes, lenBytes, width, startBlock, blockAddrs)
   }
 
-  /** v2 B-tree (BTHD), root-leaf form: returns each record's bytes
-    * minus the 4-byte name hash — i.e. the fractal heap IDs.
+  /** v2 B-tree (BTHD), any depth: returns each record's bytes minus the
+    * 4-byte name hash — i.e. the fractal heap IDs — in tree order.
+    *
+    * Node capacities follow the library's published geometry (H5B2):
+    * every node (leaf BTLF or internal BTIN) owns `nodeSize` bytes with
+    * a 10-byte frame (4 signature + 1 version + 1 type + 4 checksum); a
+    * child pointer is 8 (address) + maxNrecSize (child record count,
+    * sized for the max LEAF record count) + — only when the child is
+    * itself internal — cumMaxNrecSize(childDepth) (total subtree record
+    * count, sized for that depth's cumulative capacity). Internal nodes
+    * carry real records BETWEEN child pointers, so in-order enumeration
+    * interleaves child walks with the node's own records.
     */
   private def readBtree2LeafRecords(buf: ByteBuffer, addr: Long,
                                     path: String): Seq[Array[Byte]] = {
@@ -547,28 +557,68 @@ object Hdf5Reader {
     val btType = b.get() & 0xff
     require(btType == 5,
       s"$path: v2 B-tree type $btType (expected 5, link-name index)")
-    b.getInt() // node size
+    val nodeSize = b.getInt()
     val recSize = b.getShort() & 0xffff
     val depth = b.getShort() & 0xffff
-    require(depth == 0,
-      s"$path: link-name B-tree depth $depth — root-leaf only (≈180 " +
-        "links); split the group or use `nccopy -k classic`")
     b.get(); b.get() // split / merge percents
     val rootNode = b.getLong()
-    val nRec = b.getShort() & 0xffff
-    require(bytesAt(buf, rootNode.toInt, 4) == "BTLF",
-      s"$path: B-tree leaf signature missing at $rootNode")
-    val lb = slice(buf, rootNode.toInt + 4, 0)
-    val lver = lb.get() & 0xff
-    require(lver == 0, s"$path: B-tree leaf v$lver unsupported")
-    val ltyp = lb.get() & 0xff
-    require(ltyp == 5, s"$path: B-tree leaf type $ltyp")
-    (0 until nRec).map { _ =>
-      lb.getInt() // hash of name (lookup index — enumeration skips it)
+    val rootNrec = b.getShort() & 0xffff
+
+    def log2Floor(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    // per-depth max records / cumulative subtree capacity (H5B2hdr.c)
+    val maxLeafNrec = (nodeSize - 10L) / recSize
+    require(maxLeafNrec > 0, s"$path: B-tree node size $nodeSize too small")
+    val maxNrecSize = log2Floor(maxLeafNrec) / 8 + 1
+    val cumMaxNrec = new Array[Long](depth + 1)
+    val cumMaxNrecSize = new Array[Int](depth + 1)
+    cumMaxNrec(0) = maxLeafNrec; cumMaxNrecSize(0) = 0
+    for (u <- 1 to depth) {
+      val ptrSize = 8 + maxNrecSize + cumMaxNrecSize(u - 1)
+      val maxNrec = (nodeSize - 10L - ptrSize) / (recSize + ptrSize)
+      require(maxNrec > 0,
+        s"$path: B-tree node size $nodeSize too small for depth $u")
+      cumMaxNrec(u) = (maxNrec + 1) * cumMaxNrec(u - 1) + maxNrec
+      cumMaxNrecSize(u) = log2Floor(cumMaxNrec(u)) / 8 + 1
+    }
+
+    def record(nb: ByteBuffer): Array[Byte] = {
+      nb.getInt() // hash of name (lookup index — enumeration skips it)
       val id = new Array[Byte](recSize - 4)
-      lb.get(id)
+      nb.get(id)
       id
     }
+
+    def walk(nodeAddr: Long, nRec: Int, d: Int): Seq[Array[Byte]] =
+      if (d == 0) {
+        require(bytesAt(buf, nodeAddr.toInt, 4) == "BTLF",
+          s"$path: B-tree leaf signature missing at $nodeAddr")
+        val lb = slice(buf, nodeAddr.toInt + 4, 0)
+        val lver = lb.get() & 0xff
+        require(lver == 0, s"$path: B-tree leaf v$lver unsupported")
+        val ltyp = lb.get() & 0xff
+        require(ltyp == 5, s"$path: B-tree leaf type $ltyp")
+        (0 until nRec).map(_ => record(lb))
+      } else {
+        require(bytesAt(buf, nodeAddr.toInt, 4) == "BTIN",
+          s"$path: B-tree internal signature missing at $nodeAddr")
+        val ib = slice(buf, nodeAddr.toInt + 4, 0)
+        val iver = ib.get() & 0xff
+        require(iver == 0, s"$path: B-tree internal v$iver unsupported")
+        val ityp = ib.get() & 0xff
+        require(ityp == 5, s"$path: B-tree internal type $ityp")
+        val recs = (0 until nRec).map(_ => record(ib))
+        val children = (0 to nRec).map { _ =>
+          val caddr = ib.getLong()
+          val cnrec = readUintLE(ib, maxNrecSize).toInt
+          if (d >= 2) readUintLE(ib, cumMaxNrecSize(d - 1)) // subtree total
+          (caddr, cnrec)
+        }
+        (0 to nRec).flatMap { i =>
+          val sub = walk(children(i)._1, children(i)._2, d - 1)
+          if (i < nRec) sub :+ recs(i) else sub
+        }
+      }
+    walk(rootNode, rootNrec, depth)
   }
 
   /** Decode a Link message (type 0x0006, version 1) to

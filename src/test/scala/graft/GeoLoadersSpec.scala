@@ -327,6 +327,41 @@ class GeoLoadersSpec extends SparkSpec {
     }
   }
 
+  test("dense links: multi-level v2 B-tree name index + doubled heap rows") {
+    // 10 extra hard links (all to the lat header) = 13 links → fractal
+    // heap rows 0-3 (row ≥ 2 blocks double in size), and a node size
+    // small enough to push the name index past a root leaf:
+    //   node 64 B → 4 recs/leaf → depth 1 (root BTIN over 3 leaves)
+    //   node 48 B → 3 recs/leaf, 1 rec/internal → depth 2 (7 nodes)
+    // Every link must be enumerated through the internal-node walk and
+    // every dataset must decode identically to the compact variant.
+    val lat = Array(10.0, 10.5, 11.0, 11.5)
+    val lon = Array(20.0, 20.25, 20.5, 20.75, 21.0)
+    val scale = 0.5; val offset = 2.0; val fill = -999.0f
+    val expect = Array.tabulate(20)(k => k * 0.5 - 1.0)
+    val packed = expect.map(v => ((v - offset) / scale).toFloat)
+    val attList = Seq("scale_factor" -> scale, "add_offset" -> offset,
+      "_FillValue" -> fill.toDouble)
+    val extraNames = (0 until 10).map(i => f"x$i%02d").toSet
+    for ((nodeSize, wantDepth) <- Seq((64, 1), (48, 2))) {
+      val p = Files.createTempFile(s"graft_btin_$nodeSize", ".nc").toString
+      MiniHdf5.writeGridV2(p, "elevation", lat, lon, packed,
+        chunkRows = 3, chunkCols = 2, deflate = false, shuffle = false,
+        atts = attList, denseRoot = true, denseExtraLinks = 10,
+        denseNodeSize = nodeSize)
+      val h5 = graft.sources.geo.Hdf5Reader.open(p)
+      assert(h5.datasets.keySet == Set("elevation", "lat", "lon") ++ extraNames,
+        s"node=$nodeSize (depth $wantDepth)")
+      val g = GridLoader.fromNetcdf(p, "elevation")
+      for (i <- 0 until 4; j <- 0 until 5)
+        assert(g.valueAt(i, j) == expect(i * 5 + j),
+          s"BTIN node=$nodeSize ($i,$j)")
+      // the extra links are real hard links to the lat dataset
+      val latVals = h5.readDoubles("lat")
+      assert(h5.readDoubles("x07").sameElements(latVals), s"node=$nodeSize x07")
+    }
+  }
+
   test("Extensible Array chunk index (unlimited record dim) reads equal to Fixed Array") {
     // the same grid under the ONE-unlimited-dim index h5py/netCDF write
     // for record dimensions: layout v4 type 4, EAHD → EAIB with the

@@ -470,6 +470,8 @@ object MiniHdf5 {
                   deflate: Boolean, shuffle: Boolean,
                   atts: Seq[(String, Double)],
                   denseRoot: Boolean = false,
+                  denseExtraLinks: Int = 0,
+                  denseNodeSize: Int = 512,
                   eaIndex: Boolean = false,
                   eaIdxElmts: Int = 4, eaMinElmts: Int = 2,
                   eaMinPtrs: Int = 4): Unit = {
@@ -817,17 +819,26 @@ object MiniHdf5 {
 
     // ---- dense link storage (Link Info → fractal heap + v2 B-tree) ----
     // Geometry chosen to exercise the indirect-root walk: one link per
-    // 64-byte direct block, so 3 links → a root FHIB with row 0 blocks.
+    // direct block, so 3 links → a root FHIB with row 0 blocks; extra
+    // links (`denseExtraLinks` hard links to the lat header) spill into
+    // doubled rows ≥ 2 and — with a small `denseNodeSize` — force the
+    // name index through BTIN internal nodes (depth 1, 2, ...).
+    val denseNames = names ++
+      (0 until denseExtraLinks).map(i => f"x$i%02d")
     val hpWidth = 4; val hpStart = 64L
     val hpMaxDirect = 65536L; val hpMaxBits = 32 // → heap ID = 1+4+2 = 7
     val fhdbHdrLen = 4 + 1 + 8 + 4 // sig, version, heap hdr, block offset
+    def blockSize(k: Int): Long = {
+      val r = k / hpWidth
+      if (r < 2) hpStart else hpStart << (r - 1)
+    }
     def blockHeapStart(k: Int): Long = {
       val r = k / hpWidth; val c = k % hpWidth
       val rowStart = if (r == 0) 0L else hpWidth * hpStart * (1L << (r - 1))
-      rowStart + c * (if (r < 2) hpStart else hpStart << (r - 1))
+      rowStart + c * blockSize(k)
     }
-    val nBlocks = names.length // one link object per block
-    require(!denseRoot || nBlocks <= 2 * hpWidth, "rows 0/1 only")
+    val nBlocks = denseNames.length // one link object per block
+    require(!denseRoot || nBlocks <= 12 * hpWidth, "direct rows only")
     val heapOffsets = (0 until nBlocks).map(k => blockHeapStart(k) + fhdbHdrLen)
 
     def linkInfoMsg(fheap: Long, bthd: Long): Array[Byte] = {
@@ -838,7 +849,9 @@ object MiniHdf5 {
     }
 
     def frhp(rootBlock: Long, curRows: Int): Array[Byte] = {
-      val managed = hpWidth * hpStart * (if (curRows <= 1) 1L else 2L)
+      val managed = // heap-offset span through the last allocated row
+        if (curRows <= 1) hpWidth * hpStart
+        else hpWidth * hpStart * (1L << (curRows - 1))
       val b = bb(160)
       b.put("FRHP".getBytes("US-ASCII")); b.put(0.toByte)
       b.putShort(7)                 // heap ID length
@@ -849,7 +862,7 @@ object MiniHdf5 {
       b.putLong(0L); b.putLong(Undef) // free space, free-space manager
       b.putLong(managed); b.putLong(managed) // managed, allocated
       b.putLong(managed)            // direct-block iterator offset
-      b.putLong(names.length.toLong) // managed object count
+      b.putLong(denseNames.length.toLong) // managed object count
       b.putLong(0L); b.putLong(0L); b.putLong(0L); b.putLong(0L) // huge/tiny
       b.putShort(hpWidth.toShort)
       b.putLong(hpStart); b.putLong(hpMaxDirect)
@@ -871,8 +884,9 @@ object MiniHdf5 {
       blob(b)
     }
 
-    def fhdb(heapHdr: Long, blockOff: Long, obj: Array[Byte]): Array[Byte] = {
-      val arr = new Array[Byte](hpStart.toInt)
+    def fhdb(heapHdr: Long, blockOff: Long, size: Long,
+             obj: Array[Byte]): Array[Byte] = {
+      val arr = new Array[Byte](size.toInt)
       val b = ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
       b.put("FHDB".getBytes("US-ASCII")); b.put(0.toByte)
       b.putLong(heapHdr)
@@ -881,30 +895,68 @@ object MiniHdf5 {
       arr
     }
 
-    def bthd(rootLeaf: Long, nRec: Int): Array[Byte] = {
+    // ---- v2 B-tree name index, any depth, same capacity geometry the
+    // reader derives from the spec: 10-byte node frame, child pointer =
+    // 8 (addr) + maxNrecSize + (depth ≥ 2: cumMaxNrecSize(child depth)).
+    // Depth is the smallest whose cumulative capacity holds the links;
+    // records distribute in order, one separator record between kids.
+    val btRecSize = 11 // 4-byte name hash + 7-byte heap ID
+    def log2Floor(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    val btMaxLeafNrec = (denseNodeSize - 10L) / btRecSize
+    require(btMaxLeafNrec > 0, "denseNodeSize too small")
+    val btMaxNrecSize = log2Floor(btMaxLeafNrec) / 8 + 1
+    val btMaxNrecAt = scala.collection.mutable.ArrayBuffer(btMaxLeafNrec)
+    val btCumMax = scala.collection.mutable.ArrayBuffer(btMaxLeafNrec)
+    val btCumSz = scala.collection.mutable.ArrayBuffer(0)
+    def btEnsureDepth(d: Int): Unit = while (btCumMax.length <= d) {
+      val u = btCumMax.length
+      val ptr = 8 + btMaxNrecSize + btCumSz(u - 1)
+      val mn = (denseNodeSize - 10L - ptr) / (btRecSize + ptr)
+      require(mn > 0, s"denseNodeSize $denseNodeSize too small for depth $u")
+      btMaxNrecAt += mn
+      btCumMax += (mn + 1) * btCumMax(u - 1) + mn
+      btCumSz += log2Floor(btCumMax(u)) / 8 + 1
+    }
+    var btDepth = 0
+    while (btCumMax(btDepth) < denseNames.length) {
+      btDepth += 1; btEnsureDepth(btDepth)
+    }
+    case class BtN(recs: Seq[Int], kids: Seq[BtN]) {
+      def nNodes: Int = 1 + kids.map(_.nNodes).sum
+      def nRecsTot: Long = recs.length + kids.map(_.nRecsTot).sum
+    }
+    def buildBt(idx: Seq[Int], d: Int): BtN =
+      if (d == 0) BtN(idx, Nil)
+      else {
+        val cap = btCumMax(d - 1)
+        var c = 2
+        while (c - 1 + c * cap < idx.length) c += 1
+        require(c - 1 <= btMaxNrecAt(d), "B-tree shape overflow")
+        val childRecs = idx.length - (c - 1)
+        val base = childRecs / c; val extra = childRecs % c
+        var pos = 0
+        val groups = (0 until c).map { g =>
+          val sz = base + (if (g < extra) 1 else 0)
+          val kid = idx.slice(pos, pos + sz); pos += sz
+          val sep = if (g < c - 1) { val s = idx(pos); pos += 1; s } else -1
+          (kid, sep)
+        }
+        BtN(groups.init.map(_._2), groups.map(g => buildBt(g._1, d - 1)))
+      }
+    val btRoot =
+      if (denseRoot) buildBt(denseNames.indices, btDepth) else BtN(Nil, Nil)
+
+    def bthd(rootNode: Long): Array[Byte] = {
       val b = bb(40)
       b.put("BTHD".getBytes("US-ASCII")); b.put(0.toByte)
       b.put(5.toByte)               // type 5: link name index
-      b.putInt(512)                 // node size
-      b.putShort(11)                // record size: 4 hash + 7 heap ID
-      b.putShort(0)                 // depth (root leaf)
+      b.putInt(denseNodeSize)       // node size
+      b.putShort(btRecSize.toShort) // record size: 4 hash + 7 heap ID
+      b.putShort(btDepth.toShort)
       b.put(100.toByte); b.put(40.toByte) // split / merge percents
-      b.putLong(rootLeaf)
-      b.putShort(nRec.toShort)
-      b.putLong(nRec.toLong)
-      b.putInt(0)                   // checksum (structural)
-      blob(b)
-    }
-
-    def btlf(recs: Seq[(Long, Int)]): Array[Byte] = {
-      val b = bb(4 + 1 + 1 + recs.length * 11 + 4)
-      b.put("BTLF".getBytes("US-ASCII")); b.put(0.toByte); b.put(5.toByte)
-      recs.foreach { case (off, len) =>
-        b.putInt(0)                 // name hash (enumeration skips it)
-        b.put(0.toByte)             // heap ID: version 0, managed
-        b.putInt(off.toInt)         // heap offset, 4 bytes LE
-        b.putShort(len.toShort)     // object length, 2 bytes LE
-      }
+      b.putLong(rootNode)
+      b.putShort(btRoot.recs.length.toShort)
+      b.putLong(denseNames.length.toLong)
       b.putInt(0)                   // checksum (structural)
       blob(b)
     }
@@ -935,21 +987,21 @@ object MiniHdf5 {
       else Seq.empty
 
     val denseRows = (nBlocks + hpWidth - 1) / hpWidth
+    val blockSizes = (0 until nBlocks).map(blockSize)
     val frhpLen = if (denseRoot) frhp(0L, 0).length else 0
     val fhibLen =
       if (denseRoot) fhib(0L, Seq.fill(denseRows * hpWidth)(0L)).length else 0
-    val blocksLen = if (denseRoot) nBlocks * hpStart.toInt else 0
-    val bthdLen = if (denseRoot) bthd(0L, 0).length else 0
-    val btlfLen =
-      if (denseRoot) btlf(names.map(_ => (0L, 0))).length else 0
+    val blocksLen = if (denseRoot) blockSizes.sum.toInt else 0
+    val bthdLen = if (denseRoot) bthd(0L).length else 0
+    val btNodesLen = if (denseRoot) btRoot.nNodes * denseNodeSize else 0
 
     val rootAddr = sbLen.toLong
     val frhpAddr = rootAddr + rootLen
     val fhibAddr = frhpAddr + frhpLen
     val dblk0 = fhibAddr + fhibLen
     val bthdAddr = dblk0 + blocksLen
-    val btlfAddr = bthdAddr + bthdLen
-    val gridAddr = btlfAddr + btlfLen
+    val btNodesAddr = bthdAddr + bthdLen
+    val gridAddr = btNodesAddr + btNodesLen
     val latHdrAddr = gridAddr + gridLen
     val lonHdrAddr = latHdrAddr + latLen
     val fahdAddr = lonHdrAddr + lonLen
@@ -978,23 +1030,56 @@ object MiniHdf5 {
     val gridIdxAddr =
       if (singleChunk) chunkAddrs.head else fahdAddr
     val hdrAddrs = Map(varName -> gridAddr, "lat" -> latHdrAddr,
-      "lon" -> lonHdrAddr)
+      "lon" -> lonHdrAddr) ++
+      denseNames.drop(names.length).map(_ -> latHdrAddr) // extra hard links
+    def emitBt(n: BtN, d: Int, addr: Long): Unit = {
+      buf.position(addr.toInt)
+      def rec(r: Int): Unit = {
+        buf.putInt(0)               // name hash (enumeration skips it)
+        buf.put(0.toByte)           // heap ID: version 0, managed
+        buf.putInt(heapOffsets(r).toInt) // heap offset, 4 bytes LE
+        buf.putShort(linkMsg(denseNames(r), 0L).length.toShort)
+      }
+      def putUintLE(v: Long, nB: Int): Unit =
+        (0 until nB).foreach(i => buf.put(((v >>> (8 * i)) & 0xff).toByte))
+      buf.put((if (d == 0) "BTLF" else "BTIN").getBytes("US-ASCII"))
+      buf.put(0.toByte); buf.put(5.toByte)
+      n.recs.foreach(rec)
+      if (d > 0) {
+        var ca = addr + denseNodeSize
+        n.kids.foreach { k =>
+          buf.putLong(ca)
+          putUintLE(k.recs.length.toLong, btMaxNrecSize)
+          if (d >= 2) putUintLE(k.nRecsTot, btCumSz(d - 1))
+          ca += k.nNodes.toLong * denseNodeSize
+        }
+      }
+      buf.putInt(0)                 // checksum (structural)
+      if (d > 0) {
+        var ca = addr + denseNodeSize
+        n.kids.foreach { k =>
+          emitBt(k, d - 1, ca); ca += k.nNodes.toLong * denseNodeSize
+        }
+      }
+    }
     if (denseRoot) {
       buf.put(v2Header(Seq((0x0002, linkInfoMsg(frhpAddr, bthdAddr)))))
       assert(buf.position() == frhpAddr)
       buf.put(frhp(fhibAddr, denseRows))
       assert(buf.position() == fhibAddr)
-      val dblkAddrs = (0 until nBlocks).map(k => dblk0 + k * hpStart)
+      val dblkAddrs = blockSizes.scanLeft(dblk0)(_ + _).init
       buf.put(fhib(frhpAddr,
         dblkAddrs.padTo(denseRows * hpWidth, -1L)))
-      names.zipWithIndex.foreach { case (n, k) =>
+      denseNames.zipWithIndex.foreach { case (n, k) =>
         buf.position(dblkAddrs(k).toInt)
-        buf.put(fhdb(frhpAddr, blockHeapStart(k), linkMsg(n, hdrAddrs(n))))
+        buf.put(fhdb(frhpAddr, blockHeapStart(k), blockSizes(k),
+          linkMsg(n, hdrAddrs(n))))
       }
       buf.position(bthdAddr.toInt)
-      buf.put(bthd(btlfAddr, names.length))
-      assert(buf.position() == btlfAddr)
-      buf.put(btlf(heapOffsets.zip(names.map(n => linkMsg(n, 0L).length))))
+      buf.put(bthd(btNodesAddr))
+      emitBt(btRoot, btDepth, btNodesAddr)
+      // each node owns denseNodeSize bytes; serialized content is shorter
+      buf.position(gridAddr.toInt)
     } else {
       buf.put(rootHeader(hdrAddrs))
     }

@@ -181,4 +181,28 @@ class RetrievalSpec extends SparkSpec {
       s"expansion must reach doc 2 through doc 1's terms: $prf")
     assert(!prf.contains(3L), "self stays excluded after expansion")
   }
+
+  test("phraseSearch: exact anchors, overlap counting, repeated terms") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (0L, "red fox jumps over the red fox jumps"), // 2 hits, overlap-free
+      (1L, "red fox sleeps"),                        // prefix only — no hit
+      (2L, "a red fox jumps twice"),                 // 1 hit at token 2
+      (3L, "fox jumps red"),                         // right words, wrong order
+      (4L, "go go go go")                            // repeated-term phrase fodder
+    ).toDF("doc_id", "text")
+    val phrases = Seq(
+      (100L, Seq("red", "fox", "jumps")),
+      (200L, Seq("go", "go", "go"))                  // self-overlapping phrase
+    ).toDF("phrase_id", "terms")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text", phrases)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got((100L, 0L)) == (2L, 1L), s"doc 0 hits at tokens 1 and 6: $got")
+    assert(!got.contains((100L, 1L)), "two-token prefix is not a hit")
+    assert(got((100L, 2L)) == (1L, 2L))
+    assert(!got.contains((100L, 3L)), "order matters")
+    // "go go go" in "go go go go": anchors 1 and 2 — overlapping hits count
+    assert(got((200L, 4L)) == (2L, 1L), s"overlapping occurrences: $got")
+  }
 }
