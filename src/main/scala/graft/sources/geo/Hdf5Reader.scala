@@ -23,8 +23,10 @@ import graft.ops.Grid
   * (fixed) and 1 (IEEE float), Data Layout v3 contiguous AND chunked
   * (v1 B-tree chunk index) AND v4 (contiguous; chunked under Single
   * Chunk, Implicit, Fixed Array — the fixed-dims indexes the latest
-  * format writes — and Extensible Array for a leading unlimited/record
-  * dimension, direct blocks), filter pipeline v1/v2 with deflate
+  * format writes — Extensible Array for a leading unlimited/record
+  * dimension, direct blocks, and v2 B-tree — type 10/11 records, any
+  * depth — for several unlimited dims), filter pipeline v1/v2 with
+  * deflate
   * (`java.util.zip.Inflater` — the zlib stream's own adler32
   * integrity-checks each chunk), shuffle (byte de-interleave), and
   * fletcher32 (checksum stripped), and Attribute messages v1–v3 for
@@ -33,8 +35,8 @@ import graft.ops.Grid
   * exactly like [[NetcdfReader.NcFile.readDoubles]] so a packed or
   * fill-bearing grid decodes identically through either container.
   *
-  * Everything else — v2-B-tree chunk indexes (several unlimited
-  * dims), paged Extensible Array data blocks, superblock extensions,
+  * Everything else — paged Extensible Array data blocks, superblock
+  * extensions,
   * non-8-byte offsets, unknown filters, a conventions attribute this
   * reader cannot decode — fails LOUDLY with a message naming the
   * limitation and the one-line `nccopy` escape hatch; this reader
@@ -82,6 +84,8 @@ object Hdf5Reader {
     * blocks reject loudly).
     */
   final case class ExtensibleArrayIndex(addr: Long) extends ChunkIndex
+  /** v2-B-tree chunk index (layout v4 type 5: >1 unlimited dim). */
+  final case class Btree2Index(addr: Long) extends ChunkIndex
 
   /** `chunkDims` excludes the trailing element-size pseudo-dimension. */
   final case class Chunked(index: ChunkIndex, chunkDims: Seq[Int]) extends Layout
@@ -149,6 +153,7 @@ object Hdf5Reader {
         case ImplicitIndex(a) => a
         case FixedArrayIndex(a) => a
         case ExtensibleArrayIndex(a) => a
+        case Btree2Index(a) => a
       }
       if (idxAddr == Undef) return out // no chunk was ever written
       val gStrides = new Array[Long](ndims)
@@ -169,6 +174,8 @@ object Hdf5Reader {
           fixedArrayEntries(b, a, d, cd, nc, path)
         case ExtensibleArrayIndex(a) =>
           extensibleArrayEntries(b, a, d, cd, nc, path)
+        case Btree2Index(a) =>
+          btree2ChunkEntries(b, a, cd, nc * d.dtSize, path)
       }
       // an Undef entry address = chunk never allocated (sparse dataset
       // under a Fixed Array index): those cells keep the fill value
@@ -549,14 +556,27 @@ object Hdf5Reader {
     */
   private def readBtree2LeafRecords(buf: ByteBuffer, addr: Long,
                                     path: String): Seq[Array[Byte]] = {
+    val (_, recSize, recs) = walkBtree2(buf, addr, path, Set(5))
+    recs.map { r =>
+      // drop the 4-byte name hash (lookup index — enumeration skips it)
+      java.util.Arrays.copyOfRange(r, 4, recSize)
+    }
+  }
+
+  /** Generic v2 B-tree walk (any depth): returns (type, record size,
+    * raw record bytes in tree order). Shared by the dense-link name
+    * index (type 5) and the chunk indexes (types 10/11).
+    */
+  private def walkBtree2(buf: ByteBuffer, addr: Long, path: String,
+                         wantTypes: Set[Int]): (Int, Int, Seq[Array[Byte]]) = {
     require(bytesAt(buf, addr.toInt, 4) == "BTHD",
       s"$path: v2 B-tree signature missing at $addr")
     val b = slice(buf, addr.toInt + 4, 0)
     val ver = b.get() & 0xff
     require(ver == 0, s"$path: v2 B-tree v$ver unsupported")
     val btType = b.get() & 0xff
-    require(btType == 5,
-      s"$path: v2 B-tree type $btType (expected 5, link-name index)")
+    require(wantTypes.contains(btType),
+      s"$path: v2 B-tree type $btType (expected ${wantTypes.toSeq.sorted.mkString("/")})")
     val nodeSize = b.getInt()
     val recSize = b.getShort() & 0xffff
     val depth = b.getShort() & 0xffff
@@ -582,10 +602,9 @@ object Hdf5Reader {
     }
 
     def record(nb: ByteBuffer): Array[Byte] = {
-      nb.getInt() // hash of name (lookup index — enumeration skips it)
-      val id = new Array[Byte](recSize - 4)
-      nb.get(id)
-      id
+      val r = new Array[Byte](recSize)
+      nb.get(r)
+      r
     }
 
     def walk(nodeAddr: Long, nRec: Int, d: Int): Seq[Array[Byte]] =
@@ -596,7 +615,7 @@ object Hdf5Reader {
         val lver = lb.get() & 0xff
         require(lver == 0, s"$path: B-tree leaf v$lver unsupported")
         val ltyp = lb.get() & 0xff
-        require(ltyp == 5, s"$path: B-tree leaf type $ltyp")
+        require(ltyp == btType, s"$path: B-tree leaf type $ltyp != $btType")
         (0 until nRec).map(_ => record(lb))
       } else {
         require(bytesAt(buf, nodeAddr.toInt, 4) == "BTIN",
@@ -605,7 +624,7 @@ object Hdf5Reader {
         val iver = ib.get() & 0xff
         require(iver == 0, s"$path: B-tree internal v$iver unsupported")
         val ityp = ib.get() & 0xff
-        require(ityp == 5, s"$path: B-tree internal type $ityp")
+        require(ityp == btType, s"$path: B-tree internal type $ityp != $btType")
         val recs = (0 until nRec).map(_ => record(ib))
         val children = (0 to nRec).map { _ =>
           val caddr = ib.getLong()
@@ -618,7 +637,41 @@ object Hdf5Reader {
           if (i < nRec) sub :+ recs(i) else sub
         }
       }
-    walk(rootNode, rootNrec, depth)
+    (btType, recSize, walk(rootNode, rootNrec, depth))
+  }
+
+  /** v2-B-tree chunk index (layout v4 type 5 — the index the library
+    * picks when MORE THAN ONE dimension is unlimited): type-10 records
+    * (non-filtered: address + per-dim scaled offsets) or type-11
+    * (filtered: + variable-width chunk size + 4-byte filter mask).
+    * The variable chunk-size width is recovered from the header's
+    * record size (recSize − 8 − 4 − 8·rank) rather than re-deriving
+    * the library's clamp formula — self-validating against the file.
+    */
+  private def btree2ChunkEntries(buf: ByteBuffer, addr: Long, cd: Array[Int],
+                                 rawChunkBytes: Int, path: String)
+      : Seq[(Int, Int, Array[Long], Long)] = {
+    val ndims = cd.length
+    val (t, recSize, recs) = walkBtree2(buf, addr, path, Set(10, 11))
+    val chunkSizeLen = if (t == 11) recSize - 8 - 4 - 8 * ndims else 0
+    if (t == 10)
+      require(recSize == 8 + 8 * ndims,
+        s"$path: type-10 chunk record size $recSize != ${8 + 8 * ndims}")
+    else
+      require(chunkSizeLen >= 1 && chunkSizeLen <= 8,
+        s"$path: type-11 chunk record size $recSize leaves " +
+          s"$chunkSizeLen-byte chunk sizes (rank $ndims)")
+    recs.map { r =>
+      val rb = ByteBuffer.wrap(r).order(ByteOrder.LITTLE_ENDIAN)
+      val a = rb.getLong()
+      val (size, mask) =
+        if (t == 11) (readUintLE(rb, chunkSizeLen).toInt, rb.getInt())
+        else (rawChunkBytes, 0)
+      val offs = new Array[Long](ndims)
+      var i = 0
+      while (i < ndims) { offs(i) = rb.getLong() * cd(i); i += 1 }
+      (size, mask, offs, a)
+    }
   }
 
   /** Decode a Link message (type 0x0006, version 1) to
@@ -1353,11 +1406,14 @@ object Hdf5Reader {
             // min-elmts, page-bits) are re-read from the EAHD header
             lo.position(lo.position() + 5)
             ExtensibleArrayIndex(lo.getLong())
+          case 5 =>
+            // v2 B-tree creation params (node size u32, split/merge
+            // percents) live in the BTHD header too — skip
+            lo.position(lo.position() + 6)
+            Btree2Index(lo.getLong())
           case other => throw new IllegalArgumentException(
             s"$path: v4 chunk index type $other unsupported for '$name' " +
-              "(single/implicit/fixed-array/extensible-array only — a " +
-              "v2-B-tree index means several unlimited dims; " +
-              "`nccopy -k classic` converts)")
+              "(single/implicit/fixed-array/extensible-array/v2-B-tree)")
         }
         Chunked(index, cdims)
       case (_, other) => throw new IllegalArgumentException(

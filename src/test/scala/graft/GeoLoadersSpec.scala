@@ -417,6 +417,40 @@ class GeoLoadersSpec extends SparkSpec {
     }
   }
 
+  test("v2 B-tree chunk index (several unlimited dims) reads equal to Fixed Array") {
+    // the same grid with BOTH dims unlimited — the dataspace that makes
+    // the library pick a layout-v4 type-5 (v2 B-tree) chunk index.
+    // 72-byte nodes force internal-node walks in the CHUNK flavor too:
+    // type-10 records (24 B) → 2/leaf → depth scales with chunk count
+    // (30 single-cell chunks → depth 4); type-11 filtered records
+    // (29 B, 1-byte chunk sizes) → depth 2 at 9 chunks. Every decode
+    // must equal the Fixed Array encoding of the same data.
+    val lat = Array(10.0, 10.5, 11.0, 11.5, 12.0, 12.5)
+    val lon = Array(20.0, 20.25, 20.5, 20.75, 21.0)
+    val scale = 0.25; val offset = 4.0; val fill = -999.0f
+    val expect = Array.tabulate(30) { k =>
+      if (k % 7 == 3) Double.NaN else (k * 0.25) - 2.0
+    }
+    val packed = expect.map(v =>
+      if (v.isNaN) fill else ((v - offset) / scale).toFloat)
+    val attList = Seq("scale_factor" -> scale, "add_offset" -> offset,
+      "_FillValue" -> fill.toDouble)
+    for ((cr, cc, defl, shuf) <- Seq((2, 2, true, true), (2, 2, false, false),
+      (2, 1, true, false), (1, 1, false, false))) {
+      val p = Files.createTempFile(s"graft_bt2_${cr}_${cc}_$defl", ".nc").toString
+      MiniHdf5.writeGridV2(p, "elevation", lat, lon, packed,
+        chunkRows = cr, chunkCols = cc, deflate = defl, shuffle = shuf,
+        atts = attList, bt2Index = true)
+      val g = GridLoader.fromNetcdf(p, "elevation")
+      assert(g.nLat == 6 && g.nLon == 5)
+      for (i <- 0 until 6; j <- 0 until 5) {
+        val (a, b) = (expect(i * 5 + j), g.valueAt(i, j))
+        assert((a.isNaN && b.isNaN) || a == b,
+          s"bt2 ($i,$j) chunks=${cr}x$cc deflate=$defl: want $a got $b")
+      }
+    }
+  }
+
   test("fractal heap doubling table: rows double block size, offsets map through headers") {
     // geometry: width 4, start 64 → rows 0,1 hold 4×64 B; row 2 128 B;
     // row 3 256 B. blockAddrs are synthetic file positions; the heap

@@ -15,6 +15,112 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object MiniHdf5 {
 
+  /** Shared v2 B-tree emitter, any depth — node capacity geometry per
+    * the spec (and the library): 10-byte node frame, child pointer =
+    * 8 (address) + maxNrecSize + (child internal: cumMaxNrecSize of the
+    * child depth). Depth = smallest whose cumulative capacity holds the
+    * records; records distribute in order with one separator record
+    * between children; every node owns `nodeSize` bytes of file space.
+    */
+  private final class Bt2(nodeSize: Int, recSize: Int, btType: Int,
+                          nRecs: Int) {
+    private def log2Floor(v: Long): Int =
+      63 - java.lang.Long.numberOfLeadingZeros(v)
+    private val maxLeaf = (nodeSize - 10L) / recSize
+    require(maxLeaf > 0, s"B-tree node size $nodeSize too small")
+    val maxNrecSize: Int = log2Floor(maxLeaf) / 8 + 1
+    private val maxNrecAt = scala.collection.mutable.ArrayBuffer(maxLeaf)
+    private val cumMax = scala.collection.mutable.ArrayBuffer(maxLeaf)
+    private val cumSz = scala.collection.mutable.ArrayBuffer(0)
+    private def ensureDepth(d: Int): Unit = while (cumMax.length <= d) {
+      val u = cumMax.length
+      val ptr = 8 + maxNrecSize + cumSz(u - 1)
+      val mn = (nodeSize - 10L - ptr) / (recSize + ptr)
+      require(mn > 0, s"node size $nodeSize too small for depth $u")
+      maxNrecAt += mn
+      cumMax += (mn + 1) * cumMax(u - 1) + mn
+      cumSz += log2Floor(cumMax(u)) / 8 + 1
+    }
+    val depth: Int = {
+      var d = 0
+      while (cumMax(d) < nRecs) { d += 1; ensureDepth(d) }
+      d
+    }
+    private case class N(recs: Seq[Int], kids: Seq[N]) {
+      def nNodes: Int = 1 + kids.map(_.nNodes).sum
+      def nRecsTot: Long = recs.length + kids.map(_.nRecsTot).sum
+    }
+    private def build(idx: Seq[Int], d: Int): N =
+      if (d == 0) N(idx, Nil)
+      else {
+        val cap = cumMax(d - 1)
+        var c = 2
+        while (c - 1 + c * cap < idx.length) c += 1
+        require(c - 1 <= maxNrecAt(d), "B-tree shape overflow")
+        val childRecs = idx.length - (c - 1)
+        val base = childRecs / c; val extra = childRecs % c
+        var pos = 0
+        val groups = (0 until c).map { g =>
+          val sz = base + (if (g < extra) 1 else 0)
+          val kid = idx.slice(pos, pos + sz); pos += sz
+          val sep = if (g < c - 1) { val s = idx(pos); pos += 1; s } else -1
+          (kid, sep)
+        }
+        N(groups.init.map(_._2), groups.map(g => build(g._1, d - 1)))
+      }
+    private val root = build(0 until nRecs, depth)
+    val nodesLen: Int = root.nNodes * nodeSize
+    val rootNrec: Int = root.recs.length
+
+    /** BTHD bytes pointing at `rootAddr` (checksum structural). */
+    def header(rootAddr: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("BTHD".getBytes("US-ASCII")); b.put(0.toByte)
+      b.put(btType.toByte)
+      b.putInt(nodeSize)
+      b.putShort(recSize.toShort)
+      b.putShort(depth.toShort)
+      b.put(100.toByte); b.put(40.toByte) // split / merge percents
+      b.putLong(rootAddr)
+      b.putShort(rootNrec.toShort)
+      b.putLong(nRecs.toLong)
+      b.putInt(0)
+      val out = new Array[Byte](b.position()); b.rewind(); b.get(out); out
+    }
+
+    /** Emit every node starting at `nodesAddr` (children DFS after
+      * their parent); `recBytes(buf, k)` writes record k's bytes.
+      */
+    def emit(buf: ByteBuffer, nodesAddr: Long,
+             recBytes: (ByteBuffer, Int) => Unit): Unit = {
+      def putUintLE(v: Long, nB: Int): Unit =
+        (0 until nB).foreach(i => buf.put(((v >>> (8 * i)) & 0xff).toByte))
+      def emitN(n: N, d: Int, addr: Long): Unit = {
+        buf.position(addr.toInt)
+        buf.put((if (d == 0) "BTLF" else "BTIN").getBytes("US-ASCII"))
+        buf.put(0.toByte); buf.put(btType.toByte)
+        n.recs.foreach(recBytes(buf, _))
+        if (d > 0) {
+          var ca = addr + nodeSize
+          n.kids.foreach { k =>
+            buf.putLong(ca)
+            putUintLE(k.recs.length.toLong, maxNrecSize)
+            if (d >= 2) putUintLE(k.nRecsTot, cumSz(d - 1))
+            ca += k.nNodes.toLong * nodeSize
+          }
+        }
+        buf.putInt(0) // checksum (structural)
+        if (d > 0) {
+          var ca = addr + nodeSize
+          n.kids.foreach { k =>
+            emitN(k, d - 1, ca); ca += k.nNodes.toLong * nodeSize
+          }
+        }
+      }
+      emitN(root, depth, nodesAddr)
+    }
+  }
+
   def writeGrid(path: String, varName: String,
                 lat: Array[Double], lon: Array[Double],
                 values: Array[Float]): Unit = {
@@ -473,6 +579,8 @@ object MiniHdf5 {
                   denseExtraLinks: Int = 0,
                   denseNodeSize: Int = 512,
                   eaIndex: Boolean = false,
+                  bt2Index: Boolean = false,
+                  bt2NodeSize: Int = 72,
                   eaIdxElmts: Int = 4, eaMinElmts: Int = 2,
                   eaMinPtrs: Int = 4): Unit = {
     val nLat = lat.length; val nLon = lon.length
@@ -485,6 +593,8 @@ object MiniHdf5 {
     val nCc = (nLon + chunkCols - 1) / chunkCols
     val singleChunk = nCr == 1 && nCc == 1
     require(!eaIndex || !singleChunk, "EA fixture needs several chunks")
+    require(!bt2Index || (!singleChunk && !eaIndex),
+      "bt2 fixture needs several chunks and excludes the EA index")
     val chunkList = for (cr <- 0 until nCr; cc <- 0 until nCc) yield {
       val full = ByteBuffer.allocate(chunkRows * chunkCols * 4)
         .order(ByteOrder.LITTLE_ENDIAN)
@@ -509,6 +619,20 @@ object MiniHdf5 {
       data
     }
     val filtered = deflate || shuffle
+
+    // ---- v2-B-tree chunk index (layout v4 type 5: several unlimited
+    // dims): type-10 records (addr + 8-byte scaled offsets per dim) or
+    // type-11 (+ minimal-width chunk size + 4-byte filter mask) ----
+    val bt2Csl =
+      if (filtered)
+        (63 - java.lang.Long.numberOfLeadingZeros(
+          chunkList.map(_.length).max.toLong)) / 8 + 1
+      else 0
+    val bt2RecSize = 8 + (if (filtered) bt2Csl + 4 else 0) + 16 // rank 2
+    val chunkBt =
+      if (bt2Index) new Bt2(bt2NodeSize, bt2RecSize,
+        if (filtered) 11 else 10, chunkList.length)
+      else null
 
     // ---- Extensible Array chunk index (leading unlimited dim) ----
     // Spec geometry from the creation params: super block u holds
@@ -628,6 +752,19 @@ object MiniHdf5 {
       blob(b)
     }
 
+    /** EVERY dim unlimited — the dataspace that sends the library to a
+      * v2-B-tree chunk index.
+      */
+    def dataspaceV2UnlimAll(dims: Seq[Long]): Array[Byte] = {
+      val b = bb(4 + dims.length * 16)
+      b.put(2.toByte); b.put(dims.length.toByte)
+      b.put(1.toByte)        // flags: max dims present
+      b.put(1.toByte)
+      dims.foreach(b.putLong)
+      dims.foreach(_ => b.putLong(Undef))
+      blob(b)
+    }
+
     def layoutV4Contiguous(addr: Long, size: Long): Array[Byte] = {
       val b = bb(18)
       b.put(4.toByte); b.put(1.toByte)
@@ -657,6 +794,11 @@ object MiniHdf5 {
           b.putInt(0)                             // filter mask
         }
         b.putLong(idxAddr)   // the chunk itself
+      } else if (bt2Index) {
+        b.put(5.toByte)      // index: v2 B-tree
+        b.putInt(bt2NodeSize)
+        b.put(100.toByte); b.put(40.toByte) // split / merge percents
+        b.putLong(idxAddr)   // BTHD address
       } else if (eaIndex) {
         b.put(4.toByte)      // index: extensible array
         b.put(eaMaxBits.toByte)
@@ -801,6 +943,7 @@ object MiniHdf5 {
 
     def gridHeader(idxAddr: Long): Array[Byte] = v2Header(
       Seq((0x0001, if (eaIndex) dataspaceV2Unlim(Seq(nLat.toLong, nLon.toLong))
+        else if (bt2Index) dataspaceV2UnlimAll(Seq(nLat.toLong, nLon.toLong))
         else dataspaceV2(Seq(nLat.toLong, nLon.toLong))),
         (0x0003, floatDatatype(f32 = true)),
         (0x0008, layoutV4Chunked(idxAddr))) ++
@@ -895,70 +1038,14 @@ object MiniHdf5 {
       arr
     }
 
-    // ---- v2 B-tree name index, any depth, same capacity geometry the
-    // reader derives from the spec: 10-byte node frame, child pointer =
-    // 8 (addr) + maxNrecSize + (depth ≥ 2: cumMaxNrecSize(child depth)).
-    // Depth is the smallest whose cumulative capacity holds the links;
-    // records distribute in order, one separator record between kids.
-    val btRecSize = 11 // 4-byte name hash + 7-byte heap ID
-    def log2Floor(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
-    val btMaxLeafNrec = (denseNodeSize - 10L) / btRecSize
-    require(btMaxLeafNrec > 0, "denseNodeSize too small")
-    val btMaxNrecSize = log2Floor(btMaxLeafNrec) / 8 + 1
-    val btMaxNrecAt = scala.collection.mutable.ArrayBuffer(btMaxLeafNrec)
-    val btCumMax = scala.collection.mutable.ArrayBuffer(btMaxLeafNrec)
-    val btCumSz = scala.collection.mutable.ArrayBuffer(0)
-    def btEnsureDepth(d: Int): Unit = while (btCumMax.length <= d) {
-      val u = btCumMax.length
-      val ptr = 8 + btMaxNrecSize + btCumSz(u - 1)
-      val mn = (denseNodeSize - 10L - ptr) / (btRecSize + ptr)
-      require(mn > 0, s"denseNodeSize $denseNodeSize too small for depth $u")
-      btMaxNrecAt += mn
-      btCumMax += (mn + 1) * btCumMax(u - 1) + mn
-      btCumSz += log2Floor(btCumMax(u)) / 8 + 1
-    }
-    var btDepth = 0
-    while (btCumMax(btDepth) < denseNames.length) {
-      btDepth += 1; btEnsureDepth(btDepth)
-    }
-    case class BtN(recs: Seq[Int], kids: Seq[BtN]) {
-      def nNodes: Int = 1 + kids.map(_.nNodes).sum
-      def nRecsTot: Long = recs.length + kids.map(_.nRecsTot).sum
-    }
-    def buildBt(idx: Seq[Int], d: Int): BtN =
-      if (d == 0) BtN(idx, Nil)
-      else {
-        val cap = btCumMax(d - 1)
-        var c = 2
-        while (c - 1 + c * cap < idx.length) c += 1
-        require(c - 1 <= btMaxNrecAt(d), "B-tree shape overflow")
-        val childRecs = idx.length - (c - 1)
-        val base = childRecs / c; val extra = childRecs % c
-        var pos = 0
-        val groups = (0 until c).map { g =>
-          val sz = base + (if (g < extra) 1 else 0)
-          val kid = idx.slice(pos, pos + sz); pos += sz
-          val sep = if (g < c - 1) { val s = idx(pos); pos += 1; s } else -1
-          (kid, sep)
-        }
-        BtN(groups.init.map(_._2), groups.map(g => buildBt(g._1, d - 1)))
-      }
-    val btRoot =
-      if (denseRoot) buildBt(denseNames.indices, btDepth) else BtN(Nil, Nil)
-
-    def bthd(rootNode: Long): Array[Byte] = {
-      val b = bb(40)
-      b.put("BTHD".getBytes("US-ASCII")); b.put(0.toByte)
-      b.put(5.toByte)               // type 5: link name index
-      b.putInt(denseNodeSize)       // node size
-      b.putShort(btRecSize.toShort) // record size: 4 hash + 7 heap ID
-      b.putShort(btDepth.toShort)
-      b.put(100.toByte); b.put(40.toByte) // split / merge percents
-      b.putLong(rootNode)
-      b.putShort(btRoot.recs.length.toShort)
-      b.putLong(denseNames.length.toLong)
-      b.putInt(0)                   // checksum (structural)
-      blob(b)
+    // ---- v2 B-tree name index via the shared any-depth emitter ----
+    val denseBt = new Bt2(denseNodeSize, recSize = 11, btType = 5,
+      nRecs = denseNames.length) // 11 = 4-byte name hash + 7-byte heap ID
+    def denseRecBytes(b: ByteBuffer, k: Int): Unit = {
+      b.putInt(0)                    // name hash (enumeration skips it)
+      b.put(0.toByte)                // heap ID: version 0, managed
+      b.putInt(heapOffsets(k).toInt) // heap offset, 4 bytes LE
+      b.putShort(linkMsg(denseNames(k), 0L).length.toShort)
     }
 
     def rootHeader(hdrAddrs: Map[String, Long]): Array[Byte] =
@@ -973,10 +1060,12 @@ object MiniHdf5 {
     val lonLen = lonHeader(0L).length
     val fahdLen =
       if (singleChunk) 0
+      else if (bt2Index) chunkBt.header(0L).length
       else if (eaIndex) eahd(0L).length
       else fahd(0L).length
     val fadbLen =
       if (singleChunk) 0
+      else if (bt2Index) chunkBt.nodesLen
       else if (eaIndex) eaib(0L, Nil, Nil).length
       else fadb(0L, chunkList.map(_ => 0L)).length
     val easbLens =
@@ -992,8 +1081,8 @@ object MiniHdf5 {
     val fhibLen =
       if (denseRoot) fhib(0L, Seq.fill(denseRows * hpWidth)(0L)).length else 0
     val blocksLen = if (denseRoot) blockSizes.sum.toInt else 0
-    val bthdLen = if (denseRoot) bthd(0L).length else 0
-    val btNodesLen = if (denseRoot) btRoot.nNodes * denseNodeSize else 0
+    val bthdLen = if (denseRoot) denseBt.header(0L).length else 0
+    val btNodesLen = if (denseRoot) denseBt.nodesLen else 0
 
     val rootAddr = sbLen.toLong
     val frhpAddr = rootAddr + rootLen
@@ -1032,36 +1121,6 @@ object MiniHdf5 {
     val hdrAddrs = Map(varName -> gridAddr, "lat" -> latHdrAddr,
       "lon" -> lonHdrAddr) ++
       denseNames.drop(names.length).map(_ -> latHdrAddr) // extra hard links
-    def emitBt(n: BtN, d: Int, addr: Long): Unit = {
-      buf.position(addr.toInt)
-      def rec(r: Int): Unit = {
-        buf.putInt(0)               // name hash (enumeration skips it)
-        buf.put(0.toByte)           // heap ID: version 0, managed
-        buf.putInt(heapOffsets(r).toInt) // heap offset, 4 bytes LE
-        buf.putShort(linkMsg(denseNames(r), 0L).length.toShort)
-      }
-      def putUintLE(v: Long, nB: Int): Unit =
-        (0 until nB).foreach(i => buf.put(((v >>> (8 * i)) & 0xff).toByte))
-      buf.put((if (d == 0) "BTLF" else "BTIN").getBytes("US-ASCII"))
-      buf.put(0.toByte); buf.put(5.toByte)
-      n.recs.foreach(rec)
-      if (d > 0) {
-        var ca = addr + denseNodeSize
-        n.kids.foreach { k =>
-          buf.putLong(ca)
-          putUintLE(k.recs.length.toLong, btMaxNrecSize)
-          if (d >= 2) putUintLE(k.nRecsTot, btCumSz(d - 1))
-          ca += k.nNodes.toLong * denseNodeSize
-        }
-      }
-      buf.putInt(0)                 // checksum (structural)
-      if (d > 0) {
-        var ca = addr + denseNodeSize
-        n.kids.foreach { k =>
-          emitBt(k, d - 1, ca); ca += k.nNodes.toLong * denseNodeSize
-        }
-      }
-    }
     if (denseRoot) {
       buf.put(v2Header(Seq((0x0002, linkInfoMsg(frhpAddr, bthdAddr)))))
       assert(buf.position() == frhpAddr)
@@ -1076,8 +1135,8 @@ object MiniHdf5 {
           linkMsg(n, hdrAddrs(n))))
       }
       buf.position(bthdAddr.toInt)
-      buf.put(bthd(btNodesAddr))
-      emitBt(btRoot, btDepth, btNodesAddr)
+      buf.put(denseBt.header(btNodesAddr))
+      denseBt.emit(buf, btNodesAddr, denseRecBytes)
       // each node owns denseNodeSize bytes; serialized content is shorter
       buf.position(gridAddr.toInt)
     } else {
@@ -1091,7 +1150,20 @@ object MiniHdf5 {
     buf.put(lonHeader(lonAddr))
     if (!singleChunk) {
       assert(buf.position() == fahdAddr)
-      if (eaIndex) {
+      if (bt2Index) {
+        buf.put(chunkBt.header(fadbAddr))
+        assert(buf.position() == fadbAddr)
+        chunkBt.emit(buf, fadbAddr, (b, k) => {
+          b.putLong(chunkAddrs(k))
+          if (filtered) {
+            (0 until bt2Csl).foreach(i =>
+              b.put(((chunkList(k).length >>> (8 * i)) & 0xff).toByte))
+            b.putInt(0)                // filter mask: all filters applied
+          }
+          b.putLong((k / nCc).toLong)  // scaled offset, dim 0
+          b.putLong((k % nCc).toLong)  // scaled offset, dim 1
+        })
+      } else if (eaIndex) {
         eaChunkAddr = chunkAddrs(_) // real addresses for the element blobs
         val directAddrs = eaPlan.zipWithIndex
           .filter(_._1.sblk < 0).map(p => eadbAddrs(p._2))

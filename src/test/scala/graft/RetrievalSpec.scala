@@ -205,4 +205,18 @@ class RetrievalSpec extends SparkSpec {
     // "go go go" in "go go go go": anchors 1 and 2 — overlapping hits count
     assert(got((200L, 4L)) == (2L, 1L), s"overlapping occurrences: $got")
   }
+
+  test("t_phrase_search plan: phrase terms broadcast, votes partial-agg") {
+    val p = SparkEntry.queries("t_phrase_search")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"phrase terms must broadcast into the corpus-token scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-scale shuffle join — votes are the only exchange:\n$p")
+    // map-side combine on the vote groupBy: a partial HashAggregate
+    // must appear below the exchange
+    assert("HashAggregate\\(keys=\\[doc_id|anchor".r.findFirstIn(p).isDefined
+      && p.contains("partial_count"),
+      s"vote counting must partial-aggregate map-side:\n$p")
+  }
 }
