@@ -204,4 +204,40 @@ object Graphs {
       .select(col("v"), col("removed_round"),
         col("removed_round").isNull.as("in_core"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over a
+    * SYMMETRIC (src, dst) edge list: labels start as the vertex id; each
+    * round every vertex adopts the most frequent label among its
+    * neighbors, ties broken by smallest label — both choices
+    * deterministic (the async/random-order variants of the paper are
+    * not), so a FIXED round count replays exactly in the oracle.
+    * Oscillation (the known bipartite two-coloring flip) is harmless
+    * under fixed rounds: the output is whatever round `rounds` states.
+    *
+    * Scale shape, per round: one shuffled equi-join labels⋈edges on the
+    * vertex key (labels is |V| rows — above any broadcast threshold at
+    * corpus scale, so no hint; AQE may still choose broadcast when
+    * small), one groupBy (dst, label) whose map-side partials absorb
+    * hot-community skew, and one |V|-scale argmin via min(struct) — no
+    * window, no sort. Each round's labels are eagerly localCheckpoint'ed
+    * (the same geometric-lineage trap as [[kcoreRounds]]).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var labels = e.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = e.join(labels.withColumnRenamed("v", "src"), Seq("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      // argmin of (-count, label): highest count, then smallest label —
+      // struct ordering is field-by-field, exactly the tie rule
+      labels = votes.groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("dst").as("v"), col("m").getField("l").as("label"))
+        .localCheckpoint()
+    }
+    // symmetric edges ⇒ every vertex has in-edges ⇒ every vertex voted
+    labels.select(col("v"), col("label")).orderBy(col("v"))
+  }
 }

@@ -751,6 +751,37 @@ object QueriesTpch {
              |       FROM n LEFT JOIN c3 ON c3.node = n.node)
              |SELECT node, rank_micro FROM r3""".stripMargin)),
 
+    // synchronous label propagation (community detection) on the same
+    // customer-supplier trade graph as q_pagerank: 3 fixed rounds,
+    // most-frequent-neighbor-label with smallest-label ties — both
+    // deterministic, so the oracle unrolls the rounds as CTEs (the
+    // argmin is a row_number window in SQL, a min(struct) in Spark —
+    // different mechanisms, same rows).
+    QDef("q_labelprop",
+      (s, dir) => graft.ops.Graphs.labelPropagation(
+        graft.ops.PageRank.tradeGraphEdges(
+          Q.table(s, dir, "orders"), Q.table(s, dir, "lineitem")),
+        rounds = 3),
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""v$r AS (SELECT e.dst, l.label, CAST(count(*) AS BIGINT) AS c
+             |  FROM e JOIN l${r - 1} l ON l.v = e.src GROUP BY 1, 2),
+             |l$r AS MATERIALIZED (SELECT dst AS v, label FROM (
+             |  SELECT dst, label, row_number() OVER (
+             |    PARTITION BY dst ORDER BY c DESC, label ASC) AS rn
+             |  FROM v$r) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+           |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |e AS MATERIALIZED (SELECT src, dst FROM pairs
+           |       UNION ALL SELECT dst, src FROM pairs),
+           |l0 AS (SELECT DISTINCT src AS v, src AS label FROM e),
+           |$rounds
+           |SELECT v, label FROM l3 ORDER BY v""".stripMargin
+      }),
+
     // TPC-H q2 shape — min-cost supplier (the correlated-subquery
     // pattern): "supply cost" is the min unit price each supplier ever
     // charged for the part (no partsupp table in this schema), the

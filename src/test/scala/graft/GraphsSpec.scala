@@ -92,4 +92,37 @@ class GraphsSpec extends SparkSpec {
     assert(kcoreOf(g, k = 3).values.forall(v => !v._2 && v._1 == Some(1)))
     assert(kcoreOf(g, k = 0).values.forall(_._2))
   }
+
+  private def lpaOf(undirected: Seq[(String, String)],
+                    rounds: Int): Map[String, String] = {
+    val s = spark; import s.implicits._
+    val edges = undirected.toDF("src", "dst")
+    val sym = edges.unionAll(
+      edges.select(org.apache.spark.sql.functions.col("dst").as("src"),
+        org.apache.spark.sql.functions.col("src").as("dst")))
+    graft.ops.Graphs.labelPropagation(sym, rounds)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("label propagation: round-1 tie-breaks (count desc, label asc)") {
+    // triangle a-b-c, pair d-e, bridge c-d; after ONE round every
+    // vertex holds the smallest among its most frequent neighbor labels
+    val g = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val got = lpaOf(g, rounds = 1)
+    assert(got == Map("a" -> "b", "b" -> "a", "c" -> "a",
+      "d" -> "c", "e" -> "d"), s"round-1 states: $got")
+  }
+
+  test("label propagation: converges to one community across the bridge") {
+    val g = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val got = lpaOf(g, rounds = 3)
+    assert(got.values.toSet == Set("a"), s"expected all 'a': $got")
+  }
+
+  test("label propagation: disconnected components never share labels") {
+    val g = Seq(("a", "b"), ("x", "y"), ("x", "z"), ("y", "z"))
+    val got = lpaOf(g, rounds = 4)
+    assert(Set("a", "b").map(got).subsetOf(Set("a", "b")), s"$got")
+    assert(Set("x", "y", "z").map(got).subsetOf(Set("x", "y", "z")), s"$got")
+  }
 }
