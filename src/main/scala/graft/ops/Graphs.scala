@@ -224,7 +224,13 @@ object Graphs {
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1)
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // hash-partition the edges on the join key ONCE before the
+    // checkpoint (the PageRank trick): every round's labels⋈edges then
+    // satisfies its distribution requirement from the materialized
+    // partitioning — labels (|V| rows) re-shuffle per round, the
+    // edge-scale frame never does
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
     var labels = e.select(col("src").as("v")).distinct()
       .withColumn("label", col("v")).localCheckpoint()
     for (_ <- 1 to rounds) {
