@@ -376,13 +376,21 @@ object Retrieval {
 
   /** Deterministic phrase workload: the first `nWords` normalized words
     * of docs with id % every == offset — the same oracle-reproducible
-    * corpus-derived scheme as [[queriesFromDocs]].
+    * corpus-derived scheme as [[queriesFromDocs]] — CAPPED at
+    * `maxPhrases` (drawn from the id-range prefix, deterministic). The
+    * cap models the real shape of a phrase watch-list: a fixed set of
+    * phrases scanned against a growing corpus, NOT a workload that
+    * grows with it. Without it the sf10 century measured 157× — the
+    * corpus×phrases cross volume a saturated synthetic vocabulary
+    * makes quadratic.
     */
   def phrasesFromDocs(docs: DataFrame, idCol: String, textCol: String,
                       every: Long = 41L, offset: Long = 5L,
-                      nWords: Int = 3): DataFrame = {
+                      nWords: Int = 3,
+                      maxPhrases: Long = 1024L): DataFrame = {
     val words = split(TextAnalysis.normalized(col(textCol)), " ")
     docs.filter(pmod(col(idCol), lit(every)) === lit(offset) &&
+        col(idCol).cast("long") < lit(every * maxPhrases) &&
         size(words) >= nWords)
       .select(col(idCol).cast("long").as("phrase_id"),
         slice(words, 1, nWords).as("terms"))

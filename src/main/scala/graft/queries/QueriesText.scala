@@ -2544,7 +2544,8 @@ object QueriesText {
       Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS words FROM documents),
               |phr AS (SELECT doc_id AS phrase_id,
               |          list_slice(words, 1, 3) AS p
-              |        FROM w WHERE doc_id % 41 = 5 AND len(words) >= 3),
+              |        FROM w WHERE doc_id % 41 = 5 AND doc_id < 41 * 1024
+              |          AND len(words) >= 3),
               |anch AS (SELECT doc_id, words,
               |           unnest(range(1, greatest(len(words) - 2, 0) + 1)) AS s
               |         FROM w),
