@@ -259,4 +259,44 @@ object Graphs {
     // range exchange in the op (the compare harness sorts rows itself)
     labels.select(col("v"), col("label"))
   }
+
+  /** Newman modularity of a labeling, per community, in exact integer
+    * micro-units: Q_c = e_c/m − (d_c/2m)², computed overflow-safe as
+    *   t1 = (10^6·e_c) div m
+    *   r  = (10^6·d_c) div (2m)   (≤ 10^6 since d_c ≤ 2m)
+    *   q_micro = t1 − (r·r) div 10^6
+    * — every intermediate ≤ ~10^14 at 10^8 edges, and both engines
+    * truncate integer division toward zero identically, so the rows
+    * replay bit-exactly. `pairs` lists each undirected edge ONCE.
+    *
+    * Scale shape: two hash joins attach endpoint labels to the pairs
+    * (labels is |V| rows — the same shuffle-hash-friendly frame as the
+    * LPA rounds), then everything collapses to community-scale
+    * aggregates with map-side partials; the 1-row edge count attaches
+    * by broadcast (the Dsir budget pattern), never a driver collect.
+    */
+  def modularity(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val la = labels.select(col("v").as("src"), col("label").as("la"))
+    val lb = labels.select(col("v").as("dst"), col("label").as("lb"))
+    val withLabels = pairs.select(col("src"), col("dst"))
+      .join(la.hint("shuffle_hash"), Seq("src"))
+      .join(lb.hint("shuffle_hash"), Seq("dst"))
+    val eIntra = withLabels.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_intra"))
+    val deg = pairs.select(col("src").as("v"))
+      .unionAll(pairs.select(col("dst").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val dTot = labels.join(deg, Seq("v"))
+      .groupBy(col("label"))
+      .agg(sum(col("d")).as("d_tot"), count(lit(1)).as("n_members"))
+    val mRow = pairs.agg(count(lit(1)).as("m"))
+    dTot.join(eIntra, Seq("label"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("label"), col("n_members"),
+        coalesce(col("e_intra"), lit(0L)).as("e_intra"), col("d_tot"),
+        (expr("1000000 * coalesce(e_intra, 0) DIV m")
+          - expr("((1000000 * d_tot DIV (2 * m)) * " +
+                 "(1000000 * d_tot DIV (2 * m))) DIV 1000000"))
+          .as("q_micro"))
+  }
 }

@@ -81,13 +81,19 @@ object PageRank {
     * strings ("c123" / "s45") — customer and supplier id spaces overlap
     * numerically.
     */
-  def tradeGraphEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
+  /** Distinct customer→supplier pairs, each undirected edge ONCE (the
+    * bipartite trade graph before symmetrization).
+    */
+  def tradeGraphPairs(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .distinct()
+
+  def tradeGraphEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val pairs = tradeGraphPairs(orders, lineitem)
     pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
   }
 }

@@ -782,6 +782,59 @@ object QueriesTpch {
            |SELECT v, label FROM l3 ORDER BY v""".stripMargin
       }),
 
+    // Newman modularity of the LPA communities, per community, in
+    // overflow-safe integer micro-units (t1 − r²/10^6 with r ≤ 10^6 —
+    // every intermediate ≤ ~10^14 at 10^8 edges). Both engines truncate
+    // integer division toward zero identically, so q_micro replays
+    // bit-exactly on top of the full LPA-round replay.
+    QDef("q_modularity",
+      (s, dir) => {
+        val o = Q.table(s, dir, "orders")
+        val l = Q.table(s, dir, "lineitem")
+        val pairs = graft.ops.PageRank.tradeGraphPairs(o, l)
+        val labels = graft.ops.Graphs.labelPropagation(
+          pairs.union(pairs.select(col("dst").as("src"),
+            col("src").as("dst"))), rounds = 3)
+        graft.ops.Graphs.modularity(pairs, labels)
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""v$r AS (SELECT e.dst, l.label, CAST(count(*) AS BIGINT) AS c
+             |  FROM e JOIN l${r - 1} l ON l.v = e.src GROUP BY 1, 2),
+             |l$r AS MATERIALIZED (SELECT dst AS v, label FROM (
+             |  SELECT dst, label, row_number() OVER (
+             |    PARTITION BY dst ORDER BY c DESC, label ASC) AS rn
+             |  FROM v$r) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+           |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |e AS MATERIALIZED (SELECT src, dst FROM pairs
+           |       UNION ALL SELECT dst, src FROM pairs),
+           |l0 AS (SELECT DISTINCT src AS v, src AS label FROM e),
+           |$rounds,
+           |intra AS (SELECT a.label, CAST(count(*) AS BIGINT) AS e_intra
+           |          FROM pairs p JOIN l3 a ON a.v = p.src
+           |                       JOIN l3 b ON b.v = p.dst
+           |          WHERE a.label = b.label GROUP BY 1),
+           |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+           |          SELECT src AS v FROM pairs
+           |          UNION ALL SELECT dst FROM pairs) t GROUP BY 1),
+           |dt AS (SELECT l3.label, CAST(sum(deg.d) AS BIGINT) AS d_tot,
+           |         CAST(count(*) AS BIGINT) AS n_members
+           |       FROM l3 JOIN deg ON deg.v = l3.v GROUP BY 1),
+           |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs)
+           |SELECT dt.label, dt.n_members,
+           |  CAST(coalesce(intra.e_intra, 0) AS BIGINT) AS e_intra,
+           |  dt.d_tot,
+           |  CAST(1000000 * coalesce(intra.e_intra, 0) // m
+           |    - ((1000000 * dt.d_tot // (2 * m))
+           |       * (1000000 * dt.d_tot // (2 * m))) // 1000000
+           |    AS BIGINT) AS q_micro
+           |FROM dt LEFT JOIN intra USING (label), mm""".stripMargin
+      }),
+
     // TPC-H q2 shape — min-cost supplier (the correlated-subquery
     // pattern): "supply cost" is the min unit price each supplier ever
     // charged for the part (no partsupp table in this schema), the

@@ -125,4 +125,21 @@ class GraphsSpec extends SparkSpec {
     assert(Set("a", "b").map(got).subsetOf(Set("a", "b")), s"$got")
     assert(Set("x", "y", "z").map(got).subsetOf(Set("x", "y", "z")), s"$got")
   }
+
+  test("modularity: hand-computed integer micro-units per community") {
+    val s = spark; import s.implicits._
+    // two communities: pair {a,b} (1 intra edge), triangle {x,y,z}
+    // (3 intra edges), one cross edge a-x. m = 5.
+    //   pair:     e=1 d=3 → 1e6·1/5 − ((1e6·3/10)²/1e6) = 200000 − 90000
+    //   triangle: e=3 d=7 → 600000 − ((700000)²/1e6=490000) = 110000
+    val pairs = Seq(("a", "b"), ("x", "y"), ("x", "z"), ("y", "z"),
+      ("a", "x")).toDF("src", "dst")
+    val labels = Seq(("a", "A"), ("b", "A"), ("x", "X"), ("y", "X"),
+      ("z", "X")).toDF("v", "label")
+    val got = graft.ops.Graphs.modularity(pairs, labels)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("A") == (2L, 1L, 3L, 110000L), s"pair community: $got")
+    assert(got("X") == (3L, 3L, 7L, 110000L), s"triangle community: $got")
+  }
 }
