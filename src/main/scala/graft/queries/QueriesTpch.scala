@@ -76,7 +76,7 @@ object QueriesTpch {
         val l = Q.table(s, dir, "lineitem")
           .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderpriority"))
           .agg(sum(micro(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
             .as("revenue_micro"))
@@ -104,8 +104,8 @@ object QueriesTpch {
         val n = Q.table(s, dir, "nation")
         val r = Q.table(s, dir, "region")
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -138,7 +138,7 @@ object QueriesTpch {
         val c = Q.table(s, dir, "customer")
         val n = Q.table(s, dir, "nation")
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
           .agg(sum(micro(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
@@ -176,7 +176,7 @@ object QueriesTpch {
         val o = Q.table(s, dir, "orders")
         val c = Q.table(s, dir, "customer")
         o.join(big, col("o_orderkey") === col("l_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
             // parquet TIMESTAMP_NTZ → session-UTC timestamp, exact µs
             unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
@@ -207,7 +207,7 @@ object QueriesTpch {
           .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         val p = Q.table(s, dir, "part")
-        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        l.join(p, col("l_partkey") === col("p_partkey"))
           .agg(
             sum(when(col("p_type") === "PROMO",
               micro(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
@@ -399,8 +399,8 @@ object QueriesTpch {
           .agg(count(lit(1)).as("c_xy"))
           .filter(col("c_xy") >= 3L)
         pairs
-          .join(broadcast(cx.select(col("item").as("x"), col("c").as("c_x"))), "x")
-          .join(broadcast(cx.select(col("item").as("y"), col("c").as("c_y"))), "y")
+          .join(cx.select(col("item").as("x"), col("c").as("c_x")), "x")
+          .join(cx.select(col("item").as("y"), col("c").as("c_y")), "y")
           .crossJoin(broadcast(n))
           .select(col("x"), col("y"), col("c_xy"),
             call_function("div", col("c_xy") * 1000000L, col("c_x"))
@@ -448,8 +448,8 @@ object QueriesTpch {
         val n2 = Q.table(s, dir, "nation")
           .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n1), col("s_nationkey") === col("snk"))
           .join(broadcast(n2), col("c_nationkey") === col("cnk"))
           .filter((col("supp_nation") === "NATION_1" &&
@@ -495,7 +495,7 @@ object QueriesTpch {
           .filter(col("s_suppkey") % 17 === 0)
           .select(col("s_suppkey").as("l_suppkey"))
         li.join(bad, Seq("l_suppkey"), "left_anti")
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(p, col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"), col("size_band"))
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
             countDistinct(col("l_partkey")).as("part_cnt"))
@@ -608,7 +608,7 @@ object QueriesTpch {
             aCol = "name_a", bCol = "name_b")
           .select(col("id").as("name"), col("cluster").as("cluster_id"),
             col("is_canonical"))
-          .join(broadcast(names), Seq("name"))
+          .join(names, Seq("name"))
       },
       Some("""WITH RECURSIVE
              |n AS (SELECT p_name AS name,
@@ -862,7 +862,7 @@ object QueriesTpch {
               " CAST(CAST(l_quantity AS decimal(25,6)) * 1000000 AS BIGINT)"))
             .as("cost_micro"))
         val eu = cost
-          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         // per-part min via a window over the COST-scale frame (rows per
@@ -873,7 +873,7 @@ object QueriesTpch {
           .partitionBy(col("l_partkey"))
         eu.withColumn("__min_cost", min(col("cost_micro")).over(w))
           .filter(col("cost_micro") === col("__min_cost"))
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(p, col("l_partkey") === col("p_partkey"))
           .select(micro(col("s_acctbal")).as("s_acctbal_micro"),
             col("s_name"), col("n_name"), col("p_partkey"), col("p_name"),
             col("cost_micro"))
@@ -972,11 +972,11 @@ object QueriesTpch {
         val p = Q.table(s, dir, "part").filter(col("p_type") === "PROMO")
         val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n1), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
           .groupBy(year(col("o_orderdate")).as("o_year"))
           .agg(sum(when(col("supp_nation") === "NATION_7", micro(vol))
@@ -1021,8 +1021,8 @@ object QueriesTpch {
         val n = Q.table(s, dir, "nation")
         val p = Q.table(s, dir, "part").filter(col("p_name").contains("red"))
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
           .agg(sum(micro(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -1052,7 +1052,7 @@ object QueriesTpch {
         val l = Q.table(s, dir, "lineitem")
         val sup = Q.table(s, dir, "supplier")
         val n = Q.table(s, dir, "nation").filter(col("n_name") === "NATION_3")
-        val li = l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        val li = l.join(sup, col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         val perPart = li.groupBy(col("l_partkey"))
           .agg(sum(micro(col("l_extendedprice"))).as("value_micro"))
@@ -1166,11 +1166,11 @@ object QueriesTpch {
       (s, dir) => {
         val p = Q.table(s, dir, "part").filter(col("p_brand") === "Brand#13")
         val l = Q.table(s, dir, "lineitem")
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(p, col("l_partkey") === col("p_partkey"))
         val perPart = l.groupBy(col("l_partkey").as("__pk"))
           .agg(sum(micro(col("l_quantity"))).as("__sq"),
             count(lit(1)).as("__cnt"))
-        l.join(broadcast(perPart), col("l_partkey") === col("__pk"))
+        l.join(perPart, col("l_partkey") === col("__pk"))
           .filter(micro(col("l_quantity")) * lit(5L) <
             expr("__sq DIV __cnt"))
           .agg(sum(micro(col("l_extendedprice"))).as("__rev"),
@@ -1205,7 +1205,7 @@ object QueriesTpch {
           col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
         val c3 = col("p_brand") === "Brand#13" &&
           col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
-        l.join(broadcast(p),
+        l.join(p,
             col("l_partkey") === col("p_partkey") && (c1 || c2 || c3))
           .agg(sum(micro(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
             .as("revenue_micro"),
@@ -1236,7 +1236,7 @@ object QueriesTpch {
         val sup = Q.table(s, dir, "supplier")
         val n = Q.table(s, dir, "nation")
         val r = Q.table(s, dir, "region").filter(col("r_name") === "ASIA")
-        val moved = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        val moved = l.join(p, col("l_partkey") === col("p_partkey"))
           .groupBy(col("l_suppkey"), col("l_partkey"))
           .agg(sum(micro(col("l_quantity"))).as("__qty"))
           .filter(col("__qty") > lit(30L * 1000000L))
@@ -1284,7 +1284,7 @@ object QueriesTpch {
             col("l_suppkey") =!= col("__s2"), "left_semi")
           .join(lateD, col("l_orderkey") === col("__o3") &&
             col("l_suppkey") =!= col("__s3"), "left_anti")
-          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_name"))
           .agg(count(lit(1)).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))
