@@ -463,12 +463,15 @@ object TextAnalysis {
     * corpus-wide), then rebuild the documents. Returns
     * (doc_id, n_passages, n_kept, clean_text).
     *
-    * Scale shape — the [[SkewCap]] argument applies verbatim: the
-    * boilerplate key set is SMALL by definition (each key crosses
-    * > maxDf documents, so there are at most corpus_passages / maxDf of
-    * them), so it broadcasts, and the heavy side is pruned with a
-    * map-side left-anti join — the hot passages never colocate. The df
-    * count itself is a partial-aggregating groupBy (the mega-hot
+    * Scale shape: the boilerplate key set is bounded by
+    * corpus_passages / (maxDf + 1) — genuinely small for the
+    * production maxDf regime (boilerplate = crosses MANY documents)
+    * but corpus-scale at maxDf = 1 on a heavily-duplicated corpus, so
+    * the anti-join carries NO forced broadcast hint (the k-core
+    * lesson): AQE broadcasts it when its measured size allows — the
+    * map-side prune, hot passages never colocate — and otherwise runs
+    * a shuffled anti-join whose hot fp partitions AQE skew-splits. The
+    * df count itself is a partial-aggregating groupBy (the mega-hot
     * passage collapses to one row per map task before shuffling).
     */
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
@@ -481,7 +484,7 @@ object TextAnalysis {
       .filter(col("__df") > maxDf)
       .select("__fp")
     val kept = pass
-      .join(broadcast(boiler), col("fp") === col("__fp"), "left_anti")
+      .join(boiler, col("fp") === col("__fp"), "left_anti")
       .select("doc_id", "pidx", "passage")
     reassemblePassages(pass, kept)
   }
