@@ -451,6 +451,14 @@ class GeoLoadersSpec extends SparkSpec {
     }
   }
 
+  test("lookup3 name hash matches the published self-test vectors") {
+    // vectors from Bob Jenkins' lookup3.c self-test (public domain)
+    assert(MiniHdf5.lookup3(Array.emptyByteArray, 0) == 0xdeadbeef)
+    val four = "Four score and seven years ago".getBytes("US-ASCII")
+    assert(MiniHdf5.lookup3(four, 0) == 0x17770551)
+    assert(MiniHdf5.lookup3(four, 1) == 0xcd628161)
+  }
+
   test("fractal heap doubling table: rows double block size, offsets map through headers") {
     // geometry: width 4, start 64 → rows 0,1 hold 4×64 B; row 2 128 B;
     // row 3 256 B. blockAddrs are synthetic file positions; the heap

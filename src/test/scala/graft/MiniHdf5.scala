@@ -15,6 +15,49 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object MiniHdf5 {
 
+  /** Bob Jenkins' lookup3 `hashlittle` (public domain) — the name hash
+    * HDF5 stores in v2 B-tree link-name records. The reader enumerates
+    * without hash lookups, but the fixture writes the REAL hash so a
+    * hash-based search would find these records too. Pinned by the
+    * published self-test vectors in `Lookup3HashSpec`.
+    */
+  private[graft] def lookup3(key: Array[Byte], init: Int = 0): Int = {
+    def rot(x: Int, k: Int) = Integer.rotateLeft(x, k)
+    var a = 0xdeadbeef + key.length + init
+    var b = a; var c = a
+    var off = 0; var len = key.length
+    def word(i: Int, n: Int): Int = {
+      var v = 0; var j = n - 1
+      while (j >= 0) { v = (v << 8) | (key(i + j) & 0xff); j -= 1 }
+      v
+    }
+    while (len > 12) {
+      a += word(off, 4); b += word(off + 4, 4); c += word(off + 8, 4)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      off += 12; len -= 12
+    }
+    if (len > 0) {
+      if (len > 8) {
+        a += word(off, 4); b += word(off + 4, 4); c += word(off + 8, len - 8)
+      } else if (len > 4) {
+        a += word(off, 4); b += word(off + 4, len - 4)
+      } else a += word(off, len)
+      c ^= b; c -= rot(b, 14)
+      a ^= c; a -= rot(c, 11)
+      b ^= a; b -= rot(a, 25)
+      c ^= b; c -= rot(b, 16)
+      a ^= c; a -= rot(c, 4)
+      b ^= a; b -= rot(a, 14)
+      c ^= b; c -= rot(b, 24)
+    }
+    c
+  }
+
   /** Shared v2 B-tree emitter, any depth — node capacity geometry per
     * the spec (and the library): 10-byte node frame, child pointer =
     * 8 (address) + maxNrecSize + (child internal: cumMaxNrecSize of the
@@ -1041,8 +1084,18 @@ object MiniHdf5 {
     // ---- v2 B-tree name index via the shared any-depth emitter ----
     val denseBt = new Bt2(denseNodeSize, recSize = 11, btType = 5,
       nRecs = denseNames.length) // 11 = 4-byte name hash + 7-byte heap ID
-    def denseRecBytes(b: ByteBuffer, k: Int): Unit = {
-      b.putInt(0)                    // name hash (enumeration skips it)
+    // records carry the REAL lookup3 name hash and sit in the tree in
+    // unsigned-hash order (the library's search invariant) — heap
+    // blocks stay in link order, the records just point into them. The
+    // reader enumerates without hash lookups, but a binary search by
+    // hash would be well-formed on these fixtures too.
+    val denseOrder = denseNames.indices.sortBy { k =>
+      (lookup3(denseNames(k).getBytes("US-ASCII")).toLong & 0xffffffffL,
+        denseNames(k))
+    }
+    def denseRecBytes(b: ByteBuffer, slot: Int): Unit = {
+      val k = denseOrder(slot)
+      b.putInt(lookup3(denseNames(k).getBytes("US-ASCII")))
       b.put(0.toByte)                // heap ID: version 0, managed
       b.putInt(heapOffsets(k).toInt) // heap offset, 4 bytes LE
       b.putShort(linkMsg(denseNames(k), 0L).length.toShort)
