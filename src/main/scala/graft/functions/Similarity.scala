@@ -87,6 +87,101 @@ object Similarity {
         round(col("sim_q"), 6).as("sim_q"))
   }
 
+  // ---- 1-bit binary quantization ---------------------------------------
+
+  /** One 32-bit word of a 1-bit binary-quantized embedding: bit
+    * `i − from` is the sign bit of dimension `i` (set iff x_i > 0) for
+    * `i ∈ [from, until)`. A 64-dim embedding packs into TWO words (lo =
+    * dims 0–31, hi = 32–63) held in BIGINT columns — 8 bytes per vector,
+    * a 32× reduction vs float32, which is the whole point: at 100 TB the
+    * candidate scan streams codes, not vectors. 32-bit words (not 64)
+    * because a signed 1<<63 overflows DuckDB's checked shift — the
+    * oracle packs the identical halves. Pure integer, engine-portable.
+    */
+  def binaryWord(emb: Column, from: Int, until: Int): Column = {
+    require(until - from <= 32 && from < until, "word holds at most 32 bits")
+    aggregate(
+      transform(sequence(lit(from), lit(until - 1)),
+        i => when(element_at(emb, i + 1).cast("double") > 0.0,
+          call_function("shiftleft", lit(1L), i - lit(from))).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  private def withBinaryWords(df: DataFrame, embCol: String,
+                              prefix: String, dim: Int): DataFrame =
+    df.withColumn(s"${prefix}_lo", binaryWord(col(embCol), 0, dim / 2))
+      .withColumn(s"${prefix}_hi", binaryWord(col(embCol), dim / 2, dim))
+
+  /** Hamming similarity of two binary codes: dim − popcount(xor). */
+  private def hammingSim(dim: Int): Column =
+    (lit(dim) - bit_count(col("q_lo").bitwiseXOR(col("c_lo")))
+      - bit_count(col("q_hi").bitwiseXOR(col("c_hi")))).cast("int")
+
+  /** Binary-quantization top-k: rank the corpus per query by Hamming
+    * similarity of sign-bit codes (RaBitQ/binary-hashing family — the
+    * cheapest ANN code). The scan streams 8-byte codes and the score is
+    * two XOR+popcounts — no floating point anywhere, so ranks and ties
+    * (match_id asc) are exactly reproducible in any engine. Queries
+    * broadcast; one shuffle for the per-query top-k.
+    */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 embCol: String, k: Int, dim: Int = 64): DataFrame = {
+    val q = withBinaryWords(
+      queries.select(col(idCol).as("query_id"), col(embCol).as("e")),
+      "e", "q", dim).drop("e")
+    val c = withBinaryWords(
+      corpus.select(col(idCol).as("match_id"), col(embCol).as("e")),
+      "e", "c", dim).drop("e")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("match_id"))
+      .withColumn("hamming_sim", hammingSim(dim))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming_sim").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("match_id"), col("rank"),
+        col("hamming_sim"))
+  }
+
+  /** Binary-quantization candidate generation + exact rerank: the
+    * production shape for 1-bit codes — Hamming top-`cand` prunes the
+    * corpus to a per-query candidate list (integer ties by match_id, so
+    * the candidate SET is deterministic), then exact cosine on the
+    * survivors picks the final top-k. The corpus scan carries the float
+    * vector alongside its code only so survivors need no join-back; a
+    * persisted-index variant would store codes and vectors as separate
+    * column groups and late-materialize the vectors.
+    */
+  def binaryRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       embCol: String, k: Int, cand: Int = 40,
+                       dim: Int = 64): DataFrame = {
+    val q = withBinaryWords(
+      queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb")),
+      "q_emb", "q", dim)
+    val c = withBinaryWords(
+      corpus.select(col(idCol).as("match_id"), col(embCol).as("c_emb")),
+      "c_emb", "c", dim)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("match_id"))
+      .withColumn("hamming_sim", hammingSim(dim))
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming_sim").desc, col("match_id").asc)
+    val candidates = scored.withColumn("rank_h", row_number().over(wH))
+      .filter(col("rank_h") <= cand)
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("match_id").asc)
+    candidates.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("match_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** [[binaryWord]] as oracle SQL text — identical packing. */
+  def binaryWordSql(e: String, from: Int, until: Int): String =
+    s"CAST(list_sum(list_transform(range($from, $until), i -> " +
+      s"CASE WHEN CAST($e[i + 1] AS DOUBLE) > 0.0 " +
+      s"THEN (1::BIGINT << CAST(i - $from AS INTEGER)) " +
+      s"ELSE 0::BIGINT END)) AS BIGINT)"
+
   // ---- Product quantization --------------------------------------------
 
   /** Train per-subspace PQ codebooks (product quantization, Jégou,

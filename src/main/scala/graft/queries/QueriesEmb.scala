@@ -375,6 +375,84 @@ object QueriesEmb {
            |WHERE rank <= 10""".stripMargin
       }),
 
+    // 1-bit binary-quantization top-k (sign-bit codes, Hamming ranking):
+    // the cheapest ANN code — 8 bytes/vector (32× under float32), score =
+    // two XOR+popcounts, pure integer end to end (no float ties anywhere).
+    QDef("sim_bq_topk",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        Similarity.binaryTopK(emb, queries, "vec_id", "embedding", k = 10)
+      },
+      Some {
+        def lo(e: String) = Similarity.binaryWordSql(e, 0, 32)
+        def hi(e: String) = Similarity.binaryWordSql(e, 32, 64)
+        s"""WITH q AS (SELECT vec_id AS query_id, ${lo("embedding")} AS q_lo,
+           |             ${hi("embedding")} AS q_hi
+           |           FROM embeddings WHERE vec_id % 50 = 0),
+           |c AS (SELECT vec_id AS match_id, ${lo("embedding")} AS c_lo,
+           |        ${hi("embedding")} AS c_hi FROM embeddings),
+           |s AS (
+           |  SELECT query_id, match_id,
+           |    CAST(64 - bit_count(CAST(xor(q_lo, c_lo) AS BIGINT))
+           |           - bit_count(CAST(xor(q_hi, c_hi) AS BIGINT)) AS INTEGER)
+           |      AS hamming_sim
+           |  FROM c, q WHERE query_id <> match_id)
+           |SELECT query_id, match_id, rank, hamming_sim FROM (
+           |  SELECT query_id, match_id, hamming_sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY hamming_sim DESC, match_id ASC) AS INT) AS rank
+           |  FROM s) r
+           |WHERE rank <= 10""".stripMargin
+      }),
+
+    // binary candidates + exact rerank: Hamming top-40 prunes (integer
+    // ties ⇒ deterministic candidate SET), exact cosine picks the top-10
+    // — the production two-stage shape for 1-bit codes.
+    QDef("sim_bq_rerank",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        Similarity.binaryRerankTopK(emb, queries, "vec_id", "embedding",
+          k = 10, cand = 40)
+      },
+      Some {
+        def lo(e: String) = Similarity.binaryWordSql(e, 0, 32)
+        def hi(e: String) = Similarity.binaryWordSql(e, 32, 64)
+        val dqq = dotSql("q_emb", "q_emb")
+        val dcc = dotSql("c_emb", "c_emb")
+        val dqc = dotSql("q_emb", "c_emb")
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+           |             ${lo("embedding")} AS q_lo, ${hi("embedding")} AS q_hi
+           |           FROM embeddings WHERE vec_id % 50 = 0),
+           |c AS (SELECT vec_id AS match_id, embedding AS c_emb,
+           |        ${lo("embedding")} AS c_lo, ${hi("embedding")} AS c_hi
+           |      FROM embeddings),
+           |h AS (
+           |  SELECT query_id, match_id, q_emb, c_emb,
+           |    CAST(64 - bit_count(CAST(xor(q_lo, c_lo) AS BIGINT))
+           |           - bit_count(CAST(xor(q_hi, c_hi) AS BIGINT)) AS INTEGER)
+           |      AS hamming_sim
+           |  FROM c, q WHERE query_id <> match_id),
+           |cand AS (
+           |  SELECT query_id, match_id, q_emb, c_emb FROM (
+           |    SELECT query_id, match_id, q_emb, c_emb,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY hamming_sim DESC, match_id ASC) AS rank_h
+           |    FROM h) hr
+           |  WHERE rank_h <= 40),
+           |s AS (
+           |  SELECT query_id, match_id,
+           |    $dqc / (sqrt($dqq) * sqrt($dcc)) AS sim
+           |  FROM cand)
+           |SELECT query_id, match_id, rank, round(sim, 6) + 0.0e0 AS sim FROM (
+           |  SELECT query_id, match_id, sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, match_id ASC) AS INT) AS rank
+           |  FROM s) r
+           |WHERE rank <= 10""".stripMargin
+      }),
+
     // product-quantized top-k (Jégou et al. 2011 — the m-bytes-per-vector
     // index): 8 subspaces × 8 dims, 8 centroids each, trained by the same
     // deterministic k-means the IVF oracle proved engine-exact, run per

@@ -549,4 +549,41 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
     val recall = (exact intersect quant).size.toDouble / exact.size
     recall should be >= 0.8 // ~7.6 bits/dim keeps neighborhoods nearly intact
   }
+
+  test("binary quantization: words pack sign bits exactly; self-distance 0") {
+    // 4 dims set positive in lo word (0,3,31 within range via 64-dim pad)
+    val e = Array.fill(64)(-1.0f)
+    e(0) = 0.5f; e(3) = 2.0f; e(31) = 1e-9f; e(32) = 1.0f; e(63) = 0.1f
+    val df = Seq((1L, e)).toDF("vec_id", "embedding")
+      .select($"vec_id",
+        Similarity.binaryWord($"embedding", 0, 32).as("lo"),
+        Similarity.binaryWord($"embedding", 32, 64).as("hi"))
+    val r = df.collect()(0)
+    assert(r.getLong(1) == ((1L << 0) | (1L << 3) | (1L << 31)))
+    assert(r.getLong(2) == ((1L << 0) | (1L << 31)))
+    // exact zero is NOT positive: no bit
+    val z = Seq((2L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.binaryWord($"embedding", 0, 32).as("lo")).collect()(0)
+    assert(z.getLong(0) == 0L)
+  }
+
+  test("binary hamming top-k: deterministic, and rerank recovers most of exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .select($"query_id", $"match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bq = Similarity.binaryTopK(emb, q, "vec_id", "embedding", 10)
+    // pure-integer scores: re-running gives identical rows (no float ties)
+    assert(bq.collect().toSeq == Similarity.binaryTopK(emb, q, "vec_id",
+      "embedding", 10).collect().toSeq)
+    val bqSet = bq.select($"query_id", $"match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bqRecall = (exact intersect bqSet).size.toDouble / exact.size
+    bqRecall should be >= 0.3 // 1 bit/dim: coarse but informative
+    val rr = Similarity.binaryRerankTopK(emb, q, "vec_id", "embedding", 10, cand = 40)
+      .select($"query_id", $"match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rrRecall = (exact intersect rr).size.toDouble / exact.size
+    rrRecall should be >= bqRecall // exact rerank can only help at equal candidates
+    rrRecall should be >= 0.6 // 4× candidate over-fetch recovers most neighbors
+  }
 }
