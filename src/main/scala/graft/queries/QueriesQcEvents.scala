@@ -1138,6 +1138,31 @@ object QueriesQcEvents {
               |  SELECT iot_id, datastream_id, result FROM obs WHERE t_us < 1705276800000000
               |  UNION ALL
               |  SELECT iot_id, datastream_id, result FROM obs
-              |  WHERE t_us >= 1704844800000000 AND t_us < 1706140800000000) u""".stripMargin))
+              |  WHERE t_us >= 1704844800000000 AND t_us < 1706140800000000) u""".stripMargin)),
+
+    // A18 — rollup report (grouping sets): per (stream, day) totals plus
+    // per-stream and grand totals in ONE pass — Spark's Expand replicates
+    // rows per grouping set before a single partial-agg'd shuffle, so at
+    // 100 TB this beats three separate aggregations + union (one scan,
+    // one exchange). grouping_id bit semantics (first column = MSB) are
+    // identical in DuckDB's GROUPING(a, b) — verified, not assumed.
+    QDef("a18_rollup",
+      (s, dir) => obs(s, dir)
+        .select(col(Obs.DatastreamId), expr("t_us DIV 86400000000").as("day_idx"),
+          expr(s"CAST(CAST(${Obs.Result} AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
+            .as("v"))
+        .rollup(col(Obs.DatastreamId), col("day_idx"))
+        .agg(grouping_id().as("gid"), sum(col("v")).as("sum_micro"),
+          count(lit(1)).as("n")),
+      Some(s"""WITH ${Q.ObsCte},
+              |m AS (SELECT datastream_id, t_us // 86400000000 AS day_idx,
+              |        CAST(CAST(result AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+              |          AS v
+              |      FROM obs)
+              |SELECT datastream_id, day_idx,
+              |  CAST(GROUPING(datastream_id, day_idx) AS BIGINT) AS gid,
+              |  CAST(sum(v) AS BIGINT) AS sum_micro,
+              |  CAST(count(*) AS BIGINT) AS n
+              |FROM m GROUP BY ROLLUP(datastream_id, day_idx)""".stripMargin))
   )
 }
