@@ -26,6 +26,55 @@ object QueriesEmb {
 
   private def cosSql(a: String, b: String): String = cosSqlN(a, b, Dim)
 
+  /** Oracle mirror of `Pca.leadingEigen`: quantization, raw moments,
+    * integer-centered covariance and `rounds` unrolled power-iteration
+    * CTEs, ending in `vf (i, v)` (sign-fixed eigenvector), `mn (i, s,
+    * m)` (sums/means) and `st (n)`. Every division is `//` on BIGINT —
+    * truncation toward zero, identical to the Scala driver loop.
+    */
+  private def pcaCtes(rounds: Int): String = {
+    val base =
+      s"""q AS MATERIALIZED (SELECT vec_id, label,
+         |  list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 16384.0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+         |sums AS (SELECT i, CAST(sum(q[i + 1]) AS BIGINT) AS s
+         |         FROM q, range(0, $Dim) t(i) GROUP BY 1),
+         |mn AS MATERIALIZED (SELECT i, s, s // n AS m FROM sums, st),
+         |p AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+         |        CAST(sum(q[a.i + 1] * q[b.i + 1]) AS BIGINT) AS p
+         |      FROM q, range(0, $Dim) a(i), range(0, $Dim) b(i)
+         |      GROUP BY 1, 2),
+         |cv AS MATERIALIZED (SELECT p.i, p.j,
+         |         (p.p - mi.m * mj.s - mj.m * mi.s + st.n * mi.m * mj.m)
+         |           // st.n AS c
+         |       FROM p JOIN mn mi ON mi.i = p.i
+         |         JOIN mn mj ON mj.i = p.j, st),
+         |v0 AS MATERIALIZED (SELECT i, 4096::BIGINT AS v FROM range(0, $Dim) t(i))"""
+        .stripMargin
+    val iter = (1 to rounds).map { r =>
+      s"""w$r AS MATERIALIZED (SELECT cv.i AS i, CAST(sum(cv.c * v${r - 1}.v) AS BIGINT)
+         |          AS w
+         |        FROM cv JOIN v${r - 1} ON cv.j = v${r - 1}.i GROUP BY 1),
+         |x$r AS (SELECT max(abs(w)) AS mx FROM w$r),
+         |v$r AS MATERIALIZED (SELECT w$r.i AS i,
+         |          CASE WHEN mx = 0 THEN v${r - 1}.v
+         |               ELSE (w * 4096) // mx END AS v
+         |        FROM w$r JOIN v${r - 1} ON w$r.i = v${r - 1}.i, x$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    val sign =
+      s"""sg AS (SELECT CASE WHEN coalesce((SELECT v FROM v$rounds
+         |          WHERE v <> 0 ORDER BY i LIMIT 1), 1) < 0
+         |        THEN -1 ELSE 1 END AS sg),
+         |vf AS MATERIALIZED (SELECT i, CAST(v * sg AS BIGINT) AS v FROM v$rounds, sg)"""
+        .stripMargin
+    s"$base,\n$iter,\n$sign"
+  }
+
+  private val PcaRounds = 24
+
   /** Deterministic Lloyd's k-means as chained SQL CTEs — the oracle
     * mirror of `Similarity.trainIvfCentroids`, ending in CTE
     * `cent$iters (c, ce)`. Parity hinges on three invariants shared
@@ -316,6 +365,42 @@ object QueriesEmb {
              |  CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT)
              |    AS mean_q
              |FROM q GROUP BY 1""".stripMargin)),
+
+    // PCA leading eigenvector (dimensionality reduction over the vector
+    // table): one-pass integer scatter via the homogeneous-coordinate
+    // upper-triangle explode, 24 fixed integer power-iteration rounds on
+    // the driver (d×d state — bounded by dimension, not data). The
+    // oracle replays quantization → moments → covariance → all 24
+    // rounds as unrolled CTEs → sign fix: any drift anywhere breaks it.
+    QDef("emb_pca_component",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        val (v, _, n) = graft.functions.Pca.leadingEigen(
+          emb, "embedding", Dim, rounds = PcaRounds)
+        import s.implicits._
+        v.toSeq.zipWithIndex.map { case (vi, i) => (i, vi, n) }
+          .toDF("dim", "v", "n")
+      },
+      Some(s"""WITH ${pcaCtes(PcaRounds)}
+              |SELECT CAST(i AS INT) AS dim, v, n FROM vf, st""".stripMargin)),
+
+    // PCA projection: every vector's coordinate along the leading
+    // component — map-side, eigenvector + means inlined as literals
+    // (the codebook-broadcast pattern); the 1-D reduction a drift
+    // dashboard or embedding-space visualization actually plots.
+    QDef("emb_pca_project",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        val (v, m, _) = graft.functions.Pca.leadingEigen(
+          emb, "embedding", Dim, rounds = PcaRounds)
+        emb.select(col("vec_id"), col("label"),
+          graft.functions.Pca.project(emb, "embedding", v, m).as("proj"))
+      },
+      Some(s"""WITH ${pcaCtes(PcaRounds)}
+              |SELECT vec_id, label,
+              |  CAST(sum((q[mn.i + 1] - mn.m) * vf.v) AS BIGINT) AS proj
+              |FROM q, mn JOIN vf ON mn.i = vf.i
+              |GROUP BY 1, 2""".stripMargin)),
 
     // brute-force cosine top-k (every 50th vector queries the corpus)
     QDef("sim_cosine_topk",
