@@ -1945,6 +1945,48 @@ object QueriesText {
               |    <= 4900 * coalesce(d.n_bigrams, 0) * 65536 AS keep
               |FROM documents dd LEFT JOIN d ON dd.doc_id = d.doc_id""".stripMargin)),
 
+    // Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995): with
+    // D = 3/4 the smoothed probability is the exact rational
+    // [max(4c2−3,0)·T + 3·t1·tc] / (4·c1·T), so the whole model —
+    // discounting, continuation counts, interpolation — replays in
+    // integer SQL through the same Q16 log recursion as t_lm_score.
+    QDef("t_kn_score",
+      (s, dir) => graft.functions.LangModel.kneserNeyNllScore(
+        Q.table(s, dir, "documents"), "doc_id", "text",
+        thresholdMilliBits = 4900L),
+      Some(s"""WITH RECURSIVE
+              |w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+              |bg AS (SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+              |       FROM w, unnest(range(1, len(words))) AS r(i)),
+              |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+              |       FROM bg GROUP BY 1, 2),
+              |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+              |         CAST(count(*) AS BIGINT) AS t1
+              |       FROM c2 GROUP BY 1),
+              |tcs AS (SELECT w2, CAST(count(*) AS BIGINT) AS tc
+              |        FROM c2 GROUP BY 1),
+              |tts AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM c2),
+              |ja AS (SELECT c2.w1, c2.w2,
+              |         4 * c1.c1 * (SELECT tt FROM tts) AS xa,
+              |         greatest(4 * c2.c2 - 3, 0) * (SELECT tt FROM tts)
+              |           + 3 * c1.t1 * tcs.tc AS xb
+              |       FROM c2 JOIN c1 USING (w1) JOIN tcs USING (w2)),
+              |ina AS (SELECT w1, w2, xa AS x FROM ja),
+              |${Portable.log2q16Sql("ina", Seq("w1", "w2"), "x", "lga", "lg")},
+              |inb AS (SELECT w1, w2, xb AS x FROM ja),
+              |${Portable.log2q16Sql("inb", Seq("w1", "w2"), "x", "lgb", "lg")},
+              |tab AS (SELECT a.w1, a.w2, a.lg - b.lg AS nll
+              |        FROM lga a JOIN lgb b USING (w1, w2)),
+              |d AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |        CAST(sum(t.nll) AS BIGINT) AS nll_q16
+              |      FROM bg JOIN tab t USING (w1, w2) GROUP BY 1)
+              |SELECT dd.doc_id,
+              |  coalesce(d.n_bigrams, 0) AS n_bigrams,
+              |  coalesce(d.nll_q16, 0) AS nll_q16,
+              |  coalesce(d.nll_q16, 0) * 1000
+              |    <= 4900 * coalesce(d.n_bigrams, 0) * 65536 AS keep
+              |FROM documents dd LEFT JOIN d ON dd.doc_id = d.doc_id""".stripMargin)),
+
     // DSIR importance resampling (Xie et al. 2023): hashed unigram+
     // bigram models of a trusted target slice (src0-src3 here) vs the
     // raw pool; each raw doc scores the Q16 log-ratio of the two

@@ -61,6 +61,29 @@ class LangModelSpec extends SparkSpec {
     assert(loose.forall(_.getBoolean(3)))
   }
 
+  test("Kneser-Ney: hand-computed rational matches; continuation prob " +
+    "rewards versatile words over frequent-but-rigid ones") {
+    val s = spark; import s.implicits._
+    // corpus: "a b" x3, "a c", "d b"  =>
+    //   c2: (a,b)=3 (a,c)=1 (d,b)=1; c1(a)=4 t1(a)=2; c1(d)=1 t1(d)=1
+    //   tc(b)=2 tc(c)=1; T=3
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a b"), (3L, "a c"),
+      (4L, "d b")).toDF("doc_id", "text")
+    val got = LangModel.kneserNeyNllScore(docs, "doc_id", "text", 10000L)
+      .orderBy("doc_id").collect()
+    def nll(c2: Long, c1: Long, t1: Long, tc: Long, tt: Long): Long =
+      Portable.log2q16Ref(4 * c1 * tt) -
+        Portable.log2q16Ref(math.max(4 * c2 - 3, 0) * tt + 3 * t1 * tc)
+    val ab = nll(3, 4, 2, 2, 3); val ac = nll(1, 4, 2, 1, 3)
+    val db = nll(1, 1, 1, 2, 3)
+    assert(got.map(_.getLong(2)).toSeq == Seq(ab, ab, ab, ac, db))
+    // P(b|a) = (9*3 + 3*2*2)/(4*4*3) = 39/48; P(c|a) = (1*3+3*2*1)/48 = 9/48
+    assert(math.abs(ab / 65536.0 + math.log(39.0 / 48) / math.log(2)) < 2e-4)
+    assert(math.abs(ac / 65536.0 + math.log(9.0 / 48) / math.log(2)) < 2e-4)
+    // d's whole mass is interpolation: P(b|d) = (1*3 + 3*1*2)/(4*1*3) = 9/12
+    assert(math.abs(db / 65536.0 + math.log(9.0 / 12) / math.log(2)) < 2e-4)
+  }
+
   test("t_lm_score plan: the model broadcasts; no corpus sort-merge join") {
     val p = SparkEntry.queries("t_lm_score")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
