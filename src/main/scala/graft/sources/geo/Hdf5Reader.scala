@@ -821,11 +821,15 @@ object Hdf5Reader {
   /** Fixed Array chunk index (v4 layout, fixed dims): FAHD header →
     * FADB data block whose elements are the chunk records in linear
     * chunk order (client 0 = address only; client 1 = address +
-    * variable-width chunk size + filter mask). Paged data blocks
-    * (element count above 2^pageBits) are rejected loudly — grid files
-    * stay far below the default 1024-element page. Checksums are
-    * structural (accounted, not verified), like fletcher32 elsewhere in
-    * this reader.
+    * variable-width chunk size + filter mask). Above 2^pageBits
+    * elements the data block is PAGED: the block itself carries only
+    * the header, a page-init bitmap (MSB-first within each byte — the
+    * H5VM bit convention) and its checksum; the pages follow
+    * contiguously, each 2^pageBits elements (last page truncated) plus
+    * a 4-byte page checksum, and a clear bitmap bit means none of that
+    * page's chunks were written (fill value). Checksums are structural
+    * (accounted, not verified), like fletcher32 elsewhere in this
+    * reader.
     */
   private def fixedArrayEntries(buf: ByteBuffer, addr: Long, d: Dataset,
                                 cd: Array[Int], nc: Int,
@@ -849,9 +853,6 @@ object Hdf5Reader {
     require(maxEntries == nChunks,
       s"$path: Fixed Array entry count $maxEntries != chunk-grid size " +
         s"$nChunks for '${d.name}'")
-    require(maxEntries <= (1L << pageBits),
-      s"$path: paged Fixed Array data block ($maxEntries entries > " +
-        s"2^$pageBits page) unsupported for '${d.name}'")
     val dbAddr = h.getLong()
     if (dbAddr == Undef) return Seq.empty // no chunk written yet
     val b = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
@@ -867,7 +868,39 @@ object Hdf5Reader {
     val szWidth = entrySize - 8 - 4 // client 1: addr(8) + size + mask(4)
     require(client == 0 || (szWidth >= 1 && szWidth <= 8),
       s"$path: Fixed Array entry size $entrySize undecodable for '${d.name}'")
-    (0 until nChunks.toInt).map { lin =>
+    def readEntry(eb: ByteBuffer): (Int, Int, Long) =
+      if (client == 0) (nc * d.dtSize, 0, eb.getLong())
+      else {
+        val a = eb.getLong()
+        val sz = readUintLE(eb, szWidth)
+        val mask = eb.getInt()
+        (sz.toInt, mask, a)
+      }
+    val pageNelmts = 1L << pageBits
+    val entries: IndexedSeq[(Int, Int, Long)] =
+      if (maxEntries <= pageNelmts)
+        (0 until nChunks.toInt).map(_ => readEntry(b))
+      else {
+        val npages = ((maxEntries + pageNelmts - 1) / pageNelmts).toInt
+        val bitmap = new Array[Byte]((npages + 7) / 8)
+        b.get(bitmap)
+        b.getInt() // data-block checksum (structural)
+        val out = IndexedSeq.newBuilder[(Int, Int, Long)]
+        var base = b.position()
+        var pg = 0
+        while (pg < npages) {
+          val pn = math.min(pageNelmts, maxEntries - pg * pageNelmts).toInt
+          if ((bitmap(pg / 8) & (1 << (7 - pg % 8))) != 0) {
+            val pb = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+            pb.position(base)
+            (0 until pn).foreach(_ => out += readEntry(pb))
+          } else (0 until pn).foreach(_ => out += ((0, 0, Undef)))
+          base += pn * entrySize + 4 // elements + page checksum
+          pg += 1
+        }
+        out.result()
+      }
+    entries.zipWithIndex.map { case ((sz, mask, a), lin) =>
       val offs = new Array[Long](ndims)
       var rem = lin
       var i = ndims - 1
@@ -876,13 +909,7 @@ object Hdf5Reader {
         rem /= grid(i)
         i -= 1
       }
-      if (client == 0) (nc * d.dtSize, 0, offs, b.getLong())
-      else {
-        val a = b.getLong()
-        val sz = readUintLE(b, szWidth)
-        val mask = b.getInt()
-        (sz.toInt, mask, offs, a)
-      }
+      (sz, mask, offs, a)
     }
   }
 
@@ -895,9 +922,11 @@ object Hdf5Reader {
     * elements, and the first 2·log2(minPtrs) super blocks' data blocks
     * are addressed straight from the index block (H5EA "Index Block":
     * 2·(minPtrs−1) data block addresses), and (c) in data blocks under
-    * EASB super blocks for deeper growth (unpaged data blocks only —
-    * paging starts at 2^pageBits elements per block and rejects
-    * loudly). Element encoding matches Fixed Array:
+    * EASB super blocks for deeper growth. Data blocks past 2^pageBits
+    * elements are PAGED — header + page-init bitmap + checksum, then
+    * pages of 2^pageBits elements each with a trailing checksum, clear
+    * bit = page never written (same mechanics as the Fixed Array doc
+    * above). Element encoding matches Fixed Array:
     * client 0 = chunk address; client 1 = address + variable-width
     * stored size + filter mask. Linear element index = row-major chunk
     * grid index over the CURRENT dims, which is growth-stable exactly
@@ -927,7 +956,7 @@ object Hdf5Reader {
     val idxBlkElmts = h.get() & 0xff
     val minElmts = h.get() & 0xff
     val minPtrs = h.get() & 0xff
-    h.get() // max data-block page nelmts bits (paging starts past 2^10)
+    val pageBits = h.get() & 0xff // paging starts past 2^pageBits elements
     h.getLong() // n super blocks
     h.getLong() // super block size
     h.getLong() // n data blocks
@@ -1011,10 +1040,37 @@ object Hdf5Reader {
             s"for '${d.name}'")
         db.getLong() // back-pointer to the EAHD header
         readUintLE(db, arrOffSize) // block's element offset (implied)
-        require(dblkElmts <= (1 << 10) || take <= (1 << 10),
-          s"$path: paged Extensible Array data block ($dblkElmts elements)" +
-            s" unsupported for '${d.name}'")
-        (0 until take).foreach(_ => out += readElement(db))
+        val pageNelmts = 1L << pageBits
+        if (dblkElmts <= pageNelmts) {
+          (0 until take).foreach(_ => out += readElement(db))
+        } else {
+          // PAGED data block: the block carries only header + page-init
+          // bitmap (MSB-first per byte, the H5VM bit convention) + its
+          // checksum; pages of 2^pageBits elements follow contiguously,
+          // each with a trailing 4-byte checksum. Clear bit = none of
+          // that page's chunks written (fill value).
+          require(dblkElmts % pageNelmts == 0,
+            s"$path: Extensible Array data block $dblkElmts elements not " +
+              s"a page multiple (2^$pageBits) for '${d.name}'")
+          val npages = (dblkElmts / pageNelmts).toInt
+          val bitmap = new Array[Byte]((npages + 7) / 8)
+          db.get(bitmap)
+          db.getInt() // data-block checksum (structural)
+          val pageBytes = pageNelmts * elmtSize + 4
+          val pagesBase = db.position()
+          var pg = 0
+          var left = take
+          while (left > 0 && pg < npages) {
+            val pn = math.min(pageNelmts.toInt, left)
+            if ((bitmap(pg / 8) & (1 << (7 - pg % 8))) != 0) {
+              val pb = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+              pb.position((pagesBase + pg * pageBytes).toInt)
+              (0 until pn).foreach(_ => out += readElement(pb))
+            } else (0 until pn).foreach(_ => out += ((0, 0, Undef)))
+            left -= pn
+            pg += 1
+          }
+        }
       }
     }
     def sblkGeom(u: Int): (Int, Int) = // (n data blocks, elements each)
@@ -1034,7 +1090,7 @@ object Hdf5Reader {
       u += 1
     }
     // then the EASB super blocks: header + block offset + its data
-    // block addresses (unpaged; a paged data block rejects above).
+    // block addresses (each block paged past 2^pageBits elements).
     // An Undef super block = none of its chunks written.
     var si = 0
     while (out.size < nChunks && si < nSblkAddrs) {

@@ -417,6 +417,49 @@ class GeoLoadersSpec extends SparkSpec {
     }
   }
 
+  test("paged Fixed Array and Extensible Array data blocks decode " +
+    "cell-identical to their unpaged encodings") {
+    val lat = Array(10.0, 10.5, 11.0, 11.5, 12.0, 12.5)
+    val lon = Array(20.0, 20.25, 20.5, 20.75, 21.0)
+    val scale = 0.25; val offset = 4.0; val fill = -999.0f
+    val expect = Array.tabulate(30) { k =>
+      if (k % 7 == 3) Double.NaN else (k * 0.25) - 2.0
+    }
+    val packed = expect.map(v =>
+      if (v.isNaN) fill else ((v - offset) / scale).toFloat)
+    val attList = Seq("scale_factor" -> scale, "add_offset" -> offset,
+      "_FillValue" -> fill.toDouble)
+    def check(p: String, tag: String): Unit = {
+      val g = GridLoader.fromNetcdf(p, "elevation")
+      assert(g.nLat == 6 && g.nLon == 5)
+      for (i <- 0 until 6; j <- 0 until 5) {
+        val (a, b) = (expect(i * 5 + j), g.valueAt(i, j))
+        assert((a.isNaN && b.isNaN) || a == b,
+          s"$tag ($i,$j): want $a got $b")
+      }
+    }
+    // Fixed Array, 2^2-element pages: 30 single-cell chunks → 8 pages
+    // (7 full + truncated tail), client 0 and 1
+    for (defl <- Seq(true, false)) {
+      val p = Files.createTempFile(s"graft_fa_paged_$defl", ".nc").toString
+      MiniHdf5.writeGridV2(p, "elevation", lat, lon, packed,
+        chunkRows = 1, chunkCols = 1, deflate = defl, shuffle = defl,
+        atts = attList, faPageBits = 2)
+      check(p, s"FA-paged deflate=$defl")
+    }
+    // Extensible Array, 2^1-element pages: the tiny creation params
+    // route super blocks 3/4's four-element data blocks through TWO
+    // pages each (the EASB walk plus paging in one fixture)
+    for (defl <- Seq(true, false)) {
+      val p = Files.createTempFile(s"graft_ea_paged_$defl", ".nc").toString
+      MiniHdf5.writeGridV2(p, "elevation", lat, lon, packed,
+        chunkRows = 1, chunkCols = 1, deflate = defl, shuffle = defl,
+        atts = attList, eaIndex = true,
+        eaIdxElmts = 1, eaMinElmts = 1, eaMinPtrs = 2, eaPageBits = 1)
+      check(p, s"EA-paged deflate=$defl")
+    }
+  }
+
   test("v2 B-tree chunk index (several unlimited dims) reads equal to Fixed Array") {
     // the same grid with BOTH dims unlimited — the dataspace that makes
     // the library pick a layout-v4 type-5 (v2 B-tree) chunk index.

@@ -625,7 +625,8 @@ object MiniHdf5 {
                   bt2Index: Boolean = false,
                   bt2NodeSize: Int = 72,
                   eaIdxElmts: Int = 4, eaMinElmts: Int = 2,
-                  eaMinPtrs: Int = 4): Unit = {
+                  eaMinPtrs: Int = 4,
+                  eaPageBits: Int = 10, faPageBits: Int = 10): Unit = {
     val nLat = lat.length; val nLon = lon.length
     require(packed.length == nLat * nLon)
     val Undef = -1L
@@ -894,7 +895,7 @@ object MiniHdf5 {
       b.put(0.toByte)
       b.put((if (filtered) 1 else 0).toByte) // client
       b.put((if (filtered) 16 else 8).toByte) // entry size (addr+size4+mask4)
-      b.put(10.toByte)       // page bits
+      b.put(faPageBits.toByte)
       b.putLong(chunkList.length.toLong)
       b.putLong(dbAddr)
       b.putInt(0)            // checksum (structural)
@@ -902,17 +903,46 @@ object MiniHdf5 {
     }
 
     def fadb(hdrAddr: Long, chunkAddrs: Seq[Long]): Array[Byte] = {
-      val b = bb(14 + chunkList.length * (if (filtered) 16 else 8) + 4)
-      b.put("FADB".getBytes("US-ASCII"))
-      b.put(0.toByte)
-      b.put((if (filtered) 1 else 0).toByte)
-      b.putLong(hdrAddr)
-      chunkAddrs.zip(chunkList).foreach { case (a, data) =>
-        b.putLong(a)
-        if (filtered) { b.putInt(data.length); b.putInt(0) }
+      val entrySize = if (filtered) 16 else 8
+      val n = chunkList.length
+      val pageNelmts = 1 << faPageBits
+      def entry(b: ByteBuffer, k: Int): Unit = {
+        b.putLong(chunkAddrs(k))
+        if (filtered) { b.putInt(chunkList(k).length); b.putInt(0) }
       }
-      b.putInt(0)            // checksum (structural)
-      blob(b)
+      if (n <= pageNelmts) {
+        val b = bb(14 + n * entrySize + 4)
+        b.put("FADB".getBytes("US-ASCII"))
+        b.put(0.toByte)
+        b.put((if (filtered) 1 else 0).toByte)
+        b.putLong(hdrAddr)
+        (0 until n).foreach(entry(b, _))
+        b.putInt(0)          // checksum (structural)
+        blob(b)
+      } else {
+        // PAGED: header + page-init bitmap (MSB-first, all set — every
+        // chunk real) + block checksum; then pages, each with its own
+        // trailing checksum, the last page truncated.
+        val npages = (n + pageNelmts - 1) / pageNelmts
+        val pageLens = (0 until npages)
+          .map(pg => math.min(pageNelmts, n - pg * pageNelmts))
+        val b = bb(14 + (npages + 7) / 8 + 4 +
+          pageLens.map(_ * entrySize + 4).sum)
+        b.put("FADB".getBytes("US-ASCII"))
+        b.put(0.toByte)
+        b.put((if (filtered) 1 else 0).toByte)
+        b.putLong(hdrAddr)
+        val bitmap = new Array[Byte]((npages + 7) / 8)
+        (0 until npages).foreach(pg =>
+          bitmap(pg / 8) = (bitmap(pg / 8) | (1 << (7 - pg % 8))).toByte)
+        b.put(bitmap)
+        b.putInt(0)          // data-block checksum (structural)
+        (0 until npages).foreach { pg =>
+          (0 until pageLens(pg)).foreach(i => entry(b, pg * pageNelmts + i))
+          b.putInt(0)        // page checksum (structural)
+        }
+        blob(b)
+      }
     }
 
     def eahd(ibAddr: Long): Array[Byte] = {
@@ -925,7 +955,7 @@ object MiniHdf5 {
       b.put(eaIdxElmts.toByte)
       b.put(eaMinElmts.toByte)
       b.put(eaMinPtrs.toByte)
-      b.put(10.toByte)       // max data-block page nelmts bits
+      b.put(eaPageBits.toByte) // max data-block page nelmts bits
       b.putLong(eaUsedSblks.length.toLong) // n super blocks
       b.putLong(0L)          // super block size (stat only)
       b.putLong(eaPlan.length.toLong) // n data blocks
@@ -953,7 +983,7 @@ object MiniHdf5 {
       blob(b)
     }
 
-    /** EASB super block: its data block addresses (unpaged). */
+    /** EASB super block: its data block addresses. */
     def easb(hdrAddr: Long, sblkIdx: Int, dblkAddrs: Seq[Long]): Array[Byte] = {
       val u = eaIblkSblks + sblkIdx
       val ndblks = 1 << (u / 2)
@@ -972,16 +1002,50 @@ object MiniHdf5 {
 
     def eadb(hdrAddr: Long, dblkIdx: Int): Array[Byte] = {
       val d = eaPlan(dblkIdx)
-      val b = bb(14 + eaArrOff + d.nelmts * eaElmtSize + 4)
-      b.put("EADB".getBytes("US-ASCII"))
-      b.put(0.toByte)
-      b.put((if (filtered) 1 else 0).toByte)
-      b.putLong(hdrAddr)
-      (0 until eaArrOff).foreach(i =>
-        b.put(((d.first >> (8 * i)) & 0xff).toByte)) // block offset LE
-      (0 until d.nelmts).foreach(i => eaElement(b, d.first + i))
-      b.putInt(0)            // checksum (structural)
-      blob(b)
+      val pageNelmts = 1 << eaPageBits
+      if (d.nelmts <= pageNelmts) {
+        val b = bb(14 + eaArrOff + d.nelmts * eaElmtSize + 4)
+        b.put("EADB".getBytes("US-ASCII"))
+        b.put(0.toByte)
+        b.put((if (filtered) 1 else 0).toByte)
+        b.putLong(hdrAddr)
+        (0 until eaArrOff).foreach(i =>
+          b.put(((d.first >> (8 * i)) & 0xff).toByte)) // block offset LE
+        (0 until d.nelmts).foreach(i => eaElement(b, d.first + i))
+        b.putInt(0)          // checksum (structural)
+        blob(b)
+      } else {
+        // PAGED: header + block offset + page-init bitmap (MSB-first;
+        // clear for pages whose every slot is past the real elements)
+        // + block checksum, then fixed-size pages each with a trailing
+        // checksum. Uninitialized pages still occupy their space (zero
+        // bytes the reader must never decode).
+        require(d.nelmts % pageNelmts == 0, "EA page geometry")
+        val npages = d.nelmts / pageNelmts
+        val b = bb(14 + eaArrOff + (npages + 7) / 8 + 4 +
+          npages * (pageNelmts * eaElmtSize + 4))
+        b.put("EADB".getBytes("US-ASCII"))
+        b.put(0.toByte)
+        b.put((if (filtered) 1 else 0).toByte)
+        b.putLong(hdrAddr)
+        (0 until eaArrOff).foreach(i =>
+          b.put(((d.first >> (8 * i)) & 0xff).toByte))
+        val bitmap = new Array[Byte]((npages + 7) / 8)
+        (0 until npages).foreach { pg =>
+          if (d.first + pg * pageNelmts < chunkList.length)
+            bitmap(pg / 8) = (bitmap(pg / 8) | (1 << (7 - pg % 8))).toByte
+        }
+        b.put(bitmap)
+        b.putInt(0)          // data-block checksum (structural)
+        (0 until npages).foreach { pg =>
+          if (d.first + pg * pageNelmts < chunkList.length)
+            (0 until pageNelmts).foreach(i =>
+              eaElement(b, d.first + pg * pageNelmts + i))
+          else b.position(b.position() + pageNelmts * eaElmtSize)
+          b.putInt(0)        // page checksum (structural)
+        }
+        blob(b)
+      }
     }
 
     def gridHeader(idxAddr: Long): Array[Byte] = v2Header(
