@@ -114,6 +114,45 @@ object Sampling {
     underRows.unionByName(capped)
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup 2007): a weighted
+    * size-k sample with an unbiased per-item total-weight estimator —
+    * THE published way to keep "k documents representative of the byte
+    * mass" rather than k uniform rows. Each row gets priority
+    * q = w/u with u uniform in (0, 1]; the k highest-priority rows are
+    * the sample and τ = q_(k+1) calibrates the estimator
+    * ŵ = max(w, τ) (Σŵ over the sample is unbiased for Σw).
+    *
+    * Determinism and portability: u = ([[hashBucket]] + 1)/10⁶ — the
+    * same salt+key hash as every sampler here, so membership is
+    * reproducible across runs/engines/cluster sizes — and q is the
+    * truncating integer w·10⁶ div u′, ties by key; the oracle replays
+    * every row. Returns (key, w, priority, rank, est_w) for rank ≤ k.
+    *
+    * Scale shape: priorities are map-side; Catalyst rewrites the
+    * global rank-filter to TakeOrderedAndProject (per-partition
+    * top-(k+1) heaps, then one k+1-row merge — the full corpus never
+    * colocates; plan-pinned in SamplingChunkingSpec); τ then comes
+    * from a second window over the k+1 survivors only.
+    */
+  def prioritySample(df: DataFrame, keyCol: Column, weightCol: Column,
+                     k: Int, salt: String = "graft"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val u = hashBucket(keyCol, salt) + lit(1L)
+    val base = df.select(keyCol.as("key"),
+        weightCol.cast("long").as("w"), u.as("__u"))
+      .withColumn("priority",
+        call_function("div", col("w") * lit(Buckets), col("__u")))
+    val ranked = base.withColumn("rank", row_number()
+        .over(w.orderBy(col("priority").desc, col("key").asc)).cast("int"))
+      .filter(col("rank") <= k + 1)
+    ranked.withColumn("tau",
+        coalesce(max(when(col("rank") === k + 1, col("priority")))
+          .over(w.partitionBy()), lit(0L)))
+      .filter(col("rank") <= k)
+      .select(col("key"), col("w"), col("priority"), col("rank"),
+        greatest(col("w"), col("tau")).as("est_w"))
+  }
+
   /** Temperature-weighted mixture sampling to a global token budget —
     * the domain-mixing step of a pretraining pipeline: give each
     * stratum (domain/language/source) a token target proportional to

@@ -582,6 +582,31 @@ object QueriesText {
              |          WHEN lang = 'en' THEN 300000
              |          ELSE 500000 END)""".stripMargin)),
 
+    // priority sampling (Duffield, Lund & Thorup 2007): 50 documents
+    // sampled ∝ byte mass with the unbiased max(w, τ) estimator —
+    // integer priorities from the portable hash, so sample AND
+    // estimator replay exactly; the global top-k runs as
+    // WindowGroupLimit (per-partition prune before the final).
+    QDef("t_priority_sample",
+      (s, dir) => Sampling.prioritySample(
+        Q.table(s, dir, "documents"), col("doc_id"), col("n_chars"),
+        k = 50, salt = "prio1")
+        .withColumnRenamed("key", "doc_id"),
+      Some("""WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             |    CAST(('0x' || substr(md5('prio1' || CAST(doc_id AS VARCHAR)), 1, 8))
+             |      AS BIGINT) % 1000000 + 1 AS u
+             |  FROM documents),
+             |q AS (SELECT doc_id, w, (w * 1000000) // u AS priority FROM b),
+             |r AS (SELECT doc_id, w, priority,
+             |        CAST(row_number() OVER (ORDER BY priority DESC, doc_id ASC)
+             |          AS INT) AS rank
+             |      FROM q),
+             |t AS (SELECT coalesce(max(CASE WHEN rank = 51 THEN priority END), 0)
+             |        AS tau
+             |      FROM r WHERE rank <= 51)
+             |SELECT doc_id, w, priority, rank, greatest(w, tau) AS est_w
+             |FROM r, t WHERE rank <= 50""".stripMargin)),
+
     // training-sequence prep: 64-token chunks every 48 tokens (16-token
     // overlap). Map-side explode of start offsets — no shuffle.
     QDef("t_token_chunks",

@@ -286,4 +286,29 @@ class SamplingChunkingSpec extends SparkSpec with Matchers {
     val others = (1L to 50L).toSet -- Set(3L, 7L, 9L, 20L, 21L)
     assert(others.forall(i => byId(i) == ((i, true))))
   }
+
+  test("priority sample: deterministic top-k, estimator = max(w, tau), " +
+    "estimator total tracks true byte mass") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run() = Sampling.prioritySample(docs, col("doc_id"), col("n_chars"),
+      k = 50, salt = "prio1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4))).sortBy(_._4)
+    val a = run()
+    assert(a.toSeq == run().toSeq) // hash-decided: repeatable exactly
+    assert(a.map(_._4).toSeq == (1 to 50)) // contiguous ranks
+    val tau = a.map(t => t._5 - math.max(t._2 - t._5, 0)).head // est>=w
+    assert(a.forall(t => t._5 >= t._2), s"est >= w everywhere; tau=$tau")
+    // unbiasedness in expectation; this single deterministic draw must
+    // land within a loose factor of the true total
+    val trueTotal = docs.agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    val estTotal = a.map(_._5).sum
+    assert(estTotal > trueTotal / 3 && estTotal < trueTotal * 3,
+      s"estimator $estTotal vs true $trueTotal")
+    // the global rank-filter prunes per partition before the final sort
+    val plan = Sampling.prioritySample(docs, col("doc_id"), col("n_chars"),
+      k = 50, salt = "prio1").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must run as a distributed limit, not a global sort:\n$plan")
+  }
 }
