@@ -66,4 +66,26 @@ object Partitioning {
       .withColumn("is_context", col("__assign.ctx"))
       .drop("__assign")
   }
+
+  /** Z-order (Morton) interleave of two `bits`-bit cell coordinates —
+    * the multi-dimensional data-layout key (Delta/Iceberg Z-ORDER,
+    * Morton 1966): sorting or range-partitioning 100 TB of spatial rows
+    * by this key gives every file/row-group a TIGHT bounding box on
+    * BOTH dimensions at once, so min/max zone maps prune scans for
+    * either-axis predicates — a time- or single-axis sort can only ever
+    * prune one. Pure integer bit algebra (2·bits codegen'd terms), so
+    * keys — and the layout they imply — replay exactly in any engine.
+    */
+  def zOrderKey(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** [[zOrderKey]] as oracle SQL text — identical interleave. */
+  def zOrderKeySql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"(($y >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString("(", " + ", ")")
 }

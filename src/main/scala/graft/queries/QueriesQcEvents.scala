@@ -1163,6 +1163,34 @@ object QueriesQcEvents {
               |  CAST(GROUPING(datastream_id, day_idx) AS BIGINT) AS gid,
               |  CAST(sum(v) AS BIGINT) AS sum_micro,
               |  CAST(count(*) AS BIGINT) AS n
-              |FROM m GROUP BY ROLLUP(datastream_id, day_idx)""".stripMargin))
+              |FROM m GROUP BY ROLLUP(datastream_id, day_idx)""".stripMargin)),
+
+    // Z-order layout report: quantize the synthetic coordinates' exact
+    // integer cores to an 8-bit cell grid, Morton-interleave, and report
+    // each 256-key z-range's row count + lat/lon bounding box — the
+    // zone-map quality a Z-ORDERed rewrite of this table would give its
+    // row groups (tight on BOTH axes; a time sort bounds neither). The
+    // scan reads ONE column (event_id) — everything else derives.
+    QDef("g_zorder_layout",
+      (s, dir) => {
+        val cx = expr("(event_id * 53 % 1000) DIV 4")
+        val cy = expr("(event_id * 37 % 1000) DIV 4")
+        Q.table(s, dir, "events")
+          .select(cx.as("cx"), cy.as("cy"))
+          .withColumn("z", Partitioning.zOrderKey(col("cx"), col("cy"), 8))
+          .groupBy(expr("z DIV 256").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("cx")).as("min_cx"), max(col("cx")).as("max_cx"),
+            min(col("cy")).as("min_cy"), max(col("cy")).as("max_cy"))
+      },
+      Some(s"""WITH c AS (SELECT (event_id * 53 % 1000) // 4 AS cx,
+              |             (event_id * 37 % 1000) // 4 AS cy FROM events),
+              |z AS (SELECT cx, cy,
+              |        ${Partitioning.zOrderKeySql("cx", "cy", 8)} AS z
+              |      FROM c)
+              |SELECT z // 256 AS bucket, CAST(count(*) AS BIGINT) AS n,
+              |  min(cx) AS min_cx, max(cx) AS max_cx,
+              |  min(cy) AS min_cy, max(cy) AS max_cy
+              |FROM z GROUP BY 1""".stripMargin))
   )
 }

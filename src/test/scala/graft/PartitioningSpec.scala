@@ -77,4 +77,37 @@ class PartitioningSpec extends SparkSpec {
     assert(hotGroups.max < hotTotal / 5,
       s"largest chunk ${hotGroups.max} should be far below the unsplit $hotTotal")
   }
+
+  test("z-order key: exact Morton interleave, and z-ranges bound both axes " +
+    "far tighter than a one-axis sort bounds the other") {
+    // interleave pinned against a bit-twiddled reference
+    def mortonRef(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 8)
+        z |= ((x >> i) & 1L) << (2 * i) | ((y >> i) & 1L) << (2 * i + 1)
+      z
+    }
+    val cells = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val got = cells.toDF("x", "y")
+      .withColumn("z", Partitioning.zOrderKey($"x", $"y", 8))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    cells.foreach { case (x, y) => assert(got((x, y)) == mortonRef(x, y)) }
+
+    // locality: bucket a 250x250 cell grid by z DIV 256 vs by cx DIV 256
+    // (the "sorted by one axis" layout); compare how tightly buckets
+    // bound the OTHER axis (cy) — the pruning a zone map would get
+    val grid = (for (x <- 0L until 250L; y <- 0L until 250L)
+      yield (x, y)).toDF("cx", "cy")
+      .withColumn("z", Partitioning.zOrderKey($"cx", $"cy", 8))
+    def meanCySpan(bucket: org.apache.spark.sql.Column): Double = {
+      val spans = grid.groupBy(bucket.as("b"))
+        .agg((max($"cy") - min($"cy")).as("span"))
+        .collect().map(_.getLong(1))
+      spans.sum.toDouble / spans.length
+    }
+    val zSpan = meanCySpan(expr("z DIV 256"))
+    val xSpan = meanCySpan(expr("cx DIV 256"))
+    assert(zSpan < 16 && xSpan > 200,
+      s"z buckets must bound cy (~${zSpan}), one-axis buckets cannot (~$xSpan)")
+  }
 }
