@@ -92,6 +92,65 @@ object Audio {
     (rate, channels, samples)
   }
 
+  final case class VadSeg(media_id: Long, seg_idx: Int, start_frame: Long,
+                          n_frames: Long, start_us: Long, end_us: Long,
+                          sum_abs: Long)
+
+  /** Energy-threshold voice-activity segmentation — the VAD pass a
+    * speech-data curation pipeline runs before transcription: split
+    * each mono PCM16 stream into `frameSamples`-sample frames (short
+    * tail frame included), mark a frame active iff its Σ|sample|
+    * exceeds `thrAmp` per sample (pure integer compare: sum_abs >
+    * thrAmp·frame_len), and merge consecutive active frames into
+    * segments with frame/µs bounds and total magnitude. Everything is
+    * integer (µs bounds by floor division), so segments replay exactly
+    * in the oracle.
+    *
+    * Scale shape: decode + segmentation run inside one `mapPartitions`
+    * pass; payload bytes never shuffle — only ~50-byte segment rows
+    * move on (same contract as [[pcmFeatures]]).
+    */
+  def vadSegments(media: DataFrame, frameSamples: Int,
+                  thrAmp: Long): Dataset[VadSeg] = {
+    require(frameSamples > 0, "frameSamples must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val (rate, channels, samples) = parseWav(payload)
+          require(channels == 1, s"VAD expects mono (got $channels)")
+          val nFrames = (samples.length + frameSamples - 1) / frameSamples
+          val segs = scala.collection.mutable.ArrayBuffer.empty[VadSeg]
+          var segStart = -1L; var segSum = 0L
+          def us(sample: Long): Long =
+            if (rate == 0) 0L else sample * 1000000L / rate
+          def close(endFrame: Long): Unit = if (segStart >= 0) {
+            val endSample = math.min(endFrame * frameSamples, samples.length)
+            segs += VadSeg(id, segs.length, segStart, endFrame - segStart,
+              us(segStart * frameSamples), us(endSample), segSum)
+            segStart = -1L; segSum = 0L
+          }
+          var f = 0
+          while (f < nFrames) {
+            val from = f * frameSamples
+            val until = math.min(from + frameSamples, samples.length)
+            var sumAbs = 0L
+            var i = from
+            while (i < until) { sumAbs += math.abs(samples(i).toLong); i += 1 }
+            if (sumAbs > thrAmp * (until - from)) {
+              if (segStart < 0) segStart = f
+              segSum += sumAbs
+            } else close(f)
+            f += 1
+          }
+          close(nFrames)
+          segs
+        }
+      }
+  }
+
   /** Decode + featurize WAV payloads map-side: per-row duration and
     * integer signal stats. duration_us and rms_milli use only integer
     * floor division and the IEEE-correctly-rounded sqrt, so they replay

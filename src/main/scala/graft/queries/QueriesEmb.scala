@@ -1051,6 +1051,60 @@ object QueriesEmb {
              |    AS BIGINT) AS rms_milli
              |FROM p JOIN a USING (doc_id)""".stripMargin)),
 
+    // energy-threshold VAD segmentation (the speech-curation pass before
+    // transcription): synthetic mono PCM16 with alternating quiet/loud
+    // 40-sample stretches goes through the REAL WAV build→parse→segment
+    // path map-side; the oracle replays the sample formula, per-frame
+    // Σ|s|, threshold and gap-and-island merge in pure integer SQL.
+    QDef("mm_audio_vad",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Q.table(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = docs.map { id =>
+          val n = (80 + id % 80).toInt
+          val rate = (8000 + (id % 8) * 1000).toInt
+          val samples = Array.tabulate(n) { i =>
+            val raw = (id * 31 + i * 17 + 7) % 65521
+            val sv = if ((i / 40) % 2 == 1) raw % 60000 - 30000
+                     else raw % 1200 - 600
+            sv.toShort
+          }
+          (id, Audio.buildWav(rate, samples))
+        }.toDF("media_id", "payload")
+        Audio.vadSegments(media, frameSamples = 20, thrAmp = 2000L).toDF()
+      },
+      Some("""WITH p AS (SELECT doc_id, 80 + doc_id % 80 AS n,
+             |         8000 + (doc_id % 8) * 1000 AS rate
+             |       FROM documents),
+             |s AS (SELECT doc_id, n, rate, unnest(range(0, n)) AS i FROM p),
+             |v AS (SELECT doc_id, rate, i, i // 20 AS f,
+             |        CASE WHEN (i // 40) % 2 = 1
+             |          THEN ((doc_id * 31 + i * 17 + 7) % 65521) % 60000 - 30000
+             |          ELSE ((doc_id * 31 + i * 17 + 7) % 65521) % 1200 - 600
+             |        END AS sv
+             |      FROM s),
+             |fr AS (SELECT doc_id, rate, f,
+             |         CAST(sum(abs(sv)) AS BIGINT) AS sum_abs,
+             |         count(*) AS flen
+             |       FROM v GROUP BY 1, 2, 3),
+             |isl AS (SELECT *, f - row_number() OVER (PARTITION BY doc_id
+             |            ORDER BY f) AS grp
+             |        FROM fr WHERE sum_abs > 2000 * flen),
+             |seg AS (SELECT doc_id, rate, min(f) AS start_frame,
+             |          CAST(count(*) AS BIGINT) AS n_frames,
+             |          CAST(sum(sum_abs) AS BIGINT) AS sum_abs,
+             |          max(f * 20 + flen) AS end_sample
+             |        FROM isl GROUP BY doc_id, rate, grp)
+             |SELECT doc_id AS media_id,
+             |  CAST(row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY start_frame) - 1 AS INT) AS seg_idx,
+             |  CAST(start_frame AS BIGINT) AS start_frame, n_frames,
+             |  CAST(start_frame * 20 * 1000000 // rate AS BIGINT) AS start_us,
+             |  CAST(end_sample * 1000000 // rate AS BIGINT) AS end_us,
+             |  sum_abs
+             |FROM seg""".stripMargin)),
+
     // content-hash dedup of binary payloads: md5 computed map-side, only
     // (media_id, checksum) shuffles — payload bytes stay in their scan
     // partitions. Canonical = min media_id per checksum group.

@@ -54,4 +54,38 @@ class AudioSpec extends SparkSpec {
     assert(r.getAs[Long]("peak") == samples.map(math.abs).max)
     assert(r.getAs[Long]("sum_sq") == samples.map(s => s * s).sum)
   }
+
+  test("VAD: hand-built quiet/loud/quiet/loud signal yields exactly the " +
+    "planted segments with exact bounds") {
+    val s = spark; import s.implicits._
+    // 100 samples at 10 kHz, frames of 10: frames 0-1 quiet (|s|=100),
+    // 2-4 loud (|s|=5000), 5 quiet, 6-9 loud; threshold amp 1000
+    def amp(i: Int): Short =
+      (if (i < 20) 100 else if (i < 50) 5000
+       else if (i < 60) 100 else 5000).toShort
+    val samples = Array.tabulate(100)(i =>
+      (if (i % 2 == 0) amp(i) else (-amp(i)).toShort): Short)
+    val media = Seq((7L, Audio.buildWav(10000, samples)))
+      .toDF("media_id", "payload")
+    val segs = Audio.vadSegments(media, frameSamples = 10, thrAmp = 1000L)
+      .collect().sortBy(_.seg_idx)
+    assert(segs.length == 2)
+    val a = segs(0)
+    assert(a.start_frame == 2L && a.n_frames == 3L && a.sum_abs == 30L * 5000)
+    assert(a.start_us == 20L * 1000000L / 10000 &&
+      a.end_us == 50L * 1000000L / 10000)
+    val b = segs(1)
+    assert(b.start_frame == 6L && b.n_frames == 4L)
+    assert(b.end_us == 100L * 1000000L / 10000)
+    // all-quiet: no segments; all-loud: one segment spanning everything,
+    // short tail frame included in the µs bound
+    val quiet = Seq((1L, Audio.buildWav(8000, Array.fill[Short](35)(50))))
+      .toDF("media_id", "payload")
+    assert(Audio.vadSegments(quiet, 10, 1000L).count() == 0)
+    val loud = Seq((2L, Audio.buildWav(8000, Array.fill[Short](35)(4000))))
+      .toDF("media_id", "payload")
+    val l = Audio.vadSegments(loud, 10, 1000L).collect()
+    assert(l.length == 1 && l(0).n_frames == 4L &&
+      l(0).end_us == 35L * 1000000L / 8000)
+  }
 }
