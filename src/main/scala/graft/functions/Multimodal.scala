@@ -394,6 +394,37 @@ object Multimodal {
     }
   }
 
+  /** Shot-boundary (scene-cut) detection over the keyframe stream: the
+    * perceptual-hash flavor of the classic frame-difference detector —
+    * successive keyframes whose dHashes differ by more than
+    * `cutHamming` bits start a new scene. Returns one row per keyframe
+    * with the Hamming distance to its predecessor (null for the first),
+    * the cut flag, and a running scene index — the per-scene sampling
+    * key a video-curation pipeline dedups/samples on (one frame per
+    * scene instead of every-Nth-frame redundancy).
+    *
+    * Scale shape: hashing is [[videoKeyframePhash]]'s map-side pass;
+    * only (id, frame, hash) rows shuffle into the per-video lag/cumsum
+    * windows — keyframe counts per video are small by construction.
+    */
+  def videoSceneCuts(media: DataFrame, cutHamming: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ph = videoKeyframePhash(media).toDF()
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx").asc)
+    val prev = lag(col("phash"), 1).over(w)
+    ph.withColumn("hamming_prev",
+        when(prev.isNotNull,
+          bit_count(col("phash").bitwiseXOR(prev))).cast("int"))
+      .withColumn("is_cut",
+        coalesce(col("hamming_prev") > cutHamming, lit(false)))
+      .withColumn("scene_idx",
+        sum(col("is_cut").cast("long")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("int"))
+      .select(col("media_id"), col("frame_idx"), col("phash"),
+        col("hamming_prev"), col("is_cut"), col("scene_idx"))
+  }
+
   /** Deterministic 65×`h` PNG intra frame whose column `x` is the flat
     * gray `(x * mult + add) % 256` — PNG is lossless, so decoding
     * replays the integer formula exactly (the fixture the video-phash

@@ -1006,6 +1006,81 @@ object QueriesEmb {
              |    AS phash
              |FROM bits GROUP BY media_id, frame_idx""".stripMargin)),
 
+    // shot-boundary detection: the synthetic frames change their luma
+    // slope every 8 frames (a real content change), so successive
+    // keyframe dHashes jump at scene boundaries; cuts = hamming > 10,
+    // scene_idx = running cut count. Decode + hash map-side through the
+    // same MP4/WebM keyframe path as mm_video_phash; the oracle replays
+    // lumas → bits → hash → lag → bit_count(xor) → cumulative sum.
+    QDef("mm_video_scenes",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Q.table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val media = docs.map { case (id, nch) =>
+          val nf = 1 + (nch % 24).toInt
+          val ke = 1 + (id % 7).toInt
+          val frames = (0 until nf).map { j =>
+            val slope = (1 + (id + j / 8) % 5).toInt
+            // scenes alternate ascending/descending ramps — a sign flip
+            // rewrites nearly every dHash bit, a real visual change;
+            // same-slope neighbors differ in only a few wrap positions
+            val mult = if ((j / 8) % 2 == 0) slope else -slope
+            Multimodal.pngColumnFrame(mult, ((7L * j + id) % 256).toInt)
+          }
+          if (id % 2 == 0)
+            (id, "video/mp4",
+              MediaContainers.buildMp4Samples(65, 3, frames, 40, ke))
+          else
+            (id, "video/webm",
+              MediaContainers.buildWebmSamples(65, 3, frames, 40, ke))
+        }.toDF("media_id", "kind", "payload")
+        Multimodal.videoSceneCuts(media, cutHamming = 10)
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id AS media_id,
+             |    1 + n_chars % 24 AS nf,
+             |    1 + doc_id % 7 AS ke
+             |  FROM documents),
+             |kf AS (SELECT media_id,
+             |         unnest(range(0, nf, ke)) AS frame_idx FROM p),
+             |lum AS (SELECT media_id, frame_idx, x,
+             |          ((x * (1 + (media_id + frame_idx // 8) % 5)
+             |              * (CASE WHEN (frame_idx // 8) % 2 = 0
+             |                 THEN 1 ELSE -1 END)
+             |            + 7 * frame_idx + media_id) % 256 + 256) % 256 AS l
+             |        FROM kf, unnest(range(0, 65)) AS t(x)),
+             |bits AS (SELECT a.media_id, a.frame_idx, a.x AS i,
+             |           CASE WHEN a.l > b.l THEN 1 ELSE 0 END AS bit
+             |         FROM lum a JOIN lum b
+             |           ON a.media_id = b.media_id
+             |          AND a.frame_idx = b.frame_idx AND b.x = a.x + 1
+             |         WHERE a.x < 64),
+             |ph AS (SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+             |         CAST(sum(CASE WHEN i < 63
+             |             THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END)
+             |           + CASE WHEN max(CASE WHEN i = 63 THEN bit ELSE 0 END) = 1
+             |               THEN -9223372036854775807 - 1 ELSE 0 END AS BIGINT)
+             |           AS phash
+             |       FROM bits GROUP BY media_id, frame_idx),
+             |lg AS (SELECT media_id, frame_idx, phash,
+             |         lag(phash) OVER (PARTITION BY media_id
+             |           ORDER BY frame_idx) AS prev
+             |       FROM ph),
+             |ct AS (SELECT media_id, frame_idx, phash,
+             |         CASE WHEN prev IS NOT NULL THEN
+             |           CAST(bit_count(CAST(xor(phash, prev) AS BIGINT)) AS INT)
+             |         END AS hamming_prev
+             |       FROM lg)
+             |SELECT media_id, frame_idx, phash, hamming_prev,
+             |  coalesce(hamming_prev > 10, false) AS is_cut,
+             |  CAST(sum(CASE WHEN coalesce(hamming_prev > 10, false)
+             |        THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY media_id ORDER BY frame_idx) AS INT)
+             |    AS scene_idx
+             |FROM ct""".stripMargin)),
+
     // real WAV/PCM audio decode: each row builds a deterministic PCM16
     // mono WAV (header + junk LIST chunk + samples synthesized from
     // doc_id), parses it back through the RIFF chunk walker and emits

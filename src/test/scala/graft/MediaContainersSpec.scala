@@ -179,4 +179,30 @@ class MediaContainersSpec extends AnyFunSuite with Matchers {
     rows(1).key_sum shouldBe 6L
     rows(1).first_key_offset should be > 0L
   }
+
+  test("videoSceneCuts: sign-flipped ramp starts a new scene exactly at " +
+    "the boundary keyframe; steady content never cuts") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    // frames 0-3 ascending ramp, 4-7 descending: one true content cut
+    val frames = (0 until 8).map(j =>
+      Multimodal.pngColumnFrame(if (j < 4) 3 else -3, 7 * j))
+    val mp4 = MC.buildMp4Samples(65, 3, frames, 40, keyEvery = 2)
+    val segs = Multimodal.videoSceneCuts(
+        Seq((1L, "video/mp4", mp4)).toDF("media_id", "kind", "payload"),
+        cutHamming = 10)
+      .orderBy("frame_idx").collect()
+    segs.map(_.getInt(1)).toSeq shouldBe Seq(0, 2, 4, 6)
+    segs.map(r => r.isNullAt(3)).toSeq shouldBe Seq(true, false, false, false)
+    segs.map(_.getBoolean(4)).toSeq shouldBe Seq(false, false, true, false)
+    segs.map(_.getInt(5)).toSeq shouldBe Seq(0, 0, 1, 1)
+    // a constant-content clip is one scene, zero cuts
+    val flat = (0 until 6).map(_ => Multimodal.pngColumnFrame(2, 9))
+    val one = Multimodal.videoSceneCuts(
+        Seq((2L, "video/webm", MC.buildWebmSamples(65, 3, flat, 40, 1)))
+          .toDF("media_id", "kind", "payload"), 10)
+      .collect()
+    one.length shouldBe 6
+    assert(one.forall(r => !r.getBoolean(4) && r.getInt(5) == 0))
+  }
 }
