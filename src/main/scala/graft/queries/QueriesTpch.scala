@@ -751,6 +751,46 @@ object QueriesTpch {
              |       FROM n LEFT JOIN c3 ON c3.node = n.node)
              |SELECT node, rank_micro FROM r3""".stripMargin)),
 
+    // HITS hubs & authorities (Kleinberg 1999) on the DIRECTED
+    // customer→supplier trade graph: customers are pure hubs, suppliers
+    // pure authorities (bipartite direction separates the roles).
+    // Integer ceil-divisor max-normalization per round — no sqrt, no
+    // overflow — so 3 fixed rounds replay exactly as unrolled CTEs.
+    QDef("q_hits",
+      (s, dir) => graft.ops.PageRank.hits(
+        graft.ops.PageRank.tradeGraphPairs(
+          Q.table(s, dir, "orders"), Q.table(s, dir, "lineitem")), iters = 3),
+      Some {
+        val rounds = (1 to 3).map { r =>
+          val hPrev = if (r == 1) "h0" else s"h${r - 1}"
+          s"""ar$r AS (SELECT dst, CAST(sum(h) AS BIGINT) AS raw
+             |         FROM e JOIN $hPrev ON $hPrev.node = e.src GROUP BY dst),
+             |ad$r AS (SELECT greatest((max(raw) + 999999) // 1000000, 1) AS d
+             |         FROM ar$r),
+             |a$r AS MATERIALIZED (SELECT n.node,
+             |         CAST(coalesce(raw, 0) // d AS BIGINT) AS a
+             |       FROM n LEFT JOIN ar$r ON ar$r.dst = n.node, ad$r),
+             |hr$r AS (SELECT src, CAST(sum(a) AS BIGINT) AS raw
+             |         FROM e JOIN a$r ON a$r.node = e.dst GROUP BY src),
+             |hd$r AS (SELECT greatest((max(raw) + 999999) // 1000000, 1) AS d
+             |         FROM hr$r),
+             |h$r AS MATERIALIZED (SELECT n.node,
+             |         CAST(coalesce(raw, 0) // d AS BIGINT) AS h
+             |       FROM n LEFT JOIN hr$r ON hr$r.src = n.node, hd$r)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+           |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |n AS MATERIALIZED (SELECT src AS node FROM e
+           |                   UNION SELECT dst AS node FROM e),
+           |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM n),
+           |$rounds
+           |SELECT h3.node, h3.h AS hub_micro, a3.a AS auth_micro
+           |FROM h3 JOIN a3 USING (node)""".stripMargin
+      }),
+
     // synchronous label propagation (community detection) on the same
     // customer-supplier trade graph as q_pagerank: 3 fixed rounds,
     // most-frequent-neighbor-label with smallest-label ties — both

@@ -55,4 +55,26 @@ class PageRankSpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     e shouldBe Set(("c10", "s5"), ("c20", "s6"), ("s5", "c10"), ("s6", "c20"))
   }
+
+  test("HITS on a bipartite fan: the shared authority dominates, hubs " +
+    "rank by coverage, roles separate exactly") {
+    // u1 -> {v1, v2}, u2 -> {v1}: v1 has two in-links, v2 one; u1 links
+    // the stronger pair. One round by hand (h0 = 1e6):
+    //   a_raw: v1 = 2e6, v2 = 1e6; d = ceil(2e6/1e6) = 2 → a: v1 = 1e6, v2 = 5e5
+    //   h_raw: u1 = 1.5e6, u2 = 1e6; d = 2 → h: u1 = 75e4, u2 = 5e5
+    val edges = Seq(("u1", "v1"), ("u1", "v2"), ("u2", "v1"))
+      .toDF("src", "dst")
+    val one = PageRank.hits(edges, iters = 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    one("v1") shouldBe ((0L, 1000000L))
+    one("v2") shouldBe ((0L, 500000L))
+    one("u1") shouldBe ((750000L, 0L))
+    one("u2") shouldBe ((500000L, 0L))
+    // more rounds keep the ordering and the bipartite role separation
+    val three = PageRank.hits(edges, iters = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(three("v1")._2 > three("v2")._2)
+    assert(three("u1")._1 > three("u2")._1)
+    assert(three.values.forall { case (h, a) => h == 0L || a == 0L })
+  }
 }
