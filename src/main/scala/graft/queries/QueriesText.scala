@@ -1507,6 +1507,63 @@ object QueriesText {
            |  FROM documents) t""".stripMargin
       }),
 
+    // exact tie-aware ROC-AUC of the linear quality score against the
+    // Gopher-ish teacher label — the measurement leg of the curation
+    // loop, as the integer Mann-Whitney U (U₂ counts wins twice, ties
+    // once ⇒ AUC = U₂/(2·nPos·nNeg) exactly). The Spark side runs the
+    // two-phase range-bucketed scan (no global sort); the oracle is the
+    // single-window textbook form — different mechanism, same row.
+    QDef("t_classifier_auc",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        val scored = TextAnalysis.linearQualityScore(docs, "doc_id", "text",
+          wTokensMicro = 500000L, wCharsMicro = 50000L, wAlphaMicro = 30000L,
+          wStopMicro = 200000L, wMwlMicro = 2000L, biasMicro = -62000000L)
+        val teach = docs.select(col("doc_id"),
+            TextAnalysis.wsTokenCount(col("text")).cast("long").as("nt"),
+            length(col("text")).cast("long").as("nc"),
+            length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+              .cast("long").as("na"))
+          .select(col("doc_id"),
+            (col("nt") >= 20L && col("nt") <= 70L &&
+              expr("na * 1024 DIV greatest(nc, 1)") >= 700L).as("teacher"))
+        graft.functions.Eval.rocAuc(scored.join(teach, "doc_id"),
+          col("logit_micro"), col("teacher"))
+      },
+      Some {
+        val enHits = stopwordHitsSql("en")
+        s"""WITH sc AS (
+           |  SELECT doc_id,
+           |    -62000000 + 500000 * CAST(len($rawTokensSql) AS BIGINT)
+           |      + 50000 * CAST(length(text) AS BIGINT)
+           |      + 30000 * CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+           |      + 200000 * CAST($enHits AS BIGINT)
+           |      + 2000 * (CAST(length(text) AS BIGINT) * 1000
+           |                // greatest(CAST(len($rawTokensSql) AS BIGINT), 1))
+           |      AS s,
+           |    CASE WHEN CAST(len($rawTokensSql) AS BIGINT) BETWEEN 20 AND 70
+           |          AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+           |              * 1024 // greatest(CAST(length(text) AS BIGINT), 1) >= 700
+           |      THEN 1 ELSE 0 END AS y
+           |  FROM documents),
+           |g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+           |        CAST(count(*) - sum(y) AS BIGINT) AS neg
+           |      FROM sc GROUP BY 1),
+           |c AS (SELECT s, pos, neg,
+           |        CAST(coalesce(sum(neg) OVER (ORDER BY s
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |          AS BIGINT) AS cum_neg
+           |      FROM g),
+           |t AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           |        CAST(sum(neg) AS BIGINT) AS n_neg,
+           |        CAST(sum(pos * (2 * cum_neg + neg)) AS BIGINT) AS u2
+           |      FROM c)
+           |SELECT n_pos, n_neg, u2,
+           |  CASE WHEN n_pos > 0 AND n_neg > 0
+           |    THEN u2 * 500000 // (n_pos * n_neg) END AS auc_ppm
+           |FROM t""".stripMargin
+      }),
+
     // unigram-frequency-rank quality proxy: mean corpus-frequency rank
     // of a document's tokens — perplexity-like rarity signal in pure
     // integer space (no libm transcendentals, bit-portable).
