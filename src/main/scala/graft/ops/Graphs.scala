@@ -299,4 +299,38 @@ object Graphs {
                  "(1000000 * d_tot DIV (2 * m))) DIV 1000000"))
           .as("q_micro"))
   }
+
+  /** Degree assortativity (Newman 2002, "Assortative mixing in
+    * networks"): the Pearson correlation of the degrees at the two ends
+    * of every edge. Computed over the SYMMETRIZED directed edge list
+    * (each undirected edge contributes both directions), which makes
+    * the two endpoint-degree marginals identical — Σx = Σy and
+    * Σx² = Σy² — so r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) with no
+    * square root: pure integer, replayed exactly by the DuckDB oracle
+    * in HUGEINT. Sums accumulate in DECIMAL(38,0): degrees ≤ 1e6 and
+    * edges ≤ 1e9 keep every intermediate ≤ ~1e33 — no overflow at any
+    * realistic corpus scale. Bipartite trade graphs come out strongly
+    * disassortative (hubs connect to leaves), which exercises the
+    * negative-numerator truncation path on both engines (DIV and `//`
+    * both truncate toward zero).
+    *
+    * Scale shape: one degree groupBy + two vertex-keyed equi-joins of
+    * the edge frame (the PageRank contribution plan) + one global
+    * partial aggregate — all shuffles linear in m, no per-vertex
+    * arrays, nothing broadcast that scales with the graph.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    edges
+      .join(deg.select(col("src"), col("deg").as("x")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("y")), Seq("dst"))
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("m"),
+        sum(col("x")).cast("decimal(38,0)").as("sx"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      .selectExpr("CAST(m AS BIGINT) AS n_edges",
+        "CAST((m * sxy - sx * sx) * 1000000 " +
+          "DIV nullif(m * sxx - sx * sx, 0) AS BIGINT) AS assort_micro")
+  }
 }

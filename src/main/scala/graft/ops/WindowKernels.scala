@@ -429,4 +429,51 @@ object WindowKernels {
         last(col("v_obs"), ignoreNulls = true).over(w).as("v_fill"),
         col("v_obs").isNull.as("filled"))
   }
+
+  /** Two-sided CUSUM changepoint statistic (Page 1954, "Continuous
+    * inspection schemes") per stream, in integer micro-units — the
+    * drift monitor the reference's per-stream QC family stops short of
+    * (its checks are pointwise; CUSUM accumulates small persistent
+    * shifts a range/z-score check never fires on).
+    *
+    * The clamped recursion S⁺_t = max(0, S⁺_{t-1} + (v_t − μ − k)) is
+    * replayed EXACTLY as window algebra via the prefix-sum identity
+    * S⁺_t = P_t − min(0, min_{j≤t} P_j), where P is the plain running
+    * sum of the drift terms — no recursion, no UDF, identical in the
+    * DuckDB oracle. Target μ = per-stream integer mean (sum DIV n),
+    * slack k = mad DIV 2 and alarm threshold h = 10·mad with mad the
+    * integer mean absolute deviation about μ — every constant derives
+    * from the data in integer arithmetic, so the oracle replays the
+    * whole chain bit-exactly (DIV and DuckDB `//` both truncate toward
+    * zero on integers of any sign).
+    *
+    * Scale shape: one exchange on the stream key serves all four
+    * window layers (the unordered stat windows need no sort; the two
+    * ordered prefix layers share one sort) — a single data-scale
+    * shuffle, per-task state O(1) per row.
+    */
+  def cusum(df: DataFrame, keyCol: String, tsUsCol: String,
+            vMicroCol: String, tieBreakCol: String): DataFrame = {
+    val wAll = Window.partitionBy(col(keyCol))
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol), col(tieBreakCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(col(tieBreakCol), col(keyCol), col(tsUsCol),
+        col(vMicroCol).as("v"),
+        sum(col(vMicroCol)).over(wAll).as("sv"),
+        count(lit(1)).over(wAll).as("n"))
+      .withColumn("mu", expr("sv DIV n"))
+      .withColumn("mad",
+        expr("sum(abs(v - mu)) OVER (PARTITION BY " + keyCol + ") DIV n"))
+      .withColumn("dp", expr("v - mu - mad DIV 2"))
+      .withColumn("dn", expr("mu - v - mad DIV 2"))
+      .withColumn("pp", sum(col("dp")).over(wOrd))
+      .withColumn("pn", sum(col("dn")).over(wOrd))
+      .withColumn("sp", col("pp") - least(lit(0L), min(col("pp")).over(wOrd)))
+      .withColumn("sn", col("pn") - least(lit(0L), min(col("pn")).over(wOrd)))
+      .select(col(tieBreakCol), col(keyCol),
+        col("sp").as("s_pos_micro"), col("sn").as("s_neg_micro"),
+        (col("sp") > col("mad") * 10 || col("sn") > col("mad") * 10)
+          .as("alarm"))
+  }
 }

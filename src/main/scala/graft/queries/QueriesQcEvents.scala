@@ -246,6 +246,44 @@ object QueriesQcEvents {
               |    // ((CAST(1 AS BIGINT) << len(a)) - 1) AS ewma_micro
               |FROM x""".stripMargin)),
 
+    // W13 — two-sided CUSUM drift monitor (Page 1954): the clamped
+    // recursion replayed exactly as prefix-sum-minus-running-min window
+    // algebra; target/slack/threshold all integer-derived per stream
+    // (mean, mad/2, 10·mad), so the oracle replays the chain bit-exactly.
+    QDef("w13_cusum",
+      (s, dir) => {
+        val vMicro =
+          expr(s"CAST(CAST(${Obs.Result} AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
+        WindowKernels.cusum(obs(s, dir).withColumn("v_micro", vMicro),
+          Obs.DatastreamId, "t_us", "v_micro", Obs.IotId)
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |m AS (SELECT iot_id, datastream_id, t_us,
+              |        CAST(CAST(result AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+              |          AS v
+              |      FROM obs),
+              |a AS (SELECT *, sum(v) OVER (PARTITION BY datastream_id) AS sv,
+              |        count(*) OVER (PARTITION BY datastream_id) AS n FROM m),
+              |b AS (SELECT *, sv // n AS mu FROM a),
+              |c AS (SELECT *, sum(abs(v - mu))
+              |          OVER (PARTITION BY datastream_id) // n AS mad FROM b),
+              |d AS (SELECT *, v - mu - mad // 2 AS dp,
+              |        mu - v - mad // 2 AS dn FROM c),
+              |p AS (SELECT *, sum(dp) OVER w AS pp, sum(dn) OVER w AS pn
+              |      FROM d WINDOW w AS (PARTITION BY datastream_id
+              |        ORDER BY t_us, iot_id
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |q AS (SELECT *, pp - least(0, min(pp) OVER w) AS sp,
+              |        pn - least(0, min(pn) OVER w) AS sn
+              |      FROM p WINDOW w AS (PARTITION BY datastream_id
+              |        ORDER BY t_us, iot_id
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |SELECT iot_id, datastream_id,
+              |  CAST(sp AS BIGINT) AS s_pos_micro,
+              |  CAST(sn AS BIGINT) AS s_neg_micro,
+              |  (sp > 10 * mad OR sn > 10 * mad) AS alarm
+              |FROM q""".stripMargin)),
+
     // W10 — LOCF grid resample: every hourly bucket between a stream's
     // first and last observation gets a row; buckets without an
     // observation carry the most recent value forward. The carried

@@ -875,6 +875,37 @@ object QueriesTpch {
            |FROM dt LEFT JOIN intra USING (label), mm""".stripMargin
       }),
 
+    // Degree assortativity (Newman 2002) of the trade graph: Pearson
+    // correlation of endpoint degrees over the symmetrized edge list —
+    // the sqrt-free identical-marginals form, integer end to end
+    // (DECIMAL(38,0) sums ≡ DuckDB HUGEINT). Bipartite hubs-to-leaves
+    // structure makes it strongly negative, exercising the
+    // negative-numerator truncation path on both engines.
+    QDef("q_assortativity",
+      (s, dir) => graft.ops.Graphs.assortativity(
+        graft.ops.PageRank.tradeGraphEdges(
+          Q.table(s, dir, "orders"), Q.table(s, dir, "lineitem"))),
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS MATERIALIZED (SELECT src, dst FROM pairs
+             |       UNION ALL SELECT dst, src FROM pairs),
+             |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+             |      FROM e GROUP BY 1),
+             |j AS (SELECT dx.deg AS x, dy.deg AS y
+             |      FROM e JOIN d dx ON dx.src = e.src
+             |             JOIN d dy ON dy.src = e.dst),
+             |s AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+             |             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             |             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             |             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+             |      FROM j)
+             |SELECT CAST(m AS BIGINT) AS n_edges,
+             |  CAST((m * sxy - sx * sx) * 1000000
+             |       // nullif(m * sxx - sx * sx, 0) AS BIGINT) AS assort_micro
+             |FROM s""".stripMargin)),
+
     // TPC-H q2 shape — min-cost supplier (the correlated-subquery
     // pattern): "supply cost" is the min unit price each supplier ever
     // charged for the part (no partsupp table in this schema), the

@@ -142,4 +142,27 @@ class GraphsSpec extends SparkSpec {
     assert(got("A") == (2L, 1L, 3L, 110000L), s"pair community: $got")
     assert(got("X") == (3L, 3L, 7L, 110000L), s"triangle community: $got")
   }
+
+  private def assortOf(pairs: Seq[(String, String)]): Option[Long] = {
+    val s = spark; import s.implicits._
+    val sym = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val r = graft.ops.Graphs.assortativity(sym).collect()(0)
+    assert(r.getAs[Long]("n_edges") == 2L * pairs.length)
+    if (r.isNullAt(1)) None else Some(r.getAs[Long]("assort_micro"))
+  }
+
+  test("assortativity: star is -1, path is -1/2, regular K4 is null") {
+    // Star S3: degrees 3,1,1,1; M=6, Σx=12, Σxy=18, Σx²=30 →
+    //   (6·18 − 144)/(6·30 − 144) = −36/36 = −1.
+    assertResult(Some(-1000000L))(
+      assortOf(Seq(("c", "a"), ("c", "b"), ("c", "d"))))
+    // Path 1-2-3-4: degrees 1,2,2,1; Σx=10, Σxy=16, Σx²=18 →
+    //   (96 − 100)/(108 − 100) = −1/2 (negative-numerator truncation).
+    assertResult(Some(-500000L))(
+      assortOf(Seq(("1", "2"), ("2", "3"), ("3", "4"))))
+    // K4 is 3-regular: zero degree variance → denominator 0 → NULL.
+    assertResult(None)(assortOf(
+      Seq(("1", "2"), ("1", "3"), ("1", "4"), ("2", "3"), ("2", "4"),
+        ("3", "4"))))
+  }
 }

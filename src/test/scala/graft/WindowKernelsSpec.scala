@@ -263,4 +263,63 @@ class WindowKernelsSpec extends SparkSpec with Matchers {
     got.length shouldBe 1
     got(0).getDouble(2) shouldBe 2.0 // higher iot_id wins at equal t_us
   }
+
+  /** Direct clamped-recursion reference for cusum: the identity under
+    * test is S⁺_t = P_t − min(0, min_{j≤t} P_j) ≡
+    * max(0, S⁺_{t-1} + d_t) — the window-algebra form must equal this
+    * loop exactly on any integer input (Long `/` and Spark DIV both
+    * truncate toward zero, so mu/mad/k replay identically).
+    */
+  private def cusumRef(vs: Seq[Long]): Seq[(Long, Long, Boolean)] = {
+    val n = vs.length.toLong
+    val mu = vs.sum / n
+    val mad = vs.map(v => math.abs(v - mu)).sum / n
+    val k = mad / 2
+    var (sp, sn) = (0L, 0L)
+    vs.map { v =>
+      sp = math.max(0L, sp + (v - mu - k))
+      sn = math.max(0L, sn + (mu - v - k))
+      (sp, sn, sp > 10 * mad || sn > 10 * mad)
+    }
+  }
+
+  private def cusumGot(streams: Map[Long, Seq[Long]])
+      : Map[Long, Seq[(Long, Long, Boolean)]] = {
+    val s = spark; import s.implicits._
+    val rows = for {
+      (ds, vs) <- streams.toSeq; (v, i) <- vs.zipWithIndex
+    } yield (i.toLong, ds, i.toLong * 1000L, v)
+    val df = rows.toDF("iot_id", "ds", "t_us", "v_micro")
+    WindowKernels.cusum(df, "ds", "t_us", "v_micro", "iot_id")
+      .collect()
+      .map(r => (r.getAs[Long]("ds"), r.getAs[Long]("iot_id"),
+        (r.getAs[Long]("s_pos_micro"), r.getAs[Long]("s_neg_micro"),
+         r.getAs[Boolean]("alarm"))))
+      .groupBy(_._1)
+      .map { case (ds, a) => ds -> a.sortBy(_._2).map(_._3).toSeq }
+  }
+
+  test("W13 CUSUM: pinned vector — single spike absorbed, no alarm") {
+    // v=[10,10,10,10,50]: mu=18, mad=12, k=6; dp=v-24, dn=12-v.
+    // sp=[0,0,0,0,26], sn=[2,4,6,8,0]; h=120 — a lone spike never alarms.
+    val got = cusumGot(Map(1L -> Seq(10L, 10L, 10L, 10L, 50L)))(1L)
+    got shouldBe Seq((0L, 2L, false), (0L, 4L, false), (0L, 6L, false),
+      (0L, 8L, false), (26L, 0L, false))
+  }
+
+  test("W13 CUSUM: window algebra == clamped recursion; drift alarms") {
+    // Stream 1: persistent +shift after midpoint — the drift a pointwise
+    // range/z check never fires on; CUSUM must alarm.
+    val drift = Seq.fill(50)(0L) ++ Seq.fill(50)(10L)
+    // Stream 2: deterministic mixed-sign noise (no alarm expected).
+    val noise = (0 until 120).map(i => ((i * 37 + 11) % 23 - 11).toLong)
+    // Stream 3: negative drift — exercises the s_neg side.
+    val negd = Seq.fill(40)(100L) ++ Seq.fill(60)(88L)
+    val streams = Map(1L -> drift, 2L -> noise, 3L -> negd)
+    val got = cusumGot(streams)
+    for ((ds, vs) <- streams) got(ds) shouldBe cusumRef(vs)
+    assert(got(1L).exists(_._3), "positive drift must alarm")
+    assert(got(3L).exists(_._3), "negative drift must alarm")
+    assert(got(3L).exists(t => t._2 > 10 * 6), "negative side accumulates")
+  }
 }
