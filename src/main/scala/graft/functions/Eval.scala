@@ -59,4 +59,90 @@ object Eval {
         when(col("n_pos") > 0L && col("n_neg") > 0L,
           expr("u2 * 500000 DIV (n_pos * n_neg)")).as("auc_ppm"))
   }
+
+  /** Reliability table (the data behind a calibration / reliability
+    * diagram, cf. Niculescu-Mizil & Caruana 2005): equal-width bins over
+    * the observed integer score range, per bin the row count, mean score
+    * and empirical positive rate — the direct check of whether a
+    * classifier's score ORDERS risk (AUC can be high while the score is
+    * wildly miscalibrated; this table is where that shows).
+    *
+    * All integer: bin = (s − lo) DIV width with width = (hi − lo) DIV
+    * nBins + 1 (so bin < nBins always), mean = Σs DIV n (truncation
+    * identical to DuckDB `//` on any sign), pos_ppm = pos·10⁶ DIV n.
+    *
+    * Scale shape: one partial-agg'd groupBy(s) collapses the corpus to
+    * distinct scores (same first phase as [[rocAuc]]); min/max come off
+    * that tiny frame and broadcast back; the bin rollup then runs on
+    * distinct-score rows, never raw rows.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: Column, labelCol: Column,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins > 0)
+    val base = df.select(scoreCol.cast("long").as("s"),
+      when(labelCol, 1L).otherwise(0L).as("y"))
+    val g = base.groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("n"))
+    val mm = g.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    g.crossJoin(broadcast(mm))
+      .withColumn("bin", expr(s"(s - lo) DIV ((hi - lo) DIV $nBins + 1)"))
+      .groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"), sum(col("s") * col("n")).as("ssum"),
+        sum(col("pos")).as("pos"))
+      .select(col("bin").cast("long").as("bin"), col("n"),
+        expr("ssum DIV n").as("mean_score"),
+        expr("pos * 1000000 DIV n").as("pos_ppm"))
+  }
+
+  /** nDCG@k (Järvelin & Kekäläinen 2002) with binary relevance, in the
+    * portable integer space: the position discount 1/log2(i+1) becomes
+    * gain(i) = 10⁶·2¹⁶ DIV log2q16(i+1) ([[Portable.log2q16]] — same
+    * engine-portable log as the BM25 idf), so DCG, ideal DCG and the
+    * ratio replay bit-exactly in the oracle.
+    *
+    * `results`: (query_id, doc_id, rnk, rel) rankings (rnk 1-based,
+    * ≤ k; rel boolean). `nRelTotal`: (query_id, n_rel_total) — the
+    * total relevant-document count per query, supplied separately ON
+    * PURPOSE: materializing relevance as explicit (query, doc) pairs is
+    * O(Q·N) when relevance is an attribute predicate (same source /
+    * same label), while the caller can usually derive the TOTAL from a
+    * per-attribute count table (a #attributes-row aggregate) and the
+    * per-hit flag from candidate-scale joins. Returns per query
+    * (query_id, n_rel_total, n_rel_in_k, dcg_micro, idcg_micro,
+    * ndcg_ppm) with idcg the cumulative gain at min(n_rel_total, k) —
+    * ndcg_ppm null when the query has no relevant documents.
+    *
+    * Scale shape: gains are computed map-side on the rank column (no
+    * join); the ideal-DCG table is k rows built from `spark.range` and
+    * broadcast; the only shuffles are one groupBy and one join keyed on
+    * query_id over the queries×k result frame — tiny relative to the
+    * ranking that produced `results`.
+    */
+  def ndcgAtK(results: DataFrame, nRelTotal: DataFrame, k: Int): DataFrame = {
+    require(k > 0)
+    val spark = results.sparkSession
+    val hits = results
+      .withColumn("gain", when(col("rel"),
+        call_function("div", lit(65536000000L),
+          Portable.log2q16(col("rnk").cast("long") + 1L))).otherwise(0L))
+      .groupBy(col("query_id"))
+      .agg(sum(col("gain")).as("dcg_micro"),
+        sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel_in_k"))
+    val nRel = nRelTotal
+    val wCum = Window.orderBy(col("j").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ideal = spark.range(1, k + 1).toDF("j")
+      .withColumn("g", call_function("div", lit(65536000000L),
+        Portable.log2q16(col("j") + 1L)))
+      .withColumn("cg", sum(col("g")).over(wCum))
+      .select(col("j"), col("cg"))
+    hits.join(nRel, Seq("query_id"), "left")
+      .withColumn("n_rel_total", coalesce(col("n_rel_total"), lit(0L)))
+      .withColumn("j", least(col("n_rel_total"), lit(k.toLong)))
+      .join(broadcast(ideal), Seq("j"), "left")
+      .select(col("query_id"), col("n_rel_total"), col("n_rel_in_k"),
+        col("dcg_micro"), coalesce(col("cg"), lit(0L)).as("idcg_micro"),
+        when(col("cg").isNotNull,
+          expr("dcg_micro * 1000000 DIV cg")).as("ndcg_ppm"))
+  }
 }

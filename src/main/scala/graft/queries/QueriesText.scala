@@ -2679,6 +2679,214 @@ object QueriesText {
               |SELECT phrase_id, doc_id,
               |  CAST(count(*) AS BIGINT) AS n_hits,
               |  CAST(min(s) AS BIGINT) AS first_pos
-              |FROM hit GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |FROM hit GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Bloom-filter decontamination audit (Bloom 1970; Kirsch-
+    // Mitzenmacher double hashing): the benchmark's stride-1 8-word
+    // windows populate a 2^20-bit filter (32-bit words: DuckDB's
+    // checked << rejects 1<<63), every corpus passage probes it
+    // map-side, and the exact fp set verifies each probe hit — so the
+    // oracle pins the bit arithmetic AND the realized false-positive
+    // count per document.
+    QDef("t_bloom_decontaminate",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        graft.functions.Bloom.bloomDecontaminate(
+          docs.filter(col("doc_id") % 23 =!= 0),
+          docs.filter(col("doc_id") % 23 === 0),
+          "doc_id", "text", passageLen = 8, logM = 20, k = 3)
+      },
+      Some(s"""WITH wn AS (SELECT doc_id, regexp_split_to_array($normSql, ' ') AS words
+              |            FROM documents),
+              |bg AS (SELECT DISTINCT
+              |         array_to_string(list_slice(words, s, s + 7), ' ') AS g
+              |       FROM (SELECT words, unnest(range(1, len(words) - 6)) AS s
+              |             FROM wn WHERE doc_id % 23 = 0) b),
+              |bh AS (SELECT g,
+              |         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+              |       FROM bg),
+              |bp AS (SELECT ((h % 1048576) + i * ((h >> 20) * 2 + 1)) % 1048576 AS pos
+              |       FROM bh, (SELECT unnest(range(0, 3)) AS i) ii),
+              |bw AS (SELECT pos // 32 AS word_idx,
+              |         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+              |       FROM bp GROUP BY 1),
+              |cp AS (SELECT doc_id, CAST((s - 1) // 8 AS BIGINT) AS pidx,
+              |         array_to_string(list_slice(words, s, s + 7), ' ') AS passage
+              |       FROM (SELECT doc_id, words,
+              |               unnest(range(1, len(words) + 1, 8)) AS s
+              |             FROM wn WHERE doc_id % 23 <> 0) c),
+              |ph AS (SELECT doc_id, pidx, passage,
+              |         CAST(('0x' || substr(md5(passage), 1, 15)) AS BIGINT) AS h
+              |       FROM cp),
+              |pp AS (SELECT doc_id, pidx, passage,
+              |         ((h % 1048576) + i * ((h >> 20) * 2 + 1)) % 1048576 AS pos
+              |       FROM ph, (SELECT unnest(range(0, 3)) AS i) ii),
+              |pj AS (SELECT pp.doc_id, pp.pidx, pp.passage,
+              |         CASE WHEN coalesce(bw.bits
+              |             & (CAST(1 AS BIGINT) << CAST(pp.pos % 32 AS INT)), 0) <> 0
+              |           THEN 1 ELSE 0 END AS hit
+              |       FROM pp LEFT JOIN bw ON pp.pos // 32 = bw.word_idx),
+              |pb AS (SELECT doc_id, pidx, passage, min(hit) AS bloom_hit
+              |       FROM pj GROUP BY 1, 2, 3),
+              |ex AS (SELECT DISTINCT md5(g) AS fp FROM bg),
+              |pe AS (SELECT pb.doc_id, pb.bloom_hit,
+              |         CASE WHEN ex.fp IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+              |       FROM pb LEFT JOIN ex ON md5(pb.passage) = ex.fp),
+              |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+              |         CAST(sum(bloom_hit) AS BIGINT) AS bloom_hits,
+              |         CAST(sum(exact_hit) AS BIGINT) AS exact_hits
+              |       FROM pe GROUP BY 1)
+              |SELECT doc_id, n_passages, bloom_hits, exact_hits,
+              |  bloom_hits - exact_hits AS false_pos,
+              |  exact_hits > 0 AS contaminated,
+              |  bloom_hits > 0 AS bloom_drop
+              |FROM ag""".stripMargin)),
+
+    // reliability table for the integer quality classifier (Niculescu-
+    // Mizil & Caruana 2005): equal-width logit bins, per bin the mass,
+    // mean score and empirical positive rate — the calibration-side
+    // companion of t_classifier_auc (same scorer, same teacher labels).
+    QDef("t_calibration",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        val scored = TextAnalysis.linearQualityScore(docs, "doc_id", "text",
+          wTokensMicro = 500000L, wCharsMicro = 50000L, wAlphaMicro = 30000L,
+          wStopMicro = 200000L, wMwlMicro = 2000L, biasMicro = -62000000L)
+        val teach = docs.select(col("doc_id"),
+            TextAnalysis.wsTokenCount(col("text")).cast("long").as("nt"),
+            length(col("text")).cast("long").as("nc"),
+            length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+              .cast("long").as("na"))
+          .select(col("doc_id"),
+            (col("nt") >= 20L && col("nt") <= 70L &&
+              expr("na * 1024 DIV greatest(nc, 1)") >= 700L).as("teacher"))
+        graft.functions.Eval.calibrationBins(scored.join(teach, "doc_id"),
+          col("logit_micro"), col("teacher"), nBins = 10)
+      },
+      Some {
+        val enHits = stopwordHitsSql("en")
+        s"""WITH sc AS (
+           |  SELECT doc_id,
+           |    -62000000 + 500000 * CAST(len($rawTokensSql) AS BIGINT)
+           |      + 50000 * CAST(length(text) AS BIGINT)
+           |      + 30000 * CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+           |      + 200000 * CAST($enHits AS BIGINT)
+           |      + 2000 * (CAST(length(text) AS BIGINT) * 1000
+           |                // greatest(CAST(len($rawTokensSql) AS BIGINT), 1))
+           |      AS s,
+           |    CASE WHEN CAST(len($rawTokensSql) AS BIGINT) BETWEEN 20 AND 70
+           |          AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+           |              * 1024 // greatest(CAST(length(text) AS BIGINT), 1) >= 700
+           |      THEN 1 ELSE 0 END AS y
+           |  FROM documents),
+           |g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+           |        CAST(count(*) AS BIGINT) AS n
+           |      FROM sc GROUP BY 1),
+           |mm AS (SELECT min(s) AS lo, max(s) AS hi FROM g),
+           |b AS (SELECT (s - lo) // ((hi - lo) // 10 + 1) AS bin, s, n, pos
+           |      FROM g, mm)
+           |SELECT CAST(bin AS BIGINT) AS bin,
+           |  CAST(sum(n) AS BIGINT) AS n,
+           |  CAST(sum(s * n) // sum(n) AS BIGINT) AS mean_score,
+           |  CAST(sum(pos) * 1000000 // sum(n) AS BIGINT) AS pos_ppm
+           |FROM b GROUP BY 1""".stripMargin
+      }),
+
+    // nDCG@5 of the BM25 ranking against same-source relevance
+    // (Järvelin & Kekäläinen 2002): position discounts are integer —
+    // gain(i) = 1e6·2^16 DIV log2q16(i+1), the same portable log as the
+    // idf — so DCG, ideal DCG and the ppm ratio replay bit-exactly.
+    // Self-retrieval is excluded on both the ranking (excludeSelf) and
+    // the relevance totals (n_same_source − 1).
+    QDef("t_ndcg",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        val res = Retrieval.bm25TopK(docs, "doc_id", "text",
+          Retrieval.queriesFromDocs(docs, "doc_id", "text"),
+          k = 5, maxDf = 40L, excludeSelf = true)
+        val qsrc = docs.filter(pmod(col("doc_id"), lit(29L)) === 3L)
+          .select(col("doc_id").as("query_id"), col("source").as("__qsrc"))
+        val labeled = res
+          .join(broadcast(qsrc), Seq("query_id"))
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .withColumn("rel", col("source") === col("__qsrc"))
+          .select("query_id", "doc_id", "rnk", "rel")
+        val srcn = docs.groupBy(col("source")).agg(count(lit(1)).as("__ns"))
+        val nrt = qsrc.join(broadcast(srcn), col("__qsrc") === col("source"))
+          .select(col("query_id"), (col("__ns") - 1L).as("n_rel_total"))
+        graft.functions.Eval.ndcgAtK(labeled, nrt, k = 5)
+      },
+      Some(s"""WITH RECURSIVE
+              |w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+              |bl AS (SELECT doc_id,
+              |         list_transform(range(1, len(words)),
+              |           i -> words[i] || ' ' || words[i + 1]) AS terms,
+              |         CAST(len(words) - 1 AS BIGINT) AS dl
+              |       FROM w WHERE len(words) >= 2),
+              |post AS (SELECT doc_id, dl, unnest(terms) AS term FROM bl),
+              |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+              |        max(dl) AS dl
+              |      FROM post GROUP BY 1, 2),
+              |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |            CAST(sum(dl) AS BIGINT) AS n_terms FROM bl),
+              |dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              |        FROM p GROUP BY 1 HAVING count(*) <= 40),
+              |ina AS (SELECT term,
+              |          2 * ((SELECT n_docs FROM stats) - df) + 1 AS x FROM dfv),
+              |${Portable.log2q16Sql("ina", Seq("term"), "x", "lga", "lg")},
+              |inb AS (SELECT term, 2 * df + 1 AS x FROM dfv),
+              |${Portable.log2q16Sql("inb", Seq("term"), "x", "lgb", "lg")},
+              |idf AS (SELECT a.term, greatest(a.lg - b.lg, 0) AS idf_q16
+              |        FROM lga a JOIN lgb b USING (term)),
+              |qw AS (SELECT doc_id AS query_id, words FROM w
+              |       WHERE doc_id % 29 = 3),
+              |qt AS (SELECT DISTINCT query_id,
+              |         unnest(list_transform(range(1, least(len(words), 5)),
+              |           i -> words[i] || ' ' || words[i + 1])) AS term
+              |       FROM qw),
+              |cand AS (SELECT qt.query_id, p.doc_id, p.tf, p.dl, idf.idf_q16
+              |         FROM p JOIN idf USING (term) JOIN qt USING (term)
+              |         WHERE qt.query_id <> p.doc_id),
+              |sc AS (SELECT query_id, doc_id,
+              |         CAST(sum((idf_q16 * ((22000000 * tf * s.n_terms) //
+              |             (10 * tf * s.n_terms + 3 * s.n_terms
+              |              + 9 * dl * s.n_docs))) // 65536) AS BIGINT)
+              |           AS score_micro
+              |       FROM cand, stats s GROUP BY 1, 2),
+              |r AS (SELECT query_id, doc_id,
+              |        row_number() OVER (PARTITION BY query_id
+              |             ORDER BY score_micro DESC, doc_id) AS rnk
+              |      FROM sc),
+              |res AS (SELECT query_id, doc_id, rnk FROM r WHERE rnk <= 5),
+              |qs AS (SELECT doc_id AS query_id, source AS qsrc
+              |       FROM documents WHERE doc_id % 29 = 3),
+              |ds AS (SELECT doc_id, source FROM documents),
+              |lab AS (SELECT res.query_id, res.doc_id, res.rnk,
+              |          CASE WHEN ds.source = qs.qsrc THEN 1 ELSE 0 END AS rel
+              |        FROM res JOIN qs USING (query_id) JOIN ds USING (doc_id)),
+              |rin AS (SELECT j, CAST(j + 1 AS BIGINT) AS x
+              |        FROM (SELECT unnest(range(1, 6)) AS j) jj),
+              |${Portable.log2q16Sql("rin", Seq("j"), "x", "lgr", "lg")},
+              |gains AS (SELECT j, CAST(65536000000 AS BIGINT) // lg AS g
+              |          FROM lgr),
+              |cgs AS (SELECT j, CAST(sum(g) OVER (ORDER BY j
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |          AS BIGINT) AS cg
+              |        FROM gains),
+              |dcg AS (SELECT query_id,
+              |          CAST(sum(CASE WHEN rel = 1 THEN g ELSE 0 END) AS BIGINT)
+              |            AS dcg_micro,
+              |          CAST(sum(rel) AS BIGINT) AS n_rel_in_k
+              |        FROM lab JOIN gains ON gains.j = lab.rnk GROUP BY 1),
+              |srcn AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+              |         FROM documents GROUP BY 1),
+              |nrt AS (SELECT qs.query_id, ns - 1 AS n_rel_total
+              |        FROM qs JOIN srcn ON srcn.source = qs.qsrc)
+              |SELECT dcg.query_id, nrt.n_rel_total, dcg.n_rel_in_k,
+              |  dcg.dcg_micro, coalesce(cgs.cg, 0) AS idcg_micro,
+              |  CASE WHEN cgs.cg IS NOT NULL
+              |    THEN dcg.dcg_micro * 1000000 // cgs.cg END AS ndcg_ppm
+              |FROM dcg JOIN nrt USING (query_id)
+              |LEFT JOIN cgs ON cgs.j = least(nrt.n_rel_total, 5)""".stripMargin))
   )
 }

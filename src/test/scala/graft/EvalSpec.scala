@@ -45,4 +45,66 @@ class EvalSpec extends SparkSpec with Matchers {
     auc(rows, 4) shouldBe expect
     auc(rows, 64) shouldBe expect
   }
+
+  test("calibration bins: hand-computed widths, means, positive rates") {
+    // scores 0..9 with label = (s >= 7); lo=0, hi=9, width = 9/5+1 = 2
+    // bins: {0,1},{2,3},{4,5},{6,7},{8,9} -> pos rates 0,0,0,500000,1e6
+    val rows = (0L to 9L).map(s => (s, s >= 7L))
+    val got = Eval.calibrationBins(rows.toDF("s", "y"),
+        col("s"), col("y"), nBins = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    got shouldBe Seq((0L, 2L, 0L, 0L), (1L, 2L, 2L, 0L), (2L, 2L, 4L, 0L),
+      (3L, 2L, 6L, 500000L), (4L, 2L, 8L, 1000000L))
+  }
+
+  test("calibration bins: negative scores, truncating integer mean") {
+    // scores -5,-4,1: lo=-5, hi=1, width = 6/2+1 = 4 -> bins {-5,-4},{1}
+    // mean of bin 0 = -9 DIV 2 = -4 (truncation toward zero, both engines)
+    val rows = Seq((-5L, false), (-4L, true), (1L, true))
+    val got = Eval.calibrationBins(rows.toDF("s", "y"),
+        col("s"), col("y"), nBins = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    got shouldBe Seq((0L, 2L, -4L, 500000L), (1L, 1L, 1L, 1000000L))
+  }
+
+  test("nDCG@k: perfect, worst-in-k, and partial rankings") {
+    import graft.functions.Portable
+    def gain(rank: Long): Long = 65536000000L / Portable.log2q16Ref(rank + 1)
+    val cg = (1L to 5L).scanLeft(0L)((a, j) => a + gain(j)).tail // cg(1..5)
+    def run(res: Seq[(Long, Long, Int, Boolean)], nrt: Seq[(Long, Long)]) =
+      Eval.ndcgAtK(res.toDF("query_id", "doc_id", "rnk", "rel"),
+          nrt.toDF("query_id", "n_rel_total"), k = 5)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    // q1: 2 relevant docs, both at the TOP -> dcg = cg(2) = idcg -> 1e6
+    // q2: same 2 relevant at the BOTTOM (ranks 4,5) -> dcg < idcg
+    // q3: no relevant docs at all -> idcg 0, ndcg null
+    val res = Seq(
+      (1L, 10L, 1, true), (1L, 11L, 2, true), (1L, 12L, 3, false),
+      (2L, 20L, 1, false), (2L, 21L, 2, false), (2L, 22L, 3, false),
+      (2L, 23L, 4, true), (2L, 24L, 5, true),
+      (3L, 30L, 1, false))
+    val nrt = Seq((1L, 2L), (2L, 2L), (3L, 0L))
+    val got = run(res, nrt)
+    got(1L) shouldBe ((2L, 2L, cg(1), cg(1), 1000000L))
+    val dcg2 = gain(4) + gain(5)
+    got(2L) shouldBe ((2L, 2L, dcg2, cg(1), dcg2 * 1000000L / cg(1)))
+    got(3L) shouldBe ((0L, 0L, 0L, 0L, -1L))
+  }
+
+  test("nDCG@k: idcg caps at k when more than k docs are relevant") {
+    import graft.functions.Portable
+    def gain(rank: Long): Long = 65536000000L / Portable.log2q16Ref(rank + 1)
+    val cg5 = (1L to 5L).map(gain).sum
+    val res = (1 to 5).map(i => (7L, 100L + i, i, true))
+    val got = Eval.ndcgAtK(res.toDF("query_id", "doc_id", "rnk", "rel"),
+        Seq((7L, 40L)).toDF("query_id", "n_rel_total"), k = 5)
+      .collect()(0)
+    got.getLong(1) shouldBe 40L
+    got.getLong(4) shouldBe cg5       // idcg = cg at min(40, 5) = 5
+    got.getLong(5) shouldBe 1000000L  // all top-5 relevant -> perfect @5
+  }
 }
