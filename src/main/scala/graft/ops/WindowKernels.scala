@@ -476,4 +476,32 @@ object WindowKernels {
         (col("sp") > col("mad") * 10 || col("sn") > col("mad") * 10)
           .as("alarm"))
   }
+
+  /** [[cusum]] with CONFIGURED target/slack/threshold instead of
+    * data-derived ones — the production monitoring form (control limits
+    * come from a spec sheet, not the batch being checked) and the form
+    * a STREAM can compute: the data-derived constants need the whole
+    * series up front, while this recursion carries two longs of state.
+    * `StreamingCusum.monitor` is the streaming twin; stream == batch is
+    * pinned at every micro-batch split in `StreamingCusumSpec`.
+    * Same prefix-sum-minus-running-min replay of the Page recursion.
+    */
+  def cusumFixed(df: DataFrame, keyCol: String, tsUsCol: String,
+                 vMicroCol: String, tieBreakCol: String,
+                 muMicro: Long, slackMicro: Long, hMicro: Long): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol), col(tieBreakCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(col(tieBreakCol), col(keyCol), col(tsUsCol),
+        col(vMicroCol).as("v"))
+      .withColumn("dp", col("v") - lit(muMicro) - lit(slackMicro))
+      .withColumn("dn", lit(muMicro) - col("v") - lit(slackMicro))
+      .withColumn("pp", sum(col("dp")).over(wOrd))
+      .withColumn("pn", sum(col("dn")).over(wOrd))
+      .withColumn("sp", col("pp") - least(lit(0L), min(col("pp")).over(wOrd)))
+      .withColumn("sn", col("pn") - least(lit(0L), min(col("pn")).over(wOrd)))
+      .select(col(tieBreakCol), col(keyCol),
+        col("sp").as("s_pos_micro"), col("sn").as("s_neg_micro"),
+        (col("sp") > lit(hMicro) || col("sn") > lit(hMicro)).as("alarm"))
+  }
 }

@@ -284,6 +284,40 @@ object QueriesQcEvents {
               |  (sp > 10 * mad OR sn > 10 * mad) AS alarm
               |FROM q""".stripMargin)),
 
+    // W14 — CUSUM against CONFIGURED control limits (the production
+    // and streaming-twin form of W13: μ/k/h from a spec sheet, two
+    // longs of recursion state). StreamingCusum.monitor is the twin;
+    // stream==batch pinned per split in StreamingCusumSpec.
+    QDef("w14_cusum_fixed",
+      (s, dir) => {
+        val vMicro =
+          expr(s"CAST(CAST(${Obs.Result} AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
+        WindowKernels.cusumFixed(obs(s, dir).withColumn("v_micro", vMicro),
+          Obs.DatastreamId, "t_us", "v_micro", Obs.IotId,
+          muMicro = 50000000L, slackMicro = 2000000L, hMicro = 400000000L)
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |m AS (SELECT iot_id, datastream_id, t_us,
+              |        CAST(CAST(result AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+              |          AS v
+              |      FROM obs),
+              |d AS (SELECT *, v - 50000000 - 2000000 AS dp,
+              |        50000000 - v - 2000000 AS dn FROM m),
+              |p AS (SELECT *, sum(dp) OVER w AS pp, sum(dn) OVER w AS pn
+              |      FROM d WINDOW w AS (PARTITION BY datastream_id
+              |        ORDER BY t_us, iot_id
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |q AS (SELECT *, pp - least(0, min(pp) OVER w) AS sp,
+              |        pn - least(0, min(pn) OVER w) AS sn
+              |      FROM p WINDOW w AS (PARTITION BY datastream_id
+              |        ORDER BY t_us, iot_id
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |SELECT iot_id, datastream_id,
+              |  CAST(sp AS BIGINT) AS s_pos_micro,
+              |  CAST(sn AS BIGINT) AS s_neg_micro,
+              |  (sp > 400000000 OR sn > 400000000) AS alarm
+              |FROM q""".stripMargin)),
+
     // W10 — LOCF grid resample: every hourly bucket between a stream's
     // first and last observation gets a row; buckets without an
     // observation carry the most recent value forward. The carried
