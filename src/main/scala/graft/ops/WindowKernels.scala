@@ -504,4 +504,56 @@ object WindowKernels {
         col("sp").as("s_pos_micro"), col("sn").as("s_neg_micro"),
         (col("sp") > lit(hMicro) || col("sn") > lit(hMicro)).as("alarm"))
   }
+
+  /** Per-stream lag-k autocorrelation (the ACF of Box-Jenkins
+    * diagnostics) for k = 1..maxLag, in integer micro-units: with
+    * μ = per-stream integer mean (Σv DIV n) and d_t = v_t − μ,
+    * acf_ppm(k) = (Σ_{t>k} d_t·d_{t−k}) · 10⁶ DIV (Σ_t d_t²) — the
+    * standard biased estimator (denominator over ALL n terms), so
+    * acf(0) ≡ 1 and the values are comparable across lags. Deviation
+    * products reach ~10¹⁷ for full-range micro values, so both sums
+    * accumulate in DECIMAL(38,0) (≡ the oracle's HUGEINT); the final
+    * ratio is a BIGINT ppm. Sign behavior is exact: DIV and DuckDB `//`
+    * truncate toward zero identically, and negative autocorrelation
+    * (alternating series) exercises that path.
+    *
+    * Returns (key, lag, n_pairs, acf_ppm); acf_ppm null for a
+    * zero-variance stream.
+    *
+    * Scale shape: ONE exchange on the stream key serves the stat
+    * window, the ordered lag window and the final per-stream aggregate
+    * (maxLag lag columns ride one sorted pass); the groupBy emits one
+    * row per stream which explodes to maxLag output rows — nothing
+    * after the first exchange is data-scale.
+    */
+  def acf(df: DataFrame, keyCol: String, tsUsCol: String,
+          vMicroCol: String, tieBreakCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 32, s"maxLag out of range: $maxLag")
+    val wAll = Window.partitionBy(col(keyCol))
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol), col(tieBreakCol))
+    val dev = df.select(col(keyCol), col(tsUsCol), col(tieBreakCol),
+        col(vMicroCol).as("v"),
+        sum(col(vMicroCol)).over(wAll).as("sv"),
+        count(lit(1)).over(wAll).as("n"))
+      .withColumn("d", expr("v - sv DIV n"))
+    val lagged = (1 to maxLag).foldLeft(dev) { (acc, k) =>
+      acc.withColumn(s"dl$k", lag(col("d"), k).over(wOrd))
+    }
+    val numAggs = (1 to maxLag).flatMap { k => Seq(
+      sum(col("d").cast("decimal(38,0)") * col(s"dl$k")).as(s"num$k"),
+      count(col(s"dl$k")).as(s"np$k"))
+    }
+    val den = sum(col("d").cast("decimal(38,0)") * col("d")).as("den")
+    val perStream = lagged.groupBy(col(keyCol))
+      .agg(den, numAggs: _*)
+    val entries = array((1 to maxLag).map { k =>
+      struct(lit(k.toLong).as("lag"), col(s"np$k").as("n_pairs"),
+        expr(s"CAST(num$k * 1000000 DIV nullif(den, 0) AS BIGINT)")
+          .as("acf_ppm"))
+    }: _*)
+    perStream.select(col(keyCol), explode(entries).as("r"))
+      .select(col(keyCol), col("r.lag").as("lag"),
+        col("r.n_pairs").as("n_pairs"), col("r.acf_ppm").as("acf_ppm"))
+  }
 }

@@ -318,6 +318,124 @@ object QueriesQcEvents {
               |  (sp > 400000000 OR sn > 400000000) AS alarm
               |FROM q""".stripMargin)),
 
+    // W15 — per-stream lag-1..3 autocorrelation (Box-Jenkins ACF
+    // diagnostics) in integer micro: μ = Σv DIV n, biased estimator
+    // (denominator over all n), HUGEINT≡DECIMAL(38,0) sums. One
+    // exchange serves the stat window, the lag window and the final
+    // per-stream aggregate.
+    QDef("w15_acf",
+      (s, dir) => {
+        val vMicro =
+          expr(s"CAST(CAST(${Obs.Result} AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
+        WindowKernels.acf(obs(s, dir).withColumn("v_micro", vMicro),
+          Obs.DatastreamId, "t_us", "v_micro", Obs.IotId, maxLag = 3)
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |m AS (SELECT datastream_id, t_us, iot_id,
+              |        CAST(CAST(result AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+              |          AS v
+              |      FROM obs),
+              |a AS (SELECT *, sum(v) OVER (PARTITION BY datastream_id) AS sv,
+              |        count(*) OVER (PARTITION BY datastream_id) AS n FROM m),
+              |b AS (SELECT datastream_id, t_us, iot_id, v - sv // n AS d
+              |      FROM a),
+              |c AS (SELECT *, lag(d, 1) OVER w AS dl1,
+              |        lag(d, 2) OVER w AS dl2, lag(d, 3) OVER w AS dl3
+              |      FROM b WINDOW w AS (PARTITION BY datastream_id
+              |        ORDER BY t_us, iot_id)),
+              |g AS (SELECT datastream_id,
+              |        sum(CAST(d AS HUGEINT) * d) AS den,
+              |        sum(CAST(d AS HUGEINT) * dl1) AS num1,
+              |        CAST(count(dl1) AS BIGINT) AS np1,
+              |        sum(CAST(d AS HUGEINT) * dl2) AS num2,
+              |        CAST(count(dl2) AS BIGINT) AS np2,
+              |        sum(CAST(d AS HUGEINT) * dl3) AS num3,
+              |        CAST(count(dl3) AS BIGINT) AS np3
+              |      FROM c GROUP BY 1)
+              |SELECT datastream_id, CAST(1 AS BIGINT) AS lag, np1 AS n_pairs,
+              |  CAST(num1 * 1000000 // nullif(den, 0) AS BIGINT) AS acf_ppm
+              |FROM g
+              |UNION ALL
+              |SELECT datastream_id, CAST(2 AS BIGINT), np2,
+              |  CAST(num2 * 1000000 // nullif(den, 0) AS BIGINT) FROM g
+              |UNION ALL
+              |SELECT datastream_id, CAST(3 AS BIGINT), np3,
+              |  CAST(num3 * 1000000 // nullif(den, 0) AS BIGINT) FROM g""".stripMargin)),
+
+    // A19 — A/B chi-square readout: variant = datastream parity,
+    // category = observation type; per category the 2x2 (variant x
+    // this-type-vs-rest) Pearson statistic in micro, per-cell form,
+    // fixed integer evaluation order (DECIMAL(38,0) ≡ HUGEINT).
+    QDef("a19_chisq",
+      (s, dir) => graft.ops.DataQuality.chiSquareAB(obs(s, dir),
+        col(Obs.DatastreamId) % 2 === 0, col(Obs.ObservationType)),
+      Some(s"""WITH ${Q.ObsCte},
+              |cnt AS (SELECT observation_type AS cat,
+              |          CASE WHEN datastream_id % 2 = 0 THEN 1 ELSE 0 END AS g,
+              |          count(*) AS n
+              |        FROM obs GROUP BY 1, 2),
+              |tt AS (SELECT
+              |    CAST(sum(CASE WHEN g = 0 THEN n ELSE 0 END) AS BIGINT) AS t0,
+              |    CAST(sum(CASE WHEN g = 1 THEN n ELSE 0 END) AS BIGINT) AS t1
+              |  FROM cnt),
+              |bc AS (SELECT cat,
+              |    CAST(sum(CASE WHEN g = 0 THEN n ELSE 0 END) AS BIGINT) AS a,
+              |    CAST(sum(CASE WHEN g = 1 THEN n ELSE 0 END) AS BIGINT) AS b
+              |  FROM cnt GROUP BY 1),
+              |x AS (SELECT cat, a, b, t0 - a AS c, t1 - b AS d FROM bc, tt),
+              |e AS (SELECT *, CAST(a AS HUGEINT) + b + c + d AS nn FROM x),
+              |f AS (SELECT *,
+              |    CAST(a+c AS HUGEINT) * (a+b) * 1000000 // nn AS ea,
+              |    CAST(b+d AS HUGEINT) * (a+b) * 1000000 // nn AS eb,
+              |    CAST(a+c AS HUGEINT) * (c+d) * 1000000 // nn AS ec,
+              |    CAST(b+d AS HUGEINT) * (c+d) * 1000000 // nn AS ed
+              |  FROM e)
+              |SELECT cat, a, b, c, d, CAST((
+              |    (CAST(a AS HUGEINT) * 1000000 - ea)
+              |      * (CAST(a AS HUGEINT) * 1000000 - ea) // nullif(ea, 0)
+              |  + (CAST(b AS HUGEINT) * 1000000 - eb)
+              |      * (CAST(b AS HUGEINT) * 1000000 - eb) // nullif(eb, 0)
+              |  + (CAST(c AS HUGEINT) * 1000000 - ec)
+              |      * (CAST(c AS HUGEINT) * 1000000 - ec) // nullif(ec, 0)
+              |  + (CAST(d AS HUGEINT) * 1000000 - ed)
+              |      * (CAST(d AS HUGEINT) * 1000000 - ed) // nullif(ed, 0)
+              |  ) AS BIGINT) AS chi2_micro
+              |FROM f""".stripMargin)),
+
+    // A20 — Benford first-digit audit: digits from the micro
+    // quantization's decimal string (integer-to-string is exact in
+    // both engines); the expectation log10(1+1/d) derives from the
+    // shared Q16 log2 recursion — no libm log10 on either side.
+    QDef("a20_benford",
+      (s, dir) => graft.ops.DataQuality.benfordAudit(
+        obs(s, dir).withColumn("v_micro",
+          expr(s"CAST(CAST(${Obs.Result} AS DECIMAL(25,6)) * 1000000 AS BIGINT)")),
+        col("v_micro")),
+      Some(s"""WITH RECURSIVE ${Q.ObsCte},
+              |m AS (SELECT CAST(CAST(result AS DECIMAL(25,6)) * 1000000
+              |               AS BIGINT) AS v
+              |      FROM obs),
+              |dg AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+              |         AS digit, CAST(count(*) AS BIGINT) AS n
+              |       FROM m WHERE v > 0 GROUP BY 1),
+              |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM dg),
+              |li AS (SELECT digit, n, digit AS x FROM dg),
+              |${graft.functions.Portable.log2q16Sql("li", Seq("digit", "n"), "x", "lgd", "lg")},
+              |lj AS (SELECT digit, n, digit + 1 AS x FROM dg),
+              |${graft.functions.Portable.log2q16Sql("lj", Seq("digit", "n"), "x", "lgd1", "lg")},
+              |lt AS (SELECT 10 AS x),
+              |${graft.functions.Portable.log2q16Sql("lt", Seq(), "x", "lg10", "lg")}
+              |SELECT d.digit, d.n,
+              |  CAST(d.n * 1000000 // tot.total AS BIGINT) AS observed_ppm,
+              |  CAST((b.lg - a.lg) * 1000000 // (SELECT lg FROM lg10) AS BIGINT)
+              |    AS expected_ppm,
+              |  CAST(d.n * 1000000 // tot.total
+              |    - (b.lg - a.lg) * 1000000 // (SELECT lg FROM lg10) AS BIGINT)
+              |    AS dev_ppm
+              |FROM dg d
+              |JOIN lgd a ON a.digit = d.digit
+              |JOIN lgd1 b ON b.digit = d.digit, tot""".stripMargin)),
+
     // W10 — LOCF grid resample: every hourly bucket between a stream's
     // first and last observation gets a row; buckets without an
     // observation carry the most recent value forward. The carried

@@ -307,6 +307,53 @@ class WindowKernelsSpec extends SparkSpec with Matchers {
       (0L, 8L, false), (26L, 0L, false))
   }
 
+  /** Reference ACF replaying the exact integer chain (truncating mean,
+    * BigInt sums, truncating ppm division).
+    */
+  private def acfRef(vs: Seq[Long], k: Int): (Long, Option[Long]) = {
+    val mu = vs.sum / vs.length
+    val d = vs.map(_ - mu)
+    val den = d.map(x => BigInt(x) * x).sum
+    val num = (k until d.length).map(i => BigInt(d(i)) * d(i - k)).sum
+    val acf = if (den == 0) None else Some((num * 1000000 / den).toLong)
+    ((d.length - k).toLong, acf)
+  }
+
+  test("W15 ACF: alternating series ≈ -1 at lag 1, +1 at lag 2") {
+    val s = spark; import s.implicits._
+    val alt = (0 until 40).map(i => if (i % 2 == 0) 100L else -100L)
+    val const = Seq.fill(10)(7L) // zero variance -> null acf
+    val rows = (alt.zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1L, i.toLong * 100, v) } ++
+      const.zipWithIndex.map { case (v, i) =>
+        (i.toLong, 2L, i.toLong * 100, v) })
+      .toDF("iot_id", "ds", "t_us", "v_micro")
+    val got = WindowKernels.acf(rows, "ds", "t_us", "v_micro", "iot_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    for (k <- 1 to 3) {
+      got((1L, k.toLong)) shouldBe acfRef(alt, k)
+      got((2L, k.toLong)) shouldBe ((10L - k, None))
+    }
+    // sign structure of the alternating series
+    assert(got((1L, 1L))._2.get < -900000L)
+    assert(got((1L, 2L))._2.get > 900000L)
+  }
+
+  test("W15 ACF: trend series positive at every lag; truncating mean") {
+    val s = spark; import s.implicits._
+    val tr = (0 until 30).map(i => i.toLong * 10 + (if (i % 3 == 0) 1 else 0))
+    val rows = tr.zipWithIndex.map { case (v, i) =>
+      (i.toLong, 5L, i.toLong, v) }.toDF("iot_id", "ds", "t_us", "v_micro")
+    val got = WindowKernels.acf(rows, "ds", "t_us", "v_micro", "iot_id", 2)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), Some(r.getLong(3))))
+      .toMap
+    got(1L) shouldBe acfRef(tr, 1)
+    got(2L) shouldBe acfRef(tr, 2)
+    assert(got(1L)._2.get > 800000L)
+  }
+
   test("W13 CUSUM: window algebra == clamped recursion; drift alarms") {
     // Stream 1: persistent +shift after midpoint — the drift a pointwise
     // range/z check never fires on; CUSUM must alarm.
