@@ -16,6 +16,30 @@ object TextAnalysis {
 
   def wsTokenCount(text: Column): Column = size(wsTokens(text))
 
+  /** Flesch Reading Ease (Flesch 1948) in integer micro-units over the
+    * standard heuristic counts: words = whitespace tokens, sentences =
+    * maximal `[.!?]+` runs (floored at 1 so unpunctuated text reads as
+    * one sentence), syllables = maximal `[aeiouy]+` vowel groups of the
+    * lowercased text (the classic no-dictionary estimator).
+    * flesch_micro = 206_835_000 − (1_015_000·W) DIV S −
+    * (84_600_000·Y) DIV W — truncating integer division, identical in
+    * DuckDB, so the score replays bit-exactly. Pure Column expressions:
+    * map-side, zero shuffle at any scale.
+    */
+  def fleschOnto(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = wsTokenCount(col(textCol)).cast("long")
+    val sents = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+        .cast("long"), lit(1L))
+    val syll = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    df.select(col(idCol).as("doc_id"), words.as("n_words"),
+        sents.as("n_sentences"), syll.as("n_syllables"))
+      .withColumn("flesch_micro",
+        expr("206835000 - 1015000 * n_words DIV n_sentences" +
+          " - 84600000 * n_syllables DIV n_words"))
+  }
+
   /** BPE-ish token proxy: word pieces OR single non-word-non-space chars —
     * the standard pre-tokenizer shape (`\w+|[^\w\s]`), written with an
     * explicit class so Java and RE2 regex dialects agree.

@@ -1131,6 +1131,74 @@ object QueriesEmb {
     // 40-sample stretches goes through the REAL WAV build→parse→segment
     // path map-side; the oracle replays the sample formula, per-frame
     // Σ|s|, threshold and gap-and-island merge in pure integer SQL.
+    // acoustic duplicate detection: Haitsma-Kalker sub-fingerprints
+    // (time-domain variant — band energies are frame time-segments so
+    // the bit derivation replays in integer SQL) through the REAL WAV
+    // build→parse path; docs ≡3 (mod 7) reuse their predecessor's
+    // sample formula, planting exact-duplicate pairs the lookup-table
+    // match must find. Near-silence buckets are df-capped before
+    // pairing (the audio analogue of boilerplate shingles).
+    QDef("mm_audio_fp_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Q.table(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = docs.map { id =>
+          val base = if (id % 7 == 3) id - 1 else id
+          val n = (128 + (base % 3) * 64).toInt
+          val samples = Array.tabulate(n) { i =>
+            // quadratic mix mod prime: the plain linear congruence makes
+            // segment energies near-monotone and every stream's delta
+            // signs correlate (giant fingerprint buckets)
+            val x = (base * 131 + i * 29 + 11) % 65521
+            (((x * x * 31 + x * 7 + i * 13) % 65521) - 32768).toShort
+          }
+          (id, Audio.buildWav(8000, samples))
+        }.toDF("media_id", "payload")
+        Audio.fingerprintPairs(
+          Audio.subFingerprints(media, segSamples = 4, segs = 8),
+          minMatches = 3L)
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 3 THEN doc_id - 1 ELSE doc_id END
+             |      AS base
+             |  FROM documents),
+             |g AS (SELECT doc_id, base, 128 + (base % 3) * 64 AS n FROM p),
+             |s0 AS (SELECT doc_id, i,
+             |         (base * 131 + i * 29 + 11) % 65521 AS x
+             |       FROM (SELECT doc_id, base, n, unnest(range(0, n)) AS i
+             |             FROM g) t),
+             |s AS (SELECT doc_id, i,
+             |        ((x * x * 31 + x * 7 + i * 13) % 65521) - 32768 AS sv
+             |      FROM s0),
+             |e AS (SELECT doc_id, i // 32 AS f, (i % 32) // 4 AS b,
+             |        CAST(sum(CAST(sv AS BIGINT) * sv) AS BIGINT) AS en
+             |      FROM s GROUP BY 1, 2, 3),
+             |d AS (SELECT a.doc_id, a.f, a.b,
+             |        a.en - ab.en - pa.en + pb.en AS dd
+             |      FROM e a
+             |      JOIN e ab ON ab.doc_id = a.doc_id AND ab.f = a.f
+             |               AND ab.b = a.b + 1
+             |      JOIN e pa ON pa.doc_id = a.doc_id AND pa.f = a.f - 1
+             |               AND pa.b = a.b
+             |      JOIN e pb ON pb.doc_id = a.doc_id AND pb.f = a.f - 1
+             |               AND pb.b = a.b + 1
+             |      WHERE a.b < 7 AND a.f >= 1),
+             |fp AS (SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             |         CAST(sum(CASE WHEN dd > 0
+             |           THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+             |           ELSE 0 END) AS BIGINT) AS fp_bits
+             |       FROM d GROUP BY 1, 2),
+             |bk AS (SELECT frame_idx, fp_bits FROM fp
+             |       GROUP BY 1, 2 HAVING count(*) <= 64),
+             |h AS (SELECT fp.* FROM fp JOIN bk USING (frame_idx, fp_bits))
+             |SELECT x.doc_id AS media_a, y.doc_id AS media_b,
+             |  CAST(count(*) AS BIGINT) AS n_matches
+             |FROM h x JOIN h y ON x.frame_idx = y.frame_idx
+             |  AND x.fp_bits = y.fp_bits AND x.doc_id < y.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin)),
+
     QDef("mm_audio_vad",
       (s, dir) => {
         import s.implicits._

@@ -2681,6 +2681,25 @@ object QueriesText {
               |  CAST(min(s) AS BIGINT) AS first_pos
               |FROM hit GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Flesch Reading Ease (Flesch 1948): whitespace words, [.!?]+ run
+    // sentences (floored at 1), vowel-group syllables — the classic
+    // no-dictionary readability score, in truncating integer micro.
+    QDef("t_readability",
+      (s, dir) => TextAnalysis.fleschOnto(
+        Q.table(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH c AS (
+              |  SELECT doc_id,
+              |    CAST(len($rawTokensSql) AS BIGINT) AS n_words,
+              |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+              |      AS BIGINT), 1) AS n_sentences,
+              |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              |      AS BIGINT) AS n_syllables
+              |  FROM documents)
+              |SELECT doc_id, n_words, n_sentences, n_syllables,
+              |  206835000 - 1015000 * n_words // n_sentences
+              |    - 84600000 * n_syllables // n_words AS flesch_micro
+              |FROM c""".stripMargin)),
+
     // Bloom-filter decontamination audit (Bloom 1970; Kirsch-
     // Mitzenmacher double hashing): the benchmark's stride-1 8-word
     // windows populate a 2^20-bit filter (32-bit words: DuckDB's

@@ -88,4 +88,52 @@ class AudioSpec extends SparkSpec {
     assert(l.length == 1 && l(0).n_frames == 4L &&
       l(0).end_us == 35L * 1000000L / 8000)
   }
+
+  test("sub-fingerprints: hand-computed HK bits, tail frame dropped") {
+    val s = spark; import s.implicits._
+    // geometry 2x2: frames of 4 samples, 2 segments of 2, 1 bit/frame.
+    // frame energies per segment (values, then sum of squares):
+    //   f0: [10,10 | 0,0]  -> E=(200, 0)
+    //   f1: [0,0   | 10,10] -> E=(0, 200)
+    //   f2: [5,5   | 5,5]   -> E=(50, 50)
+    // bit(f,0) = E(f,0)-E(f,1)-E(f-1,0)+E(f-1,1) > 0:
+    //   f1: 0-200-200+0 = -400 -> 0;  f2: 50-50-0+200 = 200 -> 1
+    val v = Array[Short](10, 10, 0, 0, 0, 0, 10, 10, 5, 5, 5, 5,
+      9, 9) // 2-sample tail: dropped, never a partial frame
+    val media = Seq((1L, Audio.buildWav(8000, v))).toDF("media_id", "payload")
+    val got = Audio.subFingerprints(media, segSamples = 2, segs = 2)
+      .collect().sortBy(_.frame_idx)
+      .map(f => (f.frame_idx, f.fp_bits)).toSeq
+    assert(got == Seq((1L, 0L), (2L, 1L)))
+  }
+
+  test("fingerprint pairs: planted duplicate found, bucket cap holds") {
+    val s = spark; import s.implicits._
+    def wav(seed: Long, n: Int) = Audio.buildWav(8000,
+      Array.tabulate(n) { i =>
+        val x = (seed * 131 + i * 29 + 11) % 65521
+        (((x * x * 31 + x * 7 + i * 13) % 65521) - 32768).toShort
+      })
+    // 10 and 11 are byte-identical; 12 differs; 20 all-zero (silence)
+    val media = Seq(
+      (10L, wav(10, 128)), (11L, wav(10, 128)), (12L, wav(12, 128)),
+      (20L, Audio.buildWav(8000, Array.fill[Short](128)(0))),
+      (21L, Audio.buildWav(8000, Array.fill[Short](128)(0))),
+      (22L, Audio.buildWav(8000, Array.fill[Short](128)(0)))
+    ).toDF("media_id", "payload")
+    val fps = Audio.subFingerprints(media, segSamples = 4, segs = 8)
+    val pairs = Audio.fingerprintPairs(fps, minMatches = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)), s"planted dup missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L))
+    // the three silent streams share identical all-zero fingerprints:
+    // with the cap at >= their bucket size they pair; capped at 2 the
+    // silence bucket (3 streams) is dropped entirely
+    val capped = Audio.fingerprintPairs(fps, minMatches = 3L, maxBucket = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 11L)), s"cap failed: $capped")
+    val uncapped = Audio.fingerprintPairs(fps, 3L, maxBucket = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((20L, 21L)) && uncapped.contains((21L, 22L)))
+  }
 }

@@ -296,4 +296,24 @@ class PassageOpsSpec extends SparkSpec with Matchers {
     val ratio = rates("small").toDouble / rates("big").toDouble
     assert(ratio > 2.5 && ratio < 3.2, s"rates=$rates ratio=$ratio")
   }
+
+  test("Flesch readability: hand-computed counts and micro score") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      // 6 words, 2 sentences ("..." is ONE [.!?]+ run), syllable groups:
+      // the(1) cat(1) sat(1) here(2: e,e? -> 'here' = e+e = 2 groups)
+      (1L, "The cat sat here. It ran!"),
+      (2L, "word")  // no punctuation -> 1 sentence floor
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.fleschOnto(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (w1, s1, y1, f1) = got(1L)
+    assert(w1 == 6L && s1 == 2L, s"counts: ${got(1L)}")
+    // reference replay of the integer formula
+    assert(f1 == 206835000L - 1015000L * w1 / s1 - 84600000L * y1 / w1)
+    val (w2, s2b, y2, f2) = got(2L)
+    assert((w2, s2b, y2) == (1L, 1L, 1L))
+    assert(f2 == 206835000L - 1015000L - 84600000L)
+  }
 }
