@@ -258,4 +258,48 @@ class PlanShapeSpec extends SparkSpec {
       && !p.contains("Join"),
       s"expected a single checkpointed scan (per-round truncation):\n$p")
   }
+
+  test("cusum: ONE data exchange serves every window layer") {
+    val p = plan("w13_cusum")
+    // all four window layers (stat, mad, prefix, running-min) must ride
+    // a single hash exchange on the stream key — a second data-scale
+    // exchange means a layer re-partitioned
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("bloom decontaminate: probes broadcast; only the rollup shuffles") {
+    val p = plan("t_bloom_decontaminate")
+    // 3 probe joins + 1 exact-verify join, all broadcast left joins —
+    // the corpus passage stream must never shuffle-join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"probe must be broadcast-only:\n$p")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj == 4, s"expected 4 broadcast joins (3 probes + verify), got $bhj:\n$p")
+  }
+
+  test("chi-square: one data-scale aggregate; totals broadcast back") {
+    val p = plan("a19_chisq")
+    // the corpus collapses in the first groupBy (map-side partials);
+    // the 1-row totals frame must come back as a broadcast, and no
+    // window may run over the counts
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"first aggregate must partial-agg map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"totals must broadcast:\n$p")
+    assert(!p.contains("Window ["), s"no window over counts:\n$p")
+  }
+
+  test("audio fingerprints: payloads never shuffle — only 24-byte fp rows move") {
+    val p = plan("mm_audio_fp_pairs")
+    // the decode runs in mapPartitions (SerializeFromObject above it);
+    // every exchange below the pairing must carry only fp columns
+    val mp = p.indexOf("MapPartitions")
+    assert(mp > 0, s"decode must be mapPartitions:\n$p")
+    // plan strings print root-first: everything BEFORE the topmost
+    // MapPartitions is the post-decode pairing pipeline — payload bytes
+    // must not appear there (they'd be riding the pairing exchanges)
+    assert(!p.substring(0, mp).contains("payload"),
+      s"payload bytes must not cross an exchange:\n$p")
+  }
 }
