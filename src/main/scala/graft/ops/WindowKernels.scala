@@ -505,6 +505,53 @@ object WindowKernels {
         (col("sp") > lit(hMicro) || col("sn") > lit(hMicro)).as("alarm"))
   }
 
+  /** Per-stream cadence and gap report — the completeness audit a
+    * sensor-network QC pass runs before trusting any windowed check:
+    * the stream's nominal cadence is its MODAL inter-observation gap
+    * (ties broken toward the smaller gap — a stream that's half 10 s
+    * and half 60 s reads as a 10 s stream with gaps), and against that
+    * cadence the report counts gap violations (dt > 3·cadence DIV 2),
+    * the longest gap, and the coverage ratio n·10⁶ DIV expected where
+    * expected = span DIV cadence + 1 (the points an ideal clock would
+    * have produced). Pure integer; single-observation streams report
+    * null cadence and 10⁶ coverage.
+    *
+    * Scale shape: ONE data-scale exchange (the stream-keyed lag
+    * window); the dt histogram collapses via partial aggregation to
+    * (streams × distinct dts) rows, the modal pick runs on that tiny
+    * frame, and the join back + final groupBy ride the window's
+    * existing stream partitioning — AQE picks the join strategy (no
+    * forced broadcast: stream cardinality scales with the fleet).
+    */
+  def gapReport(df: DataFrame, keyCol: String, tsUsCol: String,
+                tieBreakCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol), col(tieBreakCol))
+    val dts = df.select(col(keyCol), col(tsUsCol), col(tieBreakCol))
+      .withColumn("dt", col(tsUsCol) - lag(col(tsUsCol), 1).over(wOrd))
+      .drop(tieBreakCol)
+    val modal = dts.filter(col("dt") > 0L) // zero gaps (ts ties) never define cadence
+      .groupBy(col(keyCol), col("dt")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(keyCol))
+      .agg(min(struct(negate(col("cnt")).as("neg"), col("dt").as("dt")))
+        .as("m"))
+      .select(col(keyCol).as("__k"), col("m.dt").as("cadence_us"))
+    dts.join(modal, col(keyCol) === col("__k"), "left")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        first(col("cadence_us")).as("cadence_us"),
+        (max(col(tsUsCol)) - min(col(tsUsCol))).as("span_us"),
+        sum(when(expr("dt > cadence_us * 3 DIV 2"), 1L)
+          .otherwise(0L)).as("n_gaps"),
+        max(col("dt")).as("max_gap_us"))
+      .withColumn("coverage_ppm",
+        when(col("cadence_us").isNull, lit(1000000L))
+          .otherwise(expr(
+            "n_obs * 1000000 DIV (span_us DIV cadence_us + 1)")))
+      .select(col(keyCol), col("n_obs"), col("cadence_us"), col("span_us"),
+        col("n_gaps"), col("max_gap_us"), col("coverage_ppm"))
+  }
+
   /** Per-stream lag-k autocorrelation (the ACF of Box-Jenkins
     * diagnostics) for k = 1..maxLag, in integer micro-units: with
     * μ = per-stream integer mean (Σv DIV n) and d_t = v_t − μ,

@@ -362,6 +362,40 @@ object QueriesQcEvents {
               |SELECT datastream_id, CAST(3 AS BIGINT), np3,
               |  CAST(num3 * 1000000 // nullif(den, 0) AS BIGINT) FROM g""".stripMargin)),
 
+    // W16 — per-stream cadence/gap report: nominal cadence = modal
+    // positive inter-observation gap (ties toward the smaller gap),
+    // gap violations at dt > 3·cadence DIV 2, coverage vs the points
+    // an ideal clock would have produced. Pure integer.
+    QDef("w16_gap_report",
+      (s, dir) => WindowKernels.gapReport(obs(s, dir),
+        Obs.DatastreamId, "t_us", Obs.IotId),
+      Some(s"""WITH ${Q.ObsCte},
+              |d AS (SELECT datastream_id, t_us,
+              |        t_us - lag(t_us) OVER (PARTITION BY datastream_id
+              |          ORDER BY t_us, iot_id) AS dt
+              |      FROM obs),
+              |h AS (SELECT datastream_id, dt, count(*) AS cnt
+              |      FROM d WHERE dt > 0 GROUP BY 1, 2),
+              |m AS (SELECT datastream_id, dt AS cadence_us FROM (
+              |        SELECT datastream_id, dt,
+              |          row_number() OVER (PARTITION BY datastream_id
+              |            ORDER BY cnt DESC, dt ASC) AS rn
+              |        FROM h) t WHERE rn = 1),
+              |g AS (SELECT d.datastream_id,
+              |        CAST(count(*) AS BIGINT) AS n_obs,
+              |        CAST(max(m.cadence_us) AS BIGINT) AS cadence_us,
+              |        CAST(max(t_us) - min(t_us) AS BIGINT) AS span_us,
+              |        CAST(sum(CASE WHEN dt > m.cadence_us * 3 // 2
+              |          THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+              |        CAST(max(dt) AS BIGINT) AS max_gap_us
+              |      FROM d LEFT JOIN m USING (datastream_id) GROUP BY 1)
+              |SELECT datastream_id, n_obs, cadence_us, span_us, n_gaps,
+              |  max_gap_us,
+              |  CAST(CASE WHEN cadence_us IS NULL THEN 1000000
+              |    ELSE n_obs * 1000000 // (span_us // cadence_us + 1) END
+              |    AS BIGINT) AS coverage_ppm
+              |FROM g""".stripMargin)),
+
     // A19 — A/B chi-square readout: variant = datastream parity,
     // category = observation type; per category the 2x2 (variant x
     // this-type-vs-rest) Pearson statistic in micro, per-cell form,

@@ -307,6 +307,32 @@ class WindowKernelsSpec extends SparkSpec with Matchers {
       (0L, 8L, false), (26L, 0L, false))
   }
 
+  test("W16 gap report: modal cadence, tie to smaller, degenerate streams") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      // stream 1: cadence 10, one 30 gap -> 6 obs over span 70
+      (1L, 0L, 1L), (2L, 10L, 1L), (3L, 20L, 1L), (4L, 30L, 1L),
+      (5L, 60L, 1L), (6L, 70L, 1L),
+      // stream 2: dts {10, 20} tie once each -> smaller (10) wins
+      (7L, 0L, 2L), (8L, 10L, 2L), (9L, 30L, 2L),
+      // stream 3: single observation
+      (10L, 5L, 3L),
+      // stream 4: all timestamps tie -> no positive gap, no cadence
+      (11L, 5L, 4L), (12L, 5L, 4L), (13L, 5L, 4L)
+    ).toDF("iot_id", "t_us", "ds")
+    val got = WindowKernels.gapReport(rows, "ds", "t_us", "iot_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5),
+        r.getLong(6))).toMap
+    // expected points = 70 DIV 10 + 1 = 8 -> coverage 6e6/8 = 750000
+    got(1L) shouldBe ((6L, 10L, 70L, 1L, 30L, 750000L))
+    // span 30 -> expected 4 -> coverage 750000; the 20 gap > 15 fires
+    got(2L) shouldBe ((3L, 10L, 30L, 1L, 20L, 750000L))
+    got(3L) shouldBe ((1L, -1L, 0L, 0L, -1L, 1000000L))
+    got(4L) shouldBe ((3L, -1L, 0L, 0L, 0L, 1000000L))
+  }
+
   /** Reference ACF replaying the exact integer chain (truncating mean,
     * BigInt sums, truncating ppm division).
     */
