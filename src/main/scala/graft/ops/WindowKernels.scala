@@ -552,6 +552,61 @@ object WindowKernels {
         col("n_gaps"), col("max_gap_us"), col("coverage_ppm"))
   }
 
+  /** Robust per-stream trend: the Theil-Sen slope estimator (Theil
+    * 1950 / Sen 1968 — median of pairwise slopes, the robust
+    * alternative to least squares a QC pass wants when spikes survive
+    * upstream checks) restricted to DYADIC ROW LAGS: slopes are taken
+    * between each observation and its 2^k-th predecessor for
+    * k = 0..maxLagExp, and the estimate is the exact lower-median of
+    * those slopes. The full estimator's O(n²) pair set is its known
+    * scale problem; the dyadic restriction keeps O(n·log n) pairs that
+    * mix short- and long-baseline slopes (long baselines give the
+    * breakdown resistance), each expressible as a lag window — the
+    * published sampling-based Theil-Sen variants make the same
+    * pairs-subset trade, this one deterministically.
+    *
+    * Slopes are integer micro-units per second:
+    * (Δv_micro · 10⁶) DIV Δt_us — truncation identical in DuckDB —
+    * and the lower-median (row_number = (n+1) DIV 2 in slope order,
+    * doc-order tie-break) avoids the even-count averaging that would
+    * reintroduce fractions. Returns (key, n_slopes, trend_micro_per_s).
+    *
+    * Scale shape: one stream-keyed exchange serves every lag window;
+    * the slope frame (≤ log₂n rows per obs) re-sorts within the same
+    * partitioning for the median rank; no data-scale join anywhere.
+    */
+  def theilSenTrend(df: DataFrame, keyCol: String, tsUsCol: String,
+                    vMicroCol: String, tieBreakCol: String,
+                    maxLagExp: Int = 3): DataFrame = {
+    require(maxLagExp >= 0 && maxLagExp <= 16, s"bad maxLagExp: $maxLagExp")
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol), col(tieBreakCol))
+    val lags = (0 to maxLagExp).map(1 << _)
+    val withLags = lags.foldLeft(
+      df.select(col(keyCol), col(tsUsCol), col(tieBreakCol),
+        col(vMicroCol).as("v"))) { (acc, k) =>
+      acc.withColumn(s"__pv$k", lag(col("v"), k).over(wOrd))
+        .withColumn(s"__pt$k", lag(col(tsUsCol), k).over(wOrd))
+    }
+    val slopeEntries = array(lags.map { k =>
+      when(col(s"__pt$k").isNotNull && col(tsUsCol) =!= col(s"__pt$k"),
+        expr(s"(v - __pv$k) * 1000000 DIV (${tsUsCol} - __pt$k)"))
+    }: _*)
+    val slopes = withLags
+      .select(col(keyCol), col(tieBreakCol),
+        explode(slopeEntries).as("slope"))
+      .filter(col("slope").isNotNull)
+    val wRank = Window.partitionBy(col(keyCol))
+      .orderBy(col("slope"), col(tieBreakCol))
+    val wCnt = Window.partitionBy(col(keyCol))
+    slopes
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wCnt))
+      .filter(expr("__rn = (__n + 1) DIV 2"))
+      .select(col(keyCol), col("__n").as("n_slopes"),
+        col("slope").as("trend_micro_per_s"))
+  }
+
   /** Per-stream lag-k autocorrelation (the ACF of Box-Jenkins
     * diagnostics) for k = 1..maxLag, in integer micro-units: with
     * μ = per-stream integer mean (Σv DIV n) and d_t = v_t − μ,

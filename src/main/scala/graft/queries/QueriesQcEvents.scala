@@ -396,6 +396,50 @@ object QueriesQcEvents {
               |    AS BIGINT) AS coverage_ppm
               |FROM g""".stripMargin)),
 
+    // W17 — dyadic-lag Theil-Sen trend: exact lower-median of integer
+    // slopes over row lags 1/2/4/8 — the deterministic pairs-subset
+    // form of the robust trend estimator (full Theil-Sen is O(n²)).
+    QDef("w17_trend",
+      (s, dir) => {
+        val vMicro =
+          expr(s"CAST(CAST(${Obs.Result} AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
+        WindowKernels.theilSenTrend(obs(s, dir).withColumn("v_micro", vMicro),
+          Obs.DatastreamId, "t_us", "v_micro", Obs.IotId, maxLagExp = 3)
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |m AS (SELECT datastream_id, t_us, iot_id,
+              |        CAST(CAST(result AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+              |          AS v
+              |      FROM obs),
+              |l AS (SELECT *,
+              |        lag(v, 1) OVER w AS pv1, lag(t_us, 1) OVER w AS pt1,
+              |        lag(v, 2) OVER w AS pv2, lag(t_us, 2) OVER w AS pt2,
+              |        lag(v, 4) OVER w AS pv4, lag(t_us, 4) OVER w AS pt4,
+              |        lag(v, 8) OVER w AS pv8, lag(t_us, 8) OVER w AS pt8
+              |      FROM m WINDOW w AS (PARTITION BY datastream_id
+              |        ORDER BY t_us, iot_id)),
+              |sl AS (
+              |  SELECT datastream_id, iot_id,
+              |    (v - pv1) * 1000000 // (t_us - pt1) AS slope
+              |  FROM l WHERE pt1 IS NOT NULL AND t_us <> pt1
+              |  UNION ALL SELECT datastream_id, iot_id,
+              |    (v - pv2) * 1000000 // (t_us - pt2)
+              |  FROM l WHERE pt2 IS NOT NULL AND t_us <> pt2
+              |  UNION ALL SELECT datastream_id, iot_id,
+              |    (v - pv4) * 1000000 // (t_us - pt4)
+              |  FROM l WHERE pt4 IS NOT NULL AND t_us <> pt4
+              |  UNION ALL SELECT datastream_id, iot_id,
+              |    (v - pv8) * 1000000 // (t_us - pt8)
+              |  FROM l WHERE pt8 IS NOT NULL AND t_us <> pt8),
+              |r AS (SELECT datastream_id, slope,
+              |        row_number() OVER (PARTITION BY datastream_id
+              |          ORDER BY slope, iot_id) AS rn,
+              |        count(*) OVER (PARTITION BY datastream_id) AS n
+              |      FROM sl)
+              |SELECT datastream_id, CAST(n AS BIGINT) AS n_slopes,
+              |  CAST(slope AS BIGINT) AS trend_micro_per_s
+              |FROM r WHERE rn = (n + 1) // 2""".stripMargin)),
+
     // A19 — A/B chi-square readout: variant = datastream parity,
     // category = observation type; per category the 2x2 (variant x
     // this-type-vs-rest) Pearson statistic in micro, per-cell form,

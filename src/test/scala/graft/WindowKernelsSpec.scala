@@ -307,6 +307,33 @@ class WindowKernelsSpec extends SparkSpec with Matchers {
       (0L, 8L, false), (26L, 0L, false))
   }
 
+  test("W17 Theil-Sen trend: spike-robust, matches the dyadic reference") {
+    val s = spark; import s.implicits._
+    def ref(ts: Seq[Long], vs: Seq[Long]): (Long, Long) = {
+      val slopes = for {
+        k <- Seq(1, 2, 4, 8); i <- ts.indices.drop(k)
+        if ts(i) != ts(i - k)
+      } yield (vs(i) - vs(i - k)) * 1000000L / (ts(i) - ts(i - k))
+      val sorted = slopes.sorted
+      (slopes.length.toLong, sorted((slopes.length + 1) / 2 - 1))
+    }
+    val ts = (0 until 12).map(_.toLong * 1000000L)
+    val clean = (0 until 12).map(_.toLong * 50L)
+    val spiked = clean.updated(6, clean(6) + 10000L)
+    val rows = (ts.zip(clean).zipWithIndex.map { case ((t, v), i) =>
+      (i.toLong, t, v, 1L) } ++
+      ts.zip(spiked).zipWithIndex.map { case ((t, v), i) =>
+        (i.toLong, t, v, 2L) }).toDF("iot_id", "t_us", "v_micro", "ds")
+    val got = WindowKernels.theilSenTrend(rows, "ds", "t_us", "v_micro",
+        "iot_id", maxLagExp = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got(1L) shouldBe ref(ts, clean)
+    got(2L) shouldBe ref(ts, spiked)
+    got(1L)._2 shouldBe 50L       // exact slope on a clean line
+    got(2L)._2 shouldBe 50L       // the spike does not move the median
+    got(1L)._1 shouldBe 33L       // 11 + 10 + 8 + 4 dyadic pairs
+  }
+
   test("W16 gap report: modal cadence, tie to smaller, degenerate streams") {
     val s = spark; import s.implicits._
     val rows = Seq(
