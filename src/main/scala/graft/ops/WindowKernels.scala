@@ -552,6 +552,25 @@ object WindowKernels {
         col("n_gaps"), col("max_gap_us"), col("coverage_ppm"))
   }
 
+  /** The gap LIST behind [[gapReport]]'s counts: one row per
+    * inter-observation gap wider than `thresholdUs`, with both bounds
+    * — the batch face of `StreamingGaps.monitor` (whose closed-gap
+    * emissions match these rows exactly; its open-gap alerts have no
+    * batch analogue by definition). One stream-keyed exchange, then a
+    * map-side filter.
+    */
+  def gapEvents(df: DataFrame, keyCol: String, tsUsCol: String,
+                tieBreakCol: String, thresholdUs: Long): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol), col(tieBreakCol))
+    df.select(col(keyCol), col(tsUsCol), col(tieBreakCol))
+      .withColumn("__pt", lag(col(tsUsCol), 1).over(wOrd))
+      .filter(col(tsUsCol) - col("__pt") > thresholdUs)
+      .select(col(keyCol), col("__pt").as("gap_start_us"),
+        col(tsUsCol).as("gap_end_us"),
+        (col(tsUsCol) - col("__pt")).as("gap_us"))
+  }
+
   /** Robust per-stream trend: the Theil-Sen slope estimator (Theil
     * 1950 / Sen 1968 — median of pairwise slopes, the robust
     * alternative to least squares a QC pass wants when spikes survive

@@ -396,6 +396,23 @@ object QueriesQcEvents {
               |    AS BIGINT) AS coverage_ppm
               |FROM g""".stripMargin)),
 
+    // W18 — gap events: one row per inter-observation silence wider
+    // than the threshold, both bounds. Batch face of StreamingGaps
+    // (the event-time-timeout twin).
+    QDef("w18_gap_events",
+      (s, dir) => WindowKernels.gapEvents(obs(s, dir),
+        Obs.DatastreamId, "t_us", Obs.IotId,
+        thresholdUs = 100000000000L),
+      Some(s"""WITH ${Q.ObsCte},
+              |d AS (SELECT datastream_id, t_us,
+              |        lag(t_us) OVER (PARTITION BY datastream_id
+              |          ORDER BY t_us, iot_id) AS pt
+              |      FROM obs)
+              |SELECT datastream_id, CAST(pt AS BIGINT) AS gap_start_us,
+              |  CAST(t_us AS BIGINT) AS gap_end_us,
+              |  CAST(t_us - pt AS BIGINT) AS gap_us
+              |FROM d WHERE t_us - pt > 100000000000""".stripMargin)),
+
     // W17 — dyadic-lag Theil-Sen trend: exact lower-median of integer
     // slopes over row lags 1/2/4/8 — the deterministic pairs-subset
     // form of the robust trend estimator (full Theil-Sen is O(n²)).
