@@ -118,6 +118,19 @@ object Eval {
     * query_id over the queries×k result frame — tiny relative to the
     * ranking that produced `results`.
     */
+  /** Reciprocal rank per query (the MRR family's per-query row —
+    * average the ppm column for the headline mean): rr_ppm =
+    * 10⁶ DIV rank of the FIRST relevant result, 0 when no relevant
+    * result ranked. Input shape as [[ndcgAtK]]'s `results`
+    * (query_id, doc_id, rnk, rel). One partial-agg'd groupBy over the
+    * queries×k result frame.
+    */
+  def reciprocalRank(results: DataFrame): DataFrame =
+    results.groupBy(col("query_id"))
+      .agg(min(when(col("rel"), col("rnk").cast("long"))).as("first_rel_rank"))
+      .select(col("query_id"), col("first_rel_rank"),
+        coalesce(expr("1000000 DIV first_rel_rank"), lit(0L)).as("rr_ppm"))
+
   def ndcgAtK(results: DataFrame, nRelTotal: DataFrame, k: Int): DataFrame = {
     require(k > 0)
     val spark = results.sparkSession

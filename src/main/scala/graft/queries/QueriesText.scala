@@ -2906,6 +2906,81 @@ object QueriesText {
               |  CASE WHEN cgs.cg IS NOT NULL
               |    THEN dcg.dcg_micro * 1000000 // cgs.cg END AS ndcg_ppm
               |FROM dcg JOIN nrt USING (query_id)
-              |LEFT JOIN cgs ON cgs.j = least(nrt.n_rel_total, 5)""".stripMargin))
+              |LEFT JOIN cgs ON cgs.j = least(nrt.n_rel_total, 5)""".stripMargin)),
+
+    // reciprocal rank of the same BM25 ranking (the MRR family's
+    // per-query row): 1e6 DIV rank of the first same-source result,
+    // 0 when none ranked — the second standard retrieval-eval metric
+    // next to t_ndcg, same candidate pipeline.
+    QDef("t_mrr",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        val res = Retrieval.bm25TopK(docs, "doc_id", "text",
+          Retrieval.queriesFromDocs(docs, "doc_id", "text"),
+          k = 5, maxDf = 40L, excludeSelf = true)
+        val qsrc = docs.filter(pmod(col("doc_id"), lit(29L)) === 3L)
+          .select(col("doc_id").as("query_id"), col("source").as("__qsrc"))
+        val labeled = res
+          .join(broadcast(qsrc), Seq("query_id"))
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .withColumn("rel", col("source") === col("__qsrc"))
+          .select("query_id", "doc_id", "rnk", "rel")
+        graft.functions.Eval.reciprocalRank(labeled)
+      },
+      Some(s"""WITH RECURSIVE
+              |w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+              |bl AS (SELECT doc_id,
+              |         list_transform(range(1, len(words)),
+              |           i -> words[i] || ' ' || words[i + 1]) AS terms,
+              |         CAST(len(words) - 1 AS BIGINT) AS dl
+              |       FROM w WHERE len(words) >= 2),
+              |post AS (SELECT doc_id, dl, unnest(terms) AS term FROM bl),
+              |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+              |        max(dl) AS dl
+              |      FROM post GROUP BY 1, 2),
+              |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |            CAST(sum(dl) AS BIGINT) AS n_terms FROM bl),
+              |dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              |        FROM p GROUP BY 1 HAVING count(*) <= 40),
+              |ina AS (SELECT term,
+              |          2 * ((SELECT n_docs FROM stats) - df) + 1 AS x FROM dfv),
+              |${Portable.log2q16Sql("ina", Seq("term"), "x", "lga", "lg")},
+              |inb AS (SELECT term, 2 * df + 1 AS x FROM dfv),
+              |${Portable.log2q16Sql("inb", Seq("term"), "x", "lgb", "lg")},
+              |idf AS (SELECT a.term, greatest(a.lg - b.lg, 0) AS idf_q16
+              |        FROM lga a JOIN lgb b USING (term)),
+              |qw AS (SELECT doc_id AS query_id, words FROM w
+              |       WHERE doc_id % 29 = 3),
+              |qt AS (SELECT DISTINCT query_id,
+              |         unnest(list_transform(range(1, least(len(words), 5)),
+              |           i -> words[i] || ' ' || words[i + 1])) AS term
+              |       FROM qw),
+              |cand AS (SELECT qt.query_id, p.doc_id, p.tf, p.dl, idf.idf_q16
+              |         FROM p JOIN idf USING (term) JOIN qt USING (term)
+              |         WHERE qt.query_id <> p.doc_id),
+              |sc AS (SELECT query_id, doc_id,
+              |         CAST(sum((idf_q16 * ((22000000 * tf * s.n_terms) //
+              |             (10 * tf * s.n_terms + 3 * s.n_terms
+              |              + 9 * dl * s.n_docs))) // 65536) AS BIGINT)
+              |           AS score_micro
+              |       FROM cand, stats s GROUP BY 1, 2),
+              |r AS (SELECT query_id, doc_id,
+              |        row_number() OVER (PARTITION BY query_id
+              |             ORDER BY score_micro DESC, doc_id) AS rnk
+              |      FROM sc),
+              |res AS (SELECT query_id, doc_id, rnk FROM r WHERE rnk <= 5),
+              |qs AS (SELECT doc_id AS query_id, source AS qsrc
+              |       FROM documents WHERE doc_id % 29 = 3),
+              |ds AS (SELECT doc_id, source FROM documents),
+              |lab AS (SELECT res.query_id, res.rnk,
+              |          CASE WHEN ds.source = qs.qsrc THEN 1 ELSE 0 END AS rel
+              |        FROM res JOIN qs USING (query_id) JOIN ds USING (doc_id)),
+              |fr AS (SELECT query_id,
+              |         CAST(min(CASE WHEN rel = 1 THEN rnk END) AS BIGINT)
+              |           AS first_rel_rank
+              |       FROM lab GROUP BY 1)
+              |SELECT query_id, first_rel_rank,
+              |  coalesce(1000000 // first_rel_rank, 0) AS rr_ppm
+              |FROM fr""".stripMargin))
   )
 }

@@ -95,6 +95,20 @@ class EvalSpec extends SparkSpec with Matchers {
     got(3L) shouldBe ((0L, 0L, 0L, 0L, -1L))
   }
 
+  test("reciprocal rank: first hit wins, no hit is 0, truncating ppm") {
+    val res = Seq(
+      (1L, 10L, 1, true), (1L, 11L, 2, true),   // first at rank 1
+      (2L, 20L, 1, false), (2L, 21L, 2, false), (2L, 22L, 3, true),
+      (3L, 30L, 1, false), (3L, 31L, 2, false)  // never relevant
+    ).toDF("query_id", "doc_id", "rnk", "rel")
+    val got = Eval.reciprocalRank(res).collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toMap
+    got(1L) shouldBe ((1L, 1000000L))
+    got(2L) shouldBe ((3L, 333333L)) // 1e6 DIV 3 truncates
+    got(3L) shouldBe ((-1L, 0L))
+  }
+
   test("nDCG@k: idcg caps at k when more than k docs are relevant") {
     import graft.functions.Portable
     def gain(rank: Long): Long = 65536000000L / Portable.log2q16Ref(rank + 1)
