@@ -118,6 +118,39 @@ object Eval {
     * query_id over the queries×k result frame — tiny relative to the
     * ranking that produced `results`.
     */
+  /** Cohen's kappa (Cohen 1960) for two binary raters — the
+    * chance-corrected agreement a labeling pipeline reports when a
+    * trained classifier is audited against its teacher heuristic (raw
+    * accuracy flatters raters that both say "yes" to everything).
+    * One pass builds the 2×2 confusion matrix; then in ppm:
+    * po = agreement·10⁶ DIV n, pe = (r1·c1 + r0·c0)·10⁶ DIV n² with
+    * row/column marginals of rater A/B, and
+    * kappa = (po − pe)·10⁶ DIV (10⁶ − pe) — truncating division at
+    * every step, DECIMAL(38,0) for the marginal products, so the
+    * statistic replays bit-exactly. Returns ONE row
+    * (n, n00, n01, n10, n11, po_ppm, pe_ppm, kappa_ppm); kappa null
+    * when pe = 10⁶ (both raters constant — agreement is undefined).
+    *
+    * Scale shape: a single map-side-partial aggregate; nothing else.
+    */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame =
+    df.select(when(raterA, 1L).otherwise(0L).as("a"),
+        when(raterB, 1L).otherwise(0L).as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") === 0L && col("b") === 0L, 1L).otherwise(0L)).as("n00"),
+        sum(when(col("a") === 0L && col("b") === 1L, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("a") === 1L && col("b") === 0L, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("a") === 1L && col("b") === 1L, 1L).otherwise(0L)).as("n11"))
+      .withColumn("po_ppm", expr("(n00 + n11) * 1000000 DIV n"))
+      .withColumn("pe_ppm", expr(
+        """CAST(((CAST(n10 + n11 AS DECIMAL(38,0)) * (n01 + n11)
+          |  + CAST(n00 + n01 AS DECIMAL(38,0)) * (n00 + n10)) * 1000000)
+          | DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""".stripMargin))
+      .withColumn("kappa_ppm", expr(
+        "(po_ppm - pe_ppm) * 1000000 DIV nullif(1000000 - pe_ppm, 0)"))
+      .select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
+        col("po_ppm"), col("pe_ppm"), col("kappa_ppm"))
+
   /** Reciprocal rank per query (the MRR family's per-query row —
     * average the ppm column for the headline mean): rr_ppm =
     * 10⁶ DIV rank of the FIRST relevant result, 0 when no relevant

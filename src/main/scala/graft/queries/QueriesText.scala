@@ -2908,6 +2908,61 @@ object QueriesText {
               |FROM dcg JOIN nrt USING (query_id)
               |LEFT JOIN cgs ON cgs.j = least(nrt.n_rel_total, 5)""".stripMargin)),
 
+    // Cohen's kappa of the integer quality classifier against its
+    // teacher heuristic (Cohen 1960): 2x2 confusion matrix + chance-
+    // corrected agreement, every step truncating integer, one
+    // map-side-partial aggregate.
+    QDef("t_kappa",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        val scored = TextAnalysis.linearQualityScore(docs, "doc_id", "text",
+          wTokensMicro = 500000L, wCharsMicro = 50000L, wAlphaMicro = 30000L,
+          wStopMicro = 200000L, wMwlMicro = 2000L, biasMicro = -62000000L)
+        val teach = docs.select(col("doc_id"),
+            TextAnalysis.wsTokenCount(col("text")).cast("long").as("nt"),
+            length(col("text")).cast("long").as("nc"),
+            length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+              .cast("long").as("na"))
+          .select(col("doc_id"),
+            (col("nt") >= 20L && col("nt") <= 70L &&
+              expr("na * 1024 DIV greatest(nc, 1)") >= 700L).as("teacher"))
+        graft.functions.Eval.cohensKappa(scored.join(teach, "doc_id"),
+          col("logit_micro") >= 0L, col("teacher"))
+      },
+      Some {
+        val enHits = stopwordHitsSql("en")
+        s"""WITH sc AS (
+           |  SELECT doc_id,
+           |    CASE WHEN -62000000 + 500000 * CAST(len($rawTokensSql) AS BIGINT)
+           |      + 50000 * CAST(length(text) AS BIGINT)
+           |      + 30000 * CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+           |      + 200000 * CAST($enHits AS BIGINT)
+           |      + 2000 * (CAST(length(text) AS BIGINT) * 1000
+           |                // greatest(CAST(len($rawTokensSql) AS BIGINT), 1))
+           |      >= 0 THEN 1 ELSE 0 END AS a,
+           |    CASE WHEN CAST(len($rawTokensSql) AS BIGINT) BETWEEN 20 AND 70
+           |          AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+           |              * 1024 // greatest(CAST(length(text) AS BIGINT), 1) >= 700
+           |      THEN 1 ELSE 0 END AS b
+           |  FROM documents),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+           |        CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+           |        CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+           |        CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+           |      FROM sc),
+           |p AS (SELECT *, (n00 + n11) * 1000000 // n AS po_ppm,
+           |        CAST(((CAST(n10 + n11 AS HUGEINT) * (n01 + n11)
+           |          + CAST(n00 + n01 AS HUGEINT) * (n00 + n10)) * 1000000)
+           |          // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm
+           |      FROM m)
+           |SELECT n, n00, n01, n10, n11,
+           |  CAST(po_ppm AS BIGINT) AS po_ppm, pe_ppm,
+           |  (po_ppm - pe_ppm) * 1000000
+           |    // nullif(1000000 - pe_ppm, 0) AS kappa_ppm
+           |FROM p""".stripMargin
+      }),
+
     // reciprocal rank of the same BM25 ranking (the MRR family's
     // per-query row): 1e6 DIV rank of the first same-source result,
     // 0 when none ranked — the second standard retrieval-eval metric

@@ -95,6 +95,29 @@ class EvalSpec extends SparkSpec with Matchers {
     got(3L) shouldBe ((0L, 0L, 0L, 0L, -1L))
   }
 
+  test("Cohen's kappa: perfect, independent, opposed, and constant raters") {
+    def kappa(rows: Seq[(Boolean, Boolean)]) = {
+      val r = Eval.cohensKappa(rows.toDF("a", "b"), col("a"), col("b"))
+        .collect()(0)
+      (r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))
+    }
+    // perfect agreement on a mixed frame -> kappa exactly 1e6
+    val perfect = Seq.fill(3)((true, true)) ++ Seq.fill(5)((false, false))
+    val (po1, pe1, k1) = kappa(perfect)
+    po1 shouldBe 1000000L
+    k1 shouldBe Some(1000000L)
+    // independent raters (balanced 2x2) -> po == pe == 1/2 -> kappa 0
+    val indep = Seq((true, true), (true, false), (false, true),
+      (false, false))
+    kappa(indep) shouldBe ((500000L, 500000L, Some(0L)))
+    // total opposition -> po 0, pe 1/2 -> kappa -1
+    kappa(Seq((true, false), (false, true))) shouldBe
+      ((0L, 500000L, Some(-1000000L)))
+    // both raters constant -> pe = 1e6 -> undefined (null)
+    kappa(Seq.fill(4)((true, true)))._3 shouldBe None
+  }
+
   test("reciprocal rank: first hit wins, no hit is 0, truncating ppm") {
     val res = Seq(
       (1L, 10L, 1, true), (1L, 11L, 2, true),   // first at rank 1
