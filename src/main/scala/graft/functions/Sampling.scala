@@ -215,6 +215,41 @@ object Sampling {
         explode(expr("sequence(0L, __copies - 1L)")).as("copy"))
   }
 
+  /** [[prioritySample]] per stratum: a weighted size-k sample AND its
+    * unbiased τ-calibrated estimator within every domain/language
+    * bucket — the per-stratum form of the byte-mass-representative
+    * sample (a global sample under-represents small strata by
+    * construction; mixture planning wants one per bucket). Same
+    * deterministic priorities; returns (key, stratum, w, priority,
+    * rank, est_w) for rank ≤ k, with τ per stratum.
+    *
+    * Scale shape: `row_number ≤ k+1` over (stratum, priority) plans as
+    * WindowGroupLimit — each map task pre-trims to its partial top per
+    * stratum before the ONE exchange, so a stratum's traffic is
+    * (k+1) × tasks rows, never its row count; τ comes from a second
+    * window over the ≤(k+1)·|strata| survivors.
+    */
+  def prioritySamplePerStratum(df: DataFrame, keyCol: Column,
+                               strataCol: Column, weightCol: Column,
+                               k: Int, salt: String = "graft"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val u = hashBucket(keyCol, salt) + lit(1L)
+    val base = df.select(keyCol.as("key"), strataCol.as("stratum"),
+        weightCol.cast("long").as("w"), u.as("__u"))
+      .withColumn("priority",
+        call_function("div", col("w") * lit(Buckets), col("__u")))
+    val ranked = base.withColumn("rank", row_number()
+        .over(w.partitionBy(col("stratum"))
+          .orderBy(col("priority").desc, col("key").asc)).cast("int"))
+      .filter(col("rank") <= k + 1)
+    ranked.withColumn("tau",
+        coalesce(max(when(col("rank") === k + 1, col("priority")))
+          .over(w.partitionBy(col("stratum"))), lit(0L)))
+      .filter(col("rank") <= k)
+      .select(col("key"), col("stratum"), col("w"), col("priority"),
+        col("rank"), greatest(col("w"), col("tau")).as("est_w"))
+  }
+
   def mixtureSample(df: DataFrame, keyCol: Column, strataCol: Column,
                     tokenCountCol: Column, budgetTokens: Long,
                     salt: String = "graft"): DataFrame = {

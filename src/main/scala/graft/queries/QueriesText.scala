@@ -607,6 +607,33 @@ object QueriesText {
              |SELECT doc_id, w, priority, rank, greatest(w, tau) AS est_w
              |FROM r, t WHERE rank <= 50""".stripMargin)),
 
+    // per-stratum Duffield-Lund-Thorup: the weighted top-k sample and
+    // its unbiased max(w, tau) estimator WITHIN each source bucket —
+    // WindowGroupLimit pre-trims per map task before the one exchange.
+    QDef("t_priority_stratified",
+      (s, dir) => Sampling.prioritySamplePerStratum(
+        Q.table(s, dir, "documents"), col("doc_id"), col("source"),
+        col("n_chars"), k = 10, salt = "prio2")
+        .withColumnRenamed("key", "doc_id")
+        .withColumnRenamed("stratum", "source"),
+      Some("""WITH b AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+             |    CAST(('0x' || substr(md5('prio2' || CAST(doc_id AS VARCHAR)), 1, 8))
+             |      AS BIGINT) % 1000000 + 1 AS u
+             |  FROM documents),
+             |q AS (SELECT doc_id, source, w, (w * 1000000) // u AS priority
+             |      FROM b),
+             |r AS (SELECT doc_id, source, w, priority,
+             |        CAST(row_number() OVER (PARTITION BY source
+             |          ORDER BY priority DESC, doc_id ASC) AS INT) AS rank
+             |      FROM q),
+             |t AS (SELECT source,
+             |        coalesce(max(CASE WHEN rank = 11 THEN priority END), 0)
+             |          AS tau
+             |      FROM r WHERE rank <= 11 GROUP BY 1)
+             |SELECT doc_id, r.source, w, priority, rank,
+             |  greatest(w, tau) AS est_w
+             |FROM r JOIN t ON t.source = r.source WHERE rank <= 10""".stripMargin)),
+
     // training-sequence prep: 64-token chunks every 48 tokens (16-token
     // overlap). Map-side explode of start offsets — no shuffle.
     QDef("t_token_chunks",

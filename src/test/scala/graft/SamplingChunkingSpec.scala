@@ -311,4 +311,30 @@ class SamplingChunkingSpec extends SparkSpec with Matchers {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must run as a distributed limit, not a global sort:\n$plan")
   }
+
+  test("per-stratum priority sample: exact k per big stratum, all rows + " +
+    "tau=0 for small strata, WindowGroupLimit plan") {
+    val s2 = spark; import s2.implicits._
+    // stratum A: 30 rows (> k); stratum B: 3 rows (< k)
+    val rows = (1 to 30).map(i => (i.toLong, "A", (i * 7 % 13 + 1).toLong) ) ++
+      Seq((101L, "B", 5L), (102L, "B", 9L), (103L, "B", 2L))
+    val df = rows.toDF("doc_id", "src", "n")
+    val got = Sampling.prioritySamplePerStratum(df, col("doc_id"),
+        col("src"), col("n"), k = 10, salt = "ps1")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2),
+        r.getInt(4), r.getLong(5)))
+    val byStratum = got.groupBy(_._1)
+    assert(byStratum("A").length == 10 &&
+      byStratum("A").map(_._4).sorted.toSeq == (1 to 10))
+    // under-full stratum: every row kept, tau = 0 -> est_w == w exactly
+    assert(byStratum("B").length == 3)
+    byStratum("B").foreach { case (_, _, w, _, est) => assert(est == w) }
+    // over-full stratum: estimator never below the raw weight
+    byStratum("A").foreach { case (_, _, w, _, est) => assert(est >= w) }
+    // per-stratum top-k must pre-trim per task (WindowGroupLimit)
+    val plan = Sampling.prioritySamplePerStratum(df, col("doc_id"),
+      col("src"), col("n"), 10, "ps1").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-stratum rank must pre-trim map-side:\n$plan")
+  }
 }
