@@ -362,6 +362,101 @@ object QueriesQcEvents {
               |SELECT datastream_id, CAST(3 AS BIGINT), np3,
               |  CAST(num3 * 1000000 // nullif(den, 0) AS BIGINT) FROM g""".stripMargin)),
 
+    // QC capstone — the per-stream HEALTH REPORT an operations page
+    // reads: cadence/coverage/gaps (w16) + CUSUM drift alarms (w13) +
+    // range violations (f4), joined on the stream key, with one
+    // composite verdict. Three per-stream aggregates (each partial-
+    // agg'd), then stream-cardinality joins — nothing data-scale
+    // after the three first-phase exchanges.
+    QDef("qc_health_report",
+      (s, dir) => {
+        val vMicro =
+          expr(s"CAST(CAST(${Obs.Result} AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
+        val gaps = WindowKernels.gapReport(obs(s, dir),
+          Obs.DatastreamId, "t_us", Obs.IotId)
+        val alarms = WindowKernels.cusum(
+            obs(s, dir).withColumn("v_micro", vMicro),
+            Obs.DatastreamId, "t_us", "v_micro", Obs.IotId)
+          .groupBy(col(Obs.DatastreamId))
+          .agg(sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"))
+        val bad = QcConfigJoin.joined(s, dir)
+          .withColumn("flag",
+            rangeFlag(col(Obs.Result), col("qc_range_min"), col("qc_range_max")))
+          .groupBy(col(Obs.DatastreamId))
+          .agg(sum(when(col("flag") === 4, 1L).otherwise(0L)).as("n_range_bad"))
+        gaps.join(alarms, Seq(Obs.DatastreamId))
+          .join(bad, Seq(Obs.DatastreamId))
+          .select(col(Obs.DatastreamId), col("n_obs"), col("cadence_us"),
+            col("n_gaps"), col("coverage_ppm"), col("n_alarms"),
+            col("n_range_bad"),
+            // verdict gates on drift + range violations; the cadence
+            // signals are REPORTED but not gated — on irregular
+            // (Poisson-arrival) streams the modal cadence and its
+            // coverage/gap counts are fleet properties, not faults
+            (col("n_alarms") === 0L &&
+              col("n_range_bad") * 4L < col("n_obs")).as("healthy"))
+      },
+      Some(s"""WITH ${Q.ObsCte}, ${Q.ConfCte},
+              |d AS (SELECT datastream_id, t_us,
+              |        t_us - lag(t_us) OVER (PARTITION BY datastream_id
+              |          ORDER BY t_us, iot_id) AS dt
+              |      FROM obs),
+              |h AS (SELECT datastream_id, dt, count(*) AS cnt
+              |      FROM d WHERE dt > 0 GROUP BY 1, 2),
+              |mo AS (SELECT datastream_id, dt AS cadence_us FROM (
+              |        SELECT datastream_id, dt,
+              |          row_number() OVER (PARTITION BY datastream_id
+              |            ORDER BY cnt DESC, dt ASC) AS rn
+              |        FROM h) t WHERE rn = 1),
+              |g AS (SELECT d.datastream_id,
+              |        CAST(count(*) AS BIGINT) AS n_obs,
+              |        CAST(max(mo.cadence_us) AS BIGINT) AS cadence_us,
+              |        CAST(max(t_us) - min(t_us) AS BIGINT) AS span_us,
+              |        CAST(sum(CASE WHEN dt > mo.cadence_us * 3 // 2
+              |          THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+              |      FROM d LEFT JOIN mo USING (datastream_id) GROUP BY 1),
+              |gr AS (SELECT datastream_id, n_obs, cadence_us, n_gaps,
+              |         CAST(CASE WHEN cadence_us IS NULL THEN 1000000
+              |           ELSE n_obs * 1000000 // (span_us // cadence_us + 1)
+              |           END AS BIGINT) AS coverage_ppm
+              |       FROM g),
+              |m AS (SELECT iot_id, datastream_id, t_us,
+              |        CAST(CAST(result AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+              |          AS v
+              |      FROM obs),
+              |a AS (SELECT *, sum(v) OVER (PARTITION BY datastream_id) AS sv,
+              |        count(*) OVER (PARTITION BY datastream_id) AS n FROM m),
+              |b AS (SELECT *, sv // n AS mu FROM a),
+              |c AS (SELECT *, sum(abs(v - mu))
+              |          OVER (PARTITION BY datastream_id) // n AS mad FROM b),
+              |dd AS (SELECT *, v - mu - mad // 2 AS dp,
+              |        mu - v - mad // 2 AS dn FROM c),
+              |p AS (SELECT *, sum(dp) OVER w AS pp, sum(dn) OVER w AS pn
+              |      FROM dd WINDOW w AS (PARTITION BY datastream_id
+              |        ORDER BY t_us, iot_id
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |q AS (SELECT *, pp - least(0, min(pp) OVER w) AS sp,
+              |        pn - least(0, min(pn) OVER w) AS sn
+              |      FROM p WINDOW w AS (PARTITION BY datastream_id
+              |        ORDER BY t_us, iot_id
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |al AS (SELECT datastream_id,
+              |         CAST(sum(CASE WHEN sp > 10 * mad OR sn > 10 * mad
+              |           THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+              |       FROM q GROUP BY 1),
+              |rb AS (SELECT datastream_id,
+              |         CAST(sum(CASE WHEN qc_range_min IS NOT NULL
+              |             AND (result < qc_range_min OR result > qc_range_max)
+              |           THEN 1 ELSE 0 END) AS BIGINT) AS n_range_bad
+              |       FROM obs LEFT JOIN conf USING (datastream_id)
+              |       GROUP BY 1)
+              |SELECT gr.datastream_id, gr.n_obs, gr.cadence_us, gr.n_gaps,
+              |  gr.coverage_ppm, al.n_alarms, rb.n_range_bad,
+              |  (al.n_alarms = 0
+              |   AND rb.n_range_bad * 4 < gr.n_obs) AS healthy
+              |FROM gr JOIN al USING (datastream_id)
+              |JOIN rb USING (datastream_id)""".stripMargin)),
+
     // W16 — per-stream cadence/gap report: nominal cadence = modal
     // positive inter-observation gap (ties toward the smaller gap),
     // gap violations at dt > 3·cadence DIV 2, coverage vs the points
