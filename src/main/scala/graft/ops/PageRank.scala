@@ -129,9 +129,14 @@ object PageRank {
 
   /** The curation-shaped instance: authority over the customer↔supplier
     * bipartite graph (distinct trade pairs from orders⋈lineitem),
-    * symmetrized so rank flows both ways. Node keys are type-prefixed
-    * strings ("c123" / "s45") — customer and supplier id spaces overlap
-    * numerically.
+    * symmetrized so rank flows both ways. Node keys are SIGN-SPLIT
+    * integers — customers keep their positive key, suppliers are
+    * negated — because the two id spaces overlap numerically. An 8-byte
+    * fixed-width key roughly halves shuffle bytes across the whole graph
+    * family versus the type-prefixed string form it replaces ("c123" /
+    * "s45"): every per-round join, degree groupBy and probe in
+    * PageRank / HITS / LPA / modularity / assortativity keys on this
+    * column, and string keys also hash and compare slower per row.
     */
   /** Distinct customer→supplier pairs, each undirected edge ONCE (the
     * bipartite trade graph before symmetrization).
@@ -140,8 +145,8 @@ object PageRank {
     orders.select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (-col("l_suppkey")).cast("long").as("dst"))
       .distinct()
 
   def tradeGraphEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {

@@ -721,8 +721,8 @@ object QueriesTpch {
         graft.ops.PageRank.tradeGraphEdges(
           Q.table(s, dir, "orders"), Q.table(s, dir, "lineitem")), iters = 3),
       Some("""WITH pairs AS (
-             |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-             |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+             |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+             |                  CAST(-l_suppkey AS BIGINT) AS dst
              |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
              |edges AS (SELECT src, dst FROM pairs
              |          UNION ALL SELECT dst, src FROM pairs),
@@ -780,8 +780,8 @@ object QueriesTpch {
             .stripMargin
         }.mkString(",\n")
         s"""WITH e AS MATERIALIZED (
-           |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-           |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+           |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+           |                  CAST(-l_suppkey AS BIGINT) AS dst
            |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
            |n AS MATERIALIZED (SELECT src AS node FROM e
            |                   UNION SELECT dst AS node FROM e),
@@ -812,8 +812,8 @@ object QueriesTpch {
              |  FROM v$r) WHERE rn = 1)""".stripMargin
         }.mkString(",\n")
         s"""WITH pairs AS (
-           |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-           |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+           |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+           |                  CAST(-l_suppkey AS BIGINT) AS dst
            |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
            |e AS MATERIALIZED (SELECT src, dst FROM pairs
            |       UNION ALL SELECT dst, src FROM pairs),
@@ -847,8 +847,8 @@ object QueriesTpch {
              |  FROM v$r) WHERE rn = 1)""".stripMargin
         }.mkString(",\n")
         s"""WITH pairs AS (
-           |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-           |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+           |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+           |                  CAST(-l_suppkey AS BIGINT) AS dst
            |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
            |e AS MATERIALIZED (SELECT src, dst FROM pairs
            |       UNION ALL SELECT dst, src FROM pairs),
@@ -886,8 +886,8 @@ object QueriesTpch {
         graft.ops.PageRank.tradeGraphEdges(
           Q.table(s, dir, "orders"), Q.table(s, dir, "lineitem"))),
       Some("""WITH pairs AS (
-             |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-             |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+             |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+             |                  CAST(-l_suppkey AS BIGINT) AS dst
              |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
              |e AS MATERIALIZED (SELECT src, dst FROM pairs
              |       UNION ALL SELECT dst, src FROM pairs),

@@ -47,13 +47,15 @@ class PageRankSpec extends SparkSpec with Matchers {
     b shouldBe a
   }
 
-  test("trade-graph edges: distinct typed pairs, symmetrized") {
+  test("trade-graph edges: distinct sign-split integer pairs, symmetrized") {
+    // customers keep their positive key, suppliers are negated — the two
+    // id spaces overlap numerically (customer 5 ≠ supplier 5)
     val orders = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("o_orderkey", "o_custkey")
     val lineitem = Seq((1L, 5L), (1L, 5L), (2L, 5L), (3L, 6L))
       .toDF("l_orderkey", "l_suppkey")
     val e = PageRank.tradeGraphEdges(orders, lineitem)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    e shouldBe Set(("c10", "s5"), ("c20", "s6"), ("s5", "c10"), ("s6", "c20"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    e shouldBe Set((10L, -5L), (20L, -6L), (-5L, 10L), (-6L, 20L))
   }
 
   test("HITS on a bipartite fan: the shared authority dominates, hubs " +
