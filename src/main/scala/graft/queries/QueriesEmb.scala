@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object QueriesEmb {
 
-  private val Dim = 64
+  private[queries] val Dim = 64
 
   /** a·b as an explicit left-assoc sum over array columns (1-based). */
   private def dotSqlN(a: String, b: String, n: Int): String =
@@ -199,14 +199,15 @@ object QueriesEmb {
        |WHERE rank <= 10""".stripMargin
   }
 
-  /** The IVF-PQ oracle SQL — coarse k-means chain + residual CTE + 8
-    * subspace chains trained on residuals + probe-list pruning + cosine
-    * against coarse-centroid-plus-decoded-residual. Shared verbatim by
-    * `sim_ivfpq_topk` (train-in-query) and `sim_ivfpq_search` (persisted
-    * index): the serving path reconstructs the same arithmetic from
-    * stored codes, so one mirror checks both.
+  /** The IVF-PQ oracle CTE body — coarse k-means chain + residual CTE +
+    * 8 subspace chains trained on residuals + probe-list pruning —
+    * ending in `s (query_id, match_id, sim_ivfpq)`, the approximate
+    * scores of every probed candidate for the `vec_id % 50 = 0` query
+    * set. Shared by `sim_ivfpq_topk` / `sim_ivfpq_search` (rank ≤ 10
+    * tail below) and by `t_hybrid_ann` in [[QueriesText]], whose dense
+    * leg takes the ANN top-20 into reciprocal-rank fusion.
     */
-  private lazy val ivfPqOracleSql: String = {
+  private[queries] lazy val ivfPqScoreBody: String = {
     val m = 8; val sub = 8; val kc = 8; val iters = 2
     val subCtes = (0 until m).map { i =>
       kmeansSubCte(s"p${i}_",
@@ -227,7 +228,7 @@ object QueriesEmb {
     val dqq = dotSql("q.e", "q.e")
     val dap = dotSql("q.e", "a.ap")
     val dapap = dotSql("a.ap", "a.ap")
-    s"""WITH ${kmeansCentsCte(k = 8, iters = 2)},
+    s"""${kmeansCentsCte(k = 8, iters = 2)},
        |ccent AS MATERIALIZED (SELECT c, ce FROM cent2),
        |ca AS (
        |  SELECT e.vec_id, e.embedding, s.c,
@@ -267,14 +268,22 @@ object QueriesEmb {
        |    $dap / (sqrt($dqq) * sqrt($dapap)) AS sim_ivfpq
        |  FROM approx a
        |  JOIN probes p ON p.c = a.coarse_c
-       |  JOIN q ON q.query_id = p.query_id AND q.query_id <> a.vec_id)
+       |  JOIN q ON q.query_id = p.query_id AND q.query_id <> a.vec_id)""".stripMargin
+  }
+
+  /** The full IVF-PQ oracle SQL (body + rank-≤-10 tail). Shared verbatim
+    * by `sim_ivfpq_topk` (train-in-query) and `sim_ivfpq_search`
+    * (persisted index): the serving path reconstructs the same
+    * arithmetic from stored codes, so one mirror checks both.
+    */
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH $ivfPqScoreBody
        |SELECT query_id, match_id, rank, round(sim_ivfpq, 6) + 0.0e0 AS sim_ivfpq FROM (
        |  SELECT query_id, match_id, sim_ivfpq,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY sim_ivfpq DESC, match_id ASC) AS INT) AS rank
        |  FROM s) r
        |WHERE rank <= 10""".stripMargin
-  }
 
   /** The full PQ pipeline as CTEs — m subspace trainings, final
     * assignments `f0..f{m-1}`, reconstructions, the query set `q`, and

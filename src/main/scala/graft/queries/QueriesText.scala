@@ -2515,6 +2515,105 @@ object QueriesText {
            |WHERE rnk <= 10""".stripMargin
       }),
 
+    // hybrid search, PRODUCTION-SERVING form: both legs ride persisted
+    // indexes — BM25 from the inverted index (postings + idf + stats on
+    // disk, t_bm25_search's build) and the dense leg from the IVF-PQ
+    // index (sim_ivfpq_search's build — coarse probes + stored codes;
+    // the brute-force O(Q·N) cosine of t_hybrid_search never runs).
+    // This is the scale path the brute-force twin documents: at 100 TB
+    // the dense leg touches nProbe inverted lists of m-byte codes
+    // instead of every float vector. Deterministic training => the
+    // oracle replays the full IVF-PQ chain + the BM25 chain + integer
+    // RRF; both index builds are content-fingerprinted and shared with
+    // their sim_*/t_* siblings (bench reps 2+ and production serve
+    // without rebuilding).
+    QDef("t_hybrid_ann",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        val emb = Q.table(s, dir, "embeddings")
+        val lix = Q.indexDir("bm25", dir, "documents", "df40v2")
+        if (!new java.io.File(s"$lix/postings/_SUCCESS").exists())
+          Retrieval.writeIndex(docs, "doc_id", "text", lix, maxDf = 40L)
+        val lex = Retrieval.searchIndex(s, lix,
+          Retrieval.queriesFromDocs(docs, "doc_id", "text",
+            every = 50L, offset = 0L),
+          k = 20, excludeSelf = true)
+        val dix = Q.indexDir("ivfpq", dir, "embeddings", "c8i2m8s8k8p2")
+        if (!new java.io.File(s"$dix/codes/_SUCCESS").exists())
+          graft.functions.Similarity.writeIvfPqIndex(emb, "vec_id",
+            "embedding", dix, nCoarse = 8, coarseIters = 2, m = 8,
+            subDim = 8, nCentroids = 8, pqIters = 2, dim = QueriesEmb.Dim)
+        val dense = graft.functions.Similarity.searchIvfPqIndex(s, dix,
+          emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 20, nProbe = 2)
+        Retrieval.rrfFuse(lex, dense, kRrf = 60L, k = 10)
+      },
+      Some {
+        s"""WITH RECURSIVE
+           |w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+           |bl AS (SELECT doc_id,
+           |         list_transform(range(1, len(words)),
+           |           i -> words[i] || ' ' || words[i + 1]) AS terms,
+           |         CAST(len(words) - 1 AS BIGINT) AS dl
+           |       FROM w WHERE len(words) >= 2),
+           |post AS (SELECT doc_id, dl, unnest(terms) AS term FROM bl),
+           |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+           |        max(dl) AS dl
+           |      FROM post GROUP BY 1, 2),
+           |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |            CAST(sum(dl) AS BIGINT) AS n_terms FROM bl),
+           |dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           |        FROM p GROUP BY 1 HAVING count(*) <= 40),
+           |ina AS (SELECT term,
+           |          2 * ((SELECT n_docs FROM stats) - df) + 1 AS x FROM dfv),
+           |${Portable.log2q16Sql("ina", Seq("term"), "x", "lga", "lg")},
+           |inb AS (SELECT term, 2 * df + 1 AS x FROM dfv),
+           |${Portable.log2q16Sql("inb", Seq("term"), "x", "lgb", "lg")},
+           |idf AS (SELECT a.term, greatest(a.lg - b.lg, 0) AS idf_q16
+           |        FROM lga a JOIN lgb b USING (term)),
+           |qw AS (SELECT doc_id AS query_id, words FROM w
+           |       WHERE doc_id % 50 = 0),
+           |qt AS (SELECT DISTINCT query_id,
+           |         unnest(list_transform(range(1, least(len(words), 5)),
+           |           i -> words[i] || ' ' || words[i + 1])) AS term
+           |       FROM qw),
+           |cand AS (SELECT qt.query_id, p.doc_id, p.tf, p.dl, idf.idf_q16
+           |         FROM p JOIN idf USING (term) JOIN qt USING (term)
+           |         WHERE qt.query_id <> p.doc_id),
+           |sc AS (SELECT query_id, doc_id,
+           |         CAST(sum((idf_q16 * ((22000000 * tf * s.n_terms) //
+           |             (10 * tf * s.n_terms + 3 * s.n_terms
+           |              + 9 * dl * s.n_docs))) // 65536) AS BIGINT)
+           |           AS score_micro
+           |       FROM cand, stats s GROUP BY 1, 2),
+           |lr AS (SELECT query_id, doc_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY score_micro DESC, doc_id) AS rnk
+           |       FROM sc),
+           |lex AS (SELECT query_id, doc_id, 1000000 // (60 + rnk) AS r
+           |        FROM lr WHERE rnk <= 20),
+           |${QueriesEmb.ivfPqScoreBody},
+           |dr AS (SELECT query_id, match_id AS doc_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY sim_ivfpq DESC, match_id ASC) AS rnk
+           |       FROM s),
+           |den AS (SELECT query_id, doc_id, 1000000 // (60 + rnk) AS r
+           |        FROM dr WHERE rnk <= 20),
+           |fused AS (SELECT coalesce(lex.query_id, den.query_id) AS query_id,
+           |            coalesce(lex.doc_id, den.doc_id) AS doc_id,
+           |            CAST(coalesce(lex.r, 0) + coalesce(den.r, 0) AS BIGINT)
+           |              AS rrf_micro
+           |          FROM lex FULL OUTER JOIN den
+           |            ON lex.query_id = den.query_id
+           |           AND lex.doc_id = den.doc_id)
+           |SELECT query_id, doc_id, rrf_micro, rnk FROM (
+           |  SELECT query_id, doc_id, rrf_micro,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rrf_micro DESC, doc_id) AS INT) AS rnk
+           |  FROM fused) t
+           |WHERE rnk <= 10""".stripMargin
+      }),
+
     // hard-negative mining: training-triple construction for retriever
     // /embedding training — pos = dense top-1 (cosine, self excluded),
     // hard_neg = BM25 top-5 minus the positive (lexically similar, not
