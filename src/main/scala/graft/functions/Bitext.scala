@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+  * parallel corpus mining with multilingual sentence embeddings"): a
+  * source and a target embedding collection are matched by RATIO-FREE
+  * margin scoring — a candidate pair survives only when its similarity
+  * stands out against the average of each endpoint's nearest-neighbor
+  * similarities (absolute cosine alone over-pairs hub sentences; the
+  * margin subtracts each vector's local similarity level). The published
+  * pipeline runs the k-NN step on an approximate index; here the
+  * candidate generator is the same random-hyperplane LSH bucketing the
+  * embedding-dedup family uses (`Similarity.lshBucket`, native codegen'd
+  * expr), so the mining never enumerates |A|x|B| pairs.
+  *
+  * Determinism/portability: cosines come from the pinned-fold
+  * [[Similarity.cosine]] and are floor-quantized to integer micro-units
+  * immediately — every downstream sum, mean and comparison is exact
+  * integer arithmetic that the DuckDB oracle replays bit-for-bit
+  * (truncating DIV on both engines). Ties rank by id.
+  *
+  * Scale shape: one map-side bucket assignment, a bucket equi-join with
+  * the standard over-cap drop ([[SkewCap]] — near-duplicate hub buckets
+  * would otherwise pair quadratically), then windows/groupBys
+  * partitioned by endpoint over the CANDIDATE frame (bounded by
+  * bucket-cap x corpus, linear in practice). Nothing broadcasts that
+  * grows with the corpus.
+  */
+object Bitext {
+
+  /** Mine mutual-best margin pairs between the even-id half (source
+    * side) and the odd-id half (target side) of `emb`.
+    *
+    * Per candidate pair (x, y) sharing an LSH bucket:
+    *   margin_micro = cos_micro(x,y)
+    *     − (Σ top-k fwd cos + Σ top-k bwd cos) DIV (k_fwd + k_bwd)
+    * i.e. the "distance" margin form with both neighborhoods pooled into
+    * one truncating integer mean. A pair is emitted when each endpoint
+    * is the other's best margin match and the margin clears
+    * `minMarginMicro`.
+    */
+  def minePairs(emb: DataFrame, idCol: String, embCol: String,
+                nPlanes: Int = 6, dim: Int = 64, k: Int = 4,
+                maxBucketSize: Long = 100L,
+                minMarginMicro: Long = 0L): DataFrame = {
+    require(k >= 1)
+    val b0 = emb.select(col(idCol).cast("long").as("id"),
+      col(embCol).as("e"),
+      Similarity.lshBucket(col(embCol), nPlanes, dim).as("bucket"))
+    val b = SkewCap.dropOverCap(b0, col("bucket"), maxBucketSize)
+    val srcs = b.filter(pmod(col("id"), lit(2L)) === 0)
+      .select(col("id").as("src_id"), col("e").as("ea"), col("bucket"))
+    val tgts = b.filter(pmod(col("id"), lit(2L)) === 1)
+      .select(col("id").as("tgt_id"), col("e").as("eb"), col("bucket"))
+    val cand = srcs.join(tgts, "bucket")
+      .select(col("src_id"), col("tgt_id"),
+        floor(Similarity.cosine(col("ea"), col("eb")) * lit(1000000.0))
+          .cast("long").as("cos_micro"))
+    val wf = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos_micro").desc, col("tgt_id").asc)
+    val wb = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("cos_micro").desc, col("src_id").asc)
+    val ranked = cand
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rb", row_number().over(wb))
+    // neighborhood level per endpoint: sum + count of its top-k cosines
+    // (count < k at sparse buckets — the mean divides by what exists)
+    val fwd = ranked.filter(col("rf") <= k).groupBy(col("src_id"))
+      .agg(sum(col("cos_micro")).as("sf"), count(lit(1)).as("kf"))
+    val bwd = ranked.filter(col("rb") <= k).groupBy(col("tgt_id"))
+      .agg(sum(col("cos_micro")).as("sb"), count(lit(1)).as("kb"))
+    val scored = ranked
+      .join(fwd, "src_id").join(bwd, "tgt_id")
+      .withColumn("margin_micro",
+        col("cos_micro") - expr("(sf + sb) DIV (kf + kb)"))
+    val wmf = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin_micro").desc, col("tgt_id").asc)
+    val wmb = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("margin_micro").desc, col("src_id").asc)
+    scored
+      .withColumn("mf", row_number().over(wmf))
+      .withColumn("mb", row_number().over(wmb))
+      .filter(col("mf") === 1 && col("mb") === 1
+        && col("margin_micro") >= minMarginMicro)
+      .select(col("src_id"), col("tgt_id"), col("cos_micro"),
+        col("margin_micro"))
+  }
+}

@@ -697,6 +697,59 @@ object QueriesEmb {
            |WHERE $dxy / (sqrt($dxx) * sqrt($dyy)) >= 0.3""".stripMargin
       }),
 
+    // margin-based bitext mining (Artetxe & Schwenk 2019): mutual-best
+    // margin pairs between the even-id and odd-id embedding halves.
+    // LSH buckets bound candidates (the approximate-kNN stand-in of the
+    // published pipeline); cosines floor-quantize to integer micro
+    // immediately, so neighborhood means, margins and the mutual-best
+    // selection replay exactly (truncating DIV both engines). The same
+    // bucket-size cap as dd_embed_cosine keeps hub buckets from pairing
+    // quadratically.
+    QDef("emb_bitext_mine",
+      (s, dir) => graft.functions.Bitext.minePairs(
+        Q.table(s, dir, "embeddings"), "vec_id", "embedding",
+        nPlanes = 6, dim = Dim, k = 4, maxBucketSize = 100L,
+        minMarginMicro = 0L),
+      Some {
+        val dxy = dotSql("x.e", "y.e")
+        val dxx = dotSql("x.e", "x.e")
+        val dyy = dotSql("y.e", "y.e")
+        s"""WITH b0 AS (SELECT vec_id AS id, embedding AS e,
+           |  ${Similarity.lshBucketSql("embedding", 6, Dim)} AS bucket FROM embeddings),
+           |b AS (SELECT id, e, bucket FROM (
+           |  SELECT id, e, bucket, count(*) OVER (PARTITION BY bucket) AS bn
+           |  FROM b0) WHERE bn <= 100),
+           |cand AS (SELECT x.id AS src_id, y.id AS tgt_id,
+           |           CAST(floor(($dxy / (sqrt($dxx) * sqrt($dyy)))
+           |             * 1000000.0) AS BIGINT) AS cos_micro
+           |         FROM b x JOIN b y ON x.bucket = y.bucket
+           |         WHERE x.id % 2 = 0 AND y.id % 2 = 1),
+           |rk AS (SELECT src_id, tgt_id, cos_micro,
+           |         row_number() OVER (PARTITION BY src_id
+           |           ORDER BY cos_micro DESC, tgt_id) AS rf,
+           |         row_number() OVER (PARTITION BY tgt_id
+           |           ORDER BY cos_micro DESC, src_id) AS rb
+           |       FROM cand),
+           |fwd AS (SELECT src_id, CAST(sum(cos_micro) AS BIGINT) AS sf,
+           |          CAST(count(*) AS BIGINT) AS kf
+           |        FROM rk WHERE rf <= 4 GROUP BY 1),
+           |bwd AS (SELECT tgt_id, CAST(sum(cos_micro) AS BIGINT) AS sb,
+           |          CAST(count(*) AS BIGINT) AS kb
+           |        FROM rk WHERE rb <= 4 GROUP BY 1),
+           |sc AS (SELECT rk.src_id, rk.tgt_id, rk.cos_micro,
+           |         rk.cos_micro - (fwd.sf + bwd.sb) // (fwd.kf + bwd.kb)
+           |           AS margin_micro
+           |       FROM rk JOIN fwd USING (src_id) JOIN bwd USING (tgt_id)),
+           |mu AS (SELECT src_id, tgt_id, cos_micro, margin_micro,
+           |         row_number() OVER (PARTITION BY src_id
+           |           ORDER BY margin_micro DESC, tgt_id) AS mf,
+           |         row_number() OVER (PARTITION BY tgt_id
+           |           ORDER BY margin_micro DESC, src_id) AS mb
+           |       FROM sc)
+           |SELECT src_id, tgt_id, cos_micro, margin_micro FROM mu
+           |WHERE mf = 1 AND mb = 1 AND margin_micro >= 0""".stripMargin
+      }),
+
     // SemDeDup-style semantic dedup: trained-quantizer clusters bound
     // the candidate self-join; within a cluster, any vector with a
     // cosine-≥-tau neighbor of smaller id is dropped (deterministic

@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.Bitext
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Margin-based bitext mining: planted translation pairs (identical
+  * vectors across the even/odd split) must be mined, the mutual-best
+  * rule must hold (each endpoint at most once), and the output must be
+  * a pure function of the input set (partitioning invariance).
+  */
+class BitextSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** deterministic non-zero vector per id; ids 2j/2j+1 for j < 3 are
+    * exact duplicates across the sides — the planted parallel pairs —
+    * and near-orthogonal to the noise cloud (noise loads on dim 0,
+    * each planted pair on its own dimension), so the planted margin
+    * robustly dominates any noise cosine.
+    */
+  private def vec(id: Long): Seq[Float] = {
+    if (id < 6) {
+      val j = (id / 2).toInt
+      (0 until dim).map(i => if (i == j + 1) 50f else 1f)
+    } else (0 until dim).map(i =>
+      (((id * 31 + i * 17) % 13) - 6 + (if (i == 0) 14 else 0)).toFloat)
+  }
+
+  private def emb(ids: Seq[Long]) =
+    ids.map(id => (id, vec(id))).toDF("vec_id", "embedding")
+
+  test("planted identical cross-side pairs are mined as mutual best") {
+    val df = emb(0L until 40L)
+    val got = Bitext.minePairs(df, "vec_id", "embedding",
+      nPlanes = 4, dim = dim, k = 3, maxBucketSize = 100L)
+      .collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors always share every LSH bucket and have cosine
+    // 1.0 — the maximum — so each planted pair must survive mining
+    for (j <- 0 until 3)
+      assert(pairs.contains((2L * j, 2L * j + 1)),
+        s"planted pair ($j) missing from ${pairs.mkString(",")}")
+    // mutual-best: an endpoint appears at most once on its side
+    val srcs = got.map(_.getLong(0))
+    val tgts = got.map(_.getLong(1))
+    srcs.distinct.length shouldBe srcs.length
+    tgts.distinct.length shouldBe tgts.length
+    // sides are disjoint by parity
+    srcs.foreach(s => assert(s % 2 == 0))
+    tgts.foreach(t => assert(t % 2 == 1))
+    // cosine is quantized to micro and margins clear the floor
+    got.foreach { r =>
+      assert(r.getLong(2) <= 1000000L)
+      assert(r.getLong(3) >= 0L)
+    }
+  }
+
+  test("output is invariant under input partitioning") {
+    val df = emb(0L until 40L)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Bitext.minePairs(d, "vec_id", "embedding",
+        nPlanes = 4, dim = dim, k = 3, maxBucketSize = 100L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    run(df.repartition(7)) shouldBe run(df)
+  }
+
+  test("an exact pair alone in its neighborhood has margin exactly zero") {
+    // two identical vectors only: fwd and bwd top-k are the pair itself,
+    // so the pooled mean equals the cosine and the margin is 0 — the
+    // boundary the >= 0 gate must keep
+    val df = emb(Seq(4L, 5L))
+    val got = Bitext.minePairs(df, "vec_id", "embedding",
+      nPlanes = 4, dim = dim, k = 3, maxBucketSize = 100L).collect()
+    got.length shouldBe 1
+    got.head.getLong(3) shouldBe 0L
+  }
+}
