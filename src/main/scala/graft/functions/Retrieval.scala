@@ -246,6 +246,44 @@ object Retrieval {
     val lex = bm25TopK(docs, idCol, textCol,
       queriesFromDocs(docs, idCol, textCol, every = every, offset = 0L),
       k = kHard, maxDf = maxDf, excludeSelf = true)
+    assembleTriples(docs, idCol, pos, lex, every, kRand, poolMod)
+  }
+
+  /** [[hardNegativeMining]] in its production-serving form: the
+    * positive comes from the persisted IVF-PQ index (coarse probes +
+    * stored codes — at corpus scale the brute top-1 cosine the batch
+    * twin uses cannot run) and the lexical negatives from the persisted
+    * inverted index. Same triple assembly, same determinism — the
+    * oracle replays the IVF-PQ chain for the positive instead of the
+    * brute cosine.
+    */
+  def hardNegativeMiningServed(spark: org.apache.spark.sql.SparkSession,
+                               docs: DataFrame, idCol: String,
+                               textCol: String, lexIndexPath: String,
+                               ivfPqIndexPath: String, emb: DataFrame,
+                               embIdCol: String, embCol: String,
+                               every: Long = 50L, kHard: Int = 5,
+                               kRand: Int = 3, poolMod: Long = 10L,
+                               nProbe: Int = 2): DataFrame = {
+    val pos = Similarity.searchIvfPqIndex(spark, ivfPqIndexPath,
+        emb.filter(pmod(col(embIdCol), lit(every)) === 0),
+        embIdCol, embCol, k = 1, nProbe = nProbe)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("match_id").cast("long").as("doc_id"),
+        lit("pos").as("role"), lit(1).as("rnk"))
+    val lex = searchIndex(spark, lexIndexPath,
+      queriesFromDocs(docs, idCol, textCol, every = every, offset = 0L),
+      k = kHard, excludeSelf = true)
+    assembleTriples(docs, idCol, pos, lex, every, kRand, poolMod)
+  }
+
+  /** Shared triple assembly: hard negatives = lexical top-k minus the
+    * positive (re-ranked), random negatives = kRand from the global
+    * hash-selected pool, positives passed through.
+    */
+  private def assembleTriples(docs: DataFrame, idCol: String,
+                              pos: DataFrame, lex: DataFrame, every: Long,
+                              kRand: Int, poolMod: Long): DataFrame = {
     val wq = Window.partitionBy(col("query_id")).orderBy(col("bm_rnk").asc)
     val hard = lex.withColumnRenamed("rnk", "bm_rnk")
       .join(pos.select(col("query_id"), col("doc_id").as("pos_id")), "query_id")

@@ -2719,6 +2719,113 @@ object QueriesText {
            |SELECT query_id, doc_id, 'rand_neg' AS role, rnk FROM randr""".stripMargin
       }),
 
+    // hard-negative mining, PRODUCTION-SERVING form: the positive comes
+    // from the persisted IVF-PQ index (rank-1 over coarse probes +
+    // stored codes) and the lexical negatives from the persisted
+    // inverted index — at corpus scale the brute top-1 cosine of
+    // t_mining_triples cannot run. Same triple assembly; the oracle
+    // replays the IVF-PQ chain for the positive instead of the brute
+    // cosine. Index builds shared with t_bm25_search / sim_ivfpq_search.
+    QDef("t_mining_ann",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        val emb = Q.table(s, dir, "embeddings")
+        val lix = Q.indexDir("bm25", dir, "documents", "df40v2")
+        if (!new java.io.File(s"$lix/postings/_SUCCESS").exists())
+          Retrieval.writeIndex(docs, "doc_id", "text", lix, maxDf = 40L)
+        val dix = Q.indexDir("ivfpq", dir, "embeddings", "c8i2m8s8k8p2")
+        if (!new java.io.File(s"$dix/codes/_SUCCESS").exists())
+          graft.functions.Similarity.writeIvfPqIndex(emb, "vec_id",
+            "embedding", dix, nCoarse = 8, coarseIters = 2, m = 8,
+            subDim = 8, nCentroids = 8, pqIters = 2, dim = QueriesEmb.Dim)
+        Retrieval.hardNegativeMiningServed(s, docs, "doc_id", "text",
+          lix, dix, emb, "vec_id", "embedding",
+          every = 50L, kHard = 5, kRand = 3, poolMod = 10L, nProbe = 2)
+      },
+      Some {
+        s"""WITH RECURSIVE
+           |w AS (SELECT doc_id, $wordsSql AS words FROM documents),
+           |bl AS (SELECT doc_id,
+           |         list_transform(range(1, len(words)),
+           |           i -> words[i] || ' ' || words[i + 1]) AS terms,
+           |         CAST(len(words) - 1 AS BIGINT) AS dl
+           |       FROM w WHERE len(words) >= 2),
+           |post AS (SELECT doc_id, dl, unnest(terms) AS term FROM bl),
+           |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+           |        max(dl) AS dl
+           |      FROM post GROUP BY 1, 2),
+           |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |            CAST(sum(dl) AS BIGINT) AS n_terms FROM bl),
+           |dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           |        FROM p GROUP BY 1 HAVING count(*) <= 40),
+           |ina AS (SELECT term,
+           |          2 * ((SELECT n_docs FROM stats) - df) + 1 AS x FROM dfv),
+           |${Portable.log2q16Sql("ina", Seq("term"), "x", "lga", "lg")},
+           |inb AS (SELECT term, 2 * df + 1 AS x FROM dfv),
+           |${Portable.log2q16Sql("inb", Seq("term"), "x", "lgb", "lg")},
+           |idf AS (SELECT a.term, greatest(a.lg - b.lg, 0) AS idf_q16
+           |        FROM lga a JOIN lgb b USING (term)),
+           |qw AS (SELECT doc_id AS query_id, words FROM w
+           |       WHERE doc_id % 50 = 0),
+           |qt AS (SELECT DISTINCT query_id,
+           |         unnest(list_transform(range(1, least(len(words), 5)),
+           |           i -> words[i] || ' ' || words[i + 1])) AS term
+           |       FROM qw),
+           |cand AS (SELECT qt.query_id, p.doc_id, p.tf, p.dl, idf.idf_q16
+           |         FROM p JOIN idf USING (term) JOIN qt USING (term)
+           |         WHERE qt.query_id <> p.doc_id),
+           |sc AS (SELECT query_id, doc_id,
+           |         CAST(sum((idf_q16 * ((22000000 * tf * s.n_terms) //
+           |             (10 * tf * s.n_terms + 3 * s.n_terms
+           |              + 9 * dl * s.n_docs))) // 65536) AS BIGINT)
+           |           AS score_micro
+           |       FROM cand, stats s GROUP BY 1, 2),
+           |lr AS (SELECT query_id, doc_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY score_micro DESC, doc_id) AS rnk
+           |       FROM sc),
+           |bmr AS (SELECT query_id, doc_id, rnk FROM lr WHERE rnk <= 5),
+           |${QueriesEmb.ivfPqScoreBody},
+           |posr AS MATERIALIZED (SELECT query_id, match_id AS doc_id FROM (
+           |    SELECT query_id, match_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY sim_ivfpq DESC, match_id ASC) AS r
+           |    FROM s) t WHERE r = 1),
+           |hardr AS MATERIALIZED (SELECT * FROM (
+           |    SELECT b.query_id, b.doc_id,
+           |      CAST(row_number() OVER (PARTITION BY b.query_id
+           |        ORDER BY b.rnk) AS INT) AS rnk
+           |    FROM bmr b JOIN posr p2 ON b.query_id = p2.query_id
+           |    WHERE b.doc_id <> p2.doc_id) t),
+           |pool AS (SELECT doc_id FROM documents
+           |         WHERE CAST(('0x' || substr(md5('pool'
+           |           || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0),
+           |qids AS (SELECT doc_id AS query_id FROM documents
+           |         WHERE doc_id % 50 = 0),
+           |taken AS (SELECT query_id, doc_id FROM posr
+           |          UNION ALL SELECT query_id, doc_id FROM hardr),
+           |randc AS (SELECT qids.query_id, pool.doc_id,
+           |            CAST(('0x' || substr(md5('rng'
+           |              || CAST(qids.query_id AS VARCHAR) || ':'
+           |              || CAST(pool.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+           |          FROM qids, pool
+           |          WHERE pool.doc_id <> qids.query_id
+           |            AND NOT EXISTS (SELECT 1 FROM taken t
+           |              WHERE t.query_id = qids.query_id
+           |                AND t.doc_id = pool.doc_id)),
+           |randr AS (SELECT * FROM (
+           |    SELECT query_id, doc_id,
+           |      CAST(row_number() OVER (PARTITION BY query_id
+           |        ORDER BY h, doc_id) AS INT) AS rnk
+           |    FROM randc) t WHERE rnk <= 3)
+           |SELECT query_id, doc_id, 'pos' AS role, CAST(1 AS INT) AS rnk
+           |FROM posr
+           |UNION ALL
+           |SELECT query_id, doc_id, 'hard_neg' AS role, rnk FROM hardr
+           |UNION ALL
+           |SELECT query_id, doc_id, 'rand_neg' AS role, rnk FROM randr""".stripMargin
+      }),
+
     // hashed tf-idf document vectors: the sparse->dense bridge from
     // text to the ANN family — term weight (tf x Q16 idf, integer)
     // lands in dimension baseHash(term) mod 64, summed per dim; docs
