@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Bounded-iteration PageRank in exact integer micro-units — the
@@ -70,6 +70,50 @@ object PageRank {
         nodes.join(inMass, nodes("node") === inMass("dst"), "left")
           .select(col("node"),
             (lit(TeleportMicro) +
+              expr(s"$DampingPct * coalesce(s, 0L) DIV 100")).as("rank_micro")))
+    }
+    ranks
+  }
+
+  /** Personalized PageRank (the seeded-teleport variant of [[ranks]]):
+    * teleport mass lands ONLY on the seed set — rank concentrates in
+    * the seeds' neighborhoods instead of spreading globally, which is
+    * the standard crawl-prioritization / related-entity signal (score
+    * pages near a trusted seed list). Seeds are the nodes with
+    * `node % seedMod == 0` (deterministic, oracle-mirrored — both
+    * engines give remainder the dividend's sign, so negative sign-split
+    * keys select consistently). Initial rank = 10⁶ on seeds, 0
+    * elsewhere; per round rank'(v) = seed(v)·150000 + 85·Σcontrib
+    * DIV 100 — the same integer-floor arithmetic as [[ranks]], so a
+    * fixed iteration count replays byte-identically in the unrolled-CTE
+    * oracle. Scale shape identical to [[ranks]]: one equi-join + one
+    * partial-agg groupBy per round on the once-materialized edges.
+    */
+  def personalizedRanks(edges: DataFrame, seedMod: Long = 20L,
+                        iters: Int = 3,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(seedMod >= 1)
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def markEager(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = markEager(
+      edges.join(deg, "src").repartition(col("src"))
+        .select(col("src"), col("dst"), col("deg")))
+    val nodes = markEager(deg.select(col("src").as("node")))
+    def teleport(of: Column, amount: Long): Column =
+      when(of % seedMod === 0, lit(amount)).otherwise(lit(0L))
+    var ranks = nodes.withColumn("rank_micro", teleport(col("node"), 1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst"), expr("rank_micro DIV deg").as("c"))
+      val inMass = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = markEager(
+        nodes.join(inMass, nodes("node") === inMass("dst"), "left")
+          .select(col("node"),
+            (teleport(col("node"), TeleportMicro) +
               expr(s"$DampingPct * coalesce(s, 0L) DIV 100")).as("rank_micro")))
     }
     ranks

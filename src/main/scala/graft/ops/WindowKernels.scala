@@ -677,4 +677,67 @@ object WindowKernels {
       .select(col(keyCol), col("r.lag").as("lag"),
         col("r.n_pairs").as("n_pairs"), col("r.acf_ppm").as("acf_ppm"))
   }
+
+  /** Rolling cross-stream correlation: streams pair as (2k, 2k+1), their
+    * observations align on fixed time buckets (first observation per
+    * bucket, (t, tie)-deterministic), and each aligned pair carries the
+    * signed square of the rolling Pearson correlation over the last
+    * `windowRows` buckets —
+    *
+    *   r²_signed = sign(num) · num² · 10⁶ DIV (denx · deny)
+    *   num = n·Σxy − Σx·Σy, denx = n·Σx² − (Σx)², deny likewise
+    *
+    * — the sqrt-free monotone form of r the assortativity/ACF family
+    * already uses (sign and magnitude of r are fully recoverable;
+    * thresholding r ≥ c ≡ r²_signed ≥ c²). Values quantize micro →
+    * CENTI (DIV 10⁴) before the sums so num²·10⁶ stays well inside
+    * DECIMAL(38,0) ≡ HUGEINT at any window width; every division
+    * truncates identically in both engines, so rows replay bit-exactly.
+    *
+    * Scale shape: one row_number window keyed (stream, bucket) for the
+    * per-bucket representative, one pair-keyed equi-join of the two
+    * halves (both sides bucket-aligned, |pairs|·|buckets| rows), one
+    * pair-keyed window for the six rolling sums — a fleet of S streams
+    * costs S-partitioned exchanges, never a cross-stream product.
+    */
+  def rollingPairCorr(df: DataFrame, keyCol: String, tsUsCol: String,
+                      vMicroCol: String, tieBreakCol: String,
+                      bucketUs: Long = 60000000L, windowRows: Int = 8,
+                      minPairs: Int = 4): DataFrame = {
+    require(bucketUs >= 1 && windowRows >= 2 && minPairs >= 2)
+    val rep = df.select(col(keyCol).cast("long").as("d"),
+        expr(s"$tsUsCol DIV $bucketUs").as("bucket"),
+        col(tsUsCol).as("t"), col(tieBreakCol).as("tie"),
+        expr(s"$vMicroCol DIV 10000").as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("d"), col("bucket"))
+          .orderBy(col("t"), col("tie"))))
+      .filter(col("rn") === 1)
+    val px = rep.filter(pmod(col("d"), lit(2L)) === 0)
+      .select(expr("d DIV 2").as("pair_id"), col("bucket"), col("v").as("x"))
+    val py = rep.filter(pmod(col("d"), lit(2L)) === 1)
+      .select(expr("d DIV 2").as("pair_id"), col("bucket"), col("v").as("y"))
+    val w = Window.partitionBy(col("pair_id")).orderBy(col("bucket"))
+      .rowsBetween(-(windowRows - 1), 0)
+    px.join(py, Seq("pair_id", "bucket"))
+      .select(col("pair_id"), col("bucket"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("y")).over(w).as("sxy"),
+        sum(col("x") * col("x")).over(w).as("sxx"),
+        sum(col("y") * col("y")).over(w).as("syy"))
+      .filter(col("n") >= minPairs)
+      .select(col("pair_id"), col("bucket"), col("n").cast("long").as("n_w"),
+        expr("""CAST(CASE WHEN n*sxy - sx*sy < 0 THEN
+                 -((CAST(n*sxy - sx*sy AS DECIMAL(38,0)) * (n*sxy - sx*sy)
+                    * 1000000)
+                   DIV nullif(CAST(n*sxx - sx*sx AS DECIMAL(38,0))
+                              * (n*syy - sy*sy), 0))
+               ELSE
+                 (CAST(n*sxy - sx*sy AS DECIMAL(38,0)) * (n*sxy - sx*sy)
+                    * 1000000)
+                   DIV nullif(CAST(n*sxx - sx*sx AS DECIMAL(38,0))
+                              * (n*syy - sy*sy), 0)
+               END AS BIGINT)""").as("r2_signed_ppm"))
+  }
 }

@@ -362,6 +362,60 @@ object QueriesQcEvents {
               |SELECT datastream_id, CAST(3 AS BIGINT), np3,
               |  CAST(num3 * 1000000 // nullif(den, 0) AS BIGINT) FROM g""".stripMargin)),
 
+    // W19 — rolling cross-stream correlation: streams pair as (2k,2k+1),
+    // observations align on 6-hour buckets (first per bucket — minute
+    // buckets never overlap on these sparse ~60-obs/30-day streams), and
+    // each aligned row carries the signed r² of the rolling Pearson
+    // correlation over the last 8 buckets in ppm — the sqrt-free
+    // monotone form (sign + magnitude of r recoverable; threshold
+    // r ≥ c ≡ r² ≥ c²). Micro values truncate to centi before the sums
+    // so num²·10⁶ stays inside DECIMAL(38,0) ≡ HUGEINT; every division
+    // truncates identically on both engines.
+    QDef("w19_rolling_corr",
+      (s, dir) => {
+        val vMicro =
+          expr(s"CAST(CAST(${Obs.Result} AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
+        WindowKernels.rollingPairCorr(
+          obs(s, dir).withColumn("v_micro", vMicro),
+          Obs.DatastreamId, "t_us", "v_micro", Obs.IotId,
+          bucketUs = 21600000000L, windowRows = 8, minPairs = 4)
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |m AS (SELECT datastream_id AS d, t_us // 21600000000 AS bucket,
+              |        t_us, iot_id,
+              |        CAST(CAST(result AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+              |          // 10000 AS v
+              |      FROM obs),
+              |rep AS (SELECT d, bucket, v FROM (
+              |  SELECT d, bucket, v, row_number() OVER (
+              |    PARTITION BY d, bucket ORDER BY t_us, iot_id) AS rn
+              |  FROM m) t WHERE rn = 1),
+              |px AS (SELECT d // 2 AS pair_id, bucket, v AS x
+              |       FROM rep WHERE d % 2 = 0),
+              |py AS (SELECT d // 2 AS pair_id, bucket, v AS y
+              |       FROM rep WHERE d % 2 = 1),
+              |g AS (SELECT pair_id, bucket,
+              |        count(*) OVER w AS n,
+              |        sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+              |        sum(x*y) OVER w AS sxy, sum(x*x) OVER w AS sxx,
+              |        sum(y*y) OVER w AS syy
+              |      FROM px JOIN py USING (pair_id, bucket)
+              |      WINDOW w AS (PARTITION BY pair_id ORDER BY bucket
+              |        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+              |SELECT pair_id, bucket, CAST(n AS BIGINT) AS n_w,
+              |  CAST(CASE WHEN n*sxy - sx*sy < 0 THEN
+              |      -((CAST(n*sxy - sx*sy AS HUGEINT) * (n*sxy - sx*sy)
+              |         * 1000000)
+              |        // nullif(CAST(n*sxx - sx*sx AS HUGEINT)
+              |                  * (n*syy - sy*sy), 0))
+              |    ELSE
+              |      (CAST(n*sxy - sx*sy AS HUGEINT) * (n*sxy - sx*sy)
+              |         * 1000000)
+              |        // nullif(CAST(n*sxx - sx*sx AS HUGEINT)
+              |                  * (n*syy - sy*sy), 0)
+              |    END AS BIGINT) AS r2_signed_ppm
+              |FROM g WHERE n >= 4""".stripMargin)),
+
     // QC capstone — the per-stream HEALTH REPORT an operations page
     // reads: cadence/coverage/gaps (w16) + CUSUM drift alarms (w13) +
     // range violations (f4), joined on the stream key, with one

@@ -751,6 +751,44 @@ object QueriesTpch {
              |       FROM n LEFT JOIN c3 ON c3.node = n.node)
              |SELECT node, rank_micro FROM r3""".stripMargin)),
 
+    // personalized PageRank: teleport mass restricted to the seed set
+    // (node % 20 == 0 — both engines give remainder the dividend's
+    // sign, so the sign-split supplier keys select consistently). Rank
+    // concentrates in seed neighborhoods — the crawl-prioritization /
+    // related-entity form. Same integer arithmetic and unrolled-CTE
+    // replay as q_pagerank.
+    QDef("q_ppr",
+      (s, dir) => graft.ops.PageRank.personalizedRanks(
+        graft.ops.PageRank.tradeGraphEdges(
+          Q.table(s, dir, "orders"), Q.table(s, dir, "lineitem")),
+        seedMod = 20L, iters = 3),
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""c$r AS (SELECT e.dst AS node, sum(r${r - 1}.rank_micro // e.deg) AS s
+             |       FROM e JOIN r${r - 1} ON r${r - 1}.node = e.src GROUP BY e.dst),
+             |r$r AS (SELECT n.node,
+             |         CAST(CASE WHEN n.node % 20 = 0 THEN 150000 ELSE 0 END
+             |           + (85 * coalesce(c$r.s, 0)) // 100 AS BIGINT)
+             |           AS rank_micro
+             |       FROM n LEFT JOIN c$r ON c$r.node = n.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+           |                  CAST(-l_suppkey AS BIGINT) AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |edges AS (SELECT src, dst FROM pairs
+           |          UNION ALL SELECT dst, src FROM pairs),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |e AS (SELECT edges.src, edges.dst, deg.deg
+           |      FROM edges JOIN deg USING (src)),
+           |n AS (SELECT src AS node FROM deg),
+           |r0 AS (SELECT node,
+           |         CAST(CASE WHEN node % 20 = 0 THEN 1000000 ELSE 0 END
+           |           AS BIGINT) AS rank_micro FROM n),
+           |$rounds
+           |SELECT node, rank_micro FROM r3""".stripMargin
+      }),
+
     // HITS hubs & authorities (Kleinberg 1999) on the DIRECTED
     // customer→supplier trade graph: customers are pure hubs, suppliers
     // pure authorities (bipartite direction separates the roles).

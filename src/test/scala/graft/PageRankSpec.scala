@@ -58,6 +58,30 @@ class PageRankSpec extends SparkSpec with Matchers {
     e shouldBe Set((10L, -5L), (20L, -6L), (-5L, 10L), (-6L, 20L))
   }
 
+  test("personalized ranks: teleport mass lands only on seeds (hand-computed)") {
+    // path 20-1-2 (symmetric), seedMod 20 => node 20 is the only seed.
+    // r0: 20->1e6, others 0
+    // it1: in(1) = 1e6; r1(20) = 150000, r1(1) = 850000, r1(2) = 0
+    // it2: 1 contributes 425000 to each side; 20 contributes 150000 to 1
+    //      r2(20) = 150000 + 361250 = 511250
+    //      r2(1)  = 0 + 85*150000 DIV 100 = 127500
+    //      r2(2)  = 0 + 361250
+    val e = Seq((20L, 1L), (1L, 20L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = PageRank.personalizedRanks(e, seedMod = 20L, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(20L -> 511250L, 1L -> 127500L, 2L -> 361250L)
+  }
+
+  test("personalized ranks: negative sign-split keys seed consistently") {
+    // -40 % 20 == 0 in both Spark and the oracle (remainder keeps the
+    // dividend's sign, and a multiple of 20 stays a multiple negated)
+    val e = Seq((-40L, 3L), (3L, -40L)).toDF("src", "dst")
+    val out = PageRank.personalizedRanks(e, seedMod = 20L, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r0: -40 -> 1e6, 3 -> 0; it1: in(3) = 1e6, in(-40) = 0
+    out shouldBe Map(-40L -> 150000L, 3L -> 850000L)
+  }
+
   test("HITS on a bipartite fan: the shared authority dominates, hubs " +
     "rank by coverage, roles separate exactly") {
     // u1 -> {v1, v2}, u2 -> {v1}: v1 has two in-links, v2 one; u1 links
