@@ -88,4 +88,60 @@ object Bitext {
       .select(col("src_id"), col("tgt_id"), col("cos_micro"),
         col("margin_micro"))
   }
+
+}
+
+/** Embedding-collection audits (see also [[Similarity]] for search and
+  * [[Pca]] for structure).
+  */
+object EmbAudit {
+
+  /** Per-label centroid outliers — the embedding-quality audit that
+    * catches mislabeled / off-topic members of a labeled collection
+    * (cluster purity check; the embedding-space analog of the
+    * quality-classifier audit). Components floor-quantize to Q14
+    * integers (the PCA convention), the centroid is the truncating
+    * integer mean per dimension, and each member scores the SIGNED
+    * SQUARE of its cosine to its label's centroid in ppm —
+    * sign(dot)·dot²·10⁶ DIV (‖v‖²·‖c‖²) — the sqrt-free monotone form
+    * (a low score = far from the label's center). Bottom `k` per label
+    * emitted with rank.
+    *
+    * Scale shape: one posexplode (×dim rows) into a (label, dim)
+    * partial-agg'd groupBy builds the centroid table (|labels|·dim
+    * rows — broadcastable at any corpus size), then the member scores
+    * ride a broadcast join + one groupBy(vec). Integer end to end.
+    */
+  def centroidOutliers(emb: DataFrame, idCol: String, embCol: String,
+                       labelCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1)
+    val q = emb.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("long").as("label"),
+      expr(s"transform($embCol, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 16384.0) AS BIGINT))").as("q"))
+    val ex = q.select(col("id"), col("label"),
+      posexplode(col("q")).as(Seq("d", "v")))
+    val cent = ex.groupBy(col("label"), col("d"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("d"), expr("s DIV n").as("m"))
+    val scored = ex.join(broadcast(cent), Seq("label", "d"))
+      .groupBy(col("id"), col("label"))
+      .agg(sum(col("v") * col("m")).as("dot"),
+        sum(col("v") * col("v")).as("vv"),
+        sum(col("m") * col("m")).as("cc"))
+      .select(col("id"), col("label"),
+        expr("""CAST(CASE WHEN dot < 0 THEN
+                  -((CAST(dot AS DECIMAL(38,0)) * dot * 1000000)
+                    DIV nullif(CAST(vv AS DECIMAL(38,0)) * cc, 0))
+                ELSE
+                  (CAST(dot AS DECIMAL(38,0)) * dot * 1000000)
+                    DIV nullif(CAST(vv AS DECIMAL(38,0)) * cc, 0)
+                END AS BIGINT)""").as("cos2_signed_ppm"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos2_signed_ppm").asc, col("id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("label"), col("id").as("vec_id"),
+        col("cos2_signed_ppm"), col("rnk"))
+  }
 }

@@ -750,6 +750,46 @@ object QueriesEmb {
            |WHERE mf = 1 AND mb = 1 AND margin_micro >= 0""".stripMargin
       }),
 
+    // per-label centroid outliers: each embedding scores the signed
+    // square of its cosine to its label's integer-centroid (Q14
+    // quantization, truncating mean, DECIMAL(38,0) ≡ HUGEINT products);
+    // the bottom-5 per label are the mislabel/off-topic audit. Sqrt-free
+    // so fully integer-exact across engines.
+    QDef("emb_centroid_outlier",
+      (s, dir) => graft.functions.EmbAudit.centroidOutliers(
+        Q.table(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 5),
+      Some(s"""WITH q AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+              |  list_transform(embedding,
+              |    x -> CAST(floor(CAST(x AS DOUBLE) * 16384.0) AS BIGINT)) AS q
+              |  FROM embeddings),
+              |ex AS (SELECT id, label, CAST(i AS INTEGER) AS d, q[i + 1] AS v
+              |       FROM q, range(0, $Dim) t(i)),
+              |cent AS (SELECT label, d,
+              |           CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+              |         FROM ex GROUP BY 1, 2),
+              |sc AS (SELECT ex.id, ex.label,
+              |         CAST(sum(ex.v * cent.m) AS BIGINT) AS dot,
+              |         CAST(sum(ex.v * ex.v) AS BIGINT) AS vv,
+              |         CAST(sum(cent.m * cent.m) AS BIGINT) AS cc
+              |       FROM ex JOIN cent ON cent.label = ex.label
+              |                        AND cent.d = ex.d
+              |       GROUP BY 1, 2),
+              |r AS (SELECT id, label,
+              |        CAST(CASE WHEN dot < 0 THEN
+              |            -((CAST(dot AS HUGEINT) * dot * 1000000)
+              |              // nullif(CAST(vv AS HUGEINT) * cc, 0))
+              |          ELSE
+              |            (CAST(dot AS HUGEINT) * dot * 1000000)
+              |              // nullif(CAST(vv AS HUGEINT) * cc, 0)
+              |          END AS BIGINT) AS cos2_signed_ppm
+              |      FROM sc)
+              |SELECT label, id AS vec_id, cos2_signed_ppm, rnk FROM (
+              |  SELECT id, label, cos2_signed_ppm,
+              |    CAST(row_number() OVER (PARTITION BY label
+              |      ORDER BY cos2_signed_ppm ASC, id ASC) AS INT) AS rnk
+              |  FROM r) t
+              |WHERE rnk <= 5""".stripMargin)),
+
     // SemDeDup-style semantic dedup: trained-quantizer clusters bound
     // the candidate self-join; within a cluster, any vector with a
     // cosine-≥-tau neighbor of smaller id is dropped (deterministic

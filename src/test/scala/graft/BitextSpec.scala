@@ -67,6 +67,29 @@ class BitextSpec extends SparkSpec with Matchers {
     run(df.repartition(7)) shouldBe run(df)
   }
 
+  test("centroid outliers: the planted off-topic member ranks first") {
+    // label 0: nine copies of u plus ONE v orthogonal to u; label 1: all w.
+    // v is the obvious outlier of label 0 (cos² to the centroid far below
+    // the u-copies'); every label emits at most k rows, ranked ascending.
+    val u = (0 until dim).map(i => if (i == 0) 10f else 0f)
+    val v = (0 until dim).map(i => if (i == 1) 10f else 0f)
+    val w = (0 until dim).map(i => if (i == 2) 7f else 1f)
+    val rows = (0L until 9L).map(j => (j, u, 0)) ++ Seq((9L, v, 0)) ++
+      (10L until 14L).map(j => (j, w, 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = graft.functions.EmbAudit.centroidOutliers(
+      df, "vec_id", "embedding", "label", k = 3).collect()
+    val byLabel = got.groupBy(_.getLong(0))
+    // label 0's rank-1 outlier is the planted orthogonal vector
+    val l0 = byLabel(0L).sortBy(_.getInt(3))
+    l0.head.getLong(1) shouldBe 9L
+    // and it scores strictly below every u copy emitted
+    assert(l0.tail.forall(_.getLong(2) > l0.head.getLong(2)))
+    // identical members tie: ranks break by id, k rows per label
+    byLabel(1L).map(_.getLong(1)).sorted shouldBe Array(10L, 11L, 12L)
+    got.foreach(r => assert(r.getInt(3) >= 1 && r.getInt(3) <= 3))
+  }
+
   test("an exact pair alone in its neighborhood has margin exactly zero") {
     // two identical vectors only: fwd and bwd top-k are the pair itself,
     // so the pooled mean equals the cosine and the margin is 0 — the
