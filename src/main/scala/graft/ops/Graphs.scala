@@ -260,6 +260,42 @@ object Graphs {
     labels.select(col("v"), col("label"))
   }
 
+  /** k-hop reachability (synchronized BFS frontier rounds) from the
+    * seed set {v : v % seedMod == 0} over a SYMMETRIC edge list — the
+    * "what does this trusted seed list reach in k steps" question
+    * (crawl frontier sizing, contamination blast-radius). Returns one
+    * row per vertex with the hop at which it was FIRST reached (0 for
+    * seeds, NULL if unreached within `hops`).
+    *
+    * Scale shape, per round: one frontier⋈edges equi-join on the
+    * once-materialized hash-partitioned edge frame (frontier is ≤ |V|
+    * rows on a SHUFFLE_HASH build — never a forced broadcast, the
+    * kcore lesson) + one distinct + one left-anti against the visited
+    * set; per-round localCheckpoint truncates the iterative lineage.
+    * Fixed `hops` ⇒ the oracle unrolls the rounds exactly.
+    */
+  def reachHops(edges: DataFrame, seedMod: Long, hops: Int): DataFrame = {
+    require(seedMod >= 1 && hops >= 1)
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
+    val verts = e.select(col("src").as("v")).distinct().localCheckpoint()
+    var visited = verts.filter(col("v") % seedMod === 0)
+      .select(col("v"), lit(0).as("hop")).localCheckpoint()
+    var frontier = visited.select(col("v"))
+    for (h <- 1 to hops) {
+      val next = e.join(
+          frontier.withColumnRenamed("v", "src").hint("shuffle_hash"),
+          Seq("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(visited.select(col("v")), Seq("v"), "left_anti")
+        .localCheckpoint()
+      visited = visited
+        .unionAll(next.select(col("v"), lit(h).as("hop"))).localCheckpoint()
+      frontier = next
+    }
+    verts.join(visited, Seq("v"), "left").select(col("v"), col("hop"))
+  }
+
   /** Newman modularity of a labeling, per community, in exact integer
     * micro-units: Q_c = e_c/m − (d_c/2m)², computed overflow-safe as
     *   t1 = (10^6·e_c) div m

@@ -700,6 +700,60 @@ object WindowKernels {
     * pair-keyed window for the six rolling sums — a fleet of S streams
     * costs S-partitioned exchanges, never a cross-stream product.
     */
+  /** Hour-of-day seasonal profile + strength per stream — the classic
+    * additive decomposition v = level + seasonal(hod) + residual with
+    * integer means (level = Σv DIV n; seasonal = per-hour mean − level)
+    * and the Wang-Hyndman seasonal-strength statistic
+    *
+    *   F_ppm = max(0, 10⁶ − 10⁶·Var(resid) DIV Var(v − level))
+    *
+    * computed sqrt-free and division-late: Var as n·Σx² − (Σx)² in
+    * DECIMAL(38,0) ≡ HUGEINT (both variances share the same n, so the
+    * 1/n² factors cancel in the ratio). Also reports the peak hour
+    * (argmax seasonal, ties to the smaller hour) and its amplitude —
+    * the "when does this sensor run hot" operations question.
+    *
+    * Scale shape: ONE hash exchange on the stream key serves both
+    * window layers (the (key, hod) window's ClusteredDistribution is
+    * satisfied by the key partitioning) and the final per-stream
+    * aggregate takes map-side partials.
+    */
+  def seasonalStrength(df: DataFrame, keyCol: String, tsUsCol: String,
+                       vMicroCol: String): DataFrame = {
+    val wk = Window.partitionBy(col(keyCol))
+    val wkh = Window.partitionBy(col(keyCol), col("hod"))
+    val x = df.select(col(keyCol), col(vMicroCol).as("v"),
+        expr(s"($tsUsCol DIV 3600000000) % 24").as("hod"))
+      .withColumn("sv", sum(col("v")).over(wk))
+      .withColumn("n", count(lit(1)).over(wk))
+      .withColumn("sh", sum(col("v")).over(wkh))
+      .withColumn("nh", count(lit(1)).over(wkh))
+      .withColumn("level", expr("sv DIV n"))
+      .withColumn("seasonal", expr("sh DIV nh - level"))
+      .withColumn("resid", expr("v - level - seasonal"))
+      .withColumn("dev", expr("v - level"))
+    x.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"), max(col("level")).as("level_micro"),
+        sum(col("resid")).as("sr"),
+        sum(col("resid").cast("decimal(38,0)") * col("resid")).as("sr2"),
+        sum(col("dev")).as("sd"),
+        sum(col("dev").cast("decimal(38,0)") * col("dev")).as("sd2"),
+        min(struct((-col("seasonal")).as("ns"), col("hod").as("h"))).as("pk"))
+      .withColumn("vr", expr(
+        "CAST(n_obs AS DECIMAL(38,0)) * sr2 - CAST(sr AS DECIMAL(38,0)) * sr"))
+      .withColumn("vsr", expr(
+        "CAST(n_obs AS DECIMAL(38,0)) * sd2 - CAST(sd AS DECIMAL(38,0)) * sd"))
+      // constant streams (vsr = 0) report NULL strength explicitly on
+      // both engines (greatest() treats NULL differently across them)
+      .select(col(keyCol), col("n_obs"), col("level_micro"),
+        expr("""CASE WHEN vsr = 0 THEN NULL
+                ELSE greatest(0L,
+                  1000000L - CAST(vr * 1000000 DIV vsr AS BIGINT))
+                END""").as("strength_ppm"),
+        col("pk.h").as("peak_hod"),
+        (-col("pk.ns")).as("peak_seasonal_micro"))
+  }
+
   def rollingPairCorr(df: DataFrame, keyCol: String, tsUsCol: String,
                       vMicroCol: String, tieBreakCol: String,
                       bucketUs: Long = 60000000L, windowRows: Int = 8,

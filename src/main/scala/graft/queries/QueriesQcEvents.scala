@@ -416,6 +416,61 @@ object QueriesQcEvents {
               |    END AS BIGINT) AS r2_signed_ppm
               |FROM g WHERE n >= 4""".stripMargin)),
 
+    // W20 — hour-of-day seasonal profile + Wang-Hyndman seasonal
+    // strength per stream: v = level + seasonal(hod) + residual with
+    // truncating integer means; strength = max(0, 1e6 − 1e6·Var(resid)
+    // / Var(v − level)) computed division-late in HUGEINT ≡
+    // DECIMAL(38,0) (shared n cancels); peak hour by min(struct). One
+    // key exchange serves both window layers and the final aggregate.
+    QDef("w20_seasonal",
+      (s, dir) => {
+        val vMicro =
+          expr(s"CAST(CAST(${Obs.Result} AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
+        WindowKernels.seasonalStrength(
+          obs(s, dir).withColumn("v_micro", vMicro),
+          Obs.DatastreamId, "t_us", "v_micro")
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |m AS (SELECT datastream_id, (t_us // 3600000000) % 24 AS hod,
+              |        CAST(CAST(result AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+              |          AS v
+              |      FROM obs),
+              |x AS (SELECT *,
+              |        sum(v) OVER (PARTITION BY datastream_id) AS sv,
+              |        count(*) OVER (PARTITION BY datastream_id) AS n,
+              |        sum(v) OVER (PARTITION BY datastream_id, hod) AS sh,
+              |        count(*) OVER (PARTITION BY datastream_id, hod) AS nh
+              |      FROM m),
+              |y AS (SELECT datastream_id, hod, v, sv // n AS level,
+              |        sh // nh - sv // n AS seasonal,
+              |        v - sv // n - (sh // nh - sv // n) AS resid,
+              |        v - sv // n AS dev
+              |      FROM x),
+              |g AS (SELECT datastream_id,
+              |        CAST(count(*) AS BIGINT) AS n_obs,
+              |        CAST(max(level) AS BIGINT) AS level_micro,
+              |        CAST(sum(resid) AS BIGINT) AS sr,
+              |        sum(CAST(resid AS HUGEINT) * resid) AS sr2,
+              |        CAST(sum(dev) AS BIGINT) AS sd,
+              |        sum(CAST(dev AS HUGEINT) * dev) AS sd2,
+              |        min({'ns': -seasonal, 'h': hod}) AS pk
+              |      FROM y GROUP BY 1),
+              |h AS (SELECT datastream_id, n_obs, level_micro,
+              |        CAST(n_obs AS HUGEINT) * sr2
+              |          - CAST(sr AS HUGEINT) * sr AS vr,
+              |        CAST(n_obs AS HUGEINT) * sd2
+              |          - CAST(sd AS HUGEINT) * sd AS vsr,
+              |        pk
+              |      FROM g)
+              |SELECT datastream_id, n_obs, level_micro,
+              |  CASE WHEN vsr = 0 THEN NULL
+              |  ELSE greatest(CAST(0 AS BIGINT),
+              |    1000000 - CAST(vr * 1000000 // vsr AS BIGINT))
+              |  END AS strength_ppm,
+              |  CAST(pk['h'] AS BIGINT) AS peak_hod,
+              |  CAST(-pk['ns'] AS BIGINT) AS peak_seasonal_micro
+              |FROM h""".stripMargin)),
+
     // QC capstone — the per-stream HEALTH REPORT an operations page
     // reads: cadence/coverage/gaps (w16) + CUSUM drift alarms (w13) +
     // range violations (f4), joined on the stream key, with one

@@ -751,6 +751,41 @@ object QueriesTpch {
              |       FROM n LEFT JOIN c3 ON c3.node = n.node)
              |SELECT node, rank_micro FROM r3""".stripMargin)),
 
+    // k-hop BFS reachability from the seed set (node % 20 == 0) on the
+    // symmetrized trade graph: first-reached hop per vertex, NULL if
+    // unreached in 3 hops — crawl-frontier sizing / contamination
+    // blast-radius. Fixed rounds ⇒ unrolled-CTE replay (EXCEPT is the
+    // SQL form of the per-round left-anti).
+    QDef("q_reach",
+      (s, dir) => graft.ops.Graphs.reachHops(
+        graft.ops.PageRank.tradeGraphEdges(
+          Q.table(s, dir, "orders"), Q.table(s, dir, "lineitem")),
+        seedMod = 20L, hops = 3),
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""n$r AS MATERIALIZED (
+             |  SELECT DISTINCT e.dst AS v FROM e
+             |  JOIN f${r - 1} ON f${r - 1}.v = e.src
+             |  EXCEPT SELECT v FROM vis${r - 1}),
+             |vis$r AS MATERIALIZED (SELECT v, hop FROM vis${r - 1}
+             |  UNION ALL SELECT v, CAST($r AS INTEGER) AS hop FROM n$r),
+             |f$r AS (SELECT v FROM n$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+           |                  CAST(-l_suppkey AS BIGINT) AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |e AS MATERIALIZED (SELECT src, dst FROM pairs
+           |       UNION ALL SELECT dst, src FROM pairs),
+           |verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+           |vis0 AS (SELECT v, CAST(0 AS INTEGER) AS hop FROM verts
+           |         WHERE v % 20 = 0),
+           |f0 AS (SELECT v FROM vis0),
+           |$rounds
+           |SELECT verts.v, vis3.hop
+           |FROM verts LEFT JOIN vis3 ON vis3.v = verts.v""".stripMargin
+      }),
+
     // personalized PageRank: teleport mass restricted to the seed set
     // (node % 20 == 0 — both engines give remainder the dividend's
     // sign, so the sign-split supplier keys select consistently). Rank
