@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Partitioning / skew utilities for the 100 TB deployment shape.
@@ -88,4 +89,30 @@ object Partitioning {
       s"((($x >> $i) & 1) * ${1L << (2 * i)} + " +
         s"(($y >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString("(", " + ", ")")
+
+  /** Small-file compaction plan — the lakehouse OPTIMIZE manifest: items
+    * of group `groupCol` are laid out in `orderCol` order and cut into
+    * output files of ~`targetBytes` by START offset (an item landing on
+    * a boundary belongs to the file its first byte falls in — the
+    * standard split-by-offset rule, which keeps every file ≤ target +
+    * one item and never splits an item). Returns one row per planned
+    * output file: (group, bin, n_items, bytes, first/last item) — the
+    * manifest a rewrite job executes.
+    *
+    * Scale shape: ONE window exchange on the group key (running size
+    * prefix) + a partial-agg'd groupBy riding the same partitioning.
+    * Pure integer, replays exactly in the oracle.
+    */
+  def compactionPlan(df: DataFrame, groupCol: String, orderCol: String,
+                     sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1)
+    val w = Window.partitionBy(col("grp")).orderBy(col("item"))
+    df.select(col(groupCol).as("grp"), col(orderCol).as("item"),
+        col(sizeCol).cast("long").as("sz"))
+      .withColumn("start", sum(col("sz")).over(w) - col("sz"))
+      .withColumn("bin", expr(s"start DIV $targetBytes"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("n_items"), sum(col("sz")).as("bytes"),
+        min(col("item")).as("first_item"), max(col("item")).as("last_item"))
+  }
 }

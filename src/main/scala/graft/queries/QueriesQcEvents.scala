@@ -1660,6 +1660,27 @@ object QueriesQcEvents {
     // zone-map quality a Z-ORDERed rewrite of this table would give its
     // row groups (tight on BOTH axes; a time sort bounds neither). The
     // scan reads ONE column (event_id) — everything else derives.
+    // small-file compaction plan (the lakehouse OPTIMIZE manifest):
+    // documents laid out per source in doc_id order, cut into ~64 KB
+    // output files by start offset (never splits an item, each file ≤
+    // target + one item). One window exchange + one groupBy riding it.
+    QDef("g_compaction_plan",
+      (s, dir) => Partitioning.compactionPlan(
+        Q.table(s, dir, "documents"), "source", "doc_id", "n_chars",
+        targetBytes = 65536L),
+      Some("""WITH d AS (SELECT source AS grp, doc_id AS item,
+             |         CAST(n_chars AS BIGINT) AS sz FROM documents),
+             |x AS (SELECT grp, item, sz,
+             |        CAST(sum(sz) OVER (PARTITION BY grp ORDER BY item
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          - sz AS BIGINT) AS start
+             |      FROM d)
+             |SELECT grp, start // 65536 AS bin,
+             |  CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(sum(sz) AS BIGINT) AS bytes,
+             |  min(item) AS first_item, max(item) AS last_item
+             |FROM x GROUP BY 1, 2""".stripMargin)),
+
     QDef("g_zorder_layout",
       (s, dir) => {
         val cx = expr("(event_id * 53 % 1000) DIV 4")

@@ -701,6 +701,66 @@ object QueriesText {
               |       // count(*) AS BIGINT) AS avg_quality_micro
               |FROM documents GROUP BY source""".stripMargin)),
 
+    // dataset card — the one-row corpus summary a data release ships
+    // with: volume (docs/tokens/mean length), diversity (sources,
+    // languages, dominant language share), hygiene (exact-dup removable
+    // fraction, short-doc fraction) and mean heuristic quality. Three
+    // independent single-exchange aggregates (global scan, dup groups,
+    // language histogram) crossed as broadcast 1-row frames.
+    QDef("t_corpus_card",
+      (s, dir) => {
+        val docs = Q.table(s, dir, "documents")
+        val d = TextAnalysis.qualityScoreOnto(docs, "quality", col("text"))
+          .withColumn("ntok", TextAnalysis.wsTokenCount(col("text")).cast("long"))
+        val base = d.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("ntok") < 20, 1L).otherwise(0L)).as("n_short"),
+          sum((col("quality").cast("decimal(25,6)") * lit(1000000))
+            .cast("long")).as("sum_q"))
+        val dup = graft.functions.Dedup.exact(docs, "doc_id", "text")
+          .agg(sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("n_dup"))
+        val top = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"))
+          .agg(min(struct((-col("n")).as("nn"), col("lang").as("l"))).as("pk"))
+        base.crossJoin(broadcast(dup)).crossJoin(broadcast(top))
+          .select(col("n_docs"), col("n_tokens"),
+            expr("n_tokens DIV n_docs").as("mean_doc_tokens"),
+            col("n_sources"), col("n_langs"),
+            col("pk.l").as("top_lang"),
+            expr("(-pk.nn) * 1000000 DIV n_docs").as("top_lang_ppm"),
+            expr("n_dup * 1000000 DIV n_docs").as("dup_removable_ppm"),
+            expr("n_short * 1000000 DIV n_docs").as("short_doc_ppm"),
+            expr("CAST(sum_q DIV n_docs AS BIGINT)").as("avg_quality_micro"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(len($rawTokensSql)) AS BIGINT) AS n_tokens,
+              |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              |    CAST(sum(CASE WHEN len($rawTokensSql) < 20 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_short,
+              |    CAST(sum(CAST(CAST($qualitySql AS DECIMAL(25,6)) * 1000000
+              |      AS BIGINT)) AS BIGINT) AS sum_q
+              |  FROM documents),
+              |dup AS (SELECT CAST(sum(CASE WHEN doc_id <> mn THEN 1 ELSE 0 END)
+              |          AS BIGINT) AS n_dup
+              |        FROM (SELECT doc_id, min(doc_id) OVER (
+              |                PARTITION BY md5($normSql)) AS mn
+              |              FROM documents)),
+              |tl AS (SELECT min({'nn': -n, 'l': lang}) AS pk FROM (
+              |         SELECT lang, CAST(count(*) AS BIGINT) AS n
+              |         FROM documents GROUP BY 1))
+              |SELECT n_docs, n_tokens, n_tokens // n_docs AS mean_doc_tokens,
+              |  n_sources, n_langs, pk['l'] AS top_lang,
+              |  (-pk['nn']) * 1000000 // n_docs AS top_lang_ppm,
+              |  n_dup * 1000000 // n_docs AS dup_removable_ppm,
+              |  n_short * 1000000 // n_docs AS short_doc_ppm,
+              |  CAST(sum_q // n_docs AS BIGINT) AS avg_quality_micro
+              |FROM base, dup, tl""".stripMargin)),
+
     // PII scrub: typed-placeholder redaction + redaction count, three
     // map-side regex passes (portable explicit character classes — no
     // shorthand classes that Java and RE2 define differently).
