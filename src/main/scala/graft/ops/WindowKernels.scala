@@ -695,10 +695,13 @@ object WindowKernels {
     * truncates identically in both engines, so rows replay bit-exactly.
     *
     * Scale shape: one row_number window keyed (stream, bucket) for the
-    * per-bucket representative, one pair-keyed equi-join of the two
-    * halves (both sides bucket-aligned, |pairs|·|buckets| rows), one
-    * pair-keyed window for the six rolling sums — a fleet of S streams
-    * costs S-partitioned exchanges, never a cross-stream product.
+    * per-bucket representative, then the two halves align via ONE
+    * conditional-aggregate pivot on (pair, bucket) — a self-JOIN
+    * formulation measured as two full source scans with the whole rep
+    * subtree duplicated per side (plans don't reuse across differing
+    * parity filters); the pivot reads the source once — and one
+    * pair-keyed window for the six rolling sums. Never a cross-stream
+    * product.
     */
   /** Hour-of-day seasonal profile + strength per stream — the classic
     * additive decomposition v = level + seasonal(hod) + residual with
@@ -767,13 +770,17 @@ object WindowKernels {
         Window.partitionBy(col("d"), col("bucket"))
           .orderBy(col("t"), col("tie"))))
       .filter(col("rn") === 1)
-    val px = rep.filter(pmod(col("d"), lit(2L)) === 0)
-      .select(expr("d DIV 2").as("pair_id"), col("bucket"), col("v").as("x"))
-    val py = rep.filter(pmod(col("d"), lit(2L)) === 1)
-      .select(expr("d DIV 2").as("pair_id"), col("bucket"), col("v").as("y"))
+    // each (stream, bucket) contributes exactly one representative, so
+    // the per-(pair, bucket) max(when(parity)) is that single value —
+    // the pivot form of the px⋈py equi-join, at one source scan
+    val paired = rep
+      .groupBy(expr("d DIV 2").as("pair_id"), col("bucket"))
+      .agg(max(when(pmod(col("d"), lit(2L)) === 0, col("v"))).as("x"),
+        max(when(pmod(col("d"), lit(2L)) === 1, col("v"))).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
     val w = Window.partitionBy(col("pair_id")).orderBy(col("bucket"))
       .rowsBetween(-(windowRows - 1), 0)
-    px.join(py, Seq("pair_id", "bucket"))
+    paired
       .select(col("pair_id"), col("bucket"),
         count(lit(1)).over(w).as("n"),
         sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
