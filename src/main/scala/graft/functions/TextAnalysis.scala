@@ -634,4 +634,47 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum("rank").as("sum_rank"))
       .withColumn("mean_rank_micro", expr("sum_rank * 1000000 div n_tokens"))
   }
+
+  /** T5-style span corruption (Raffel et al. 2020's denoising
+    * objective): the document's words are cut into fixed-length slots,
+    * a deterministic hash selects ~1/selectMod of them, each selected
+    * slot is replaced by a numbered sentinel in the corrupted text, and
+    * the training target lists sentinel + masked words in order — the
+    * (inputs, targets) pair generation pass of a denoising-LM data
+    * pipeline. The slot hash keys on (doc, slot), so the masking is a
+    * pure function of the row: map-side, zero shuffle, and the oracle
+    * replays it with the same md5-prefix hash the sampling family uses.
+    * Sentinel ranks come from an O(k²)-in-selected-slots prefix count —
+    * selected slots per doc are ~L/(spanLen·selectMod), so the quadratic
+    * term is negligible against the tokenize cost at any real doc size.
+    */
+  def spanCorruption(df: DataFrame, idCol: String, textCol: String,
+                     spanLen: Int = 3, selectMod: Int = 7): DataFrame = {
+    require(spanLen >= 1 && selectMod >= 2)
+    val L = spanLen
+    val M = selectMod
+    df.select(col(idCol).cast("long").as("doc_id"),
+        split(normalized(col(textCol)), " ").as("w"))
+      .withColumn("slots", expr(s"sequence(0, (size(w) - 1) DIV $L)"))
+      .withColumn("sel", expr(
+        s"""filter(slots, s -> CAST(conv(substring(md5(concat('span',
+           | CAST(doc_id AS STRING), ':', CAST(s AS STRING))), 1, 8),
+           | 16, 10) AS BIGINT) % $M = 0)""".stripMargin.replace("\n", "")))
+      .select(col("doc_id"),
+        expr("size(sel)").cast("long").as("n_spans"),
+        expr(s"""CAST(aggregate(sel, 0,
+             | (a, s) -> a + size(slice(w, s * $L + 1, $L))) AS BIGINT)"""
+          .stripMargin.replace("\n", "")).as("n_masked_words"),
+        expr(s"""array_join(transform(slots, s ->
+             | CASE WHEN array_contains(sel, s)
+             | THEN concat('<extra_id_',
+             |   CAST(size(filter(sel, p -> p < s)) AS STRING), '>')
+             | ELSE array_join(slice(w, s * $L + 1, $L), ' ')
+             | END), ' ')""".stripMargin.replace("\n", "")).as("corrupted"),
+        expr(s"""array_join(transform(sel, s ->
+             | concat('<extra_id_',
+             |   CAST(size(filter(sel, p -> p < s)) AS STRING), '> ',
+             |   array_join(slice(w, s * $L + 1, $L), ' '))), ' ')"""
+          .stripMargin.replace("\n", "")).as("targets"))
+  }
 }

@@ -701,6 +701,46 @@ object QueriesText {
               |       // count(*) AS BIGINT) AS avg_quality_micro
               |FROM documents GROUP BY source""".stripMargin)),
 
+    // T5 span corruption (Raffel et al. 2020): deterministic hash-
+    // selected word slots become numbered sentinels in the corrupted
+    // input; targets list sentinel + masked words — the denoising-LM
+    // (inputs, targets) generation pass. Pure map-side row function;
+    // the oracle replays the slot hash, sentinel ranks and both
+    // reassembled strings with DuckDB list lambdas.
+    QDef("t_span_corruption",
+      (s, dir) => TextAnalysis.spanCorruption(
+        Q.table(s, dir, "documents"), "doc_id", "text",
+        spanLen = 3, selectMod = 7),
+      Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+              |s0 AS (SELECT doc_id, w,
+              |         range(0, (len(w) - 1) // 3 + 1) AS slots FROM w),
+              |s1 AS (SELECT doc_id, w, slots,
+              |         list_filter(slots, s ->
+              |           CAST(('0x' || substr(md5('span'
+              |             || CAST(doc_id AS VARCHAR) || ':'
+              |             || CAST(s AS VARCHAR)), 1, 8)) AS BIGINT)
+              |           % 7 = 0) AS sel
+              |       FROM s0)
+              |SELECT doc_id,
+              |  CAST(len(sel) AS BIGINT) AS n_spans,
+              |  CAST(coalesce(list_sum(list_transform(sel,
+              |    s -> len(list_slice(w, s*3 + 1, s*3 + 3)))), 0) AS BIGINT)
+              |    AS n_masked_words,
+              |  array_to_string(list_transform(slots, s ->
+              |    CASE WHEN list_contains(sel, s)
+              |    THEN '<extra_id_'
+              |      || CAST(len(list_filter(sel, p -> p < s)) AS VARCHAR)
+              |      || '>'
+              |    ELSE array_to_string(list_slice(w, s*3 + 1, s*3 + 3), ' ')
+              |    END), ' ') AS corrupted,
+              |  coalesce(array_to_string(list_transform(sel, s ->
+              |    '<extra_id_'
+              |      || CAST(len(list_filter(sel, p -> p < s)) AS VARCHAR)
+              |      || '> '
+              |      || array_to_string(list_slice(w, s*3 + 1, s*3 + 3), ' ')),
+              |    ' '), '') AS targets
+              |FROM s1""".stripMargin)),
+
     // dataset card — the one-row corpus summary a data release ships
     // with: volume (docs/tokens/mean length), diversity (sources,
     // languages, dominant language share), hygiene (exact-dup removable
