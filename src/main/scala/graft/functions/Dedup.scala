@@ -54,6 +54,24 @@ object Dedup {
       .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
   }
 
+  /** Soft dedup: instead of REMOVING exact duplicates, every member of
+    * a duplicate group keeps a training weight 10⁶ DIV group_size — the
+    * group contributes one document's worth of mass in total (the
+    * downweight-not-delete curation option: removal loses the natural
+    * frequency signal entirely, soft weights cap it). Also reports each
+    * doc's weighted token mass so a budgeted sampler can consume the
+    * weights directly. Same two-phase groupBy(fp) shape as [[exact]] —
+    * the hot-group count collapses map-side.
+    */
+  def softWeights(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exact(df, idCol, textCol)
+      .withColumn("weight_ppm", expr("1000000 DIV group_size"))
+      .withColumn("weighted_tokens_ppm",
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long")
+          * col("weight_ppm"))
+      .select(col(idCol), col("group_size"), col("weight_ppm"),
+        col("weighted_tokens_ppm"))
+
   /** Sub-document exact dedup (Lee et al. 2022 span dedup, on the
     * fixed-word-window span unit of [[TextAnalysis.passages]]):
     * first-seen-wins per exact passage — the occurrence with the

@@ -297,6 +297,25 @@ object QueriesText {
               |  doc_id <> min(doc_id) OVER (PARTITION BY md5($normSql)) AS is_duplicate
               |FROM documents""".stripMargin)),
 
+    // soft dedup: duplicate groups are DOWNWEIGHTED instead of removed —
+    // every member carries weight 1e6 DIV group_size so the group
+    // contributes one document's mass in total (removal loses the
+    // natural frequency signal; soft weights cap it). Weighted token
+    // mass feeds a budgeted sampler directly. Same two-phase
+    // groupBy(fp) scale shape as dd_exact.
+    QDef("dd_soft_weights",
+      (s, dir) => Dedup.softWeights(Q.table(s, dir, "documents"),
+        "doc_id", "text"),
+      Some(s"""WITH g AS (SELECT doc_id,
+              |         count(*) OVER (PARTITION BY md5($normSql))
+              |           AS group_size,
+              |         CAST(len($rawTokensSql) AS BIGINT) AS ntok
+              |       FROM documents)
+              |SELECT doc_id, CAST(group_size AS BIGINT) AS group_size,
+              |  1000000 // group_size AS weight_ppm,
+              |  ntok * (1000000 // group_size) AS weighted_tokens_ppm
+              |FROM g""".stripMargin)),
+
     // exact dedup through Unicode canonicalization: composed and
     // decomposed encodings of the same visible text (synthesized
     // deterministically — doc_id mod 3 picks composed-e-acute /
