@@ -1198,6 +1198,42 @@ object QueriesQcEvents {
               |FROM m JOIN th USING (datastream_id)
               |GROUP BY 1, 2""".stripMargin)),
 
+    // W21 — per-stream winsorization: values clamp to the exact
+    // [p10, p90] band (thresholds from the distinct-value histogram —
+    // never a per-stream row sort — broadcast back onto the rows); the
+    // robust-preprocessing step that caps outliers instead of dropping
+    // them (complements a14's trimming and w11's MAD flags).
+    QDef("w21_winsorize",
+      (s, dir) => {
+        val vMicro =
+          expr(s"CAST(CAST(${Obs.Result} AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
+        val m = obs(s, dir).select(col(Obs.DatastreamId), col(Obs.IotId),
+          vMicro.as("v_micro"))
+        val th = graft.functions.Sketches.exactQuantiles(
+          m, Seq(Obs.DatastreamId), col("v_micro"), Seq(10, 90))
+        m.join(th, Seq(Obs.DatastreamId))
+          .select(col(Obs.DatastreamId), col(Obs.IotId), col("v_micro"),
+            greatest(col("p10"), least(col("p90"), col("v_micro")))
+              .as("v_winsor_micro"),
+            (col("v_micro") < col("p10") || col("v_micro") > col("p90"))
+              .as("clamped"))
+      },
+      Some(s"""WITH ${Q.ObsCte},
+              |m AS (SELECT datastream_id, iot_id,
+              |        CAST(CAST(result AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+              |          AS v_micro
+              |      FROM obs),
+              |th AS (SELECT datastream_id,
+              |         CAST(percentile_disc(0.10) WITHIN GROUP (ORDER BY v_micro)
+              |           AS BIGINT) AS p10,
+              |         CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY v_micro)
+              |           AS BIGINT) AS p90
+              |       FROM m GROUP BY 1)
+              |SELECT m.datastream_id, m.iot_id, m.v_micro,
+              |  greatest(p10, least(p90, v_micro)) AS v_winsor_micro,
+              |  (v_micro < p10 OR v_micro > p90) AS clamped
+              |FROM m JOIN th USING (datastream_id)""".stripMargin)),
+
     // A14 — exact 10%-trimmed statistics per stream (drop the lowest
     // and highest decile of rows, aggregate the middle) without a
     // per-stream sort; the oracle trims by row_number — an independent
