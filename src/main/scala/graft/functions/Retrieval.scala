@@ -277,9 +277,28 @@ object Retrieval {
     assembleTriples(docs, idCol, pos, lex, every, kRand, poolMod)
   }
 
+  /** How many indexed pool draws each query makes before exclusions and
+    * the top-kRand cut — the slack absorbs self/taken/collision losses.
+    */
+  val RandDrawsPerQuery = 8
+
   /** Shared triple assembly: hard negatives = lexical top-k minus the
-    * positive (re-ranked), random negatives = kRand from the global
-    * hash-selected pool, positives passed through.
+    * positive (re-ranked), random negatives = kRand of
+    * [[RandDrawsPerQuery]] INDEXED pool draws per query, positives
+    * passed through.
+    *
+    * The random leg is draw-by-position, not enumerate-and-rank: the
+    * original form ranked the per-query hash over the ENTIRE pool —
+    * queries × pool = Q·N/poolMod pairs, each paying an md5 — which
+    * measured 273× at the 100× point (500M pairs at sf10; the quadratic
+    * wall, found by the century bench). Now the pool gets a distributed
+    * dense index (bucket counts → bucket-offset prefix over the
+    * ~id-range/2²⁰-row bucket frame → per-bucket row_number), each query
+    * hashes J slot positions, and an equi-join on the position fetches
+    * exactly Q·J candidate rows no matter how large the corpus grows.
+    * Exclusions (self, positive, hard negatives, position collisions)
+    * eat into the J=8 slack; the final top-kRand by the same 'rng' hash
+    * keeps selection deterministic and oracle-replayable.
     */
   private def assembleTriples(docs: DataFrame, idCol: String,
                               pos: DataFrame, lex: DataFrame, every: Long,
@@ -291,18 +310,40 @@ object Retrieval {
       .withColumn("rnk", row_number().over(wq))
       .select(col("query_id"), col("doc_id"), lit("hard_neg").as("role"),
         col("rnk"))
-    // global negative pool: deterministic doc-hash sample, broadcastable
+    // global negative pool: deterministic doc-hash sample
     val pool = docs
       .select(col(idCol).cast("long").as("doc_id"))
       .filter(pmod(Dedup.baseHash(concat(lit("pool"), col("doc_id"))),
         lit(poolMod)) === 0)
+    // distributed dense index 0..P-1 over the pool in doc_id order:
+    // per-bucket counts, a prefix-sum window over the BUCKET frame
+    // (id-range/2^20 rows — distinct-bucket scale, never the pool), and
+    // a per-bucket row_number
+    val counts = pool.withColumn("pb", expr("doc_id DIV 1048576"))
+      .groupBy(col("pb")).agg(count(lit(1)).as("c"))
+    val offs = counts.select(col("pb"),
+      (sum(col("c")).over(Window.orderBy(col("pb"))) - col("c")).as("off"))
+    val pidx = pool.withColumn("pb", expr("doc_id DIV 1048576"))
+      .join(offs, Seq("pb"))
+      .select(col("doc_id"), (col("off") + row_number().over(
+        Window.partitionBy(col("pb")).orderBy(col("doc_id"))) - 1)
+        .as("pidx"))
+    val pTotal = pool.agg(count(lit(1)).as("p"))
     val qids = docs.select(col(idCol).cast("long").as("query_id"))
       .filter(pmod(col("query_id"), lit(every)) === 0)
     val taken = pos.select(col("query_id"), col("doc_id"))
       .union(hard.select(col("query_id"), col("doc_id")))
+    val draws = qids.crossJoin(broadcast(pTotal))
+      .select(col("query_id"),
+        explode(expr(s"sequence(0, ${RandDrawsPerQuery - 1})")).as("j"),
+        col("p"))
+      .select(col("query_id"),
+        pmod(Dedup.baseHash(concat(lit("rsel"), col("query_id"), lit(":"),
+          col("j"))), col("p")).as("widx"))
     val wr = Window.partitionBy(col("query_id")).orderBy(col("h").asc,
       col("doc_id").asc)
-    val rand = qids.crossJoin(broadcast(pool))
+    val rand = draws.join(pidx, draws("widx") === pidx("pidx"))
+      .select(col("query_id"), col("doc_id")).distinct()
       .filter(col("doc_id") =!= col("query_id"))
       .join(taken, Seq("query_id", "doc_id"), "left_anti")
       .withColumn("h", Dedup.baseHash(concat(lit("rng"), col("query_id"),

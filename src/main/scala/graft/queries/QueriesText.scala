@@ -2812,23 +2812,32 @@ object QueriesText {
            |pool AS (SELECT doc_id FROM documents
            |         WHERE CAST(('0x' || substr(md5('pool'
            |           || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0),
+           |pix AS MATERIALIZED (SELECT doc_id,
+           |         row_number() OVER (ORDER BY doc_id) - 1 AS pidx
+           |       FROM pool),
+           |pc AS (SELECT CAST(count(*) AS BIGINT) AS p FROM pool),
            |qids AS (SELECT doc_id AS query_id FROM documents
            |         WHERE doc_id % 50 = 0),
            |taken AS (SELECT query_id, doc_id FROM posr
            |          UNION ALL SELECT query_id, doc_id FROM hardr),
-           |randc AS (SELECT qids.query_id, pool.doc_id,
-           |            CAST(('0x' || substr(md5('rng'
-           |              || CAST(qids.query_id AS VARCHAR) || ':'
-           |              || CAST(pool.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
-           |          FROM qids, pool
-           |          WHERE pool.doc_id <> qids.query_id
+           |draws AS (SELECT query_id,
+           |            CAST(('0x' || substr(md5('rsel'
+           |              || CAST(query_id AS VARCHAR) || ':'
+           |              || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % p AS widx
+           |          FROM qids, range(0, 8) t(j), pc),
+           |randc AS (SELECT DISTINCT draws.query_id, pix.doc_id
+           |          FROM draws JOIN pix ON pix.pidx = draws.widx
+           |          WHERE pix.doc_id <> draws.query_id
            |            AND NOT EXISTS (SELECT 1 FROM taken t
-           |              WHERE t.query_id = qids.query_id
-           |                AND t.doc_id = pool.doc_id)),
+           |              WHERE t.query_id = draws.query_id
+           |                AND t.doc_id = pix.doc_id)),
            |randr AS (SELECT * FROM (
            |    SELECT query_id, doc_id,
            |      CAST(row_number() OVER (PARTITION BY query_id
-           |        ORDER BY h, doc_id) AS INT) AS rnk
+           |        ORDER BY CAST(('0x' || substr(md5('rng'
+           |          || CAST(query_id AS VARCHAR) || ':'
+           |          || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id)
+           |        AS INT) AS rnk
            |    FROM randc) t WHERE rnk <= 3)
            |SELECT query_id, doc_id, 'pos' AS role, CAST(1 AS INT) AS rnk
            |FROM posr
@@ -2919,23 +2928,32 @@ object QueriesText {
            |pool AS (SELECT doc_id FROM documents
            |         WHERE CAST(('0x' || substr(md5('pool'
            |           || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0),
+           |pix AS MATERIALIZED (SELECT doc_id,
+           |         row_number() OVER (ORDER BY doc_id) - 1 AS pidx
+           |       FROM pool),
+           |pc AS (SELECT CAST(count(*) AS BIGINT) AS p FROM pool),
            |qids AS (SELECT doc_id AS query_id FROM documents
            |         WHERE doc_id % 50 = 0),
            |taken AS (SELECT query_id, doc_id FROM posr
            |          UNION ALL SELECT query_id, doc_id FROM hardr),
-           |randc AS (SELECT qids.query_id, pool.doc_id,
-           |            CAST(('0x' || substr(md5('rng'
-           |              || CAST(qids.query_id AS VARCHAR) || ':'
-           |              || CAST(pool.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
-           |          FROM qids, pool
-           |          WHERE pool.doc_id <> qids.query_id
+           |draws AS (SELECT query_id,
+           |            CAST(('0x' || substr(md5('rsel'
+           |              || CAST(query_id AS VARCHAR) || ':'
+           |              || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % p AS widx
+           |          FROM qids, range(0, 8) t(j), pc),
+           |randc AS (SELECT DISTINCT draws.query_id, pix.doc_id
+           |          FROM draws JOIN pix ON pix.pidx = draws.widx
+           |          WHERE pix.doc_id <> draws.query_id
            |            AND NOT EXISTS (SELECT 1 FROM taken t
-           |              WHERE t.query_id = qids.query_id
-           |                AND t.doc_id = pool.doc_id)),
+           |              WHERE t.query_id = draws.query_id
+           |                AND t.doc_id = pix.doc_id)),
            |randr AS (SELECT * FROM (
            |    SELECT query_id, doc_id,
            |      CAST(row_number() OVER (PARTITION BY query_id
-           |        ORDER BY h, doc_id) AS INT) AS rnk
+           |        ORDER BY CAST(('0x' || substr(md5('rng'
+           |          || CAST(query_id AS VARCHAR) || ':'
+           |          || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id)
+           |        AS INT) AS rnk
            |    FROM randc) t WHERE rnk <= 3)
            |SELECT query_id, doc_id, 'pos' AS role, CAST(1 AS INT) AS rnk
            |FROM posr
