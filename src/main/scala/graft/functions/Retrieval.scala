@@ -74,10 +74,17 @@ object Retrieval {
                       every: Long = 29L, offset: Long = 3L,
                       nWords: Int = 5): DataFrame = {
     val words = split(TextAnalysis.normalized(col(textCol)), " ")
+    // EvalOnce pins the tokenize chain in THIS projection: the explode
+    // downstream infers `size(terms) > 0 AND isnotnull(terms)`, and
+    // predicate pushdown substitutes the alias — the normalize regex +
+    // zip_with chain then reappears ~16x inside the scan-level filter
+    // condition AND again in the projection (plan-audited on
+    // t_bm25_search; the pmod conjunct still short-circuits, but every
+    // surviving row paid the chain repeatedly)
     docs.filter(pmod(col(idCol), lit(every)) === lit(offset))
       .select(col(idCol).cast("long").as("query_id"),
-        bigramsOf(slice(words, lit(1), least(size(words), lit(nWords))))
-          .as("terms"))
+        EvalOnce(bigramsOf(slice(words, lit(1),
+          least(size(words), lit(nWords))))).as("terms"))
   }
 
   /** BM25 top-k: for each (query_id, terms) row of `queries`, the k
