@@ -207,7 +207,14 @@ object QueriesEmb {
     * tail below) and by `t_hybrid_ann` in [[QueriesText]], whose dense
     * leg takes the ANN top-20 into reciprocal-rank fusion.
     */
-  private[queries] lazy val ivfPqScoreBody: String = {
+  private[queries] lazy val ivfPqScoreBody: String = ivfPqScoreBodyK(8)
+
+  /** [[ivfPqScoreBody]] generalized over the coarse-list count — the
+    * production scale knob (lists ∝ √N keeps candidates/query flat as
+    * the corpus grows; the default 8 is the oracle-tractable test
+    * shape). `sim_ivfpq_wide` measures the knob at 32 lists.
+    */
+  private[queries] def ivfPqScoreBodyK(kCoarse: Int): String = {
     val m = 8; val sub = 8; val kc = 8; val iters = 2
     val subCtes = (0 until m).map { i =>
       kmeansSubCte(s"p${i}_",
@@ -228,7 +235,7 @@ object QueriesEmb {
     val dqq = dotSql("q.e", "q.e")
     val dap = dotSql("q.e", "a.ap")
     val dapap = dotSql("a.ap", "a.ap")
-    s"""${kmeansCentsCte(k = 8, iters = 2)},
+    s"""${kmeansCentsCte(k = kCoarse, iters = 2)},
        |ccent AS MATERIALIZED (SELECT c, ce FROM cent2),
        |ca AS (
        |  SELECT e.vec_id, e.embedding, s.c,
@@ -663,6 +670,29 @@ object QueriesEmb {
           k = 10, nProbe = 2)
       },
       Some(ivfPqOracleSql)),
+
+    // the coarse-list SCALE KNOB measured: same IVF-PQ pipeline at 32
+    // coarse lists instead of 8 — candidates/query drop from 1/4 to
+    // 1/16 of the corpus (production sets lists ∝ √N so candidates
+    // stay flat as the corpus grows; 8 is the oracle-tractable default,
+    // this query proves the knob oracle-replays at width too).
+    QDef("sim_ivfpq_wide",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 10,
+          nCoarse = 32, coarseIters = 2, m = 8, subDim = 8, nCentroids = 8,
+          pqIters = 2, nProbe = 2, dim = Dim)
+      },
+      Some {
+        s"""WITH ${ivfPqScoreBodyK(32)}
+           |SELECT query_id, match_id, rank, round(sim_ivfpq, 6) + 0.0e0 AS sim_ivfpq FROM (
+           |  SELECT query_id, match_id, sim_ivfpq,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim_ivfpq DESC, match_id ASC) AS INT) AS rank
+           |  FROM s) r
+           |WHERE rank <= 10""".stripMargin
+      }),
 
     // random-hyperplane LSH bucket assignment (the ANN scale path) —
     // native codegen'd expression; quantized-integer hyperplane dots
