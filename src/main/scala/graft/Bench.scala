@@ -92,22 +92,20 @@ object Bench {
     // stdout line trims the sf to its basename and drops an empty error
     // map; the file JSON keeps the full forms
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val errPart = if (errs.isEmpty) "" else s""","errors":$errJson"""
-    val line = s"""{"metric":"total","value":${f3(totals.min)},"unit":"sec","queries":$qs$errPart,"sf":"$sfShort"}"""
     val full = s"""{"metric":"total","value":${f3(totals.min)},"unit":"sec","reps":$reps,"totals":$totalsJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir","out":"$outFile"}"""
-    println(full)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"bench: could not write $outFile: $e") }
-    // stop Spark BEFORE the final prints so no late executor log line
-    // lands after them, then the per-query line, then the COMPACT line
-    // as the very last stdout line: a tail-window log capture keeps the
-    // END of the output, and at 135 queries the per-query line alone
-    // overflows the ~2 KB window (r8's tail started mid-line) — the
-    // small always-parseable summary must be what survives at the tail
+    // The per-query map NEVER touches stdout — at 200+ queries even the
+    // ms-precision form (~3 KB) overflows the driver's ~2 KB tail-window
+    // log capture, which truncated the JSON head in r7/r8/r10
+    // (parsed: null three rounds running). stdout carries ONLY the
+    // compact always-parseable summary, printed AFTER spark.stop() so
+    // no late executor log line can land behind it; bench_full.json
+    // keeps everything (reps, every rep's total, the per-query map).
     spark.stop()
-    println(line)
-    println(s"""{"metric":"total","value":${f3(totals.min)},"unit":"sec","nqueries":${names.size},"nerrors":${errs.size},"sf":"$sfShort","out":"$outFile"}""")
+    val errPart = if (errs.isEmpty) "" else s""","errors":$errJson"""
+    println(s"""{"metric":"total","value":${f3(totals.min)},"unit":"sec","nqueries":${names.size},"nerrors":${errs.size}$errPart,"sf":"$sfShort","out":"$outFile"}""")
   }
 }

@@ -31,6 +31,24 @@ import org.apache.spark.sql.functions._
   */
 object Bitext {
 
+  /** LSH plane count derived from the corpus size: the smallest p with
+    * targetBucketSize · 2^p ≥ N, clamped to [4, 24] — i.e. enough
+    * hyperplanes that the EXPECTED bucket holds ~targetBucketSize
+    * vectors no matter how large the corpus grows. A fixed plane count
+    * saturates: at 100× the data, 64 fixed buckets grew candidates only
+    * 3.8× while the cap silently discarded a growing fraction of true
+    * pairs (recall loss, measured round 10). Pure integer arithmetic —
+    * the oracle replays it exactly (`QueriesEmb.autoPlanesSql`).
+    * Example widths: 500 → 16 buckets (p=4), 2 000 → 64 (p=6),
+    * 200 000 → 8 192 (p=13).
+    */
+  def autoPlanes(n: Long, targetBucketSize: Long = 32L): Int = {
+    require(n >= 1 && targetBucketSize >= 1)
+    var p = 0
+    while (p < 24 && (targetBucketSize << p) < n) p += 1
+    math.max(4, p)
+  }
+
   /** Mine mutual-best margin pairs between the even-id half (source
     * side) and the odd-id half (target side) of `emb`.
     *
@@ -41,15 +59,23 @@ object Bitext {
     * one truncating integer mean. A pair is emitted when each endpoint
     * is the other's best margin match and the margin clears
     * `minMarginMicro`.
+    *
+    * `nPlanes` defaults to 0 = SELF-SCALING: [[autoPlanes]] of the
+    * corpus count (one count job). Pass an explicit value only for
+    * pinned test shapes; [[saturationStats]] makes any resulting recall
+    * loss visible.
     */
   def minePairs(emb: DataFrame, idCol: String, embCol: String,
-                nPlanes: Int = 6, dim: Int = 64, k: Int = 4,
+                nPlanes: Int = 0, dim: Int = 64, k: Int = 4,
                 maxBucketSize: Long = 100L,
-                minMarginMicro: Long = 0L): DataFrame = {
+                minMarginMicro: Long = 0L,
+                targetBucketSize: Long = 32L): DataFrame = {
     require(k >= 1)
+    val np = if (nPlanes > 0) nPlanes
+             else autoPlanes(emb.count(), targetBucketSize)
     val b0 = emb.select(col(idCol).cast("long").as("id"),
       col(embCol).as("e"),
-      Similarity.lshBucket(col(embCol), nPlanes, dim).as("bucket"))
+      Similarity.lshBucket(col(embCol), np, dim).as("bucket"))
     val b = SkewCap.dropOverCap(b0, col("bucket"), maxBucketSize)
     val srcs = b.filter(pmod(col("id"), lit(2L)) === 0)
       .select(col("id").as("src_id"), col("e").as("ea"), col("bucket"))
@@ -87,6 +113,36 @@ object Bitext {
         && col("margin_micro") >= minMarginMicro)
       .select(col("src_id"), col("tgt_id"), col("cos_micro"),
         col("margin_micro"))
+  }
+
+  /** The saturation metric for [[minePairs]]' bucket geometry — the
+    * 1-row side output that makes recall loss VISIBLE instead of
+    * silent: how many buckets hit the skew cap, how many vectors the
+    * cap dropped, and the candidate volume the surviving buckets
+    * generate. A healthy run has `buckets_at_cap` ≈ 0; a saturated one
+    * (fixed planes on a 100× corpus) shows the dropped mass directly.
+    * One map-side bucket assignment + one partial-agg'd groupBy over
+    * bucket counts (bucket-scale, never corpus-scale state).
+    *
+    * `nPlanes = 0` derives the width via [[autoPlanes]] exactly as
+    * [[minePairs]] does, so the stats describe the same geometry.
+    */
+  def saturationStats(emb: DataFrame, idCol: String, embCol: String,
+                      nPlanes: Int = 0, dim: Int = 64,
+                      maxBucketSize: Long = 100L,
+                      targetBucketSize: Long = 32L): DataFrame = {
+    val np = if (nPlanes > 0) nPlanes
+             else autoPlanes(emb.count(), targetBucketSize)
+    emb.select(Similarity.lshBucket(col(embCol), np, dim).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .agg(lit(np).as("n_planes"),
+        count(lit(1)).as("total_buckets"),
+        sum(when(col("c") > maxBucketSize, 1L).otherwise(0L))
+          .as("buckets_at_cap"),
+        sum(when(col("c") > maxBucketSize, col("c")).otherwise(0L))
+          .as("rows_dropped"),
+        sum(when(col("c") <= maxBucketSize,
+          col("c") * col("c")).otherwise(0L)).as("candidate_volume"))
   }
 
 }
@@ -137,8 +193,12 @@ object EmbAudit {
                   (CAST(dot AS DECIMAL(38,0)) * dot * 1000000)
                     DIV nullif(CAST(vv AS DECIMAL(38,0)) * cc, 0)
                 END AS BIGINT)""").as("cos2_signed_ppm"))
+    // NULLS LAST explicitly: the score is NULL when vv*cc = 0 (all-zero
+    // quantized vector or zero centroid). Spark's default asc puts NULLs
+    // FIRST, DuckDB's puts them LAST — a zero-norm member would otherwise
+    // rank 1 here and rank last in the oracle. Pin the portable order.
     val w = Window.partitionBy(col("label"))
-      .orderBy(col("cos2_signed_ppm").asc, col("id").asc)
+      .orderBy(col("cos2_signed_ppm").asc_nulls_last, col("id").asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("label"), col("id").as("vec_id"),

@@ -349,6 +349,19 @@ object Multimodal {
     * a codec dependency: intra frames decode through the same
     * `javax.imageio` path the image rows use. Map-side only — payloads
     * never shuffle; only (id, frame, dims, 64-bit hash) rows move on.
+    *
+    * ==Decode contract (explicit boundary, not an implementation
+    * detail)==
+    * Coverage is INTRA-ONLY keyframes: each keyframe's byte span must be
+    * a standalone `javax.imageio`-decodable image (JPEG/PNG/BMP/GIF —
+    * the MJPEG-in-MP4 / MJPEG-in-WebM family). Inter-frame codecs
+    * (H.264, H.265, VP9, AV1) are OUT OF SCOPE BY DESIGN: their
+    * keyframes need a codec library this engine deliberately does not
+    * depend on. A keyframe that ImageIO cannot decode fails LOUDLY
+    * (named media id + frame index + this contract), never silently
+    * skips — silent skips would undercount scene cuts and phash dups
+    * with no signal to the caller. Container parsing (MP4 stss/stsz/
+    * stco, WebM SimpleBlocks) is codec-agnostic and stays in scope.
     */
   def videoKeyframePhash(media: DataFrame): Dataset[VideoPhashRow] = {
     val spark = media.sparkSession
@@ -365,7 +378,13 @@ object Multimodal {
         spans.map { case (k, off, len) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.payload, off.toInt, len))
-          require(img != null, s"undecodable intra frame $k")
+          require(img != null,
+            s"media ${r.media_id} keyframe $k: not a standalone " +
+              "ImageIO-decodable image. videoKeyframePhash covers " +
+              "INTRA-ONLY video (MJPEG-style JPEG/PNG samples); " +
+              "inter-frame codecs (H.264/H.265/VP9/AV1) are out of " +
+              "scope by design — transcode keyframes to MJPEG upstream " +
+              "or extract stills with a codec-equipped tool first")
           val (w, h) = (img.getWidth, img.getHeight)
           // 65 sampled columns spread across the width (c*(w-1)/64 —
           // for a 65-px frame that is column c exactly), integer mean

@@ -285,13 +285,18 @@ object Retrieval {
   }
 
   /** How many indexed pool draws each query makes before exclusions and
-    * the top-kRand cut — the slack absorbs self/taken/collision losses.
+    * the top-kRand cut. Draws SCALE with kRand — 2·kRand + 2, floored at
+    * 8 — so the slack that absorbs self/positive/hard-negative/collision
+    * losses grows with the ask: a fixed draw count would silently
+    * under-fill rand_neg for kRand ≥ 4 (each exclusion eats a draw and
+    * distinct() collapses position collisions). At the default kRand = 3
+    * this is the historical 8, which the oracles replay literally.
     */
-  val RandDrawsPerQuery = 8
+  def randDrawsPerQuery(kRand: Int): Int = math.max(8, 2 * kRand + 2)
 
   /** Shared triple assembly: hard negatives = lexical top-k minus the
     * positive (re-ranked), random negatives = kRand of
-    * [[RandDrawsPerQuery]] INDEXED pool draws per query, positives
+    * [[randDrawsPerQuery]] INDEXED pool draws per query, positives
     * passed through.
     *
     * The random leg is draw-by-position, not enumerate-and-rank: the
@@ -342,7 +347,7 @@ object Retrieval {
       .union(hard.select(col("query_id"), col("doc_id")))
     val draws = qids.crossJoin(broadcast(pTotal))
       .select(col("query_id"),
-        explode(expr(s"sequence(0, ${RandDrawsPerQuery - 1})")).as("j"),
+        explode(expr(s"sequence(0, ${randDrawsPerQuery(kRand) - 1})")).as("j"),
         col("p"))
       .select(col("query_id"),
         pmod(Dedup.baseHash(concat(lit("rsel"), col("query_id"), lit(":"),

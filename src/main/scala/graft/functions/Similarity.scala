@@ -36,11 +36,37 @@ object Similarity {
       org.apache.spark.sql.GraftExpressionBridge.expression(a),
       org.apache.spark.sql.GraftExpressionBridge.expression(b)))
 
+  /** Corpus-size bound for the O(queries × corpus) scoring forms. The
+    * brute twins exist for oracle parity and small-corpus baselines —
+    * at 1M vectors each query already scores a million pairs, and
+    * nothing else stops someone pointing them at a cluster-scale
+    * corpus where the persisted-index family is the only sane path.
+    * The guard is the [[ivfTopK]] 65536-centroid pattern: a loud,
+    * named failure instead of a silent quadratic wall.
+    */
+  val MaxBruteCorpus: Long = 1000000L
+
+  /** One cheap count() against the O(Q·N) wall: loud failure above
+    * `maxCorpus`, naming the production alternative.
+    */
+  private def guardBrute(corpus: DataFrame, op: String, alt: String,
+                         maxCorpus: Long): Unit = {
+    val n = corpus.count()
+    require(n <= maxCorpus,
+      s"$op scores O(queries x corpus) pairs and the corpus has $n rows " +
+        s"(> $maxCorpus): this form is an oracle-parity / small-corpus " +
+        s"baseline, not the production path. Use $alt, or raise maxCorpus " +
+        "explicitly if the quadratic cost is intended.")
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors (excluding itself). Query side is broadcast.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                     embCol: String, k: Int): DataFrame = {
+                     embCol: String, k: Int,
+                     maxCorpus: Long = MaxBruteCorpus): DataFrame = {
+    guardBrute(corpus, "bruteForceTopK",
+      "writeIvfPqIndex + searchIvfPqIndex", maxCorpus)
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
     val c = corpus.select(col(idCol).as("match_id"), col(embCol).as("c_emb"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("match_id"))
@@ -74,7 +100,10 @@ object Similarity {
     * exact-path plan.
     */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                    embCol: String, k: Int, scale: Int = 200): DataFrame = {
+                    embCol: String, k: Int, scale: Int = 200,
+                    maxCorpus: Long = MaxBruteCorpus): DataFrame = {
+    guardBrute(corpus, "quantizedTopK",
+      "writeIvfPqIndex + searchIvfPqIndex", maxCorpus)
     val q = queries.select(col(idCol).as("query_id"),
       scalarQuantize(col(embCol), scale).as("q_q"))
     val c = corpus.select(col(idCol).as("match_id"),
@@ -125,7 +154,10 @@ object Similarity {
     * broadcast; one shuffle for the per-query top-k.
     */
   def binaryTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                 embCol: String, k: Int, dim: Int = 64): DataFrame = {
+                 embCol: String, k: Int, dim: Int = 64,
+                 maxCorpus: Long = MaxBruteCorpus): DataFrame = {
+    guardBrute(corpus, "binaryTopK",
+      "writeIvfPqIndex + searchIvfPqIndex", maxCorpus)
     val q = withBinaryWords(
       queries.select(col(idCol).as("query_id"), col(embCol).as("e")),
       "e", "q", dim).drop("e")
@@ -153,7 +185,10 @@ object Similarity {
     */
   def binaryRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                        embCol: String, k: Int, cand: Int = 40,
-                       dim: Int = 64): DataFrame = {
+                       dim: Int = 64,
+                       maxCorpus: Long = MaxBruteCorpus): DataFrame = {
+    guardBrute(corpus, "binaryRerankTopK",
+      "writeIvfPqIndex + searchIvfPqIndex", maxCorpus)
     val q = withBinaryWords(
       queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb")),
       "q_emb", "q", dim)
@@ -237,7 +272,10 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              embCol: String, k: Int, m: Int = 8, subDim: Int = 8,
-             nCentroids: Int = 8, iters: Int = 2): DataFrame = {
+             nCentroids: Int = 8, iters: Int = 2,
+             maxCorpus: Long = MaxBruteCorpus): DataFrame = {
+    guardBrute(corpus, "pqTopK (train-in-query)",
+      "writePqIndex + searchPqIndex", maxCorpus)
     val cbs = trainPqCodebooks(corpus, idCol, embCol, m, subDim, nCentroids, iters)
     val c = corpus.select(col(idCol).as("match_id"),
       pqReconstruct(pqEncode(col(embCol), cbs, subDim), cbs, subDim).as("recon"))
@@ -385,6 +423,30 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Coarse-list count derived from the corpus size: the largest power
+    * of two ≤ √N, floored at 8 — the standard IVF sizing rule (lists ∝
+    * √N keeps both per-list length and the probe stream at O(√N), so
+    * candidates/query stay FLAT as the corpus grows; a fixed list count
+    * makes every list, and therefore every probe, grow linearly — the
+    * measured 56× serving tail at the 100× point). Power-of-two floor +
+    * integer √ keep the value bit-identical to the oracle's SQL mirror
+    * (`QueriesEmb.autoCoarseKSql`): floor(sqrt) over a BIGINT count is
+    * exact in IEEE double for any corpus below 2⁵². Example widths:
+    * 500 → 16, 2 000 → 32, 200 000 → 256, 10⁹ → 16 384.
+    */
+  def autoCoarseLists(n: Long): Int = {
+    require(n >= 1, "autoCoarseLists needs a positive corpus count")
+    val s = math.max(math.floor(math.sqrt(n.toDouble)).toLong, 1L)
+    math.max(8L, java.lang.Long.highestOneBit(s)).toInt
+  }
+
+  /** `nCoarse = 0` (the default) in the index builders means "derive
+    * from the corpus count" via [[autoCoarseLists]] — one count job at
+    * build time buys geometry that keeps serving cost flat at any scale.
+    */
+  private def resolveCoarse(nCoarse: Int, corpus: DataFrame): Int =
+    if (nCoarse > 0) nCoarse else autoCoarseLists(corpus.count())
+
   /** Build and persist an IVF-PQ index (the [[ivfPqTopK]] composition,
     * split build/serve like [[writePqIndex]]): `<path>/meta` holds the
     * coarse centroid matrix + residual PQ codebooks (one row, driver
@@ -392,9 +454,14 @@ object Similarity {
     * vector — match_id, coarse list id, m-byte residual code. Training
     * and encoding run once; the serving path never re-reads the float
     * corpus.
+    *
+    * `nCoarse` defaults to 0 = SELF-SCALING: [[autoCoarseLists]] of the
+    * corpus count. Pass an explicit value only for oracle-pinned test
+    * shapes — a fixed width silently degrades at corpus growth (probe
+    * stream ∝ N/nCoarse).
     */
   def writeIvfPqIndex(corpus: DataFrame, idCol: String, embCol: String,
-                      path: String, nCoarse: Int = 8, coarseIters: Int = 2,
+                      path: String, nCoarse: Int = 0, coarseIters: Int = 2,
                       m: Int = 8, subDim: Int = 8, nCentroids: Int = 8,
                       pqIters: Int = 2, dim: Int = 64,
                       trainOn: Option[DataFrame] = None): Unit = {
@@ -402,9 +469,13 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     // coarse centroids + residual codebooks train on trainOn (or the
-    // whole corpus); every corpus vector is then assigned + encoded
+    // whole corpus); every corpus vector is then assigned + encoded.
+    // Geometry derives from the FULL corpus count (not the training
+    // sample) — list sizing answers "how many vectors per list", which
+    // is a property of what gets encoded, not of what trains.
+    val nC0 = resolveCoarse(nCoarse, corpus)
     val trainDf = trainOn.getOrElse(corpus)
-    val coarse = trainIvfCentroids(trainDf, idCol, embCol, nCoarse, coarseIters, dim)
+    val coarse = trainIvfCentroids(trainDf, idCol, embCol, nC0, coarseIters, dim)
     val coarseLit = typedLit(coarse.toSeq)
     def withResid(df: DataFrame): DataFrame = df
       .withColumn("coarse_c",
@@ -521,7 +592,11 @@ object Similarity {
     import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
     val spark = corpus.sparkSession
     import spark.implicits._
-    val coarse = trainIvfCentroids(corpus, idCol, embCol, nCoarse, coarseIters, dim)
+    // nCoarse = 0 → self-scaling width (the persisted-index builder's
+    // default); the explicit-8 default here stays for the oracle-pinned
+    // train-in-query twin
+    val coarse = trainIvfCentroids(corpus, idCol, embCol,
+      resolveCoarse(nCoarse, corpus), coarseIters, dim)
     val nC = coarse.length / dim
     val coarseLit = typedLit(coarse.toSeq)
     def centSlice(idx: Column) = slice(coarseLit, idx * dim + 1, lit(dim))
@@ -590,6 +665,24 @@ object Similarity {
         s"(CAST(floor(CAST($emb[${d + 1}] AS DOUBLE) * 1048576.0) AS BIGINT) * ${planeWeight(p, d)})"
       }.mkString("(", " + ", ")")
       s"(CASE WHEN $terms > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"CAST($bits AS BIGINT)"
+  }
+
+  /** [[lshBucketSql]] with the plane count as a SQL SCALAR instead of a
+    * literal — the oracle mirror of a self-scaling geometry
+    * (`Bitext.autoPlanes`): all `maxPlanes` bit terms are unrolled and
+    * each is gated on `p < npSql`, so the replayed bucket id equals the
+    * Spark side's np-plane bucket exactly (planes ≥ np contribute 0 on
+    * both engines — Spark never computes them, SQL masks them).
+    */
+  def lshBucketSqlDyn(emb: String, npSql: String, dim: Int = 64,
+                      maxPlanes: Int = 24): String = {
+    val bits = (0 until maxPlanes).map { p =>
+      val terms = (0 until dim).map { d =>
+        s"(CAST(floor(CAST($emb[${d + 1}] AS DOUBLE) * 1048576.0) AS BIGINT) * ${planeWeight(p, d)})"
+      }.mkString("(", " + ", ")")
+      s"(CASE WHEN $p < $npSql AND $terms > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
     s"CAST($bits AS BIGINT)"
   }

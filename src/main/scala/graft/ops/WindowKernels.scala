@@ -690,9 +690,14 @@ object WindowKernels {
     * — the sqrt-free monotone form of r the assortativity/ACF family
     * already uses (sign and magnitude of r are fully recoverable;
     * thresholding r ≥ c ≡ r²_signed ≥ c²). Values quantize micro →
-    * CENTI (DIV 10⁴) before the sums so num²·10⁶ stays well inside
-    * DECIMAL(38,0) ≡ HUGEINT at any window width; every division
-    * truncates identically in both engines, so rows replay bit-exactly.
+    * CENTI (DIV 10⁴) before the sums, and every product — per-row x·y
+    * included — runs in DECIMAL(38,0) ≡ HUGEINT, so no intermediate can
+    * overflow 64-bit (which under ANSI errored the query at
+    * |v_centi| ≳ 3.8e8); every division truncates identically in both
+    * engines, so rows replay bit-exactly. Exactness envelope: the
+    * covariance terms need |n·Σxy − Σx·Σy| ≲ 1e16 (window variance, not
+    * raw magnitude — a mean of 10⁹ centi with small spread is exact);
+    * past it both engines raise their 128-bit overflow loudly.
     *
     * Scale shape: one row_number window keyed (stream, bucket) for the
     * per-bucket representative, then the two halves align via ONE
@@ -780,25 +785,34 @@ object WindowKernels {
       .filter(col("x").isNotNull && col("y").isNotNull)
     val w = Window.partitionBy(col("pair_id")).orderBy(col("bucket"))
       .rowsBetween(-(windowRows - 1), 0)
+    // every product runs in DECIMAL(38,0): the per-row x*y and the n·s
+    // cross terms previously ran in 64-bit, which under ANSI ERRORED the
+    // whole query for centi values above ~3.8e8 (and would silently wrap
+    // with ANSI off — engine divergence either way). Widened, the sums
+    // and cross terms are exact for the full BIGINT micro input range;
+    // the one remaining envelope is DECIMAL(38,0) itself — num² · 10⁶
+    // needs |num| ≲ 1e16, i.e. window-variance · n² ≲ 5e15 — beyond
+    // which BOTH engines raise (ANSI decimal overflow here, HUGEINT
+    // overflow in DuckDB): loud, never silently wrong.
     paired
       .select(col("pair_id"), col("bucket"),
         count(lit(1)).over(w).as("n"),
         sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
-        sum(col("x") * col("y")).over(w).as("sxy"),
-        sum(col("x") * col("x")).over(w).as("sxx"),
-        sum(col("y") * col("y")).over(w).as("syy"))
+        sum(col("x").cast("decimal(38,0)") * col("y")).over(w).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).over(w).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).over(w).as("syy"))
       .filter(col("n") >= minPairs)
+      .withColumn("num", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("dx", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("dy", expr(
+        "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
       .select(col("pair_id"), col("bucket"), col("n").cast("long").as("n_w"),
-        expr("""CAST(CASE WHEN n*sxy - sx*sy < 0 THEN
-                 -((CAST(n*sxy - sx*sy AS DECIMAL(38,0)) * (n*sxy - sx*sy)
-                    * 1000000)
-                   DIV nullif(CAST(n*sxx - sx*sx AS DECIMAL(38,0))
-                              * (n*syy - sy*sy), 0))
+        expr("""CAST(CASE WHEN num < 0 THEN
+                 -((num * num * 1000000) DIV nullif(dx * dy, 0))
                ELSE
-                 (CAST(n*sxy - sx*sy AS DECIMAL(38,0)) * (n*sxy - sx*sy)
-                    * 1000000)
-                   DIV nullif(CAST(n*sxx - sx*sx AS DECIMAL(38,0))
-                              * (n*syy - sy*sy), 0)
+                 (num * num * 1000000) DIV nullif(dx * dy, 0)
                END AS BIGINT)""").as("r2_signed_ppm"))
   }
 }

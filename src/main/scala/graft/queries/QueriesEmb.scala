@@ -86,16 +86,58 @@ object QueriesEmb {
     * and `(CAST(s AS DOUBLE) / cnt) / 2^20` is the same IEEE-exact op
     * sequence as the Scala `s.toDouble / cnt / 1048576.0`.
     */
-  private def kmeansCentsCte(k: Int, iters: Int): String = {
+  private def kmeansCentsCte(k: Int, iters: Int): String =
+    kmeansCentsCteExpr(k.toString, iters)
+
+  /** The self-scaling coarse-list count as a SQL scalar — the exact
+    * mirror of `Similarity.autoCoarseLists`: the largest power of two ≤
+    * floor(√N), floored at 8. The pow2 floor is a max over exact
+    * integer powers (2^b is exact in double for b < 63, so the ≤
+    * comparison never sees rounding), not floor(log2(·)), keeping the
+    * two engines bit-identical at every N.
+    */
+  private[queries] val autoCoarseKSql: String =
+    """(SELECT CAST(greatest(8, max(CASE
+      |    WHEN CAST(power(2, t.b) AS BIGINT) <= s.s
+      |    THEN CAST(power(2, t.b) AS BIGINT) ELSE 1 END)) AS INT)
+      |  FROM (SELECT CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+      |          AS s FROM embeddings) s, range(0, 40) t(b))"""
+      .stripMargin.linesIterator.map(_.trim).mkString(" ")
+
+  /** The self-scaling LSH plane count as a SQL scalar — the exact
+    * mirror of `Bitext.autoPlanes`: the smallest p with
+    * target · 2^p ≥ N, clamped to [4, 24]. Pure integer comparisons
+    * over exact powers of two, so both engines derive the identical
+    * width at every N.
+    */
+  private def autoPlanesSql(target: Int): String =
+    s"""(SELECT least(24, greatest(4, CAST(min(CASE
+       |    WHEN CAST(power(2, t.b) AS BIGINT) * $target >= n.n
+       |    THEN t.b ELSE 99 END) AS INT)))
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings) n,
+       |    range(0, 25) t(b))"""
+      .stripMargin.linesIterator.map(_.trim).mkString(" ")
+
+  /** [[kmeansCentsCte]] with the centroid count as an arbitrary SQL
+    * scalar expression (`kk` CTE) — a literal for the pinned test
+    * shapes, [[autoCoarseKSql]] for the self-scaling geometry. The
+    * seed-row LIMIT becomes a row_number filter (same rows: identical
+    * ORDER BY and count); everything downstream is already
+    * centroid-count-agnostic because centroids live as ROWS.
+    */
+  private def kmeansCentsCteExpr(kSql: String, iters: Int): String = {
     val seed =
       s"""dims AS (SELECT CAST(unnest(range(0, $Dim)) AS INT) AS d),
          |bnd AS (SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM embeddings),
+         |kk AS (SELECT $kSql AS k),
          |seedrows AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY e.vec_id) - 1 AS INT) AS c,
-         |    e.embedding AS se
-         |  FROM embeddings e, bnd
-         |  WHERE (e.vec_id - bnd.mn) % greatest((bnd.mx - bnd.mn + 1) // $k, 1) = 0
-         |  ORDER BY e.vec_id LIMIT $k),
+         |  SELECT c, se FROM (
+         |    SELECT CAST(row_number() OVER (ORDER BY e.vec_id) - 1 AS INT) AS c,
+         |      e.embedding AS se
+         |    FROM embeddings e, bnd
+         |    WHERE (e.vec_id - bnd.mn) %
+         |      greatest((bnd.mx - bnd.mn + 1) // (SELECT k FROM kk), 1) = 0) t
+         |  WHERE c < (SELECT k FROM kk)),
          |cent0 AS MATERIALIZED (SELECT c,
          |  list_transform(range(1, ${Dim + 1}), i -> CAST(se[i] AS DOUBLE)) AS ce
          |  FROM seedrows)""".stripMargin
@@ -214,7 +256,20 @@ object QueriesEmb {
     * the corpus grows; the default 8 is the oracle-tractable test
     * shape). `sim_ivfpq_wide` measures the knob at 32 lists.
     */
-  private[queries] def ivfPqScoreBodyK(kCoarse: Int): String = {
+  private[queries] def ivfPqScoreBodyK(kCoarse: Int): String =
+    ivfPqScoreBodyExpr(kCoarse.toString)
+
+  /** [[ivfPqScoreBodyK]] with the coarse-list count SELF-SCALING from
+    * the corpus size ([[autoCoarseKSql]]) — the oracle of the
+    * production geometry: at sf0.01 (N=500) it replays 16 lists, at
+    * sf0.1 (N=2 000) 32, at the century point (N=200 000) 256. Shared
+    * by `sim_ivfpq_auto` and the auto-geometry serving queries
+    * (`t_hybrid_ann` / `t_mining_ann` in [[QueriesText]]).
+    */
+  private[queries] lazy val ivfPqScoreBodyAuto: String =
+    ivfPqScoreBodyExpr(autoCoarseKSql)
+
+  private def ivfPqScoreBodyExpr(kCoarseSql: String): String = {
     val m = 8; val sub = 8; val kc = 8; val iters = 2
     val subCtes = (0 until m).map { i =>
       kmeansSubCte(s"p${i}_",
@@ -235,7 +290,7 @@ object QueriesEmb {
     val dqq = dotSql("q.e", "q.e")
     val dap = dotSql("q.e", "a.ap")
     val dapap = dotSql("a.ap", "a.ap")
-    s"""${kmeansCentsCte(k = kCoarse, iters = 2)},
+    s"""${kmeansCentsCteExpr(kCoarseSql, iters = 2)},
        |ccent AS MATERIALIZED (SELECT c, ce FROM cent2),
        |ca AS (
        |  SELECT e.vec_id, e.embedding, s.c,
@@ -694,6 +749,31 @@ object QueriesEmb {
            |WHERE rank <= 10""".stripMargin
       }),
 
+    // the coarse-list knob SELF-SCALING (round 11): nCoarse = 0 derives
+    // the width from the corpus count (pow2floor(√N), floor 8) on BOTH
+    // engines — the production sizing rule that keeps candidates/query
+    // flat as the corpus grows, now oracle-replayed end to end. The
+    // derived width CHANGES across scale factors (sf0.01 → 16 lists,
+    // sf0.1 → 32), so a hash-green run at two SFs proves the derivation
+    // itself, not one pinned constant.
+    QDef("sim_ivfpq_auto",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 10,
+          nCoarse = 0, coarseIters = 2, m = 8, subDim = 8, nCentroids = 8,
+          pqIters = 2, nProbe = 2, dim = Dim)
+      },
+      Some {
+        s"""WITH $ivfPqScoreBodyAuto
+           |SELECT query_id, match_id, rank, round(sim_ivfpq, 6) + 0.0e0 AS sim_ivfpq FROM (
+           |  SELECT query_id, match_id, sim_ivfpq,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim_ivfpq DESC, match_id ASC) AS INT) AS rank
+           |  FROM s) r
+           |WHERE rank <= 10""".stripMargin
+      }),
+
     // random-hyperplane LSH bucket assignment (the ANN scale path) —
     // native codegen'd expression; quantized-integer hyperplane dots
     QDef("sim_lsh_buckets",
@@ -734,18 +814,23 @@ object QueriesEmb {
     // immediately, so neighborhood means, margins and the mutual-best
     // selection replay exactly (truncating DIV both engines). The same
     // bucket-size cap as dd_embed_cosine keeps hub buckets from pairing
-    // quadratically.
+    // quadratically. SELF-SCALING geometry (round 11): nPlanes derives
+    // from the corpus count (target ~32 vectors/bucket) on BOTH engines
+    // — at sf0.01 that's 16 buckets, at sf0.1 64, at the century point
+    // 8192, so candidates keep growing with the data instead of
+    // saturating at a fixed 64-bucket cap (the round-10 recall bug).
     QDef("emb_bitext_mine",
       (s, dir) => graft.functions.Bitext.minePairs(
         Q.table(s, dir, "embeddings"), "vec_id", "embedding",
-        nPlanes = 6, dim = Dim, k = 4, maxBucketSize = 100L,
-        minMarginMicro = 0L),
+        nPlanes = 0, dim = Dim, k = 4, maxBucketSize = 100L,
+        minMarginMicro = 0L, targetBucketSize = 32L),
       Some {
         val dxy = dotSql("x.e", "y.e")
         val dxx = dotSql("x.e", "x.e")
         val dyy = dotSql("y.e", "y.e")
-        s"""WITH b0 AS (SELECT vec_id AS id, embedding AS e,
-           |  ${Similarity.lshBucketSql("embedding", 6, Dim)} AS bucket FROM embeddings),
+        s"""WITH autonp AS (SELECT ${autoPlanesSql(32)} AS np),
+           |b0 AS (SELECT vec_id AS id, embedding AS e,
+           |  ${Similarity.lshBucketSqlDyn("embedding", "(SELECT np FROM autonp)", Dim)} AS bucket FROM embeddings),
            |b AS (SELECT id, e, bucket FROM (
            |  SELECT id, e, bucket, count(*) OVER (PARTITION BY bucket) AS bn
            |  FROM b0) WHERE bn <= 100),
@@ -778,6 +863,36 @@ object QueriesEmb {
            |       FROM sc)
            |SELECT src_id, tgt_id, cos_micro, margin_micro FROM mu
            |WHERE mf = 1 AND mb = 1 AND margin_micro >= 0""".stripMargin
+      }),
+
+    // the bitext-mining saturation metric: the 1-row side output that
+    // makes bucket-cap recall loss VISIBLE (buckets at cap, rows the
+    // cap dropped, surviving candidate volume) — a healthy self-scaled
+    // run shows buckets_at_cap ≈ 0; a saturated fixed-width run shows
+    // the dropped mass directly. Same derived geometry as
+    // emb_bitext_mine, so the stats describe exactly what that query
+    // mined over.
+    QDef("emb_bitext_saturation",
+      (s, dir) => graft.functions.Bitext.saturationStats(
+        Q.table(s, dir, "embeddings"), "vec_id", "embedding",
+        nPlanes = 0, dim = Dim, maxBucketSize = 100L,
+        targetBucketSize = 32L),
+      Some {
+        s"""WITH autonp AS (SELECT ${autoPlanesSql(32)} AS np),
+           |b0 AS (SELECT ${Similarity.lshBucketSqlDyn("embedding",
+                     "(SELECT np FROM autonp)", Dim)} AS bucket
+           |       FROM embeddings),
+           |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c
+           |      FROM b0 GROUP BY 1)
+           |SELECT (SELECT np FROM autonp) AS n_planes,
+           |  CAST(count(*) AS BIGINT) AS total_buckets,
+           |  CAST(sum(CASE WHEN c > 100 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS buckets_at_cap,
+           |  CAST(sum(CASE WHEN c > 100 THEN c ELSE 0 END) AS BIGINT)
+           |    AS rows_dropped,
+           |  CAST(sum(CASE WHEN c <= 100 THEN c * c ELSE 0 END) AS BIGINT)
+           |    AS candidate_volume
+           |FROM g""".stripMargin
       }),
 
     // per-label centroid outliers: each embedding scores the signed
@@ -816,7 +931,7 @@ object QueriesEmb {
               |SELECT label, id AS vec_id, cos2_signed_ppm, rnk FROM (
               |  SELECT id, label, cos2_signed_ppm,
               |    CAST(row_number() OVER (PARTITION BY label
-              |      ORDER BY cos2_signed_ppm ASC, id ASC) AS INT) AS rnk
+              |      ORDER BY cos2_signed_ppm ASC NULLS LAST, id ASC) AS INT) AS rnk
               |  FROM r) t
               |WHERE rnk <= 5""".stripMargin)),
 

@@ -2657,10 +2657,13 @@ object QueriesText {
           Retrieval.queriesFromDocs(docs, "doc_id", "text",
             every = 50L, offset = 0L),
           k = 20, excludeSelf = true)
-        val dix = Q.indexDir("ivfpq", dir, "embeddings", "c8i2m8s8k8p2")
+        // nCoarse = 0 → SELF-SCALING width (pow2floor(√N), floor 8):
+        // the fixed-8 geometry measured a 56× candidate tail at the
+        // century point; the derived width keeps probes ∝ √N
+        val dix = Q.indexDir("ivfpq", dir, "embeddings", "cAi2m8s8k8p2")
         if (!new java.io.File(s"$dix/codes/_SUCCESS").exists())
           graft.functions.Similarity.writeIvfPqIndex(emb, "vec_id",
-            "embedding", dix, nCoarse = 8, coarseIters = 2, m = 8,
+            "embedding", dix, nCoarse = 0, coarseIters = 2, m = 8,
             subDim = 8, nCentroids = 8, pqIters = 2, dim = QueriesEmb.Dim)
         val dense = graft.functions.Similarity.searchIvfPqIndex(s, dix,
           emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
@@ -2711,7 +2714,7 @@ object QueriesText {
            |       FROM sc),
            |lex AS (SELECT query_id, doc_id, 1000000 // (60 + rnk) AS r
            |        FROM lr WHERE rnk <= 20),
-           |${QueriesEmb.ivfPqScoreBody},
+           |${QueriesEmb.ivfPqScoreBodyAuto},
            |dr AS (SELECT query_id, match_id AS doc_id,
            |         row_number() OVER (PARTITION BY query_id
            |           ORDER BY sim_ivfpq DESC, match_id ASC) AS rnk
@@ -2861,10 +2864,11 @@ object QueriesText {
         val lix = Q.indexDir("bm25", dir, "documents", "df40v2")
         if (!new java.io.File(s"$lix/postings/_SUCCESS").exists())
           Retrieval.writeIndex(docs, "doc_id", "text", lix, maxDf = 40L)
-        val dix = Q.indexDir("ivfpq", dir, "embeddings", "c8i2m8s8k8p2")
+        // same self-scaling index build (and dir) as t_hybrid_ann
+        val dix = Q.indexDir("ivfpq", dir, "embeddings", "cAi2m8s8k8p2")
         if (!new java.io.File(s"$dix/codes/_SUCCESS").exists())
           graft.functions.Similarity.writeIvfPqIndex(emb, "vec_id",
-            "embedding", dix, nCoarse = 8, coarseIters = 2, m = 8,
+            "embedding", dix, nCoarse = 0, coarseIters = 2, m = 8,
             subDim = 8, nCentroids = 8, pqIters = 2, dim = QueriesEmb.Dim)
         Retrieval.hardNegativeMiningServed(s, docs, "doc_id", "text",
           lix, dix, emb, "vec_id", "embedding",
@@ -2913,7 +2917,7 @@ object QueriesText {
            |           ORDER BY score_micro DESC, doc_id) AS rnk
            |       FROM sc),
            |bmr AS (SELECT query_id, doc_id, rnk FROM lr WHERE rnk <= 5),
-           |${QueriesEmb.ivfPqScoreBody},
+           |${QueriesEmb.ivfPqScoreBodyAuto},
            |posr AS MATERIALIZED (SELECT query_id, match_id AS doc_id FROM (
            |    SELECT query_id, match_id,
            |      row_number() OVER (PARTITION BY query_id

@@ -1,0 +1,103 @@
+package graft
+
+import graft.functions.{Bitext, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Self-scaling ANN/LSH index geometry (round 11): the derived widths,
+  * their exact values at the corpus sizes the oracles replay, and the
+  * corpus-count guards that stop the O(Q·N) brute twins from running
+  * at cluster scale by accident.
+  */
+class AutoGeometrySpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  test("autoCoarseLists: pow2floor(floor(sqrt(N))), floored at 8") {
+    Similarity.autoCoarseLists(1L) shouldBe 8
+    Similarity.autoCoarseLists(63L) shouldBe 8
+    Similarity.autoCoarseLists(256L) shouldBe 16
+    Similarity.autoCoarseLists(500L) shouldBe 16 // sf0.001 / sf0.01
+    Similarity.autoCoarseLists(2000L) shouldBe 32 // sf0.1
+    Similarity.autoCoarseLists(20000L) shouldBe 128 // sf1 scale dir
+    Similarity.autoCoarseLists(200000L) shouldBe 256 // sf10 (century)
+    Similarity.autoCoarseLists(1000000000L) shouldBe 16384
+    // exact-square boundary: sqrt is correctly rounded in IEEE double
+    Similarity.autoCoarseLists(1024L * 1024L) shouldBe 1024
+    Similarity.autoCoarseLists(1024L * 1024L - 1L) shouldBe 512
+  }
+
+  test("autoPlanes: smallest p with target*2^p >= N, clamped to [4, 24]") {
+    Bitext.autoPlanes(1L) shouldBe 4
+    Bitext.autoPlanes(500L) shouldBe 4 // 32*16 = 512 >= 500
+    Bitext.autoPlanes(513L) shouldBe 5
+    Bitext.autoPlanes(2000L) shouldBe 6 // sf0.1 -> 64 buckets
+    Bitext.autoPlanes(200000L) shouldBe 13 // century -> 8192 buckets
+    Bitext.autoPlanes(Long.MaxValue) shouldBe 24 // hard clamp
+    Bitext.autoPlanes(100L, targetBucketSize = 1L) shouldBe 7
+  }
+
+  test("brute-force twins refuse a cluster-scale corpus loudly, naming " +
+    "the persisted-index alternative") {
+    // counting a range is instant; the guard must fire BEFORE any
+    // scoring work, so no embedding data is ever needed
+    val big = spark.range(0L, Similarity.MaxBruteCorpus + 1)
+      .toDF("vec_id").withColumn("embedding", array(lit(1.0f)))
+    val q = big.limit(1)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(big, q, "vec_id", "embedding", k = 5)
+    }
+    e.getMessage should include("searchIvfPqIndex")
+    e.getMessage should include("bruteForceTopK")
+
+    // the tightened bound fires for every guarded form
+    val small = spark.range(0L, 100L)
+      .toDF("vec_id").withColumn("embedding", array(lit(1.0f)))
+    intercept[IllegalArgumentException] {
+      Similarity.quantizedTopK(small, q, "vec_id", "embedding", k = 2,
+        maxCorpus = 10L)
+    }.getMessage should include("quantizedTopK")
+    intercept[IllegalArgumentException] {
+      Similarity.binaryTopK(small, q, "vec_id", "embedding", k = 2,
+        maxCorpus = 10L)
+    }.getMessage should include("binaryTopK")
+    intercept[IllegalArgumentException] {
+      Similarity.binaryRerankTopK(small, q, "vec_id", "embedding", k = 2,
+        maxCorpus = 10L)
+    }.getMessage should include("binaryRerankTopK")
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(small, q, "vec_id", "embedding", k = 2,
+        maxCorpus = 10L)
+    }.getMessage should include("searchPqIndex")
+  }
+
+  test("auto-width IVF-PQ index: derived geometry persists and serves " +
+    "identically to the explicit width") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val n = emb.count()
+    val expected = Similarity.autoCoarseLists(n)
+    expected shouldBe 16
+
+    val ixAuto = java.nio.file.Files.createTempDirectory("graft_ivfpq_auto").toString
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ixAuto,
+      nCoarse = 0, coarseIters = 1, m = 8, subDim = 8, nCentroids = 4,
+      pqIters = 1, dim = 64)
+    val ixExpl = java.nio.file.Files.createTempDirectory("graft_ivfpq_expl").toString
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ixExpl,
+      nCoarse = expected, coarseIters = 1, m = 8, subDim = 8,
+      nCentroids = 4, pqIters = 1, dim = 64)
+
+    def res(ix: String) = Similarity
+      .searchIvfPqIndex(spark, ix, queries, "vec_id", "embedding",
+        k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    res(ixAuto) shouldBe res(ixExpl)
+
+    // the persisted coarse matrix actually has the derived width
+    val meta = spark.read.parquet(s"$ixAuto/meta").collect()(0)
+    val coarse = meta.getSeq[Double](meta.fieldIndex("coarse"))
+    coarse.length shouldBe expected * 64
+  }
+}

@@ -100,4 +100,42 @@ class BitextSpec extends SparkSpec with Matchers {
     got.length shouldBe 1
     got.head.getLong(3) shouldBe 0L
   }
+
+  test("saturationStats: an over-cap corpus reports the dropped mass") {
+    // constant vectors collapse into ONE bucket; cap 10 -> that bucket
+    // is at cap and every row is dropped — the exact silent-recall-loss
+    // shape the metric exists to expose
+    val df = (0L until 50L).map(id => (id, (0 until dim).map(_ => 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Bitext.saturationStats(df, "vec_id", "embedding",
+      nPlanes = 4, dim = dim, maxBucketSize = 10L).collect()(0)
+    got.getAs[Int]("n_planes") shouldBe 4
+    got.getAs[Long]("total_buckets") shouldBe 1L
+    got.getAs[Long]("buckets_at_cap") shouldBe 1L
+    got.getAs[Long]("rows_dropped") shouldBe 50L
+    got.getAs[Long]("candidate_volume") shouldBe 0L
+  }
+
+  test("auto geometry: bucket width grows with the corpus, killing the " +
+    "fixed-width candidate saturation") {
+    val small = emb(0L until 64L) // target 32: p = max(4, 1) = 4
+    val large = emb(0L until 4096L) // 32 * 2^7 = 4096 -> p = 7
+    val sSmall = Bitext.saturationStats(small, "vec_id", "embedding",
+      nPlanes = 0, dim = dim).collect()(0)
+    val sLarge = Bitext.saturationStats(large, "vec_id", "embedding",
+      nPlanes = 0, dim = dim).collect()(0)
+    sSmall.getAs[Int]("n_planes") shouldBe 4
+    sLarge.getAs[Int]("n_planes") shouldBe 7
+    // 64x the data gets a wider table, not the same saturated buckets
+    assert(sLarge.getAs[Long]("total_buckets") >
+      sSmall.getAs[Long]("total_buckets"))
+    // and minePairs derives the same width (auto == explicit)
+    val auto = Bitext.minePairs(small, "vec_id", "embedding",
+      nPlanes = 0, dim = dim, k = 3, maxBucketSize = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Bitext.minePairs(small, "vec_id", "embedding",
+      nPlanes = 4, dim = dim, k = 3, maxBucketSize = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    auto shouldBe explicit
+  }
 }

@@ -159,6 +159,28 @@ class MediaContainersSpec extends AnyFunSuite with Matchers {
     java.lang.Long.bitCount(hb ^ 0L) should be <= 3
   }
 
+  test("videoKeyframePhash contract: a non-ImageIO keyframe (inter-frame " +
+    "codec stand-in) fails LOUDLY, naming media, frame and the boundary") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    // an H.264-style keyframe is NOT a standalone image: NAL-ish bytes
+    // inside an otherwise valid MP4 container — the container parses,
+    // the decode contract must refuse, never silently skip
+    val codecFrame = Array.tabulate(64)(i => ((i * 37 + 5) & 0xff).toByte)
+    val mp4 = MC.buildMp4Samples(65, 3, Seq(codecFrame), 40, keyEvery = 1)
+    val e = intercept[Exception] {
+      Multimodal.videoKeyframePhash(
+          Seq((7L, "video/mp4", mp4)).toDF("media_id", "kind", "payload"))
+        .collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    msgs should include("media 7 keyframe 0")
+    msgs should include("INTRA-ONLY")
+    msgs should include("H.264")
+  }
+
   test("containerMetadata: map-side parse over a mixed-format frame") {
     val spark = TestSession.spark
     import spark.implicits._

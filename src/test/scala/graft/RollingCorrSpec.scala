@@ -52,4 +52,34 @@ class RollingCorrSpec extends SparkSpec with Matchers {
     // representative (first by t wins)
     run(Seq(row(0, 2, 999, off = 77))) shouldBe run(Nil)
   }
+
+  test("wide magnitudes: 64-bit cross terms would overflow, widened " +
+    "decimal moments stay exact (batch) and BigInt agrees (stream)") {
+    // centi mean 5e8 with unit spread: n·Σxy ≈ 3.2e19 overflows BIGINT
+    // — the pre-widening 64-bit form ERRORED the query here under ANSI.
+    // The variance is tiny, so the widened decimal chain is exact and
+    // the affine pair still scores +1e6 exactly.
+    val M = 500000000L
+    val rows = (0 to 7).flatMap { k =>
+      Seq(row(0, k, M + k), row(1, k, 2 * (M + k) + 3))
+    }
+    val df = rows.toDF("datastream_id", "t_us", "v_micro", "iot_id")
+    val out = WindowKernels.rollingPairCorr(df, "datastream_id", "t_us",
+        "v_micro", "iot_id", bucketUs = B, windowRows = 8, minPairs = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    for (b <- 3L to 7L) out((0L, b)) shouldBe 1000000L
+
+    // the streaming twin's BigInt mirror computes the identical rows
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val st = TestGroupState.create[graft.streaming.CorrState](
+      org.apache.spark.api.java.Optional.empty(), GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty(), false)
+    val ins = rows.sortBy(r => (r._2, r._4)).map { case (d, t, v, tie) =>
+      graft.streaming.CorrIn(d, t, tie, v)
+    }
+    val got = graft.streaming.StreamingCorr.step(B, 8, 4)(
+        0L, ins.iterator, st)
+      .toList.map { case (_, b, _, r2) => b -> r2 }.toMap
+    for (b <- 3L to 7L) got(b) shouldBe Some(1000000L)
+  }
 }

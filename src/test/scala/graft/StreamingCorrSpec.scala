@@ -101,4 +101,31 @@ class StreamingCorrSpec extends SparkSpec with Matchers {
       spark.table("corr_late").count() shouldBe batch.size
     } finally q.stop()
   }
+
+  test("a one-sided pair's pending state is hard-capped at maxSkewBuckets") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val cap = 64
+    val st = TestGroupState.create[graft.streaming.CorrState](
+      org.apache.spark.api.java.Optional.empty(), GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty(), false)
+    // x side alone: 500 buckets with a silent partner — before the cap
+    // this map grew one entry per bucket forever
+    val xs = (0L until 500L).map(b =>
+      graft.streaming.CorrIn(0L, b * B + 1, b, (b + 1) * 10000L))
+    val out = StreamingCorr.step(B, 8, 4, maxSkewBuckets = cap)(
+      0L, xs.iterator, st).toList
+    out shouldBe empty
+    val s = st.get
+    s.px.size shouldBe cap
+    s.px.keySet.min shouldBe (500L - cap) // the NEWEST buckets survive
+    s.py shouldBe Map.empty
+    // a partner that catches up INSIDE the kept window still aligns
+    val ys = (460L until 500L).map(b =>
+      graft.streaming.CorrIn(1L, b * B + 2, b, (2 * (b + 1) + 3) * 10000L))
+    val out2 = StreamingCorr.step(B, 8, 4, maxSkewBuckets = cap)(
+      0L, ys.iterator, st).toList
+    out2.nonEmpty shouldBe true
+    // affine y = 2x + 3 across the aligned tail -> exact +1e6
+    out2.drop(3).foreach { case (_, _, _, r2) => r2 shouldBe Some(1000000L) }
+  }
 }
