@@ -35,8 +35,14 @@ import graft.ops.Grid
   * exactly like [[NetcdfReader.NcFile.readDoubles]] so a packed or
   * fill-bearing grid decodes identically through either container.
   *
-  * Everything else — paged Extensible Array data blocks, superblock
-  * extensions,
+  * Root-group links resolve in all four layouts — old-style symbol
+  * tables (incl. cache-type-2 symbolic links), compact Link messages,
+  * and dense (fractal-heap) storage — with SOFT links followed to
+  * their root-level hard target (chains ≤ 8 hops; dangling, cyclic or
+  * nested-path targets fail loudly, as do external links).
+  *
+  * Everything else — superblock extensions, huge/tiny link heap IDs,
+  * indirect-within-indirect link heap rows,
   * non-8-byte offsets, unknown filters, a conventions attribute this
   * reader cannot decode — fails LOUDLY with a message naming the
   * limitation and the one-line `nccopy` escape hatch; this reader
@@ -49,6 +55,50 @@ import graft.ops.Grid
 object Hdf5Reader {
 
   private val Undef = -1L // 0xFFFF_FFFF_FFFF_FFFF = "undefined address"
+
+  /** One root-group link before resolution: hard (object header
+    * address) or soft (a path string, resolved within the root group —
+    * chains followed to [[MaxSoftHops]], dangling/nested/external fail
+    * loudly).
+    */
+  private sealed trait RootLink { def name: String }
+  private final case class HardLink(name: String, addr: Long) extends RootLink
+  private final case class SoftLink(name: String, target: String) extends RootLink
+
+  private val MaxSoftHops = 8
+
+  /** Resolve soft links against the root group's hard links. Supported
+    * target shape: `/name` or `name` (this reader loads root-group
+    * datasets, so a nested path has nothing it could legally name);
+    * chains up to [[MaxSoftHops]]; cycles and dangling targets fail
+    * loudly with the link named.
+    */
+  private def resolveLinks(links: Seq[RootLink],
+                           path: String): Seq[(String, Long)] = {
+    val hard = links.collect { case HardLink(n, a) => n -> a }
+    val hardMap = hard.toMap
+    val softMap = links.collect { case SoftLink(n, t) => n -> t }.toMap
+    def seg(t: String, owner: String): String = {
+      val s = if (t.startsWith("/")) t.substring(1) else t
+      require(s.nonEmpty && !s.contains("/"),
+        s"$path: soft link '$owner' targets '$t' — only root-level " +
+          "targets are supported (this reader loads root-group datasets)")
+      s
+    }
+    val resolved = softMap.toSeq.sortBy(_._1).map { case (n, t0) =>
+      var cur = seg(t0, n)
+      var hops = 0
+      while (softMap.contains(cur) && hops < MaxSoftHops) {
+        cur = seg(softMap(cur), n)
+        hops += 1
+      }
+      require(!softMap.contains(cur),
+        s"$path: soft link '$n' chain exceeds $MaxSoftHops hops (cycle?)")
+      n -> hardMap.getOrElse(cur, throw new IllegalArgumentException(
+        s"$path: soft link '$n' -> '/$cur' dangles (no such root object)"))
+    }
+    hard ++ resolved
+  }
 
   /** Attribute names whose loss would silently change decoded values —
     * an undecodable attribute with one of these names is an error, not
@@ -332,7 +382,7 @@ object Hdf5Reader {
     val sbVer = buf.get() & 0xff
     require(sbVer <= 3,
       s"$path: superblock v$sbVer unsupported (v0–v3 only)")
-    val links: Seq[(String, Long)] =
+    val links: Seq[RootLink] =
       if (sbVer <= 1) {
         buf.get(); buf.get(); buf.get() // free-space ver, root-symtab ver, reserved
         buf.get() // shared-header-message version
@@ -348,7 +398,9 @@ object Hdf5Reader {
         require(base == 0, s"$path: nonzero base address $base unsupported")
         buf.getLong(); buf.getLong(); buf.getLong() // free-space, EOF, driver-info
         // root group symbol table entry
-        val (_, rootHdr, rootBtree, rootHeap) = readSte(buf)
+        val (_, rootHdr, rootCache, rs0, rs1) = readSte(buf)
+        val (rootBtree, rootHeap) =
+          if (rootCache == 1) (rs0, rs1) else (Undef, Undef)
         val (btree, heap) =
           if (rootBtree != Undef && rootHeap != Undef) (rootBtree, rootHeap)
           else {
@@ -383,7 +435,7 @@ object Hdf5Reader {
         buf.getInt() // superblock checksum
         rootLinksFromHeader(buf, rootHdr, path)
       }
-    val datasets = links.flatMap { case (name, addr) =>
+    val datasets = resolveLinks(links, path).flatMap { case (name, addr) =>
       parseDataset(buf, name, addr, path)
     }.toMap
     H5File(datasets, bytes, path)
@@ -397,7 +449,7 @@ object Hdf5Reader {
     * compact links — are rejected loudly.
     */
   private def rootLinksFromHeader(buf: ByteBuffer, rootHdr: Long,
-                                  path: String): Seq[(String, Long)] = {
+                                  path: String): Seq[RootLink] = {
     val msgs = readMessages(buf, rootHdr, path)
     msgs.find(_._1 == 0x0011) match {
       case Some(st) =>
@@ -432,7 +484,7 @@ object Hdf5Reader {
     * default node size; deeper trees reject).
     */
   private def readDenseLinks(buf: ByteBuffer, pos: Int, size: Int,
-                             path: String): Seq[(String, Long)] = {
+                             path: String): Seq[RootLink] = {
     val b = slice(buf, pos, size)
     val ver = b.get() & 0xff
     require(ver == 0, s"$path: Link Info message v$ver unsupported")
@@ -674,44 +726,59 @@ object Hdf5Reader {
     }
   }
 
-  /** Decode a Link message (type 0x0006, version 1) to
-    * (name, object header address). Only hard links can name a dataset
-    * this reader can load; soft/external links fail loudly rather than
-    * silently dropping a variable.
+  /** Decode a Link message (type 0x0006, version 1): hard links carry
+    * the object header address, soft links their length-prefixed target
+    * path (resolved by [[resolveLinks]]). External links (type 64) and
+    * other user link classes fail loudly rather than silently dropping
+    * a variable.
     */
   private def readLink(buf: ByteBuffer, pos: Int, size: Int,
-                       path: String): (String, Long) = {
+                       path: String): RootLink = {
     val b = slice(buf, pos, size)
     val ver = b.get() & 0xff
     require(ver == 1, s"$path: link message v$ver unsupported")
     val flags = b.get() & 0xff
     val linkType = if ((flags & 0x08) != 0) b.get() & 0xff else 0
-    require(linkType == 0,
-      s"$path: non-hard link (type $linkType) in root group unsupported")
+    require(linkType == 0 || linkType == 1,
+      s"$path: link type $linkType in root group unsupported " +
+        "(hard and soft links only; external links need the target " +
+        "file merged first — `nccopy` flattens them)")
     if ((flags & 0x04) != 0) b.getLong() // creation order
     if ((flags & 0x10) != 0) b.get() // link-name character set
     val nameLen = readUintLE(b, 1 << (flags & 0x03)).toInt
     val nameBytes = new Array[Byte](nameLen)
     b.get(nameBytes)
-    (new String(nameBytes, "UTF-8"), b.getLong())
+    val name = new String(nameBytes, "UTF-8")
+    if (linkType == 0) HardLink(name, b.getLong())
+    else {
+      // soft link information: 2-byte value length + the path bytes
+      val tLen = b.getShort() & 0xffff
+      val t = new Array[Byte](tLen)
+      b.get(t)
+      SoftLink(name, new String(t, "UTF-8"))
+    }
   }
 
   /** Symbol table entry: (link name offset, object header address,
-    * B-tree address, heap address) — the last two only when cache type 1.
+    * cache type, scratch word 0). B-tree/heap addresses for cache type
+    * 1 are scratch0/scratch1; cache type 2 (symbolic link) keeps the
+    * link-value heap offset in the low half of scratch 0.
     */
-  private def readSte(buf: ByteBuffer): (Long, Long, Long, Long) = {
+  private def readSte(buf: ByteBuffer): (Long, Long, Int, Long, Long) = {
     val nameOff = buf.getLong()
     val hdrAddr = buf.getLong()
     val cacheType = buf.getInt()
     buf.getInt() // reserved
     val s0 = buf.getLong(); val s1 = buf.getLong() // scratch pad
-    if (cacheType == 1) (nameOff, hdrAddr, s0, s1)
-    else (nameOff, hdrAddr, Undef, Undef)
+    (nameOff, hdrAddr, cacheType, s0, s1)
   }
 
-  /** Walk an old-style group's v1 B-tree; returns (name → header addr). */
+  /** Walk an old-style group's v1 B-tree; returns the links (hard, plus
+    * cache-type-2 symbolic links whose target string lives in the local
+    * heap).
+    */
   private def readGroup(buf: ByteBuffer, btreeAddr: Long, heapAddr: Long,
-                        path: String): Seq[(String, Long)] = {
+                        path: String): Seq[RootLink] = {
     // local heap: names live at (data segment + offset), NUL-terminated
     val h = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
     h.position(heapAddr.toInt)
@@ -727,7 +794,7 @@ object Hdf5Reader {
       sb.toString
     }
 
-    def walk(addr: Long): Seq[(String, Long)] = {
+    def walk(addr: Long): Seq[RootLink] = {
       val b = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
       b.position(addr.toInt)
       val sig = new Array[Byte](4); b.get(sig)
@@ -747,8 +814,16 @@ object Hdf5Reader {
           b.getShort() // version + reserved
           val n = b.getShort() & 0xffff
           (0 until n).map { _ =>
-            val (nameOff, hdr, _, _) = readSte(b)
-            (name(nameOff), hdr)
+            val (nameOff, hdr, cacheType, s0, _) = readSte(b)
+            cacheType match {
+              case 2 =>
+                // symbolic link: scratch word 0's low 4 bytes = local-
+                // heap offset of the NUL-terminated target path
+                SoftLink(name(nameOff), name(s0 & 0xffffffffL))
+              case 0 | 1 => HardLink(name(nameOff), hdr)
+              case other => throw new IllegalArgumentException(
+                s"$path: symbol-table cache type $other unsupported")
+            }
           }
         case other =>
           throw new IllegalArgumentException(s"$path: unexpected node '$other'")

@@ -460,6 +460,73 @@ class GeoLoadersSpec extends SparkSpec {
     }
   }
 
+  test("soft links resolve in all three root layouts (old-style symbol " +
+    "table, compact, dense); chains follow; dangling/nested fail loudly") {
+    val lat = Array(10.0, 10.5, 11.0)
+    val lon = Array(20.0, 20.25)
+    val packed = Array.tabulate(6)(k => k.toFloat)
+    val atts = Seq("scale_factor" -> 1.0, "add_offset" -> 0.0)
+
+    def cells(p: String, name: String): Seq[Double] = {
+      val h5 = graft.sources.geo.Hdf5Reader.open(p)
+      h5.readDoubles(name).toSeq
+    }
+
+    // old-style (superblock v0, SNOD cache-type-2 symbolic link)
+    val p0 = Files.createTempFile("graft_soft_v0", ".nc").toString
+    MiniHdf5.writeGrid(p0, "elevation", lat, lon, packed,
+      softLink = Some(("alias", "/elevation")))
+    assert(cells(p0, "alias") == cells(p0, "elevation"))
+
+    // v2 compact Link messages: absolute + relative + a 2-hop chain
+    val p1 = Files.createTempFile("graft_soft_v2", ".nc").toString
+    MiniHdf5.writeGridV2(p1, "elevation", lat, lon, packed,
+      chunkRows = 3, chunkCols = 2, deflate = false, shuffle = false,
+      atts = atts, softLinks = Seq(("alias", "/elevation"),
+        ("rel", "elevation"), ("hop2", "/alias")))
+    val h1 = graft.sources.geo.Hdf5Reader.open(p1)
+    Seq("alias", "rel", "hop2").foreach { n =>
+      assert(h1.readDoubles(n).toSeq == h1.readDoubles("elevation").toSeq)
+    }
+
+    // dense root (fractal heap + name index) holding a soft link as a
+    // managed heap object
+    val p2 = Files.createTempFile("graft_soft_dense", ".nc").toString
+    MiniHdf5.writeGridV2(p2, "elevation", lat, lon, packed,
+      chunkRows = 3, chunkCols = 2, deflate = false, shuffle = false,
+      atts = atts, denseRoot = true,
+      softLinks = Seq(("alias", "/elevation")))
+    assert(cells(p2, "alias") == cells(p2, "elevation"))
+
+    // dangling target: loud, names the link
+    val p3 = Files.createTempFile("graft_soft_dangle", ".nc").toString
+    MiniHdf5.writeGridV2(p3, "elevation", lat, lon, packed,
+      chunkRows = 3, chunkCols = 2, deflate = false, shuffle = false,
+      atts = atts, softLinks = Seq(("bad", "/nope")))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sources.geo.Hdf5Reader.open(p3)
+    }
+    assert(e1.getMessage.contains("dangles") && e1.getMessage.contains("'bad'"))
+
+    // nested-path target: loud, states the root-level contract
+    val p4 = Files.createTempFile("graft_soft_nested", ".nc").toString
+    MiniHdf5.writeGridV2(p4, "elevation", lat, lon, packed,
+      chunkRows = 3, chunkCols = 2, deflate = false, shuffle = false,
+      atts = atts, softLinks = Seq(("deep", "/group/inner")))
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.geo.Hdf5Reader.open(p4)
+    }.getMessage.contains("root-level"))
+
+    // cycle: loud, bounded hops
+    val p5 = Files.createTempFile("graft_soft_cycle", ".nc").toString
+    MiniHdf5.writeGridV2(p5, "elevation", lat, lon, packed,
+      chunkRows = 3, chunkCols = 2, deflate = false, shuffle = false,
+      atts = atts, softLinks = Seq(("c1", "/c2"), ("c2", "/c1")))
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.geo.Hdf5Reader.open(p5)
+    }.getMessage.contains("hops"))
+  }
+
   test("v2 B-tree chunk index (several unlimited dims) reads equal to Fixed Array") {
     // the same grid with BOTH dims unlimited — the dataspace that makes
     // the library pick a layout-v4 type-5 (v2 B-tree) chunk index.

@@ -166,7 +166,8 @@ object MiniHdf5 {
 
   def writeGrid(path: String, varName: String,
                 lat: Array[Double], lon: Array[Double],
-                values: Array[Float]): Unit = {
+                values: Array[Float],
+                softLink: Option[(String, String)] = None): Unit = {
     require(values.length == lat.length * lon.length)
 
     def align8(n: Int): Int = (n + 7) & ~7
@@ -176,19 +177,25 @@ object MiniHdf5 {
     val rootHdr = superblock                   // 16 prefix + (8+16) symtab msg
     val rootHdrLen = 16 + 24
     val heapHdr = rootHdr + rootHdrLen         // 32-byte local heap header
-    // heap data: off 0 = "" (root link), then the three names, 8-aligned
+    // heap data: off 0 = "" (root link), then the entry names (plus the
+    // soft-link target string, stored like a name), 8-aligned
     val names = Seq(varName, "lat", "lon").sorted // SNOD entries sort by name
+    val entries = (names ++ softLink.map(_._1)).sorted
     val nameOffs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     var heapOff = 8
-    names.foreach { n => nameOffs(n) = heapOff; heapOff += align8(n.length + 1) }
+    entries.foreach { n => nameOffs(n) = heapOff; heapOff += align8(n.length + 1) }
+    val softValOff = softLink.map { case (_, target) =>
+      val off = heapOff; heapOff += align8(target.length + 1); off
+    }
     val heapDataLen = align8(heapOff)
     val heapData = heapHdr + 32
     val btree = heapData + heapDataLen         // 24 + key/child/key = 48
-    val snod = btree + 48                      // 8 + 3×40 = 128
+    val snod = btree + 48                      // 8 + entries×40
+    val snodLen = 8 + entries.length * 40
     // dataset headers: prefix 16 + dataspace msg + datatype msg + layout msg
     def dsHdrLen(ndims: Int) = 16 + (8 + align8(8 + ndims * 8)) + (8 + 24) + (8 + 24)
     val hdrAddrs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    var cursor = snod + 128
+    var cursor = snod + snodLen
     names.foreach { n =>
       hdrAddrs(n) = cursor
       cursor += dsHdrLen(if (n == varName) 2 else 1)
@@ -255,6 +262,10 @@ object MiniHdf5 {
     nameOffs.foreach { case (n, off) =>
       System.arraycopy(n.getBytes("US-ASCII"), 0, heapSeg, off, n.length)
     }
+    softLink.foreach { case (_, target) =>
+      System.arraycopy(target.getBytes("US-ASCII"), 0, heapSeg,
+        softValOff.get, target.length)
+    }
     buf.put(heapSeg)
 
     // ---- group B-tree v1 (level 0, one SNOD child) ----
@@ -264,22 +275,25 @@ object MiniHdf5 {
     buf.put(0.toByte)  // level: leaf
     buf.putShort(1)    // entries used
     buf.putLong(Undef); buf.putLong(Undef) // siblings
-    buf.putLong(nameOffs(names.head).toLong) // key 0
-    buf.putLong(snod.toLong)                 // child 0
-    buf.putLong(nameOffs(names.last).toLong) // key 1
+    buf.putLong(nameOffs(entries.head).toLong) // key 0
+    buf.putLong(snod.toLong)                   // child 0
+    buf.putLong(nameOffs(entries.last).toLong) // key 1
 
-    // ---- SNOD with the three entries (name-sorted) ----
+    // ---- SNOD with the entries (name-sorted; a soft link is cache
+    // type 2 with its link-value heap offset in scratch word 0) ----
     assert(buf.position() == snod)
     buf.put("SNOD".getBytes("US-ASCII"))
     buf.put(1.toByte); buf.put(0.toByte)
-    buf.putShort(names.length.toShort)
-    names.foreach { n =>
+    buf.putShort(entries.length.toShort)
+    entries.foreach { n =>
+      val isSoft = softLink.exists(_._1 == n)
       buf.putLong(nameOffs(n).toLong)
-      buf.putLong(hdrAddrs(n).toLong)
-      buf.putInt(0); buf.putInt(0)
-      buf.putLong(0L); buf.putLong(0L)
+      buf.putLong(if (isSoft) Undef else hdrAddrs(n).toLong)
+      buf.putInt(if (isSoft) 2 else 0); buf.putInt(0)
+      buf.putLong(if (isSoft) softValOff.get.toLong else 0L)
+      buf.putLong(0L)
     }
-    buf.position(snod + 128)
+    buf.position(snod + snodLen)
 
     // ---- dataset object headers ----
     names.foreach { n =>
@@ -626,7 +640,8 @@ object MiniHdf5 {
                   bt2NodeSize: Int = 72,
                   eaIdxElmts: Int = 4, eaMinElmts: Int = 2,
                   eaMinPtrs: Int = 4,
-                  eaPageBits: Int = 10, faPageBits: Int = 10): Unit = {
+                  eaPageBits: Int = 10, faPageBits: Int = 10,
+                  softLinks: Seq[(String, String)] = Nil): Unit = {
     val nLat = lat.length; val nLon = lon.length
     require(packed.length == nLat * nLon)
     val Undef = -1L
@@ -772,6 +787,21 @@ object MiniHdf5 {
       b.put(name.length.toByte)
       b.put(name.getBytes("US-ASCII"))
       b.putLong(hdrAddr)
+      blob(b)
+    }
+
+    /** Soft-link message: explicit link-type byte (flags bit 3), then
+      * the 2-byte-length-prefixed target path.
+      */
+    def softLinkMsg(name: String, target: String): Array[Byte] = {
+      val b = bb(6 + name.length + target.length)
+      b.put(1.toByte)        // link message version
+      b.put(0x08.toByte)     // flags: link-type field present, 1-byte name len
+      b.put(1.toByte)        // link type: soft
+      b.put(name.length.toByte)
+      b.put(name.getBytes("US-ASCII"))
+      b.putShort(target.length.toShort)
+      b.put(target.getBytes("US-ASCII"))
       blob(b)
     }
 
@@ -1073,8 +1103,9 @@ object MiniHdf5 {
     // links (`denseExtraLinks` hard links to the lat header) spill into
     // doubled rows ≥ 2 and — with a small `denseNodeSize` — force the
     // name index through BTIN internal nodes (depth 1, 2, ...).
+    val softMap = softLinks.toMap
     val denseNames = names ++
-      (0 until denseExtraLinks).map(i => f"x$i%02d")
+      (0 until denseExtraLinks).map(i => f"x$i%02d") ++ softLinks.map(_._1)
     val hpWidth = 4; val hpStart = 64L
     val hpMaxDirect = 65536L; val hpMaxBits = 32 // → heap ID = 1+4+2 = 7
     val fhdbHdrLen = 4 + 1 + 8 + 4 // sig, version, heap hdr, block offset
@@ -1157,17 +1188,25 @@ object MiniHdf5 {
       (lookup3(denseNames(k).getBytes("US-ASCII")).toLong & 0xffffffffL,
         denseNames(k))
     }
+    /** The managed heap object for a dense link — hard or soft. */
+    def denseMsg(n: String, hdrAddrs: Map[String, Long]): Array[Byte] =
+      softMap.get(n) match {
+        case Some(t) => softLinkMsg(n, t)
+        case None => linkMsg(n, hdrAddrs.getOrElse(n, 0L))
+      }
+
     def denseRecBytes(b: ByteBuffer, slot: Int): Unit = {
       val k = denseOrder(slot)
       b.putInt(lookup3(denseNames(k).getBytes("US-ASCII")))
       b.put(0.toByte)                // heap ID: version 0, managed
       b.putInt(heapOffsets(k).toInt) // heap offset, 4 bytes LE
-      b.putShort(linkMsg(denseNames(k), 0L).length.toShort)
+      b.putShort(denseMsg(denseNames(k), Map.empty).length.toShort)
     }
 
     def rootHeader(hdrAddrs: Map[String, Long]): Array[Byte] =
       if (denseRoot) v2Header(Seq((0x0002, linkInfoMsg(0L, 0L))))
-      else v2Header(names.map(n => (0x0006, linkMsg(n, hdrAddrs(n)))))
+      else v2Header(names.map(n => (0x0006, linkMsg(n, hdrAddrs(n)))) ++
+        softLinks.map { case (n, t) => (0x0006, softLinkMsg(n, t)) })
 
     // ---- pass 1: sizes with dummy addresses ----
     val sbLen = 48
@@ -1249,7 +1288,7 @@ object MiniHdf5 {
       denseNames.zipWithIndex.foreach { case (n, k) =>
         buf.position(dblkAddrs(k).toInt)
         buf.put(fhdb(frhpAddr, blockHeapStart(k), blockSizes(k),
-          linkMsg(n, hdrAddrs(n))))
+          denseMsg(n, hdrAddrs)))
       }
       buf.position(bthdAddr.toInt)
       buf.put(denseBt.header(btNodesAddr))
