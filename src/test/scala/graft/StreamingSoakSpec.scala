@@ -122,6 +122,11 @@ class StreamingSoakSpec extends SparkSpec with Matchers {
       val midMean = midThird.sum.toDouble / midThird.size
       val lastMean = lastThird.sum.toDouble / lastThird.size
       lastMean should be <= midMean * 2.0
+      // the headline numbers BASELINE.md records for the full soak
+      info(s"soak: ${soakSeconds}s budget, $batch micro-batches, " +
+        s"$fed rows fed, $emitted emitted, state plateau " +
+        s"mid=${midMean.round} last=${lastMean.round} max=${lastThird.max} " +
+        s"(horizon bound $horizonBound), restarted=$restarted")
     }
   }
 
