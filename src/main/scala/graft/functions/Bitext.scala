@@ -204,4 +204,34 @@ object EmbAudit {
       .select(col("label"), col("id").as("vec_id"),
         col("cos2_signed_ppm"), col("rnk"))
   }
+
+  /** Truncation-fidelity audit (the Matryoshka question, Kusupati et
+    * al. 2022: how much of each vector's direction survives keeping
+    * only the leading `w` dimensions?). For a vector x and width w,
+    * cos²(x, truncate_w(x)) = Σ_{i<w} x_i² / Σ x_i² exactly — no pair
+    * enumeration, no second vector: the audit is per-row integer
+    * arithmetic on Q14-quantized components, then one groupBy over the
+    * width list. Per width: n vectors scored, mean and min cos² in ppm
+    * (zero-norm vectors report NULL per-row and are excluded — count
+    * carries the denominator). The serving-dimension choice (can the
+    * ANN index store 16 of 64 dims?) reads straight off this table.
+    */
+  def truncationAudit(emb: DataFrame, embCol: String,
+                      widths: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ >= 1))
+    val q = emb.select(expr(s"transform($embCol, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE) * 16384.0) AS BIGINT))").as("qv"))
+    def ss(c: String): String = s"aggregate($c, 0L, (a, v) -> a + v * v)"
+    val terms = widths.map { w =>
+      struct(lit(w).as("width"),
+        expr(s"1000000 * ${ss(s"slice(qv, 1, $w)")} DIV " +
+          s"nullif(${ss("qv")}, 0)").as("ppm"))
+    }
+    q.select(explode(array(terms: _*)).as("t"))
+      .select(col("t.width").as("width"), col("t.ppm").as("ppm"))
+      .groupBy(col("width"))
+      .agg(count(col("ppm")).as("n"),
+        expr("sum(ppm) DIV greatest(count(ppm), 1)").as("mean_cos2_ppm"),
+        min(col("ppm")).as("min_cos2_ppm"))
+  }
 }

@@ -522,6 +522,37 @@ object Similarity {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** Index-health audit over a persisted IVF-PQ index
+    * ([[writeIvfPqIndex]]): one row — vector count, list geometry,
+    * per-list occupancy skew (max list vs mean, in ppm) and empty-list
+    * count. The operational check behind the self-scaling geometry:
+    * a healthy index has skew_ppm within a small multiple of 10⁶ and
+    * few empty lists; a degenerate embedding corpus (failed encoder
+    * run) shows up as one mega-list long before serving latency does.
+    * Scale shape: ONE partial-agg'd groupBy over the codes table
+    * (list-id-scale state), a 1-row meta read — the float corpus is
+    * never touched. Pure integer output, oracle-replayable via the
+    * same k-means chain the search oracles prove engine-exact.
+    */
+  def indexHealth(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val dim = meta.getInt(meta.fieldIndex("dim"))
+    val nLists = meta.getSeq[Double](meta.fieldIndex("coarse")).length / dim
+    spark.read.parquet(s"$path/codes")
+      .groupBy(col("coarse_c")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_vectors"),
+        lit(nLists.toLong).as("n_lists"),
+        count(lit(1)).as("lists_used"),
+        (lit(nLists.toLong) - count(lit(1))).as("lists_empty"),
+        max(col("cnt")).as("max_list"))
+      .select(col("n_vectors"), col("n_lists"), col("lists_used"),
+        col("lists_empty"), col("max_list"),
+        expr("n_vectors DIV n_lists").as("mean_list"),
+        expr("max_list * 1000000 DIV greatest(n_vectors DIV n_lists, 1)")
+          .as("skew_ppm"))
+  }
+
   /** Search a persisted IVF-PQ index: probe-list pruning + residual
     * reconstruction against the stored codes — arithmetic identical to
     * [[ivfPqTopK]] with the same build parameters, so results match bit

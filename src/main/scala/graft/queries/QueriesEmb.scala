@@ -774,6 +774,71 @@ object QueriesEmb {
            |WHERE rank <= 10""".stripMargin
       }),
 
+    // the index-health audit behind the self-scaling geometry: one row
+    // of occupancy stats over the persisted auto-width index's codes
+    // table (list skew in ppm, empty lists). The oracle replays the
+    // coarse k-means + assignment only — the same chain the search
+    // oracles prove engine-exact — then aggregates occupancy.
+    QDef("sim_index_health",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        // same content-fingerprinted build (and dir) as t_hybrid_ann /
+        // t_mining_ann — one auto-geometry index serves all three
+        val ix = Q.indexDir("ivfpq", dir, "embeddings", "cAi2m8s8k8p2")
+        if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
+          Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ix,
+            nCoarse = 0, coarseIters = 2, m = 8, subDim = 8,
+            nCentroids = 8, pqIters = 2, dim = Dim)
+        Similarity.indexHealth(s, ix)
+      },
+      Some {
+        s"""WITH ${kmeansCentsCteExpr(autoCoarseKSql, 2)},
+           |ccent AS MATERIALIZED (SELECT c, ce FROM cent2),
+           |ca AS (
+           |  SELECT e.vec_id, s.c,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosSql("e.embedding", "s.ce")} DESC, s.c ASC) AS rn
+           |  FROM embeddings e, ccent s),
+           |casg AS (SELECT vec_id, c AS coarse_c FROM ca WHERE rn = 1),
+           |g AS (SELECT coarse_c, CAST(count(*) AS BIGINT) AS cnt
+           |      FROM casg GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+           |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lists FROM ccent)
+           |SELECT t.n AS n_vectors, nl.n_lists,
+           |  CAST(count(*) AS BIGINT) AS lists_used,
+           |  CAST(nl.n_lists - count(*) AS BIGINT) AS lists_empty,
+           |  CAST(max(g.cnt) AS BIGINT) AS max_list,
+           |  CAST(t.n // nl.n_lists AS BIGINT) AS mean_list,
+           |  CAST(max(g.cnt) * 1000000 // greatest(t.n // nl.n_lists, 1)
+           |    AS BIGINT) AS skew_ppm
+           |FROM g, tot t, nl
+           |GROUP BY t.n, nl.n_lists""".stripMargin
+      }),
+
+    // truncation-fidelity audit (the Matryoshka question): per leading
+    // width w, cos²(x, truncate_w(x)) = Σ_{i<w} x_i² / Σ x_i² exactly —
+    // Q14-quantized integer sums per row, one groupBy over the width
+    // list. The serving-dimension choice reads off this table.
+    QDef("emb_truncation_audit",
+      (s, dir) => graft.functions.EmbAudit.truncationAudit(
+        Q.table(s, dir, "embeddings"), "embedding", widths = Seq(8, 16, 32)),
+      Some {
+        def ss(c: String) = s"list_sum(list_transform($c, v -> v * v))"
+        s"""WITH q AS (SELECT list_transform(embedding,
+           |    x -> CAST(floor(CAST(x AS DOUBLE) * 16384.0) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |t AS (SELECT w.width,
+           |    1000000 * CAST(${ss("list_slice(qv, 1, w.width)")} AS BIGINT)
+           |      // nullif(CAST(${ss("qv")} AS BIGINT), 0) AS ppm
+           |  FROM q, (VALUES (8), (16), (32)) w(width))
+           |SELECT CAST(width AS INT) AS width,
+           |  CAST(count(ppm) AS BIGINT) AS n,
+           |  CAST(sum(ppm) // greatest(count(ppm), 1) AS BIGINT)
+           |    AS mean_cos2_ppm,
+           |  CAST(min(ppm) AS BIGINT) AS min_cos2_ppm
+           |FROM t GROUP BY 1""".stripMargin
+      }),
+
     // random-hyperplane LSH bucket assignment (the ANN scale path) —
     // native codegen'd expression; quantized-integer hyperplane dots
     QDef("sim_lsh_buckets",

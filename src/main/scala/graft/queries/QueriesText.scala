@@ -820,6 +820,36 @@ object QueriesText {
               |  CAST(sum_q // n_docs AS BIGINT) AS avg_quality_micro
               |FROM base, dup, tl""".stripMargin)),
 
+    // deterministic curriculum order: quality bands easy -> hard, a
+    // salted hash shuffle within each band, and a DENSE global position
+    // from the Packing-style two-phase distributed scan (never a
+    // single-partition global sort). Oracle = one global row_number
+    // over the identical (band, hash, id) total order.
+    QDef("t_curriculum_order",
+      (s, dir) => {
+        val d = TextAnalysis.qualityScoreOnto(
+            Q.table(s, dir, "documents"), "q", col("text"))
+          .withColumn("qm",
+            (col("q").cast("decimal(25,6)") * lit(1000000)).cast("long"))
+          .withColumn("band", expr(
+            """CASE WHEN qm >= 750000 THEN 0 WHEN qm >= 500000 THEN 1
+              |     WHEN qm >= 250000 THEN 2 ELSE 3 END""".stripMargin))
+        graft.functions.Curriculum.order(d, col("doc_id"), col("band"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id,
+              |  CAST(CAST($qualitySql AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+              |    AS qm FROM documents),
+              |b AS (SELECT doc_id,
+              |  CAST(CASE WHEN qm >= 750000 THEN 0 WHEN qm >= 500000 THEN 1
+              |       WHEN qm >= 250000 THEN 2 ELSE 3 END AS INT) AS band,
+              |  CAST(('0x' || substr(md5('curr' || CAST(doc_id AS VARCHAR)),
+              |    1, 8)) AS BIGINT) AS h
+              |  FROM q)
+              |SELECT doc_id, band,
+              |  CAST(row_number() OVER (ORDER BY band, h, doc_id) - 1
+              |    AS BIGINT) AS pos
+              |FROM b""".stripMargin)),
+
     // PII scrub: typed-placeholder redaction + redaction count, three
     // map-side regex passes (portable explicit character classes — no
     // shorthand classes that Java and RE2 define differently).

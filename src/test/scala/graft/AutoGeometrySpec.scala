@@ -26,6 +26,32 @@ class AutoGeometrySpec extends SparkSpec with Matchers {
     Similarity.autoCoarseLists(1024L * 1024L - 1L) shouldBe 512
   }
 
+  test("derivation invariants hold across the N range (dense sweep)") {
+    // pow2 result, floor 8, never more than sqrt(N) for N >= 64, and
+    // monotone nondecreasing in N — the properties a sizing rule must
+    // keep for "grow the corpus, never shrink the index" operations
+    var prevC = 0
+    var prevP = 0
+    var n = 1L
+    while (n < 3000000L) {
+      val c = Similarity.autoCoarseLists(n)
+      assert(java.lang.Integer.bitCount(c) == 1 && c >= 8)
+      if (n >= 64) assert(c <= math.sqrt(n.toDouble) + 1e-9)
+      assert(c >= prevC, s"autoCoarseLists not monotone at $n")
+      prevC = c
+      val p = graft.functions.Bitext.autoPlanes(n)
+      assert(p >= 4 && p <= 24)
+      // enough buckets for the target occupancy (or the hard clamp)
+      assert(p == 24 || (32L << p) >= n)
+      // never overshoots: one plane fewer would under-bucket (unless
+      // the [4,24] clamp decided)
+      assert(p == 4 || p == 24 || (32L << (p - 1)) < n)
+      assert(p >= prevP, s"autoPlanes not monotone at $n")
+      prevP = p
+      n += 1 + n / 13 // dense at small N, geometric at large
+    }
+  }
+
   test("autoPlanes: smallest p with target*2^p >= N, clamped to [4, 24]") {
     Bitext.autoPlanes(1L) shouldBe 4
     Bitext.autoPlanes(500L) shouldBe 4 // 32*16 = 512 >= 500
