@@ -30,6 +30,18 @@ object Sampling {
   def hashBucket(key: Column, salt: String): Column =
     pmod(Dedup.baseHash(concat(lit(salt), key.cast("string"))), lit(Buckets))
 
+  /** [[hashBucket]] computed JVM-side — bit-identical to the Column
+    * form (first 8 md5 hex chars of salt||key, mod 1e6) so keyed
+    * streaming state can make the SAME membership decisions the batch
+    * operators make (equality pinned in SamplingSpec/StreamingSample).
+    */
+  def hashBucketLocal(key: String, salt: String): Long = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest((salt + key).getBytes("UTF-8"))
+    val hex = md5.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % Buckets
+  }
+
   /** Keep each row with probability `rate`, decided by [[hashBucket]]
     * of its key — a repeatable Bernoulli sample (same salt+key ⇒ same
     * decision, independent of partitioning or row order).
