@@ -424,21 +424,39 @@ object Similarity {
   }
 
   /** Coarse-list count derived from the corpus size: the largest power
-    * of two ≤ √N, floored at 8 — the standard IVF sizing rule (lists ∝
-    * √N keeps both per-list length and the probe stream at O(√N), so
-    * candidates/query stay FLAT as the corpus grows; a fixed list count
-    * makes every list, and therefore every probe, grow linearly — the
-    * measured 56× serving tail at the 100× point). Power-of-two floor +
-    * integer √ keep the value bit-identical to the oracle's SQL mirror
+    * of two ≤ √N, floored at 8 and CAPPED at [[MaxCoarseLists]] — the
+    * standard IVF sizing rule (lists ∝ √N keeps both per-list length
+    * and the probe stream at O(√N), so candidates/query stay FLAT as
+    * the corpus grows; a fixed list count makes every list, and
+    * therefore every probe, grow linearly — the measured 56× serving
+    * tail at the 100× point). Power-of-two floor + integer √ keep the
+    * value bit-identical to the oracle's SQL mirror
     * (`QueriesEmb.autoCoarseKSql`): floor(sqrt) over a BIGINT count is
     * exact in IEEE double for any corpus below 2⁵². Example widths:
     * 500 → 16, 2 000 → 32, 200 000 → 256, 10⁹ → 16 384.
+    *
+    * The cap is this DESIGN's own honest ceiling, not the math's: the
+    * trainer ships centroids as a plan literal and collects k·dim
+    * update cells per iteration, both ∝ k — at k = 65 536 and dim 64
+    * that is a 33 MB literal and 4.2M cells (fine); at the √N a
+    * trillion-vector corpus would ask for (~10⁶ lists) it would be
+    * gigabytes on the driver. Beyond N ≈ 4.3×10⁹ vectors (√N > cap)
+    * the right architecture is SHARDED indexes — partition the corpus
+    * into ≤ 4.3×10⁹-vector shards, one index each, fan out probes and
+    * merge top-k (the standard multi-index serving shape); within a
+    * shard this derivation is exact.
     */
   def autoCoarseLists(n: Long): Int = {
     require(n >= 1, "autoCoarseLists needs a positive corpus count")
     val s = math.max(math.floor(math.sqrt(n.toDouble)).toLong, 1L)
-    math.max(8L, java.lang.Long.highestOneBit(s)).toInt
+    math.min(MaxCoarseLists.toLong,
+      math.max(8L, java.lang.Long.highestOneBit(s))).toInt
   }
+
+  /** One-shard width ceiling for [[autoCoarseLists]] — the same 65536
+    * bound [[ivfTopK]]'s driver-collect guard uses.
+    */
+  val MaxCoarseLists: Int = 65536
 
   /** `nCoarse = 0` (the default) in the index builders means "derive
     * from the corpus count" via [[autoCoarseLists]] — one count job at

@@ -97,9 +97,9 @@ object QueriesEmb {
     * two engines bit-identical at every N.
     */
   private[queries] val autoCoarseKSql: String =
-    """(SELECT CAST(greatest(8, max(CASE
+    """(SELECT CAST(least(65536, greatest(8, max(CASE
       |    WHEN CAST(power(2, t.b) AS BIGINT) <= s.s
-      |    THEN CAST(power(2, t.b) AS BIGINT) ELSE 1 END)) AS INT)
+      |    THEN CAST(power(2, t.b) AS BIGINT) ELSE 1 END))) AS INT)
       |  FROM (SELECT CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
       |          AS s FROM embeddings) s, range(0, 40) t(b))"""
       .stripMargin.linesIterator.map(_.trim).mkString(" ")

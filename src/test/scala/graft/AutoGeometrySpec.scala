@@ -24,6 +24,11 @@ class AutoGeometrySpec extends SparkSpec with Matchers {
     // exact-square boundary: sqrt is correctly rounded in IEEE double
     Similarity.autoCoarseLists(1024L * 1024L) shouldBe 1024
     Similarity.autoCoarseLists(1024L * 1024L - 1L) shouldBe 512
+    // the one-shard ceiling: the trainer's plan-literal/driver-collect
+    // design holds to 65536 lists; beyond sqrt(N) > 65536 the
+    // documented architecture is sharded indexes, not a wider trainer
+    Similarity.autoCoarseLists(1000000000000L) shouldBe 65536
+    Similarity.autoCoarseLists(Long.MaxValue / 4) shouldBe 65536
   }
 
   test("derivation invariants hold across the N range (dense sweep)") {
