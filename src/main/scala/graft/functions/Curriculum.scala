@@ -32,18 +32,28 @@ object Curriculum {
     // baseHash ∈ [0, 2^32): equal-width h ranges make bucket id a
     // MONOTONE function of h, so (band, hb, h) sorts like (band, h)
     val width = (4294967296L + nBuckets - 1) / nBuckets
+    // localCheckpoint the NARROW (4-column) projection: both consumers
+    // below — the rank window and the per-pair counts — read the
+    // materialized frame, so the source (and whatever band computation
+    // feeds it: at corpus scale a regex quality chain) is scanned ONCE.
+    // Without the barrier, column pruning differentiates the two
+    // branches' subtrees and the plan re-scans the source per branch
+    // (measured: two full scans + the quality chain twice).
     val base = df
       .select(idCol.cast("long").as("doc_id"), bandCol.cast("int").as("band"))
       .withColumn("h", Dedup.baseHash(concat(lit(salt), col("doc_id"))))
       .withColumn("hb", expr(s"h DIV $width"))
+      .localCheckpoint()
     val wIn = Window.partitionBy(col("band"), col("hb"))
       .orderBy(col("h").asc, col("doc_id").asc)
     val local = base.withColumn("rn", row_number().over(wIn))
-    // tiny serial step: exclusive prefix over the (band, bucket) counts
+    // per-pair counts from a plain partial-agg'd groupBy (== max rank,
+    // without forcing the window subtree a second time), then the tiny
+    // serial step: an exclusive prefix over the bands·nBuckets rows
     val wPairs = Window.orderBy(col("band").asc, col("hb").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = local.groupBy(col("band"), col("hb"))
-      .agg(max(col("rn")).cast("long").as("cnt"))
+    val offs = base.groupBy(col("band"), col("hb"))
+      .agg(count(lit(1)).as("cnt"))
       .withColumn("base_off", coalesce(sum(col("cnt")).over(wPairs), lit(0L)))
       .select(col("band"), col("hb"), col("base_off"))
     local.join(broadcast(offs), Seq("band", "hb"))
