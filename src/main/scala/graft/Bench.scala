@@ -8,6 +8,16 @@ object Bench {
     // estimate of the code's actual cost) plus every rep's total
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = graft.core.Sessions.local()
+    // WindowExec WARNs a multi-KB "No Partition Defined" plan dump per
+    // bounded-frame window (documented, intentional frames here); at
+    // 200+ queries that stderr noise floods the driver's ~2 KB tail
+    // capture and buries the stdout summary line. ERROR-silence the
+    // noisy plan-dump loggers for the bench session only.
+    Seq("org.apache.spark.sql.execution.window",
+        "org.apache.spark.sql.execution.WindowExec").foreach { l =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        l, org.apache.logging.log4j.Level.ERROR)
+    }
     // JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
@@ -105,7 +115,16 @@ object Bench {
     // no late executor log line can land behind it; bench_full.json
     // keeps everything (reps, every rep's total, the per-query map).
     spark.stop()
-    val errPart = if (errs.isEmpty) "" else s""","errors":$errJson"""
+    // the stdout line fights a ~2 KB capture window even in the FAILURE
+    // case: many/verbose errors would re-overflow it exactly when
+    // parseability matters most, so inline only the FIRST error (alpha
+    // order) truncated to a fixed byte budget — nerrors carries the
+    // count, bench_full.json carries the full error map
+    val errPart = errs.toSeq.sortBy(_._1).headOption match {
+      case None => ""
+      case Some((k, e)) =>
+        s""","first_error":{"${jstr(k)}":"${jstr(e.take(200))}"}"""
+    }
     println(s"""{"metric":"total","value":${f3(totals.min)},"unit":"sec","nqueries":${names.size},"nerrors":${errs.size}$errPart,"sf":"$sfShort","out":"$outFile"}""")
   }
 }

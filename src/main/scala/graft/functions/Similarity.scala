@@ -48,12 +48,21 @@ object Similarity {
 
   /** One cheap count() against the O(Q·N) wall: loud failure above
     * `maxCorpus`, naming the production alternative.
+    *
+    * `maxCorpus = Long.MaxValue` is the explicit opt-out: the guard
+    * can never fire, so the count is skipped entirely — a caller who
+    * deliberately accepts the quadratic cost doesn't also pay an eager
+    * extra scan of a possibly-expensive upstream plan (callers with
+    * derived corpora should cache before calling either way).
     */
   private def guardBrute(corpus: DataFrame, op: String, alt: String,
-                         maxCorpus: Long): Unit = {
+                         maxCorpus: Long,
+                         cost: String =
+                           "scores O(queries x corpus) pairs"): Unit = {
+    if (maxCorpus == Long.MaxValue) return
     val n = corpus.count()
     require(n <= maxCorpus,
-      s"$op scores O(queries x corpus) pairs and the corpus has $n rows " +
+      s"$op $cost and the corpus has $n rows " +
         s"(> $maxCorpus): this form is an oracle-parity / small-corpus " +
         s"baseline, not the production path. Use $alt, or raise maxCorpus " +
         "explicitly if the quadratic cost is intended.")
@@ -637,8 +646,17 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 embCol: String, k: Int, nCoarse: Int = 8, coarseIters: Int = 2,
                 m: Int = 8, subDim: Int = 8, nCentroids: Int = 8,
-                pqIters: Int = 2, nProbe: Int = 2, dim: Int = 64): DataFrame = {
+                pqIters: Int = 2, nProbe: Int = 2, dim: Int = 64,
+                maxCorpus: Long = MaxBruteCorpus): DataFrame = {
     import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
+    // same guard discipline as the brute scorers: this form trains a
+    // full k-means (coarse + PQ codebooks) PER CALL over the corpus —
+    // just as easy to point at a cluster-scale table by accident, and
+    // the production path trains ONCE via writeIvfPqIndex and serves
+    // from the persisted codes
+    guardBrute(corpus, "ivfPqTopK (train-in-query)",
+      "writeIvfPqIndex + searchIvfPqIndex", maxCorpus,
+      cost = "trains coarse + PQ k-means over the full corpus per call")
     val spark = corpus.sparkSession
     import spark.implicits._
     // nCoarse = 0 → self-scaling width (the persisted-index builder's

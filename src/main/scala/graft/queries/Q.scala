@@ -20,15 +20,21 @@ object Q {
     * sf dir: neither a regenerated dataset nor a parameter change can
     * silently reuse a stale index (the sim_*_search cache-key rule).
     */
-  def indexDir(kind: String, dir: String, table: String,
-               params: String): String = {
+  /** Content signature of a testdata table: file names, lengths and
+    * mtimes — cheap (no data read) and invalidated by any regeneration.
+    */
+  def contentSig(dir: String, table: String): String = {
     val root = new java.io.File(s"$dir/$table.parquet")
     val files =
       if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
-    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|")
+    root.getAbsolutePath + "|" + files
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+  }
+
+  def indexDir(kind: String, dir: String, table: String,
+               params: String): String = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${root.getAbsolutePath}|$sig".getBytes("UTF-8"))
+      .digest(contentSig(dir, table).getBytes("UTF-8"))
     val hex = md5.take(8).map(b => f"$b%02x").mkString
     System.getProperty("java.io.tmpdir") + s"/graft_${kind}_index_${hex}_$params"
   }

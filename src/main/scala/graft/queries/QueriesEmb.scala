@@ -110,6 +110,23 @@ object QueriesEmb {
     * over exact powers of two, so both engines derive the identical
     * width at every N.
     */
+  /** Resolve the self-scaling LSH plane count ONCE per embeddings-table
+    * CONTENT (file names/lengths/mtimes): emb_bitext_mine and
+    * emb_bitext_saturation share the same derived geometry, so without
+    * this each of the pair re-counted the corpus per run for the same
+    * value. Content-keyed (the [[Q.indexDir]] rule), so regenerated
+    * data re-derives; a stale count can never survive a data change.
+    */
+  private val planesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def resolvedPlanes(s: org.apache.spark.sql.SparkSession,
+                             dir: String, target: Long): Int =
+    planesMemo.computeIfAbsent(
+      Q.contentSig(dir, "embeddings") + s"|t=$target",
+      _ => Int.box(graft.functions.Bitext.autoPlanes(
+        Q.table(s, dir, "embeddings").count(), target))).intValue()
+
   private def autoPlanesSql(target: Int): String =
     s"""(SELECT least(24, greatest(4, CAST(min(CASE
        |    WHEN CAST(power(2, t.b) AS BIGINT) * $target >= n.n
@@ -887,8 +904,8 @@ object QueriesEmb {
     QDef("emb_bitext_mine",
       (s, dir) => graft.functions.Bitext.minePairs(
         Q.table(s, dir, "embeddings"), "vec_id", "embedding",
-        nPlanes = 0, dim = Dim, k = 4, maxBucketSize = 100L,
-        minMarginMicro = 0L, targetBucketSize = 32L),
+        nPlanes = resolvedPlanes(s, dir, 32L), dim = Dim, k = 4,
+        maxBucketSize = 100L, minMarginMicro = 0L, targetBucketSize = 32L),
       Some {
         val dxy = dotSql("x.e", "y.e")
         val dxx = dotSql("x.e", "x.e")
@@ -940,8 +957,8 @@ object QueriesEmb {
     QDef("emb_bitext_saturation",
       (s, dir) => graft.functions.Bitext.saturationStats(
         Q.table(s, dir, "embeddings"), "vec_id", "embedding",
-        nPlanes = 0, dim = Dim, maxBucketSize = 100L,
-        targetBucketSize = 32L),
+        nPlanes = resolvedPlanes(s, dir, 32L), dim = Dim,
+        maxBucketSize = 100L, targetBucketSize = 32L),
       Some {
         s"""WITH autonp AS (SELECT ${autoPlanesSql(32)} AS np),
            |b0 AS (SELECT ${Similarity.lshBucketSqlDyn("embedding",

@@ -99,6 +99,34 @@ class AutoGeometrySpec extends SparkSpec with Matchers {
       Similarity.pqTopK(small, q, "vec_id", "embedding", k = 2,
         maxCorpus = 10L)
     }.getMessage should include("searchPqIndex")
+
+    // the train-in-query IVF-PQ form trains a full k-means per call —
+    // same guard discipline, naming the train-once persisted path
+    val eIvfPq = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(small, q, "vec_id", "embedding", k = 2,
+        maxCorpus = 10L)
+    }
+    eIvfPq.getMessage should include("ivfPqTopK")
+    eIvfPq.getMessage should include("writeIvfPqIndex")
+    eIvfPq.getMessage should include("searchIvfPqIndex")
+  }
+
+  test("maxCorpus = Long.MaxValue is an explicit opt-out: the guard " +
+    "count is SKIPPED, not just allowed to pass") {
+    // poison pill: ANY evaluation of this corpus raises — so if the
+    // guard ran its eager count() the builder would throw here, and
+    // the opt-out path stays fully lazy (build the plan, run nothing)
+    val poisoned = spark.range(0L, 4L).toDF("vec_id")
+      .withColumn("embedding", array(lit(1.0f)))
+      .filter(raise_error(lit("guard must not count")).isNull)
+    val q = spark.range(0L, 1L).toDF("vec_id")
+      .withColumn("embedding", array(lit(1.0f)))
+    noException should be thrownBy Similarity.bruteForceTopK(
+      poisoned, q, "vec_id", "embedding", k = 2, maxCorpus = Long.MaxValue)
+    // default bound on the same corpus DOES count — and hits the pill
+    intercept[Exception] {
+      Similarity.bruteForceTopK(poisoned, q, "vec_id", "embedding", k = 2)
+    }.getMessage should include("guard must not count")
   }
 
   test("auto-width IVF-PQ index: derived geometry persists and serves " +
