@@ -3440,6 +3440,183 @@ object QueriesText {
               |       FROM lab GROUP BY 1)
               |SELECT query_id, first_rel_rank,
               |  coalesce(1000000 // first_rel_rank, 0) AS rr_ppm
-              |FROM fr""".stripMargin))
+              |FROM fr""".stripMargin)),
+
+    // THE CENTURY CAPSTONE (round 12): the full production curation
+    // chain composed into ONE artifact — Gopher/C4/quality/PII gates →
+    // exact dedup → MinHash fuzzy dedup (Jaccard ≥ 0.5, min-id
+    // survives) → 8-gram benchmark decontamination (doc_id % 23 split)
+    // → temperature mixture sample (20k-token budget, salt 'cap') →
+    // concat-and-split packing → BUCKETED-AT-REST shard table, WRITTEN
+    // to disk and READ BACK. Output = per-sequence digest of the
+    // read-back table (token-hash sum + position-weighted sum), so the
+    // hash gate proves the bytes a trainer would read. Every fragment
+    // below is one a standalone oracle already proved engine-exact
+    // (t_pipeline_e2e gates, dd_minhash_pairs, t_decontaminate,
+    // t_mixture_sample, t_bpe_pack assembly); this query guards their
+    // COMPOSITION — the stage-reuse-trap habitat (Curation.capstoneShards
+    // localCheckpoints each multiply-consumed frame).
+    QDef("t_capstone_shards",
+      (s, dir) => graft.pipeline.Curation.capstoneShards(
+        Q.table(s, dir, "documents"), "doc_id", "text", "source",
+        outTable = "graft_capstone_shards",
+        outPath = Q.indexDir("capstone", dir, "documents", "shards"),
+        minQualityMicro = 800000L, maxPii = 0L, tau = 0.5,
+        passageLen = 8, budgetTokens = 20000L, seqLen = 512,
+        nBuckets = 32, seqsPerShard = 8L, tableBuckets = 8),
+      Some {
+        val enHits = stopwordHitsSql("en")
+        val (e, p, i) = (TextAnalysis.PiiEmailRe, TextAnalysis.PiiPhoneRe,
+          TextAnalysis.PiiIpRe)
+        s"""WITH dd0 AS (
+           |  SELECT doc_id,
+           |    doc_id = min(doc_id) OVER (PARTITION BY md5($normSql)) AS dedup_ok
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id,
+           |    len($rawTokensSql) >= 20 AND len($rawTokensSql) <= 90 AS r_len_ok,
+           |    CAST(length(text) AS DOUBLE)
+           |      / greatest(CAST(len($rawTokensSql) AS DOUBLE), 1.0) >= 3.0
+           |    AND CAST(length(text) AS DOUBLE)
+           |      / greatest(CAST(len($rawTokensSql) AS DOUBLE), 1.0) <= 10.0 AS r_mwl_ok,
+           |    $enHits >= 2 AS r_sw_ok,
+           |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           |      / greatest(CAST(length(text) AS DOUBLE), 1.0) >= 0.5 AS r_alpha_ok,
+           |    NOT (contains(text, '{') OR contains(text, '}'))
+           |      AND NOT contains(lower(text), 'lorem ipsum')
+           |      AND NOT contains(lower(text), 'javascript')
+           |      AND len($rawTokensSql) >= 5
+           |      AND len($rawTokensSql) <= 100000 AS c4_ok
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id,
+           |    CAST(CAST($qualitySql AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+           |      AS quality_micro
+           |  FROM documents),
+           |p1 AS (SELECT doc_id, text,
+           |    regexp_replace(text, '$e', '<EMAIL>', 'g') AS t1 FROM documents),
+           |p2 AS (SELECT doc_id, text, t1,
+           |    regexp_replace(t1, '$p', '<PHONE>', 'g') AS t2 FROM p1),
+           |pp AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_extract_all(text, '$e'))
+           |       + len(regexp_extract_all(t1, '$p'))
+           |       + len(regexp_extract_all(t2, '$i')) AS BIGINT) AS n_pii
+           |  FROM p2),
+           |kept0 AS MATERIALIZED (
+           |  SELECT doc_id, source, text FROM documents
+           |  JOIN dd0 USING (doc_id) JOIN g USING (doc_id)
+           |  JOIN q USING (doc_id) JOIN pp USING (doc_id)
+           |  WHERE dedup_ok AND r_len_ok AND r_mwl_ok AND r_sw_ok
+           |    AND r_alpha_ok AND c4_ok AND quality_micro >= 800000
+           |    AND n_pii <= 0 AND doc_id % 23 <> 0),
+           |kw AS (SELECT doc_id, $wordsSql AS words FROM kept0),
+           |sh AS MATERIALIZED (
+           |  SELECT DISTINCT doc_id, shingle FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+           |        i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]))
+           |        AS shingle
+           |    FROM kw) t),
+           |${minhashBandsCteGen(materializedSig = true)},
+           |cand AS (
+           |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM bands x JOIN bands y
+           |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+           |      AND x.id < y.id),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           |co AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |dups AS (
+           |  SELECT DISTINCT c.id_b AS doc_id FROM cand c
+           |  JOIN co ON co.id_a = c.id_a AND co.id_b = c.id_b
+           |  JOIN sizes sa ON sa.doc_id = c.id_a
+           |  JOIN sizes sb ON sb.doc_id = c.id_b
+           |  WHERE CAST(co.co AS DOUBLE) / CAST(sa.n + sb.n - co.co AS DOUBLE)
+           |    >= 0.5),
+           |kept1 AS (SELECT * FROM kept0
+           |          WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+           |wn2 AS (SELECT doc_id, source,
+           |          regexp_split_to_array($normSql, ' ') AS words FROM kept1),
+           |pas AS (
+           |  SELECT doc_id, source, CAST((s - 1) // 8 AS BIGINT) AS pidx,
+           |    array_to_string(list_slice(words, s, s + 7), ' ') AS passage
+           |  FROM (SELECT doc_id, source, words,
+           |          unnest(range(1, len(words) + 1, 8)) AS s FROM wn2)),
+           |bw AS (SELECT regexp_split_to_array($normSql, ' ') AS words
+           |       FROM documents WHERE doc_id % 23 = 0),
+           |ev AS (SELECT DISTINCT
+           |         md5(array_to_string(list_slice(words, i, i + 7), ' ')) AS fp
+           |       FROM (SELECT words,
+           |               unnest(range(1, greatest(len(words) - 7, 0) + 1)) AS i
+           |             FROM bw) t),
+           |keptp AS (SELECT doc_id, source, pidx, passage FROM pas
+           |          WHERE md5(passage) NOT IN (SELECT fp FROM ev)),
+           |clean AS MATERIALIZED (
+           |  SELECT doc_id, source,
+           |    string_agg(passage, ' ' ORDER BY pidx) AS clean_text
+           |  FROM keptp GROUP BY 1, 2),
+           |d2 AS (SELECT doc_id, source,
+           |        CAST(len(regexp_split_to_array(trim(clean_text), '\\s+'))
+           |          AS BIGINT) AS n_tokens
+           |       FROM clean),
+           |s1 AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n
+           |       FROM d2 GROUP BY 1),
+           |s2 AS (SELECT source, n,
+           |         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS sq
+           |       FROM s1),
+           |ts AS (SELECT CAST(sum(sq) AS BIGINT) AS ssum FROM s2),
+           |r AS (SELECT source,
+           |        least(1000000, ((CAST(20000 AS BIGINT) * 1000000 // ssum) * sq) // n)
+           |          AS rate_micro
+           |      FROM s2, ts),
+           |samp AS (SELECT d2.doc_id, d2.n_tokens FROM d2 JOIN r USING (source)
+           |         WHERE (CAST(('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           |                  % 1000000) < r.rate_micro),
+           |d AS (SELECT doc_id, n_tokens,
+           |       (CAST(('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           |         % 1000000) % 32 AS bucket
+           |      FROM samp WHERE n_tokens > 0),
+           |c AS (SELECT doc_id, bucket, n_tokens,
+           |        CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |          AS local_end
+           |      FROM d),
+           |bo AS (SELECT bucket,
+           |        CAST(coalesce(sum(tot) OVER (ORDER BY bucket
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |          AS bucket_off
+           |       FROM (SELECT bucket, sum(n_tokens) AS tot FROM d GROUP BY bucket) t),
+           |pk AS (SELECT c.doc_id, c.n_tokens,
+           |        bucket_off + local_end - n_tokens AS start_off,
+           |        (bucket_off + local_end - n_tokens) // 512 AS seq_first,
+           |        (bucket_off + local_end - 1) // 512 AS seq_last
+           |       FROM c JOIN bo USING (bucket)),
+           |ex AS (SELECT doc_id, n_tokens, start_off,
+           |        unnest(generate_series(seq_first, seq_last)) AS seq_id
+           |       FROM pk),
+           |sl AS (SELECT ex.seq_id, ex.doc_id,
+           |        greatest(start_off, seq_id * 512) - start_off AS tok_from,
+           |        least(start_off + n_tokens, (seq_id + 1) * 512) - start_off AS tok_to,
+           |        greatest(start_off, seq_id * 512) - seq_id * 512 AS seq_off
+           |       FROM ex),
+           |tw AS (SELECT doc_id,
+           |         regexp_split_to_array(trim(clean_text), '\\s+') AS toks
+           |       FROM clean),
+           |x AS (SELECT sl.seq_id,
+           |        unnest(list_slice(tw.toks, CAST(tok_from + 1 AS INTEGER),
+           |                          CAST(tok_to AS INTEGER))) AS tok,
+           |        seq_off + unnest(range(1, tok_to - tok_from + 1)) AS pos
+           |      FROM sl JOIN tw USING (doc_id))
+           |SELECT seq_id // 8 AS shard, seq_id,
+           |  CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)) AS BIGINT)
+           |    AS hash_sum,
+           |  CAST(sum(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) * pos) AS BIGINT)
+           |    AS hash_possum
+           |FROM x GROUP BY 1, 2""".stripMargin
+      })
   )
 }

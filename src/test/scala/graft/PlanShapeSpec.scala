@@ -168,6 +168,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"no shuffle join anywhere in the capstone:\n$p")
   }
 
+  test("capstone shards: every stage past a checkpoint stops scanning " +
+    "the source (the stage-reuse trap guard)") {
+    // t_capstone_shards composes gates -> exact+fuzzy dedup ->
+    // decontaminate -> mixture -> pack -> bucketed write. The trap class
+    // (t_curriculum_order, round 11): a late branch silently re-scanning
+    // documents.parquet and re-running the full regex gate chain. Pin
+    // the per-stage source-scan counts via the planTap hook.
+    val taps = scala.collection.mutable.Map[String, String]()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cap_spec").toString
+    val digest = graft.pipeline.Curation.capstoneShards(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      "source", outTable = "graft_capstone_spec_shards",
+      outPath = s"$tmp/shards",
+      planTap = (n, df) => taps(n) = df.queryExecution.executedPlan.toString)
+    def docScans(p: String): Int =
+      "documents\\.parquet".r.findAllIn(p).size
+    // base (gates + exact dedup): the fingerprint two-phase aggregate
+    // joins back onto the rows, so the source appears on BOTH join
+    // sides — 2 scans, and no more (each gate is a Column on top)
+    assert(docScans(taps("base")) == 2,
+      s"base must scan the source exactly twice (dedup agg + probe):\n${taps("base")}")
+    // fuzzy dedup + decontamination read the CHECKPOINTED base; the
+    // only remaining source scan is the benchmark fingerprint branch
+    assert(docScans(taps("clean")) == 1,
+      s"clean must scan the source ONLY for the benchmark fps:\n${taps("clean")}")
+    assert(taps("clean").contains("Scan ExistingRDD"),
+      s"clean must read the checkpointed base:\n${taps("clean")}")
+    // mixture + packing ride the checkpointed clean corpus: the source
+    // (and its regex gate chain) is out of the plan entirely
+    assert(docScans(taps("seqs")) == 0,
+      s"packing must never re-scan the source:\n${taps("seqs")}")
+    assert(taps("seqs").contains("Scan ExistingRDD"),
+      s"packing must read the checkpointed frames:\n${taps("seqs")}")
+    // the returned digest reads only the written shard table
+    val dp = digest.queryExecution.executedPlan.toString
+    assert(docScans(dp) == 0 && dp.contains("shards"),
+      s"digest must read back the shard table, not the source:\n$dp")
+    spark.sql("DROP TABLE IF EXISTS graft_capstone_spec_shards")
+  }
+
   test("persisted-index serving: codes scan side never shuffle-joins") {
     // building the index is part of the query's first run; the SERVING
     // plan (what queries() returns once the index exists) must score the
