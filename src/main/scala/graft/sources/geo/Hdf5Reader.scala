@@ -41,8 +41,16 @@ import graft.ops.Grid
   * their root-level hard target (chains ≤ 8 hops; dangling, cyclic or
   * nested-path targets fail loudly, as do external links).
   *
-  * Everything else — superblock extensions, huge/tiny link heap IDs,
-  * indirect-within-indirect link heap rows,
+  * Superblock extensions are accepted when they carry only
+  * bookkeeping messages (File Space Info, Driver Info, B-tree K,
+  * refcount — none change how datasets decode); a Shared Message
+  * Table, or any extension message outside that allowlist, fails
+  * loudly. Dense-group heap IDs decode in all three library-written
+  * forms — managed, tiny (payload inline in the ID), and directly
+  * accessed huge (address+length in the ID).
+  *
+  * Everything else — indirect (B-tree-mediated) huge heap objects,
+  * extended tiny IDs, indirect-within-indirect link heap rows,
   * non-8-byte offsets, unknown filters, a conventions attribute this
   * reader cannot decode — fails LOUDLY with a message naming the
   * limitation and the one-line `nccopy` escape hatch; this reader
@@ -427,9 +435,7 @@ object Hdf5Reader {
         val base = buf.getLong()
         require(base == 0, s"$path: nonzero base address $base unsupported")
         val sbExt = buf.getLong()
-        require(sbExt == Undef,
-          s"$path: superblock extension present — shared message tables " +
-            "are unsupported; `nccopy -k classic` converts")
+        if (sbExt != Undef) checkSuperblockExtension(buf, sbExt, path)
         buf.getLong() // end-of-file address
         val rootHdr = buf.getLong()
         buf.getInt() // superblock checksum
@@ -440,6 +446,36 @@ object Hdf5Reader {
     }.toMap
     H5File(datasets, bytes, path)
   }
+
+  /** Superblock extension: an object header the library hangs
+    * bookkeeping messages off (HDF5 1.10+ writes one routinely — File
+    * Space Info on every `H5Pset_file_space_strategy` file). None of
+    * the bookkeeping types change how DATASETS decode, so they are
+    * verified-and-ignored; the one extension message that WOULD — a
+    * Shared Message Table (datatype/dataspace messages elsewhere then
+    * become indirect references this reader would misparse) — fails
+    * loudly, as does any type outside the known-bookkeeping allowlist
+    * (an unknown extension message could be anything, including a
+    * future sharing mechanism — never misparse).
+    */
+  private val SbExtensionIgnorable: Set[Int] = Set(
+    0x0000, // NIL
+    0x000A, // Group Info (root-group defaults — link layout is explicit)
+    0x0013, // B-tree 'K' Values (v1-B-tree widths — walks are exhaustive)
+    0x0014, // Driver Info (multi/family file drivers don't change bytes)
+    0x0016, // Object Reference Count
+    0x0017) // File Space Info (free-space tracking — reads unaffected)
+
+  private def checkSuperblockExtension(buf: ByteBuffer, addr: Long,
+                                       path: String): Unit =
+    readMessages(buf, addr, path).foreach { case (typ, _, _) =>
+      require(typ != 0x000F,
+        s"$path: superblock extension carries a Shared Message Table — " +
+          "shared messages are unsupported; `nccopy -k classic` converts")
+      require(SbExtensionIgnorable.contains(typ),
+        f"$path: superblock extension message type 0x$typ%04x " +
+          "unsupported; `nccopy -k classic` converts")
+    }
 
   /** Root links of a message-driven (new-style) group: compact Link
     * messages in the root object header (the layout the latest format
@@ -477,11 +513,17 @@ object Hdf5Reader {
     * heap ID to (heap offset, length) via the heap's doubling table, and
     * parse the object bytes as a Link message.
     *
-    * Never-misparse bounds, all failing loudly: managed objects only
-    * (huge/tiny heap IDs reject), unfiltered heaps, direct-block rows
-    * only (an indirect-block hierarchy means >maxDirect×width bytes of
-    * link names), and a root-leaf B-tree (≈180 links at the library's
-    * default node size; deeper trees reject).
+    * Heap IDs decode in all three written forms: managed (offset +
+    * length into a direct block), tiny (the link message rides inline
+    * in the ID — names short enough to fit), and directly accessed
+    * huge (file address + length in the ID — the form the library
+    * writes when the heap has no huge-object B-tree).
+    *
+    * Never-misparse bounds, all failing loudly: indirect huge objects
+    * (a defined huge-object B-tree implies B-tree-mediated, possibly
+    * filtered storage) and extended tiny IDs reject; unfiltered heaps
+    * only; direct-block rows only (an indirect-block hierarchy means
+    * >maxDirect×width bytes of link names).
     */
   private def readDenseLinks(buf: ByteBuffer, pos: Int, size: Int,
                              path: String): Seq[RootLink] = {
@@ -499,19 +541,48 @@ object Hdf5Reader {
     ids.map { id =>
       val flag = id(0) & 0xff
       require((flag & 0xc0) == 0, s"$path: heap ID version ${flag >> 6}")
-      require((flag & 0x30) == 0,
-        s"$path: non-managed (huge/tiny) link heap object unsupported")
       val ib = ByteBuffer.wrap(id).order(ByteOrder.LITTLE_ENDIAN)
       ib.position(1)
-      val off = readUintLE(ib, heap.offBytes)
-      val len = readUintLE(ib, heap.lenBytes).toInt
-      readLink(buf, heap.fileAddr(off, path), len, path)
+      (flag & 0x30) match {
+        case 0x00 => // managed: (heap offset, length) into a direct block
+          val off = readUintLE(ib, heap.offBytes)
+          val len = readUintLE(ib, heap.lenBytes).toInt
+          readLink(buf, heap.fileAddr(off, path), len, path)
+        case 0x20 => // tiny: the link message IS the ID payload. Normal
+          // sub-type only (payload length in the flag nibble); the
+          // extended sub-type exists iff the heap's ID length > 18,
+          // which the library only emits for heaps far past link scale
+          require(heap.idLen <= 18,
+            s"$path: extended tiny heap ID (heap ID length " +
+              s"${heap.idLen} > 18) unsupported; `nccopy -k classic` converts")
+          val len = (flag & 0x0f) + 1
+          require(1 + len <= id.length,
+            s"$path: tiny heap ID payload $len overruns the ${id.length}-byte ID")
+          readLinkFrom(ib, path)
+        case 0x10 => // huge, directly accessed: (file address, length)
+          // live in the ID itself — the layout the library writes when
+          // the huge-object v2 B-tree address is undefined. A defined
+          // B-tree means indirect (and possibly filtered) huge objects.
+          require(heap.hugeBtAddr == Undef,
+            s"$path: indirect (B-tree-mediated) huge link heap objects " +
+              "unsupported; `nccopy -k classic` converts")
+          require(heap.idLen >= 17,
+            s"$path: direct huge heap ID needs 17 bytes, heap ID length " +
+              s"is ${heap.idLen}")
+          val addr = ib.getLong()
+          val len = ib.getLong()
+          readLink(buf, addr.toInt, len.toInt, path)
+        case other => throw new IllegalArgumentException(
+          s"$path: reserved heap ID type ${other >> 4} unsupported")
+      }
     }
   }
 
   private[graft] final case class FractalHeap(offBytes: Int, lenBytes: Int,
                                               width: Int, startBlock: Long,
-                                              blockAddrs: IndexedSeq[Long]) {
+                                              blockAddrs: IndexedSeq[Long],
+                                              idLen: Int = 0,
+                                              hugeBtAddr: Long = Undef) {
     /** File position of heap offset `off` via the doubling table: rows
       * 0 and 1 hold `width` blocks of `startBlock` bytes, row r ≥ 2
       * doubles the block size; row r ≥ 1 starts at heap offset
@@ -552,7 +623,8 @@ object Hdf5Reader {
       s"$path: filtered link heap unsupported")
     b.get() // flags (direct-block checksums are structural here)
     b.getInt() // max managed object size
-    b.getLong(); b.getLong() // next huge id, huge b-tree address
+    b.getLong() // next huge object id
+    val hugeBtAddr = b.getLong() // huge-object v2 B-tree (Undef = direct IDs)
     b.getLong(); b.getLong() // free space, free-space manager address
     b.getLong(); b.getLong() // managed space, allocated managed space
     b.getLong() // direct-block iterator offset
@@ -568,8 +640,11 @@ object Hdf5Reader {
     val curRows = b.getShort() & 0xffff
     val offBytes = (maxHeapBits + 7) / 8
     val lenBytes = (64 - java.lang.Long.numberOfLeadingZeros(maxDirect - 1) + 7) / 8
-    require(1 + offBytes + lenBytes == heapIdLen,
-      s"$path: heap ID length $heapIdLen != 1+$offBytes+$lenBytes")
+    // the header's ID length is authoritative; managed IDs use the
+    // geometry-derived 1+off+len prefix and pad the rest, a wider ID
+    // also leaves room for tiny payloads / direct huge (addr, len)
+    require(1 + offBytes + lenBytes <= heapIdLen,
+      s"$path: heap ID length $heapIdLen < 1+$offBytes+$lenBytes")
     require(rootAddr != Undef, s"$path: empty link heap")
     val blockAddrs: IndexedSeq[Long] =
       if (curRows == 0) IndexedSeq(rootAddr) // root IS a direct block
@@ -590,7 +665,8 @@ object Hdf5Reader {
         readUintLE(ib, offBytes) // block offset of this indirect block
         (0 until curRows * width).map(_ => ib.getLong())
       }
-    FractalHeap(offBytes, lenBytes, width, startBlock, blockAddrs)
+    FractalHeap(offBytes, lenBytes, width, startBlock, blockAddrs,
+      heapIdLen, hugeBtAddr)
   }
 
   /** v2 B-tree (BTHD), any depth: returns each record's bytes minus the
@@ -733,8 +809,13 @@ object Hdf5Reader {
     * a variable.
     */
   private def readLink(buf: ByteBuffer, pos: Int, size: Int,
-                       path: String): RootLink = {
-    val b = slice(buf, pos, size)
+                       path: String): RootLink =
+    readLinkFrom(slice(buf, pos, size), path)
+
+  /** Parse one v1 Link message at `b`'s position (file slice, or a tiny
+    * heap ID's inline payload).
+    */
+  private def readLinkFrom(b: ByteBuffer, path: String): RootLink = {
     val ver = b.get() & 0xff
     require(ver == 1, s"$path: link message v$ver unsupported")
     val flags = b.get() & 0xff

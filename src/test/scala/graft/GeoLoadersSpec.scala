@@ -623,4 +623,82 @@ class GeoLoadersSpec extends SparkSpec {
       .select(Geo.gridElevationFrom(grid, col("lat"), col("lon"))).collect()
     assert(out(0).isNullAt(0))
   }
+
+  test("dense links: tiny and direct-huge heap IDs decode alongside managed") {
+    // An 18-byte-ID heap mixes all three written ID forms in one name
+    // index: "temperature" (22-byte link message → managed), "lat"/
+    // "lon" + a soft link (≤ 16 bytes → tiny, message inline in the
+    // ID), and "x00" forced huge (message outside the heap, ID =
+    // address + length). Every form must enumerate and every dataset
+    // decode identically to the compact layout of the same grid.
+    val lat = Array(10.0, 10.5, 11.0, 11.5)
+    val lon = Array(20.0, 20.25, 20.5, 20.75, 21.0)
+    val scale = 0.5; val offset = 2.0
+    val expect = Array.tabulate(20)(k => k * 0.5 - 1.0)
+    val packed = expect.map(v => ((v - offset) / scale).toFloat)
+    val atts = Seq("scale_factor" -> scale, "add_offset" -> offset)
+    val p = Files.createTempFile("graft_tinyhuge", ".nc").toString
+    MiniHdf5.writeGridV2(p, "temperature", lat, lon, packed,
+      chunkRows = 3, chunkCols = 2, deflate = false, shuffle = false,
+      atts = atts, denseRoot = true, denseIdWide = true,
+      denseExtraLinks = 1, hugeNames = Set("x00"),
+      softLinks = Seq(("al", "/lat")))
+    val h5 = graft.sources.geo.Hdf5Reader.open(p)
+    assert(h5.datasets.keySet ==
+      Set("temperature", "lat", "lon", "x00", "al"))
+    val g = GridLoader.fromNetcdf(p, "temperature")
+    for (i <- 0 until 4; j <- 0 until 5)
+      assert(g.valueAt(i, j) == expect(i * 5 + j), s"tiny/huge ($i,$j)")
+    // tiny soft link and huge hard link both land on the lat dataset
+    val latVals = h5.readDoubles("lat")
+    assert(h5.readDoubles("al").sameElements(latVals))
+    assert(h5.readDoubles("x00").sameElements(latVals))
+    // every link huge: enumeration entirely outside the heap blocks
+    val pm = Files.createTempFile("graft_allhuge", ".nc").toString
+    MiniHdf5.writeGridV2(pm, "temperature", lat, lon, packed,
+      chunkRows = 3, chunkCols = 2, deflate = false, shuffle = false,
+      atts = atts, denseRoot = true, denseIdWide = true,
+      hugeNames = Set("temperature", "lat", "lon"))
+    assert(graft.sources.geo.Hdf5Reader.open(pm).datasets.keySet ==
+      Set("temperature", "lat", "lon"))
+  }
+
+  test("superblock extension: bookkeeping messages accepted, shared " +
+    "message table and unknown types loud") {
+    val lat = Array(10.0, 10.5, 11.0, 11.5)
+    val lon = Array(20.0, 20.25, 20.5, 20.75, 21.0)
+    val expect = Array.tabulate(20)(k => k * 0.5 - 1.0)
+    val packed = expect.map(v => ((v - 2.0) / 0.5).toFloat)
+    val atts = Seq("scale_factor" -> 0.5, "add_offset" -> 2.0)
+    // File Space Info + Driver Info: bookkeeping the library writes
+    // routinely under H5F_LIBVER_LATEST — must not change a single cell
+    val p = Files.createTempFile("graft_sbext", ".nc").toString
+    MiniHdf5.writeGridV2(p, "elevation", lat, lon, packed,
+      chunkRows = 3, chunkCols = 2, deflate = false, shuffle = false,
+      atts = atts, sbExtMessages = Seq(
+        (0x0017, Array.fill[Byte](14)(1)),   // File Space Info
+        (0x0014, Array.fill[Byte](24)(2)))) // Driver Info
+    val g = GridLoader.fromNetcdf(p, "elevation")
+    for (i <- 0 until 4; j <- 0 until 5)
+      assert(g.valueAt(i, j) == expect(i * 5 + j), s"sbext ($i,$j)")
+    // Shared Message Table: the extension message that WOULD change how
+    // other messages decode — loud, names the hatch
+    val ps = Files.createTempFile("graft_sbext_sohm", ".nc").toString
+    MiniHdf5.writeGridV2(ps, "elevation", lat, lon, packed,
+      chunkRows = 3, chunkCols = 2, deflate = false, shuffle = false,
+      atts = atts, sbExtMessages = Seq((0x000F, Array.fill[Byte](13)(0))))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.geo.Hdf5Reader.open(ps)
+    }
+    assert(e.getMessage.contains("Shared Message Table") &&
+      e.getMessage.contains("nccopy"))
+    // an extension message outside the bookkeeping allowlist: loud too
+    val pu = Files.createTempFile("graft_sbext_unknown", ".nc").toString
+    MiniHdf5.writeGridV2(pu, "elevation", lat, lon, packed,
+      chunkRows = 3, chunkCols = 2, deflate = false, shuffle = false,
+      atts = atts, sbExtMessages = Seq((0x002A, Array.fill[Byte](8)(0))))
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.geo.Hdf5Reader.open(pu)
+    }.getMessage.contains("superblock extension message type"))
+  }
 }

@@ -641,7 +641,17 @@ object MiniHdf5 {
                   eaIdxElmts: Int = 4, eaMinElmts: Int = 2,
                   eaMinPtrs: Int = 4,
                   eaPageBits: Int = 10, faPageBits: Int = 10,
-                  softLinks: Seq[(String, String)] = Nil): Unit = {
+                  softLinks: Seq[(String, String)] = Nil,
+                  // superblock-extension object header: message types →
+                  // payloads (e.g. 0x0017 File Space Info; 0x000F Shared
+                  // Message Table is the one the reader must REJECT)
+                  sbExtMessages: Seq[(Int, Array[Byte])] = Nil,
+                  // 18-byte heap IDs: links whose message fits 17 bytes
+                  // ride INLINE as tiny IDs, links named in `hugeNames`
+                  // store their message OUTSIDE the heap with a direct
+                  // huge (address+length) ID, the rest stay managed
+                  denseIdWide: Boolean = false,
+                  hugeNames: Set[String] = Set.empty): Unit = {
     val nLat = lat.length; val nLon = lon.length
     require(packed.length == nLat * nLon)
     val Undef = -1L
@@ -1107,7 +1117,11 @@ object MiniHdf5 {
     val denseNames = names ++
       (0 until denseExtraLinks).map(i => f"x$i%02d") ++ softLinks.map(_._1)
     val hpWidth = 4; val hpStart = 64L
-    val hpMaxDirect = 65536L; val hpMaxBits = 32 // → heap ID = 1+4+2 = 7
+    val hpMaxDirect = 65536L; val hpMaxBits = 32 // → managed ID = 1+4+2 = 7
+    // wide IDs leave room for tiny payloads (≤ 16 bytes inline) and
+    // direct huge (1 + 8 addr + 8 len = 17) — the library pads managed
+    // IDs to the heap's ID length the same way
+    val heapIdLen = if (denseIdWide) 18 else 7
     val fhdbHdrLen = 4 + 1 + 8 + 4 // sig, version, heap hdr, block offset
     def blockSize(k: Int): Long = {
       val r = k / hpWidth
@@ -1135,7 +1149,7 @@ object MiniHdf5 {
         else hpWidth * hpStart * (1L << (curRows - 1))
       val b = bb(160)
       b.put("FRHP".getBytes("US-ASCII")); b.put(0.toByte)
-      b.putShort(7)                 // heap ID length
+      b.putShort(heapIdLen.toShort) // heap ID length
       b.putShort(0)                 // I/O filter encoded length
       b.put(0.toByte)               // flags: no direct-block checksums
       b.putInt(4096)                // max managed object size
@@ -1177,8 +1191,8 @@ object MiniHdf5 {
     }
 
     // ---- v2 B-tree name index via the shared any-depth emitter ----
-    val denseBt = new Bt2(denseNodeSize, recSize = 11, btType = 5,
-      nRecs = denseNames.length) // 11 = 4-byte name hash + 7-byte heap ID
+    val denseBt = new Bt2(denseNodeSize, recSize = 4 + heapIdLen, btType = 5,
+      nRecs = denseNames.length) // 4-byte name hash + heap ID
     // records carry the REAL lookup3 name hash and sit in the tree in
     // unsigned-hash order (the library's search invariant) — heap
     // blocks stay in link order, the records just point into them. The
@@ -1195,12 +1209,36 @@ object MiniHdf5 {
         case None => linkMsg(n, hdrAddrs.getOrElse(n, 0L))
       }
 
-    def denseRecBytes(b: ByteBuffer, slot: Int): Unit = {
+    /** Heap ID kind per dense link: 0 managed, 1 tiny (message ≤ 16
+      * bytes rides inline — normal tiny sub-type limit), 2 huge-direct
+      * (message stored outside the heap; ID = address + length).
+      */
+    val denseKinds: IndexedSeq[Int] = denseNames.toIndexedSeq.map { n =>
+      if (denseIdWide && hugeNames(n)) 2
+      else if (denseIdWide && denseMsg(n, Map.empty).length <= 16) 1
+      else 0
+    }
+
+    def denseRecBytes(b: ByteBuffer, slot: Int, hdrAddrs: Map[String, Long],
+                      hugeAddrs: Map[Int, Long]): Unit = {
       val k = denseOrder(slot)
       b.putInt(lookup3(denseNames(k).getBytes("US-ASCII")))
-      b.put(0.toByte)                // heap ID: version 0, managed
-      b.putInt(heapOffsets(k).toInt) // heap offset, 4 bytes LE
-      b.putShort(denseMsg(denseNames(k), Map.empty).length.toShort)
+      val start = b.position()
+      denseKinds(k) match {
+        case 0 =>
+          b.put(0.toByte)                // heap ID: version 0, managed
+          b.putInt(heapOffsets(k).toInt) // heap offset, 4 bytes LE
+          b.putShort(denseMsg(denseNames(k), Map.empty).length.toShort)
+        case 1 =>
+          val m = denseMsg(denseNames(k), hdrAddrs)
+          b.put((0x20 | (m.length - 1)).toByte) // version 0, tiny, len-1
+          b.put(m)
+        case 2 =>
+          b.put(0x10.toByte)             // version 0, huge direct
+          b.putLong(hugeAddrs(k))
+          b.putLong(denseMsg(denseNames(k), Map.empty).length.toLong)
+      }
+      while (b.position() < start + heapIdLen) b.put(0.toByte)
     }
 
     def rootHeader(hdrAddrs: Map[String, Long]): Array[Byte] =
@@ -1246,7 +1284,17 @@ object MiniHdf5 {
     val dblk0 = fhibAddr + fhibLen
     val bthdAddr = dblk0 + blocksLen
     val btNodesAddr = bthdAddr + bthdLen
-    val gridAddr = btNodesAddr + btNodesLen
+    // direct huge objects live outside the heap, addressed from the ID
+    val hugeKs = denseNames.indices.filter(k => denseKinds(k) == 2)
+    val hugeAddrs: Map[Int, Long] = {
+      var c = btNodesAddr + btNodesLen
+      hugeKs.map { k =>
+        val a = c; c += denseMsg(denseNames(k), Map.empty).length; k -> a
+      }.toMap
+    }
+    val hugeLen =
+      hugeKs.map(k => denseMsg(denseNames(k), Map.empty).length).sum
+    val gridAddr = btNodesAddr + btNodesLen + hugeLen
     val latHdrAddr = gridAddr + gridLen
     val lonHdrAddr = latHdrAddr + latLen
     val fahdAddr = lonHdrAddr + lonLen
@@ -1257,6 +1305,11 @@ object MiniHdf5 {
     val chunkAddrs = chunkList.map { c => val a = cursor; cursor += c.length; a }
     val latAddr = cursor; cursor += nLat * 8
     val lonAddr = cursor; cursor += nLon * 8
+    def pad8(n: Int): Int = (n + 7) & ~7
+    val sbExtLen =
+      if (sbExtMessages.isEmpty) 0L
+      else 16L + sbExtMessages.map(m => 8 + pad8(m._2.length)).sum
+    val sbExtAddr = cursor; cursor += sbExtLen
     val eof = cursor
 
     // ---- pass 2: emit with real addresses ----
@@ -1266,7 +1319,7 @@ object MiniHdf5 {
     buf.put(8.toByte); buf.put(8.toByte) // offset / length sizes
     buf.put(0.toByte)       // file consistency flags
     buf.putLong(0L)         // base address
-    buf.putLong(Undef)      // superblock extension
+    buf.putLong(if (sbExtMessages.isEmpty) Undef else sbExtAddr)
     buf.putLong(eof)        // end of file
     buf.putLong(rootAddr)   // root group object header
     buf.putInt(0)           // checksum (structural)
@@ -1292,7 +1345,13 @@ object MiniHdf5 {
       }
       buf.position(bthdAddr.toInt)
       buf.put(denseBt.header(btNodesAddr))
-      denseBt.emit(buf, btNodesAddr, denseRecBytes)
+      denseBt.emit(buf, btNodesAddr,
+        (b, slot) => denseRecBytes(b, slot, hdrAddrs, hugeAddrs))
+      // direct huge objects: the link message bytes at their own address
+      hugeKs.foreach { k =>
+        buf.position(hugeAddrs(k).toInt)
+        buf.put(denseMsg(denseNames(k), hdrAddrs))
+      }
       // each node owns denseNodeSize bytes; serialized content is shorter
       buf.position(gridAddr.toInt)
     } else {
@@ -1350,6 +1409,21 @@ object MiniHdf5 {
       buf.position(a.toInt); buf.put(data) }
     buf.position(latAddr.toInt); lat.foreach(buf.putDouble)
     buf.position(lonAddr.toInt); lon.foreach(buf.putDouble)
+    if (sbExtMessages.nonEmpty) {
+      // superblock extension = a v1 object header of bookkeeping msgs
+      buf.position(sbExtAddr.toInt)
+      buf.put(1.toByte); buf.put(0.toByte)
+      buf.putShort(sbExtMessages.length.toShort)
+      buf.putInt(1)                    // reference count
+      buf.putInt((sbExtLen - 16).toInt)
+      buf.putInt(0)                    // pad to 8-aligned message start
+      sbExtMessages.foreach { case (t, payload) =>
+        val pl = pad8(payload.length)
+        buf.putShort(t.toShort); buf.putShort(pl.toShort); buf.putInt(0)
+        buf.put(payload)
+        (payload.length until pl).foreach(_ => buf.put(0.toByte))
+      }
+    }
 
     java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
   }
