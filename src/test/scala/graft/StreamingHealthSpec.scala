@@ -1,0 +1,97 @@
+package graft
+
+import graft.streaming.{StreamingDedup, StreamingHealth}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** The live state-health side output tracks a PLANTED state trajectory:
+  * a growth phase (all-fresh keys inside the watermark horizon — state
+  * must climb batch over batch) followed by a horizon advance (eviction
+  * — state must fall), both read back from the queryable frame rather
+  * than raw progress objects, plus the RocksDB maintenance counters the
+  * dashboard alert needs (sst bytes, compaction, snapshot upload).
+  */
+class StreamingHealthSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  test("stateHealth tracks planted growth, then eviction; RocksDB " +
+    "maintenance counters are reported") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val src = mem.toDS().toDF("doc_id", "text", "ts_s")
+      .withColumn("event_time", timestamp_seconds(col("ts_s")))
+    val out = StreamingDedup.withinWatermark(
+      src, "text", "event_time", "600 seconds")
+    val q = out.writeStream.format("noop").outputMode("append").start()
+    try {
+      // ---- growth phase: 5 batches × 100 fresh fingerprints, event
+      // time pinned inside the horizon → nothing can be evicted
+      var id = 0L
+      val perBatch = 100
+      val growth = (0 until 5).map { b =>
+        mem.addData((0 until perBatch).map(i => (id + i, s"doc ${id + i}", 10L + b)))
+        q.processAllAvailable()
+        id += perBatch
+        val h = StreamingHealth.stateHealth(spark, q)
+          .select("state_rows", "memory_used_bytes", "operator_name",
+            "sst_file_bytes", "compaction_ms", "snapshot_files_copied",
+            "changelog_files_replayed")
+          .as[(Long, Long, String, Long, Long, Long, Long)].collect()
+        h.length shouldBe 1 // one stateful operator → one row
+        h.head
+      }
+      // the health frame's state_rows climbs with the planted keys,
+      // ending at exactly the fed distinct-fingerprint count
+      val rows = growth.map(_._1)
+      rows shouldBe rows.sorted
+      rows.last shouldBe 500L
+      rows.head should be < rows.last
+      growth.last._2 should be > 0L // memory accounted
+      growth.last._3.toLowerCase should include("dedup")
+      // RocksDB provider: maintenance counters REPORTED (>= 0), not the
+      // -1 "store does not expose this" sentinel
+      growth.last._4 should be >= 0L
+      growth.last._5 should be >= 0L
+      growth.last._6 should be >= 0L
+      growth.last._7 should be >= 0L
+
+      // ---- eviction phase: jump event time far past the horizon; the
+      // watermark advances and the old fingerprints age out
+      mem.addData(Seq((id, s"doc $id", 100000L)))
+      q.processAllAvailable()
+      mem.addData(Seq((id + 1, s"doc ${id + 1}", 100001L)))
+      q.processAllAvailable()
+      val after = StreamingHealth.stateHealth(spark, q)
+        .select("state_rows").as[Long].collect().head
+      after should be < 500L
+
+      // ---- the history frame carries the whole trajectory: its
+      // per-batch state_rows maxima contain both the climb and the drop
+      val hist = StreamingHealth.stateHealthHistory(spark, q)
+        .groupBy("batch_id").agg(max("state_rows").as("r"))
+        .orderBy("batch_id").select("r").as[Long].collect()
+      // peak = the 500 planted keys, +1..2 for the horizon-advance rows
+      // ingested in the batch BEFORE their watermark evicts the backlog
+      hist.max should be >= 500L
+      hist.max should be <= 502L
+      hist.last should be < 500L
+    } finally q.stop()
+  }
+
+  test("stateHealth on a not-yet-started query is an EMPTY frame with " +
+    "the full schema (unconditional union/write safety)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val src = mem.toDS().toDF("doc_id", "text", "ts_s")
+      .withColumn("event_time", timestamp_seconds(col("ts_s")))
+    val q = StreamingDedup.withinWatermark(src, "text", "event_time", "60 seconds")
+      .writeStream.format("noop").outputMode("append").start()
+    try {
+      val h = StreamingHealth.stateHealth(spark, q)
+      h.columns should contain allOf ("batch_id", "state_rows",
+        "memory_used_bytes", "sst_file_bytes", "compaction_ms")
+      h.count() shouldBe 0L
+    } finally q.stop()
+  }
+}
