@@ -589,6 +589,24 @@ object Similarity {
   def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, idCol: String, embCol: String,
                        k: Int, nProbe: Int = 2): DataFrame = {
+    val scored = ivfPqScoredFromIndex(spark, path, queries, idCol, embCol, nProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_ivfpq").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("match_id"), col("rank"),
+        round(col("sim_ivfpq"), 6).as("sim_ivfpq"))
+  }
+
+  /** The probe-and-score core of [[searchIvfPqIndex]], RAW similarities
+    * (no rank cut, no rounding) — the unit a multi-index merge composes:
+    * shard results union on raw scores and rank ONCE globally, so the
+    * merged top-k is bit-identical to what a single index over the
+    * union corpus would rank from the same approximations.
+    */
+  private def ivfPqScoredFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, queries: DataFrame,
+                                   idCol: String, embCol: String,
+                                   nProbe: Int): DataFrame = {
     import spark.implicits._
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
     val dim = meta.getInt(meta.fieldIndex("dim"))
@@ -622,9 +640,57 @@ object Similarity {
       .filter(col("prn") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("cent_c"))
 
-    val scored = encoded.join(broadcast(probes),
+    encoded.join(broadcast(probes),
         col("coarse_c") === col("cent_c") && col("query_id") =!= col("match_id"))
       .withColumn("sim_ivfpq", cosine(col("q_emb"), col("approx")))
+      .select(col("query_id"), col("match_id"), col("sim_ivfpq"))
+  }
+
+  /** Sharded IVF-PQ index — the architecture past the one-shard width
+    * ceiling ([[MaxCoarseLists]]: √N > 65 536 at N ≈ 4.3×10⁹ vectors,
+    * where the centroid plan-literal / driver-collect sizes stop being
+    * sane): partition the corpus into `nShards` DISJOINT slices by
+    * `id % nShards`, build one [[writeIvfPqIndex]] per slice under
+    * `<path>/shard=<i>`, each with its OWN derived geometry
+    * (`nCoarse = 0` derives from the shard's count, so every shard
+    * keeps lists ∝ √(shard N)). Driver state and training cost are
+    * per-shard; on a cluster the shards build as independent jobs over
+    * disjoint input splits (here: a sequential loop — same artifacts).
+    */
+  def writeIvfPqIndexSharded(corpus: DataFrame, idCol: String, embCol: String,
+                             path: String, nShards: Int, nCoarse: Int = 0,
+                             coarseIters: Int = 2, m: Int = 8, subDim: Int = 8,
+                             nCentroids: Int = 8, pqIters: Int = 2,
+                             dim: Int = 64): Unit = {
+    require(nShards >= 1, "writeIvfPqIndexSharded needs nShards >= 1")
+    (0 until nShards).foreach { sh =>
+      writeIvfPqIndex(corpus.filter(col(idCol) % nShards === sh),
+        idCol, embCol, s"$path/shard=$sh", nCoarse, coarseIters,
+        m, subDim, nCentroids, pqIters, dim)
+    }
+  }
+
+  /** Serve a sharded IVF-PQ index ([[writeIvfPqIndexSharded]]): fan
+    * every query out to all `nShards` per-shard indexes (`nProbe`
+    * lists probed WITHIN each shard — the standard multi-index
+    * fan-out), union the RAW candidate scores, rank ONCE globally.
+    * The union is a no-shuffle concat of per-shard probe streams; the
+    * single global top-k window is the only exchange, exactly as in
+    * the one-index search. Per-query candidate volume is
+    * nShards × nProbe × (shardN / shardLists) ≈ nProbe · √(shardN) ·
+    * √nShards — flat in corpus growth at fixed shard count, and the
+    * shard count only grows when the corpus crosses another ~4.3×10⁹
+    * vectors.
+    */
+  def searchIvfPqIndexSharded(spark: org.apache.spark.sql.SparkSession,
+                              path: String, nShards: Int, queries: DataFrame,
+                              idCol: String, embCol: String, k: Int,
+                              nProbe: Int = 2): DataFrame = {
+    require(nShards >= 1, "searchIvfPqIndexSharded needs nShards >= 1")
+    val scored = (0 until nShards)
+      .map(sh => ivfPqScoredFromIndex(spark, s"$path/shard=$sh", queries,
+        idCol, embCol, nProbe))
+      .reduce(_ unionAll _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim_ivfpq").desc, col("match_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -96,13 +96,15 @@ object QueriesEmb {
     * comparison never sees rounding), not floor(log2(·)), keeping the
     * two engines bit-identical at every N.
     */
-  private[queries] val autoCoarseKSql: String =
-    """(SELECT CAST(least(65536, greatest(8, max(CASE
-      |    WHEN CAST(power(2, t.b) AS BIGINT) <= s.s
-      |    THEN CAST(power(2, t.b) AS BIGINT) ELSE 1 END))) AS INT)
-      |  FROM (SELECT CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
-      |          AS s FROM embeddings) s, range(0, 40) t(b))"""
+  private[queries] def autoCoarseKSqlFrom(src: String): String =
+    s"""(SELECT CAST(least(65536, greatest(8, max(CASE
+       |    WHEN CAST(power(2, t.b) AS BIGINT) <= s.s
+       |    THEN CAST(power(2, t.b) AS BIGINT) ELSE 1 END))) AS INT)
+       |  FROM (SELECT CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+       |          AS s FROM $src) s, range(0, 40) t(b))"""
       .stripMargin.linesIterator.map(_.trim).mkString(" ")
+
+  private[queries] val autoCoarseKSql: String = autoCoarseKSqlFrom("embeddings")
 
   /** The self-scaling LSH plane count as a SQL scalar — the exact
     * mirror of `Bitext.autoPlanes`: the smallest p with
@@ -142,16 +144,17 @@ object QueriesEmb {
     * ORDER BY and count); everything downstream is already
     * centroid-count-agnostic because centroids live as ROWS.
     */
-  private def kmeansCentsCteExpr(kSql: String, iters: Int): String = {
+  private def kmeansCentsCteExpr(kSql: String, iters: Int,
+                                 src: String = "embeddings"): String = {
     val seed =
       s"""dims AS (SELECT CAST(unnest(range(0, $Dim)) AS INT) AS d),
-         |bnd AS (SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM embeddings),
+         |bnd AS (SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM $src),
          |kk AS (SELECT $kSql AS k),
          |seedrows AS (
          |  SELECT c, se FROM (
          |    SELECT CAST(row_number() OVER (ORDER BY e.vec_id) - 1 AS INT) AS c,
          |      e.embedding AS se
-         |    FROM embeddings e, bnd
+         |    FROM $src e, bnd
          |    WHERE (e.vec_id - bnd.mn) %
          |      greatest((bnd.mx - bnd.mn + 1) // (SELECT k FROM kk), 1) = 0) t
          |  WHERE c < (SELECT k FROM kk)),
@@ -164,7 +167,7 @@ object QueriesEmb {
          |  SELECT e.vec_id, e.embedding, s.c,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${cosSql("e.embedding", "s.ce")} DESC, s.c ASC) AS rn
-         |  FROM embeddings e, $prev s),
+         |  FROM $src e, $prev s),
          |asg$it AS MATERIALIZED (SELECT vec_id, embedding, c FROM a$it WHERE rn = 1),
          |m$it AS (
          |  SELECT g.c, dims.d,
@@ -286,7 +289,9 @@ object QueriesEmb {
   private[queries] lazy val ivfPqScoreBodyAuto: String =
     ivfPqScoreBodyExpr(autoCoarseKSql)
 
-  private def ivfPqScoreBodyExpr(kCoarseSql: String): String = {
+  private def ivfPqScoreBodyExpr(kCoarseSql: String,
+                                 src: String = "embeddings",
+                                 qSrc: String = "embeddings"): String = {
     val m = 8; val sub = 8; val kc = 8; val iters = 2
     val subCtes = (0 until m).map { i =>
       kmeansSubCte(s"p${i}_",
@@ -307,13 +312,13 @@ object QueriesEmb {
     val dqq = dotSql("q.e", "q.e")
     val dap = dotSql("q.e", "a.ap")
     val dapap = dotSql("a.ap", "a.ap")
-    s"""${kmeansCentsCteExpr(kCoarseSql, iters = 2)},
+    s"""${kmeansCentsCteExpr(kCoarseSql, iters = 2, src = src)},
        |ccent AS MATERIALIZED (SELECT c, ce FROM cent2),
        |ca AS (
        |  SELECT e.vec_id, e.embedding, s.c,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cosSql("e.embedding", "s.ce")} DESC, s.c ASC) AS rn
-       |  FROM embeddings e, ccent s),
+       |  FROM $src e, ccent s),
        |casg AS MATERIALIZED (SELECT vec_id, embedding, c AS coarse_c
        |  FROM ca WHERE rn = 1),
        |resid AS MATERIALIZED (
@@ -335,7 +340,7 @@ object QueriesEmb {
        |  FROM recon r
        |  JOIN casg g ON g.vec_id = r.vec_id
        |  JOIN ccent t ON t.c = g.coarse_c),
-       |q AS (SELECT vec_id AS query_id, embedding AS e FROM embeddings
+       |q AS (SELECT vec_id AS query_id, embedding AS e FROM $qSrc
        |      WHERE vec_id % 50 = 0),
        |probes AS (SELECT query_id, c FROM (
        |  SELECT q.query_id, s.c,
@@ -348,6 +353,38 @@ object QueriesEmb {
        |  FROM approx a
        |  JOIN probes p ON p.c = a.coarse_c
        |  JOIN q ON q.query_id = p.query_id AND q.query_id <> a.vec_id)""".stripMargin
+  }
+
+  /** The SHARDED IVF-PQ oracle: per-shard score chains in SCOPED
+    * subqueries (DuckDB CTE names resolve innermost-first, so the two
+    * k-means chains coexist without prefixing), each over its disjoint
+    * `vec_id % nShards` slice at the slice's own derived width, with
+    * the query set drawn from the FULL corpus (`qall`) — then one
+    * global rank over the unioned raw scores, mirroring
+    * `Similarity.searchIvfPqIndexSharded` exactly.
+    */
+  private def ivfPqShardedOracleSql(nShards: Int): String = {
+    val shardCtes = (0 until nShards).map(i =>
+      s"shard$i AS (SELECT * FROM embeddings WHERE vec_id % $nShards = $i)")
+      .mkString(",\n")
+    val legs = (0 until nShards).map { i =>
+      s"""SELECT query_id, match_id, sim_ivfpq FROM (
+         |WITH ${ivfPqScoreBodyExpr(autoCoarseKSqlFrom(s"shard$i"),
+        src = s"shard$i", qSrc = "qall")}
+         |SELECT query_id, match_id, sim_ivfpq FROM s) leg$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH qall AS (SELECT vec_id, embedding FROM embeddings),
+       |$shardCtes,
+       |u AS (
+       |$legs
+       |)
+       |SELECT query_id, match_id, rank,
+       |  round(sim_ivfpq, 6) + 0.0e0 AS sim_ivfpq FROM (
+       |  SELECT query_id, match_id, sim_ivfpq,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim_ivfpq DESC, match_id ASC) AS INT) AS rank
+       |  FROM u) r
+       |WHERE rank <= 10""".stripMargin
   }
 
   /** The full IVF-PQ oracle SQL (body + rank-≤-10 tail). Shared verbatim
@@ -742,6 +779,29 @@ object QueriesEmb {
           k = 10, nProbe = 2)
       },
       Some(ivfPqOracleSql)),
+
+    // the architecture PAST the one-shard width ceiling (√N > 65536 at
+    // N ≈ 4.3e9 vectors), exercised end to end at test scale: the
+    // corpus splits into 2 disjoint id-shards, each builds its OWN
+    // IVF-PQ index at its own derived width (8 lists/shard at sf0.01,
+    // 16 at sf0.1 — the self-scaling rule stays oracle-proven in the
+    // sharded form), every query fans out to both shards and the raw
+    // candidate scores rank ONCE globally. The oracle replays both
+    // per-shard k-means chains in scoped subqueries and merges the
+    // same way, so the multi-index serving shape itself is hash-gated.
+    QDef("sim_ivfpq_sharded",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        val ix = indexDir("ivfpqsh", dir, "n2auto")
+        if (!new java.io.File(s"$ix/shard=1/codes/_SUCCESS").exists())
+          Similarity.writeIvfPqIndexSharded(emb, "vec_id", "embedding", ix,
+            nShards = 2, nCoarse = 0, coarseIters = 2, m = 8, subDim = 8,
+            nCentroids = 8, pqIters = 2, dim = Dim)
+        Similarity.searchIvfPqIndexSharded(s, ix, 2, queries,
+          "vec_id", "embedding", k = 10, nProbe = 2)
+      },
+      Some(ivfPqShardedOracleSql(2))),
 
     // the coarse-list SCALE KNOB measured: same IVF-PQ pipeline at 32
     // coarse lists instead of 8 — candidates/query drop from 1/4 to

@@ -159,4 +159,61 @@ class AutoGeometrySpec extends SparkSpec with Matchers {
     val coarse = meta.getSeq[Double](meta.fieldIndex("coarse"))
     coarse.length shouldBe expected * 64
   }
+
+  test("sharded IVF-PQ: disjoint per-shard indexes at per-shard derived " +
+    "widths; 1-shard degenerate form == the single index") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+
+    val ix2 = java.nio.file.Files.createTempDirectory("graft_ivfpq_sh2").toString
+    Similarity.writeIvfPqIndexSharded(emb, "vec_id", "embedding", ix2,
+      nShards = 2, nCoarse = 0, coarseIters = 1, m = 8, subDim = 8,
+      nCentroids = 4, pqIters = 1, dim = 64)
+    // each shard holds exactly its id slice, and its coarse matrix has
+    // the width derived from the SHARD's count, not the corpus's
+    val n = emb.count()
+    (0 until 2).foreach { sh =>
+      val ids = spark.read.parquet(s"$ix2/shard=$sh/codes")
+        .select("match_id").as[Long].collect()
+      ids.foreach(id => (id % 2) shouldBe sh.toLong)
+      val shardN = emb.filter(col("vec_id") % 2 === sh).count()
+      val meta = spark.read.parquet(s"$ix2/shard=$sh/meta").collect()(0)
+      meta.getSeq[Double](meta.fieldIndex("coarse")).length shouldBe
+        Similarity.autoCoarseLists(shardN) * 64
+      ids.length.toLong shouldBe shardN
+    }
+    shardedStructure(ix2, queries, n)
+
+    // nShards = 1 is EXACTLY the single index under shard=0
+    val ix1 = java.nio.file.Files.createTempDirectory("graft_ivfpq_sh1").toString
+    Similarity.writeIvfPqIndexSharded(emb, "vec_id", "embedding", ix1,
+      nShards = 1, nCoarse = 0, coarseIters = 1, m = 8, subDim = 8,
+      nCentroids = 4, pqIters = 1, dim = 64)
+    val sharded1 = Similarity.searchIvfPqIndexSharded(spark, ix1, 1,
+      queries, "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val single = Similarity.searchIvfPqIndex(spark, s"$ix1/shard=0",
+      queries, "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    sharded1 shouldBe single
+  }
+
+  private def shardedStructure(ix: String,
+                               queries: org.apache.spark.sql.DataFrame,
+                               n: Long): Unit = {
+    val res = Similarity.searchIvfPqIndexSharded(spark, ix, 2, queries,
+      "vec_id", "embedding", k = 5, nProbe = 2).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.size shouldBe queries.count()
+    byQ.values.foreach { rows =>
+      rows.length shouldBe 5 // full top-k served
+      rows.map(_.getInt(2)).sorted shouldBe (1 to 5) // contiguous ranks
+      // the merge is GLOBAL: sims nonincreasing in rank order
+      val sims = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      sims.zip(sims.tail).foreach { case (a, b) => a should be >= b }
+    }
+    // candidates come from BOTH shards somewhere in the result set
+    res.map(_.getLong(1) % 2).toSet shouldBe Set(0L, 1L)
+  }
 }
