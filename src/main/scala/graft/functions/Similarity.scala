@@ -580,6 +580,20 @@ object Similarity {
           .as("skew_ppm"))
   }
 
+  /** [[indexHealth]] over a sharded index ([[writeIvfPqIndexSharded]]):
+    * one row PER SHARD — the fleet dashboard of a multi-index serving
+    * tier, where one degenerate shard (empty lists, mega-list skew)
+    * hides inside healthy aggregates unless reported per shard.
+    */
+  def indexHealthSharded(spark: org.apache.spark.sql.SparkSession,
+                         path: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, "indexHealthSharded needs nShards >= 1")
+    (0 until nShards)
+      .map(sh => indexHealth(spark, s"$path/shard=$sh")
+        .withColumn("shard", lit(sh.toLong)))
+      .reduce(_ unionAll _)
+  }
+
   /** Search a persisted IVF-PQ index: probe-list pruning + residual
     * reconstruction against the stored codes — arithmetic identical to
     * [[ivfPqTopK]] with the same build parameters, so results match bit

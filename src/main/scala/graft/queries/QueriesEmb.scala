@@ -892,6 +892,51 @@ object QueriesEmb {
            |GROUP BY t.n, nl.n_lists""".stripMargin
       }),
 
+    // per-shard health of the sharded serving tier: the same audit,
+    // one row PER SHARD (a degenerate shard hides inside aggregate
+    // stats); reuses sim_ivfpq_sharded's content-keyed index
+    QDef("sim_index_health_sharded",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        val ix = indexDir("ivfpqsh", dir, "n2auto")
+        if (!new java.io.File(s"$ix/shard=1/codes/_SUCCESS").exists())
+          Similarity.writeIvfPqIndexSharded(emb, "vec_id", "embedding", ix,
+            nShards = 2, nCoarse = 0, coarseIters = 2, m = 8, subDim = 8,
+            nCentroids = 8, pqIters = 2, dim = Dim)
+        Similarity.indexHealthSharded(s, ix, 2)
+      },
+      Some {
+        val legs = (0 until 2).map { i =>
+          s"""SELECT * FROM (
+             |WITH ${kmeansCentsCteExpr(autoCoarseKSqlFrom(s"shard$i"), 2,
+            src = s"shard$i")},
+             |ccent AS MATERIALIZED (SELECT c, ce FROM cent2),
+             |ca AS (
+             |  SELECT e.vec_id, s.c,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY ${cosSql("e.embedding", "s.ce")} DESC, s.c ASC) AS rn
+             |  FROM shard$i e, ccent s),
+             |casg AS (SELECT vec_id, c AS coarse_c FROM ca WHERE rn = 1),
+             |g AS (SELECT coarse_c, CAST(count(*) AS BIGINT) AS cnt
+             |      FROM casg GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM shard$i),
+             |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lists FROM ccent)
+             |SELECT t.n AS n_vectors, nl.n_lists,
+             |  CAST(count(*) AS BIGINT) AS lists_used,
+             |  CAST(nl.n_lists - count(*) AS BIGINT) AS lists_empty,
+             |  CAST(max(g.cnt) AS BIGINT) AS max_list,
+             |  CAST(t.n // nl.n_lists AS BIGINT) AS mean_list,
+             |  CAST(max(g.cnt) * 1000000 // greatest(t.n // nl.n_lists, 1)
+             |    AS BIGINT) AS skew_ppm,
+             |  CAST($i AS BIGINT) AS shard
+             |FROM g, tot t, nl
+             |GROUP BY t.n, nl.n_lists) leg$i""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH shard0 AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+           |shard1 AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1)
+           |$legs""".stripMargin
+      }),
+
     // truncation-fidelity audit (the Matryoshka question): per leading
     // width w, cos²(x, truncate_w(x)) = Σ_{i<w} x_i² / Σ x_i² exactly —
     // Q14-quantized integer sums per row, one groupBy over the width

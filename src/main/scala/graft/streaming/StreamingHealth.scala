@@ -91,4 +91,33 @@ object StreamingHealth {
     import spark.implicits._
     q.recentProgress.toIndexedSeq.flatMap(rows).toDF()
   }
+
+  /** Persist every micro-batch's health rows to a parquet table as the
+    * query runs — the durable form of [[stateHealth]]: a dashboard
+    * joins/alerts on `outPath` without touching the driver, and the
+    * trend survives the driver that produced it (post-mortems read the
+    * table of a dead ingest). Driver-side rows only (operators ×
+    * batches), appended from the progress-listener thread — the data
+    * path pays nothing. Returns the listener; pass it to
+    * `spark.streams.removeListener` when the query stops.
+    */
+  def attachHealthSink(spark: SparkSession, queryId: java.util.UUID,
+                       outPath: String)
+      : org.apache.spark.sql.streaming.StreamingQueryListener = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.id == queryId && e.progress.stateOperators.nonEmpty) {
+          import spark.implicits._
+          rows(e.progress).toDF().write.mode("append").parquet(outPath)
+        }
+    }
+    spark.streams.addListener(listener)
+    listener
+  }
 }

@@ -79,6 +79,45 @@ class StreamingHealthSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("attachHealthSink persists per-batch health rows to a parquet " +
+    "table the trend survives in") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val src = mem.toDS().toDF("doc_id", "text", "ts_s")
+      .withColumn("event_time", timestamp_seconds(col("ts_s")))
+    val out = StreamingDedup.withinWatermark(
+      src, "text", "event_time", "600 seconds")
+    val q = out.writeStream.format("noop").outputMode("append").start()
+    val health = java.nio.file.Files
+      .createTempDirectory("graft_health").toString + "/t"
+    val listener = StreamingHealth.attachHealthSink(spark, q.id, health)
+    try {
+      var id = 0L
+      (0 until 4).foreach { b =>
+        mem.addData((0 until 50).map(i => (id + i, s"d ${id + i}", 10L + b)))
+        q.processAllAvailable()
+        id += 50
+      }
+      // listener events are async: wait for all four batches to land
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      def batches(): Long =
+        try spark.read.parquet(health).select("batch_id").distinct().count()
+        catch { case _: Exception => 0L }
+      while (batches() < 4 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val t = spark.read.parquet(health)
+      t.select("batch_id").distinct().count() shouldBe 4L
+      // the persisted trend carries the same growth the live frame saw
+      val byBatch = t.groupBy("batch_id").agg(max("state_rows").as("r"))
+        .orderBy("batch_id").select("r").as[Long].collect()
+      byBatch shouldBe byBatch.sorted
+      byBatch.last shouldBe 200L
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("stateHealth on a not-yet-started query is an EMPTY frame with " +
     "the full schema (unconditional union/write safety)") {
     implicit val sq = spark.sqlContext
