@@ -45,12 +45,14 @@ import graft.ops.Grid
   * bookkeeping messages (File Space Info, Driver Info, B-tree K,
   * refcount — none change how datasets decode); a Shared Message
   * Table, or any extension message outside that allowlist, fails
-  * loudly. Dense-group heap IDs decode in all three library-written
-  * forms — managed, tiny (payload inline in the ID), and directly
-  * accessed huge (address+length in the ID).
+  * loudly. Dense-group heap IDs decode in every unfiltered
+  * library-written form — managed, tiny (normal AND extended
+  * sub-types: payload inline in the ID), and huge both directly
+  * accessed (address+length in the ID) and indirectly accessed (via
+  * the heap's type-1 huge-object v2 B-tree).
   *
-  * Everything else — indirect (B-tree-mediated) huge heap objects,
-  * extended tiny IDs, indirect-within-indirect link heap rows,
+  * Everything else — FILTERED huge heap objects (type-2/4 B-trees),
+  * indirect-within-indirect link heap rows,
   * non-8-byte offsets, unknown filters, a conventions attribute this
   * reader cannot decode — fails LOUDLY with a message naming the
   * limitation and the one-line `nccopy` escape hatch; this reader
@@ -513,17 +515,18 @@ object Hdf5Reader {
     * heap ID to (heap offset, length) via the heap's doubling table, and
     * parse the object bytes as a Link message.
     *
-    * Heap IDs decode in all three written forms: managed (offset +
-    * length into a direct block), tiny (the link message rides inline
-    * in the ID — names short enough to fit), and directly accessed
-    * huge (file address + length in the ID — the form the library
-    * writes when the heap has no huge-object B-tree).
+    * Heap IDs decode in every unfiltered written form: managed (offset
+    * + length into a direct block), tiny — normal and extended
+    * sub-types — (the link message rides inline in the ID), huge
+    * directly accessed (file address + length in the ID — the form
+    * written when the heap has no huge-object B-tree), and huge
+    * indirectly accessed (the ID carries a huge-object id resolved
+    * through the heap's type-1 v2 B-tree).
     *
-    * Never-misparse bounds, all failing loudly: indirect huge objects
-    * (a defined huge-object B-tree implies B-tree-mediated, possibly
-    * filtered storage) and extended tiny IDs reject; unfiltered heaps
-    * only; direct-block rows only (an indirect-block hierarchy means
-    * >maxDirect×width bytes of link names).
+    * Never-misparse bounds, all failing loudly: FILTERED huge objects
+    * (type-2/4 huge B-trees) reject in the B-tree type check;
+    * unfiltered heaps only; direct-block rows only (an indirect-block
+    * hierarchy means >maxDirect×width bytes of link names).
     */
   private def readDenseLinks(buf: ByteBuffer, pos: Int, size: Int,
                              path: String): Seq[RootLink] = {
@@ -537,6 +540,20 @@ object Hdf5Reader {
     require(fheapAddr != Undef && nameBtAddr != Undef,
       s"$path: dense group without fractal heap / name index")
     val heap = readFractalHeapHeader(buf, fheapAddr, path)
+    // indirect huge objects: the heap's huge-object v2 B-tree (type 1 =
+    // unfiltered) maps huge-object IDs to (file address, length); read
+    // it once, lazily — only heaps that actually hold huge objects pay
+    lazy val (hugeIdSize, hugeMap): (Int, Map[Seq[Byte], (Long, Long)]) = {
+      val (_, recSize, recs) = walkBtree2(buf, heap.hugeBtAddr, path, Set(1))
+      val idSize = recSize - 16
+      require(idSize >= 1 && idSize <= 8,
+        s"$path: huge-object B-tree ID size $idSize unsupported")
+      (idSize, recs.map { r =>
+        val rb = ByteBuffer.wrap(r).order(ByteOrder.LITTLE_ENDIAN)
+        val addr = rb.getLong(); val len = rb.getLong()
+        (r.slice(16, 16 + idSize).toSeq, (addr, len))
+      }.toMap)
+    }
     val ids = readBtree2LeafRecords(buf, nameBtAddr, path)
     ids.map { id =>
       val flag = id(0) & 0xff
@@ -548,29 +565,36 @@ object Hdf5Reader {
           val off = readUintLE(ib, heap.offBytes)
           val len = readUintLE(ib, heap.lenBytes).toInt
           readLink(buf, heap.fileAddr(off, path), len, path)
-        case 0x20 => // tiny: the link message IS the ID payload. Normal
-          // sub-type only (payload length in the flag nibble); the
-          // extended sub-type exists iff the heap's ID length > 18,
-          // which the library only emits for heaps far past link scale
-          require(heap.idLen <= 18,
-            s"$path: extended tiny heap ID (heap ID length " +
-              s"${heap.idLen} > 18) unsupported; `nccopy -k classic` converts")
-          val len = (flag & 0x0f) + 1
-          require(1 + len <= id.length,
+        case 0x20 => // tiny: the link message IS the ID payload. The
+          // sub-type is a property of the HEAP, not the ID: normal
+          // (length-1 in the flag nibble) iff the heap's ID length
+          // ≤ 18, extended (low nibble + a second length byte, for
+          // payloads up to 4096) above that
+          val len =
+            if (heap.idLen <= 18) (flag & 0x0f) + 1
+            else ((flag & 0x0f) | ((ib.get() & 0xff) << 4)) + 1
+          val hdrLen = if (heap.idLen <= 18) 1 else 2
+          require(hdrLen + len <= id.length,
             s"$path: tiny heap ID payload $len overruns the ${id.length}-byte ID")
           readLinkFrom(ib, path)
-        case 0x10 => // huge, directly accessed: (file address, length)
-          // live in the ID itself — the layout the library writes when
-          // the huge-object v2 B-tree address is undefined. A defined
-          // B-tree means indirect (and possibly filtered) huge objects.
-          require(heap.hugeBtAddr == Undef,
-            s"$path: indirect (B-tree-mediated) huge link heap objects " +
-              "unsupported; `nccopy -k classic` converts")
+        case 0x10 if heap.hugeBtAddr == Undef =>
+          // huge, directly accessed: (file address, length) live in the
+          // ID itself — the layout the library writes when the heap has
+          // no huge-object B-tree
           require(heap.idLen >= 17,
             s"$path: direct huge heap ID needs 17 bytes, heap ID length " +
               s"is ${heap.idLen}")
           val addr = ib.getLong()
           val len = ib.getLong()
+          readLink(buf, addr.toInt, len.toInt, path)
+        case 0x10 => // huge, indirectly accessed: the ID carries a
+          // huge-object id; the heap's type-1 (unfiltered) v2 B-tree
+          // maps it to (address, length). A type-2/4 tree (FILTERED
+          // huge objects) fails in walkBtree2's type check, loudly.
+          val key = id.slice(1, 1 + hugeIdSize).toSeq
+          val (addr, len) = hugeMap.getOrElse(key,
+            throw new IllegalArgumentException(
+              s"$path: huge heap ID not present in the huge-object B-tree"))
           readLink(buf, addr.toInt, len.toInt, path)
         case other => throw new IllegalArgumentException(
           s"$path: reserved heap ID type ${other >> 4} unsupported")

@@ -661,6 +661,38 @@ class GeoLoadersSpec extends SparkSpec {
       hugeNames = Set("temperature", "lat", "lon"))
     assert(graft.sources.geo.Hdf5Reader.open(pm).datasets.keySet ==
       Set("temperature", "lat", "lon"))
+
+    // INDIRECT huge: the IDs carry huge-object ids resolved through the
+    // heap's type-1 v2 B-tree instead of inline (address, length)
+    val pi = Files.createTempFile("graft_indhuge", ".nc").toString
+    MiniHdf5.writeGridV2(pi, "temperature", lat, lon, packed,
+      chunkRows = 3, chunkCols = 2, deflate = false, shuffle = false,
+      atts = atts, denseRoot = true, denseIdWide = true,
+      denseExtraLinks = 2, hugeNames = Set("x00", "x01"),
+      hugeIndirect = true)
+    val hi = graft.sources.geo.Hdf5Reader.open(pi)
+    assert(hi.datasets.keySet ==
+      Set("temperature", "lat", "lon", "x00", "x01"))
+    assert(hi.readDoubles("x01").sameElements(hi.readDoubles("lat")))
+    val gi = GridLoader.fromNetcdf(pi, "temperature")
+    for (i <- 0 until 4; j <- 0 until 5)
+      assert(gi.valueAt(i, j) == expect(i * 5 + j), s"indirect ($i,$j)")
+
+    // EXTENDED tiny (heap ID length > 18: two-byte inline length) —
+    // "temperature"'s 22-byte message rides inline at idLen 24, the
+    // 13-char extra link's 24-byte message exceeds the 22-byte inline
+    // room and stays managed: both sub-types in one index
+    val pe = Files.createTempFile("graft_exttiny", ".nc").toString
+    MiniHdf5.writeGridV2(pe, "temperature", lat, lon, packed,
+      chunkRows = 3, chunkCols = 2, deflate = false, shuffle = false,
+      atts = atts, denseRoot = true, denseIdWide = true, denseIdLen = 24,
+      softLinks = Seq(("averylongalias", "/temperature")))
+    val he = graft.sources.geo.Hdf5Reader.open(pe)
+    assert(he.datasets.keySet ==
+      Set("temperature", "lat", "lon", "averylongalias"))
+    val ge = GridLoader.fromNetcdf(pe, "temperature")
+    for (i <- 0 until 4; j <- 0 until 5)
+      assert(ge.valueAt(i, j) == expect(i * 5 + j), s"exttiny ($i,$j)")
   }
 
   test("superblock extension: bookkeeping messages accepted, shared " +

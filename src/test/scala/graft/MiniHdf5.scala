@@ -651,7 +651,14 @@ object MiniHdf5 {
                   // store their message OUTSIDE the heap with a direct
                   // huge (address+length) ID, the rest stay managed
                   denseIdWide: Boolean = false,
-                  hugeNames: Set[String] = Set.empty): Unit = {
+                  hugeNames: Set[String] = Set.empty,
+                  // store hugeNames' messages behind the heap's type-1
+                  // huge-object v2 B-tree (ID carries a huge-object id)
+                  // instead of direct (address+length in the ID)
+                  hugeIndirect: Boolean = false,
+                  // explicit heap ID length; 0 = auto (18 when
+                  // denseIdWide, else 7). > 18 ⇒ EXTENDED tiny sub-type
+                  denseIdLen: Int = 0): Unit = {
     val nLat = lat.length; val nLon = lon.length
     require(packed.length == nLat * nLon)
     val Undef = -1L
@@ -1118,10 +1125,12 @@ object MiniHdf5 {
       (0 until denseExtraLinks).map(i => f"x$i%02d") ++ softLinks.map(_._1)
     val hpWidth = 4; val hpStart = 64L
     val hpMaxDirect = 65536L; val hpMaxBits = 32 // → managed ID = 1+4+2 = 7
-    // wide IDs leave room for tiny payloads (≤ 16 bytes inline) and
-    // direct huge (1 + 8 addr + 8 len = 17) — the library pads managed
-    // IDs to the heap's ID length the same way
-    val heapIdLen = if (denseIdWide) 18 else 7
+    // wide IDs leave room for tiny payloads (≤ 16 bytes inline at the
+    // normal sub-type; more under extended) and direct huge (1 + 8
+    // addr + 8 len = 17) — the library pads managed IDs to the heap's
+    // ID length the same way
+    val heapIdLen =
+      if (denseIdLen > 0) denseIdLen else if (denseIdWide) 18 else 7
     val fhdbHdrLen = 4 + 1 + 8 + 4 // sig, version, heap hdr, block offset
     def blockSize(k: Int): Long = {
       val r = k / hpWidth
@@ -1143,7 +1152,8 @@ object MiniHdf5 {
       blob(b)
     }
 
-    def frhp(rootBlock: Long, curRows: Int): Array[Byte] = {
+    def frhp(rootBlock: Long, curRows: Int,
+             hugeBt: Long = -1L, nHuge: Long = 0L): Array[Byte] = {
       val managed = // heap-offset span through the last allocated row
         if (curRows <= 1) hpWidth * hpStart
         else hpWidth * hpStart * (1L << (curRows - 1))
@@ -1153,7 +1163,7 @@ object MiniHdf5 {
       b.putShort(0)                 // I/O filter encoded length
       b.put(0.toByte)               // flags: no direct-block checksums
       b.putInt(4096)                // max managed object size
-      b.putLong(0L); b.putLong(Undef) // next huge id, huge B-tree
+      b.putLong(nHuge + 1); b.putLong(hugeBt) // next huge id, huge B-tree
       b.putLong(0L); b.putLong(Undef) // free space, free-space manager
       b.putLong(managed); b.putLong(managed) // managed, allocated
       b.putLong(managed)            // direct-block iterator offset
@@ -1209,18 +1219,23 @@ object MiniHdf5 {
         case None => linkMsg(n, hdrAddrs.getOrElse(n, 0L))
       }
 
-    /** Heap ID kind per dense link: 0 managed, 1 tiny (message ≤ 16
-      * bytes rides inline — normal tiny sub-type limit), 2 huge-direct
-      * (message stored outside the heap; ID = address + length).
+    /** Heap ID kind per dense link: 0 managed, 1 tiny (message rides
+      * inline; ≤ 16 bytes at the normal sub-type, up to idLen-2 under
+      * extended), 2 huge (message stored outside the heap; ID =
+      * address + length when direct, a huge-object id when indirect).
       */
+    val tinyHdr = if (heapIdLen <= 18) 1 else 2
+    val tinyMax = math.min(if (heapIdLen <= 18) 16 else 4096,
+      heapIdLen - tinyHdr)
     val denseKinds: IndexedSeq[Int] = denseNames.toIndexedSeq.map { n =>
       if (denseIdWide && hugeNames(n)) 2
-      else if (denseIdWide && denseMsg(n, Map.empty).length <= 16) 1
+      else if (denseIdWide && denseMsg(n, Map.empty).length <= tinyMax) 1
       else 0
     }
 
     def denseRecBytes(b: ByteBuffer, slot: Int, hdrAddrs: Map[String, Long],
-                      hugeAddrs: Map[Int, Long]): Unit = {
+                      hugeAddrs: Map[Int, Long],
+                      hugeIds: Map[Int, Long]): Unit = {
       val k = denseOrder(slot)
       b.putInt(lookup3(denseNames(k).getBytes("US-ASCII")))
       val start = b.position()
@@ -1231,8 +1246,16 @@ object MiniHdf5 {
           b.putShort(denseMsg(denseNames(k), Map.empty).length.toShort)
         case 1 =>
           val m = denseMsg(denseNames(k), hdrAddrs)
-          b.put((0x20 | (m.length - 1)).toByte) // version 0, tiny, len-1
+          if (heapIdLen <= 18)
+            b.put((0x20 | (m.length - 1)).toByte) // normal: len-1 nibble
+          else { // extended: low nibble + a second length byte
+            b.put((0x20 | ((m.length - 1) & 0x0f)).toByte)
+            b.put(((m.length - 1) >> 4).toByte)
+          }
           b.put(m)
+        case 2 if hugeIndirect =>
+          b.put(0x10.toByte)             // version 0, huge indirect
+          b.putLong(hugeIds(k))          // huge-object id (B-tree key)
         case 2 =>
           b.put(0x10.toByte)             // version 0, huge direct
           b.putLong(hugeAddrs(k))
@@ -1284,17 +1307,28 @@ object MiniHdf5 {
     val dblk0 = fhibAddr + fhibLen
     val bthdAddr = dblk0 + blocksLen
     val btNodesAddr = bthdAddr + bthdLen
-    // direct huge objects live outside the heap, addressed from the ID
+    // huge objects live outside the heap — addressed straight from the
+    // ID (direct) or through the type-1 huge-object v2 B-tree (indirect)
     val hugeKs = denseNames.indices.filter(k => denseKinds(k) == 2)
+    val hugeIds: Map[Int, Long] =
+      hugeKs.zipWithIndex.map { case (k, i) => k -> (i + 1).toLong }.toMap
+    val hugeBt =
+      if (hugeIndirect && hugeKs.nonEmpty)
+        new Bt2(512, recSize = 24, btType = 1, nRecs = hugeKs.length)
+      else null
+    val hbthdLen = if (hugeBt != null) hugeBt.header(0L).length else 0
+    val hbtNodesLen = if (hugeBt != null) hugeBt.nodesLen else 0
+    val hbthdAddr = btNodesAddr + btNodesLen
+    val hbtNodesAddr = hbthdAddr + hbthdLen
     val hugeAddrs: Map[Int, Long] = {
-      var c = btNodesAddr + btNodesLen
+      var c = hbtNodesAddr + hbtNodesLen
       hugeKs.map { k =>
         val a = c; c += denseMsg(denseNames(k), Map.empty).length; k -> a
       }.toMap
     }
     val hugeLen =
       hugeKs.map(k => denseMsg(denseNames(k), Map.empty).length).sum
-    val gridAddr = btNodesAddr + btNodesLen + hugeLen
+    val gridAddr = hbtNodesAddr + hbtNodesLen + hugeLen
     val latHdrAddr = gridAddr + gridLen
     val lonHdrAddr = latHdrAddr + latLen
     val fahdAddr = lonHdrAddr + lonLen
@@ -1333,7 +1367,8 @@ object MiniHdf5 {
     if (denseRoot) {
       buf.put(v2Header(Seq((0x0002, linkInfoMsg(frhpAddr, bthdAddr)))))
       assert(buf.position() == frhpAddr)
-      buf.put(frhp(fhibAddr, denseRows))
+      buf.put(frhp(fhibAddr, denseRows,
+        if (hugeBt != null) hbthdAddr else -1L, hugeKs.length.toLong))
       assert(buf.position() == fhibAddr)
       val dblkAddrs = blockSizes.scanLeft(dblk0)(_ + _).init
       buf.put(fhib(frhpAddr,
@@ -1346,8 +1381,18 @@ object MiniHdf5 {
       buf.position(bthdAddr.toInt)
       buf.put(denseBt.header(btNodesAddr))
       denseBt.emit(buf, btNodesAddr,
-        (b, slot) => denseRecBytes(b, slot, hdrAddrs, hugeAddrs))
-      // direct huge objects: the link message bytes at their own address
+        (b, slot) => denseRecBytes(b, slot, hdrAddrs, hugeAddrs, hugeIds))
+      if (hugeBt != null) { // type-1 huge-object index: id → (addr, len)
+        buf.position(hbthdAddr.toInt)
+        buf.put(hugeBt.header(hbtNodesAddr))
+        hugeBt.emit(buf, hbtNodesAddr, (b, slot) => {
+          val k = hugeKs(slot)
+          b.putLong(hugeAddrs(k))
+          b.putLong(denseMsg(denseNames(k), Map.empty).length.toLong)
+          b.putLong(hugeIds(k))
+        })
+      }
+      // huge objects themselves: the link message bytes at their address
       hugeKs.foreach { k =>
         buf.position(hugeAddrs(k).toInt)
         buf.put(denseMsg(denseNames(k), hdrAddrs))
