@@ -70,6 +70,12 @@ def compare(name, spark_df, oracle_df):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # duckdb sizes its memory limit from free RAM at CONNECT time; a
+    # co-tenant JVM holding (but not using) a large heap makes that
+    # derivation tiny and the big recursive oracles then OOM at
+    # kilobyte-block allocations. Pin an explicit limit instead.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET threads TO 8")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
