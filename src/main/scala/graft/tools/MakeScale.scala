@@ -36,8 +36,17 @@ object MakeScale {
 
   def generate(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
     def rd(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    /** Fact tables write MULTI-FILE: the crossJoin expansion inherits the
+      * 1-file source's single partition, and a single ~100 MB parquet is
+      * ONE input split — every downstream query whose heavy compute rides
+      * the scan stage (per-row cosines, regex chains) then serializes on
+      * one core at exactly the scale factor meant to measure parallelism
+      * (found by the round-12 sf10 sweep: two >20-minute single-task
+      * stages in a 32-core run). A real 100 TB table is thousands of
+      * files; the scale fixture must look like one.
+      */
     def wr(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      df.repartition(32).write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
     // dimensions: single copy
     wr(rd("region"), "region")
