@@ -67,17 +67,45 @@ def compare(name, spark_df, oracle_df):
             return f"VALUE mismatch col={col} row={i}: spark={a!r} oracle={b!r} ({len(bad)} cells)"
     return None
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+def mem_limit_gb() -> int:
+    """Derive the DuckDB memory limit from RAM *available right now*.
+
+    Round 12's 80-row cascade: a co-resident 48 g bench JVM exhausted the
+    box, the old blind 24GB pin meant DuckDB kept trying (and dying) at
+    kilobyte-block mallocs, and every query after the first OOM erred.
+    A limit derived from availability (floored so tiny boxes still run,
+    capped so an idle box doesn't grab everything) plus a disk-spill path
+    turns co-tenant pressure into slowness, not indeterminate verdicts."""
+    try:
+        avail_kb = 0
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_kb = int(line.split()[1])
+                    break
+        gb = avail_kb // (1024 * 1024)
+        return max(2, min(24, gb // 2))
+    except Exception:
+        return 8
+
+
+def fresh_con(sf_dir: str, tmp_dir: str):
     con = duckdb.connect()
-    # duckdb sizes its memory limit from free RAM at CONNECT time; a
-    # co-tenant JVM holding (but not using) a large heap makes that
-    # derivation tiny and the big recursive oracles then OOM at
-    # kilobyte-block allocations. Pin an explicit limit instead.
-    con.execute("SET memory_limit='24GB'")
+    con.execute(f"SET memory_limit='{mem_limit_gb()}GB'")
+    # a spill path: without temp_directory an over-limit operator dies
+    # instead of going out-of-core
+    con.execute(f"SET temp_directory='{tmp_dir}'")
     con.execute("SET threads TO 8")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    import os, tempfile
+    tmp_dir = tempfile.mkdtemp(prefix="graft_duckdb_spill_")
+    con = fresh_con(sf_dir, tmp_dir)
     oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok, fail = 0, 0
     for name, sql in sorted(oracle_sql.items()):
@@ -85,15 +113,35 @@ def main():
             spark_df = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: no spark output ({e})"); fail += 1; continue
-        try:
-            oracle_df = con.sql(sql).df()
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {str(e)[:300]}"); fail += 1; continue
+        oracle_df, oerr = None, None
+        # OOM (or any error carrying per-connection corrupted state) gets
+        # ONE retry on a fresh connection with a freshly derived limit —
+        # r12's cascade pattern (memory accumulating across the 130
+        # queries that passed, then 80 consecutive errs) says connection
+        # state, not the query, was the killer
+        for attempt in range(2):
+            try:
+                oracle_df = con.sql(sql).df()
+                oerr = None
+                break
+            except Exception as e:
+                oerr = e
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = fresh_con(sf_dir, tmp_dir)
+        if oerr is not None:
+            print(f"FAIL {name}: oracle error: {str(oerr)[:300]}"); fail += 1; continue
         err = compare(name, spark_df, oracle_df)
+        nrows = len(spark_df)
+        # drop the result frames before the next query; at 200+ queries
+        # the accumulated pandas frames were part of r12's pressure
+        del oracle_df, spark_df
         if err:
             print(f"FAIL {name}: {err}"); fail += 1
         else:
-            print(f"ok   {name} ({len(spark_df)} rows)"); ok += 1
+            print(f"ok   {name} ({nrows} rows)"); ok += 1
     print(f"\n{ok} ok, {fail} fail")
     sys.exit(1 if fail else 0)
 
