@@ -28,3 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// runMain JVMs (Bench/Verify/tools) log ERROR-only: the bench stdout
+// contract is one parseable JSON line, and Spark's default profile
+// (which SparkContext force-installs when no config file is given)
+// floods stderr with startup INFO before any in-code silencing runs.
+// Scoped to `run` — tests keep the default logging for diagnostics.
+run / javaOptions +=
+  s"-Dlog4j2.configurationFile=file:${baseDirectory.value}/tools/log4j2-quiet.properties"

@@ -7,17 +7,28 @@ object Bench {
     // whole suite N times and report per-query MIN (the load-robust
     // estimate of the code's actual cost) plus every rep's total
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // The bench contract is ONE parseable stdout line; everything a WARN
+    // logger dumps to stderr (WindowExec multi-KB plan trees, codegen
+    // fallbacks, AQE re-plans) fights the driver's ~2 KB tail capture.
+    // Targeted logger silencing survived five rounds of whack-a-mole
+    // (r12's tail still opened mid-window-plan), so take the verdict's
+    // blunt instrument: root logger to ERROR for the whole bench JVM,
+    // set BEFORE the session exists so no startup WARN escapes either.
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.ERROR)
     val spark = graft.core.Sessions.local()
-    // WindowExec WARNs a multi-KB "No Partition Defined" plan dump per
-    // bounded-frame window (documented, intentional frames here); at
-    // 200+ queries that stderr noise floods the driver's ~2 KB tail
-    // capture and buries the stdout summary line. ERROR-silence the
-    // noisy plan-dump loggers for the bench session only.
-    Seq("org.apache.spark.sql.execution.window",
-        "org.apache.spark.sql.execution.WindowExec").foreach { l =>
-      org.apache.logging.log4j.core.config.Configurator.setLevel(
-        l, org.apache.logging.log4j.Level.ERROR)
-    }
+    spark.sparkContext.setLogLevel("ERROR")
+    // root=ERROR still lets ONE multi-KB dump through: CodeGenerator
+    // logs the whole generated source + janino stack at ERROR when a
+    // wholestage method exceeds the JVM's 64 KB limit (the deep Horner
+    // geodesic chain in the kinematics plans does this; Spark falls
+    // back to interpreted execution for that stage — documented,
+    // correctness-neutral). That dump IS the tail noise that kept
+    // BENCH unparseable for five rounds; silence the logger for the
+    // bench session, the fallback behavior itself is unchanged.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
+      org.apache.logging.log4j.Level.OFF)
     // JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
@@ -25,7 +36,7 @@ object Bench {
     // (profiling one query without paying for the suite); names are
     // trimmed and validated UP FRONT — a typo must fail before the
     // warmup cost is paid, not NoSuchElementException mid-bench
-    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+    val included = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(f) if f.trim.nonEmpty =>
         val asked = f.split(",").map(_.trim).filter(_.nonEmpty).toSeq.sorted
         val unknown = asked.filterNot(SparkEntry.queries.keySet)
@@ -34,6 +45,19 @@ object Bench {
             s"valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(",")}")
         asked
       case _ => SparkEntry.queries.keys.toSeq.sorted
+    }
+    // exclusion list for scale sweeps (documented algorithm/machine
+    // bounds — brute twins, train-in-query forms — are skipped at big SF
+    // rather than enumerated in a 200-name include list); same up-front
+    // typo validation as the include filter
+    val names = sys.env.get("SPARK_GRAFT_BENCH_SKIP") match {
+      case Some(f) if f.trim.nonEmpty =>
+        val skip = f.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = skip.filterNot(SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"unknown SPARK_GRAFT_BENCH_SKIP names: ${unknown.mkString(",")}")
+        included.filterNot(skip)
+      case _ => included
     }
     // per query: all successful rep times + the last error (if any rep failed)
     val times = scala.collection.mutable.Map[String, List[Double]]()
