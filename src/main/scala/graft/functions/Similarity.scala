@@ -668,8 +668,17 @@ object Similarity {
     * `<path>/shard=<i>`, each with its OWN derived geometry
     * (`nCoarse = 0` derives from the shard's count, so every shard
     * keeps lists ∝ √(shard N)). Driver state and training cost are
-    * per-shard; on a cluster the shards build as independent jobs over
-    * disjoint input splits (here: a sequential loop — same artifacts).
+    * per-shard; the shards build as CONCURRENT Spark jobs (one builder
+    * thread per shard — Spark schedules jobs from multiple threads onto
+    * the shared executor pool, so shard builds overlap instead of
+    * serializing their k-means barriers; on a real cluster the same
+    * shape lets the scheduler interleave shard stages across executors).
+    *
+    * Sharding uses `pmod(id, nShards)` — Scala/Spark `%` keeps the
+    * dividend's sign, so a negative id (a pattern this repo itself uses
+    * for sign-split keys) would match NO shard under `%` and silently
+    * vanish from the index, breaking the documented disjoint-partition
+    * contract.
     */
   def writeIvfPqIndexSharded(corpus: DataFrame, idCol: String, embCol: String,
                              path: String, nShards: Int, nCoarse: Int = 0,
@@ -677,11 +686,23 @@ object Similarity {
                              nCentroids: Int = 8, pqIters: Int = 2,
                              dim: Int = 64): Unit = {
     require(nShards >= 1, "writeIvfPqIndexSharded needs nShards >= 1")
-    (0 until nShards).foreach { sh =>
-      writeIvfPqIndex(corpus.filter(col(idCol) % nShards === sh),
-        idCol, embCol, s"$path/shard=$sh", nCoarse, coarseIters,
-        m, subDim, nCentroids, pqIters, dim)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // bounded wave of builder threads (8 concurrent shard builds keeps
+    // driver k-means state additive-small while still overlapping the
+    // per-shard job barriers)
+    (0 until nShards).grouped(8).foreach { wave =>
+      val threads = wave.map { sh =>
+        val t = new Thread(() => {
+          try writeIvfPqIndex(corpus.filter(pmod(col(idCol), lit(nShards)) === sh),
+            idCol, embCol, s"$path/shard=$sh", nCoarse, coarseIters,
+            m, subDim, nCentroids, pqIters, dim)
+          catch { case e: Throwable => failures.add(e) }
+        }, s"graft-shard-build-$sh")
+        t.start(); t
+      }
+      threads.foreach(_.join())
     }
+    if (!failures.isEmpty) throw failures.peek()
   }
 
   /** Serve a sharded IVF-PQ index ([[writeIvfPqIndexSharded]]): fan

@@ -199,6 +199,79 @@ class AutoGeometrySpec extends SparkSpec with Matchers {
     sharded1 shouldBe single
   }
 
+  test("sharded IVF-PQ at 4 shards: concurrent build ≡ per-shard " +
+    "sequential builds; fan-out search ≡ one global re-rank of the " +
+    "per-shard streams; negative ids land in a shard (pmod)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val nShards = 4
+
+    // concurrent build (the production path: one builder thread per
+    // shard, jobs overlap on the shared scheduler)
+    val ixP = java.nio.file.Files.createTempDirectory("graft_ivfpq_p4").toString
+    Similarity.writeIvfPqIndexSharded(emb, "vec_id", "embedding", ixP,
+      nShards = nShards, nCoarse = 0, coarseIters = 1, m = 8, subDim = 8,
+      nCentroids = 4, pqIters = 1, dim = 64)
+    // sequential twin: each shard built alone through the single-index
+    // writer on the same pmod slice — byte-identical artifacts prove
+    // the threaded build races nothing (training state is per-thread)
+    val ixS = java.nio.file.Files.createTempDirectory("graft_ivfpq_s4").toString
+    (0 until nShards).foreach { sh =>
+      Similarity.writeIvfPqIndex(
+        emb.filter(pmod(col("vec_id"), lit(nShards)) === sh),
+        "vec_id", "embedding", s"$ixS/shard=$sh", nCoarse = 0,
+        coarseIters = 1, m = 8, subDim = 8, nCentroids = 4, pqIters = 1,
+        dim = 64)
+    }
+    (0 until nShards).foreach { sh =>
+      def codes(ix: String) = spark.read.parquet(s"$ix/shard=$sh/codes")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      codes(ixP) shouldBe codes(ixS)
+      def meta(ix: String) = spark.read.parquet(s"$ix/shard=$sh/meta")
+        .collect().map(_.toSeq)
+      meta(ixP) shouldBe meta(ixS)
+    }
+    // disjoint coverage at 4 shards: every corpus id in EXACTLY one shard
+    val perShardIds = (0 until nShards).map(sh =>
+      spark.read.parquet(s"$ixP/shard=$sh/codes")
+        .select("match_id").as[Long].collect().toSet)
+    perShardIds.map(_.size).sum.toLong shouldBe emb.count()
+    perShardIds.reduce(_ ++ _).size.toLong shouldBe emb.count()
+
+    // fan-out search == collect every shard's probe stream through the
+    // PUBLIC per-shard search (rank cut disabled by a huge k), then
+    // rank ONCE globally — catches the classic sharding bug of cutting
+    // top-k per shard before the merge
+    val k = 5
+    val fan = Similarity.searchIvfPqIndexSharded(spark, ixP, nShards,
+      queries, "vec_id", "embedding", k = k, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val allCands = (0 until nShards).flatMap(sh =>
+      Similarity.searchIvfPqIndex(spark, s"$ixP/shard=$sh", queries,
+        "vec_id", "embedding", k = Int.MaxValue, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))))
+    val expected = allCands.groupBy(_._1).toSeq.flatMap { case (q, cands) =>
+      cands.sortBy(c => (-c._3, c._2)).take(k).zipWithIndex
+        .map { case ((_, m, s), i) => (q, m, i + 1, s) }
+    }
+    fan.sortBy(r => (r._1, r._3)) shouldBe expected.sortBy(r => (r._1, r._3))
+
+    // pmod, not %: negative ids must land in a shard, not silently
+    // vanish from the "disjoint partition"
+    val neg = (-20 until 20).map(i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 17.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val ixN = java.nio.file.Files.createTempDirectory("graft_ivfpq_neg").toString
+    Similarity.writeIvfPqIndexSharded(neg, "vec_id", "embedding", ixN,
+      nShards = 4, nCoarse = 0, coarseIters = 1, m = 8, subDim = 8,
+      nCentroids = 4, pqIters = 1, dim = 64)
+    val covered = (0 until 4).flatMap(sh =>
+      spark.read.parquet(s"$ixN/shard=$sh/codes")
+        .select("match_id").as[Long].collect()).toSet
+    covered shouldBe (-20 until 20).map(_.toLong).toSet
+  }
+
   private def shardedStructure(ix: String,
                                queries: org.apache.spark.sql.DataFrame,
                                n: Long): Unit = {
