@@ -48,12 +48,22 @@ object QcMain {
     * frame and the phase timing line.
     */
   def run(spark: SparkSession, staJsonPath: String, cfg: Config,
-          patchOut: Option[String] = None): (DataFrame, PhaseTimes) = {
+          patchOut: Option[String] = None): (DataFrame, PhaseTimes) =
+    runFrom(spark, StaJson.readResponse(spark, staJsonPath), cfg, patchOut)
+
+  /** The same lifecycle from an already-loaded observations frame (the
+    * long schema both [[StaJson.readResponse]] and the live
+    * `graft.sources.sta` HTTP source produce) — the entry the live
+    * transport composes with: source pushdown happens in the PLAN of
+    * `obsIn` before this cache materializes it.
+    */
+  def runFrom(spark: SparkSession, obsIn: DataFrame, cfg: Config,
+              patchOut: Option[String] = None): (DataFrame, PhaseTimes) = {
     val t0 = System.nanoTime()
     def secsSince(t: Long): Double = (System.nanoTime() - t) / 1e9
 
     // 1. fetch + flatten (df-construction phase)
-    val obs = StaJson.readResponse(spark, staJsonPath)
+    val obs = obsIn
       .withColumn("t_us", unix_micros(col(Obs.Time)))
       .cache()
     obs.count() // materialize: the reference times df-construction as a phase

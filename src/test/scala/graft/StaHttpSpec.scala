@@ -47,9 +47,11 @@ class StaHttpSpec extends SparkSpec {
   }
 
   private def withServer(test: (String, java.util.concurrent.ConcurrentLinkedQueue[String],
-                                AtomicInteger) => Unit): Unit = {
+                                AtomicInteger,
+                                java.util.concurrent.ConcurrentLinkedQueue[String]) => Unit): Unit = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val patched = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val urls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val flaked = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
     val requests = new AtomicInteger(0)
     val port = server.getAddress.getPort
@@ -60,6 +62,7 @@ class StaHttpSpec extends SparkSpec {
         requests.incrementAndGet()
         val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
         val decoded = java.net.URLDecoder.decode(q, "UTF-8")
+        urls.add(decoded)
         // every distinct URL fails once with 503 before serving (retry path)
         if (flaked.putIfAbsent(decoded, true) == null) { respond(ex, 503, "flaky"); return }
         val dsMatch = "Datastream/id eq (\\d+)".r.findFirstMatchIn(decoded).map(_.group(1).toLong)
@@ -83,13 +86,13 @@ class StaHttpSpec extends SparkSpec {
       }
     })
     server.start()
-    try test(base, patched, requests) finally server.stop(0)
+    try test(base, patched, requests, urls) finally server.stop(0)
   }
 
   // ---- specs ------------------------------------------------------------
 
   test("http transport: per-datastream partitions, nextLink paging, 503 retry") {
-    withServer { (base, _, _) =>
+    withServer { (base, _, _, _) =>
       val df = spark.read.format("graft.sources.sta")
         .option("path", base).option("transport", "http")
         .option("datastreams", "1,2").load()
@@ -102,7 +105,7 @@ class StaHttpSpec extends SparkSpec {
   }
 
   test("http transport: pushed time filter enforced end-to-end") {
-    withServer { (base, _, _) =>
+    withServer { (base, _, _, _) =>
       val df = spark.read.format("graft.sources.sta")
         .option("path", base).option("transport", "http")
         .option("datastreams", "1,2").load()
@@ -113,7 +116,7 @@ class StaHttpSpec extends SparkSpec {
   }
 
   test("$batch PATCH write-back batches per partition with wire codes") {
-    withServer { (base, patched, _) =>
+    withServer { (base, patched, _, _) =>
       import spark.implicits._
       val flagged = Seq((11L, graft.core.Flags.Bad), (12L, graft.core.Flags.Good),
         (13L, graft.core.Flags.Bad)).toDF(Obs.IotId, Obs.QcFlag)
@@ -128,8 +131,72 @@ class StaHttpSpec extends SparkSpec {
     }
   }
 
+  test("golden end-to-end: loopback FROST → HTTP source (pushed time " +
+    "filter) → full §3.1 QC chain → $batch PATCH sink, equal to the " +
+    "captured-file batch path") {
+    withServer { (base, patched, _, urls) =>
+      import graft.pipeline.QcMain
+      import graft.ops.Geo
+      // ---- LIVE path: HTTP source with a pushed time filter feeding
+      // the whole lifecycle in one lineage
+      val cut = java.sql.Timestamp.valueOf("2024-01-01 00:15:00")
+      val live = spark.read.format("graft.sources.sta")
+        .option("path", base).option("transport", "http")
+        .option("datastreams", "1,2").load()
+        .filter(col(Obs.Time) > lit(cut))
+      val cfg = QcMain.Config(
+        rangeBounds = Map(1L -> (0.0, 2.5), 2L -> (0.0, 4.5)),
+        regions = Seq(Geo.BoxRegion("NORTH SEA", "SOUTHERN BIGHT",
+          51.0, 52.0, 2.5, 3.5)))
+      val (flaggedLive, _) = QcMain.runFrom(spark, live, cfg)
+      val liveFlags = flaggedLive.select(col(Obs.IotId), col("flag"))
+        .collect().map(r => r.getLong(0) -> r.getByte(1)).toMap
+      flaggedLive.unpersist()
+      // the time filter REACHED the server as OData (source pushdown in
+      // the same run as the sink below, not a separate spec)
+      assert(urls.toArray.exists(_.toString.contains("phenomenonTime gt")),
+        s"no pushed time filter on the wire: ${urls.toArray.mkString(" | ")}")
+      // only the filter-admitted rows flow through: 13 (ds1 page 2 —
+      // so paging composed with pushdown too), 21, 22
+      assert(liveFlags.keySet == Set(13L, 21L, 22L))
+      // flags are non-degenerate: the range config splits good from bad
+      assert(liveFlags(21L) != liveFlags(22L))
+
+      // ---- live sink: the same flagged frame PATCHes back via $batch
+      PatchSink.httpBatchSink(
+        flaggedLive.withColumn(Obs.QcFlag, col("flag")).repartition(1),
+        base.replace("/sta", "/batch"), batchSize = 2)
+      val patchOps = "\"url\":\"Observations\\((\\d+)\\)\",\"body\":\\{\"resultQuality\":(\\d+)".r
+        .findAllMatchIn(patched.toArray.mkString)
+        .map(m => m.group(1).toLong -> m.group(2).toInt).toMap
+
+      // ---- BATCH path: the identical payload as a captured response
+      // file (what the same $filter query would have captured), through
+      // the file entry + the patch-file sink
+      val fixture = java.nio.file.Files.createTempFile("sta_golden", ".json")
+      java.nio.file.Files.writeString(fixture,
+        s"""{"Datastreams":[${dsJson(1, ds1page2)},${dsJson(2, ds2obs)}]}""")
+      val patchDir = java.nio.file.Files.createTempDirectory("golden_patch").toString
+      val (flaggedFile, _) = QcMain.run(spark, fixture.toString, cfg,
+        patchOut = Some(patchDir))
+      val fileFlags = flaggedFile.select(col(Obs.IotId), col("flag"))
+        .collect().map(r => r.getLong(0) -> r.getByte(1)).toMap
+      flaggedFile.unpersist()
+
+      // the two transports agree flag-for-flag…
+      assert(liveFlags == fileFlags,
+        s"live=$liveFlags file=$fileFlags")
+      // …and sink-for-sink: the wire PATCH ops equal the patch file
+      val fileOps = spark.read.json(patchDir)
+        .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+          r.getLong(r.fieldIndex("resultQuality")).toInt).toMap
+      assert(patchOps == fileOps, s"wire=$patchOps file=$fileOps")
+      assert(patchOps.keySet == Set(13L, 21L, 22L))
+    }
+  }
+
   test("get retries 5xx then fails fast on 4xx") {
-    withServer { (base, _, requests) =>
+    withServer { (base, _, requests, _) =>
       val before = requests.get()
       StaHttp.get(s"$base?probe=1") // 503 once, then 200
       assert(requests.get() - before == 2)
