@@ -519,9 +519,10 @@ object Hdf5Reader {
     * + length into a direct block), tiny — normal and extended
     * sub-types — (the link message rides inline in the ID), huge
     * directly accessed (file address + length in the ID — the form
-    * written when the heap has no huge-object B-tree), and huge
-    * indirectly accessed (the ID carries a huge-object id resolved
-    * through the heap's type-1 v2 B-tree).
+    * written when the heap's ID length fits addr+len, ≥ 17; the
+    * type-3 tracking B-tree the library also writes is ignored on
+    * read), and huge indirectly accessed (the ID carries a
+    * huge-object id resolved through the heap's type-1 v2 B-tree).
     *
     * Never-misparse bounds, all failing loudly: FILTERED huge objects
     * (type-2/4 huge B-trees) reject in the B-tree type check;
@@ -566,24 +567,25 @@ object Hdf5Reader {
           val len = readUintLE(ib, heap.lenBytes).toInt
           readLink(buf, heap.fileAddr(off, path), len, path)
         case 0x20 => // tiny: the link message IS the ID payload. The
-          // sub-type is a property of the HEAP, not the ID: normal
-          // (length-1 in the flag nibble) iff the heap's ID length
-          // ≤ 18, extended (low nibble + a second length byte, for
-          // payloads up to 4096) above that
+          // sub-type is a property of the HEAP, not the ID (H5HFtiny.c):
+          // normal (length-1 in the flag nibble) iff the heap's ID
+          // length ≤ 17, extended at ≥ 18 — where the flag nibble holds
+          // the HIGH 4 bits of length-1 and a second byte the low 8
+          // (payloads up to 4096)
           val len =
-            if (heap.idLen <= 18) (flag & 0x0f) + 1
-            else ((flag & 0x0f) | ((ib.get() & 0xff) << 4)) + 1
-          val hdrLen = if (heap.idLen <= 18) 1 else 2
+            if (heap.idLen < 18) (flag & 0x0f) + 1
+            else (((flag & 0x0f) << 8) | (ib.get() & 0xff)) + 1
+          val hdrLen = if (heap.idLen < 18) 1 else 2
           require(hdrLen + len <= id.length,
             s"$path: tiny heap ID payload $len overruns the ${id.length}-byte ID")
           readLinkFrom(ib, path)
-        case 0x10 if heap.hugeBtAddr == Undef =>
+        case 0x10 if heap.idLen >= 17 =>
           // huge, directly accessed: (file address, length) live in the
-          // ID itself — the layout the library writes when the heap has
-          // no huge-object B-tree
-          require(heap.idLen >= 17,
-            s"$path: direct huge heap ID needs 17 bytes, heap ID length " +
-              s"is ${heap.idLen}")
+          // ID itself. The library picks direct encoding from the heap
+          // ID length (≥ 1 + sizeof_addr + sizeof_size = 17), NOT from
+          // B-tree absence — it still keeps a type-3 huge-object v2
+          // B-tree for deletion tracking, so hugeBtAddr is set even in
+          // direct files and must not key this branch
           val addr = ib.getLong()
           val len = ib.getLong()
           readLink(buf, addr.toInt, len.toInt, path)

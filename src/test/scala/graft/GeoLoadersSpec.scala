@@ -663,11 +663,14 @@ class GeoLoadersSpec extends SparkSpec {
       Set("temperature", "lat", "lon"))
 
     // INDIRECT huge: the IDs carry huge-object ids resolved through the
-    // heap's type-1 v2 B-tree instead of inline (address, length)
+    // heap's type-1 v2 B-tree instead of inline (address, length). The
+    // library only writes this form when the heap ID is too narrow for
+    // addr+len (idLen < 17 — H5HFhdr.c keys huge_ids_direct on that),
+    // so the fixture uses a 16-byte ID
     val pi = Files.createTempFile("graft_indhuge", ".nc").toString
     MiniHdf5.writeGridV2(pi, "temperature", lat, lon, packed,
       chunkRows = 3, chunkCols = 2, deflate = false, shuffle = false,
-      atts = atts, denseRoot = true, denseIdWide = true,
+      atts = atts, denseRoot = true, denseIdWide = true, denseIdLen = 16,
       denseExtraLinks = 2, hugeNames = Set("x00", "x01"),
       hugeIndirect = true)
     val hi = graft.sources.geo.Hdf5Reader.open(pi)
@@ -693,6 +696,25 @@ class GeoLoadersSpec extends SparkSpec {
     val ge = GridLoader.fromNetcdf(pe, "temperature")
     for (i <- 0 until 4; j <- 0 until 5)
       assert(ge.valueAt(i, j) == expect(i * 5 + j), s"exttiny ($i,$j)")
+
+    // EXTENDED tiny, 12-bit length path: a > 255-byte inline payload
+    // puts nonzero bits in the flag nibble's HIGH length bits
+    // (H5HFtiny.c packs len-1 as nibble<<8 | second byte — a decoder
+    // that ORs the nibble into the LOW bits truncates this payload to
+    // its low byte and misparses the message from the wrong offset)
+    val longAlias = "z" * 260
+    val pe2 = Files.createTempFile("graft_exttiny12", ".nc").toString
+    MiniHdf5.writeGridV2(pe2, "temperature", lat, lon, packed,
+      chunkRows = 3, chunkCols = 2, deflate = false, shuffle = false,
+      atts = atts, denseRoot = true, denseIdWide = true,
+      denseIdLen = 320, denseNodeSize = 2048,
+      softLinks = Seq((longAlias, "/temperature")))
+    val he2 = graft.sources.geo.Hdf5Reader.open(pe2)
+    assert(he2.datasets.keySet ==
+      Set("temperature", "lat", "lon", longAlias))
+    val ge2 = GridLoader.fromNetcdf(pe2, "temperature")
+    for (i <- 0 until 4; j <- 0 until 5)
+      assert(ge2.valueAt(i, j) == expect(i * 5 + j), s"exttiny12 ($i,$j)")
   }
 
   test("superblock extension: bookkeeping messages accepted, shared " +

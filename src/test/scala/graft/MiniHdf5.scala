@@ -811,11 +811,15 @@ object MiniHdf5 {
       * the 2-byte-length-prefixed target path.
       */
     def softLinkMsg(name: String, target: String): Array[Byte] = {
-      val b = bb(6 + name.length + target.length)
+      val b = bb(7 + name.length + target.length)
       b.put(1.toByte)        // link message version
-      b.put(0x08.toByte)     // flags: link-type field present, 1-byte name len
+      // flags: link-type field present; name-length field 1 byte, or 2
+      // (flags bits 0-1 = 1) once the name outgrows a byte
+      val wideName = name.length > 255
+      b.put((0x08 | (if (wideName) 1 else 0)).toByte)
       b.put(1.toByte)        // link type: soft
-      b.put(name.length.toByte)
+      if (wideName) b.putShort(name.length.toShort)
+      else b.put(name.length.toByte)
       b.put(name.getBytes("US-ASCII"))
       b.putShort(target.length.toShort)
       b.put(target.getBytes("US-ASCII"))
@@ -1224,8 +1228,18 @@ object MiniHdf5 {
       * extended), 2 huge (message stored outside the heap; ID =
       * address + length when direct, a huge-object id when indirect).
       */
-    val tinyHdr = if (heapIdLen <= 18) 1 else 2
-    val tinyMax = math.min(if (heapIdLen <= 18) 16 else 4096,
+    // the library keys direct-vs-indirect huge IDs on the heap ID
+    // length (H5HFhdr.c: direct iff idLen ≥ 1 + sizeof_addr +
+    // sizeof_size = 17); a fixture combining the flag with the wrong
+    // width would encode a file the library never writes
+    require(hugeNames.isEmpty ||
+        (if (hugeIndirect) heapIdLen < 17 else heapIdLen >= 17),
+      s"library-realistic huge IDs: indirect needs idLen < 17, " +
+        s"direct needs >= 17 (got idLen=$heapIdLen, indirect=$hugeIndirect)")
+    // H5HFtiny.c boundary: normal 1-byte header iff heap ID length
+    // ≤ 17, extended (2-byte header, 12-bit length) at ≥ 18
+    val tinyHdr = if (heapIdLen < 18) 1 else 2
+    val tinyMax = math.min(if (heapIdLen < 18) 16 else 4096,
       heapIdLen - tinyHdr)
     val denseKinds: IndexedSeq[Int] = denseNames.toIndexedSeq.map { n =>
       if (denseIdWide && hugeNames(n)) 2
@@ -1246,11 +1260,12 @@ object MiniHdf5 {
           b.putShort(denseMsg(denseNames(k), Map.empty).length.toShort)
         case 1 =>
           val m = denseMsg(denseNames(k), hdrAddrs)
-          if (heapIdLen <= 18)
+          if (heapIdLen < 18)
             b.put((0x20 | (m.length - 1)).toByte) // normal: len-1 nibble
-          else { // extended: low nibble + a second length byte
-            b.put((0x20 | ((m.length - 1) & 0x0f)).toByte)
-            b.put(((m.length - 1) >> 4).toByte)
+          else { // extended (H5HFtiny.c): flag nibble = HIGH 4 bits of
+            // len-1, second byte = low 8 bits
+            b.put((0x20 | (((m.length - 1) >> 8) & 0x0f)).toByte)
+            b.put(((m.length - 1) & 0xff).toByte)
           }
           b.put(m)
         case 2 if hugeIndirect =>
@@ -1312,10 +1327,16 @@ object MiniHdf5 {
     val hugeKs = denseNames.indices.filter(k => denseKinds(k) == 2)
     val hugeIds: Map[Int, Long] =
       hugeKs.zipWithIndex.map { case (k, i) => k -> (i + 1).toLong }.toMap
+    // the library ALWAYS creates a huge-object v2 B-tree when huge
+    // objects exist: type 1 (id → addr+len) when IDs are indirect,
+    // type 3 (addr+len, kept for deletion tracking) when direct —
+    // a reader keying "direct" on B-tree absence fails on real files
     val hugeBt =
-      if (hugeIndirect && hugeKs.nonEmpty)
+      if (hugeKs.isEmpty) null
+      else if (hugeIndirect)
         new Bt2(512, recSize = 24, btType = 1, nRecs = hugeKs.length)
-      else null
+      else
+        new Bt2(512, recSize = 16, btType = 3, nRecs = hugeKs.length)
     val hbthdLen = if (hugeBt != null) hugeBt.header(0L).length else 0
     val hbtNodesLen = if (hugeBt != null) hugeBt.nodesLen else 0
     val hbthdAddr = btNodesAddr + btNodesLen
@@ -1375,21 +1396,26 @@ object MiniHdf5 {
         dblkAddrs.padTo(denseRows * hpWidth, -1L)))
       denseNames.zipWithIndex.foreach { case (n, k) =>
         buf.position(dblkAddrs(k).toInt)
-        buf.put(fhdb(frhpAddr, blockHeapStart(k), blockSizes(k),
-          denseMsg(n, hdrAddrs)))
+        // only MANAGED messages live in heap blocks; tiny rides inline
+        // in the ID and huge outside the heap — and a tiny-extended
+        // message can be larger than this slot's doubling-table block
+        val payload =
+          if (denseKinds(k) == 0) denseMsg(n, hdrAddrs) else Array.empty[Byte]
+        buf.put(fhdb(frhpAddr, blockHeapStart(k), blockSizes(k), payload))
       }
       buf.position(bthdAddr.toInt)
       buf.put(denseBt.header(btNodesAddr))
       denseBt.emit(buf, btNodesAddr,
         (b, slot) => denseRecBytes(b, slot, hdrAddrs, hugeAddrs, hugeIds))
-      if (hugeBt != null) { // type-1 huge-object index: id → (addr, len)
+      if (hugeBt != null) { // huge-object index: type 1 carries the id
+        // key after (addr, len); type 3 is just (addr, len)
         buf.position(hbthdAddr.toInt)
         buf.put(hugeBt.header(hbtNodesAddr))
         hugeBt.emit(buf, hbtNodesAddr, (b, slot) => {
           val k = hugeKs(slot)
           b.putLong(hugeAddrs(k))
           b.putLong(denseMsg(denseNames(k), Map.empty).length.toLong)
-          b.putLong(hugeIds(k))
+          if (hugeIndirect) b.putLong(hugeIds(k))
         })
       }
       // huge objects themselves: the link message bytes at their address
