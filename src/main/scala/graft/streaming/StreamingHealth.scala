@@ -97,14 +97,27 @@ object StreamingHealth {
     * joins/alerts on `outPath` without touching the driver, and the
     * trend survives the driver that produced it (post-mortems read the
     * table of a dead ingest). Driver-side rows only (operators ×
-    * batches), appended from the progress-listener thread — the data
-    * path pays nothing. Returns the listener; pass it to
-    * `spark.streams.removeListener` when the query stops.
+    * batches). The parquet append is a BLOCKING Spark job, so it runs
+    * on a dedicated single writer thread, NOT on the shared listener
+    * bus: a bus callback that blocks delays event delivery to every
+    * other listener, and an exception thrown into the bus kills
+    * delivery with no handler. The single thread also serializes
+    * appends (parquet append is not concurrent-writer safe), and a
+    * failed write logs a warning and drops that batch's rows — the
+    * health sink must never take down the stream it watches. Returns
+    * the listener; pass it to `spark.streams.removeListener` when the
+    * query stops (the writer thread is daemon and drains the queue).
     */
   def attachHealthSink(spark: SparkSession, queryId: java.util.UUID,
                        outPath: String)
       : org.apache.spark.sql.streaming.StreamingQueryListener = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-health-sink")
+        t.setDaemon(true)
+        t
+      })
     val listener = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -113,8 +126,22 @@ object StreamingHealth {
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit =
         if (e.progress.id == queryId && e.progress.stateOperators.nonEmpty) {
-          import spark.implicits._
-          rows(e.progress).toDF().write.mode("append").parquet(outPath)
+          // capture the rows HERE (cheap, driver-local) so the handed-off
+          // task carries plain data, not the event object
+          val batchRows = rows(e.progress)
+          exec.submit(new Runnable {
+            override def run(): Unit =
+              try {
+                import spark.implicits._
+                batchRows.toDF().write.mode("append").parquet(outPath)
+              } catch {
+                case t: Throwable =>
+                  org.apache.logging.log4j.LogManager
+                    .getLogger(StreamingHealth.getClass)
+                    .warn(s"health sink append to $outPath failed " +
+                      s"(batch ${batchRows.headOption.map(_.batch_id)}): $t")
+              }
+          })
         }
     }
     spark.streams.addListener(listener)

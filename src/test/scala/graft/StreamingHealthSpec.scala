@@ -118,6 +118,79 @@ class StreamingHealthSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("attachHealthSink survives a checkpoint-recovery restart: batch " +
+    "ids in the parquet history stay contiguous and dupe-free across " +
+    "the stop/resume boundary") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val src = mem.toDS().toDF("doc_id", "text", "ts_s")
+      .withColumn("event_time", timestamp_seconds(col("ts_s")))
+    val out = StreamingDedup.withinWatermark(
+      src, "text", "event_time", "600 seconds")
+    val ckpt = java.nio.file.Files.createTempDirectory("health_ckpt").toString
+    val sink = java.nio.file.Files.createTempDirectory("health_sink").toString
+    val health = java.nio.file.Files
+      .createTempDirectory("graft_health_restart").toString + "/t"
+    def start() = out.writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    var q = start()
+    // the PERSISTENT query id (q.id) survives a checkpoint restart —
+    // runId changes per run, id does not — so ONE listener keyed on it
+    // keeps matching the resumed query
+    val listener = StreamingHealth.attachHealthSink(spark, q.id, health)
+    def landedBatches(): Long =
+      try spark.read.parquet(health).select("batch_id").distinct().count()
+      catch { case _: Exception => 0L }
+    def awaitLanded(n: Long): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (landedBatches() < n && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    }
+    try {
+      var id = 0L
+      def feed(batches: Int): Unit = (0 until batches).foreach { b =>
+        mem.addData((0 until 50).map(i => (id + i, s"d ${id + i}", 10L)))
+        q.processAllAvailable()
+        id += 50
+      }
+      feed(3)
+      awaitLanded(3)
+      val preRestart = landedBatches()
+      preRestart should be >= 3L
+      // restart: stop cold (offsets+commits flushed by
+      // processAllAvailable), resume from the checkpoint, keep feeding
+      q.stop()
+      q = start()
+      feed(3)
+      awaitLanded(preRestart + 3)
+
+      val t = spark.read.parquet(health)
+      val ids = t.select("batch_id").as[Long].distinct()
+        .collect().sorted.toSeq
+      ids.length.toLong should be >= (preRestart + 3)
+      // contiguous: no gap across the restart boundary (batch numbering
+      // resumes from the checkpoint, it does not reset or skip)
+      ids shouldBe (ids.head to ids.last)
+      // dupe-free: a committed batch's health rows land exactly once
+      // per stateful operator, even though the listener outlived a
+      // query restart
+      val dupes = t.groupBy("batch_id", "op_idx")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+      dupes shouldBe 0L
+      // and the state itself recovered: post-restart batches report the
+      // pre-restart fingerprints still in the store (state_rows carries
+      // past the boundary, it does not restart from zero)
+      val lastRows = t.orderBy(col("batch_id").desc)
+        .select("state_rows").as[Long].head()
+      lastRows shouldBe 300L
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("stateHealth on a not-yet-started query is an EMPTY frame with " +
     "the full schema (unconditional union/write safety)") {
     implicit val sq = spark.sqlContext
