@@ -45,12 +45,17 @@ object MakeScale {
       * stages in a 32-core run). A real 100 TB table is thousands of
       * files; the scale fixture must look like one.
       */
-    def wr(df: DataFrame, name: String): Unit =
+    def wrFact(df: DataFrame, name: String): Unit =
       df.repartition(32).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    // dimensions stay single-copy AND single-file: the multi-file rule
+    // above is about fact-scan parallelism; 32 tiny files per 5-row
+    // dimension just adds a shuffle and file-listing noise
+    def wrDim(df: DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
     // dimensions: single copy
-    wr(rd("region"), "region")
-    wr(rd("nation"), "nation")
+    wrDim(rd("region"), "region")
+    wrDim(rd("nation"), "nation")
 
     /** k copies with the long key columns shifted by copy·Off — one scan
       * crossJoined with `range(k)` (a broadcast of k ids), NOT a k-way
@@ -68,15 +73,15 @@ object MakeScale {
       mutate(shifted).drop("__copy")
     }
 
-    wr(copies(rd("customer"), Seq("c_custkey"))(), "customer")
-    wr(copies(rd("supplier"), Seq("s_suppkey"))(), "supplier")
-    wr(copies(rd("part"), Seq("p_partkey"))(), "part")
-    wr(copies(rd("orders"), Seq("o_orderkey", "o_custkey"))(), "orders")
-    wr(copies(rd("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey"))(),
+    wrFact(copies(rd("customer"), Seq("c_custkey"))(), "customer")
+    wrFact(copies(rd("supplier"), Seq("s_suppkey"))(), "supplier")
+    wrFact(copies(rd("part"), Seq("p_partkey"))(), "part")
+    wrFact(copies(rd("orders"), Seq("o_orderkey", "o_custkey"))(), "orders")
+    wrFact(copies(rd("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey"))(),
       "lineitem")
-    wr(copies(rd("events"), Seq("event_id", "user_id"))(), "events")
+    wrFact(copies(rd("events"), Seq("event_id", "user_id"))(), "events")
 
-    wr(copies(rd("documents"), Seq("doc_id")) { d =>
+    wrFact(copies(rd("documents"), Seq("doc_id")) { d =>
       d.withColumn("text", when(col("__copy") === 0, col("text"))
           .otherwise(concat_ws(" ", transform(split(col("text"), "\\s+"),
             w => concat(w, lit("_"), col("__copy").cast("string"))))))
@@ -89,7 +94,7 @@ object MakeScale {
     // earlier circular rotation was identity once copy ≥ dim (64) — at
     // k=1000 that made 94% of copies exact duplicates of copy 0 and a
     // near-dup bench would measure the generator artifact, not the plan.
-    wr(copies(rd("embeddings"), Seq("vec_id")) { d =>
+    wrFact(copies(rd("embeddings"), Seq("vec_id")) { d =>
       d.withColumn("embedding", when(col("__copy") === 0, col("embedding"))
         .otherwise(transform(col("embedding"), (x, i) =>
           // xxhash64 bit per (copy, element): a linear-arithmetic "hash"
