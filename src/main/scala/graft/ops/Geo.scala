@@ -212,8 +212,45 @@ object Geo {
     s"(1.0e0 - (2.0e0 * ($s * $s)))"
   }
 
-  /** Bit-portable great-circle distance in meters (see block comment). */
-  def portableDistM(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+  // ---- scalar transcription of the SAME polynomial, op-for-op --------
+  // Why a scalar twin: the Column tree above expands to ~60 arithmetic
+  // nodes, and the kinematics plans instantiate it several times per
+  // projection (velocity needs two distances, acceleration re-derives
+  // velocity) — the generated wholestage method crossed the JVM's 64 KB
+  // limit and the whole scan stage fell back to INTERPRETED execution.
+  // [[PortableDistExpr]] emits one static call instead. JVM double
+  // arithmetic is IEEE-754 exact-rounded and strict since JDK 17, so an
+  // op-order-faithful transcription produces bit-identical doubles to
+  // the Column tree (PortableDistSpec asserts it) and the DuckDB SQL.
+  private def sinPolyS(x: Double): Double = {
+    val x2 = x * x
+    x * (1.0 + x2 * (SinC(0) + x2 * (SinC(1) + x2 * (SinC(2) + x2 * SinC(3)))))
+  }
+  private def asinPolyS(x: Double): Double = {
+    val x2 = x * x
+    x * (1.0 + x2 * (AsinC(0) + x2 * (AsinC(1) + x2 * (AsinC(2) + x2 * AsinC(3)))))
+  }
+  private def cosPolyS(x: Double): Double = {
+    val s = sinPolyS(x * 0.5)
+    1.0 - (2.0 * (s * s))
+  }
+  def portableDistScalar(lat1: Double, lon1: Double,
+                         lat2: Double, lon2: Double): Double = {
+    val dLatH = ((lat2 - lat1) * DegToRad) * 0.5
+    val dLonH = ((lon2 - lon1) * DegToRad) * 0.5
+    val sLat = sinPolyS(dLatH)
+    val sLon = sinPolyS(dLonH)
+    val a = (sLat * sLat) +
+      ((cosPolyS(lat1 * DegToRad) * cosPolyS(lat2 * DegToRad)) * (sLon * sLon))
+    (2 * EarthRadiusM) * asinPolyS(math.sqrt(a))
+  }
+
+  /** The Column-algebra rendering of the polynomial (kept as the
+    * reference form [[PortableDistSpec]] pins the native expression
+    * against, and for any caller needing a pure-Column tree).
+    */
+  def portableDistMColumns(lat1: Column, lon1: Column,
+                           lat2: Column, lon2: Column): Column = {
     val dLatH = ((lat2 - lat1) * lit(DegToRad)) * lit(0.5)
     val dLonH = ((lon2 - lon1) * lit(DegToRad)) * lit(0.5)
     val sLat = sinPoly(dLatH)
@@ -221,6 +258,17 @@ object Geo {
     val a = (sLat * sLat) +
       ((cosPoly(lat1 * lit(DegToRad)) * cosPoly(lat2 * lit(DegToRad))) * (sLon * sLon))
     lit(2 * EarthRadiusM) * asinPoly(sqrt(a))
+  }
+
+  /** Bit-portable great-circle distance in meters (see block comment) —
+    * served by the native [[PortableDistExpr]] so each call site costs
+    * one generated-code line instead of a ~60-node tree.
+    */
+  def portableDistM(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    column(PortableDistExpr(expression(lat1.cast("double")),
+      expression(lon1.cast("double")), expression(lat2.cast("double")),
+      expression(lon2.cast("double"))))
   }
 
   /** Same expression as DuckDB SQL text — identical operation order. */

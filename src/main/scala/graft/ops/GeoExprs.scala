@@ -222,3 +222,64 @@ case class GeodesicDistExpr(lat1: Expression, lon1: Expression,
     copy(lat1 = newChildren(0), lon1 = newChildren(1),
       lat2 = newChildren(2), lon2 = newChildren(3))
 }
+
+/** Native form of [[Geo.portableDistM]] — the bit-portable Horner
+  * haversine. Same arithmetic (op-for-op) as the Column-tree rendering
+  * `Geo.portableDistMColumns` and the DuckDB SQL `Geo.portableDistSql`,
+  * via the scalar transcription `Geo.portableDistScalar`; pinned
+  * bit-identical by `PortableDistSpec`.
+  *
+  * Why native: the kinematics projections instantiate the distance
+  * several times (velocity = two distances; acceleration re-derives
+  * velocity), and the ~60-node tree × per-node null plumbing crossed
+  * the JVM's 64 KB generated-method limit — Spark then dropped the
+  * whole scan stage to INTERPRETED execution. One static call keeps
+  * the stage inside whole-stage codegen.
+  */
+case class PortableDistExpr(lat1: Expression, lon1: Expression,
+                            lat2: Expression, lon2: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(lat1, lon1, lat2, lon2)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == DoubleType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"portable_dist requires four doubles, got ${children.map(_.dataType.sql).mkString(", ")}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = lat1.eval(input); val b = lon1.eval(input)
+    val c = lat2.eval(input); val d = lon2.eval(input)
+    if (a == null || b == null || c == null || d == null) null
+    else Geo.portableDistScalar(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = children.map(_.genCode(ctx))
+    ev.copy(code =
+      code"""
+         |${cs(0).code}
+         |${cs(1).code}
+         |${cs(2).code}
+         |${cs(3).code}
+         |boolean ${ev.isNull} = true;
+         |double ${ev.value} = 0.0;
+         |if (!${cs(0).isNull} && !${cs(1).isNull} && !${cs(2).isNull} && !${cs(3).isNull}) {
+         |  ${ev.isNull} = false;
+         |  ${ev.value} = graft.ops.Geo.portableDistScalar(
+         |    ${cs(0).value}, ${cs(1).value}, ${cs(2).value}, ${cs(3).value});
+         |}
+         |""".stripMargin)
+  }
+
+  override def prettyName: String = "portable_dist"
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PortableDistExpr =
+    copy(lat1 = newChildren(0), lon1 = newChildren(1),
+      lat2 = newChildren(2), lon2 = newChildren(3))
+}

@@ -45,6 +45,34 @@ class PortableDistSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("native PortableDistExpr is bit-identical to the Column-tree " +
+    "rendering, and null-propagates per input") {
+    val df = pairs.toDF("lat1", "lon1", "lat2", "lon2")
+    val rows = df.select(
+      Geo.portableDistM($"lat1", $"lon1", $"lat2", $"lon2").as("native"),
+      Geo.portableDistMColumns($"lat1", $"lon1", $"lat2", $"lon2").as("tree"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native/tree bit mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+    // interpreted eval path (what WindowExec & non-codegen contexts use)
+    // matches codegen: evaluate the same expression under a filter that
+    // forces the interpreted projection via collect on a tiny frame
+    val one = Seq((51.2, 2.9, 51.21, 2.91)).toDF("lat1", "lon1", "lat2", "lon2")
+    val viaNative = one.select(
+      Geo.portableDistM($"lat1", $"lon1", $"lat2", $"lon2")).head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(viaNative) ==
+      java.lang.Double.doubleToLongBits(
+        Geo.portableDistScalar(51.2, 2.9, 51.21, 2.91)))
+    // any null input → null out (the Column tree's propagation contract)
+    val withNull = Seq((Some(51.2), Some(2.9), Option.empty[Double], Some(2.91)))
+      .toDF("lat1", "lon1", "lat2", "lon2")
+    assert(withNull.select(
+      Geo.portableDistM($"lat1", $"lon1", $"lat2", $"lon2")).head().isNullAt(0))
+  }
+
   test("double literals round-trip through SQL text exactly") {
     // dlit must force DOUBLE parsing (a bare decimal would parse DECIMAL)
     val x = 0.017453292519943295
