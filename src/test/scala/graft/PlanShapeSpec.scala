@@ -13,6 +13,33 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("kinematics plans compile inside whole-stage codegen: no " +
+    "generated method near the JVM 64 KB limit") {
+    // the Horner distance tree used to blow the wholestage method past
+    // 64 KB (janino refusal -> whole scan stage interpreted, silently);
+    // PortableDistExpr collapses each call site to one static call.
+    // Pin it: force codegen compilation of every wholestage subtree in
+    // the heavy kinematics plans and assert the real bytecode sizes
+    // stay far from the cliff (ByteCodeStats comes from janino itself).
+    import org.apache.spark.sql.execution.debug._
+    // AQE defers the physical plan (executedPlan = AdaptiveSparkPlanExec
+    // with no WSCG children until runtime); disable it for the static
+    // inspection — codegen sizes are identical either way
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try Seq("w3_velocity", "qc_pipeline_flags", "w4_spatial_outlier").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val stats = codegenStringSeq(plan)
+      assert(stats.nonEmpty, s"$q: no wholestage codegen subtree at all")
+      stats.foreach { case (subtree, _, bc) =>
+        assert(bc.maxMethodCodeSize < 16384,
+          s"$q: generated method ${bc.maxMethodCodeSize} bytes — " +
+            s"approaching the 64 KB interpret-fallback cliff in:\n$subtree")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q18: lineitem aggregates BEFORE any join (the HAVING semi-join shape)") {
     val p = plan("q18_large_orders")
     // the aggregate must sit below the first join in the tree — if the
