@@ -940,14 +940,22 @@ object Similarity {
                         k: Int, iters: Int = 5, dim: Int = 64): Array[Double] = {
     import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
     require(k >= 1 && iters >= 0)
-    // seeds: mod-stride filter (map-side) + bounded TakeOrdered — NOT a
-    // global unpartitioned window sort; stride from the id range, one
-    // cheap min/max scan
-    val bounds = corpus.agg(min(col(idCol)), max(col(idCol))).collect()(0)
-    val stride = math.max((bounds.getLong(1) - bounds.getLong(0) + 1) / k, 1L)
+    // seeds: the k smallest (md5(id), id) — deterministic, uniform over
+    // ANY id space, and still bounded: orderBy+limit compiles to
+    // TakeOrdered (per-partition top-k, k-row driver state), never a
+    // global sort. The previous rule derived seed POSITIONS from the
+    // [min,max] id range (mod-stride); on banded/sparse id spaces
+    // (shard-offset allocation, snowflake ids — and every MakeScale
+    // fixture, which offsets copy c's ids by c·10⁹) almost no id lands
+    // on a stride multiple, the seed set collapses to a handful, and k
+    // silently shrinks: the sf10 century sweep found every
+    // auto-geometry index trained on such a corpus had TWO coarse
+    // lists, serving near-brute-force candidate streams. md5-of-decimal
+    // keeps the rule oracle-replayable (DuckDB md5(CAST(id AS VARCHAR))
+    // yields the identical hex).
     val seeds = corpus.select(col(idCol), col(embCol))
-      .filter((col(idCol) - bounds.getLong(0)) % stride === 0)
-      .orderBy(col(idCol)).limit(k).collect()
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k).collect()
     require(seeds.nonEmpty, "no seed centroids found")
     var cents: Array[Double] = seeds.flatMap(_.getSeq[Any](1).map {
       case f: Float => f.toDouble

@@ -78,8 +78,10 @@ object QueriesEmb {
   /** Deterministic Lloyd's k-means as chained SQL CTEs — the oracle
     * mirror of `Similarity.trainIvfCentroids`, ending in CTE
     * `cent$iters (c, ce)`. Parity hinges on three invariants shared
-    * with the Spark side: mod-stride seeding over the id range (same
-    * floor division), assignment by the identical left-assoc cosine fold
+    * with the Spark side: hash seeding — the k smallest
+    * (md5(id-as-decimal), id), robust to banded/sparse id spaces where
+    * the old range-stride rule collapsed — assignment by the identical
+    * left-assoc cosine fold
     * with first-best tie-breaks (`ORDER BY cos DESC, c ASC`), and the
     * quantized-integer update — per-cell sums of floor(x·2^20) are
     * integers, so DuckDB's aggregation order cannot perturb the mean,
@@ -148,15 +150,14 @@ object QueriesEmb {
                                  src: String = "embeddings"): String = {
     val seed =
       s"""dims AS (SELECT CAST(unnest(range(0, $Dim)) AS INT) AS d),
-         |bnd AS (SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM $src),
          |kk AS (SELECT $kSql AS k),
          |seedrows AS (
          |  SELECT c, se FROM (
-         |    SELECT CAST(row_number() OVER (ORDER BY e.vec_id) - 1 AS INT) AS c,
+         |    SELECT CAST(row_number() OVER (
+         |        ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id) - 1
+         |      AS INT) AS c,
          |      e.embedding AS se
-         |    FROM $src e, bnd
-         |    WHERE (e.vec_id - bnd.mn) %
-         |      greatest((bnd.mx - bnd.mn + 1) // (SELECT k FROM kk), 1) = 0) t
+         |    FROM $src e) t
          |  WHERE c < (SELECT k FROM kk)),
          |cent0 AS MATERIALIZED (SELECT c,
          |  list_transform(range(1, ${Dim + 1}), i -> CAST(se[i] AS DOUBLE)) AS ce
@@ -188,8 +189,8 @@ object QueriesEmb {
 
   /** Prefixed k-means CTE chain over an arbitrary slice of `embedding` —
     * the per-subspace mirror of `Similarity.trainPqCodebooks` (which runs
-    * `trainIvfCentroids` on each slice): same mod-stride seeding over the
-    * full id range, same left-assoc cosine assignment with first-best
+    * `trainIvfCentroids` on each slice): same hash seeding (k smallest
+    * (md5(id), id)), same left-assoc cosine assignment with first-best
     * ties, same quantized-integer update. Ends in `${p}cent$iters (c, ce)`
     * with the working slice in `${p}src (vec_id, se)`.
     */
@@ -198,13 +199,14 @@ object QueriesEmb {
     val seed =
       s"""${p}dims AS (SELECT CAST(unnest(range(0, $sub)) AS INT) AS d),
          |${p}src AS (SELECT vec_id, $sliceSql AS se FROM $src),
-         |${p}bnd AS (SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM $src),
          |${p}seedrows AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY e.vec_id) - 1 AS INT) AS c,
-         |    e.se
-         |  FROM ${p}src e, ${p}bnd b
-         |  WHERE (e.vec_id - b.mn) % greatest((b.mx - b.mn + 1) // $k, 1) = 0
-         |  ORDER BY e.vec_id LIMIT $k),
+         |  SELECT c, se FROM (
+         |    SELECT CAST(row_number() OVER (
+         |        ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id) - 1
+         |      AS INT) AS c,
+         |      e.se
+         |    FROM ${p}src e) t
+         |  WHERE c < $k),
          |${p}cent0 AS MATERIALIZED (SELECT c,
          |  list_transform(range(1, ${sub + 1}), i -> CAST(se[i] AS DOUBLE)) AS ce
          |  FROM ${p}seedrows)""".stripMargin
@@ -700,7 +702,7 @@ object QueriesEmb {
         // path carries a content fingerprint + the build params: neither
         // a regenerated dataset nor a parameter change can silently
         // reuse a stale index
-        val ix = indexDir("pq", dir, "m8s8k8i2")
+        val ix = indexDir("pq", dir, "m8s8k8i2sd2")
         if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
           Similarity.writePqIndex(emb, "vec_id", "embedding", ix,
             m = 8, subDim = 8, nCentroids = 8, iters = 2)
@@ -737,7 +739,7 @@ object QueriesEmb {
       (s, dir) => {
         val emb = Q.table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 50 === 0)
-        val ix = indexDir("pq", dir, "m8s8k8i2")
+        val ix = indexDir("pq", dir, "m8s8k8i2sd2")
         if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
           Similarity.writePqIndex(emb, "vec_id", "embedding", ix,
             m = 8, subDim = 8, nCentroids = 8, iters = 2)
@@ -770,7 +772,7 @@ object QueriesEmb {
       (s, dir) => {
         val emb = Q.table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 50 === 0)
-        val ix = indexDir("ivfpq", dir, "c8i2m8s8k8p2")
+        val ix = indexDir("ivfpq", dir, "c8i2m8s8k8p2sd2")
         if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
           Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ix,
             nCoarse = 8, coarseIters = 2, m = 8, subDim = 8, nCentroids = 8,
@@ -793,7 +795,7 @@ object QueriesEmb {
       (s, dir) => {
         val emb = Q.table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 50 === 0)
-        val ix = indexDir("ivfpqsh", dir, "n2auto")
+        val ix = indexDir("ivfpqsh", dir, "n2autosd2")
         if (!new java.io.File(s"$ix/shard=1/codes/_SUCCESS").exists())
           Similarity.writeIvfPqIndexSharded(emb, "vec_id", "embedding", ix,
             nShards = 2, nCoarse = 0, coarseIters = 2, m = 8, subDim = 8,
@@ -861,7 +863,7 @@ object QueriesEmb {
         val emb = Q.table(s, dir, "embeddings")
         // same content-fingerprinted build (and dir) as t_hybrid_ann /
         // t_mining_ann — one auto-geometry index serves all three
-        val ix = Q.indexDir("ivfpq", dir, "embeddings", "cAi2m8s8k8p2")
+        val ix = Q.indexDir("ivfpq", dir, "embeddings", "cAi2m8s8k8p2sd2")
         if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
           Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ix,
             nCoarse = 0, coarseIters = 2, m = 8, subDim = 8,
@@ -898,7 +900,7 @@ object QueriesEmb {
     QDef("sim_index_health_sharded",
       (s, dir) => {
         val emb = Q.table(s, dir, "embeddings")
-        val ix = indexDir("ivfpqsh", dir, "n2auto")
+        val ix = indexDir("ivfpqsh", dir, "n2autosd2")
         if (!new java.io.File(s"$ix/shard=1/codes/_SUCCESS").exists())
           Similarity.writeIvfPqIndexSharded(emb, "vec_id", "embedding", ix,
             nShards = 2, nCoarse = 0, coarseIters = 2, m = 8, subDim = 8,

@@ -2690,7 +2690,7 @@ object QueriesText {
         // nCoarse = 0 → SELF-SCALING width (pow2floor(√N), floor 8):
         // the fixed-8 geometry measured a 56× candidate tail at the
         // century point; the derived width keeps probes ∝ √N
-        val dix = Q.indexDir("ivfpq", dir, "embeddings", "cAi2m8s8k8p2")
+        val dix = Q.indexDir("ivfpq", dir, "embeddings", "cAi2m8s8k8p2sd2")
         if (!new java.io.File(s"$dix/codes/_SUCCESS").exists())
           graft.functions.Similarity.writeIvfPqIndex(emb, "vec_id",
             "embedding", dix, nCoarse = 0, coarseIters = 2, m = 8,
@@ -2895,7 +2895,7 @@ object QueriesText {
         if (!new java.io.File(s"$lix/postings/_SUCCESS").exists())
           Retrieval.writeIndex(docs, "doc_id", "text", lix, maxDf = 40L)
         // same self-scaling index build (and dir) as t_hybrid_ann
-        val dix = Q.indexDir("ivfpq", dir, "embeddings", "cAi2m8s8k8p2")
+        val dix = Q.indexDir("ivfpq", dir, "embeddings", "cAi2m8s8k8p2sd2")
         if (!new java.io.File(s"$dix/codes/_SUCCESS").exists())
           graft.functions.Similarity.writeIvfPqIndex(emb, "vec_id",
             "embedding", dix, nCoarse = 0, coarseIters = 2, m = 8,

@@ -160,6 +160,36 @@ class AutoGeometrySpec extends SparkSpec with Matchers {
     coarse.length shouldBe expected * 64
   }
 
+  test("k-means seeding survives banded/sparse id spaces: a shard-offset " +
+    "corpus still trains the full derived width (sf10 century-sweep find)") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // MakeScale's id layout — copy c's ids shifted by c·10⁹, so the id
+    // space is 4 narrow bands in a 3·10⁹-wide range. The old range-
+    // stride seed rule picked positions ∝ (max-min)/k; in this layout
+    // almost none exist, the seed set collapsed to ~2 rows, and every
+    // "IVF" index silently served near-brute-force streams.
+    val banded = (0 until 4).map(c =>
+      base.select((col("vec_id") + lit(c.toLong * 1000000000L)).as("vec_id"),
+        col("embedding"))).reduce(_ unionAll _)
+    val n = banded.count()
+    val expected = Similarity.autoCoarseLists(n)
+    expected should be >= 32
+    val ix = java.nio.file.Files.createTempDirectory("graft_ivfpq_band").toString
+    Similarity.writeIvfPqIndex(banded, "vec_id", "embedding", ix,
+      nCoarse = 0, coarseIters = 1, m = 8, subDim = 8, nCentroids = 4,
+      pqIters = 1, dim = 64)
+    // the persisted coarse matrix carries the FULL derived width (the
+    // collapsed rule shipped 2·64 doubles here) ...
+    val meta = spark.read.parquet(s"$ix/meta").collect()(0)
+    meta.getSeq[Double](meta.fieldIndex("coarse")).length shouldBe expected * 64
+    // ... and the lists are genuinely occupied (duplicate-vector seeds
+    // lose every first-best tie, so a handful may sit empty — but a
+    // collapsed trainer would show lists_used ≈ 2)
+    val health = Similarity.indexHealth(spark, ix).collect()(0)
+    health.getLong(health.fieldIndex("lists_used")) should
+      be >= (expected / 2).toLong
+  }
+
   test("sharded IVF-PQ: disjoint per-shard indexes at per-shard derived " +
     "widths; 1-shard degenerate form == the single index") {
     val dir = "/root/testdata/sf0.001"
