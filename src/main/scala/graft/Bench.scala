@@ -77,6 +77,15 @@ object Bench {
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // operators cache internal frames; drop between queries
+        // Spark's ContextCleaner reclaims broadcast/shuffle/RDD state only
+        // when the driver-side references are GC'd — and a 48 g heap can
+        // run a 200-query suite without a single full GC, so cleaner work
+        // accumulates and late queries run under artificial memory
+        // pressure (measured: t_kappa 1.05 s standalone vs 10.92 s as
+        // query ~170 of a REPS=1 suite). One explicit GC between queries
+        // keeps per-query times faithful to their standalone cost.
+        // Opt-out: SPARK_GRAFT_BENCH_NOGC=1.
+        if (!sys.env.contains("SPARK_GRAFT_BENCH_NOGC")) System.gc()
         err match {
           case None => times(name) = dt :: times(name)
           case Some(e) => errs(name) = e
