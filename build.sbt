@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify stdout contract is a RAW parseable JSON line. The
+// default forked-run outputStrategy is LoggedOutput, which re-logs the
+// child's stdout as "[info] {...}" and stderr as "[error] ..." — a
+// driver that takes the last line, or scans for a line starting with
+// '{', never sees bare JSON (BENCH parsed:null for 13 straight rounds
+// with the JSON visibly present in the tail as "[info] {...}").
+// StdoutOutput passes child stdout/stderr through unprefixed.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and "[success] Total time: 1282 s" printed AFTER the run would
+// still land behind the JSON line in a tail capture; suppress it.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

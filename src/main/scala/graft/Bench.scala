@@ -29,6 +29,14 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
       org.apache.logging.log4j.Level.OFF)
+    // The inter-query System.gc() (below) triggers ContextCleaner async
+    // block removal, and BlockManager logs removal races AT ERROR — a
+    // multi-KB stack trace per occurrence (the exact head of the r13
+    // tail capture). Cleanup failures on a noop-sink bench are benign:
+    // the blocks are already unreferenced. OFF for the bench session.
+    Seq("org.apache.spark.storage", "org.apache.spark.ContextCleaner")
+      .foreach(l => org.apache.logging.log4j.core.config.Configurator
+        .setLevel(l, org.apache.logging.log4j.Level.OFF))
     // JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
@@ -140,13 +148,14 @@ object Bench {
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"bench: could not write $outFile: $e") }
-    // The per-query map NEVER touches stdout — at 200+ queries even the
-    // ms-precision form (~3 KB) overflows the driver's ~2 KB tail-window
-    // log capture, which truncated the JSON head in r7/r8/r10
-    // (parsed: null three rounds running). stdout carries ONLY the
-    // compact always-parseable summary, printed AFTER spark.stop() so
-    // no late executor log line can land behind it; bench_full.json
-    // keeps everything (reps, every rep's total, the per-query map).
+    // Two stdout lines, ordered for a bounded capture window read from
+    // EITHER end: the full per-query line FIRST (a head capture or a
+    // whole-log scan gets the detail; at 200+ queries it is ~3 KB, so a
+    // 2 KB TAIL capture truncates its head — harmless, the compact line
+    // follows), the compact always-parseable summary (~200 B) LAST,
+    // printed AFTER spark.stop() so no late executor log line can land
+    // behind it. bench_full.json keeps everything regardless.
+    println(full)
     spark.stop()
     // the stdout line fights a ~2 KB capture window even in the FAILURE
     // case: many/verbose errors would re-overflow it exactly when

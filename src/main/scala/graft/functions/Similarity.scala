@@ -932,9 +932,14 @@ object Similarity {
     * assignment is the map-side native [[NearestCentroidExpr]] (cosine),
     * the update step is one groupBy over (cluster, dim) with partial
     * aggregation — per iteration, exactly one shuffle of k·dim cells.
-    * Seeding is deterministic (every n/k-th vector in id order), so
-    * training is reproducible run to run. Empty clusters keep their
-    * previous centroid. Returns the flattened k×dim centroid matrix.
+    * Seeding is deterministic and id-space-agnostic: the k vectors with
+    * the smallest (md5(id), id) — a uniform hash draw that survives
+    * banded/sparse id spaces where stride-based rules collapse (see the
+    * body comment). Non-null ids are a precondition (enforced below; a
+    * nullable id would order NULLS FIRST in Spark but NULLS LAST in the
+    * DuckDB oracle mirror and diverge the seed sets). Empty clusters
+    * keep their previous centroid. Returns the flattened k×dim centroid
+    * matrix.
     */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, embCol: String,
                         k: Int, iters: Int = 5, dim: Int = 64): Array[Double] = {
@@ -954,6 +959,8 @@ object Similarity {
     // keeps the rule oracle-replayable (DuckDB md5(CAST(id AS VARCHAR))
     // yields the identical hex).
     val seeds = corpus.select(col(idCol), col(embCol))
+      .filter(col(idCol).isNotNull) // Spark sorts NULLS FIRST, DuckDB
+      // NULLS LAST — a nullable id would silently diverge the seed sets
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(k).collect()
     require(seeds.nonEmpty, "no seed centroids found")

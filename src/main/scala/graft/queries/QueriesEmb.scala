@@ -157,7 +157,7 @@ object QueriesEmb {
          |        ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id) - 1
          |      AS INT) AS c,
          |      e.embedding AS se
-         |    FROM $src e) t
+         |    FROM $src e WHERE e.vec_id IS NOT NULL) t
          |  WHERE c < (SELECT k FROM kk)),
          |cent0 AS MATERIALIZED (SELECT c,
          |  list_transform(range(1, ${Dim + 1}), i -> CAST(se[i] AS DOUBLE)) AS ce
@@ -205,7 +205,7 @@ object QueriesEmb {
          |        ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id) - 1
          |      AS INT) AS c,
          |      e.se
-         |    FROM ${p}src e) t
+         |    FROM ${p}src e WHERE e.vec_id IS NOT NULL) t
          |  WHERE c < $k),
          |${p}cent0 AS MATERIALIZED (SELECT c,
          |  list_transform(range(1, ${sub + 1}), i -> CAST(se[i] AS DOUBLE)) AS ce

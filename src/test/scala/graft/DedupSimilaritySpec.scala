@@ -477,20 +477,27 @@ class DedupSimilaritySpec extends SparkSpec with Matchers {
       .agg(avg($"c"), min($"c")).collect()(0)
     assert(selfSim.getDouble(0) >= 0.5 && selfSim.getDouble(1) > 0.25,
       s"self-similarity avg=${selfSim.getDouble(0)} min=${selfSim.getDouble(1)}")
+    // Per-query-subset recall on these ISOTROPIC random vectors — the
+    // PQ worst case (no inter-dim correlation for subspace codebooks to
+    // exploit; real encoder output fares far better, OPQ rotation is
+    // the published fix) — swings 0.10–0.30 across query permutations
+    // (measured round 14: 0.14/0.10/0.24/0.18/0.30 for offsets 0–4), so
+    // a single-subset floor either flakes or degrades into no-guard.
+    // Average over 5 disjoint query subsets instead: measured mean
+    // 0.192, pinned ≥ 0.14 — stable against sampling noise, and a
+    // collapsed codebook (the breakage this guards) scores near zero.
+    def recallAt(off: Int): (Double, Set[(Long, Long)], Set[(Long, Long)]) = {
+      val q = emb.filter($"vec_id" % 100 === off)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        .select($"query_id", $"match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding", 10)
+        .select($"query_id", $"match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ((exact intersect pq).size.toDouble / exact.size, exact, pq)
+    }
+    val recalls = (0 until 5).map(recallAt(_)._1)
+    (recalls.sum / recalls.size) should be >= 0.14
+    val (recall, exact, _) = recallAt(0)
     val q = emb.filter($"vec_id" % 100 === 0)
-    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
-      .select($"query_id", $"match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding", 10)
-      .select($"query_id", $"match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact intersect pq).size.toDouble / exact.size
-    // measured 0.22 (stride seeds) / 0.14 (hash seeds, round 13) on
-    // these ISOTROPIC random vectors — the PQ worst case (no inter-dim
-    // correlation for subspace codebooks to exploit; real encoder
-    // output fares far better, and OPQ rotation is the published fix).
-    // The delta between the two seed rules is sample noise at 8
-    // centroids per subspace, not quality: the bound guards against
-    // breakage (a collapsed codebook scores near zero), not marketing.
-    recall should be >= 0.10
     // the two-stage cure: 50 PQ candidates + exact rerank recovers most
     // of what the approximate scores scramble, touching only
     // nQueries×candK float vectors
