@@ -467,6 +467,44 @@ object Similarity {
     */
   val MaxCoarseLists: Int = 65536
 
+  /** Driver plan-literal budget per shard, in centroid CELLS (k·dim
+    * doubles): 2²² cells = 33 MB — the size [[autoCoarseLists]]'s
+    * scaladoc already calls its honest ceiling at dim 64.
+    */
+  val MaxCentroidCells: Long = 1L << 22
+
+  /** Derive the shard count from corpus geometry — the same discipline
+    * [[autoCoarseLists]] applies to list width, one level up. A shard
+    * is "full" when its derived width √N hits the per-shard list
+    * ceiling, which is the LOWER of [[MaxCoarseLists]] (the
+    * driver-collect bound) and [[MaxCentroidCells]]/dim (the centroid
+    * plan-literal budget — wider embeddings shrink the sane k, which
+    * the fixed 65536 alone would miss). So:
+    *
+    *   maxLists(dim)  = min(65536, 2²²/dim)
+    *   maxShardN(dim) = maxLists²        (beyond it, √N > maxLists)
+    *   autoShards     = nextPow2(ceil(N / maxShardN))
+    *
+    * Power-of-two shard counts keep `pmod(id, nShards)` stable under
+    * future doublings (every vector moves to `old` or `old + nShards`,
+    * never an arbitrary re-deal — the property consistent-hashing
+    * schemes buy with far more machinery). Examples at dim 64
+    * (maxLists 65536, maxShardN ≈ 4.29×10⁹): anything ≤ 4.29×10⁹ → 1;
+    * 10¹⁰ → 4; 10¹¹ → 32. At dim 1024 (maxLists 4096, maxShardN
+    * ≈ 1.67×10⁷): 10⁹ → 64.
+    */
+  def autoShards(n: Long, dim: Int = 64): Int = {
+    require(n >= 1 && dim >= 1, "autoShards needs positive n and dim")
+    val maxLists = math.min(MaxCoarseLists.toLong, MaxCentroidCells / dim)
+    val maxShardN = maxLists * maxLists
+    val raw = (n + maxShardN - 1) / maxShardN
+    if (raw <= 1L) 1
+    else {
+      val hb = java.lang.Long.highestOneBit(raw)
+      (if (hb == raw) hb else hb << 1).toInt
+    }
+  }
+
   /** `nCoarse = 0` (the default) in the index builders means "derive
     * from the corpus count" via [[autoCoarseLists]] — one count job at
     * build time buys geometry that keeps serving cost flat at any scale.
@@ -681,10 +719,23 @@ object Similarity {
     * contract.
     */
   def writeIvfPqIndexSharded(corpus: DataFrame, idCol: String, embCol: String,
-                             path: String, nShards: Int, nCoarse: Int = 0,
+                             path: String, nShards: Int = 0, nCoarse: Int = 0,
                              coarseIters: Int = 2, m: Int = 8, subDim: Int = 8,
                              nCentroids: Int = 8, pqIters: Int = 2,
                              dim: Int = 64): Unit = {
+    // nShards = 0: derive from corpus geometry (one count job), the
+    // same contract nCoarse = 0 already has one level down
+    val nShards0 = if (nShards > 0) nShards
+                   else autoShards(corpus.count(), dim)
+    doWriteSharded(corpus, idCol, embCol, path, nShards0, nCoarse,
+      coarseIters, m, subDim, nCentroids, pqIters, dim)
+  }
+
+  private def doWriteSharded(corpus: DataFrame, idCol: String, embCol: String,
+                             path: String, nShards: Int, nCoarse: Int,
+                             coarseIters: Int, m: Int, subDim: Int,
+                             nCentroids: Int, pqIters: Int,
+                             dim: Int): Unit = {
     require(nShards >= 1, "writeIvfPqIndexSharded needs nShards >= 1")
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     // bounded wave of builder threads (8 concurrent shard builds keeps
@@ -721,8 +772,19 @@ object Similarity {
                               path: String, nShards: Int, queries: DataFrame,
                               idCol: String, embCol: String, k: Int,
                               nProbe: Int = 2): DataFrame = {
-    require(nShards >= 1, "searchIvfPqIndexSharded needs nShards >= 1")
-    val scored = (0 until nShards)
+    // nShards = 0: discover the written width from the index layout
+    // itself (the `shard=<i>` partition dirs) — the serve side must
+    // never have to GUESS what the build side derived
+    val nShards0 = if (nShards >= 1) nShards else {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val found = fs.listStatus(p).map(_.getPath.getName)
+        .count(_.startsWith("shard="))
+      require(found >= 1, s"no shard= dirs under $path")
+      found
+    }
+    require(nShards0 >= 1, "searchIvfPqIndexSharded needs nShards >= 1")
+    val scored = (0 until nShards0)
       .map(sh => ivfPqScoredFromIndex(spark, s"$path/shard=$sh", queries,
         idCol, embCol, nProbe))
       .reduce(_ unionAll _)

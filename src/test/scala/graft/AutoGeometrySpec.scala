@@ -31,6 +31,45 @@ class AutoGeometrySpec extends SparkSpec with Matchers {
     Similarity.autoCoarseLists(Long.MaxValue / 4) shouldBe 65536
   }
 
+  test("autoShards: one level up from autoCoarseLists, same discipline") {
+    // dim 64: maxLists 65536, a shard is full at 65536^2 ~ 4.295e9
+    val full64 = 65536L * 65536L
+    Similarity.autoShards(1L) shouldBe 1
+    Similarity.autoShards(200000L) shouldBe 1 // sf10: one shard suffices
+    Similarity.autoShards(full64) shouldBe 1
+    Similarity.autoShards(full64 + 1) shouldBe 2
+    Similarity.autoShards(10000000000L) shouldBe 4 // 1e10 -> ceil 3 -> pow2 4
+    Similarity.autoShards(100000000000L) shouldBe 32 // 1e11
+    // wider embeddings shrink the per-shard plan-literal budget:
+    // dim 1024 -> maxLists 4096, maxShardN ~ 1.67e7, so 1e9 vectors
+    // already need 64 shards where dim-64 needed one
+    Similarity.autoShards(1000000000L, dim = 1024) shouldBe 64
+    // pow2 count: a future doubling moves each id to {old, old+n},
+    // never an arbitrary re-deal
+    for (n <- Seq(full64 + 1, full64 * 3, full64 * 5 + 17)) {
+      val s = Similarity.autoShards(n)
+      java.lang.Long.highestOneBit(s.toLong) shouldBe s.toLong
+      // enough width that no shard re-crosses the per-shard ceiling
+      (n + s - 1) / s should be <= full64
+    }
+  }
+
+  test("sharded index: nShards=0 derives on write, search discovers width from layout") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_autoshard_").toString
+    // at fixture scale autoShards derives 1 — the contract under test is
+    // the derive-on-write + discover-on-serve loop, not the width itself
+    Similarity.writeIvfPqIndexSharded(emb, "vec_id", "embedding", dir)
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val auto = Similarity.searchIvfPqIndexSharded(spark, dir, 0, q,
+      "vec_id", "embedding", 5)
+    val explicit = Similarity.searchIvfPqIndexSharded(spark, dir, 1, q,
+      "vec_id", "embedding", 5)
+    auto.collect().map(_.toString).sorted shouldBe
+      explicit.collect().map(_.toString).sorted
+    auto.count() should be > 0L
+  }
+
   test("derivation invariants hold across the N range (dense sweep)") {
     // pow2 result, floor 8, never more than sqrt(N) for N >= 64, and
     // monotone nondecreasing in N — the properties a sizing rule must
