@@ -1,0 +1,130 @@
+package graft
+
+import graft.core.{Obs, Sessions}
+import graft.streaming.{IncrementalQc, StreamingDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming-tier throughput bench (round-14 verdict #5): drive the two
+  * production streaming shapes at a real ingest volume and record
+  * rows/s + state size next to their batch equivalents, so the decade
+  * table has a streaming row instead of only correctness pins.
+  *
+  *   - [[IncrementalQc]]: the reference's cron-cadence incremental QC
+  *     (AvailableNow, stateless — overlap re-reads, state never lives
+  *     in the stream)
+  *   - [[StreamingDedup.withinWatermark]]: watermark-bounded exact
+  *     dedup (RocksDB state store, state ∝ rate × horizon)
+  *
+  * Usage: `SPARK_GRAFT_CPUS=32 sbt 'runMain graft.StreamBench
+  * /tmp/graft_sf1b 20 out.json'` — stages the sf dir's events/documents
+  * as N-file directories, streams them as ~N micro-batches via
+  * maxFilesPerTrigger=1, and prints ONE compact JSON line (same stdout
+  * contract as [[Bench]]).
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/tmp/graft_sf1b"
+    val nBatches = if (args.length > 1) args(1).toInt else 20
+    val outFile = if (args.length > 2) args(2) else "stream_bench.json"
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.ERROR)
+    val spark = Sessions.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    Sessions.useRocksDbStateStore(spark)
+    import spark.implicits._
+
+    val stage = java.nio.file.Files.createTempDirectory("graft_streambench_").toString
+
+    // ---- incremental QC over events -----------------------------------
+    val obs = Obs.eventsAsObservations(spark, sfDir)
+    val obsDir = s"$stage/obs"
+    obs.repartition(nBatches).write.parquet(obsDir)
+    val obsSchema = spark.read.parquet(obsDir).schema
+    val conf = obs.select(col(Obs.DatastreamId)).distinct()
+      .withColumn("qc_range_min", lit(5.0))
+      .withColumn("qc_range_max", lit(50.0))
+      .withColumn("qc_gradient_min", lit(-1.0))
+      .withColumn("qc_gradient_max", lit(1.0))
+      .cache()
+    conf.count()
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // batch equivalent first (also warms the JVM the same way Bench does)
+    val (_, qcBatchSec) = timed {
+      IncrementalQc.qcBatch(spark.read.parquet(obsDir), conf)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    var qcRows = 0L
+    val (_, qcStreamSec) = timed {
+      val q = IncrementalQc.stream(spark, obsDir, obsSchema, conf,
+        lookbackSec = 1200L) { (batch, _) =>
+        qcRows += batch.count()
+        batch.write.format("noop").mode("overwrite").save()
+      }.option("checkpointLocation", s"$stage/qc_ckpt")
+        .option("maxFilesPerTrigger", 1)
+        .start()
+      q.awaitTermination()
+    }
+
+    // ---- watermark-bounded streaming dedup over documents --------------
+    // synthetic event time with spread (30 min) INSIDE the 1 h dedup
+    // horizon: staged files replay in arbitrary order, and any row older
+    // than watermark-minus-horizon would be dropped as late — a harness
+    // artifact that would undercount survivors, not a dedup measurement
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("ts", timestamp_micros(lit(1700000000000000L) +
+        col("doc_id") % 1800L * 1000000L))
+    val docDir = s"$stage/docs"
+    docs.repartition(nBatches).write.parquet(docDir)
+
+    val (ddBatchRows, ddBatchSec) = {
+      val t0 = System.nanoTime()
+      val n = graft.functions.TextAnalysis.fingerprint(col("text"))
+      val out = spark.read.parquet(docDir)
+        .withColumn("fingerprint", n).dropDuplicates("fingerprint")
+      val cnt = out.count()
+      (cnt, (System.nanoTime() - t0) / 1e9)
+    }
+
+    var ddStateRows = 0L
+    var ddStateBytes = 0L
+    var ddRows = 0L
+    val (_, ddStreamSec) = timed {
+      val src = spark.readStream.schema(spark.read.parquet(docDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(docDir)
+      val q = StreamingDedup.withinWatermark(src, "text", "ts", "1 hour")
+        .writeStream
+        .option("checkpointLocation", s"$stage/dd_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          ddRows += batch.count()
+        }
+        .start()
+      q.awaitTermination()
+      q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .lastOption.foreach { so =>
+          ddStateRows = so.numRowsTotal
+          ddStateBytes = so.memoryUsedBytes
+        }
+    }
+
+    val obsN = spark.read.parquet(obsDir).count()
+    val docN = spark.read.parquet(docDir).count()
+    spark.stop()
+
+    def f1(v: Double) = "%.1f".format(v)
+    val json =
+      s"""{"metric":"stream_bench","sf":"$sfDir","batches":$nBatches,""" +
+      s""""qc":{"rows":$obsN,"stream_sec":${f1(qcStreamSec)},"stream_rows_per_s":${f1(obsN / qcStreamSec)},"batch_sec":${f1(qcBatchSec)},"batch_rows_per_s":${f1(obsN / qcBatchSec)},"sink_rows":$qcRows},""" +
+      s""""dedup":{"rows":$docN,"stream_sec":${f1(ddStreamSec)},"stream_rows_per_s":${f1(docN / ddStreamSec)},"batch_sec":${f1(ddBatchSec)},"batch_rows_per_s":${f1(docN / ddBatchSec)},"survivors_stream":$ddRows,"survivors_batch":$ddBatchRows,"state_rows":$ddStateRows,"state_bytes":$ddStateBytes}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+    println(json)
+  }
+}
