@@ -80,5 +80,10 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/verify_manifest.json"),
       lines.asScala.toSeq.sorted.mkString("[\n", ",\n", "\n]"))
     spark.stop()
+    // one compact parseable summary, LAST on stdout (same contract as
+    // Bench): even if the driver only keeps a log tail, the run's
+    // outcome is in it
+    val nErr = lines.asScala.count(_.contains("\"error\""))
+    println(s"""{"metric":"verify","nqueries":${names.size},"nerrors":$nErr,"out":"$outDir"}""")
   }
 }

@@ -68,6 +68,14 @@ class AutoGeometrySpec extends SparkSpec with Matchers {
     auto.collect().map(_.toString).sorted shouldBe
       explicit.collect().map(_.toString).sorted
     auto.count() should be > 0L
+    // occupancy audit green at the derived width: lists match the
+    // auto-geometry rule (500 vecs -> 16) and no seed-collapse-style
+    // degeneracy (the sf10 class of bug the health report exists for)
+    val health = Similarity.indexHealthSharded(spark, dir, 1).collect()(0)
+    val nLists = health.getLong(health.fieldIndex("n_lists"))
+    val used = health.getLong(health.fieldIndex("lists_used"))
+    nLists shouldBe Similarity.autoCoarseLists(emb.count()).toLong
+    used should be > nLists / 2
   }
 
   test("derivation invariants hold across the N range (dense sweep)") {
