@@ -394,6 +394,36 @@ object QueriesEmb {
     * (persisted index): the serving path reconstructs the same
     * arithmetic from stored codes, so one mirror checks both.
     */
+  /** Retrieve-and-rerank over the IVF-PQ index: the approximate scores
+    * `s` nominate 50 candidates per query, only those candidates'
+    * float vectors are exactly re-scored — mirror of
+    * [[pqRerankOracleSql]] with the PQ full-scan CTE chain replaced by
+    * the probe-pruned IVF-PQ body.
+    */
+  private lazy val ivfPqRerankOracleSql: String = {
+    val dqq = dotSql("q.e", "q.e")
+    val dee = dotSql("e.embedding", "e.embedding")
+    val dqe = dotSql("q.e", "e.embedding")
+    s"""WITH $ivfPqScoreBody,
+       |cand AS (SELECT query_id, match_id FROM (
+       |  SELECT query_id, match_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim_ivfpq DESC, match_id ASC) AS INT) AS rank
+       |  FROM s) t WHERE rank <= 50),
+       |x AS (
+       |  SELECT c.query_id, c.match_id,
+       |    $dqe / (sqrt($dqq) * sqrt($dee)) AS sim
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.match_id
+       |  JOIN q ON q.query_id = c.query_id)
+       |SELECT query_id, match_id, rank, round(sim, 6) + 0.0e0 AS sim FROM (
+       |  SELECT query_id, match_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, match_id ASC) AS INT) AS rank
+       |  FROM x) r
+       |WHERE rank <= 10""".stripMargin
+  }
+
   private lazy val ivfPqOracleSql: String =
     s"""WITH $ivfPqScoreBody
        |SELECT query_id, match_id, rank, round(sim_ivfpq, 6) + 0.0e0 AS sim_ivfpq FROM (
@@ -832,6 +862,25 @@ object QueriesEmb {
           k = 10, nProbe = 2)
       },
       Some(ivfPqOracleSql)),
+
+    // retrieve-and-rerank SERVED from the persisted IVF-PQ index (the
+    // production ANN shape end-to-end: probe-pruned candidate
+    // nomination + exact re-score of only those float vectors) — the
+    // scale path the PQ-brute quartet swaps to above DeclaredBruteSwap,
+    // here hash-gated in its own right at every SF.
+    QDef("sim_ivfpq_rerank",
+      (s, dir) => {
+        val emb = Q.table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        val ix = indexDir("ivfpq", dir, "c8i2m8s8k8p2sd2")
+        if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
+          Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ix,
+            nCoarse = 8, coarseIters = 2, m = 8, subDim = 8, nCentroids = 8,
+            pqIters = 2, dim = Dim)
+        Similarity.rerankIvfPqIndex(s, ix, emb, queries, "vec_id",
+          "embedding", k = 10, candK = 50, nProbe = 2)
+      },
+      Some(ivfPqRerankOracleSql)),
 
     // the architecture PAST the one-shard width ceiling (√N > 65536 at
     // N ≈ 4.3e9 vectors), exercised end to end at test scale: the
