@@ -85,6 +85,12 @@ object Bench {
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // operators cache internal frames; drop between queries
+        // backstop for RDD-level persists clearCache can't see (the
+        // final checkpoint an iterative op returns stays leased to its
+        // caller by design — here the caller is done with it): between
+        // queries nothing is mid-flight, so sweep them all
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         // Spark's ContextCleaner reclaims broadcast/shuffle/RDD state only
         // when the driver-side references are GC'd — and a 48 g heap can
         // run a 200-query suite without a single full GC, so cleaner work

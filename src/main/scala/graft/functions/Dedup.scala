@@ -267,9 +267,13 @@ object Dedup {
     var hi = 2
     var probe = composed(cur, lo).localCheckpoint()
     while (hasDup(probe)) {
+      val spent = cur
       lo = hi; cur = probe // cur now holds length-lo fingerprints
       hi *= 2
       probe = composed(cur, lo).localCheckpoint()
+      // the advanced-past frame (base or an earlier probe) feeds nothing
+      // downstream — everything composes from the CURRENT cur
+      if (!(spent eq cur)) graft.core.Checkpoints.release(spent)
     }
     val p = lo // power-of-two anchor; all later lengths compose from it
     while (hi - lo > 1) {
@@ -283,6 +287,11 @@ object Dedup {
       .groupBy(col("fp")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1)
       .count()
+    // everything was consumed eagerly (counts); the returned frame is a
+    // local literal — drop all surviving fingerprint checkpoints
+    graft.core.Checkpoints.release(base)
+    graft.core.Checkpoints.release(cur)
+    graft.core.Checkpoints.release(probe)
     Seq((lo.toLong, nDup)).toDF("lrs_tokens", "n_dup_windows")
   }
 
@@ -794,6 +803,9 @@ object Dedup {
         .drop("nbc")
     }
     var changed = 1L
+    var labelsCk = labels // the checkpoint backing the current round:
+    // `labels` itself becomes a projection after round 1, and release()
+    // deliberately refuses to reach through derived plans
     while (changed > 0) {
       // TWO hops per materialized round: label propagation is monotone
       // (labels only decrease toward the component min), so batching
@@ -809,8 +821,15 @@ object Dedup {
         labels.select(col("id"), col("cluster").as("old"))
           .withColumn("cluster", col("old")))))
       changed = next.filter(col("cluster") =!= col("old")).count()
+      // the count materialized `next` (lazy checkpoint + action): the
+      // superseded round's blocks are dead weight now
+      graft.core.Checkpoints.release(labelsCk)
+      labelsCk = next
       labels = next.select(col("id"), col("cluster"))
     }
+    // the final round's checkpoint backs the returned join; the edge
+    // frame does not (labels is self-contained)
+    graft.core.Checkpoints.release(edges)
     ids.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("cluster", "nbc"), Seq("id"), "left")
       .select(col("id"), coalesce(col("nbc"), col("id")).as("cluster"))

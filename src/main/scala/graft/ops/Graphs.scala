@@ -133,6 +133,11 @@ object Graphs {
       count(lit(1)).as("n_nodes"),
       sum(call_function("div", col("d") * (col("d") - 1L), lit(2L)))
         .as("n_wedges"))
+    // o/adj were consumed EAGERLY above (counts via first()); the
+    // returned frame references only wedges (a 1-row checkpoint) and
+    // the original edges — release the two edge-scale checkpoints now
+    graft.core.Checkpoints.release(o)
+    graft.core.Checkpoints.release(adj)
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
     nEdges.crossJoin(broadcast(wedges))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
@@ -207,13 +212,20 @@ object Graphs {
           .unionAll(ed.join(remSide(rem.select(col("v").as("b"))), Seq("b"))
             .select(col("a").as("v")))
           .groupBy(col("v")).agg(count(lit(1)).as("dd"))
-        deg = deg.join(remSide(rem), Seq("v"), "left_anti")
+        val nextDeg = deg.join(remSide(rem), Seq("v"), "left_anti")
           .join(delta, Seq("v"), "left")
           .select(col("v"), (col("d") - coalesce(col("dd"), lit(0L))).as("d"))
           .localCheckpoint()
+        // iterate-and-release: nextDeg is materialized and
+        // self-contained; the superseded degree frame is dead weight
+        // (the result references verts + the rem checkpoints, not deg)
+        graft.core.Checkpoints.release(deg)
+        deg = nextDeg
       }
       r += 1
     }
+    graft.core.Checkpoints.release(deg)
+    graft.core.Checkpoints.release(ed) // result needs verts + rems only
     val rm = removed.reduce(_ unionAll _)
     verts.join(rm, Seq("v"), "left")
       .select(col("v"), col("removed_round"),
@@ -264,11 +276,15 @@ object Graphs {
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
       // argmin of (-count, label): highest count, then smallest label —
       // struct ordering is field-by-field, exactly the tie rule
-      labels = votes.groupBy(col("dst"))
+      val nextLabels = votes.groupBy(col("dst"))
         .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
         .select(col("dst").as("v"), col("m").getField("l").as("label"))
         .localCheckpoint()
+      graft.core.Checkpoints.release(labels) // superseded round, dead weight
+      labels = nextLabels
     }
+    graft.core.Checkpoints.release(e) // the returned frame is a projection
+                                      // of the final labels checkpoint
     // symmetric edges ⇒ every vertex has in-edges ⇒ every vertex voted.
     // No output sort: a |V|-scale global ordering would be the only
     // range exchange in the op (the compare harness sorts rows itself)
@@ -304,10 +320,18 @@ object Graphs {
         .select(col("dst").as("v")).distinct()
         .join(visited.select(col("v")), Seq("v"), "left_anti")
         .localCheckpoint()
-      visited = visited
+      val nextVisited = visited
         .unionAll(next.select(col("v"), lit(h).as("hop"))).localCheckpoint()
+      // superseded: the new visited checkpoint is self-contained, and
+      // the just-consumed frontier (= last round's next) fed nothing
+      // else (round-1 frontier is a projection of visited0 — no-op)
+      graft.core.Checkpoints.release(visited)
+      graft.core.Checkpoints.release(frontier)
+      visited = nextVisited
       frontier = next
     }
+    graft.core.Checkpoints.release(e)
+    graft.core.Checkpoints.release(frontier) // final frontier: already unioned
     verts.join(visited, Seq("v"), "left").select(col("v"), col("hop"))
   }
 

@@ -51,7 +51,7 @@ object PageRank {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def markEager(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+      graft.core.Checkpoints.eager(df, reliable = checkpointDir.isDefined)
 
     // out-degree once; edges+deg materialized once, partitioned by the
     // join key every iteration reuses
@@ -66,12 +66,20 @@ object PageRank {
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("rank_micro DIV deg").as("c"))
       val inMass = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = markEager(
+      val next = markEager(
         nodes.join(inMass, nodes("node") === inMass("dst"), "left")
           .select(col("node"),
             (lit(TeleportMicro) +
               expr(s"$DampingPct * coalesce(s, 0L) DIV 100")).as("rank_micro")))
+      // iterate-and-release: next is materialized and self-contained,
+      // so the superseded iteration's blocks are dead weight (no-op on
+      // iteration 0, which is a plain projection over nodes)
+      graft.core.Checkpoints.release(ranks)
+      ranks = next
     }
+    // the returned frame is itself a checkpoint: e/nodes are not needed
+    graft.core.Checkpoints.release(e)
+    graft.core.Checkpoints.release(nodes)
     ranks
   }
 
@@ -97,7 +105,7 @@ object PageRank {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def markEager(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+      graft.core.Checkpoints.eager(df, reliable = checkpointDir.isDefined)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val e = markEager(
       edges.join(deg, "src").repartition(col("src"))
@@ -110,12 +118,16 @@ object PageRank {
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("rank_micro DIV deg").as("c"))
       val inMass = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = markEager(
+      val next = markEager(
         nodes.join(inMass, nodes("node") === inMass("dst"), "left")
           .select(col("node"),
             (teleport(col("node"), TeleportMicro) +
               expr(s"$DampingPct * coalesce(s, 0L) DIV 100")).as("rank_micro")))
+      graft.core.Checkpoints.release(ranks) // see ranks(): iterate-and-release
+      ranks = next
     }
+    graft.core.Checkpoints.release(e)
+    graft.core.Checkpoints.release(nodes)
     ranks
   }
 
@@ -145,7 +157,7 @@ object PageRank {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def markEager(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+      graft.core.Checkpoints.eager(df, reliable = checkpointDir.isDefined)
     val e = markEager(edges.select(col("src"), col("dst"))
       .repartition(col("src")))
     val nodes = markEager(e.select(col("src").as("node"))
@@ -160,13 +172,20 @@ object PageRank {
     var hubs = nodes.withColumn("h", lit(1000000L))
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
+      val (prevH, prevA) = (hubs, auths)
       auths = normalized(
         e.join(hubs, e("src") === hubs("node"))
           .groupBy(col("dst")).agg(sum(col("h")).as("raw")), "dst", "a")
       hubs = normalized(
         e.join(auths, e("dst") === auths("node"))
           .groupBy(col("src")).agg(sum(col("a")).as("raw")), "src", "h")
+      // both new frames are materialized checkpoints; last round's are dead
+      graft.core.Checkpoints.release(prevH)
+      if (prevA != null) graft.core.Checkpoints.release(prevA)
     }
+    // the final hubs/auths checkpoints back the returned join; e/nodes do not
+    graft.core.Checkpoints.release(e)
+    graft.core.Checkpoints.release(nodes)
     hubs.join(auths, "node")
       .select(col("node"), col("h").as("hub_micro"), col("a").as("auth_micro"))
   }
