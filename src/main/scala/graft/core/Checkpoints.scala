@@ -37,8 +37,15 @@ object Checkpoints {
     if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
 
   /** Unpersist the checkpoint blocks behind `df` IF `df` is itself a
-    * checkpoint scan; no-op otherwise (see class doc). Non-blocking:
-    * the blocks are dead weight, not a correctness hazard.
+    * checkpoint scan; no-op otherwise (see class doc). Non-blocking.
+    *
+    * release marks END OF LIFE: a local checkpoint's lineage is
+    * truncated, so the dropped blocks were the only copy — the frame
+    * (and anything derived from it that was not itself materialized)
+    * must never be evaluated again. Callers therefore release only
+    * frames that are provably dead: superseded loop iterations after
+    * the successor's EAGER checkpoint completes, and helper frames the
+    * returned result does not reference.
     */
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
