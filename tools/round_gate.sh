@@ -42,8 +42,8 @@ fi
 
 if [ -n "${GATE_SCALED_JSON:-}" ]; then
   echo "[round_gate] 3/3 scale gate: ratio drift vs recorded decade base"
-  BASE="${GATE_BASE_JSON:-bench_artifacts_r14/bench_full_sf01_final.json}"
-  REF="${GATE_REF_JSON:-bench_artifacts_r14/b_sf1_r14.json}"
+  BASE="${GATE_BASE_JSON:-bench_artifacts_r14/bench_full_sf01_swept.json}"
+  REF="${GATE_REF_JSON:-bench_artifacts_r14/b_sf1_r14_swept.json}"
   if python3 tools/ratio_table.py --gate "$BASE" "$REF" "$GATE_SCALED_JSON" \
        > /tmp/round_gate_scale.log 2>&1; then
     RESULTS+=("scale=PASS")
