@@ -872,13 +872,22 @@ object QueriesEmb {
       (s, dir) => {
         val emb = Q.table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 50 === 0)
-        val ix = indexDir("ivfpq", dir, "c8i2m8s8k8p2sd2")
-        if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
-          Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ix,
-            nCoarse = 8, coarseIters = 2, m = 8, subDim = 8, nCentroids = 8,
-            pqIters = 2, dim = Dim)
-        Similarity.rerankIvfPqIndex(s, ix, emb, queries, "vec_id",
-          "embedding", k = 10, candK = 50, nProbe = 2)
+        // same geometry swap as the PQ-brute quartet: the fixed-8-list
+        // form is the oracle anchor (the SQL replays an 8-list k-means
+        // chain), but 8 lists over a century corpus means ~N/4 probed
+        // candidates per query (measured 51 s at sf10); above the bound
+        // the query serves from the auto-width index (3 s at sf10)
+        if (emb.count() > DeclaredBruteSwap)
+          ivfPqServe(s, dir, emb, queries, rerank = true, simName = "sim")
+        else {
+          val ix = indexDir("ivfpq", dir, "c8i2m8s8k8p2sd2")
+          if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
+            Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ix,
+              nCoarse = 8, coarseIters = 2, m = 8, subDim = 8, nCentroids = 8,
+              pqIters = 2, dim = Dim)
+          Similarity.rerankIvfPqIndex(s, ix, emb, queries, "vec_id",
+            "embedding", k = 10, candK = 50, nProbe = 2)
+        }
       },
       Some(ivfPqRerankOracleSql)),
 
