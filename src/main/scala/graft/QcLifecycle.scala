@@ -26,32 +26,7 @@ object QcLifecycle {
     spark.sparkContext.setLogLevel("ERROR")
 
     val obsIn = Obs.eventsAsObservations(spark, sfDir)
-    // per-stream config over every stream present — the shape the
-    // reference's ~60-datastream config.yaml takes, derived here so the
-    // same command works at any SF
-    val ids = obsIn.select(col(Obs.DatastreamId)).distinct()
-      .collect().map(_.getLong(0)).sorted
-    val cfg = QcMain.Config(
-      rangeBounds = ids.map(_ -> (5.0, 50.0)).toMap,
-      // the synthetic track (Obs.synthLat/Lon) spans 50.95–51.45 /
-      // 2.65–3.15 and FeatureId groups 97 events each ACROSS the whole
-      // span, so geo flags fold per-feature: a box smaller than the
-      // span, or a depth threshold below the synthetic grid's +19 m
-      // peak, would blanket-BAD every feature and measure nothing but
-      // the fold. Box covers the span; threshold 25 keeps the depth
-      // expression in the plan with a realistic mixed flag histogram.
-      regions = Seq(Geo.BoxRegion("NORTH SEA", "SOUTHERN BIGHT",
-        50.9, 51.5, 2.6, 3.2)),
-      depthThreshold = 25.0,
-      stabilization = ids.take(2).map(id =>
-        graft.core.StabilizationConf(id, 5.0, 50.0,
-          dtStabilizationSec = 1200L, maxAllowedDowntimeSec = 900L)),
-      dependents =
-        if (ids.length >= 2)
-          Seq(graft.core.DependentConf(independentId = ids(0),
-            dependentId = ids(1), dtToleranceUs = 500000L,
-            secondaryRange = Some((0.0, 45.0))))
-        else Seq.empty)
+    val cfg = configFor(obsIn)
 
     val patchDir = java.nio.file.Files
       .createTempDirectory("graft_qc_patch_").toString
@@ -78,5 +53,37 @@ object QcLifecycle {
       s""""wall_sec":${f2(wallSec)},"flag_hist":$hist}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(json)
+  }
+
+  /** The lifecycle's standard config: per-stream config over every
+    * stream present — the shape the reference's ~60-datastream
+    * config.yaml takes, derived here so the same command works at any
+    * SF. Shared with [[graft.tools.QcProfile]] so stage attribution
+    * profiles exactly the benched chain.
+    */
+  def configFor(obsIn: org.apache.spark.sql.DataFrame): QcMain.Config = {
+    val ids = obsIn.select(col(Obs.DatastreamId)).distinct()
+      .collect().map(_.getLong(0)).sorted
+    QcMain.Config(
+      rangeBounds = ids.map(_ -> (5.0, 50.0)).toMap,
+      // the synthetic track (Obs.synthLat/Lon) spans 50.95–51.45 /
+      // 2.65–3.15 and FeatureId groups 97 events each ACROSS the whole
+      // span, so geo flags fold per-feature: a box smaller than the
+      // span, or a depth threshold below the synthetic grid's +19 m
+      // peak, would blanket-BAD every feature and measure nothing but
+      // the fold. Box covers the span; threshold 25 keeps the depth
+      // expression in the plan with a realistic mixed flag histogram.
+      regions = Seq(Geo.BoxRegion("NORTH SEA", "SOUTHERN BIGHT",
+        50.9, 51.5, 2.6, 3.2)),
+      depthThreshold = 25.0,
+      stabilization = ids.take(2).map(id =>
+        graft.core.StabilizationConf(id, 5.0, 50.0,
+          dtStabilizationSec = 1200L, maxAllowedDowntimeSec = 900L)),
+      dependents =
+        if (ids.length >= 2)
+          Seq(graft.core.DependentConf(independentId = ids(0),
+            dependentId = ids(1), dtToleranceUs = 500000L,
+            secondaryRange = Some((0.0, 45.0))))
+        else Seq.empty)
   }
 }

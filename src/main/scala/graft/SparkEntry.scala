@@ -38,4 +38,21 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Corpus-size-aware oracle selection: queries that geometry-swap
+    * above [[graft.queries.QueriesEmb.DeclaredBruteSwap]] (the PQ-brute
+    * quartet + sim_ivfpq_rerank) emit the oracle of the SWAPPED form
+    * when the sf dir's embeddings table exceeds the bound — so a
+    * Verify/manifest run at any scale hash-checks the branch that
+    * actually executed. At every driver-gate SF (≤ sf1, ≤ 20k vectors)
+    * this returns exactly [[oracleSql]].
+    */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val swapped = n > QueriesEmb.DeclaredBruteSwap
+    all.flatMap { q =>
+      val o = if (swapped) q.oracleSwapped.orElse(q.oracle) else q.oracle
+      o.map(q.name -> _)
+    }.toMap
+  }
 }

@@ -30,7 +30,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val oracleJson = SparkEntry.oracleSql
+    // swap-aware oracle selection: above DeclaredBruteSwap the five
+    // geometry-swapping queries emit their IVF-PQ-serve oracle, so a
+    // scaled run can't report false mismatches against the brute form
+    val oracleJson = SparkEntry.oracleSqlFor(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
 

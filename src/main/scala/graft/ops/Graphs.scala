@@ -134,8 +134,12 @@ object Graphs {
       sum(call_function("div", col("d") * (col("d") - 1L), lit(2L)))
         .as("n_wedges"))
     // o/adj were consumed EAGERLY above (counts via first()); the
-    // returned frame references only wedges (a 1-row checkpoint) and
-    // the original edges — release the two edge-scale checkpoints now
+    // returned frame references only `wedges` — a lazy agg whose
+    // lineage is deg ← the RAW `edges` scan, NOT the released
+    // checkpoints — and `edges` itself, so dropping the two edge-scale
+    // checkpoints now is safe. (If wedges were ever re-based on `o`,
+    // evaluating the result after release would hit missing blocks —
+    // keep it on deg.)
     graft.core.Checkpoints.release(o)
     graft.core.Checkpoints.release(adj)
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))

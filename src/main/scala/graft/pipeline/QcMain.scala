@@ -57,24 +57,14 @@ object QcMain {
     * transport composes with: source pushdown happens in the PLAN of
     * `obsIn` before this cache materializes it.
     */
-  def runFrom(spark: SparkSession, obsIn: DataFrame, cfg: Config,
-              patchOut: Option[String] = None): (DataFrame, PhaseTimes) = {
-    val t0 = System.nanoTime()
-    def secsSince(t: Long): Double = (System.nanoTime() - t) / 1e9
-
-    // 1. fetch + flatten (df-construction phase)
-    val obs = obsIn
-      .withColumn("t_us", unix_micros(col(Obs.Time)))
-      .cache()
-    obs.count() // materialize: the reference times df-construction as a phase
-    val tDf = secsSince(t0)
-
-    val w = Window.partitionBy(col(Obs.DatastreamId)).orderBy(col("t_us"), col(Obs.IotId))
-
-    // 1b. stabilization pass (§3.1 step 4): per configured independent
-    // stream, BAD during warm-up after long outages; worst-wins re-merged
-    // onto the full frame by observation id (reference src/main.py:409-494)
-    val afterStab = if (cfg.stabilization.isEmpty) obs else {
+  /** §3.1 step 4 — stabilization pass: per configured independent
+    * stream, BAD during warm-up after long outages; worst-wins
+    * re-merged onto the full frame by observation id (reference
+    * src/main.py:409-494). No-op when unconfigured.
+    */
+  private[graft] def stabPass(spark: SparkSession, obs: DataFrame,
+                              cfg: Config): DataFrame =
+    if (cfg.stabilization.isEmpty) obs else {
       val stabConf = {
         import spark.implicits._
         cfg.stabilization.map(s => (s.datastreamId, s.rangeMin, s.rangeMax,
@@ -91,12 +81,14 @@ object QcMain {
         .drop("stab_flag")
     }
 
-    // 2. geo pass: region classify + null-region/mainland/depth + outlier.
-    // Geospatial checks flag the FEATURE (the shared geometry entity), and
-    // the per-feature flag is then folded into every observation at that
-    // feature (reference src/main.py:587-592,625-630 — two flag columns);
-    // a window over feature_id expresses the fold with no extra join.
-    val tRegion0 = System.nanoTime()
+  /** §3.1 steps 5-7a — geo pass: region classify + null-region/
+    * mainland/depth folded per feature, then the spatial outlier
+    * window. Geospatial checks flag the FEATURE (the shared geometry
+    * entity), and the per-feature flag folds into every observation at
+    * that feature (reference src/main.py:587-592,625-630); a window
+    * over feature_id expresses the fold with no extra join.
+    */
+  private[graft] def geoPass(afterStab: DataFrame, cfg: Config): DataFrame = {
     val withRegion = afterStab
       .withColumn("region", Geo.classifyRegion(col(Obs.Lat), col(Obs.Long_), cfg.regions))
       .withColumn("elev", Geo.gridElevation(col(Obs.Lat), col(Obs.Long_)))
@@ -109,26 +101,30 @@ object QcMain {
     val geoFlagged = withRegion
       .withColumn(Obs.QcFlagFeature, max(perRowGeoFlag).over(wFeature))
       .withColumn("flag", Flags.worstWins(col(Obs.QcFlag), col(Obs.QcFlagFeature)))
-    val withOutlier = SpatialOutlier(geoFlagged, col(Obs.Lat), col(Obs.Long_),
+    SpatialOutlier(geoFlagged, col(Obs.Lat), col(Obs.Long_),
       col("t_us"), cfg.outlierWindowSec, cfg.outlierMaxDxDt,
       partCols = Seq(Obs.DatastreamId))
       .withColumn("flag", SpatialOutlier.asCheck().mergedInto(col("flag")))
-    val regionSec = secsSince(tRegion0)
+  }
 
-    // 3. kinematics on outlier-free rows (reference src/main.py:654-660):
-    // velocity/acceleration limits flag BOTH endpoints of an offending
-    // segment (pinned tests/test_qc.py:395-435). Only the kinematic
-    // *inputs* exclude spatial outliers — the outlier rows themselves stay
-    // in the frame, already flagged BAD above, and reach the sink
-    // (reference keeps them in df_all and patches them,
-    // src/main.py:611-660,854-859): the flags computed on the clean
-    // subset are re-joined onto the full frame by observation id.
+  /** §3.1 step 6 — kinematics on outlier-free rows (reference
+    * src/main.py:654-660): velocity/acceleration limits flag BOTH
+    * endpoints of an offending segment (pinned tests/test_qc.py:
+    * 395-435). Only the kinematic *inputs* exclude spatial outliers —
+    * the outlier rows themselves stay in the frame, already flagged BAD
+    * above, and reach the sink (reference keeps them in df_all and
+    * patches them, src/main.py:611-660,854-859): the flags computed on
+    * the clean subset are re-joined onto the full frame by observation
+    * id.
+    */
+  private[graft] def kinPass(withOutlier: DataFrame, cfg: Config): DataFrame = {
+    val w = Window.partitionBy(col(Obs.DatastreamId)).orderBy(col("t_us"), col(Obs.IotId))
     val kinChecks =
       cfg.maxVelocityMs.map(m => QcCheck("max_velocity",
         WindowKernels.exceedsOnEitherEndpoint(col("velocity_ms"), m, w), Flags.Bad)).toSeq ++
       cfg.maxAccelerationMs2.map(m => QcCheck("max_acceleration",
         WindowKernels.exceedsOnEitherEndpoint(col("acceleration_ms2"), m, w), Flags.Bad)).toSeq
-    val kinematics = if (kinChecks.isEmpty) withOutlier else {
+    if (kinChecks.isEmpty) withOutlier else {
       val isOut = coalesce(col("is_spatial_outlier"), lit(false))
       val clean = withOutlier.filter(!isOut)
       val kin0 = WindowKernels.velocityAcceleration(clean, w,
@@ -141,9 +137,17 @@ object QcMain {
       // stream anyway — no extra shuffle for re-attaching outlier rows
       kinFlagged.unionByName(withOutlier.filter(isOut))
     }
+  }
 
-    // 4. value pass: range → gradient → z-score on still-good rows
-    val tRanges0 = System.nanoTime()
+  /** §3.1 step 7b — value pass: range → gradient → z-score on
+    * still-good rows. The z-score runs over still-good rows via a
+    * conditional window (avg/stddev ignore nulls): same good-rows-only
+    * statistics as a filter + join back on iot_id, with zero extra
+    * shuffle.
+    */
+  private[graft] def valuePass(spark: SparkSession, kinematics: DataFrame,
+                               cfg: Config): DataFrame = {
+    val w = Window.partitionBy(col(Obs.DatastreamId)).orderBy(col("t_us"), col(Obs.IotId))
     val confDf = {
       import spark.implicits._
       cfg.rangeBounds.toSeq.map { case (ds, (lo, hi)) => (ds, lo, hi) }
@@ -164,10 +168,7 @@ object QcMain {
             lit(cfg.gradientBounds._1), lit(cfg.gradientBounds._2)),
           Flags.ProbablyBad, onFalse = Some(Flags.Good), onNan = Some(Flags.NoQc))
           .mergedInto(col("flag")))
-    // z-score over still-good rows via a conditional window (avg/stddev
-    // ignore nulls): same good-rows-only statistics as a filter + join
-    // back on iot_id, with zero extra shuffle
-    val valueFlagged = graded
+    graded
       .withColumn("zscore", WindowKernels.zscore(
         when(col("flag") <= Flags.ProbablyGood, col(Obs.Result)),
         col("t_us"), cfg.zscoreWindowSec))
@@ -178,13 +179,15 @@ object QcMain {
           Flags.ProbablyBad, onFalse = Some(Flags.Good), onNan = Some(Flags.NoQc)).flagCol)
       .withColumn("flag", Flags.worstWins(col("flag"), col("flag_z")))
       .drop("flag_z")
-    valueFlagged.cache().count() // close the "ranges" phase before dependents
-    val rangesSecMeasured = secsSince(tRanges0)
+  }
 
-    // 5. dependent pass (§3.1 step 8): per config entry, as-of propagate
-    // the independent's flag and run the secondary value check
-    // (reference src/main.py:771-805)
-    val flagged = cfg.dependents.foldLeft(valueFlagged) { (d, dep) =>
+  /** §3.1 step 8 — dependent pass: per config entry, as-of propagate
+    * the independent's flag and run the secondary value check
+    * (reference src/main.py:771-805).
+    */
+  private[graft] def dependentPass(valueFlagged: DataFrame,
+                                   cfg: Config): DataFrame =
+    cfg.dependents.foldLeft(valueFlagged) { (d, dep) =>
       val indep = d.filter(col(Obs.DatastreamId) === dep.independentId)
         .select(col(Obs.IotId).as("i_id"), col("t_us").as("i_t_us"),
           col(Obs.Result).as("i_result"), col("flag").as("i_flag"))
@@ -204,7 +207,35 @@ object QcMain {
       d.join(newDepFlags, Seq(Obs.IotId), "left")
         .withColumn("flag", coalesce(col("dep_flag"), col("flag")))
         .drop("dep_flag")
-    }.cache()
+    }
+
+  def runFrom(spark: SparkSession, obsIn: DataFrame, cfg: Config,
+              patchOut: Option[String] = None): (DataFrame, PhaseTimes) = {
+    val t0 = System.nanoTime()
+    def secsSince(t: Long): Double = (System.nanoTime() - t) / 1e9
+
+    // 1. fetch + flatten (df-construction phase)
+    val obs = obsIn
+      .withColumn("t_us", unix_micros(col(Obs.Time)))
+      .cache()
+    obs.count() // materialize: the reference times df-construction as a phase
+    val tDf = secsSince(t0)
+
+    val afterStab = stabPass(spark, obs, cfg)
+
+    val tRegion0 = System.nanoTime()
+    val withOutlier = geoPass(afterStab, cfg)
+    val regionSec = secsSince(tRegion0)
+
+    val kinematics = kinPass(withOutlier, cfg)
+
+    // 4. value pass: range → gradient → z-score on still-good rows
+    val tRanges0 = System.nanoTime()
+    val valueFlagged = valuePass(spark, kinematics, cfg)
+    valueFlagged.cache().count() // close the "ranges" phase before dependents
+    val rangesSecMeasured = secsSince(tRanges0)
+
+    val flagged = dependentPass(valueFlagged, cfg).cache()
     flagged.count()
     // flagged is now materialized in its own cache; the intermediate
     // stage caches only existed to build it — release them so a

@@ -6,15 +6,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * equivalent DuckDB SQL used by the driver's correctness oracle.
   * Column names MUST match between the two (the compare sorts columns by
   * name and hashes values).
+  *
+  * `oracleSwapped`: for queries whose Spark side geometry-swaps to a
+  * different (scale-safe) algorithm above
+  * [[QueriesEmb.DeclaredBruteSwap]] corpus rows, the oracle of the
+  * SWAPPED form. [[graft.SparkEntry.oracleSqlFor]] picks it when the
+  * sf dir's embeddings table exceeds the bound, so a scaled Verify run
+  * hash-checks the branch that actually executed instead of reporting
+  * false mismatches against the small-corpus oracle.
   */
 final case class QDef(name: String,
                       query: (SparkSession, String) => DataFrame,
-                      oracle: Option[String])
+                      oracle: Option[String],
+                      oracleSwapped: Option[String] = None)
 
 object Q {
   /** Read a testdata table. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Serialized check-then-build for persisted indexes: under
+    * SPARK_GRAFT_VERIFY_PAR > 1 (or any concurrent caller) two queries
+    * sharing an index dir would otherwise both see `_SUCCESS` missing
+    * and build into the same path concurrently, corrupting the index or
+    * flaking the run. One JVM-wide lock per success-file path (striped
+    * by the path itself), double-checked so the warm path stays a
+    * single `File.exists`. Spark writes are same-JVM in local mode, so
+    * a JVM-level monitor is the correct scope.
+    */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def buildOnce(successPath: String)(build: => Unit): Unit =
+    if (!new java.io.File(successPath).exists()) {
+      val lock = buildLocks.computeIfAbsent(successPath, _ => new Object)
+      lock.synchronized {
+        if (!new java.io.File(successPath).exists()) build
+      }
+    }
 
   /** Content-fingerprinted persisted-index path for `table` under this
     * sf dir: neither a regenerated dataset nor a parameter change can

@@ -400,11 +400,14 @@ object QueriesEmb {
     * [[pqRerankOracleSql]] with the PQ full-scan CTE chain replaced by
     * the probe-pruned IVF-PQ body.
     */
-  private lazy val ivfPqRerankOracleSql: String = {
+  private lazy val ivfPqRerankOracleSql: String =
+    ivfPqRerankOracleSqlFrom(ivfPqScoreBody)
+
+  private def ivfPqRerankOracleSqlFrom(scoreBody: String): String = {
     val dqq = dotSql("q.e", "q.e")
     val dee = dotSql("e.embedding", "e.embedding")
     val dqe = dotSql("q.e", "e.embedding")
-    s"""WITH $ivfPqScoreBody,
+    s"""WITH $scoreBody,
        |cand AS (SELECT query_id, match_id FROM (
        |  SELECT query_id, match_id,
        |    CAST(row_number() OVER (PARTITION BY query_id
@@ -432,6 +435,27 @@ object QueriesEmb {
        |      ORDER BY sim_ivfpq DESC, match_id ASC) AS INT) AS rank
        |  FROM s) r
        |WHERE rank <= 10""".stripMargin
+
+  /** Oracles of the geometry-SWAPPED declared forms ([[ivfPqServe]]):
+    * above [[DeclaredBruteSwap]] the PQ-brute quartet and
+    * `sim_ivfpq_rerank` serve from the auto-width IVF-PQ index, so
+    * their oracle is the auto-geometry search/rerank arithmetic (the
+    * same body `sim_ivfpq_auto` proved hash-exact) with the declared
+    * query's output column name. [[graft.SparkEntry.oracleSqlFor]]
+    * selects these when the sf dir's corpus exceeds the bound — a
+    * scaled Verify run content-checks the branch that actually ran.
+    */
+  private lazy val swappedSearchOracleSql: String =
+    s"""WITH $ivfPqScoreBodyAuto
+       |SELECT query_id, match_id, rank, round(sim_ivfpq, 6) + 0.0e0 AS sim_pq FROM (
+       |  SELECT query_id, match_id, sim_ivfpq,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim_ivfpq DESC, match_id ASC) AS INT) AS rank
+       |  FROM s) r
+       |WHERE rank <= 10""".stripMargin
+
+  private lazy val swappedRerankOracleSql: String =
+    ivfPqRerankOracleSqlFrom(ivfPqScoreBodyAuto)
 
   /** The full PQ pipeline as CTEs — m subspace trainings, final
     * assignments `f0..f{m-1}`, reconstructions, the query set `q`, and
@@ -461,7 +485,7 @@ object QueriesEmb {
     * quadratic forms stay available as library API, behind
     * [[graft.functions.Similarity.MaxBruteCorpus]]'s loud guard.
     */
-  private[queries] val DeclaredBruteSwap = 50000L
+  private[graft] val DeclaredBruteSwap = 50000L
 
   /** The serve-instead path for [[DeclaredBruteSwap]]: build-once
     * (derived width) IVF-PQ index, searched or reranked. `simName`
@@ -473,10 +497,10 @@ object QueriesEmb {
                          rerank: Boolean, simName: String)
       : org.apache.spark.sql.DataFrame = {
     val ix = indexDir("ivfpq", dir, "cAutoi2m8s8k8p2sd2")
-    if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
+    Q.buildOnce(s"$ix/codes/_SUCCESS")(
       Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ix,
         nCoarse = 0, coarseIters = 2, m = 8, subDim = 8, nCentroids = 8,
-        pqIters = 2, dim = Dim)
+        pqIters = 2, dim = Dim))
     if (rerank)
       Similarity.rerankIvfPqIndex(s, ix, emb, queries, "vec_id",
         "embedding", k = 10, candK = 50, nProbe = 2)
@@ -756,7 +780,8 @@ object QueriesEmb {
            |      ORDER BY sim_pq DESC, match_id ASC) AS INT) AS rank
            |  FROM s) r
            |WHERE rank <= 10""".stripMargin
-      }),
+      },
+      oracleSwapped = Some(swappedSearchOracleSql)),
 
     // the persisted-index serving path: train+encode ONCE into an
     // on-disk index (codebooks + m-byte codes per vector), then search
@@ -777,9 +802,9 @@ object QueriesEmb {
           // a regenerated dataset nor a parameter change can silently
           // reuse a stale index
           val ix = indexDir("pq", dir, "m8s8k8i2sd2")
-          if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
+          Q.buildOnce(s"$ix/codes/_SUCCESS")(
             Similarity.writePqIndex(emb, "vec_id", "embedding", ix,
-              m = 8, subDim = 8, nCentroids = 8, iters = 2)
+              m = 8, subDim = 8, nCentroids = 8, iters = 2))
           Similarity.searchPqIndex(s, ix, queries, "vec_id", "embedding", k = 10)
         }
       },
@@ -791,7 +816,8 @@ object QueriesEmb {
            |      ORDER BY sim_pq DESC, match_id ASC) AS INT) AS rank
            |  FROM s) r
            |WHERE rank <= 10""".stripMargin
-      }),
+      },
+      oracleSwapped = Some(swappedSearchOracleSql)),
 
     // two-stage retrieve-and-rerank: the PQ code index nominates 50
     // candidates per query, the float vectors of only those candidates
@@ -806,7 +832,8 @@ object QueriesEmb {
         else Similarity.pqRerankTopK(emb, queries, "vec_id", "embedding",
           k = 10, candK = 50, m = 8, subDim = 8, nCentroids = 8, iters = 2)
       },
-      Some(pqRerankOracleSql)),
+      Some(pqRerankOracleSql),
+      oracleSwapped = Some(swappedRerankOracleSql)),
 
     // retrieve-and-rerank SERVED from the persisted PQ index: stored
     // codes nominate the candidates (no training in the query), exact
@@ -820,14 +847,15 @@ object QueriesEmb {
           ivfPqServe(s, dir, emb, queries, rerank = true, simName = "sim")
         else {
           val ix = indexDir("pq", dir, "m8s8k8i2sd2")
-          if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
+          Q.buildOnce(s"$ix/codes/_SUCCESS")(
             Similarity.writePqIndex(emb, "vec_id", "embedding", ix,
-              m = 8, subDim = 8, nCentroids = 8, iters = 2)
+              m = 8, subDim = 8, nCentroids = 8, iters = 2))
           Similarity.rerankPqIndex(s, ix, emb, queries, "vec_id", "embedding",
             k = 10, candK = 50)
         }
       },
-      Some(pqRerankOracleSql)),
+      Some(pqRerankOracleSql),
+      oracleSwapped = Some(swappedRerankOracleSql)),
 
     // IVF-PQ: coarse inverted lists + product-quantized RESIDUALS (the
     // canonical big-index composition). Oracle = coarse k-means chain +
@@ -854,10 +882,10 @@ object QueriesEmb {
         val emb = Q.table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 50 === 0)
         val ix = indexDir("ivfpq", dir, "c8i2m8s8k8p2sd2")
-        if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
+        Q.buildOnce(s"$ix/codes/_SUCCESS")(
           Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ix,
             nCoarse = 8, coarseIters = 2, m = 8, subDim = 8, nCentroids = 8,
-            pqIters = 2, dim = Dim)
+            pqIters = 2, dim = Dim))
         Similarity.searchIvfPqIndex(s, ix, queries, "vec_id", "embedding",
           k = 10, nProbe = 2)
       },
@@ -881,15 +909,16 @@ object QueriesEmb {
           ivfPqServe(s, dir, emb, queries, rerank = true, simName = "sim")
         else {
           val ix = indexDir("ivfpq", dir, "c8i2m8s8k8p2sd2")
-          if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
+          Q.buildOnce(s"$ix/codes/_SUCCESS")(
             Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ix,
               nCoarse = 8, coarseIters = 2, m = 8, subDim = 8, nCentroids = 8,
-              pqIters = 2, dim = Dim)
+              pqIters = 2, dim = Dim))
           Similarity.rerankIvfPqIndex(s, ix, emb, queries, "vec_id",
             "embedding", k = 10, candK = 50, nProbe = 2)
         }
       },
-      Some(ivfPqRerankOracleSql)),
+      Some(ivfPqRerankOracleSql),
+      oracleSwapped = Some(swappedRerankOracleSql)),
 
     // the architecture PAST the one-shard width ceiling (√N > 65536 at
     // N ≈ 4.3e9 vectors), exercised end to end at test scale: the
@@ -905,10 +934,10 @@ object QueriesEmb {
         val emb = Q.table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 50 === 0)
         val ix = indexDir("ivfpqsh", dir, "n2autosd2")
-        if (!new java.io.File(s"$ix/shard=1/codes/_SUCCESS").exists())
+        Q.buildOnce(s"$ix/shard=1/codes/_SUCCESS")(
           Similarity.writeIvfPqIndexSharded(emb, "vec_id", "embedding", ix,
             nShards = 2, nCoarse = 0, coarseIters = 2, m = 8, subDim = 8,
-            nCentroids = 8, pqIters = 2, dim = Dim)
+            nCentroids = 8, pqIters = 2, dim = Dim))
         Similarity.searchIvfPqIndexSharded(s, ix, 2, queries,
           "vec_id", "embedding", k = 10, nProbe = 2)
       },
@@ -973,10 +1002,10 @@ object QueriesEmb {
         // same content-fingerprinted build (and dir) as t_hybrid_ann /
         // t_mining_ann — one auto-geometry index serves all three
         val ix = Q.indexDir("ivfpq", dir, "embeddings", "cAi2m8s8k8p2sd2")
-        if (!new java.io.File(s"$ix/codes/_SUCCESS").exists())
+        Q.buildOnce(s"$ix/codes/_SUCCESS")(
           Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ix,
             nCoarse = 0, coarseIters = 2, m = 8, subDim = 8,
-            nCentroids = 8, pqIters = 2, dim = Dim)
+            nCentroids = 8, pqIters = 2, dim = Dim))
         Similarity.indexHealth(s, ix)
       },
       Some {
@@ -1010,10 +1039,10 @@ object QueriesEmb {
       (s, dir) => {
         val emb = Q.table(s, dir, "embeddings")
         val ix = indexDir("ivfpqsh", dir, "n2autosd2")
-        if (!new java.io.File(s"$ix/shard=1/codes/_SUCCESS").exists())
+        Q.buildOnce(s"$ix/shard=1/codes/_SUCCESS")(
           Similarity.writeIvfPqIndexSharded(emb, "vec_id", "embedding", ix,
             nShards = 2, nCoarse = 0, coarseIters = 2, m = 8, subDim = 8,
-            nCentroids = 8, pqIters = 2, dim = Dim)
+            nCentroids = 8, pqIters = 2, dim = Dim))
         Similarity.indexHealthSharded(s, ix, 2)
       },
       Some {

@@ -2115,8 +2115,8 @@ object QueriesText {
       (s, dir) => {
         val docs = Q.table(s, dir, "documents")
         val ix = Q.indexDir("bm25", dir, "documents", "df40v2")
-        if (!new java.io.File(s"$ix/postings/_SUCCESS").exists())
-          Retrieval.writeIndex(docs, "doc_id", "text", ix, maxDf = 40L)
+        Q.buildOnce(s"$ix/postings/_SUCCESS")(
+          Retrieval.writeIndex(docs, "doc_id", "text", ix, maxDf = 40L))
         Retrieval.searchIndex(s, ix,
           Retrieval.queriesFromDocs(docs, "doc_id", "text"), k = 5)
       },
@@ -2681,8 +2681,8 @@ object QueriesText {
         val docs = Q.table(s, dir, "documents")
         val emb = Q.table(s, dir, "embeddings")
         val lix = Q.indexDir("bm25", dir, "documents", "df40v2")
-        if (!new java.io.File(s"$lix/postings/_SUCCESS").exists())
-          Retrieval.writeIndex(docs, "doc_id", "text", lix, maxDf = 40L)
+        Q.buildOnce(s"$lix/postings/_SUCCESS")(
+          Retrieval.writeIndex(docs, "doc_id", "text", lix, maxDf = 40L))
         val lex = Retrieval.searchIndex(s, lix,
           Retrieval.queriesFromDocs(docs, "doc_id", "text",
             every = 50L, offset = 0L),
@@ -2691,10 +2691,10 @@ object QueriesText {
         // the fixed-8 geometry measured a 56× candidate tail at the
         // century point; the derived width keeps probes ∝ √N
         val dix = Q.indexDir("ivfpq", dir, "embeddings", "cAi2m8s8k8p2sd2")
-        if (!new java.io.File(s"$dix/codes/_SUCCESS").exists())
+        Q.buildOnce(s"$dix/codes/_SUCCESS")(
           graft.functions.Similarity.writeIvfPqIndex(emb, "vec_id",
             "embedding", dix, nCoarse = 0, coarseIters = 2, m = 8,
-            subDim = 8, nCentroids = 8, pqIters = 2, dim = QueriesEmb.Dim)
+            subDim = 8, nCentroids = 8, pqIters = 2, dim = QueriesEmb.Dim))
         val dense = graft.functions.Similarity.searchIvfPqIndex(s, dix,
           emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
           k = 20, nProbe = 2)
@@ -2892,14 +2892,14 @@ object QueriesText {
         val docs = Q.table(s, dir, "documents")
         val emb = Q.table(s, dir, "embeddings")
         val lix = Q.indexDir("bm25", dir, "documents", "df40v2")
-        if (!new java.io.File(s"$lix/postings/_SUCCESS").exists())
-          Retrieval.writeIndex(docs, "doc_id", "text", lix, maxDf = 40L)
+        Q.buildOnce(s"$lix/postings/_SUCCESS")(
+          Retrieval.writeIndex(docs, "doc_id", "text", lix, maxDf = 40L))
         // same self-scaling index build (and dir) as t_hybrid_ann
         val dix = Q.indexDir("ivfpq", dir, "embeddings", "cAi2m8s8k8p2sd2")
-        if (!new java.io.File(s"$dix/codes/_SUCCESS").exists())
+        Q.buildOnce(s"$dix/codes/_SUCCESS")(
           graft.functions.Similarity.writeIvfPqIndex(emb, "vec_id",
             "embedding", dix, nCoarse = 0, coarseIters = 2, m = 8,
-            subDim = 8, nCentroids = 8, pqIters = 2, dim = QueriesEmb.Dim)
+            subDim = 8, nCentroids = 8, pqIters = 2, dim = QueriesEmb.Dim))
         Retrieval.hardNegativeMiningServed(s, docs, "doc_id", "text",
           lix, dix, emb, "vec_id", "embedding",
           every = 50L, kHard = 5, kRand = 3, poolMod = 10L, nProbe = 2)

@@ -23,9 +23,80 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 EPOCH = datetime.date(1970, 1, 1)
 
 
-def ser(v):
+def type_tree(t):
+    """DuckDBPyType -> ('kind', ...) tree in graft.core.Canon's
+    engine-neutral vocabulary. Needed because fetchall() returns BOTH
+    structs and maps as dicts — only the declared type distinguishes
+    the m{k=v;...} map form from the {v1,v2} struct form."""
+    tid = t.id
+    if tid == "list":
+        return ("array", type_tree(dict(t.children)["child"]))
+    if tid == "struct":
+        return ("struct", [(n, type_tree(c)) for n, c in t.children])
+    if tid == "map":
+        ch = dict(t.children)
+        return ("map", type_tree(ch["key"]), type_tree(ch["value"]))
+    if tid == "decimal":
+        ch = dict(t.children)
+        return ("decimal", ch["precision"], ch["scale"])
+    if tid in ("tinyint", "smallint", "integer", "bigint", "hugeint",
+               "utinyint", "usmallint", "uinteger", "ubigint"):
+        return ("int",)
+    if tid in ("float", "double"):
+        return ("float",)
+    if tid == "boolean":
+        return ("bool",)
+    if tid == "varchar":
+        return ("str",)
+    if tid == "blob":
+        return ("bytes",)
+    if tid.startswith("timestamp"):
+        return ("timestamp",)
+    if tid == "date":
+        return ("date",)
+    return (tid,)
+
+
+def sig_name(tt):
+    """Canon.schemaSig type vocabulary for a type tree."""
+    k = tt[0]
+    if k == "array":
+        return f"array<{sig_name(tt[1])}>"
+    if k == "struct":
+        return "struct<" + ",".join(f"{n}:{sig_name(c)}" for n, c in tt[1]) + ">"
+    if k == "map":
+        return f"map<{sig_name(tt[1])},{sig_name(tt[2])}>"
+    if k == "decimal":
+        return f"decimal({tt[1]},{tt[2]})"
+    return k
+
+
+def schema_sig(cols, trees):
+    return ",".join(sorted(f"{c}:{sig_name(t)}" for c, t in zip(cols, trees)))
+
+
+def ser(v, tt=None):
+    """Serialize one cell per the Canon spec. `tt` is the type tree of
+    the cell (None = scalar whose Python type decides, the proven path);
+    it is REQUIRED to distinguish map from struct, and threaded through
+    nested arrays/structs so inner maps serialize correctly too."""
     if v is None:
         return "N"
+    if tt is not None and tt[0] == "map":
+        # duckdb returns maps either as {'key': [...], 'value': [...]}
+        # (columnar) or as a plain k->v dict depending on version
+        if isinstance(v, dict) and set(v.keys()) == {"key", "value"} \
+                and isinstance(v.get("key"), list):
+            items = zip(v["key"], v["value"])
+        else:
+            items = v.items()
+        kt, vt = tt[1], tt[2]
+        pairs = sorted((ser(k, kt), ser(x, vt)) for k, x in items)
+        return "m{" + ";".join(f"{k}={x}" for k, x in pairs) + "}"
+    if tt is not None and tt[0] == "struct" and isinstance(v, dict):
+        return "{" + ",".join(ser(v[n], c) for n, c in tt[1]) + "}"
+    if tt is not None and tt[0] == "array" and isinstance(v, (np.ndarray, list, tuple)):
+        return "[" + ",".join(ser(x, tt[1]) for x in v) + "]"
     if isinstance(v, (bool, np.bool_)):
         return "b:1" if bool(v) else "b:0"
     if isinstance(v, (int, np.integer)):
@@ -57,7 +128,8 @@ def ser(v):
     if isinstance(v, dict):  # DuckDB struct → declared field order
         return "{" + ",".join(ser(x) for x in v.values()) + "}"
     if isinstance(v, (np.ndarray, list, tuple)):
-        return "[" + ",".join(ser(x) for x in v) + "]"
+        et = tt[1] if tt is not None and tt[0] == "array" else None
+        return "[" + ",".join(ser(x, et) for x in v) + "]"
     try:
         if pd.isna(v):
             return "N"
@@ -66,16 +138,20 @@ def ser(v):
     raise TypeError(f"manifest_check: unhandled cell type {type(v)}: {v!r}")
 
 
-def fingerprint(cols, rows):
+def fingerprint(cols, rows, trees=None):
     """cols: column names in result order; rows: iterable of tuples of
     NATIVE Python values (duckdb .fetchall()). Native fetch is load-
     bearing: pandas coerces a nullable BIGINT column to float64 (ints
     become doubles, NULLs become NaN), which diverges from the typed
-    Scala view and mis-fingerprints every int-with-null column."""
+    Scala view and mis-fingerprints every int-with-null column.
+    `trees`: per-column type trees (type_tree) for map/struct-aware
+    nested serialization; optional for scalar-only callers."""
+    if trees is None:
+        trees = [None] * len(cols)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     acc, n = 0, 0
     for row in rows:
-        s = "\x01".join(f"{cols[i]}={ser(row[i])}" for i in order)
+        s = "\x01".join(f"{cols[i]}={ser(row[i], trees[i])}" for i in order)
         h = hashlib.md5(s.encode("utf-8")).digest()
         acc = (acc + int.from_bytes(h[:8], "big")) % (1 << 64)
         n += 1
@@ -122,17 +198,22 @@ def main():
             print(f"SKIP {name}: no oracle SQL (rows={m['rows']})"); skip += 1
             continue
         try:
-            cur = con.execute(sql)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            rel = con.sql(sql)
+            ocols = list(rel.columns)
+            trees = [type_tree(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); fail += 1
             continue
-        n, fp = fingerprint(ocols, orows)
+        n, fp = fingerprint(ocols, orows, trees)
+        osig = schema_sig(ocols, trees)
         if n != m["rows"]:
             print(f"FAIL {name}: rows spark={m['rows']} oracle={n}"); fail += 1
         elif fp != m["fp"]:
             print(f"FAIL {name}: fp spark={m['fp']} oracle={fp}"); fail += 1
+        elif m.get("schema") and osig != m["schema"]:
+            print(f"FAIL {name}: schema spark={m['schema']} oracle={osig}")
+            fail += 1
         else:
             ok += 1
     print(f"manifest_check: {ok} ok, {fail} fail, {skip} skipped "
