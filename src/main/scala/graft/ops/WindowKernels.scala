@@ -49,6 +49,39 @@ object WindowKernels {
       .otherwise(when(hs =!= 0.0 && hd =!= 0.0, central))
   }
 
+  /** [[gradient]] as a DataFrame transform that materializes the four
+    * base lag/lead columns ONCE. The Column form's when-chain references
+    * fPrev/fNext/tPrev/tNext ~10× total and Spark does not dedupe
+    * identical window expressions, so it evaluates ~10 offset window
+    * functions per row where 4 suffice. lag/lead are O(1) per row —
+    * this is a constant-factor cut, but the gradient runs inside the QC
+    * value pass on every observation (the sf10 century row), where the
+    * window stage is the lifecycle's dominant cost. Identical
+    * arithmetic and null semantics; only the evaluation count drops.
+    */
+  def gradientOnto(df: DataFrame, out: String, value: Column,
+                   timeSec: Column, w: WindowSpec): DataFrame = {
+    val d = df
+      .withColumn("__g_fp", lag(value, 1).over(w))
+      .withColumn("__g_fn", lead(value, 1).over(w))
+      .withColumn("__g_tp", lag(timeSec, 1).over(w))
+      .withColumn("__g_tn", lead(timeSec, 1).over(w))
+    val (fPrev, fNext, tPrev, tNext) =
+      (col("__g_fp"), col("__g_fn"), col("__g_tp"), col("__g_tn"))
+    val hs = timeSec - tPrev
+    val hd = tNext - timeSec
+    val central = (hs * hs * fNext + (hd * hd - hs * hs) * value - hd * hd * fPrev) /
+      (hs * hd * (hs + hd))
+    val forwardEdge = (fNext - value) / hd
+    val backwardEdge = (value - fPrev) / hs
+    d.withColumn(out,
+        when(fPrev.isNull && fNext.isNull, lit(null).cast("double"))
+          .when(fPrev.isNull, when(hd =!= 0.0, forwardEdge))
+          .when(fNext.isNull, when(hs =!= 0.0, backwardEdge))
+          .otherwise(when(hs =!= 0.0 && hd =!= 0.0, central)))
+      .drop("__g_fp", "__g_fn", "__g_tp", "__g_tn")
+  }
+
   /** Same gradient as SQL text over a window clause `wOver` (e.g.
     * `"PARTITION BY user_id ORDER BY ts"`), for DuckDB oracles.
     */

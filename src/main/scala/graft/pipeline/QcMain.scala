@@ -159,19 +159,23 @@ object QcMain {
         QcCheck.outOfRange(col(Obs.Result), col("qc_range_min"), col("qc_range_max")),
         Flags.Bad, onFalse = Some(Flags.Good), onNan = Some(Flags.NoQc))
         .mergedInto(col("flag")))
-    val graded = ranged
-      .withColumn("gradient",
-        WindowKernels.gradient(col(Obs.Result), col("t_us").cast("double") / 1e6, w))
+    val graded = WindowKernels.gradientOnto(ranged, "gradient",
+        col(Obs.Result), col("t_us").cast("double") / 1e6, w)
       .withColumn("flag",
         QcCheck("gradient",
           QcCheck.outOfRange(col("gradient"),
             lit(cfg.gradientBounds._1), lit(cfg.gradientBounds._2)),
           Flags.ProbablyBad, onFalse = Some(Flags.Good), onNan = Some(Flags.NoQc))
           .mergedInto(col("flag")))
-    graded
-      .withColumn("zscore", WindowKernels.zscore(
+    // zscoreOnto, not the Column-form zscore: the guard+divisor form
+    // pays THREE O(frame) sliding aggregates per row (Spark does not
+    // dedupe identical window expressions); materializing mean/stddev
+    // once drops that to two with bit-identical arithmetic — on the
+    // sf10 century row this window chain is the lifecycle's dominant
+    // cost (round-14 verdict #5)
+    WindowKernels.zscoreOnto(graded, "zscore",
         when(col("flag") <= Flags.ProbablyGood, col(Obs.Result)),
-        col("t_us"), cfg.zscoreWindowSec))
+        col("t_us"), cfg.zscoreWindowSec)
       .withColumn("flag_z",
         QcCheck("zscore",
           QcCheck.outOfRange(col("zscore"),

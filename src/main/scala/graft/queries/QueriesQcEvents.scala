@@ -47,9 +47,8 @@ object QueriesQcEvents {
     val o = QcConfigJoin.joined(s, dir)
     val withRange = o.withColumn("flag_range",
       rangeFlag(col(Obs.Result), col("qc_range_min"), col("qc_range_max")))
-    val withGrad = withRange
-      .withColumn("gradient",
-        WindowKernels.gradient(col(Obs.Result), col("t_us").cast("double") / 1e6, wStream))
+    val withGrad = WindowKernels.gradientOnto(withRange, "gradient",
+        col(Obs.Result), col("t_us").cast("double") / 1e6, wStream)
       .withColumn("flag_gradient",
         QcCheck("gradient", QcCheck.outOfRange(col("gradient"), lit(-0.04), lit(0.04)),
           Flags.ProbablyBad, onFalse = Some(Flags.Good), onNan = Some(Flags.NoQc)).flagCol)
@@ -62,10 +61,11 @@ object QueriesQcEvents {
     // and joined flag_z back on iot_id: a full shuffle join keyed on the
     // highest-cardinality column.) Bad rows get a null z-input → null
     // zscore → onNan = NoQc, contributing nothing to worst-wins.
-    withGrad
-      .withColumn("zscore", WindowKernels.zscore(
+    // zscoreOnto = same arithmetic with mean/stddev materialized once
+    // (the Column form pays three O(frame) sliding aggregates per row)
+    WindowKernels.zscoreOnto(withGrad, "zscore",
         when(col("flag12") <= Flags.ProbablyGood, col(Obs.Result)),
-        col("t_us"), 21600L))
+        col("t_us"), 21600L)
       .withColumn("flag_z",
         QcCheck("zscore", QcCheck.outOfRange(col("zscore"), lit(-2.5), lit(2.5)),
           Flags.ProbablyBad, onFalse = Some(Flags.Good), onNan = Some(Flags.NoQc)).flagCol)

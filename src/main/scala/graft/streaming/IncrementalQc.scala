@@ -32,13 +32,13 @@ object IncrementalQc {
     val joined = batch.join(broadcast(conf), Seq(Obs.DatastreamId), "left")
       .withColumn("t_us", unix_micros(col(Obs.Time)))
     val w = Window.partitionBy(col(Obs.DatastreamId)).orderBy(col("t_us"), col(Obs.IotId))
-    val flagged = joined
+    val ranged = joined
       .withColumn("flag_range",
         QcCheck("range",
           QcCheck.outOfRange(col(Obs.Result), col("qc_range_min"), col("qc_range_max")),
           Flags.Bad, onFalse = Some(Flags.Good), onNan = Some(Flags.NoQc)).flagCol)
-      .withColumn("gradient",
-        WindowKernels.gradient(col(Obs.Result), col("t_us").cast("double") / 1e6, w))
+    val flagged = WindowKernels.gradientOnto(ranged, "gradient",
+        col(Obs.Result), col("t_us").cast("double") / 1e6, w)
       .withColumn("flag_gradient",
         QcCheck("gradient",
           QcCheck.outOfRange(col("gradient"), col("qc_gradient_min"), col("qc_gradient_max")),

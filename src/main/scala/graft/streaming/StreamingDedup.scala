@@ -37,6 +37,45 @@ object StreamingDedup {
       .withWatermark(timeCol, delay)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Trigger sizing for commit-bound stateful streams (this dedup, or
+    * any one-stateful-stage twin): with per-row processing rate `R`
+    * (rows/s, the batch-mode throughput of the same plan) and fixed
+    * per-micro-batch commit cost `C` (seconds — state-store commit +
+    * offset/commit-log write + planning, measured at the deployed state
+    * partition count), a micro-batch of `n` rows sustains
+    *
+    *   throughput(n) = n / (n/R + C)
+    *
+    * which is monotone in `n` and approaches `R` from below — the
+    * stream can never beat its own batch plan; it can only amortize the
+    * commit. Inverting for a target rate `tau` < R gives the MINIMUM
+    * batch size, and dividing by the ingest rate gives the trigger
+    * interval to configure. The reference point for C and R at sf10
+    * lives in BASELINE.md's streaming rows (measured by
+    * [[graft.tools.ProfileStreamDedup]]).
+    */
+  def minBatchRows(coreRowsPerSec: Double, commitSec: Double,
+                   targetRowsPerSec: Double): Long = {
+    require(targetRowsPerSec < coreRowsPerSec,
+      s"target $targetRowsPerSec rows/s unreachable: batch-mode ceiling " +
+        s"is $coreRowsPerSec rows/s — no trigger size closes a gap the " +
+        "plan itself can't sustain")
+    math.ceil(commitSec * targetRowsPerSec * coreRowsPerSec /
+      (coreRowsPerSec - targetRowsPerSec)).toLong
+  }
+
+  /** Trigger interval (seconds) that yields [[minBatchRows]] at the
+    * given ingest rate — the number a production pipeline actually
+    * configures (`Trigger.ProcessingTime`). Also the stability check:
+    * the interval must exceed the batch's own processing time
+    * (n/R + C), which holds by construction whenever
+    * `ingestRowsPerSec <= targetRowsPerSec`.
+    */
+  def triggerIntervalSec(ingestRowsPerSec: Double, coreRowsPerSec: Double,
+                         commitSec: Double, targetRowsPerSec: Double): Double =
+    minBatchRows(coreRowsPerSec, commitSec, targetRowsPerSec) /
+      ingestRowsPerSec
+
   /** Streaming exact-substring dedup — the streaming face of
     * [[graft.functions.Dedup.exactSubstringDedup]]'s window core:
     * documents explode into STRIDE-1 `windowLen`-token window

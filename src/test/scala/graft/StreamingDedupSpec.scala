@@ -140,4 +140,49 @@ class StreamingDedupSpec extends SparkSpec with Matchers {
       assert(rebuilt == batch)
     } finally query.stop()
   }
+
+  // ---- trigger sizing (the commit-cost knob as an operational rule) ----
+
+  test("minBatchRows: the sized batch sustains exactly the target rate") {
+    // throughput(n) = n / (n/R + C); at n = minBatchRows the modeled
+    // rate must be >= tau (and < tau just below it)
+    val R = 144700.0; val C = 3.0 // sf10-shaped constants
+    for (tau <- Seq(10000.0, 50000.0, 100000.0, 140000.0)) {
+      val n = StreamingDedup.minBatchRows(R, C, tau)
+      def thr(m: Double) = m / (m / R + C)
+      assert(thr(n.toDouble) >= tau * (1 - 1e-9),
+        s"tau=$tau n=$n thr=${thr(n.toDouble)}")
+      assert(thr((n - 1).toDouble) < tau * (1 + 1e-6))
+    }
+  }
+
+  test("minBatchRows: monotone in target, commit cost, and 1/headroom") {
+    val R = 100000.0
+    val base = StreamingDedup.minBatchRows(R, 2.0, 50000.0)
+    assert(StreamingDedup.minBatchRows(R, 2.0, 80000.0) > base)  // higher tau
+    assert(StreamingDedup.minBatchRows(R, 4.0, 50000.0) > base)  // pricier commit
+    assert(StreamingDedup.minBatchRows(R * 2, 2.0, 50000.0) < base) // more headroom
+  }
+
+  test("minBatchRows: target at/above the batch ceiling is refused") {
+    intercept[IllegalArgumentException] {
+      StreamingDedup.minBatchRows(100000.0, 2.0, 100000.0)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingDedup.minBatchRows(100000.0, 2.0, 120000.0)
+    }
+  }
+
+  test("triggerIntervalSec: the interval keeps up with ingest") {
+    // stability: processing time of the sized batch fits in the interval
+    // whenever ingest <= target
+    val R = 144700.0; val C = 3.0; val tau = 50000.0
+    for (ingest <- Seq(10000.0, 30000.0, 50000.0)) {
+      val interval = StreamingDedup.triggerIntervalSec(ingest, R, C, tau)
+      val n = StreamingDedup.minBatchRows(R, C, tau).toDouble
+      val procSec = n / R + C
+      assert(interval >= procSec * (1 - 1e-9),
+        s"ingest=$ingest interval=$interval proc=$procSec")
+    }
+  }
 }

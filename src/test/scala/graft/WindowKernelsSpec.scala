@@ -422,4 +422,26 @@ class WindowKernelsSpec extends SparkSpec with Matchers {
     assert(got(3L).exists(_._3), "negative drift must alarm")
     assert(got(3L).exists(t => t._2 > 10 * 6), "negative side accumulates")
   }
+
+  test("gradientOnto: bit-identical to the Column form on irregular multi-stream data") {
+    // two streams, non-uniform dt, duplicate timestamps (degenerate
+    // spacing => null), single-row stream, and null-value rows — every
+    // branch of the when-chain
+    val rows = Seq(
+      (1L, 0.0, 2.0), (1L, 1.0, 3.5), (1L, 3.0, 1.0), (1L, 3.0, 4.0),
+      (1L, 4.5, -2.0), (1L, 9.0, 0.5),
+      (2L, 0.0, 1.0), (2L, 2.0, Double.NaN), (2L, 5.0, 9.0),
+      (3L, 7.0, 42.0))
+    val df = rows.toDF("ds", "t", "f")
+    val a = df.withColumn("g", WindowKernels.gradient($"f", $"t", w))
+      .select($"ds", $"t", $"f", $"g")
+    val b = WindowKernels.gradientOnto(df, "g", $"f", $"t", w)
+      .select($"ds", $"t", $"f", $"g")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(3)) "null"
+        else java.lang.Double.doubleToLongBits(r.getDouble(3)).toString))
+        .sortBy(x => (x._1, x._2)).toSeq
+    canon(a) shouldBe canon(b)
+  }
 }

@@ -97,8 +97,16 @@ def fresh_con(sf_dir: str, tmp_dir: str):
     con.execute(f"SET temp_directory='{tmp_dir}'")
     con.execute("SET threads TO 8")
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_pattern(sf_dir, t)}')")
     return con
+
+
+def table_pattern(sf_dir: str, t: str) -> str:
+    """testdata tables are single files; MakeScale fixtures are Spark-written
+    DIRECTORIES of part files — read_parquet needs the glob in that case."""
+    import os
+    p = f"{sf_dir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
 
 
 def main():

@@ -12,7 +12,7 @@ Usage: python3 tools/manifest_check.py <sfDir> <outDir>
 The cell serialization here is the Python half of the spec documented in
 src/main/scala/graft/core/Canon.scala — change both or neither.
 """
-import json, sys, math, struct, hashlib, decimal, datetime
+import json, os, sys, math, struct, hashlib, decimal, datetime
 import duckdb
 import numpy as np
 import pandas as pd
@@ -178,8 +178,13 @@ def main():
     con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='graft_spill_')}'")
     con.execute("SET threads TO 8")
     for t in TABLES:
+        # testdata tables are single files; MakeScale fixtures are
+        # Spark-written DIRECTORIES of part files — glob in that case
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
+                    f"read_parquet('{p}')")
     oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
     manifest = {}
     with open(f"{out_dir}/verify_manifest.jsonl") as f:
