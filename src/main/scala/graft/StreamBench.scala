@@ -115,6 +115,40 @@ object StreamBench {
         }
     }
 
+    // ---- TUNED dedup: the sizing rule applied with self-measured ----
+    // constants. C (fixed per-batch cost) from the baseline run's own
+    // wall: C = (stream_sec - batch-equivalent work) / batches; R from
+    // the batch run. Trigger size = minBatchRows(R, C', tau) at the
+    // tuned state-partition count (commit cost scales with partition
+    // count, so C' ~ C * parts/32), converted to files-per-trigger.
+    val docNpre = spark.read.parquet(docDir).count()
+    val rBatch = docNpre / ddBatchSec
+    val cBaseline = math.max(0.05,
+      (ddStreamSec - ddBatchSec) / math.max(1, nBatches))
+    val tunedParts = math.max(4, spark.sparkContext.defaultParallelism / 4)
+    val cTuned = cBaseline * tunedParts / 32.0
+    val tau = math.min(50000.0, rBatch * 0.8)
+    val nStar = StreamingDedup.minBatchRows(rBatch, cTuned, tau)
+    val rowsPerFile = math.max(1L, docNpre / nBatches)
+    val filesPerTrigger = math.max(1L,
+      math.min(nBatches.toLong, nStar / rowsPerFile)).toInt
+    graft.core.Sessions.tuneStatefulIngest(spark, tunedParts)
+    var ddTunedRows = 0L
+    val (_, ddTunedSec) = timed {
+      val src = spark.readStream.schema(spark.read.parquet(docDir).schema)
+        .option("maxFilesPerTrigger", filesPerTrigger).parquet(docDir)
+      val q = StreamingDedup.withinWatermark(src, "text", "ts", "1 hour")
+        .writeStream
+        .option("checkpointLocation", s"$stage/ddt_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          ddTunedRows += batch.count()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", 32)
+
     val obsN = spark.read.parquet(obsDir).count()
     val docN = spark.read.parquet(docDir).count()
     spark.stop()
@@ -123,7 +157,8 @@ object StreamBench {
     val json =
       s"""{"metric":"stream_bench","sf":"$sfDir","batches":$nBatches,""" +
       s""""qc":{"rows":$obsN,"stream_sec":${f1(qcStreamSec)},"stream_rows_per_s":${f1(obsN / qcStreamSec)},"batch_sec":${f1(qcBatchSec)},"batch_rows_per_s":${f1(obsN / qcBatchSec)},"sink_rows":$qcRows},""" +
-      s""""dedup":{"rows":$docN,"stream_sec":${f1(ddStreamSec)},"stream_rows_per_s":${f1(docN / ddStreamSec)},"batch_sec":${f1(ddBatchSec)},"batch_rows_per_s":${f1(docN / ddBatchSec)},"survivors_stream":$ddRows,"survivors_batch":$ddBatchRows,"state_rows":$ddStateRows,"state_bytes":$ddStateBytes}}"""
+      s""""dedup":{"rows":$docN,"stream_sec":${f1(ddStreamSec)},"stream_rows_per_s":${f1(docN / ddStreamSec)},"batch_sec":${f1(ddBatchSec)},"batch_rows_per_s":${f1(docN / ddBatchSec)},"survivors_stream":$ddRows,"survivors_batch":$ddBatchRows,"state_rows":$ddStateRows,"state_bytes":$ddStateBytes},""" +
+      s""""dedup_tuned":{"state_parts":$tunedParts,"files_per_trigger":$filesPerTrigger,"min_batch_rows":$nStar,"stream_sec":${f1(ddTunedSec)},"stream_rows_per_s":${f1(docN / ddTunedSec)},"survivors_stream":$ddTunedRows,"survivors_batch":$ddBatchRows}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(json)
   }

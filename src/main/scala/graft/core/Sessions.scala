@@ -47,6 +47,38 @@ object Sessions {
       "changelogCheckpointing.enabled", "true")
   }
 
+  /** Commit-cost tuning for stateful ingest queries (streaming dedup
+    * and the other one-stateful-stage twins). Apply BEFORE `.start()`
+    * of the stream — two of these are captured per query at start.
+    *
+    *   - `stateParts` becomes the state-store partition count (fixed at
+    *     the query's FIRST start, forever): every micro-batch commits
+    *     one RocksDB instance per partition, so an oversized default
+    *     (200, or even this project's 32) multiplies pure commit
+    *     overhead. Size it to the parallelism the ingest actually
+    *     needs — state volume / executor memory, not the session's
+    *     batch shuffle width.
+    *   - no-data micro-batches off: with them on, every watermark
+    *     advance appends an EXTRA empty batch that still commits every
+    *     state store — near 2× the commit count for dedup-shaped
+    *     queries. Cost: watermark-driven state eviction waits for the
+    *     next data batch; survivors are unchanged (eviction timing is
+    *     not answer-bearing for first-seen-wins dedup).
+    *   - RocksDB per-put row counting off: drops numRowsTotal metric
+    *     bookkeeping from the hot put path (observability trade,
+    *     recoverable from state-store files offline).
+    *
+    * Measured by [[graft.tools.ProfileStreamDedup]]; the resulting
+    * sf10 row lives in BASELINE.md. Trigger SIZE is the other half of
+    * the budget — see [[graft.streaming.StreamingDedup.minBatchRows]].
+    */
+  def tuneStatefulIngest(spark: SparkSession, stateParts: Int): Unit = {
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+      "trackTotalNumberOfRows", "false")
+  }
+
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -141,6 +141,38 @@ class StreamingDedupSpec extends SparkSpec with Matchers {
     } finally query.stop()
   }
 
+  test("tuneStatefulIngest: commit-cost confs land; dedup parity survives the tuned session") {
+    implicit val sq = spark.sqlContext
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      graft.core.Sessions.tuneStatefulIngest(spark, stateParts = 4)
+      spark.conf.get("spark.sql.shuffle.partitions") shouldBe "4"
+      spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled") shouldBe "false"
+      spark.conf.get("spark.sql.streaming.stateStore.rocksdb." +
+        "trackTotalNumberOfRows") shouldBe "false"
+      // the tuned session must not change WHAT survives — same
+      // first-seen-wins result, only cheaper commits
+      val mem = MemoryStream[DocEvent]
+      val out = StreamingDedup.withinWatermark(mem.toDF(), "text", "ts", "2 hours")
+      val query = out.writeStream.format("memory").queryName("tuned_dedup")
+        .outputMode("append").start()
+      try {
+        mem.addData(DocEvent(1L, "alpha beta", t(0)), DocEvent(2L, "alpha  BETA", t(1)))
+        query.processAllAvailable()
+        mem.addData(DocEvent(3L, "alpha beta", t(2)), DocEvent(4L, "gamma", t(3)))
+        query.processAllAvailable()
+        val got = spark.table("tuned_dedup").select($"docId").collect()
+          .map(_.getLong(0)).toSet
+        got shouldBe Set(1L, 4L)
+      } finally query.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+        "trackTotalNumberOfRows", "true")
+    }
+  }
+
   // ---- trigger sizing (the commit-cost knob as an operational rule) ----
 
   test("minBatchRows: the sized batch sustains exactly the target rate") {
