@@ -26,6 +26,17 @@ object Sessions {
       // events.parquet carries TIMESTAMP(NANOS); read as raw ns longs
       // (truncated to µs in Obs.eventsAsObservations)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // let AQE size CACHED plans too (default false): without it every
+      // .cache() materializes at the static `shufflePartitions` width and
+      // each of its N downstream consumers schedules that many tasks per
+      // stage — measured 5,709 tasks for one t_bm25_prf run at sf0.1
+      // (32-partition cached postings × ~20 consumer stages). With AQE
+      // sizing, a cache holds advisory-sized partitions at EVERY scale:
+      // few at bench SFs, hundreds on a 100 TB corpus — the same
+      // data-adaptive rule the uncached exchanges already follow. Only
+      // partitioning changes; results are identical.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
 
   /** Spark's spillable on-disk state store for Structured Streaming. */
   val RocksDbProvider =

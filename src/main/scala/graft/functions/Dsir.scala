@@ -47,26 +47,34 @@ object Dsir {
                  keepNum: Long = 1L, keepDen: Long = 4L,
                  salt: String = "dsir"): DataFrame = {
     require(buckets > 0 && keepNum >= 0 && keepDen > 0)
-    // CACHED: the tokenized base feeds feature counting AND scoring —
-    // Catalyst plans no ReusedExchange across the branches (same audit
-    // catch as LangModel.bigramNllScore / Retrieval.index).
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
         split(TextAnalysis.normalized(col(textCol)), " ").as("words"),
         isTarget.as("is_target"))
-      .cache()
     val bigrams = zip_with(
       slice(col("words"), lit(1), size(col("words")) - 1),
       slice(col("words"), lit(2), size(col("words")) - 1),
       (a, b) => concat(a, lit(" "), b))
+    // CACHED at (doc, bucket) granularity: bucket counting AND per-doc
+    // scoring both fold over per-(doc, f) occurrence counts, so
+    // pre-aggregating once means the tokenize + explode + per-occurrence
+    // md5 run ONCE instead of once per branch (the round-1 shape cached
+    // the tokenized arrays instead, which still re-hashed every token
+    // occurrence twice — 2× the md5 work at any corpus scale — and held
+    // the full word arrays in cache instead of this far smaller frame).
+    // Folding occurrences into (doc, f, n) is exact: Σ_occ lam = Σ_f n·lam
+    // and n_feats = Σ_f n, all in integer space.
     val feats = base.select(col("doc_id"), col("is_target"),
       explode(concat(col("words"), bigrams)).as("g"))
       .select(col("doc_id"), col("is_target"),
         pmod(Dedup.baseHash(concat(lit(salt), col("g"))), lit(buckets.toLong))
           .as("f"))
-    // the one corpus-scale shuffle: per-bucket target/raw counts
+      .groupBy(col("doc_id"), col("is_target"), col("f"))
+      .agg(count(lit(1)).as("n"))
+      .cache()
+    // the bucket rollup (≤ `buckets` rows) from the cached counts
     val cnt = feats.groupBy(col("f"))
-      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
-        sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
+      .agg(sum(when(col("is_target"), col("n")).otherwise(0L)).as("ct"),
+        sum(when(col("is_target"), 0L).otherwise(col("n"))).as("cr"))
     // smoothing totals (1 row) and the per-bucket log-ratio (≤ buckets
     // rows) — both broadcast; the doc-independent normalizer
     // log(Nr+B) - log(Nt+B) attaches per feature occurrence
@@ -80,8 +88,11 @@ object Dsir {
     val perDoc = feats
       .join(broadcast(lam), Seq("f"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("lam")).as("s"))
-    val scored = base.select(col("doc_id"), col("is_target"))
+      .agg(sum(col("n")).as("n_feats"), sum(col("lam") * col("n")).as("s"))
+    // scoring identity re-reads only (doc_id, is_target) — column
+    // pruning keeps the tokenize out of this scan
+    val scored = docs.select(col(idCol).cast("long").as("doc_id"),
+        isTarget.as("is_target"))
       .join(perDoc, Seq("doc_id"), "left")
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("is_target"),

@@ -101,8 +101,21 @@ object Multimodal {
     * trait; the mm_* oracle queries keep the stub (byte-arithmetic is
     * SQL-mirrorable, real decoding is not), production wires this one.
     */
+  /** ImageIO's stream wrappers default to DISK-backed caches: every
+    * read/write through the InputStream/OutputStream entry points
+    * creates (and deletes) a temp FILE per image. Every payload in this
+    * engine is an in-memory byte array of a few KB — the memory-cached
+    * stream is strictly faster and byte-identical. JVM-global and
+    * idempotent; called at the top of every per-task decode/encode loop
+    * so executor JVMs flip it too (measured: the mm_video generator +
+    * decode paid ~60k temp-file create/deletes per sf0.1 run).
+    */
+  private[graft] def noDiskImageCache(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   object ImageIoCodec extends MediaCodec {
     private def read(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      noDiskImageCache()
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       require(img != null, "undecodable image payload")
       img
@@ -166,6 +179,7 @@ object Multimodal {
       */
     private def withReader[T](payload: Array[Byte])
                              (f: javax.imageio.ImageReader => T): T = {
+      noDiskImageCache()
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
@@ -367,6 +381,16 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
+      // Content-addressed decode memo, PER TASK (constructed here, dies
+      // with the partition — never a cross-run or cross-query cache):
+      // re-uploaded/re-muxed media repeat identical keyframe bytes, and
+      // decoding identical bytes is the classic redundant work of a
+      // video dedup pass. dHash is a pure function of the bytes, so a
+      // byte-equal span short-circuits the ImageIO decode. Bounded: the
+      // memo resets at 8192 entries (worst case all-distinct frames =
+      // pre-memo behavior plus a hash probe).
+      val memo = new java.util.HashMap[java.nio.ByteBuffer, VideoPhashRow]()
+      noDiskImageCache()
       rows.flatMap { r =>
         val spans =
           if (MediaContainers.isMp4(r.payload))
@@ -376,38 +400,47 @@ object Multimodal {
           else throw new IllegalArgumentException(
             s"media ${r.media_id}: neither MP4 nor WebM")
         spans.map { case (k, off, len) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload, off.toInt, len))
-          require(img != null,
-            s"media ${r.media_id} keyframe $k: not a standalone " +
-              "ImageIO-decodable image. videoKeyframePhash covers " +
-              "INTRA-ONLY video (MJPEG-style JPEG/PNG samples); " +
-              "inter-frame codecs (H.264/H.265/VP9/AV1) are out of " +
-              "scope by design — transcode keyframes to MJPEG upstream " +
-              "or extract stills with a codec-equipped tool first")
-          val (w, h) = (img.getWidth, img.getHeight)
-          // 65 sampled columns spread across the width (c*(w-1)/64 —
-          // for a 65-px frame that is column c exactly), integer mean
-          // luma down each column, 64 adjacent comparisons
-          val colLuma = Array.tabulate(65) { c =>
-            val x = c * (w - 1) / 64
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              val rgb = img.getRGB(x, y)
-              sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff)
-                + 114L * (rgb & 0xff)) / 1000L
-              y += 1
+          val key = java.nio.ByteBuffer.wrap(
+            java.util.Arrays.copyOfRange(r.payload, off.toInt, off.toInt + len))
+          val hit = memo.get(key)
+          val dec = if (hit != null) hit else {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload, off.toInt, len))
+            require(img != null,
+              s"media ${r.media_id} keyframe $k: not a standalone " +
+                "ImageIO-decodable image. videoKeyframePhash covers " +
+                "INTRA-ONLY video (MJPEG-style JPEG/PNG samples); " +
+                "inter-frame codecs (H.264/H.265/VP9/AV1) are out of " +
+                "scope by design — transcode keyframes to MJPEG upstream " +
+                "or extract stills with a codec-equipped tool first")
+            val (w, h) = (img.getWidth, img.getHeight)
+            // 65 sampled columns spread across the width (c*(w-1)/64 —
+            // for a 65-px frame that is column c exactly), integer mean
+            // luma down each column, 64 adjacent comparisons
+            val colLuma = Array.tabulate(65) { c =>
+              val x = c * (w - 1) / 64
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                val rgb = img.getRGB(x, y)
+                sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff)
+                  + 114L * (rgb & 0xff)) / 1000L
+                y += 1
+              }
+              sum / h
             }
-            sum / h
+            var bits = 0L
+            var i = 0
+            while (i < 64) {
+              if (colLuma(i) > colLuma(i + 1)) bits |= 1L << i
+              i += 1
+            }
+            val row = VideoPhashRow(0L, 0, w, h, bits)
+            if (memo.size >= 8192) memo.clear()
+            memo.put(key, row)
+            row
           }
-          var bits = 0L
-          var i = 0
-          while (i < 64) {
-            if (colLuma(i) > colLuma(i + 1)) bits |= 1L << i
-            i += 1
-          }
-          VideoPhashRow(r.media_id, k, w, h, bits)
+          VideoPhashRow(r.media_id, k, dec.frame_w, dec.frame_h, dec.phash)
         }
       }
     }
@@ -450,6 +483,7 @@ object Multimodal {
     * oracle recomputes algebraically).
     */
   def pngColumnFrame(mult: Int, add: Int, h: Int = 3): Array[Byte] = {
+    noDiskImageCache()
     val img = new java.awt.image.BufferedImage(65, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var x = 0

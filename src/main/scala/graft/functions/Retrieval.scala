@@ -120,9 +120,17 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .cache()
     // stats derive FROM the cached postings (per-doc dl rollup), not
-    // from another corpus pass; same doc set (dl > 0) by construction
+    // from another corpus pass; same doc set (dl > 0) by construction.
+    // stats and dfTab are MATERIALIZED (eager localCheckpoint): both are
+    // consumed once per scoring round and once per feedback pass, and
+    // each consumer wraps them in a BroadcastExchange whose build
+    // re-runs the whole aggregation subtree — plan-audited on t_bm25_prf,
+    // where the four ~2 s stages of the 47-stage run were all dfTab/stats
+    // re-aggregations over the postings cache. One materialization each
+    // (1 row; vocab-scale — Heaps-sublinear in the corpus) ends that.
     val stats = postings.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_terms"))
+      .localCheckpoint()
     // df cap: absolute (maxDf) or RELATIVE (df <= n_docs/relDfDen) —
     // an absolute cap silently empties the vocabulary as the corpus
     // grows (t_bm25_prf measured 0 candidates at sf0.1 under df<=40);
@@ -134,6 +142,7 @@ object Retrieval {
         case None => col("df") <= lit(maxDf)
       })
       .select(col("term"), idfQ16(col("df"), col("n_docs")).as("idf_q16"))
+      .localCheckpoint()
     (postings, stats, dfTab)
   }
 
@@ -155,11 +164,18 @@ object Retrieval {
       .select(col("query_id").cast("long").as("query_id"),
         explode(col("terms")).as("term"))
       .distinct()
-    // candidates: both join sides broadcast INTO the postings scan
+    // ONE broadcast into the postings scan instead of three: the query
+    // terms, their idf and the 1-row corpus stats all live at
+    // workload/vocab scale, so pre-joining them into a single
+    // (query_id, term, idf, n_docs, n_terms) probe table costs a
+    // candidate-terms-sized join inside the broadcast build and removes
+    // two BroadcastExchange stages from EVERY scoring round (bm25Prf
+    // runs two rounds; measured 47 AQE stage-jobs for t_bm25_prf, the
+    // broadcast builds a third of them). Inner-join reassociation +
+    // constant attachment — scoring arithmetic unchanged.
+    val probe = qTerms.join(dfTab, "term").crossJoin(broadcast(stats))
     val cand0 = postings
-      .join(broadcast(dfTab), "term")
-      .join(broadcast(qTerms), "term")
-      .crossJoin(broadcast(stats))
+      .join(broadcast(probe), "term")
     // self-exclusion (for corpus-derived query workloads) happens on
     // the candidates so ranks are contiguous over the remaining docs
     val cand =

@@ -238,13 +238,63 @@ object Similarity {
     */
   def trainPqCodebooks(corpus: DataFrame, idCol: String, embCol: String,
                        m: Int, subDim: Int, k: Int,
-                       iters: Int): Array[Array[Double]] =
-    (0 until m).map { s =>
-      trainIvfCentroids(
-        corpus.select(col(idCol),
-          slice(col(embCol), s * subDim + 1, subDim).as("__sub")),
-        idCol, "__sub", k, iters, subDim)
-    }.toArray
+                       iters: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column => exprCol, expression => colExpr}
+    require(m >= 1 && subDim >= 1 && k >= 1 && iters >= 0)
+    // ALL m subspaces train in one driver loop: 1 seed job + 1
+    // aggregation job per iteration, instead of m independent
+    // trainIvfCentroids calls (m × (1 + iters) sequential driver
+    // round-trips — 24 jobs at m=8, measured as the dominant cost of
+    // every train-in-query PQ form at bench SFs, and m× the corpus
+    // passes at production scale). Bit-identical by construction:
+    //  - the per-subspace seed ROWS are the same k smallest
+    //    (md5(id), id) rows regardless of subspace (the ordering never
+    //    looks at the vector), so collecting the full vectors once and
+    //    slicing is exactly the m separate seed scans;
+    //  - each iteration's update aggregates the same quantized-integer
+    //    sums per (subspace, centroid, dim) — grouping the m subspaces
+    //    into one shuffle cannot perturb an associative integer sum.
+    // OptEquivalenceSpec pins batched == sequential on real data.
+    val seeds = corpus.select(col(idCol), col(embCol))
+      .filter(col(idCol).isNotNull) // NULLS FIRST/LAST divergence guard,
+      // same rule as trainIvfCentroids
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k).collect()
+    require(seeds.nonEmpty, "no seed centroids found")
+    val seedVecs: Array[Array[Double]] = seeds.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case x => x.asInstanceOf[Number].doubleValue
+    }.toArray)
+    var cbs: Array[Array[Double]] = Array.tabulate(m) { s =>
+      seedVecs.flatMap(v => v.slice(s * subDim, (s + 1) * subDim))
+    }
+    for (_ <- 0 until iters) {
+      // one row per (subspace, assigned centroid, sub-vector), exploded
+      // to (s, c, d, x) — the union of the m per-subspace update inputs
+      val subStructs = array((0 until m).map { s =>
+        val sub = slice(col(embCol), s * subDim + 1, subDim)
+        struct(lit(s).as("s"),
+          exprCol(NearestCentroidExpr(colExpr(sub), cbs(s), subDim)).as("c"),
+          sub.as("v"))
+      }: _*)
+      val means = corpus
+        .select(explode(subStructs).as("r"))
+        .select(col("r.s").as("s"), col("r.c").as("c"),
+          posexplode(col("r.v")).as(Seq("d", "x")))
+        .groupBy(col("s"), col("c"), col("d"))
+        .agg(sum(floor(col("x").cast("double") * 1048576.0).cast("long"))
+          .as("sm"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = cbs.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1) * subDim + r.getInt(2)) =
+          r.getLong(3).toDouble / r.getLong(4) / 1048576.0
+      }
+      cbs = next
+    }
+    cbs
+  }
 
   /** PQ encoding: nearest codebook centroid per subspace — an array of
     * `m` small ints per vector (m·log2(k) bits of index payload instead

