@@ -91,6 +91,13 @@ object Dsir {
       .agg(sum(col("n")).as("n_feats"), sum(col("lam") * col("n")).as("s"))
     // scoring identity re-reads only (doc_id, is_target) — column
     // pruning keeps the tokenize out of this scan
+    // MATERIALIZED once (eager localCheckpoint): four consumers — the
+    // raw-pool projection feeding budget, histogram AND tie-rank, plus
+    // the final output join — otherwise each re-execute the whole
+    // score assembly (join + broadcast) per branch; plan-audited as the
+    // job-count hot spot of t_dsir_select (45 AQE stage-jobs). The frame
+    // is the operator's own output scale (one row per doc), so
+    // materializing it is bounded by the result size at every SF.
     val scored = docs.select(col(idCol).cast("long").as("doc_id"),
         isTarget.as("is_target"))
       .join(perDoc, Seq("doc_id"), "left")
@@ -100,6 +107,7 @@ object Dsir {
         (coalesce(col("s"), lit(0L))
           + coalesce(col("n_feats"), lit(0L)) * col("norm_q16"))
           .as("logratio_q16"))
+      .localCheckpoint()
     // deterministic top-fraction of the raw pool via the bounded-score
     // histogram (exclusive cumulative count + within-bucket tie rank)
     val m = greatest(least(shiftright(col("logratio_q16"), 6),

@@ -193,7 +193,12 @@ object Graphs {
     var r = 1
     var converged = false
     while (r <= rounds && !converged) {
-      val rem = deg.filter(col("d") < k).select(col("v")).localCheckpoint()
+      // LAZY checkpoint + count: the convergence count IS the action
+      // that materializes the round's removal set — one driver job per
+      // round instead of eager-checkpoint-then-count's two (the
+      // nearDupClusters pattern)
+      val rem = deg.filter(col("d") < k).select(col("v"))
+        .localCheckpoint(false)
       removed += rem.select(col("v"), lit(r).as("removed_round"))
       val nRem = rem.count()
       if (nRem == 0L) {

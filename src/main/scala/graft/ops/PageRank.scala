@@ -162,12 +162,24 @@ object PageRank {
       .repartition(col("src")))
     val nodes = markEager(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
-    def normalized(raw: DataFrame, key: String, out: String): DataFrame = {
+    // Rounds run SPARSE: a node whose aggregate is absent would score 0,
+    // and a 0 (or absent) score contributes nothing to the next round's
+    // sums, so carrying the zero rows through every round is pure
+    // overhead — the original dense form paid a |V|-row left join + a
+    // crossJoin per round, AND re-executed the edge-scale join+groupBy
+    // inside the divisor's BroadcastExchange build (no materialization).
+    // Now the per-round aggregate is checkpointed once, normalized
+    // in place, and the zero-fill happens ONCE at the end against the
+    // full node set — byte-identical output (absent ⇔ dense 0; present
+    // values are the same integer arithmetic).
+    def normalized(raw0: DataFrame, key: String, out: String): DataFrame = {
+      val raw = markEager(raw0)
       val div = raw.agg(
         expr("greatest((max(raw) + 999999) DIV 1000000, 1L)").as("d"))
-      markEager(nodes.join(raw, nodes("node") === raw(key), "left")
-        .crossJoin(broadcast(div))
-        .select(col("node"), expr("coalesce(raw, 0L) DIV d").as(out)))
+      val r = markEager(raw.crossJoin(broadcast(div))
+        .select(col(key).as("node"), expr("raw DIV d").as(out)))
+      graft.core.Checkpoints.release(raw) // both consumers are done
+      r
     }
     var hubs = nodes.withColumn("h", lit(1000000L))
     var auths: DataFrame = null
@@ -183,11 +195,14 @@ object PageRank {
       graft.core.Checkpoints.release(prevH)
       if (prevA != null) graft.core.Checkpoints.release(prevA)
     }
-    // the final hubs/auths checkpoints back the returned join; e/nodes do not
+    // the final hubs/auths checkpoints AND `nodes` back the returned
+    // zero-filled join (nodes is NOT released — end-of-life only); e is
     graft.core.Checkpoints.release(e)
-    graft.core.Checkpoints.release(nodes)
-    hubs.join(auths, "node")
-      .select(col("node"), col("h").as("hub_micro"), col("a").as("auth_micro"))
+    nodes.join(hubs, Seq("node"), "left")
+      .join(auths, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("h"), lit(0L)).as("hub_micro"),
+        coalesce(col("a"), lit(0L)).as("auth_micro"))
   }
 
   /** The curation-shaped instance: authority over the customer↔supplier
