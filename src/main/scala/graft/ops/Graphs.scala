@@ -180,13 +180,21 @@ object Graphs {
   def kcoreRounds(edges: DataFrame, k: Int, rounds: Int,
                   broadcastRemUpTo: Long = 1000000L): DataFrame = {
     require(k >= 0 && rounds >= 1)
-    val ed = edges.select(col("a"), col("b")).localCheckpoint()
-    val verts = ed.select(col("a").as("v"))
-      .unionAll(ed.select(col("b").as("v")))
-      .distinct().localCheckpoint()
-    // full degree count: the ONE edge-scale aggregation
-    var deg = ed.select(col("a").as("v"))
-      .unionAll(ed.select(col("b").as("v")))
+    // ENDPOINT-EXPLODED incidence frame, hash-partitioned on the vertex
+    // and materialized ONCE: every round's delta needs "the other
+    // endpoint of each edge incident to this round's removals", which
+    // the (a,b) form answered with TWO edge-scale joins (one per
+    // endpoint column) that each re-shuffled the edges EVERY round. One
+    // (v, o) row per direction makes it ONE join per round, and the
+    // up-front repartition(v) means the edge side never exchanges again
+    // (the labelPropagation trick) — 2 edge shuffles/round → 0.
+    val ed2 = edges.select(col("a").as("v"), col("b").as("o"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("o")))
+      .repartition(col("v")).localCheckpoint()
+    val verts = ed2.select(col("v")).distinct().localCheckpoint()
+    // full degree count: the ONE edge-scale aggregation (exchange-free
+    // over the v-partitioned incidence frame)
+    var deg = ed2
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
       .localCheckpoint()
     val removed = scala.collection.mutable.Buffer.empty[DataFrame]
@@ -216,10 +224,8 @@ object Graphs {
         // vertex this round; decrements landing on a vertex that is
         // itself removed (this round or earlier) vanish in the
         // left-anti — its degree row is already gone
-        val delta = ed.join(remSide(rem.select(col("v").as("a"))), Seq("a"))
-          .select(col("b").as("v"))
-          .unionAll(ed.join(remSide(rem.select(col("v").as("b"))), Seq("b"))
-            .select(col("a").as("v")))
+        val delta = ed2.join(remSide(rem), Seq("v"))
+          .select(col("o").as("v"))
           .groupBy(col("v")).agg(count(lit(1)).as("dd"))
         val nextDeg = deg.join(remSide(rem), Seq("v"), "left_anti")
           .join(delta, Seq("v"), "left")
@@ -234,7 +240,7 @@ object Graphs {
       r += 1
     }
     graft.core.Checkpoints.release(deg)
-    graft.core.Checkpoints.release(ed) // result needs verts + rems only
+    graft.core.Checkpoints.release(ed2) // result needs verts + rems only
     val rm = removed.reduce(_ unionAll _)
     verts.join(rm, Seq("v"), "left")
       .select(col("v"), col("removed_round"),
