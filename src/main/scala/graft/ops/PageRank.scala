@@ -113,22 +113,34 @@ object PageRank {
     val nodes = markEager(deg.select(col("src").as("node")))
     def teleport(of: Column, amount: Long): Column =
       when(of % seedMod === 0, lit(amount)).otherwise(lit(0L))
-    var ranks = nodes.withColumn("rank_micro", teleport(col("node"), 1000000L))
+    // Rounds run SPARSE (the HITS argument, but for seed-only teleport):
+    // a node absent from the round frame has rank 0 — it contributes
+    // rank DIV deg = 0 to the next round's sums, and the teleport term
+    // is zero off the seed set, so only seeds ∪ mass-receivers ever need
+    // rows. The dense form paid a |V|-row left join per round; the
+    // sparse round joins seeds (|V|/seedMod) full-outer with the in-mass
+    // frame, and the zero-fill runs ONCE at the end. Byte-identical
+    // (absent ⇔ dense 0; q_ppr re-verified hash-exact).
+    val seeds = nodes.filter(col("node") % seedMod === 0)
+    var ranks = seeds.withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to iters) {
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("rank_micro DIV deg").as("c"))
       val inMass = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
       val next = markEager(
-        nodes.join(inMass, nodes("node") === inMass("dst"), "left")
-          .select(col("node"),
-            (teleport(col("node"), TeleportMicro) +
+        seeds.join(inMass, seeds("node") === inMass("dst"), "full_outer")
+          .select(coalesce(col("node"), col("dst")).as("node"),
+            (teleport(coalesce(col("node"), col("dst")), TeleportMicro) +
               expr(s"$DampingPct * coalesce(s, 0L) DIV 100")).as("rank_micro")))
       graft.core.Checkpoints.release(ranks) // see ranks(): iterate-and-release
       ranks = next
     }
+    // nodes backs both the seed filter and the final zero-fill — not
+    // released (end-of-life only); e is done
     graft.core.Checkpoints.release(e)
-    graft.core.Checkpoints.release(nodes)
-    ranks
+    nodes.join(ranks, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("rank_micro"), lit(0L)).as("rank_micro"))
   }
 
   /** Kleinberg's HITS — hubs & authorities (JACM 1999) — over the
