@@ -193,22 +193,31 @@ object Graphs {
       .repartition(col("v")).localCheckpoint()
     val verts = ed2.select(col("v")).distinct().localCheckpoint()
     // full degree count: the ONE edge-scale aggregation (exchange-free
-    // over the v-partitioned incidence frame)
+    // over the v-partitioned incidence frame). LAZY checkpoint — the
+    // first round's convergence count materializes it (see below).
     var deg = ed2
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    // the degree frame superseded by `deg` — releasable only AFTER the
+    // lazy `deg` has been materialized by a count (its computation reads
+    // the predecessor's blocks)
+    var degPrev: DataFrame = null
     val removed = scala.collection.mutable.Buffer.empty[DataFrame]
     var r = 1
     var converged = false
     while (r <= rounds && !converged) {
       // LAZY checkpoint + count: the convergence count IS the action
-      // that materializes the round's removal set — one driver job per
-      // round instead of eager-checkpoint-then-count's two (the
-      // nearDupClusters pattern)
+      // that materializes the round's removal set AND the (lazy) degree
+      // frame it filters — ONE driver job per round total (the
+      // eager-nextDeg form paid two: checkpoint-then-count)
       val rem = deg.filter(col("d") < k).select(col("v"))
         .localCheckpoint(false)
       removed += rem.select(col("v"), lit(r).as("removed_round"))
       val nRem = rem.count()
+      // deg is materialized now — its predecessor's blocks are dead
+      if (degPrev != null) {
+        graft.core.Checkpoints.release(degPrev); degPrev = null
+      }
       if (nRem == 0L) {
         converged = true
       } else {
@@ -230,15 +239,13 @@ object Graphs {
         val nextDeg = deg.join(remSide(rem), Seq("v"), "left_anti")
           .join(delta, Seq("v"), "left")
           .select(col("v"), (col("d") - coalesce(col("dd"), lit(0L))).as("d"))
-          .localCheckpoint()
-        // iterate-and-release: nextDeg is materialized and
-        // self-contained; the superseded degree frame is dead weight
-        // (the result references verts + the rem checkpoints, not deg)
-        graft.core.Checkpoints.release(deg)
+          .localCheckpoint(false)
+        degPrev = deg
         deg = nextDeg
       }
       r += 1
     }
+    if (degPrev != null) graft.core.Checkpoints.release(degPrev)
     graft.core.Checkpoints.release(deg)
     graft.core.Checkpoints.release(ed2) // result needs verts + rems only
     val rm = removed.reduce(_ unionAll _)
@@ -264,8 +271,9 @@ object Graphs {
     * window, no sort. Each round's labels are eagerly localCheckpoint'ed
     * (the same geometric-lineage trap as [[kcoreRounds]]).
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    require(rounds >= 1)
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       checkpointEvery: Int = 8): DataFrame = {
+    require(rounds >= 1 && checkpointEvery >= 1)
     // hash-partition the edges on the join key ONCE before the
     // checkpoint (the PageRank trick): every round's labels⋈edges then
     // satisfies its distribution requirement from the materialized
@@ -278,9 +286,17 @@ object Graphs {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).sortWithinPartitions("src")
       .localCheckpoint()
+    // Rounds run LAZY (each round references the previous labels frame
+    // exactly once — the votes join — so the nested plan grows linearly;
+    // the per-round eager checkpoint was one driver job + barrier of
+    // pure latency per round). The FINAL round is eagerly checkpointed:
+    // it has multiple downstream consumers (q_modularity joins it
+    // twice), and it lets `e` be released here. `checkpointEvery` bounds
+    // lineage for high round counts.
     var labels = e.select(col("src").as("v")).distinct()
-      .withColumn("label", col("v")).localCheckpoint()
-    for (_ <- 1 to rounds) {
+      .withColumn("label", col("v"))
+    var lastCkpt: DataFrame = null
+    for (r <- 1 to rounds) {
       // SHUFFLE_HASH on the labels side: the per-partition hash map is
       // |V|/partitions rows (size partitions for executor memory at the
       // target SF) and the edge side streams WITHOUT the per-round sort
@@ -291,11 +307,14 @@ object Graphs {
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
       // argmin of (-count, label): highest count, then smallest label —
       // struct ordering is field-by-field, exactly the tie rule
-      val nextLabels = votes.groupBy(col("dst"))
+      var nextLabels = votes.groupBy(col("dst"))
         .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
         .select(col("dst").as("v"), col("m").getField("l").as("label"))
-        .localCheckpoint()
-      graft.core.Checkpoints.release(labels) // superseded round, dead weight
+      if (r == rounds || r % checkpointEvery == 0) {
+        nextLabels = nextLabels.localCheckpoint()
+        if (lastCkpt != null) graft.core.Checkpoints.release(lastCkpt)
+        lastCkpt = nextLabels
+      }
       labels = nextLabels
     }
     graft.core.Checkpoints.release(e) // the returned frame is a projection
@@ -327,6 +346,11 @@ object Graphs {
     val verts = e.select(col("src").as("v")).distinct().localCheckpoint()
     var visited = verts.filter(col("v") % seedMod === 0)
       .select(col("v"), lit(0).as("hop")).localCheckpoint()
+    // ONE materialization per round: the new frontier is not a separate
+    // checkpoint — it is recovered from the visited checkpoint as the
+    // rows first reached THIS hop (filter over materialized blocks, no
+    // extra job). The frontier-expansion subtree appears exactly once,
+    // inside the new visited checkpoint's plan.
     var frontier = visited.select(col("v"))
     for (h <- 1 to hops) {
       val next = e.join(
@@ -334,19 +358,14 @@ object Graphs {
           Seq("src"))
         .select(col("dst").as("v")).distinct()
         .join(visited.select(col("v")), Seq("v"), "left_anti")
-        .localCheckpoint()
       val nextVisited = visited
         .unionAll(next.select(col("v"), lit(h).as("hop"))).localCheckpoint()
-      // superseded: the new visited checkpoint is self-contained, and
-      // the just-consumed frontier (= last round's next) fed nothing
-      // else (round-1 frontier is a projection of visited0 — no-op)
+      // superseded: the new visited checkpoint is self-contained
       graft.core.Checkpoints.release(visited)
-      graft.core.Checkpoints.release(frontier)
       visited = nextVisited
-      frontier = next
+      frontier = nextVisited.filter(col("hop") === h).select(col("v"))
     }
     graft.core.Checkpoints.release(e)
-    graft.core.Checkpoints.release(frontier) // final frontier: already unioned
     verts.join(visited, Seq("v"), "left").select(col("v"), col("hop"))
   }
 
@@ -410,8 +429,12 @@ object Graphs {
     * arrays, nothing broadcast that scales with the graph.
     */
   def assortativity(edges: DataFrame): DataFrame = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    edges
+    // materialize the (possibly expensive) edge construction ONCE: the
+    // frame is consumed three times below (probe + both degree sides),
+    // and Catalyst plans no reuse across the self-join branches
+    val e = edges.localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    e
       .join(deg.select(col("src"), col("deg").as("x")), Seq("src"))
       .join(deg.select(col("src").as("dst"), col("deg").as("y")), Seq("dst"))
       .agg(

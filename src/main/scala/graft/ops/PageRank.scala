@@ -46,8 +46,10 @@ object PageRank {
     * a symmetrized edge list that is every node of the graph.
     */
   def ranks(edges: DataFrame, iters: Int = 3,
-            checkpointDir: Option[String] = None): DataFrame = {
+            checkpointDir: Option[String] = None,
+            checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
+    require(checkpointEvery >= 1)
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def markEager(df: DataFrame): DataFrame =
@@ -59,27 +61,41 @@ object PageRank {
     val e = markEager(
       edges.join(deg, "src").repartition(col("src"))
         .select(col("src"), col("dst"), col("deg")))
-    val nodes = markEager(deg.select(col("src").as("node")))
+    // node set from the MATERIALIZED e, not a second pass over the raw
+    // edge construction: distinct over the src-hash-partitioned
+    // checkpoint needs no exchange
+    val nodes = markEager(e.select(col("src").as("node")).distinct())
 
+    // Rounds run LAZY: each round references the previous ranks frame
+    // exactly ONCE (the contribution join), so the nested plan grows
+    // LINEARLY in the round count — the per-round eager checkpoint
+    // (one driver job + barrier each) bought nothing but latency at any
+    // scale. A periodic checkpoint (every `checkpointEvery` rounds)
+    // stays as the lineage bound for high iteration counts; at the
+    // default 3 iterations the whole computation is one action.
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
-    for (_ <- 1 to iters) {
+    var lastCkpt: DataFrame = null
+    for (i <- 1 to iters) {
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("rank_micro DIV deg").as("c"))
       val inMass = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      val next = markEager(
+      var next =
         nodes.join(inMass, nodes("node") === inMass("dst"), "left")
           .select(col("node"),
             (lit(TeleportMicro) +
-              expr(s"$DampingPct * coalesce(s, 0L) DIV 100")).as("rank_micro")))
-      // iterate-and-release: next is materialized and self-contained,
-      // so the superseded iteration's blocks are dead weight (no-op on
-      // iteration 0, which is a plain projection over nodes)
-      graft.core.Checkpoints.release(ranks)
+              expr(s"$DampingPct * coalesce(s, 0L) DIV 100")).as("rank_micro"))
+      if (i % checkpointEvery == 0 && i < iters) {
+        next = markEager(next)
+        // iterate-and-release: the new checkpoint is self-contained,
+        // the superseded one is dead weight
+        if (lastCkpt != null) graft.core.Checkpoints.release(lastCkpt)
+        lastCkpt = next
+      }
       ranks = next
     }
-    // the returned frame is itself a checkpoint: e/nodes are not needed
-    graft.core.Checkpoints.release(e)
-    graft.core.Checkpoints.release(nodes)
+    // the returned lazy frame references e/nodes (and lastCkpt) — their
+    // blocks stay leased to the caller; Bench's inter-query unpersist
+    // sweep (or the caller's own release) reclaims them
     ranks
   }
 
@@ -99,9 +115,11 @@ object PageRank {
     */
   def personalizedRanks(edges: DataFrame, seedMod: Long = 20L,
                         iters: Int = 3,
-                        checkpointDir: Option[String] = None): DataFrame = {
+                        checkpointDir: Option[String] = None,
+                        checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(seedMod >= 1)
+    require(checkpointEvery >= 1)
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def markEager(df: DataFrame): DataFrame =
@@ -110,7 +128,8 @@ object PageRank {
     val e = markEager(
       edges.join(deg, "src").repartition(col("src"))
         .select(col("src"), col("dst"), col("deg")))
-    val nodes = markEager(deg.select(col("src").as("node")))
+    // node set from the materialized e (see ranks())
+    val nodes = markEager(e.select(col("src").as("node")).distinct())
     def teleport(of: Column, amount: Long): Column =
       when(of % seedMod === 0, lit(amount)).otherwise(lit(0L))
     // Rounds run SPARSE (the HITS argument, but for seed-only teleport):
@@ -121,23 +140,29 @@ object PageRank {
     // sparse round joins seeds (|V|/seedMod) full-outer with the in-mass
     // frame, and the zero-fill runs ONCE at the end. Byte-identical
     // (absent ⇔ dense 0; q_ppr re-verified hash-exact).
+    // Rounds are LAZY with a periodic lineage bound (see ranks(): each
+    // round references the previous frame once, so growth is linear).
     val seeds = nodes.filter(col("node") % seedMod === 0)
     var ranks = seeds.withColumn("rank_micro", lit(1000000L))
-    for (_ <- 1 to iters) {
+    var lastCkpt: DataFrame = null
+    for (i <- 1 to iters) {
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("rank_micro DIV deg").as("c"))
       val inMass = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      val next = markEager(
+      var next =
         seeds.join(inMass, seeds("node") === inMass("dst"), "full_outer")
           .select(coalesce(col("node"), col("dst")).as("node"),
             (teleport(coalesce(col("node"), col("dst")), TeleportMicro) +
-              expr(s"$DampingPct * coalesce(s, 0L) DIV 100")).as("rank_micro")))
-      graft.core.Checkpoints.release(ranks) // see ranks(): iterate-and-release
+              expr(s"$DampingPct * coalesce(s, 0L) DIV 100")).as("rank_micro"))
+      if (i % checkpointEvery == 0 && i < iters) {
+        next = markEager(next)
+        if (lastCkpt != null) graft.core.Checkpoints.release(lastCkpt)
+        lastCkpt = next
+      }
       ranks = next
     }
-    // nodes backs both the seed filter and the final zero-fill — not
-    // released (end-of-life only); e is done
-    graft.core.Checkpoints.release(e)
+    // e/nodes (and lastCkpt) back the returned lazy frame — leased to
+    // the caller, reclaimed by Bench's inter-query sweep
     nodes.join(ranks, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("rank_micro"), lit(0L)).as("rank_micro"))
@@ -184,31 +209,49 @@ object PageRank {
     // in place, and the zero-fill happens ONCE at the end against the
     // full node set — byte-identical output (absent ⇔ dense 0; present
     // values are the same integer arithmetic).
-    def normalized(raw0: DataFrame, key: String, out: String): DataFrame = {
+    // Only the per-half-round RAW aggregate is materialized (it is
+    // referenced TWICE — by the divisor aggregate and by the normalize
+    // projection — so a lazy raw would double the edge-scale join). The
+    // normalized frame itself is a cheap projection over the raw
+    // checkpoint and stays LAZY: the next half-round's raw checkpoint
+    // (or the final output join) materializes through it. 2 driver jobs
+    // per round instead of 4; identical integer arithmetic.
+    def normalized(raw0: DataFrame, key: String,
+                   out: String): (DataFrame, DataFrame) = {
       val raw = markEager(raw0)
       val div = raw.agg(
         expr("greatest((max(raw) + 999999) DIV 1000000, 1L)").as("d"))
-      val r = markEager(raw.crossJoin(broadcast(div))
-        .select(col(key).as("node"), expr("raw DIV d").as(out)))
-      graft.core.Checkpoints.release(raw) // both consumers are done
-      r
+      val r = raw.crossJoin(broadcast(div))
+        .select(col(key).as("node"), expr("raw DIV d").as(out))
+      (r, raw)
     }
     var hubs = nodes.withColumn("h", lit(1000000L))
     var auths: DataFrame = null
+    // raw checkpoints superseded once the NEXT half-round's raw is
+    // materialized (its build consumed them); the final round's pair
+    // backs the returned join and stays leased to the caller
+    var prevRawH: DataFrame = null
+    var prevRawA: DataFrame = null
     for (_ <- 1 to iters) {
-      val (prevH, prevA) = (hubs, auths)
-      auths = normalized(
+      val (a, rawA) = normalized(
         e.join(hubs, e("src") === hubs("node"))
           .groupBy(col("dst")).agg(sum(col("h")).as("raw")), "dst", "a")
-      hubs = normalized(
+      // rawA materialized ⇒ last round's rawH (hubs' backing blocks) dead
+      if (prevRawH != null) graft.core.Checkpoints.release(prevRawH)
+      auths = a
+      val (h, rawH) = normalized(
         e.join(auths, e("dst") === auths("node"))
           .groupBy(col("src")).agg(sum(col("a")).as("raw")), "src", "h")
-      // both new frames are materialized checkpoints; last round's are dead
-      graft.core.Checkpoints.release(prevH)
-      if (prevA != null) graft.core.Checkpoints.release(prevA)
+      // rawH materialized ⇒ this round's rawA had its only remaining
+      // mid-loop consumer run; keep it on the LAST round (it backs the
+      // returned auths projection)
+      if (prevRawA != null) graft.core.Checkpoints.release(prevRawA)
+      hubs = h
+      prevRawH = rawH
+      prevRawA = rawA
     }
-    // the final hubs/auths checkpoints AND `nodes` back the returned
-    // zero-filled join (nodes is NOT released — end-of-life only); e is
+    // the final raw checkpoints AND `nodes` back the returned
+    // zero-filled join (leased to the caller); e is done
     graft.core.Checkpoints.release(e)
     nodes.join(hubs, Seq("node"), "left")
       .join(auths, Seq("node"), "left")

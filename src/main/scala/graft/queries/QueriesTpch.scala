@@ -904,7 +904,10 @@ object QueriesTpch {
       (s, dir) => {
         val o = Q.table(s, dir, "orders")
         val l = Q.table(s, dir, "lineitem")
-        val pairs = graft.ops.PageRank.tradeGraphPairs(o, l)
+        // pair construction materialized ONCE: it feeds the LPA edge
+        // frame and three more consumers inside modularity() (intra-
+        // community count, degree rollup, edge total)
+        val pairs = graft.ops.PageRank.tradeGraphPairs(o, l).localCheckpoint()
         val labels = graft.ops.Graphs.labelPropagation(
           pairs.union(pairs.select(col("dst").as("src"),
             col("src").as("dst"))), rounds = 3)
