@@ -196,7 +196,8 @@ object Dedup {
         (max(col("s")) + lit(windowLen)).as("hi"))
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("lo"), col("hi"))).as("cut"))
-    df.select(col(idCol).cast("long").as("doc_id"),
+    graft.ops.Partitioning.spreadScan(df)
+      .select(col(idCol).cast("long").as("doc_id"),
         split(TextAnalysis.normalized(col(textCol)), " ").as("words"))
       .join(ivals, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -253,7 +254,7 @@ object Dedup {
       .select(explode(arrays_zip(col("ha"), col("hb"))).as("fp"))
       .groupBy(col("fp")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).limit(1).count() > 0L
-    val base = df
+    val base = graft.ops.Partitioning.spreadScan(df)
       .select(split(TextAnalysis.normalized(col(textCol)), " ").as("words"))
       .select(expr("transform(words, w -> xxhash64('a', w))").as("ha"),
         expr("transform(words, w -> xxhash64('b', w))").as("hb"))
@@ -307,7 +308,10 @@ object Dedup {
   private[graft] def slidingWindows(df: DataFrame, idCol: String, textCol: String,
                              windowLen: Int): DataFrame = {
     require(windowLen > 0, s"windowLen must be positive: got $windowLen")
-    df.select(col(idCol).cast("long").as("doc_id"),
+    // spreadScan: per-window md5 over every stride-1 offset is the
+    // heaviest map-side pass in the dedup family
+    graft.ops.Partitioning.spreadScan(df)
+      .select(col(idCol).cast("long").as("doc_id"),
         split(TextAnalysis.normalized(col(textCol)), " ").as("words"))
       .filter(size(col("words")) >= windowLen)
       .withColumn("s", explode(sequence(lit(0),
@@ -460,7 +464,8 @@ object Dedup {
     // count pass + broadcast anti-join pass), so the count pass fills
     // the cache and every later pass — anti-join, prefix, verification
     // arrays — reads it; the explode is computed exactly once.
-    val sh0 = df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("shingle"))
+    val sh0 = graft.ops.Partitioning.spreadScan(df)
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("shingle"))
       .cache()
     // two-phase df cap: a boilerplate shingle's rows are dropped
     // map-side (broadcast anti-join) and never colocate
@@ -558,9 +563,10 @@ object Dedup {
     // pass fills the cache; the anti-join pass, the pair join's two
     // sides, and the per-doc sizes all read it. The anti-join itself is
     // a map-side broadcast, free to re-apply per consumer.
-    val fp0 = df.select(col(idCol).as("id"),
-      explode(TextAnalysis.winnowingFingerprints(
-        TextAnalysis.normalized(col(textCol)))).as("fp"))
+    val fp0 = graft.ops.Partitioning.spreadScan(df)
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.winnowingFingerprints(
+          TextAnalysis.normalized(col(textCol)))).as("fp"))
       .cache()
     val fp = SkewCap.dropOverCap(fp0, col("fp"), maxFpDf)
     val sizes = fp.groupBy(col("id")).agg(count(lit(1)).as("n"))
@@ -613,7 +619,8 @@ object Dedup {
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    k: Int = MinhashK, bands: Int = 4): DataFrame = {
     val r = k / bands
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("shingle"))
+    val sh = graft.ops.Partitioning.spreadScan(df)
+      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("shingle"))
       .withColumn("h", baseHash(col("shingle")))
     val minAggs = (0 until k).map { i =>
       min(pmod(col("h") * hashCoeffA(i) + hashCoeffB(i), lit(MinhashP))).as(s"m$i")
@@ -634,7 +641,8 @@ object Dedup {
     val cand = b.as("x").join(b.as("y"), Seq("band_idx", "band_key"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh")).cache()
+    val sh = graft.ops.Partitioning.spreadScan(df)
+      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh")).cache()
     cand.join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -663,7 +671,8 @@ object Dedup {
   def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
                            k: Int = MinhashK, bands: Int = 4): DataFrame = {
     val r = k / bands
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("shingle"))
+    val sh = graft.ops.Partitioning.spreadScan(df)
+      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("shingle"))
       .withColumn("h", baseHash(col("shingle")))
     val minAggs = (0 until k).map { i =>
       min(pmod(col("h") * hashCoeffA(i) + hashCoeffB(i), lit(MinhashP))).as(s"m$i")
@@ -811,12 +820,17 @@ object Dedup {
       // (labels only decrease toward the component min), so batching
       // hops reaches the same fixpoint in half the rounds — and each
       // round is a full driver barrier, which dominates wall time on
-      // sparse dup graphs. LAZY checkpoint + count: the convergence
-      // count IS the action that materializes the round into stored
-      // blocks — one job per round. The pre-round label rides along so
-      // convergence is a filter over the materialized round, not
-      // another join; no-change detection across a 2-hop round is
-      // exact (monotonicity: unchanged after 2 hops ⇒ fixpoint).
+      // sparse dup graphs. (A pointer-jumping step per round was
+      // measured this round: it helps only deep containment chains and
+      // costs every shallow graph an extra |V|-scale join per round —
+      // net negative across the three declared cluster queries, so the
+      // plain 2-hop round stays.) LAZY checkpoint + count: the
+      // convergence count IS the action that materializes the round
+      // into stored blocks — one job per round. The pre-round label
+      // rides along so convergence is a filter over the materialized
+      // round, not another join; no-change detection across a 2-hop
+      // round is exact (monotonicity: unchanged after 2 hops ⇒
+      // fixpoint).
       val next = mark(hop(hop(
         labels.select(col("id"), col("cluster").as("old"))
           .withColumn("cluster", col("old")))))

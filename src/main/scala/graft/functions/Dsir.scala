@@ -47,7 +47,10 @@ object Dsir {
                  keepNum: Long = 1L, keepDen: Long = 4L,
                  salt: String = "dsir"): DataFrame = {
     require(buckets > 0 && keepNum >= 0 && keepDen > 0)
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+    // spreadScan: tokenize + per-occurrence hash is the heavy map work;
+    // identity when the scan already has ≥ cores splits
+    val base = graft.ops.Partitioning.spreadScan(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
         split(TextAnalysis.normalized(col(textCol)), " ").as("words"),
         isTarget.as("is_target"))
     val bigrams = zip_with(

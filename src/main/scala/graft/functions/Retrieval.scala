@@ -103,7 +103,11 @@ object Retrieval {
                                textCol: String, maxDf: Long,
                                relDfDen: Option[Long] = None)
       : (DataFrame, DataFrame, DataFrame) = {
-    val base = docs
+    // spreadScan: the normalize+bigram tokenize below is the operator's
+    // heavy map-side work — on a compact scan (1 row group ⇒ 1 task) it
+    // would otherwise run on one core; identity at production split
+    // counts (guide §1.2 step 2)
+    val base = graft.ops.Partitioning.spreadScan(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         bigramTerms(col(textCol)).as("terms"))
       .withColumn("dl", size(col("terms")).cast("long"))
@@ -523,8 +527,11 @@ object Retrieval {
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
                    phrases: DataFrame): DataFrame = {
     val words = split(TextAnalysis.normalized(col(textCol)), " ")
-    val postings = docs.select(col(idCol).cast("long").as("doc_id"),
-      posexplode(words).as(Seq("pos", "tok")))
+    // spreadScan: the tokenize+posexplode+broadcast-probe chain is all
+    // map-side — parallelize it past a compact scan's split count
+    val postings = graft.ops.Partitioning.spreadScan(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(words).as(Seq("pos", "tok")))
     val pterms = phrases.select(col("phrase_id"),
         size(col("terms")).as("k"),
         posexplode(col("terms")).as(Seq("i", "pterm")))

@@ -38,6 +38,25 @@ object Partitioning {
         sum(col("__pcnt")).as("n"))
   }
 
+  /** Spread a narrow-scan frame across the session's cores BEFORE heavy
+    * map-side compute (tokenize/hash/explode chains), adaptively: a
+    * parquet scan can never have more non-empty tasks than the file's
+    * row groups, so a compact input (one file, one row group — the
+    * bench testdata shape, or any freshly-compacted small table) runs
+    * an entire normalize+shingle+fingerprint pipeline on ONE core while
+    * the rest idle. When the scan already has at least as many splits
+    * as cores (the 100 TB shape: thousands of 128 MB splits), this is
+    * the IDENTITY — no round-robin exchange of payload bytes is ever
+    * paid at scale (guide §8: never shuffle heavy payloads without
+    * need). The probe reads the physical plan's partition count — no
+    * job is submitted.
+    */
+  def spreadScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.rdd.getNumPartitions
+    if (parts < target) df.repartition(target) else df
+  }
+
   /** Chunked time-windows for parallelizing per-stream *window* kernels
     * over a hot stream: assign each row to a time chunk, and replicate
     * rows within `overlapUs` of a chunk boundary into the neighbor chunk
