@@ -43,12 +43,21 @@ object Graphs {
     * closure = 3·triangles/wedges in integer micro-units (the global
     * clustering coefficient).
     */
-  def triangleStats(edges: DataFrame, adjSegSize: Int = 4096,
+  def triangleStats(edges0: DataFrame, adjSegSize: Int = 4096,
                     probeEdgesPerBatch: Long = 200000000L): DataFrame = {
     require(adjSegSize >= 1 && probeEdgesPerBatch >= 1)
+    // The (possibly expensive) edge construction is consumed FIVE times
+    // across two separate actions (degree rollup twice via the union,
+    // the rank join, the eager probe phase, and the returned frame's
+    // edge count) — ReusedExchange cannot share across actions, so
+    // without materialization the co-occurrence self-join re-executes
+    // per consumer. One eager checkpoint each for edges and the degree
+    // table ends that at every scale.
+    val edges = edges0.localCheckpoint()
     val deg = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     val ranked = edges
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
@@ -134,12 +143,9 @@ object Graphs {
       sum(call_function("div", col("d") * (col("d") - 1L), lit(2L)))
         .as("n_wedges"))
     // o/adj were consumed EAGERLY above (counts via first()); the
-    // returned frame references only `wedges` — a lazy agg whose
-    // lineage is deg ← the RAW `edges` scan, NOT the released
-    // checkpoints — and `edges` itself, so dropping the two edge-scale
-    // checkpoints now is safe. (If wedges were ever re-based on `o`,
-    // evaluating the result after release would hit missing blocks —
-    // keep it on deg.)
+    // returned frame references only the edges/deg CHECKPOINTS (kept —
+    // leased to the caller, reclaimed by Bench's inter-query sweep),
+    // never o/adj, so dropping those two is safe.
     graft.core.Checkpoints.release(o)
     graft.core.Checkpoints.release(adj)
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))

@@ -388,9 +388,12 @@ object QueriesTpch {
     // table broadcast back.
     QDef("q_assoc_rules",
       (s, dir) => {
+        // distinct basket items materialized once: four consumers
+        // (basket count, item counts, both sides of the pair self-join)
         val li = Q.table(s, dir, "lineitem")
           .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
           .distinct()
+          .localCheckpoint()
         val n = li.agg(countDistinct(col("g")).as("n"))
         val cx = li.groupBy(col("item")).agg(count(lit(1)).as("c"))
         val pairs = li.as("a").join(li.as("b"),
