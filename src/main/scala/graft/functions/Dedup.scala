@@ -820,11 +820,14 @@ object Dedup {
       // (labels only decrease toward the component min), so batching
       // hops reaches the same fixpoint in half the rounds — and each
       // round is a full driver barrier, which dominates wall time on
-      // sparse dup graphs. (A pointer-jumping step per round was
-      // measured this round: it helps only deep containment chains and
-      // costs every shallow graph an extra |V|-scale join per round —
-      // net negative across the three declared cluster queries, so the
-      // plain 2-hop round stays.) LAZY checkpoint + count: the
+      // sparse dup graphs. Two is also the CEILING, not a tuning
+      // choice: hop() references its input twice (neighbor-min build +
+      // outer join), so k chained hops duplicate the un-materialized
+      // subtree 2^k-fold — measured this round, a 2→8 hop escalation
+      // ran dd_winnow_clusters 4.4 s → 16.6 s. (A pointer-jumping step
+      // per round was likewise measured and reverted: it helps only
+      // deep containment chains and costs every shallow graph an extra
+      // |V|-scale join per round.) LAZY checkpoint + count: the
       // convergence count IS the action that materializes the round
       // into stored blocks — one job per round. The pre-round label
       // rides along so convergence is a filter over the materialized

@@ -167,7 +167,12 @@ object Curation {
     val text = col(textCol)
 
     // ---- stage 1: exact dedup + every map-side gate, one pass --------
-    val deduped = Dedup.exact(docs, idCol, textCol)
+    // spreadScan: the whole gate chain (fingerprint, gopher, quality,
+    // pii) is map-side — parallelize it past a compact scan's split
+    // count; the spread partitioning then carries through the base
+    // checkpoint into the stage-3 re-tokenize as well
+    val deduped = Dedup.exact(graft.ops.Partitioning.spreadScan(docs),
+        idCol, textCol)
       .filter(!col("is_duplicate"))
     val gophered = TextAnalysis.gopherFilterOnto(deduped, text)
       .filter(col("keep"))
