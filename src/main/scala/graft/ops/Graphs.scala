@@ -435,12 +435,15 @@ object Graphs {
     * arrays, nothing broadcast that scales with the graph.
     */
   def assortativity(edges: DataFrame): DataFrame = {
-    // materialize the (possibly expensive) edge construction ONCE: the
-    // frame is consumed three times below (probe + both degree sides),
-    // and Catalyst plans no reuse across the self-join branches
-    val e = edges.localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    e
+    // NOT materialized: the three consumers below (probe + both degree
+    // sides) share the construction's distinct/aggregate exchanges via
+    // ReusedExchange within this single action, so an eager checkpoint
+    // only adds a full write+read of the edge list — measured this
+    // round: with checkpoint 8.7 s vs 4.8 s without at sf1 (a wash at
+    // sf0.1). Contrast triangleStats, where the consumers span TWO
+    // actions and the checkpoint is the win.
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    edges
       .join(deg.select(col("src"), col("deg").as("x")), Seq("src"))
       .join(deg.select(col("src").as("dst"), col("deg").as("y")), Seq("dst"))
       .agg(
