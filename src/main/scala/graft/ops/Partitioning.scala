@@ -52,6 +52,11 @@ object Partitioning {
     * job is submitted.
     */
   def spreadScan(df: DataFrame): DataFrame = {
+    // streaming frames pass through untouched: the split-count probe
+    // needs a batch physical plan, and micro-batch sources are already
+    // sized by their trigger (the operators sharing this path have
+    // streaming twins — stream substring windows rides slidingWindows)
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     val parts = df.rdd.getNumPartitions
     if (parts < target) df.repartition(target) else df

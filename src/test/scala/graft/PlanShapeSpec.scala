@@ -315,15 +315,21 @@ class PlanShapeSpec extends SparkSpec {
     assertNoGenerateOutsideCache("mm_cdc_dedup")
   }
 
-  test("pagerank: lineage truncated per round — the result plan is ONE checkpoint scan") {
+  test("pagerank: rounds run lazily over the two checkpoints; raw tables never re-read") {
     val p = plan("q_pagerank")
-    // each round ends in an eager checkpoint, so the final plan must be
-    // a bare RDD scan: constant-size regardless of iteration count (an
-    // un-truncated loop would nest joins ~linearly and re-derive the
-    // orders x lineitem trade graph in every arm)
-    assert("Scan ExistingRDD".r.findAllIn(p).size == 1 && !p.contains("FileScan")
-      && !p.contains("Join"),
-      s"expected a single checkpointed scan (per-round truncation):\n$p")
+    // r16 shape: the 3 rounds build ONE nested lazy plan (each round
+    // references its predecessor once — linear growth, no per-round
+    // driver barrier); every leaf is one of the TWO materialized
+    // checkpoints (edge frame, node set). The invariants that matter at
+    // scale: (a) the orders x lineitem construction is NEVER re-derived
+    // in the final action (zero FileScans), (b) the leaf count is
+    // exactly the round structure's reference count — iters x (e +
+    // nodes) + the rank-0 seed = 3*2 + 1 = 7 — so an accidentally
+    // un-materialized construction (which would re-plan the trade graph
+    // per arm) fails loudly.
+    val scans = "Scan ExistingRDD".r.findAllIn(p).size
+    assert(!p.contains("FileScan") && scans == 7,
+      s"expected 7 checkpoint scans and no raw-table re-read, got $scans:\n$p")
   }
 
   test("cusum: ONE data exchange serves every window layer") {
